@@ -1,0 +1,104 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every query in __spark_entry__.queries() at the given sf_dir,
+runs its oracle SQL in DuckDB over the same parquet tables, and
+compares row count, column names, and order-insensitive values
+(exact for ints/strings/bools, exact for doubles too — queries are
+written to be bit-deterministic; see queries.py header).
+
+Usage: python scripts/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return float(v)
+        if hasattr(v, "item"):
+            try:
+                return v.item()
+            except Exception:
+                return v
+        return v
+
+    out = df.map(norm_cell)
+    rows = sorted([tuple(r) for r in out.itertuples(index=False)], key=lambda t: repr(t))
+    return pd.DataFrame(rows, columns=out.columns)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from strava_etl_public_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL {name}: spark error {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            print(f"FAIL {name}: oracle error {ex}")
+            continue
+        a, b = _normalize(sdf), _normalize(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"schema {list(a.columns)} != {list(b.columns)}"))
+            print(f"FAIL {name}: schema mismatch\n  spark={list(a.columns)}\n  duck ={list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rowcount {len(a)} != {len(b)}"))
+            print(f"FAIL {name}: rowcount {len(a)} != {len(b)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            failures.append((name, f"{int(bad.sum())} mismatched rows"))
+            print(f"FAIL {name}: {int(bad.sum())}/{len(a)} rows differ; first:")
+            print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duck"]))
+            continue
+        print(f"ok   {name}: {len(a)} rows exact-match")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Time-spine densification + linear interpolation (SURVEY §2 J1/J2/W2/W3).
+
+The reference builds a dense per-second spine ``0 … max(time_key)`` per
+activity and left-joins the sparse sensor samples onto it, then runs
+pandas ``.interpolate()`` (reference main.py:47-59). pandas default
+interpolation semantics (method='linear', forward direction):
+
+- interior NaN runs: linear between nearest non-null neighbors
+- trailing NaNs: forward-filled with the last non-null value
+- leading NaNs: left as NaN
+
+All of that is reproduced here with two window passes per column —
+``last(..., ignorenulls)`` looking back and ``first(..., ignorenulls)``
+looking forward — no UDFs, fully whole-stage-codegen'd, one sort per
+partition spec shared by every interpolated column.
+
+Scale notes: the spine explode (`sequence` + `explode`) is a generator,
+pipelined by Spark without materializing per-activity arrays. The join
+is a co-partitioned equi-join on (key, ord) — with AQE on, skewed
+activities (reference main.py:56 allows 100 000-second activities) are
+split at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def spine(df: DataFrame, key: str, ord_col: str, start: int = 0) -> DataFrame:
+    """Dense integer spine ``start … max(ord_col)`` per key (J1).
+
+    Mirrors ``range(0, max(time_key)+1)`` at reference main.py:47.
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.max(ord_col).alias("_mx"))
+        .select(
+            key,
+            F.explode(F.sequence(F.lit(start).cast("long"), F.col("_mx").cast("long"))).alias(
+                ord_col
+            ),
+        )
+    )
+
+
+def densify(df: DataFrame, key: str, ord_col: str, start: int = 0) -> DataFrame:
+    """Left-join samples onto the dense spine (J2; reference main.py:59).
+
+    Every spine tick is kept; missing samples become NULL rows (pandas
+    NaN rows in the reference).
+    """
+    return spine(df, key, ord_col, start).join(df, [key, ord_col], "left")
+
+
+def interpolate_linear(
+    df: DataFrame, key: str, ord_col: str, cols: Sequence[str]
+) -> DataFrame:
+    """Linear interpolation with pandas edge semantics (W2).
+
+    For each column: interior gaps are linearly interpolated, trailing
+    gaps forward-filled, leading gaps stay NULL — exactly pandas
+    ``.interpolate()`` defaults (reference main.py:59).
+    """
+    w = Window.partitionBy(key).orderBy(ord_col)
+    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w.rowsBetween(0, Window.unboundedFollowing)
+
+    out = df
+    for c in cols:
+        v = F.col(c)
+        t_if = F.when(v.isNotNull(), F.col(ord_col))
+        prev_v = F.last(v, ignorenulls=True).over(w_back)
+        prev_t = F.last(t_if, ignorenulls=True).over(w_back)
+        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        next_t = F.first(t_if, ignorenulls=True).over(w_fwd)
+        ratio = (F.col(ord_col) - prev_t).cast("double") / (next_t - prev_t).cast("double")
+        interp = (
+            F.when(v.isNotNull(), v)
+            .when(prev_v.isNull(), F.lit(None))
+            .when(next_v.isNull(), prev_v)  # trailing ffill
+            .otherwise(prev_v + (next_v - prev_v) * ratio)
+        )
+        out = out.withColumn(c, interp)
+    return out
+
+
+def mask_endpoints(
+    df: DataFrame, key: str, ord_col: str, cols: Sequence[str]
+) -> DataFrame:
+    """NULL the first and last row of each key for the given columns (W3).
+
+    Mirrors the latlng privacy mask at reference strava_sdk.py:175-176.
+    """
+    w = Window.partitionBy(key).orderBy(ord_col)
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
+    out = df.withColumn("_rn", rn).withColumn("_cnt", cnt)
+    for c in cols:
+        out = out.withColumn(
+            c, F.when((F.col("_rn") == 1) | (F.col("_rn") == F.col("_cnt")), F.lit(None)).otherwise(F.col(c))
+        )
+    return out.drop("_rn", "_cnt")
+
+
+def row_position(df: DataFrame, key: str, ord_col: str, out_col: str = "time_new") -> DataFrame:
+    """Dense 0-based row position per key (W4; reference main.py:63)."""
+    w = Window.partitionBy(key).orderBy(ord_col)
+    return df.withColumn(out_col, (F.row_number().over(w) - F.lit(1)).cast("long"))

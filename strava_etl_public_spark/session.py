@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+UTC session timezone mirrors the reference forcing ``os.environ['TZ'] =
+'UTC'`` (reference main.py:11, strava_sdk.py:9). AQE + coalesce handle
+skewed activity sizes (reference main.py:56 allows elapsed_time up to
+100 000 s, so per-activity row counts are highly skewed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "strava_etl_public_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for the test/bench harness.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything here that matters at scale (UTC, AQE, Arrow, shuffle
+    sizing) is cluster-appropriate as-is.
+    """
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # fixture parquet carries TIMESTAMP(NANOS) — read as long nanos
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_harness_conf(spark: SparkSession) -> SparkSession:
+    """Pin the session settings correctness depends on.
+
+    Called at the top of every driver-facing query so results are
+    deterministic regardless of how the harness built its session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TESTDATA parquet stores TIMESTAMP(NANOS,false); vanilla Spark errors
+    # on it (PARQUET_TYPE_ILLEGAL) — read as long nanoseconds instead.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

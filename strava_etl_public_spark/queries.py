@@ -78,6 +78,1062 @@ def _r6(c):
     return F.round(c, 6)
 
 
+#: events.ts is long nanoseconds in Spark (nanosAsLong), TIMESTAMP_NS in
+#: DuckDB — these two expressions yield identical epoch seconds.
+EPOCH_SPARK = "ts div 1000000000"
+EPOCH_DUCK = "CAST(epoch_ns(ts) // 1000000000 AS BIGINT)"
+
+
+def _dsum(c: F.Column | str) -> F.Column:
+    """Order-independent double SUM: exact DECIMAL(38,6) accumulation,
+    then one deterministic cast back to double — bit-equal to DuckDB's
+    SUM(CAST(x AS DECIMAL(38,6)))::DOUBLE regardless of partial-agg
+    order."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def _tri_lag_sql(w: int, col: str = "value", over: str = "w") -> str:
+    """DuckDB lag-formula for a triangular trailing mean of width w —
+    the oracle form (integer weights, explicit lags; any NULL or short
+    frame propagates NULL through +)."""
+    wts = [int(x) for x in (rolling.triang_weights(w) * (w + 1 if w % 2 == 1 else w)).round()]
+    terms = []
+    for j, wt in enumerate(wts):
+        lagn = w - 1 - j
+        term = f"{wt}*lag({col},{lagn}) OVER {over}" if lagn else f"{wt}*{col}"
+        terms.append(term)
+    return f"({' + '.join(terms)}) / {float(sum(wts))}"
+
+
+# ---------------------------------------------------------------------------
+# 2.A  Sources / scans / sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_incremental_scan",
+    oracle=f"""
+SELECT event_id, user_id, {EPOCH_DUCK} AS epoch_s, value
+FROM events
+WHERE {EPOCH_DUCK} > 1705276800
+ORDER BY epoch_s DESC, event_id DESC
+LIMIT 100
+""",
+)
+def a1_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T1/S1: watermark-filtered top-N scan (reference
+    strava_sdk.py:85-111 `after=max_time`, `per_page`). Catalyst turns
+    orderBy+limit into TakeOrderedAndProject; the epoch filter is
+    pushed toward the scan."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    return (
+        ev.filter(F.col("epoch_s") > 1705276800)
+        .orderBy(F.col("epoch_s").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "epoch_s", "value")
+    )
+
+
+@register(
+    "a2_point_lookup",
+    oracle="SELECT event_id, user_id, event_type, value, props FROM events WHERE event_id = 123",
+)
+def a2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: fetch one record by key (reference strava_sdk.py:113-128)."""
+    ensure_harness_conf(spark)
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") == 123)
+        .select("event_id", "user_id", "event_type", "value", "props")
+    )
+
+
+@register(
+    "a4_batch_lookup",
+    oracle="SELECT event_id, props FROM events WHERE event_id IN (7,11,13,17,19,23)",
+)
+def a4_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: loop-of-point-lookups → one IN-filter scan (reference
+    strava_sdk.py:183-201)."""
+    ensure_harness_conf(spark)
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id").isin([7, 11, 13, 17, 19, 23]))
+        .select("event_id", "props")
+    )
+
+
+@register(
+    "a5_watermark_readback",
+    oracle=f"""
+SELECT user_id, CAST(coalesce(max({EPOCH_DUCK}), 0) AS BIGINT) AS watermark_epoch
+FROM events GROUP BY user_id
+""",
+)
+def a5_watermark_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/G1/T2 + P7: ALL users' watermarks in one aggregation instead
+    of the reference's per-user `SELECT max(epoch)` loop
+    (main.py:187-197,199-203)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    from .operators.incremental import watermark
+
+    return watermark(ev, "user_id", "epoch_s")
+
+
+@register("a6_full_scan_project", oracle="SELECT c_custkey, c_name FROM customer")
+def a6_full_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: full keyed scan, key projection (reference
+    firebase_functions.py:30-35 get_all_users). Column pruning reaches
+    the parquet scan (ReadSchema shows 2 of 5 columns)."""
+    ensure_harness_conf(spark)
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+@register(
+    "a7_filtered_lookup",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+""",
+)
+def a7_filtered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: 1-2 predicate filtered lookup (reference
+    firebase_functions.py:37-45)."""
+    ensure_harness_conf(spark)
+    return (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000))
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "a9_upsert_lww",
+    oracle="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def a9_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/S2: keyed last-writer-wins upsert — the Firestore
+    whole-document `set()` (reference firebase_functions.py:54-62) as a
+    row_number dedup. Events play per-user state updates."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import upsert_last_writer_wins
+
+    ev = load(spark, sf_dir, "events")
+    merged = upsert_last_writer_wins(None, ev, "user_id", "ts")
+    return merged.select("user_id", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# 2.B  Projections / scalar expressions / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n1_normalize_defaults",
+    oracle="""
+SELECT doc_id,
+       coalesce(nullif(source, 'src0'), 'na') AS source_or_na,
+       coalesce(json_extract(props, '$.k')::BIGINT, -1) AS k,
+       coalesce(json_extract(props, '$.missing')::BIGINT, -1) AS missing_k
+FROM documents
+JOIN events ON events.event_id = documents.doc_id
+""",
+)
+def n1_normalize_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: normalize/project with try/except-style defaulting → coalesce
+    (reference strava_sdk.py:203-293), incl. permissive JSON field
+    probes (the users dynamic-document pattern,
+    firebase_functions.py:68-77)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    joined = docs.join(ev, docs.doc_id == ev.event_id)
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("source"), F.lit("src0")), F.lit("na")).alias("source_or_na"),
+        F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(-1)).alias("k"),
+        F.coalesce(F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)).alias(
+            "missing_k"
+        ),
+    )
+
+
+@register(
+    "n2_n3_timestamp_roundtrip",
+    oracle=f"""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+       {EPOCH_DUCK} AS epoch_s,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_load
+FROM events
+""",
+)
+def n2_n3_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2+N3: epoch ↔ ISO-8601 string round-trip in UTC (reference
+    strava_sdk.py:210; main.py:140,166)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").withColumn("epoch0", F.expr(EPOCH_SPARK))
+    iso = scalars.epoch_to_ts_string(F.col("epoch0"))
+    return ev.select(
+        "event_id",
+        iso.alias("ts_iso"),
+        scalars.ts_string_to_epoch(iso).alias("epoch_s"),
+        scalars.epoch_to_ts_string(F.col("epoch0"), "yyyy-MM-dd HH:mm:ss").alias("ts_load"),
+    )
+
+
+@register("n4_retention_clamp", oracle=None)  # oracle attached below (needs a constant)
+def n4_retention_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: rewrite timestamps older than the retention horizon
+    (reference main.py:136-140). Fixed `now` so the query is
+    deterministic; horizon 62 000 000 s splits the events fixture."""
+    ensure_harness_conf(spark)
+    now_epoch, ret = 1767225600, 62_000_000
+    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    clamped = scalars.retention_clamp(
+        F.col("epoch_s"),
+        scalars.epoch_to_ts_string(F.col("epoch_s")),
+        F.lit(now_epoch),
+        retention_s=ret,
+    )
+    return ev.select("event_id", clamped.alias("ts_retained"))
+
+
+import datetime as _dt
+
+_N4_CLAMP_ISO = _dt.datetime.fromtimestamp(
+    1767225600 - 62_000_000 + 86_400, _dt.timezone.utc
+).strftime("%Y-%m-%dT%H:%M:%SZ")
+ORACLES["n4_retention_clamp"] = f"""
+SELECT event_id,
+       CASE WHEN 1767225600 - {EPOCH_DUCK} > 62000000
+            THEN '{_N4_CLAMP_ISO}'
+            ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS ts_retained
+FROM events
+"""
+
+
+@register(
+    "n5_n6_null_normalize_cast",
+    oracle="""
+SELECT doc_id,
+       nullif(source, 'src0') AS source_nulled,
+       CAST(n_chars AS VARCHAR) AS n_chars_str
+FROM documents
+""",
+)
+def n5_n6_null_normalize_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5+N6: sentinel→NULL normalization and cast-to-string (reference
+    main.py:65-68)."""
+    ensure_harness_conf(spark)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.nullif(F.col("source"), F.lit("src0")).alias("source_nulled"),
+        F.col("n_chars").cast("string").alias("n_chars_str"),
+    )
+
+
+@register(
+    "n8_negative_clamp",
+    oracle="""
+SELECT event_id, CASE WHEN value - 100 >= 0 THEN value - 100 END AS clamped
+FROM events
+""",
+)
+def n8_negative_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: negative→NULL clamp (reference main.py:109-117)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", scalars.clamp_negative_to_null(F.col("value") - 100).alias("clamped")
+    )
+
+
+@register(
+    "n9_column_subset",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+)
+def n9_column_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N9: output-column subset projection (reference main.py:71-73);
+    pruning reaches the scan."""
+    ensure_harness_conf(spark)
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "n11_md5_base64",
+    oracle="SELECT c_custkey, to_base64(from_hex(md5(c_name))) AS pw_hash FROM customer",
+)
+def n11_md5_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N11: md5+base64 password hash (reference
+    firebase_functions.py:19-28; sane semantics per SURVEY §2.K-6)."""
+    ensure_harness_conf(spark)
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", scalars.md5_base64("c_name").alias("pw_hash")
+    )
+
+
+@register(
+    "n12_existence_predicate",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       (SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) > 0) AS has_negative
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def n12_existence_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N12/G3: existence predicate over a filter (reference
+    firebase_functions.py:101-130)."""
+    ensure_harness_conf(spark)
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)) > 0).alias("has_negative"),
+        )
+    )
+
+
+@register(
+    "n13_connected_predicate",
+    oracle="""
+SELECT doc_id, coalesce(length(nullif(source, 'src0')) > 4, false) AS connected
+FROM documents
+""",
+)
+def n13_connected_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13: null-safe length predicate defaulting False (reference
+    firebase_functions.py:132-140)."""
+    ensure_harness_conf(spark)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        scalars.is_connected(F.nullif(F.col("source"), F.lit("src0")), min_len=4).alias(
+            "connected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.C  Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_spine_generation",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM s GROUP BY activity_id),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key FROM mx)
+SELECT activity_id,
+       CAST(count(*) AS BIGINT) AS spine_rows,
+       CAST(sum(time_key) AS BIGINT) AS spine_sum
+FROM spine GROUP BY activity_id
+""",
+)
+def j1_spine_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: dense integer spine 0…max(time_key) per activity (reference
+    main.py:47). `sequence`+`explode` is a pipelined generator — no
+    per-activity array materialization."""
+    ensure_harness_conf(spark)
+    sp = resample.spine(streams(spark, sf_dir), "activity_id", "time_key")
+    return sp.groupBy("activity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("spine_rows"),
+        F.sum("time_key").cast("long").alias("spine_sum"),
+    )
+
+
+@register(
+    "j2_spine_left_join",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM s GROUP BY activity_id),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key FROM mx),
+j AS (SELECT spine.activity_id, spine.time_key, s.value
+      FROM spine LEFT JOIN s USING (activity_id, time_key))
+SELECT activity_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+FROM j GROUP BY activity_id
+""",
+)
+def j2_spine_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer equi-join of samples onto the dense spine
+    (reference main.py:59) — gap rows become NULLs."""
+    ensure_harness_conf(spark)
+    dd = resample.densify(
+        streams(spark, sf_dir).select("activity_id", "time_key", "value"),
+        "activity_id",
+        "time_key",
+    )
+    return dd.groupBy("activity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("n_gaps"),
+    )
+
+
+@register(
+    "j3_zip_explode",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+g AS (SELECT activity_id,
+             list(time_key ORDER BY time_key) AS tks,
+             list(value ORDER BY time_key) AS vs
+      FROM s GROUP BY activity_id)
+SELECT activity_id, CAST(i - 1 AS BIGINT) AS pos, tks[i] AS t, vs[i] AS v
+FROM g, LATERAL (SELECT unnest(generate_series(1, len(tks))) AS i) u
+""",
+)
+def j3_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A3: positional zip-join of parallel series (reference
+    strava_sdk.py:138-156) — arrays_zip + posexplode round-trips the
+    columnar payload to rows."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir)
+    g = s.groupBy("activity_id").agg(
+        F.array_sort(F.collect_list(F.struct("time_key", "value"))).alias("arr")
+    )
+    g = g.select(
+        "activity_id",
+        F.transform("arr", lambda x: x.time_key).alias("tks"),
+        F.transform("arr", lambda x: x.value).alias("vs"),
+    )
+    return g.select(
+        "activity_id", F.posexplode(F.arrays_zip("tks", "vs")).alias("pos", "z")
+    ).select(
+        "activity_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.tks").alias("t"),
+        F.col("z.vs").alias("v"),
+    )
+
+
+@register(
+    "j4_users_activities_join",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def j4_users_activities_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the users⋈activities join replacing the reference's N+1
+    driver loop (main.py:199-203). Small dim broadcast — shuffle-free
+    on the fact side."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.E  Window / time-series (the analytical core)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_rolling_triang_odd",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL})
+SELECT activity_id, time_key, round({_tri_lag_sql(5)}, 6) AS tri5
+FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
+""",
+)
+def w1_rolling_triang_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (odd width): triangular-weighted trailing mean, w=5
+    (reference main.py:83-89, pandas win_type='triang'). Engine path is
+    box∘box composition; oracle is the explicit lag formula."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir)
+    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", ["value"], [5])
+    return r.select("activity_id", "time_key", _r6(F.col("value_tri_5")).alias("tri5"))
+
+
+@register(
+    "w1_rolling_triang_even",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL})
+SELECT activity_id, time_key, round({_tri_lag_sql(10)}, 6) AS tri10
+FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
+""",
+)
+def w1_rolling_triang_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (even width): w=10 — even-length triangular weights
+    (1,3,…,9,9,…,3,1)/50 via the 2·box∘box − box correction."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir)
+    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", ["value"], [10])
+    return r.select("activity_id", "time_key", _r6(F.col("value_tri_10")).alias("tri10"))
+
+
+_INTERP_SQL = f"""
+WITH s AS ({STREAMS_SQL}),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM s GROUP BY activity_id),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key FROM mx),
+j AS (SELECT spine.activity_id, spine.time_key, s.value
+      FROM spine LEFT JOIN s USING (activity_id, time_key)),
+k AS (
+  SELECT activity_id, time_key, value,
+    last_value(value IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN value IS NOT NULL THEN time_key END IGNORE NULLS) OVER wb AS prev_t,
+    first_value(value IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN value IS NOT NULL THEN time_key END IGNORE NULLS) OVER wf AS next_t
+  FROM j
+  WINDOW wb AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT activity_id, time_key,
+  CASE WHEN value IS NOT NULL THEN value
+       WHEN prev_v IS NULL THEN NULL
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v) * (CAST(time_key - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+  END AS value
+FROM k
+"""
+
+
+@register("w2_interpolate_linear", oracle=_INTERP_SQL)
+def w2_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: densify + linear interpolation with pandas edge semantics
+    (reference main.py:47-59): interior gaps linear, trailing ffill,
+    leading stay NULL. Identical expression tree both engines → exact
+    double match, no rounding."""
+    ensure_harness_conf(spark)
+    dd = resample.densify(
+        streams(spark, sf_dir).select("activity_id", "time_key", "value"),
+        "activity_id",
+        "time_key",
+    )
+    out = resample.interpolate_linear(dd, "activity_id", "time_key", ["value"])
+    return out.select("activity_id", "time_key", "value")
+
+
+@register(
+    "w3_endpoint_mask",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+r AS (SELECT activity_id, time_key, value,
+             row_number() OVER (PARTITION BY activity_id ORDER BY time_key) AS rn,
+             count(*) OVER (PARTITION BY activity_id) AS cnt
+      FROM s)
+SELECT activity_id, time_key,
+       CASE WHEN rn = 1 OR rn = cnt THEN NULL ELSE value END AS masked_value
+FROM r
+""",
+)
+def w3_endpoint_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: NULL first/last sample per activity (the latlng privacy
+    mask, reference strava_sdk.py:175-176)."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir).select("activity_id", "time_key", "value")
+    masked = resample.mask_endpoints(s, "activity_id", "time_key", ["value"])
+    return masked.select("activity_id", "time_key", F.col("value").alias("masked_value"))
+
+
+@register(
+    "w4_row_position",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL})
+SELECT activity_id, time_key,
+       CAST(row_number() OVER (PARTITION BY activity_id ORDER BY time_key) - 1 AS BIGINT) AS time_new
+FROM s
+""",
+)
+def w4_row_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/T3: dense 0-based row position with EXPLICIT ordering — Spark
+    has no implicit row order (reference main.py:47,63 relied on the
+    pandas index)."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir).select("activity_id", "time_key")
+    return resample.row_position(s, "activity_id", "time_key")
+
+
+# ---------------------------------------------------------------------------
+# 2.D  Aggregations
+# ---------------------------------------------------------------------------
+
+
+def _g2_oracle() -> str:
+    cols = ",\n       ".join(
+        f"round(max(tri{w}), 6) AS max_value_{w}" for w in (5, 10, 20, 45)
+    )
+    tri_cols = ",\n         ".join(
+        f"{_tri_lag_sql(w)} AS tri{w}" for w in (5, 10, 20, 45)
+    )
+    return f"""
+WITH s AS ({STREAMS_SQL}),
+r AS (
+  SELECT activity_id,
+         {tri_cols}
+  FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
+)
+SELECT activity_id,
+       {cols}
+FROM r GROUP BY activity_id
+"""
+
+
+@register("g2_rolling_maxes_wide", oracle=_g2_oracle())
+def g2_rolling_maxes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+N8+P4: the 33-column-shaped wide aggregate — max of every
+    rolling window column in ONE pass (reference runs 11 full pandas
+    passes, main.py:88-106). All window sizes share a single sort."""
+    ensure_harness_conf(spark)
+    wins = (5, 10, 20, 45)
+    s = streams(spark, sf_dir)
+    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", ["value"], wins)
+    maxed = rolling.activity_maxes(r, "activity_id", ["value"], wins, clamp_negative=True)
+    return maxed.select(
+        "activity_id", *[_r6(F.col(f"max_value_{w}")).alias(f"max_value_{w}") for w in wins]
+    )
+
+
+@register(
+    "g3_existence_count",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_exists
+FROM events WHERE event_type = 'purchase' AND value > 190
+""",
+)
+def g3_existence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: existence count over a filter (reference
+    firebase_functions.py:106-128)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 190)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exists")
+    )
+
+
+@register(
+    "g4_n7_nested_assembly",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL})
+SELECT activity_id,
+       'act_' || activity_id AS name_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       arg_min(value, time_key) AS first_value,
+       arg_max(value, time_key) AS last_value,
+       max(value) AS max_value
+FROM s GROUP BY activity_id
+""",
+)
+def g4_n7_nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+N7: nested-record assembly (reference main.py:142-178) —
+    array_sort(collect_list(struct(…))) for determinism under shuffle,
+    digested to scalars for the oracle (nested values are exercised:
+    first/last come out of the sorted array itself)."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir).select("activity_id", "time_key", "value")
+    nested = collect_samples(s, "activity_id", "time_key", ["value"])
+    return nested.select(
+        "activity_id",
+        F.concat_ws("_", F.lit("act"), F.col("activity_id")).alias("name_id"),
+        F.size("streams").cast("long").alias("n_samples"),
+        F.element_at("streams", 1)["value"].alias("first_value"),
+        F.element_at("streams", -1)["value"].alias("last_value"),
+        F.array_max(F.transform("streams", lambda x: x.value)).alias("max_value"),
+    )
+
+
+@register(
+    "n10_cohort_split",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM s GROUP BY activity_id),
+short AS (SELECT s.* FROM s JOIN mx USING (activity_id) WHERE mx.mx < 130),
+long_ AS (SELECT s.* FROM s JOIN mx USING (activity_id) WHERE mx.mx >= 130),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key
+          FROM mx WHERE mx < 130),
+j AS (SELECT spine.activity_id, spine.time_key, short.value
+      FROM spine LEFT JOIN short USING (activity_id, time_key)),
+interp AS (
+  SELECT activity_id, time_key, value,
+    last_value(value IGNORE NULLS) OVER wb AS prev_v,
+    first_value(value IGNORE NULLS) OVER wf AS next_v,
+    last_value(CASE WHEN value IS NOT NULL THEN time_key END IGNORE NULLS) OVER wb AS prev_t,
+    first_value(CASE WHEN value IS NOT NULL THEN time_key END IGNORE NULLS) OVER wf AS next_t
+  FROM j
+  WINDOW wb AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT activity_id, time_key,
+  CASE WHEN value IS NOT NULL THEN value
+       WHEN prev_v IS NULL THEN NULL
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v) * (CAST(time_key - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+  END AS value,
+  'interpolated' AS cohort
+FROM interp
+UNION ALL
+SELECT activity_id, time_key, value, 'passthrough' AS cohort FROM long_
+""",
+)
+def n10_cohort_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10: the elapsed_time<100000 pipeline branch (reference
+    main.py:56-63) — short activities densify+interpolate, long ones
+    pass through; cohorts re-merged with unionByName (§2.G)."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir).select("activity_id", "time_key", "value")
+    mx = s.groupBy("activity_id").agg(F.max("time_key").alias("mx"))
+    s2 = s.join(F.broadcast(mx), "activity_id")
+    short = s2.filter(F.col("mx") < 130).drop("mx")
+    long_ = s2.filter(F.col("mx") >= 130).drop("mx")
+    interp = resample.interpolate_linear(
+        resample.densify(short, "activity_id", "time_key"),
+        "activity_id",
+        "time_key",
+        ["value"],
+    ).withColumn("cohort", F.lit("interpolated"))
+    passthrough = long_.withColumn("cohort", F.lit("passthrough"))
+    return interp.unionByName(passthrough).select(
+        "activity_id", "time_key", "value", "cohort"
+    )
+
+
+@register(
+    "s4_idempotent_append",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT DISTINCT event_id, user_id FROM (
+    SELECT event_id, user_id FROM events UNION ALL SELECT event_id, user_id FROM events
+  )
+) GROUP BY user_id
+""",
+)
+def s4_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: idempotent write — re-delivered batch deduped on the business
+    key before the sink (fixes reference main.py:157,180 at-least-once
+    append)."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import idempotent_append
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    redelivered = ev.unionByName(ev)
+    deduped = idempotent_append(redelivered, None, "event_id")
+    return deduped.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Relational engine surface (free once declarative — SURVEY §2.D/§2.F/§2.G
+# closing notes; these are the bench-shaped workloads)
+# ---------------------------------------------------------------------------
+
+#: lineitem/orders timestamps are microsecond TIMESTAMP_NTZ (unlike
+#: events.ts which is nano → long); compare against timestamp literals.
+#: (Built lazily — Column construction needs an active session.)
+def _ts_ntz(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the pivot-shaped wide agg
+    workload (SURVEY §2.D closing). Partial+final hash agg, scan-level
+    filter pushdown, exact decimal accumulation."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts_ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_revenue_join",
+    oracle="""
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, orderdate
+HAVING SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) > 1000
+""",
+)
+def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg. Dimension filter first, small
+    sides broadcast, revenue accumulated exactly."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts_ntz("1998-03-15 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(_dsum(rev).alias("revenue"))
+        .filter(F.col("revenue") > 1000)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (T-family generalization): window rank + filter —
+    Spark turns this into a single shuffle with partial top-k
+    (WindowGroupLimit) pushed below the window at scale."""
+    ensure_harness_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "q_ranking_family",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(rank() OVER wv AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER wt AS BIGINT) AS quartile,
+       lag(value) OVER wt AS prev_value,
+       lead(value) OVER wt AS next_value
+FROM events
+WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family (SURVEY §2.E closing: reference never
+    ranks, the engine ships it anyway): rank/dense_rank/ntile/lag/lead
+    in one pass, two window specs → two sorts max."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+        F.lag("value").over(wt).alias("prev_value"),
+        F.lead("value").over(wt).alias("next_value"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 3600000000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 1h) via lag + running sum — the batch face
+    of session_window (S-family extension; guide 'Sessionization')."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 3600 * 1_000_000_000
+    prev_ts = F.lag("ts").over(wt)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > gap_ns), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(wt.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    iso = lambda c: F.date_format(F.timestamp_seconds(F.expr(f"{c} div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(iso("ts")).alias("session_start"),
+        F.max(iso("ts")).alias("session_end"),
+    )
+
+
+@register(
+    "q_pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long→wide counts (the rolling_dict 33-column shape,
+    SURVEY §1.1d). Explicit pivot values → single pass, no extra job
+    to discover keys."""
+    ensure_harness_conf(spark)
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0, types)
+    return out.select("user_id", *[F.col(t).cast("long").alias(t) for t in types])
+
+
+@register(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (§2.D closing: free in Spark once
+    declarative)."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q_semi_anti_join",
+    oracle="""
+SELECT c_custkey, 'has_orders' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS) — §2.C note: A7's probe is
+    semi-join-shaped; the engine ships both natively."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, r.value AS value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (§2.C extension): for each purchase, the
+    latest error value at-or-before it, per user. Engine: union+carry
+    window (one sort, no range explode) — oracle: DuckDB native ASOF."""
+    ensure_harness_conf(spark)
+    from .operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join_backward(left, right, by="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", "value_asof")
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (§2.D closing note) — expand+two-phase agg
+    under the hood."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7 M0): trailing rolling mean + per-activity max —
 # the reference's analytical heart (main.py:83-106) on fixture streams.

@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract — BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect — the 100 TB-honest way to time a plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the reference's analytical heart (spine join +
+#: interpolation + weighted rolling + wide max), the relational
+#: bench shapes, and the north-star training-data operators.
+HEADLINE = [
+    "flagship_rolling_max",
+    "w2_interpolate_linear",
+    "g2_rolling_maxes_wide",
+    "g4_n7_nested_assembly",
+    "q1_pricing_summary",
+    "q3_revenue_join",
+    "q_topk_per_group",
+    "q_sessionize",
+    "x_dedup_minhash_lsh",
+    "x_sim_topk_brute",
+    "x_text_quality",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from strava_etl_public_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = E.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warm-up on the smallest fixture (not timed).
+    for n in names[:2]:
+        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

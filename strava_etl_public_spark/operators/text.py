@@ -1,0 +1,101 @@
+"""Text analysis operators (north-star extension): language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen'd, shuffle-free projections);
+deterministic and engine-portable so every one is DuckDB-oracle
+checkable. At 100 TB these run at scan speed — they're the map stage
+of a training-data curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import TOKEN_RE, shingles, tokens
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+#: Chosen for determinism, not linguistic accuracy.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+#: BPE-ish pre-tokenizer: letter runs | single digits | punctuation
+#: singles — the GPT-2-style split shape, RE2-safe for oracle parity.
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def _count_in(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _count_in(toks, words) for lang, words in LANG_PROFILES.items()}
+
+
+def lang_id(text_col: Column | str, default: str = "und") -> Column:
+    """argmax over language stopword hit-counts, fixed evaluation order
+    for ties (en > fr > es > de), 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[scores[l] for l in langs])
+    out = F.lit(default)
+    # reversed: earlier langs win ties because they're applied last.
+    for lang in reversed(langs):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count_ws(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col, r"[^ \t\n]+")).cast("long")
+
+
+def token_count_bpe(text_col: Column | str) -> Column:
+    """BPE-ish regex token count (letters / digits / punct singles)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), 0)).cast("long")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length/stopword/punctuation quality features + composite score —
+    single-division arithmetic only (bit-equal across engines)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_hits = _count_in(toks, LANG_PROFILES["en"])
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    score = (
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(
+            F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (stop_hits.cast("double") / n_tok.cast("double")) * 0.3
+            + (alpha_chars.cast("double") / n_chars.cast("double")) * 0.3
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_obs"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Document fingerprints: md5 of the normalized token stream (exact
+    content identity) + min shingle hash (a 1-perm MinHash — the
+    winnowing anchor)."""
+    toks = tokens(text_col)
+    norm = F.array_join(toks, " ")
+    sh = shingles(toks, n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fp"),
+        min_sh.alias("min_shingle_fp"),
+    )

@@ -1170,3 +1170,9 @@ def flagship_rolling_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_rolling_max(spark, "/root/testdata/sf0.001")
+
+
+# North-star extension queries (dedup / similarity / text / multimodal /
+# streaming) register themselves on import — must stay at module bottom
+# so `register` and the shared helpers above exist.
+from . import queries_ext  # noqa: E402,F401  (registry side-effect)

@@ -1,0 +1,591 @@
+"""North-star extension queries (SURVEY §7 M6 / BASELINE.json):
+dedup, similarity search, text analysis, multimodal plumbing, and the
+Structured Streaming face of the incremental semantics — each as a
+driver-checkable query with (where expressible) an exact DuckDB oracle.
+
+Determinism: every text op is string/integer math (md5, regex, counts)
+— bit-identical across engines. Cosine similarity is a sequential left
+fold both sides (Spark `aggregate` init 0.0 vs DuckDB `list_reduce`;
+0.0 + x == x in IEEE), so doubles match exactly; results are rounded
+to 6dp only where they feed an ordering.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load
+from .session import ensure_harness_conf
+from .queries import register, streams
+from .operators import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+#: tokens / 3-token shingles of documents.text — mirrors dedup.tokens /
+#: dedup.shingles (same RE2 pattern, same n=3 windowing, distinct per doc).
+_TK_SQL = "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents"
+_SH_SQL = f"""
+tk AS ({_TK_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tk
+)"""
+
+
+def _dot_sql(a: str, b: str, dim_of: str | None = None) -> str:
+    """DuckDB dot product matching dedup.cosine's left fold exactly."""
+    n = dim_of or a
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({n})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (keep smallest id). The corpus is
+    documents ∪ a re-keyed 1/7 sample — the re-crawled-corpus shape, so
+    real duplicate groups exist. One hash-agg shuffle; at 100 TB the
+    map-side partial agg collapses per-partition copies first."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dedup.dedup_exact(docs.unionByName(recrawl), "doc_id", "text")
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = k // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SH_SQL},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_idx, CASE band_idx {band_cases} END AS h
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+@register("x_dedup_minhash_lsh", oracle=_minhash_oracle())
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→exact-Jaccard near-dup (shingle n=3, k=8 perms,
+    4 bands). Pairwise work only within band buckets — never O(n²)
+    across the corpus."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM((CAST(floor({nib(j // 4 + 1)} / {2 ** (j % 4)}) AS INTEGER) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@register("x_dedup_simhash", oracle=_simhash_oracle())
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over the distinct token set — docs
+    sharing a fingerprint are hamming-0 near-dup candidates."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _ngram_oracle(max_df: int = 10, threshold: float = 0.3) -> str:
+    return f"""
+WITH {_SH_SQL},
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {max_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+@register("x_dedup_ngram_jaccard", oracle=_ngram_oracle())
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with rare-shingle blocking (df<=10) —
+    the candidate set is bounded by shingle document-frequency, not
+    corpus size."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_df=10, threshold=0.3)
+
+
+@register(
+    "x_dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.25
+""",
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup blocked on `label` — pairwise work is
+    per-block (an IVF-cell shape), never corpus-wide."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, "vec_id", "embedding", "label", threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = "vec_id < 8"
+
+
+@register(
+    "x_sim_topk_brute",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM c JOIN q ON q_id != n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+""",
+)
+def x_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a bounded query set: broadcast
+    the queries, ONE corpus pass + per-query partial top-k — no corpus
+    shuffle at any scale."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5)
+
+
+def _lsh_oracle(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    planes = similarity.hyperplane_weights(n_planes, dim)
+
+    def dot_plane(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN {dot_plane('embedding', planes[j])} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bkt FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bkt FROM b WHERE {_QUERY_IDS}),
+c AS (SELECT vec_id AS n_id, embedding AS nv, bkt FROM b),
+scored AS (
+  SELECT q_id, n_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM c JOIN q USING (bkt) WHERE q_id != n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+"""
+
+
+@register("x_sim_topk_lsh", oracle=_lsh_oracle())
+def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via hyperplane LSH (8 md5-derived planes → 256
+    buckets): equi-join on the bucket code bounds candidates by bucket
+    occupancy; exact cosine rerank inside. The oracle replicates the
+    same deterministic planes, so results match exactly."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_lsh(emb, q, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    scores = {
+        lang: f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in text.LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_PROFILES) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in text.LANG_PROFILES
+    )
+    score_cols = ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
+    return f"""
+WITH tk AS ({_TK_SQL}),
+s AS (SELECT doc_id, {score_cols} FROM tk)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM s
+"""
+
+
+@register("x_text_lang_id", oracle=_lang_oracle())
+def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-profile argmax (fixed tie order
+    en>fr>es>de, 'und' when nothing matches) — a scan-speed projection."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "x_text_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[^ \t\n]+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def x_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (the tokens-per-doc
+    budget stage of a curation pipeline)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_ws_tokens"),
+        text.token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+_EN = ", ".join(repr(w) for w in text.LANG_PROFILES["en"])
+
+
+@register(
+    "x_text_quality",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok,
+         length(text) AS nc,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         x -> x IN ({_EN}))) AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars_obs,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.3
+         + (CAST(alpha AS DOUBLE) / CAST(nc AS DOUBLE)) * 0.3
+       END, 6) AS quality_score
+FROM f
+""",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality features + composite score."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_features(docs, "doc_id", "text")
+
+
+@register(
+    "x_text_fingerprint",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+sh AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shl
+  FROM tk
+)
+SELECT doc_id,
+       md5(array_to_string(t, ' ')) AS content_fp,
+       list_min(list_transform(shl, s -> md5(s))) AS min_shingle_fp
+FROM sh
+""",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of the normalized token stream) + min
+    shingle hash (1-perm MinHash winnowing anchor)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_mm_extract_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       'blob' AS kind
+FROM documents
+""",
+)
+def x_mm_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque BINARY payload + typed metadata, then partition-parallel
+    Arrow-batched metadata extraction (mapInPandas) — the real decode-
+    stage plumbing with a deterministic hash in place of a codec."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary(docs, "doc_id", "text", kind="blob")
+    return multimodal.extract_meta(payload, "doc_id")
+
+
+def _decode_oracle() -> str:
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id,
+       CAST(64 + {byte(0)} % 192 AS INTEGER) AS width,
+       CAST(64 + {byte(1)} % 192 AS INTEGER) AS height,
+       CAST(1 + {byte(2)} % 4 AS INTEGER) AS channels,
+       CAST({byte(3)} AS DOUBLE) / 255.0 AS mean_intensity
+FROM hh
+"""
+
+
+@register("x_mm_decode_stats", oracle=_decode_oracle())
+def x_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage run through its real mapInPandas batch path with
+    the deterministic fake codec (real image/audio libs are stubbed —
+    multimodal.decode_image raises NotImplementedError)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary(docs, "doc_id", "text", kind="image")
+    return multimodal.fake_decode_stats(payload, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (S1/S2 streaming face + §2.I window extensions)
+# ---------------------------------------------------------------------------
+
+_ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _run_stream(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
+    """Run a (finite-source) streaming aggregation to completion into a
+    uniquely-named memory sink and return the result table."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture into a temp DIRECTORY (the file
+    streaming source lists directories, not single files)."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    return stage
+
+
+@register(
+    "x_stream_tumbling_counts",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+b AS (SELECT event_type, value, es - es % 3600 AS ws FROM e)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM b GROUP BY ws, event_type
+""",
+)
+def x_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts as a REAL Structured Streaming
+    query (file source → memory sink, complete mode), verified against
+    the batch SQL equivalent. At scale this runs continuously with
+    checkpointed offsets replacing the reference's max(epoch) read-back
+    (S1)."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, windowed_counts
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.date_format("w_start", _ISO).alias("w_start"),
+            F.date_format("w_end", _ISO).alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "x_stream_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events
+),
+g AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+s AS (
+  SELECT user_id, es,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(make_timestamp(min(es) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS s_start,
+       strftime(make_timestamp((max(es) + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS s_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(1h gap) streaming aggregation with watermarked
+    append output. A far-future sentinel event staged after the fixture
+    advances the watermark so every real session is finalized and
+    emitted (the no-data-batch flush); the sentinel's own session is
+    filtered back out. Oracle: the batch lag/gap sessionization."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import EVENTS_SCHEMA, session_windows
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]  # one scalar — watermark-read shaped
+
+    stage = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        ev.write.mode("overwrite").parquet(stage)
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(max_ts + 30 * 86400 * 10**9), int(-1), "__flush__", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(stage)
+
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = session_windows(stream, gap="1 hour", watermark="0 seconds")
+        out = _run_stream(spark, agg, "append")
+        return out.filter(F.col("user_id") >= 0).select(
+            "user_id",
+            F.date_format("s_start", _ISO).alias("s_start"),
+            F.date_format("s_end", _ISO).alias("s_end"),
+            "n_events",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

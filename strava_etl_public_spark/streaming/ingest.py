@@ -1,0 +1,102 @@
+"""Structured Streaming face of the incremental semantics (SURVEY §2.I).
+
+The reference's batch watermark loop (S1, main.py:187-197) becomes a
+checkpointed streaming source; its Firestore upsert (S2) becomes a
+foreachBatch LWW merge; late data is bounded with `withWatermark`.
+Tumbling/sliding/session windows are the §7 extensions on `events`.
+
+Tests drive these with the file source + memory sink +
+processAllAvailable() — the local-mode way to run a real streaming
+query to completion synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source streaming read of a staged events DIRECTORY (the
+    file source lists directories; S1 streaming: checkpointed offsets
+    replace the max(epoch) read-back)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def with_event_time(stream: DataFrame) -> DataFrame:
+    return stream.withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with late-data bound (§2.I extension)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            # decimal accumulation → order-independent double (queries.py header)
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """session_window aggregation — the streaming twin of the batch
+    q_sessionize query."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "append") -> None:
+    """Drive a streaming aggregation over the (finite) file source to
+    completion into a memory sink named `query_name`."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

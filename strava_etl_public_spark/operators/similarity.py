@@ -86,24 +86,42 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: bucket join + exact rerank. Recall < 1 by design;
-    tests measure it against the brute-force baseline."""
-    planes = hyperplane_weights(n_planes, dim)
-    bucketed = emb.withColumn("_bkt", lsh_bucket(F.col(vec_col), planes))
+    tests measure it against the brute-force baseline.
+
+    ``n_tables`` is the standard OR-construction: each table hashes
+    with an independent plane set; a corpus vector is a candidate if it
+    collides with the query in ANY table. Recall rises ~geometrically
+    with tables while cost stays sum-of-bucket-occupancies — the usual
+    recall/cost dial at 100 TB (tables are a generator explode, so the
+    corpus is still scanned once).
+    """
+    table_cols = []
+    for t in range(n_tables):
+        planes = hyperplane_weights(n_planes, dim, seed=f"lsh{t}" if t else "lsh")
+        table_cols.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), planes).alias("h"))
+        )
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*table_cols)).alias("_b")
+    ).select(id_col, vec_col, F.col("_b.tbl").alias("_tbl"), F.col("_b.h").alias("_bkt"))
     q = bucketed.join(
         queries.select(id_col), id_col, "left_semi"
     ).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("_bkt")
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "_tbl", "_bkt"
     )
     c = bucketed.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col("_bkt")
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "_tbl", "_bkt"
     )
-    scored = (
-        c.join(F.broadcast(q), "_bkt")
+    cand = (
+        c.join(F.broadcast(q), ["_tbl", "_bkt"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])  # OR across tables, score once
     )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -1,0 +1,76 @@
+"""As-of join property tests vs ``pd.merge_asof`` (SURVEY §2.C
+extension): backward semantics, equal-ts inclusion, strict mode, and
+no-prior-row NULLs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from strava_etl_public_spark.operators.asof import asof_join_backward
+
+
+def _tables(seed: int):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "ts": rng.integers(0, 100, 40).astype("int64"),
+        }
+    ).drop_duplicates(["k", "ts"])
+    left["lid"] = range(len(left))
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 25),
+            "ts": rng.integers(0, 100, 25).astype("int64"),
+            "v": rng.normal(0, 1, 25),
+        }
+    )
+    # merge_asof: on equal (k, ts) the LAST right row wins under
+    # backward; make right unique per (k, ts) to keep the oracle exact
+    right = right.drop_duplicates(["k", "ts"])
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_merge_asof(spark, seed, strict):
+    left, right = _tables(seed)
+    got = (
+        asof_join_backward(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            by="k",
+            ts="ts",
+            value_cols=["v"],
+            strict=strict,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=not strict,
+    ).sort_values("lid").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["v_asof"].to_numpy(dtype=float),
+        want["v"].to_numpy(dtype=float),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+
+
+def test_asof_no_prior_is_null(spark):
+    left = pd.DataFrame({"k": [1], "ts": [5]})
+    right = pd.DataFrame({"k": [1], "ts": [10], "v": [1.0]})
+    out = asof_join_backward(
+        spark.createDataFrame(left), spark.createDataFrame(right), "k", "ts", ["v"]
+    ).toPandas()
+    assert pd.isna(out["v_asof"].iloc[0])

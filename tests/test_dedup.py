@@ -1,0 +1,119 @@
+"""Dedup operator unit tests: exact, shingles, MinHash determinism,
+LSH candidate generation, Jaccard verification, SimHash, embedding
+cosine (north-star extension; SURVEY §7 M6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.dedup import (
+    cosine,
+    dedup_exact,
+    doc_shingles,
+    embedding_near_dup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+                    "the quick brown fox jumps over a lazy dog",  # near dup
+                    "completely different content about spark engines",
+                    "short",  # < 3 tokens -> no shingles
+                ],
+            }
+        )
+    )
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(_docs(spark), "doc_id", "text").toPandas()
+    grp = out[out.n_copies > 1]
+    assert len(grp) == 1
+    assert grp.iloc[0]["keep_id"] == 1 and grp.iloc[0]["n_copies"] == 2
+    assert out.n_copies.sum() == 5
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = doc_shingles(_docs(spark), "doc_id", "text", n=3).toPandas()
+    assert 5 not in set(sh.doc_id)  # <3 tokens -> zero shingles, not garbage
+    one = sh[sh.doc_id == 1].shingle.tolist()
+    assert "the quick brown" in one and "lazy dog" not in one
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sh = doc_shingles(_docs(spark), "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", k=8).toPandas().set_index("doc_id")
+    assert sig.loc[1].tolist() == sig.loc[2].tolist()
+    # spot-check one minhash value against python hashlib
+    shingles_1 = set(
+        doc_shingles(_docs(spark), "doc_id", "text", 3)
+        .filter(F.col("doc_id") == 1)
+        .toPandas()
+        .shingle
+    )
+    want = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles_1)
+    assert sig.loc[1, "mh0"] == want
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_dedup(
+        _docs(spark), "doc_id", "text", n=3, k=8, bands=4, threshold=0.3
+    ).toPandas()
+    found = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (1, 2) in found  # exact dups always collide
+    # jaccard of (1,2) is exactly 1.0
+    assert pairs.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"] == 1.0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=3, max_df=10, threshold=0.1
+    ).toPandas().set_index(["doc_a", "doc_b"])
+    # doc1 and doc3 have 7 shingles each, 4 shared -> j = 4/10
+    assert (1, 3) in pairs.index
+    assert pairs.loc[(1, 3), "jaccard"] == pytest.approx(0.4)
+
+
+def test_simhash_identical_for_same_token_set(spark):
+    out = simhash(_docs(spark), "doc_id", "text", bits=16).toPandas().set_index("doc_id")
+    assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
+    assert 0 <= out["simhash"].min() and out["simhash"].max() < 2**16
+    assert out.loc[1, "simhash"] != out.loc[4, "simhash"]
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1.0, 0.0, 0.0]], "b": [[0.6, 0.8, 0.0]]})
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert got == pytest.approx(0.6)
+
+
+def test_embedding_near_dup_blocked(spark):
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "v": [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [1.0, 0.0]],
+                "blk": ["a", "a", "a", "b"],  # 4 in another block: never compared
+            }
+        )
+    )
+    out = embedding_near_dup(emb, "id", "v", "blk", threshold=0.99).toPandas()
+    found = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert found == {(1, 2)}  # (1,3) orthogonal; (1,4) cross-block

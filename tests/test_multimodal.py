@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow-batched
+metadata extraction, deterministic fake decode, and the stubbed codec
+contract (north-star extension).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from strava_etl_public_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_meta,
+    fake_decode_stats,
+)
+
+
+def _bin_df(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello", "world!"]})
+    )
+    return attach_binary(docs, "doc_id", "text", kind="image")
+
+
+def test_attach_binary_schema(spark):
+    df = _bin_df(spark)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["payload"] == "binary"
+    assert schema["meta"].startswith("struct<n_bytes:bigint,kind:string")
+    meta = df.orderBy("doc_id").select("meta.n_bytes").toPandas().n_bytes.tolist()
+    assert meta == [5, 6]
+
+
+def test_extract_meta_sha256(spark):
+    out = extract_meta(_bin_df(spark)).toPandas().set_index("doc_id")
+    assert out.loc[1, "sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert out.loc[2, "n_bytes"] == 6
+    assert set(out.kind) == {"image"}
+
+
+def test_fake_decode_deterministic(spark):
+    a = fake_decode_stats(_bin_df(spark)).toPandas().sort_values("doc_id")
+    b = fake_decode_stats(_bin_df(spark)).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert ((a.width >= 64) & (a.width < 256)).all()
+    assert ((a.channels >= 1) & (a.channels <= 4)).all()
+
+
+def test_decode_image_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(_bin_df(spark))

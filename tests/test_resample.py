@@ -1,0 +1,117 @@
+"""W2/J1/J2/W3 property tests: spine densification + linear
+interpolation must match pandas ``.interpolate()`` defaults after the
+spine left-join (SURVEY §2.E W2; reference main.py:47-59), including the
+edge semantics: interior gaps linear, trailing gaps ffilled, leading
+gaps NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import to_sdf
+from strava_etl_public_spark.operators.resample import (
+    densify,
+    interpolate_linear,
+    mask_endpoints,
+    row_position,
+    spine,
+)
+
+
+def _sparse_frame(seed: int, n_keys: int = 3, max_t: int = 60, keep_p: float = 0.5):
+    """Sparse samples like a paused activity recording; each key keeps a
+    random subset of ticks (always at least one)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        ticks = [t for t in range(max_t + 1) if rng.random() < keep_p] or [0]
+        for t in ticks:
+            rows.append(
+                {
+                    "activity_id": k,
+                    "time_key": t,
+                    # leading-null shape: first kept samples may be null too
+                    "x": None if rng.random() < 0.2 else float(rng.normal(100, 10)),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_spine_is_dense_per_key(spark):
+    pdf = pd.DataFrame({"activity_id": [1, 1, 2], "time_key": [3, 7, 2]})
+    out = spine(spark.createDataFrame(pdf), "activity_id", "time_key").toPandas()
+    got = {
+        k: sorted(g.time_key.tolist()) for k, g in out.groupby("activity_id")
+    }
+    assert got == {1: list(range(8)), 2: list(range(3))}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interpolate_matches_pandas(spark, seed):
+    pdf = _sparse_frame(seed)
+    sdf = to_sdf(spark, pdf)
+    dense = densify(sdf, "activity_id", "time_key")
+    got = (
+        interpolate_linear(dense, "activity_id", "time_key", ["x"])
+        .toPandas()
+        .sort_values(["activity_id", "time_key"])
+    )
+    for k, grp in pdf.groupby("activity_id"):
+        mx = grp.time_key.max()
+        # the reference's exact construction: dense spine left-join, then interpolate
+        spine_pd = pd.DataFrame({"time_key": range(mx + 1)})
+        joined = spine_pd.merge(grp[["time_key", "x"]], on="time_key", how="left")
+        want = joined["x"].astype(float).interpolate()  # pandas defaults
+        have = got[got.activity_id == k].sort_values("time_key")["x"].astype(float)
+        np.testing.assert_allclose(
+            have.to_numpy(), want.to_numpy(), rtol=1e-9, atol=1e-9, err_msg=f"key={k}"
+        )
+
+
+def test_interpolate_edge_semantics(spark):
+    pdf = pd.DataFrame(
+        {
+            "activity_id": [1] * 7,
+            "time_key": list(range(7)),
+            "x": [None, None, 10.0, None, 16.0, None, None],
+        }
+    )
+    out = (
+        interpolate_linear(to_sdf(spark, pdf), "activity_id", "time_key", ["x"])
+        .toPandas()
+        .sort_values("time_key")["x"]
+        .tolist()
+    )
+    assert pd.isna(out[0]) and pd.isna(out[1])  # leading stays NULL
+    assert out[2] == 10.0
+    assert out[3] == 13.0  # interior linear
+    assert out[4] == 16.0
+    assert out[5] == 16.0 and out[6] == 16.0  # trailing ffill
+
+
+def test_mask_endpoints(spark):
+    pdf = pd.DataFrame(
+        {"activity_id": [1] * 4 + [2], "time_key": [0, 1, 2, 3, 0], "x": [1.0] * 5}
+    )
+    out = (
+        mask_endpoints(spark.createDataFrame(pdf), "activity_id", "time_key", ["x"])
+        .toPandas()
+        .sort_values(["activity_id", "time_key"])
+    )
+    k1 = out[out.activity_id == 1]["x"].tolist()
+    assert pd.isna(k1[0]) and pd.isna(k1[-1]) and k1[1:3] == [1.0, 1.0]
+    # single-row key: first == last -> masked
+    assert pd.isna(out[out.activity_id == 2]["x"].iloc[0])
+
+
+def test_row_position(spark):
+    pdf = pd.DataFrame({"activity_id": [1, 1, 1], "time_key": [5, 2, 9]})
+    out = (
+        row_position(spark.createDataFrame(pdf), "activity_id", "time_key")
+        .toPandas()
+        .sort_values("time_key")
+    )
+    assert out.time_new.tolist() == [0, 1, 2]

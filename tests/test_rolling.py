@@ -1,0 +1,136 @@
+"""W1 property tests: the box-composition triangular rolling mean must
+match pandas ``rolling(w, win_type='triang').mean()`` semantics exactly
+(SURVEY §2.E W1, §5 item 2).
+
+pandas' win_type path needs scipy (absent here), so the pinned oracle is
+the numpy re-implementation ``rolling_triang_pandas_oracle`` — itself
+cross-checked against real pandas in ``test_oracle_matches_pandas`` when
+scipy is importable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import to_sdf
+from strava_etl_public_spark.operators.rolling import (
+    REFERENCE_WINDOWS,
+    activity_maxes,
+    rolling_mean_box,
+    rolling_mean_triang,
+    rolling_triang_pandas_oracle,
+    triang_weights,
+)
+
+WINDOWS = (1, 2, 3, 4, 5, 8, 10, 45)
+
+
+def _random_frame(seed: int, n_keys: int = 4, n_rows: int = 120, null_p: float = 0.15):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        vals = rng.normal(10, 5, n_rows)
+        mask = rng.random(n_rows) < null_p
+        for t in range(n_rows):
+            rows.append(
+                {
+                    "activity_id": k,
+                    "t": t,
+                    "x": None if mask[t] else float(vals[t]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_triang_weights_shapes():
+    # odd: 1,2,...,m,...,2,1 (proportional); even: mirrored half-steps
+    assert np.allclose(triang_weights(1), [1.0])
+    w5 = triang_weights(5)
+    assert np.allclose(w5 / w5.min(), [1, 2, 3, 2, 1])
+    w4 = triang_weights(4)
+    assert np.allclose(w4 / w4.min(), [1, 3, 3, 1])
+    for n in (2, 3, 6, 7, 45, 120):
+        w = triang_weights(n)
+        assert len(w) == n
+        assert np.allclose(w, w[::-1])  # symmetric
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_triang_matches_pandas_oracle(spark, seed):
+    pdf = _random_frame(seed)
+    sdf = to_sdf(spark, pdf)
+    got = (
+        rolling_mean_triang(sdf, "activity_id", "t", ["x"], WINDOWS)
+        .toPandas()
+        .sort_values(["activity_id", "t"])
+        .reset_index(drop=True)
+    )
+    for k, grp in pdf.groupby("activity_id"):
+        series = grp.sort_values("t")["x"].astype(float).reset_index(drop=True)
+        sub = got[got.activity_id == k].reset_index(drop=True)
+        for w in WINDOWS:
+            want = rolling_triang_pandas_oracle(series, w)
+            have = sub[f"x_tri_{w}"].astype(float)
+            np.testing.assert_allclose(
+                have.to_numpy(),
+                want.to_numpy(),
+                rtol=1e-9,
+                atol=1e-9,
+                err_msg=f"key={k} w={w}",
+            )
+
+
+def test_box_matches_pandas(spark):
+    pdf = _random_frame(7)
+    sdf = to_sdf(spark, pdf)
+    got = (
+        rolling_mean_box(sdf, "activity_id", "t", ["x"], (1, 3, 5))
+        .toPandas()
+        .sort_values(["activity_id", "t"])
+    )
+    for k, grp in pdf.groupby("activity_id"):
+        series = grp.sort_values("t")["x"].astype(float).reset_index(drop=True)
+        sub = got[got.activity_id == k].reset_index(drop=True)
+        for w in (1, 3, 5):
+            # plain rolling mean propagates NaN only via min_periods;
+            # match our stricter pandas-win_type parity (NaN in frame -> NaN)
+            want = series.rolling(w, min_periods=w).mean()
+            want[series.rolling(w, min_periods=1).apply(lambda f: np.isnan(f).any(), raw=True) > 0] = np.nan
+            np.testing.assert_allclose(
+                sub[f"x_box_{w}"].astype(float).to_numpy(),
+                want.to_numpy(),
+                rtol=1e-9,
+                atol=1e-9,
+                err_msg=f"key={k} w={w}",
+            )
+
+
+def test_oracle_matches_pandas():
+    scipy = pytest.importorskip("scipy")  # noqa: F841 — win_type needs scipy
+    rng = np.random.default_rng(3)
+    s = pd.Series(rng.normal(0, 1, 200))
+    s[rng.random(200) < 0.1] = np.nan
+    for w in (2, 4, 5, 10):
+        want = s.rolling(w, win_type="triang").mean()
+        got = rolling_triang_pandas_oracle(s, w)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12, atol=1e-12)
+
+
+def test_activity_maxes_clamps_negative(spark):
+    pdf = pd.DataFrame(
+        {
+            "activity_id": [1, 1, 1, 2, 2, 2],
+            "t": [0, 1, 2, 0, 1, 2],
+            "x": [-5.0, -4.0, -3.0, 1.0, 2.0, 3.0],
+        }
+    )
+    sdf = rolling_mean_triang(spark.createDataFrame(pdf), "activity_id", "t", ["x"], (1,))
+    out = activity_maxes(sdf, "activity_id", ["x"], (1,)).toPandas().set_index("activity_id")
+    assert pd.isna(out.loc[1, "max_x_1"])  # all-negative -> NULL (N8)
+    assert out.loc[2, "max_x_1"] == 3.0
+
+
+def test_reference_windows_are_survey_set():
+    assert REFERENCE_WINDOWS == (1, 5, 10, 20, 30, 45, 60, 120, 300, 600, 1200)

@@ -1,0 +1,94 @@
+"""Upsert / idempotent-append / incremental-ingest semantics
+(SURVEY §2 A9/S2/S4, A1/A5/G1/S1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from strava_etl_public_spark.operators.incremental import (
+    incremental_scan,
+    join_users_activities,
+    watermark,
+    watermark_for,
+)
+from strava_etl_public_spark.operators.upsert import (
+    idempotent_append,
+    upsert_last_writer_wins,
+)
+
+
+def test_upsert_last_writer_wins(spark):
+    current = spark.createDataFrame(
+        pd.DataFrame(
+            {"username": ["a", "b"], "token": ["a0", "b0"], "updated_at": [1, 1]}
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {"username": ["b", "c"], "token": ["b1", "c1"], "updated_at": [2, 2]}
+        )
+    )
+    out = (
+        upsert_last_writer_wins(current, updates, "username", "updated_at")
+        .toPandas()
+        .set_index("username")["token"]
+        .to_dict()
+    )
+    assert out == {"a": "a0", "b": "b1", "c": "c1"}
+
+
+def test_upsert_equal_recency_prefers_update(spark):
+    current = spark.createDataFrame(
+        pd.DataFrame({"username": ["a"], "token": ["old"], "updated_at": [5]})
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame({"username": ["a"], "token": ["new"], "updated_at": [5]})
+    )
+    out = upsert_last_writer_wins(current, updates, "username", "updated_at").toPandas()
+    assert out["token"].tolist() == ["new"]
+
+
+def test_upsert_no_current(spark):
+    updates = spark.createDataFrame(
+        pd.DataFrame({"username": ["a", "a"], "token": ["v1", "v2"], "updated_at": [1, 2]})
+    )
+    out = upsert_last_writer_wins(None, updates, "username", "updated_at").toPandas()
+    assert out["token"].tolist() == ["v2"]
+
+
+def test_idempotent_append(spark):
+    existing = spark.createDataFrame(pd.DataFrame({"name_id": ["x_1"], "v": [0]}))
+    new = spark.createDataFrame(
+        pd.DataFrame({"name_id": ["x_1", "y_2", "y_2"], "v": [9, 1, 1]})
+    )
+    out = idempotent_append(new, existing, "name_id").toPandas()
+    assert out["name_id"].tolist() == ["y_2"]  # in-batch dup dropped, existing skipped
+    assert idempotent_append(new, None, "name_id").count() == 2
+
+
+def test_watermark_and_scan(spark):
+    sink = spark.createDataFrame(
+        pd.DataFrame({"username": ["u1", "u1", "u2"], "epoch": [10, 20, 5]})
+    )
+    wm = watermark(sink, "username", "epoch").toPandas().set_index("username")
+    assert wm.loc["u1", "watermark_epoch"] == 20
+    assert watermark_for(sink, "username", "epoch", "u2") == 5
+    assert watermark_for(sink, "username", "epoch", "missing") == 0  # NULL -> 0
+
+    source = spark.createDataFrame(
+        pd.DataFrame({"epoch": [5, 15, 25, 35], "v": list("abcd")})
+    )
+    got = incremental_scan(source, "epoch", after_epoch=10, per_page=2).toPandas()
+    assert got["epoch"].tolist() == [35, 25]  # newest-first top-N after watermark
+
+
+def test_join_users_activities_broadcasts(spark):
+    users = spark.createDataFrame(pd.DataFrame({"username": ["u1", "u2"], "t": [1, 2]}))
+    acts = spark.createDataFrame(
+        pd.DataFrame({"username": ["u1", "u1", "u3"], "activity_id": [1, 2, 3]})
+    )
+    joined = join_users_activities(users, acts)
+    assert joined.count() == 2  # u3 dropped by inner join
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dim side must broadcast

@@ -1,0 +1,73 @@
+"""Text-analysis operator unit tests (north-star extension)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    )
+
+
+def test_lang_id(spark):
+    df = _df(
+        spark,
+        [
+            "the cat is on a mat of wool and straw",
+            "le chat et la souris dans les champs des voisins",
+            "el perro y los gatos que viven en las casas",
+            "der hund und die katze das ist gut",
+            "zzz qqq xxx",  # no stopword hits anywhere
+        ],
+    )
+    out = df.select("doc_id", lang_id("text").alias("lang")).toPandas().set_index("doc_id")
+    assert out.lang.tolist() == ["en", "fr", "es", "de", "und"]
+
+
+def test_token_counts(spark):
+    df = _df(spark, ["Hello, world! 42 times"])
+    row = df.select(
+        token_count_ws("text").alias("ws"), token_count_bpe("text").alias("bpe")
+    ).first()
+    assert row["ws"] == 4
+    # bpe: hello , world ! 4 2 times -> 7
+    assert row["bpe"] == 7
+
+
+def test_quality_features(spark):
+    out = quality_features(
+        _df(spark, ["the good text is here", ""]), "doc_id", "text"
+    ).toPandas().set_index("doc_id")
+    r = out.loc[1]
+    assert r.n_tokens == 5 and r.stopword_hits == 2  # 'the', 'is'
+    want = (5 / 100.0) * 0.4 + (2 / 5) * 0.3 + (17 / 21) * 0.3
+    assert r.quality_score == pytest.approx(want, abs=1e-6)
+    assert out.loc[2].quality_score == 0.0  # empty doc guard
+
+
+def test_fingerprint(spark):
+    out = fingerprint(
+        _df(spark, ["The QUICK brown fox", "the quick brown fox"]), "doc_id", "text"
+    ).toPandas()
+    # case-insensitive normalization -> same content fingerprint
+    assert out.content_fp.nunique() == 1
+    assert out.content_fp.iloc[0] == hashlib.md5(b"the quick brown fox").hexdigest()
+    want_min = min(
+        hashlib.md5(s.encode()).hexdigest()
+        for s in ("the quick brown", "quick brown fox")
+    )
+    assert out.min_shingle_fp.iloc[0] == want_min

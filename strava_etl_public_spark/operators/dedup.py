@@ -45,9 +45,15 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) long table, distinct per doc."""
+    """(doc_id, shingle) long table, distinct per doc.
+
+    The token array is materialized as its own projection BEFORE the
+    shingle transform: inlining ``tokens()`` into the lambda makes the
+    regex re-evaluate per ``element_at`` (~n× per shingle) — measured
+    12× slower at sf0.1."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     return (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(shingles(F.col("_toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -143,8 +149,16 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    The shingle table feeds the signature agg AND three verify joins;
+    without a persist every consumer re-runs the tokenize→shingle→
+    distinct shuffle. MEMORY_AND_DISK keeps it a spill-safe one-pass
+    cost at scale (shingles ≈ tokens × n, the biggest intermediate).
+    """
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, id_col, k)
     cand = lsh_candidate_pairs(sig, id_col, k, bands)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -162,7 +176,9 @@ def ngram_jaccard_pairs(
     pairs must share a shingle appearing in <= max_df docs — bounds the
     pairwise blow-up on a repetitive corpus (the scale guard a naive
     shingle self-join lacks)."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
     a = rare.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -32,15 +32,22 @@ def _count_in(tokens_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
 
 
-def lang_scores(text_col: Column | str) -> dict[str, Column]:
-    toks = tokens(text_col)
+def lang_scores(text_col: Column | str, toks: Column | None = None) -> dict[str, Column]:
+    if toks is None:
+        toks = tokens(text_col)
     return {lang: _count_in(toks, words) for lang, words in LANG_PROFILES.items()}
 
 
-def lang_id(text_col: Column | str, default: str = "und") -> Column:
+def lang_id(
+    text_col: Column | str, default: str = "und", toks: Column | None = None
+) -> Column:
     """argmax over language stopword hit-counts, fixed evaluation order
-    for ties (en > fr > es > de), 'und' when nothing matches."""
-    scores = lang_scores(text_col)
+    for ties (en > fr > es > de), 'und' when nothing matches.
+
+    Pass a materialized token-array column via ``toks`` on hot paths —
+    inlined ``tokens()`` re-runs the regex for every score reference
+    (~13× per row here; see dedup.doc_shingles)."""
+    scores = lang_scores(text_col, toks)
     langs = list(LANG_PROFILES)
     best = F.greatest(*[scores[l] for l in langs])
     out = F.lit(default)
@@ -64,7 +71,14 @@ def token_count_bpe(text_col: Column | str) -> Column:
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length/stopword/punctuation quality features + composite score —
     single-division arithmetic only (bit-equal across engines)."""
-    toks = tokens(text_col)
+    # materialize the token array once — inlining tokens() into every
+    # consumer re-runs the regex per use (see dedup.doc_shingles)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     stop_hits = _count_in(toks, LANG_PROFILES["en"])
@@ -77,7 +91,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             + (alpha_chars.cast("double") / n_chars.cast("double")) * 0.3
         )
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars_obs"),
@@ -90,11 +104,12 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     """Document fingerprints: md5 of the normalized token stream (exact
     content identity) + min shingle hash (a 1-perm MinHash — the
     winnowing anchor)."""
-    toks = tokens(text_col)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     norm = F.array_join(toks, " ")
     sh = shingles(toks, n)
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.md5(norm).alias("content_fp"),
         min_sh.alias("min_shingle_fp"),

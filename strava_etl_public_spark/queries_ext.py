@@ -319,7 +319,10 @@ def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     en>fr>es>de, 'und' when nothing matches) — a scan-speed projection."""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+    toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
+    return toks.select(
+        "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
+    )
 
 
 @register(

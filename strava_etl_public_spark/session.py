@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # size reducers by bytes, not core count: tiny inputs coalesce to
+        # a few tasks (measured 2-8x on multi-stage pipelines), 100 TB
+        # inputs still get advisory-size/64m-granular parallelism
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # let AQE re-partition reads of cached plans (persisted
+        # intermediates otherwise pin their partition count)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -57,4 +65,10 @@ def ensure_harness_conf(spark: SparkSession) -> SparkSession:
     # TESTDATA parquet stores TIMESTAMP(NANOS,false); vanilla Spark errors
     # on it (PARQUET_TYPE_ILLEGAL) — read as long nanoseconds instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # byte-sized AQE reducers + cached-plan repartitioning (see get_spark)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     return spark

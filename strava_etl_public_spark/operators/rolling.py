@@ -145,6 +145,43 @@ def activity_maxes(
     return df.groupBy(key).agg(*aggs)
 
 
+def rolling_mean_triang_pandas(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    cols: Sequence[str],
+    windows: Sequence[int] = REFERENCE_WINDOWS,
+    suffix: str = "tri",
+) -> DataFrame:
+    """Grouped-map (``applyInPandas``) twin of ``rolling_mean_triang`` —
+    the §2.J UDTF-shaped surface: one Arrow batch per activity, pandas
+    semantics bit-for-bit because it literally runs the numpy oracle.
+
+    Scale shape: one shuffle on ``key`` (same as the window path), but
+    rows cross the JVM↔Python boundary — use the box-composition
+    expression path for hot pipelines; this one exists for parity
+    checks and as the template for ops that genuinely need pandas.
+    A whole activity must fit in one executor's memory (true in the
+    reference: ≤100 000 samples, main.py:56).
+    """
+    out_fields = [f"{c}_{suffix}_{w}" for w in windows for c in cols]
+    schema_ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{name}` double" for name in out_fields]
+    )
+
+    def _roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col).reset_index(drop=True)
+        for w in windows:
+            for c in cols:
+                pdf[f"{c}_{suffix}_{w}"] = rolling_triang_pandas_oracle(
+                    pdf[c].astype(float), w
+                )
+        return pdf
+
+    return df.groupBy(key).applyInPandas(_roll, schema=schema_ddl)
+
+
 # ---------------------------------------------------------------------------
 # pandas-parity oracle (test-only path; kept out of production pipelines).
 # ---------------------------------------------------------------------------
@@ -173,9 +210,9 @@ def rolling_triang_pandas_oracle(
     wts = triang_weights(w)
     norm = wts.sum()
     out = np.full(len(x), np.nan)
-    for i in range(w - 1, len(x)):
-        frame = x[i - w + 1 : i + 1]
-        if np.isnan(frame).any():
-            continue
-        out[i] = float(np.dot(frame, wts) / norm)
+    if len(x) >= w:
+        # trailing weighted mean == 'valid' convolution with reversed
+        # weights; a NaN anywhere in a frame propagates through the
+        # convolution exactly like pandas' win_type rolling (no skipping)
+        out[w - 1 :] = np.convolve(x, wts[::-1], mode="valid") / norm
     return pd.Series(out, index=values.index)

@@ -100,6 +100,50 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document (SURVEY §7 M6).
+
+    tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). Scores rounded to 6dp before ranking so ordering is
+    engine-portable; ties break on the term string.
+
+    Scale shape: two hash aggs (by (doc,term), by term) + one window
+    top-k by doc; the corpus size N is a 1-row broadcast, never a
+    driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    tok_long = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), F.explode("_toks").alias("term")
+    )
+    tc = tok_long.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_n"))
+    dl = tc.groupBy(id_col).agg(F.sum("tf_n").alias("doc_len"))
+    dft = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df_n"))
+    ndocs = df.select(F.col(id_col)).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(dl, id_col)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                (F.col("tf_n").cast("double") / F.col("doc_len").cast("double"))
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df_n") + 1).cast("double"))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(F.col(id_col), "term", "tf_idf", "rk")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Document fingerprints: md5 of the normalized token stream (exact
     content identity) + min shingle hash (a 1-perm MinHash — the

@@ -15,6 +15,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .io import load
@@ -404,6 +405,77 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs, "doc_id", "text", n=3)
 
 
+@register(
+    "w1_rolling_triang_pandas_udf",
+    oracle="""
+WITH s AS (
+SELECT user_id AS activity_id,
+       CAST(SUM(1 + event_id % 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS time_key,
+       value, event_type, event_id
+FROM events
+),
+r AS (
+  SELECT activity_id,
+         (1*lag(value,4) OVER w + 2*lag(value,3) OVER w + 3*lag(value,2) OVER w
+          + 2*lag(value,1) OVER w + 1*value) / 9.0 AS tri5
+  FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
+)
+SELECT activity_id,
+       round(max(tri5), 6) AS max_tri5,
+       CAST(count(tri5) AS BIGINT) AS n_windows
+FROM r GROUP BY activity_id
+""",
+)
+def w1_rolling_triang_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship W1 computation through the §2.J Arrow grouped-map
+    path (``applyInPandas`` running the numpy triangular oracle per
+    activity) instead of the box-composition window expressions — the
+    differential check that the UDF surface and the JVM surface agree
+    with a THIRD independent implementation (DuckDB lag-arithmetic)."""
+    ensure_harness_conf(spark)
+    from .operators import rolling
+
+    s = streams(spark, sf_dir)
+    r = rolling.rolling_mean_triang_pandas(s, "activity_id", "time_key", ["value"], [5])
+    return r.groupBy("activity_id").agg(
+        F.round(F.max("value_tri_5"), 6).alias("max_tri5"),
+        F.count("value_tri_5").cast("long").alias("n_windows"),
+    )
+
+
+@register(
+    "x_text_tfidf",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+tok_long AS (SELECT doc_id, unnest(t) AS term FROM tk),
+tc AS (SELECT doc_id, term, count(*) AS tf_n FROM tok_long GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf_n) AS doc_len FROM tc GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df_n FROM tc GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         round((CAST(tf_n AS DOUBLE) / CAST(doc_len AS DOUBLE))
+               * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df_n + 1 AS DOUBLE)) + 1.0),
+               6) AS tf_idf
+  FROM tc JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf_idf,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf). Two hash aggs +
+    one per-doc window top-k; corpus size is a 1-row broadcast."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.tf_idf(docs, "doc_id", "text", k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -590,5 +662,41 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("s_end", _ISO).alias("s_end"),
             "n_events",
         ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "x_stream_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count + max maintained in the state store across
+    micro-batches, update-mode output. The final running row per user
+    (greatest n_events) must equal the batch aggregate exactly — only
+    order-independent aggregates are kept, so micro-batch slicing
+    cannot change the answer."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, running_user_stats
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        out = _run_stream(spark, running_user_stats(stream), "update")
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "max_value")
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)

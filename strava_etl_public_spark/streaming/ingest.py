@@ -87,6 +87,51 @@ def session_windows(
     )
 
 
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (§2.I S2 / §2.J): per-user running
+    event count + running max(value), maintained across micro-batches
+    with ``applyInPandasWithState`` — the engine shape for streaming
+    state the built-in windowed aggs can't express (the reference's
+    Firestore doc mutation, generalized).
+
+    Emits the updated running row for each user seen in each batch
+    (update mode); the latest row per user (highest n_events) is the
+    final state. Only order-independent aggregates (count, max) are
+    kept so results are exactly comparable to the batch oracle
+    regardless of micro-batch slicing.
+
+    Scale: state lives in the state store keyed by user — partitioned,
+    checkpointed, incrementally maintained; one shuffle on user_id per
+    batch. Arrow moves rows, so the per-batch Python cost is columnar.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, m = state.get
+        else:
+            n, m = 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            vals = pd.to_numeric(pdf["value"], errors="coerce").dropna()
+            if len(vals):
+                bm = float(vals.max())
+                m = bm if m is None else max(m, bm)
+        state.update((n, m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [m]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, m double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over the (finite) file source to
     completion into a memory sink named `query_name`."""

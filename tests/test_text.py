@@ -59,6 +59,27 @@ def test_quality_features(spark):
     assert out.loc[2].quality_score == 0.0  # empty doc guard
 
 
+def test_tf_idf(spark):
+    from strava_etl_public_spark.operators.text import tf_idf
+
+    out = tf_idf(
+        _df(spark, ["apple banana apple", "banana cherry", "apple date"]),
+        "doc_id",
+        "text",
+        k=2,
+    ).toPandas()
+    # doc1: apple tf=2/3 (df=2), banana tf=1/3 (df=2); apple ranks first
+    d1 = out[out.doc_id == 1].sort_values("rk")
+    assert d1.term.tolist() == ["apple", "banana"]
+    import math
+
+    want = (2 / 3) * (math.log(4 / 3) + 1.0)
+    assert abs(d1.tf_idf.iloc[0] - round(want, 6)) < 1e-9
+    # rarer term outranks common one at equal tf: doc3 'date' (df=1) > 'apple' (df=2)
+    d3 = out[out.doc_id == 3].sort_values("rk")
+    assert d3.term.tolist() == ["date", "apple"]
+
+
 def test_fingerprint(spark):
     out = fingerprint(
         _df(spark, ["The QUICK brown fox", "the quick brown fox"]), "doc_id", "text"

@@ -70,6 +70,61 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def resize_image(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB — image resize needs a codec (PIL/OpenCV), absent here.
+    Contract: payload BINARY → payload BINARY (re-encoded at w×h),
+    meta.n_bytes updated. The Arrow batch plumbing is `fake_decode_stats`'s;
+    only the kernel differs."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "the mapInPandas plumbing is exercised by fake_decode_stats()"
+    )
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling needs a demuxer (ffmpeg/PyAV), absent
+    here. Contract: payload BINARY (video) → exploded rows
+    (doc_id, frame_idx INT, frame BINARY), one per sampled frame; use
+    `fake_frame_index` for shape-true testing."""
+    raise NotImplementedError(
+        "video codecs not available in this environment; "
+        "use fake_frame_index() for deterministic shape-true testing"
+    )
+
+
+def fake_frame_index(
+    binary_df: DataFrame, id_col: str = "doc_id", every_n: int = 16
+) -> DataFrame:
+    """Deterministic stand-in for the frame-sampling stage: derives a
+    per-doc frame count from the payload length and emits one row per
+    sampled frame with a sha256-derived frame fingerprint — the exact
+    explode shape (1 input row → N output rows) a real demuxer yields
+    through mapInPandas."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = max(len(data) // every_n, 1)
+                for i in range(n_frames):
+                    idx = i * every_n
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    # md5(payload ':' idx) — engine-portable (SQL oracles
+                    # can replicate byte-for-byte on text payloads)
+                    fps.append(
+                        hashlib.md5(data + f":{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_fp": fps}
+            )
+
+    return binary_df.mapInPandas(
+        _frames, schema="doc_id long, frame_idx int, frame_fp string"
+    )
+
+
 def fake_decode_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic stand-in for the decode stage: derives fixed-shape
     'pixel statistics' from the payload bytes via sha256 — exercises the

@@ -78,6 +78,96 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF coarse quantization). ``centroids`` is (cent_id, cent_vec) —
+    a bounded list (k ≪ corpus), so the join is a broadcast fan-out of
+    k rows per vector followed by a per-vector top-nprobe — no corpus
+    self-join anywhere.
+
+    Deterministic tie-break on (cos desc, cent_id) keeps assignment
+    stable across runs/engines.
+    """
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 16, stride: int = 37
+) -> DataFrame:
+    """Deterministic IVF 'training': the k corpus vectors whose id is
+    the smallest in each residue class of ``id % (k*stride) == i*stride``
+    — reproducible across engines with no RNG and no iterative k-means
+    (Lloyd refinement drops in later without changing the interface).
+    """
+    w = Window.partitionBy("_grp").orderBy(F.col(id_col))
+    return (
+        emb.filter((F.col(id_col) % stride) == 0)
+        .withColumn("_grp", F.floor((F.col(id_col) % (k * stride)) / stride))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_grp").cast("long").alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in ONE inverted list each
+    (their nearest centroid); queries probe their ``nprobe`` nearest
+    lists; exact cosine rerank inside the probed lists only.
+
+    Scale shape: centroids are broadcast twice (corpus assign, query
+    probe); candidate volume per query ≈ nprobe/n_centroids of the
+    corpus; the only shuffle is the equi-join on cent_id, AQE-skew-safe
+    when clusters are unbalanced.
+    """
+    cents = seed_centroids(emb, id_col, vec_col, n_centroids)
+    corpus = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cent_id"
+    )
+    probes = ivf_assign(
+        emb.join(queries.select(id_col), id_col, "left_semi"),
+        cents,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id")
+    scored = (
+        corpus.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -292,6 +292,63 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, q, "vec_id", "embedding", k=5, n_planes=8, dim=64)
 
 
+def _ivf_oracle(k: int = 5, n_cent: int = 16, stride: int = 37, nprobe: int = 4) -> str:
+    span = n_cent * stride
+    cos_ec = _cos_sql("e.embedding", "c.cent_vec")
+    cos_qn = _cos_sql("p.q_vec", "a.embedding")
+    return f"""
+WITH cents AS (
+  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
+         embedding AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id IN (SELECT vec_id FROM qids)
+  ) WHERE rn <= {nprobe}
+)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT p.q_id, a.vec_id AS n_id, round({cos_qn}, 6) AS cos,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY round({cos_qn}, 6) DESC, a.vec_id) AS rk
+  FROM assign a JOIN probes p USING (cent_id)
+  WHERE p.q_id != a.vec_id
+) WHERE rk <= {k}
+"""
+
+
+@register("x_sim_topk_ivf", oracle=_ivf_oracle())
+def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: deterministic seed centroids (no RNG),
+    single-list corpus assignment, 4-probe query fan-out, exact cosine
+    rerank inside probed lists only — the inverted-file scale path next
+    to the LSH one (measured recall 0.60 @ nprobe=4 on fixtures)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -479,6 +536,35 @@ def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "x_mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(list_transform(
+           generate_series(0, CAST(greatest(nb // 16, 1) AS BIGINT) - 1),
+           i -> i * 16)) AS frame_idx
+  FROM f
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(text || ':' || frame_idx) AS frame_fp
+FROM idx
+""",
+)
+def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1 binary payload row → N frame rows
+    through mapInPandas (the demuxer kernel is a deterministic fake;
+    the explode shape, schema contract, and Arrow batching are real)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary(docs, "doc_id", "text")
+    return multimodal.fake_frame_index(payloads, every_n=16)
 
 
 @register(

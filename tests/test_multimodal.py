@@ -52,3 +52,22 @@ def test_fake_decode_deterministic(spark):
 def test_decode_image_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         decode_image(_bin_df(spark))
+    from strava_etl_public_spark.operators.multimodal import resize_image, sample_frames
+
+    with pytest.raises(NotImplementedError):
+        resize_image(_bin_df(spark), 64, 64)
+    with pytest.raises(NotImplementedError):
+        sample_frames(_bin_df(spark))
+
+
+def test_fake_frame_index_explode_shape(spark):
+    from strava_etl_public_spark.operators.multimodal import fake_frame_index
+
+    out = fake_frame_index(_bin_df(spark), every_n=4).toPandas()
+    # 'hello' (5 bytes) -> 1 frame; 'world!' (6 bytes) -> 1 frame at n=4
+    by_doc = out.groupby("doc_id").size().to_dict()
+    assert by_doc == {1: 1, 2: 1}
+    fine = fake_frame_index(_bin_df(spark), every_n=2).toPandas()
+    assert fine[fine.doc_id == 2].frame_idx.tolist() == [0, 2, 4]
+    want = hashlib.md5(b"hello:0").hexdigest()
+    assert fine[fine.doc_id == 1].frame_fp.iloc[0] == want

@@ -32,9 +32,12 @@ HEADLINE = [
     "q3_revenue_join",
     "q_topk_per_group",
     "q_sessionize",
+    "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_sim_topk_brute",
+    "x_sim_topk_ivf",
     "x_text_quality",
+    "x_text_tfidf",
 ]
 
 

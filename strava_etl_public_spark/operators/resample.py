@@ -64,9 +64,22 @@ def interpolate_linear(
     gaps forward-filled, leading gaps stay NULL — exactly pandas
     ``.interpolate()`` defaults (reference main.py:59).
     """
-    w = Window.partitionBy(key).orderBy(ord_col)
-    w_back = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    # Both look-behind AND look-ahead are expressed as *running*
+    # (unboundedPreceding → current) frames — the look-ahead over a
+    # DESCENDING sort. Spark evaluates running frames incrementally
+    # (O(n) per partition); a (0 → unboundedFollowing) frame re-scans
+    # the remaining partition per row — O(n²), minutes on a 100k-sample
+    # activity (measured: 200k rows hung >190s vs 1.2s this way).
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ord_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ord_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     out = df
     for c in cols:
@@ -74,8 +87,8 @@ def interpolate_linear(
         t_if = F.when(v.isNotNull(), F.col(ord_col))
         prev_v = F.last(v, ignorenulls=True).over(w_back)
         prev_t = F.last(t_if, ignorenulls=True).over(w_back)
-        next_v = F.first(v, ignorenulls=True).over(w_fwd)
-        next_t = F.first(t_if, ignorenulls=True).over(w_fwd)
+        next_v = F.last(v, ignorenulls=True).over(w_fwd)
+        next_t = F.last(t_if, ignorenulls=True).over(w_fwd)
         ratio = (F.col(ord_col) - prev_t).cast("double") / (next_t - prev_t).cast("double")
         interp = (
             F.when(v.isNotNull(), v)

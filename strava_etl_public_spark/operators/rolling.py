@@ -11,23 +11,27 @@ w ∈ {1,5,10,20,30,45,60,120,300,600,1200} and takes the max per metric
 - NULL while the frame holds fewer than ``w`` rows (min_periods=w)
 - any NULL inside the frame propagates NULL
 
-**Spark-first design — box-filter composition.** A triangular filter is
-a cascade of box (unweighted) sums, so each of the 33 outputs is 2-3
-plain ``sum().over(rowsBetween(...))`` expressions — all JVM-side,
-whole-stage-codegen'd, one sort shared across every window size and
-metric (same partitionBy/orderBy ⇒ a single Window physical node per
-frame family). No ``collect_list`` of 1200-element arrays, no UDF:
+**Spark-first design — box-filter composition over prefix sums.** A
+triangular filter is a cascade of box (unweighted) sums:
 
 - odd  w = 2m-1:  tri_sum = box_m(box_m(x)),             Σw = m²
 - even w = 2m:    tri_sum = 2·box_m(box_{m+1}(x)) − box_{2m}(x),  Σw = 2m²
 
+and each box sum is computed as a **prefix-sum difference**
+``cumsum − lag(cumsum, n)`` rather than a bounded sliding frame,
+because Spark's WindowExec re-aggregates bounded frames from scratch
+per row (O(w)/row — ~1200 ops/row at w=1200) while running frames and
+``lag`` are O(1)/row. All JVM-side, whole-stage-codegen'd, no
+``collect_list`` arrays, no UDF; all passes share one partition+sort
+(one shuffle, one sort total).
+
 Values inside frames that contain a NULL (or are shorter than ``w``)
 are garbage from null-skipping sums, but exactly those frames are
-masked by ``count(x) over frame == w`` — matching pandas.
+masked by the trailing-count ``== w`` check — matching pandas.
 
-At 100 TB this is the right shape: cost is O(rows × windows) with tiny
-constants, memory is O(1) per row, and the only shuffle is the initial
-hash partition by activity.
+At 100 TB this is the right shape: cost is O(rows × windows) with O(1)
+per-row constants, memory is O(1) per row (no frame buffers), and the
+only shuffle is the initial hash partition by activity.
 """
 
 from __future__ import annotations
@@ -43,9 +47,16 @@ from pyspark.sql import functions as F
 REFERENCE_WINDOWS = (1, 5, 10, 20, 30, 45, 60, 120, 300, 600, 1200)
 
 
-def _frame(key: str, ord_col: str, n: int):
-    """Trailing row-frame of n rows, shared sort across all callers."""
-    return Window.partitionBy(key).orderBy(ord_col).rowsBetween(-(n - 1), 0)
+def _running(key: str, ord_col: str):
+    """Running (unboundedPreceding → current) frame — Spark evaluates
+    these incrementally (O(1)/row), unlike bounded sliding frames which
+    re-aggregate the whole frame per row (O(w)/row, no retract support
+    in WindowExec's SlidingWindowFunctionFrame)."""
+    return (
+        Window.partitionBy(key)
+        .orderBy(ord_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
 
 def rolling_mean_triang(
@@ -56,50 +67,91 @@ def rolling_mean_triang(
     windows: Sequence[int] = REFERENCE_WINDOWS,
     suffix: str = "tri",
 ) -> DataFrame:
-    """Add ``{col}_{suffix}_{w}`` triangular-weighted trailing means."""
-    # Stage 1: all distinct inner box sums over the raw columns.
-    stage1: dict[str, Column] = {}
-    needed_inner: set[tuple[str, int]] = set()  # (col, box_len) over raw x
+    """Add ``{col}_{suffix}_{w}`` triangular-weighted trailing means.
+
+    Every trailing box sum is a **prefix-sum difference**:
+    ``box_n(i) = cumsum(i) − cumsum(i−n)`` — the running cumsum is
+    evaluated incrementally by Spark (O(1)/row) and ``lag(·, n)`` is an
+    O(1) offset lookup, so the whole 33-output cascade is O(1) per row
+    per output. A direct ``sum().over(rowsBetween(-(n-1), 0))`` would be
+    O(n) per row (WindowExec re-aggregates bounded sliding frames — no
+    retract), i.e. ~1200 ops/row for w=1200. All four passes share one
+    partition+sort, so there is exactly one shuffle and one sort.
+
+    Truncated-head semantics match the sliding frame exactly
+    (``coalesce(lag, 0)`` ⇒ sum from partition start); all-NULL frames
+    differ (0 vs NULL) only at rows the min_periods mask nulls anyway.
+    """
+    run = _running(key, ord_col)
+    w_lag = Window.partitionBy(key).orderBy(ord_col)
+
+    def box(acc_col: str, n: int, zero) -> Column:
+        """Trailing n-row sum of the series whose running sum is acc_col."""
+        return F.col(acc_col) - F.coalesce(F.lag(acc_col, n).over(w_lag), F.lit(zero))
+
+    # Pass 1: one running sum + running count per metric.
+    pass1: dict[str, Column] = {}
+    for c in cols:
+        pass1[f"_cs_{c}"] = F.sum(c).over(run)
+        pass1[f"_cc_{c}"] = F.count(c).over(run)
+
+    # Which inner box lengths feed each window (odd w=2m-1: box_m;
+    # even w=2m: box_{m+1} and the box_{2m} correction term).
+    inner: set[tuple[str, int]] = set()
+    outer: set[tuple[str, int]] = set()  # (col, inner_n) needing a 2nd cumsum
     for w in windows:
         if w == 1:
             continue
         m = (w + 1) // 2
         for c in cols:
             if w % 2 == 1:
-                needed_inner.add((c, m))
+                inner.add((c, m))
+                outer.add((c, m))
             else:
-                needed_inner.add((c, m + 1))
-                needed_inner.add((c, w))  # box_{2m}(x) correction term
-    for c, n in needed_inner:
-        stage1[f"_b_{c}_{n}"] = F.sum(c).over(_frame(key, ord_col, n))
-    # Validity mask counts (one per (col, w)).
+                inner.add((c, m + 1))
+                inner.add((c, w))
+                outer.add((c, m + 1))
+
+    # Pass 2: inner boxes + per-window valid counts (all O(1) lags).
+    pass2: dict[str, Column] = {}
+    for c, n in inner:
+        pass2[f"_b_{c}_{n}"] = box(f"_cs_{c}", n, 0.0)
     for w in windows:
         if w == 1:
             continue
         for c in cols:
-            stage1[f"_n_{c}_{w}"] = F.count(c).over(_frame(key, ord_col, w))
-    out = df.withColumns(stage1) if stage1 else df
+            pass2[f"_n_{c}_{w}"] = box(f"_cc_{c}", w, 0)
 
-    # Stage 2: outer box over stage-1 sums, normalize, mask.
-    stage2: dict[str, Column] = {}
+    # Pass 3: running sums of the inner boxes that feed an outer box.
+    pass3: dict[str, Column] = {}
+    for c, n in outer:
+        pass3[f"_cs2_{c}_{n}"] = F.sum(f"_b_{c}_{n}").over(run)
+
+    # Pass 4: outer box via prefix-diff, normalize, min_periods mask.
+    final: dict[str, Column] = {}
     for w in windows:
         for c in cols:
             name = f"{c}_{suffix}_{w}"
             if w == 1:
-                stage2[name] = F.col(c).cast("double")
+                final[name] = F.col(c).cast("double")
                 continue
             m = (w + 1) // 2
             if w % 2 == 1:
-                tri_sum = F.sum(f"_b_{c}_{m}").over(_frame(key, ord_col, m))
+                tri_sum = box(f"_cs2_{c}_{m}", m, 0.0)
                 norm = float(m * m)
             else:
-                outer = F.sum(f"_b_{c}_{m + 1}").over(_frame(key, ord_col, m))
-                tri_sum = F.lit(2.0) * outer - F.col(f"_b_{c}_{w}")
+                tri_sum = F.lit(2.0) * box(f"_cs2_{c}_{m + 1}", m, 0.0) - F.col(
+                    f"_b_{c}_{w}"
+                )
                 norm = float(2 * m * m)
-            val = tri_sum / F.lit(norm)
-            stage2[name] = F.when(F.col(f"_n_{c}_{w}") == w, val)
-    out = out.withColumns(stage2)
-    return out.drop(*[c for c in out.columns if c.startswith("_b_") or c.startswith("_n_")])
+            final[name] = F.when(F.col(f"_n_{c}_{w}") == w, tri_sum / F.lit(norm))
+
+    out = df.withColumns(pass1).withColumns(pass2)
+    if pass3:
+        out = out.withColumns(pass3)
+    out = out.withColumns(final)
+    scratch = ("_cs_", "_cc_", "_b_", "_n_", "_cs2_")
+    return out.drop(*[c for c in out.columns if c.startswith(scratch)])
 
 
 def rolling_mean_box(
@@ -110,14 +162,24 @@ def rolling_mean_box(
     windows: Sequence[int] = REFERENCE_WINDOWS,
     suffix: str = "box",
 ) -> DataFrame:
-    """Unweighted trailing means with the same min_periods/NULL mask."""
-    exprs: dict[str, Column] = {}
+    """Unweighted trailing means with the same min_periods/NULL mask.
+
+    Same prefix-sum-difference trick as ``rolling_mean_triang`` — O(1)
+    per row per window instead of O(w)."""
+    run = _running(key, ord_col)
+    w_lag = Window.partitionBy(key).orderBy(ord_col)
+    pass1: dict[str, Column] = {}
+    for c in cols:
+        pass1[f"_cs_{c}"] = F.sum(c).over(run)
+        pass1[f"_cc_{c}"] = F.count(c).over(run)
+    final: dict[str, Column] = {}
     for w in windows:
         for c in cols:
-            fr = _frame(key, ord_col, w)
-            val = F.sum(c).over(fr) / F.lit(float(w))
-            exprs[f"{c}_{suffix}_{w}"] = F.when(F.count(c).over(fr) == w, val)
-    return df.withColumns(exprs)
+            s = F.col(f"_cs_{c}") - F.coalesce(F.lag(f"_cs_{c}", w).over(w_lag), F.lit(0.0))
+            n = F.col(f"_cc_{c}") - F.coalesce(F.lag(f"_cc_{c}", w).over(w_lag), F.lit(0))
+            final[f"{c}_{suffix}_{w}"] = F.when(n == w, s / F.lit(float(w)))
+    out = df.withColumns(pass1).withColumns(final)
+    return out.drop(*[c for c in out.columns if c.startswith(("_cs_", "_cc_"))])
 
 
 def activity_maxes(

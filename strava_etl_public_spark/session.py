@@ -35,10 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # size reducers by bytes, not core count: tiny inputs coalesce to
-        # a few tasks (measured 2-8x on multi-stage pipelines), 100 TB
-        # inputs still get advisory-size/64m-granular parallelism
+        # a few tasks (measured 2-8x on multi-stage pipelines), large
+        # inputs still get advisory-size-granular parallelism. 16m (not
+        # the 64m default) so CPU-heavy window stages over mid-size
+        # shuffles don't collapse to one core before data >> cores×64m.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # let AQE re-partition reads of cached plans (persisted
         # intermediates otherwise pin their partition count)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -67,7 +69,7 @@ def ensure_harness_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # byte-sized AQE reducers + cached-plan repartitioning (see get_spark)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )

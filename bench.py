@@ -49,9 +49,12 @@ def main() -> int:
     qs = E.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # JVM/codegen warm-up on the smallest fixture (not timed).
-    for n in names[:2]:
+    # JVM/codegen warm-up on the smallest fixture (not timed): every
+    # headline query once, so sf0.1 timings measure the plan, not
+    # first-use JIT/codegen compilation of whichever query runs first.
+    for n in names:
         qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for n in names:

@@ -22,10 +22,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Raise scan-side parallelism when the source arrives in fewer
+    splits than the cluster has cores.
+
+    Parquet is splittable only at row-group boundaries; a small file
+    (or one written with a single row group, like the fixtures) scans
+    as ONE task, which serializes every pre-shuffle map stage — regex
+    tokenization, shingling, vector math — onto one core no matter the
+    cluster size. The guard, not the repartition, is the 100 TB
+    discipline: a real-scale scan already has >= cores splits, so this
+    is a plan-time no-op there, while pathologically-packed inputs get
+    an explicit round-robin fan-out (one bounded shuffle of the raw
+    scan, repaid immediately by map-stage parallelism).
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> DataFrame:
     """Read one fixture table. Parquet scan → Catalyst pushes filters &
-    prunes columns of downstream plans into this scan for free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    prunes columns of downstream plans into this scan for free.
+
+    ``fan=True`` opts in to :func:`fan_out` — use it for pipelines whose
+    map stage is CPU-heavy (regex tokenization, shingling, vector math),
+    where a single-split scan would serialize that work onto one core.
+    Relational/window queries should leave it off: their map side is
+    scan-speed and parallelism returns at the first shuffle, so the
+    extra round-robin shuffle is pure cost.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return fan_out(df) if fan else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,62 @@
+"""Physical-plan audit for the headline queries.
+
+Prints, per query, the join strategies, exchange count, Python-eval
+nodes, and scan pushdown state — the checklist for 100 TB plan hygiene:
+
+- no SortMergeJoin where a bounded side should broadcast
+- no CartesianProduct anywhere
+- BroadcastNestedLoopJoin ONLY for the intentional non-equi broadcasts
+  (ANN rerank `q_id != n_id`, 1-row count fan-outs)
+- zero BatchEvalPython/ArrowEvalPython in hot paths (Arrow grouped-map
+  variants are opt-in parity twins, not headline paths)
+- filters pushed into scans wherever a filter exists to push
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    import bench
+    from strava_etl_public_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    flagged = 0
+    for n in bench.HEADLINE:
+        df = qs[n](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        stats = {
+            "SMJ": plan.count("SortMergeJoin"),
+            "BHJ": plan.count("BroadcastHashJoin"),
+            "BNLJ": plan.count("BroadcastNestedLoopJoin"),
+            "cartesian": plan.count("CartesianProduct"),
+            "python": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+            "exchanges": len(re.findall(r"Exchange (hash|range|RoundRobin)", plan)),
+            "scans_unpushed": len(re.findall(r"PushedFilters: \[\]", plan)),
+        }
+        bad = stats["cartesian"] > 0 or stats["python"] > 0
+        flagged += bad
+        mark = " <-- FLAG" if bad else ""
+        print(
+            f"{n:28s} "
+            + " ".join(f"{k}={v}" for k, v in stats.items())
+            + mark
+        )
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

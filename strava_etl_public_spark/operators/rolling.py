@@ -17,13 +17,22 @@ triangular filter is a cascade of box (unweighted) sums:
 - odd  w = 2m-1:  tri_sum = box_m(box_m(x)),             Σw = m²
 - even w = 2m:    tri_sum = 2·box_m(box_{m+1}(x)) − box_{2m}(x),  Σw = 2m²
 
-and each box sum is computed as a **prefix-sum difference**
-``cumsum − lag(cumsum, n)`` rather than a bounded sliding frame,
-because Spark's WindowExec re-aggregates bounded frames from scratch
-per row (O(w)/row — ~1200 ops/row at w=1200) while running frames and
-``lag`` are O(1)/row. All JVM-side, whole-stage-codegen'd, no
-``collect_list`` arrays, no UDF; all passes share one partition+sort
-(one shuffle, one sort total).
+and a box-of-box is a **double-prefix-sum stencil**: with S1 =
+cumsum(x), S2 = cumsum(S1), every window size is a 3-6 point
+combination of lagged S1/S2 values. Bounded sliding frames are avoided
+entirely — Spark's WindowExec re-aggregates them from scratch per row
+(O(w)/row, ~1200 ops/row at w=1200) while running frames and ``lag``
+are O(1)/row. Only 3 narrow columns per metric (S1, S2, count) flow
+between the three chained window passes, all sharing one
+partition+sort (one shuffle, one sort total); no ``collect_list``
+arrays, no UDF, everything whole-stage-codegen'd.
+
+Numerics: S2 grows O(n²·x̄) within a partition, so stencil differences
+lose ~eps·S2 ≈ 1e-16·n²·x̄ absolute — at n=100 000 samples and x̄~100
+that is ~1e-10 on the windowed mean, far inside the 1e-6 rounding the
+oracle layer applies. (A per-partition-reset variant would be needed
+beyond ~10⁸-row single keys; activities are ≤100 000 samples by
+construction, reference main.py:56.)
 
 Values inside frames that contain a NULL (or are shorter than ``w``)
 are garbage from null-skipping sums, but exactly those frames are
@@ -85,49 +94,31 @@ def rolling_mean_triang(
     run = _running(key, ord_col)
     w_lag = Window.partitionBy(key).orderBy(ord_col)
 
-    def box(acc_col: str, n: int, zero) -> Column:
-        """Trailing n-row sum of the series whose running sum is acc_col."""
-        return F.col(acc_col) - F.coalesce(F.lag(acc_col, n).over(w_lag), F.lit(zero))
+    def s1(c: str, off: int) -> Column:
+        return F.col(f"_s1_{c}") if off == 0 else F.lag(f"_s1_{c}", off, 0.0).over(w_lag)
 
-    # Pass 1: one running sum + running count per metric.
+    def s2(c: str, off: int) -> Column:
+        return F.col(f"_s2_{c}") if off == 0 else F.lag(f"_s2_{c}", off, 0.0).over(w_lag)
+
+    # Pass 1: S1 = running sum of the NULL→0 series (total function, so
+    # the stencil identities below hold at every row) + running count of
+    # the raw series for the min_periods/NULL mask.
     pass1: dict[str, Column] = {}
     for c in cols:
-        pass1[f"_cs_{c}"] = F.sum(c).over(run)
+        pass1[f"_s1_{c}"] = F.sum(F.coalesce(F.col(c), F.lit(0.0))).over(run)
         pass1[f"_cc_{c}"] = F.count(c).over(run)
 
-    # Which inner box lengths feed each window (odd w=2m-1: box_m;
-    # even w=2m: box_{m+1} and the box_{2m} correction term).
-    inner: set[tuple[str, int]] = set()
-    outer: set[tuple[str, int]] = set()  # (col, inner_n) needing a 2nd cumsum
-    for w in windows:
-        if w == 1:
-            continue
-        m = (w + 1) // 2
-        for c in cols:
-            if w % 2 == 1:
-                inner.add((c, m))
-                outer.add((c, m))
-            else:
-                inner.add((c, m + 1))
-                inner.add((c, w))
-                outer.add((c, m + 1))
+    # Pass 2: S2 = running sum of S1 (the double prefix sum).
+    pass2 = {f"_s2_{c}": F.sum(f"_s1_{c}").over(run) for c in cols}
 
-    # Pass 2: inner boxes + per-window valid counts (all O(1) lags).
-    pass2: dict[str, Column] = {}
-    for c, n in inner:
-        pass2[f"_b_{c}_{n}"] = box(f"_cs_{c}", n, 0.0)
-    for w in windows:
-        if w == 1:
-            continue
-        for c in cols:
-            pass2[f"_n_{c}_{w}"] = box(f"_cc_{c}", w, 0)
-
-    # Pass 3: running sums of the inner boxes that feed an outer box.
-    pass3: dict[str, Column] = {}
-    for c, n in outer:
-        pass3[f"_cs2_{c}_{n}"] = F.sum(f"_b_{c}_{n}").over(run)
-
-    # Pass 4: outer box via prefix-diff, normalize, min_periods mask.
+    # Pass 3: every window is a constant-size stencil on S1/S2 —
+    #   box_n(x)(i)          = S1(i) − S1(i−n)
+    #   box_m(box_n(x))(i)   = S2(i) − S2(i−m) − S2(i−n) + S2(i−m−n)
+    # so odd  w=2m−1: tri = S2(i) − 2·S2(i−m) + S2(i−2m)
+    #    even w=2m:   tri = 2·[S2(i) − S2(i−m) − S2(i−m−1) + S2(i−2m−1)]
+    #                       − [S1(i) − S1(i−2m)]
+    # Lag defaults of 0 ARE the empty-prefix sums, so no head special-
+    # casing; rows whose frame is short or contains a NULL are masked.
     final: dict[str, Column] = {}
     for w in windows:
         for c in cols:
@@ -137,21 +128,18 @@ def rolling_mean_triang(
                 continue
             m = (w + 1) // 2
             if w % 2 == 1:
-                tri_sum = box(f"_cs2_{c}_{m}", m, 0.0)
+                tri_sum = s2(c, 0) - F.lit(2.0) * s2(c, m) + s2(c, 2 * m)
                 norm = float(m * m)
             else:
-                tri_sum = F.lit(2.0) * box(f"_cs2_{c}_{m + 1}", m, 0.0) - F.col(
-                    f"_b_{c}_{w}"
-                )
+                tri_sum = F.lit(2.0) * (
+                    s2(c, 0) - s2(c, m) - s2(c, m + 1) + s2(c, 2 * m + 1)
+                ) - (s1(c, 0) - s1(c, 2 * m))
                 norm = float(2 * m * m)
-            final[name] = F.when(F.col(f"_n_{c}_{w}") == w, tri_sum / F.lit(norm))
+            n_valid = F.col(f"_cc_{c}") - F.lag(f"_cc_{c}", w, 0).over(w_lag)
+            final[name] = F.when(n_valid == w, tri_sum / F.lit(norm))
 
-    out = df.withColumns(pass1).withColumns(pass2)
-    if pass3:
-        out = out.withColumns(pass3)
-    out = out.withColumns(final)
-    scratch = ("_cs_", "_cc_", "_b_", "_n_", "_cs2_")
-    return out.drop(*[c for c in out.columns if c.startswith(scratch)])
+    out = df.withColumns(pass1).withColumns(pass2).withColumns(final)
+    return out.drop(*[c for c in out.columns if c.startswith(("_s1_", "_s2_", "_cc_"))])
 
 
 def rolling_mean_box(

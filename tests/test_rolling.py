@@ -134,3 +134,28 @@ def test_activity_maxes_clamps_negative(spark):
 
 def test_reference_windows_are_survey_set():
     assert REFERENCE_WINDOWS == (1, 5, 10, 20, 30, 45, 60, 120, 300, 600, 1200)
+
+
+def test_triang_large_windows_long_series(spark):
+    """The reference's biggest windows (w up to 1200, main.py:83) at a
+    realistic series length — exercises the double-prefix-sum stencil
+    where S2 ~ n²·x̄ (FP-drift worst case) and the long-lag offsets."""
+    pdf = _random_frame(11, n_keys=2, n_rows=3000, null_p=0.02)
+    sdf = to_sdf(spark, pdf)
+    wins = (120, 300, 600, 1200)
+    got = (
+        rolling_mean_triang(sdf, "activity_id", "t", ["x"], wins)
+        .toPandas()
+        .sort_values(["activity_id", "t"])
+    )
+    for k, grp in pdf.groupby("activity_id"):
+        series = grp.sort_values("t")["x"].astype(float).reset_index(drop=True)
+        sub = got[got.activity_id == k].reset_index(drop=True)
+        for w in wins:
+            np.testing.assert_allclose(
+                sub[f"x_tri_{w}"].astype(float).to_numpy(),
+                rolling_triang_pandas_oracle(series, w).to_numpy(),
+                rtol=1e-9,
+                atol=1e-8,
+                err_msg=f"key={k} w={w}",
+            )

@@ -166,6 +166,67 @@ def a4_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3_stream_align",
+    oracle=f"""
+WITH s AS ({STREAMS_SQL}),
+g AS (SELECT activity_id,
+             list(time_key ORDER BY time_key) AS tks,
+             list(value    ORDER BY time_key) AS vs
+      FROM s GROUP BY activity_id)
+SELECT activity_id, tks[i] AS time_key, vs[i] AS v,
+       CASE WHEN i = 1 OR i = len(tks) THEN NULL
+            WHEN activity_id % 2 = 0 THEN vs[i] * 2
+            ELSE NULL END AS v2,
+       TRUE AS original
+FROM g, LATERAL (SELECT unnest(generate_series(1, len(tks))) AS i) u
+""",
+)
+def a3_stream_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the full stream-payload alignment (reference
+    strava_sdk.py:130-181) — positional zip of parallel series where a
+    series missing from the payload is NULL-padded to ``original_size``
+    (odd activities lack the second series here), plus the derived
+    ``original = TRUE`` flag and the first/last endpoint privacy mask
+    (W3, strava_sdk.py:175-176). All generator/array built-ins — the
+    null-pad is a ``transform`` to NULL, free at any scale."""
+    ensure_harness_conf(spark)
+    s = streams(spark, sf_dir)
+    g = s.groupBy("activity_id").agg(
+        F.array_sort(F.collect_list(F.struct("time_key", "value"))).alias("arr")
+    )
+    g = g.select(
+        "activity_id",
+        F.transform("arr", lambda x: x.time_key).alias("tks"),
+        F.transform("arr", lambda x: x.value).alias("vs"),
+    ).withColumn(
+        "vs2",
+        F.when(
+            F.col("activity_id") % 2 == 0,
+            F.transform("vs", lambda v: v * 2),
+        ).otherwise(
+            # missing series → [NULL] * original_size (strava_sdk.py:154-155)
+            F.transform("tks", lambda _: F.lit(None).cast("double"))
+        ),
+    )
+    z = g.select(
+        "activity_id",
+        F.size("tks").alias("_n"),
+        F.posexplode(F.arrays_zip("tks", "vs", "vs2")).alias("pos", "z"),
+    )
+    return z.select(
+        "activity_id",
+        F.col("z.tks").alias("time_key"),
+        F.col("z.vs").alias("v"),
+        F.when(
+            (F.col("pos") == 0) | (F.col("pos") == F.col("_n") - 1), F.lit(None)
+        )
+        .otherwise(F.col("z.vs2"))
+        .alias("v2"),
+        F.lit(True).alias("original"),
+    )
+
+
+@register(
     "a5_watermark_readback",
     oracle=f"""
 SELECT user_id, CAST(coalesce(max({EPOCH_DUCK}), 0) AS BIGINT) AS watermark_epoch
@@ -181,6 +242,102 @@ def a5_watermark_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.incremental import watermark
 
     return watermark(ev, "user_id", "epoch_s")
+
+
+@register(
+    "g1_filtered_max",
+    oracle=f"""
+SELECT CAST(coalesce(max(CASE WHEN user_id = 1 THEN {EPOCH_DUCK} END), 0) AS BIGINT) AS watermark_epoch,
+       CAST(coalesce(max(CASE WHEN user_id = -999 THEN {EPOCH_DUCK} END), 0) AS BIGINT) AS cold_start_epoch
+FROM events
+""",
+)
+def g1_filtered_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/T2: the reference's exact single-user watermark shape —
+    `SELECT max(epoch) WHERE username = ?`, empty→0 (main.py:187-197)
+    — plus the cold-start (no rows → 0) branch in the same pass.
+    Bound `lit()` predicate, not the reference's injection-prone
+    f-string SQL (§2.K item 7)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    return ev.agg(
+        F.coalesce(
+            F.max(F.when(F.col("user_id") == F.lit(1), F.col("epoch_s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("watermark_epoch"),
+        F.coalesce(
+            F.max(F.when(F.col("user_id") == F.lit(-999), F.col("epoch_s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cold_start_epoch"),
+    )
+
+
+@register(
+    "s1_incremental_ingest",
+    oracle=f"""
+WITH ev AS (SELECT event_id, user_id, {EPOCH_DUCK} AS epoch_s FROM events),
+wm AS (SELECT user_id, CAST(coalesce(max(epoch_s), 0) AS BIGINT) AS watermark_epoch
+       FROM ev WHERE epoch_s <= 1705276800 GROUP BY user_id)
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_new,
+       CAST(max(e.epoch_s) AS BIGINT) AS new_watermark
+FROM ev e LEFT JOIN wm w ON e.user_id = w.user_id
+WHERE e.epoch_s > coalesce(w.watermark_epoch, 0)
+GROUP BY e.user_id
+""",
+)
+def s1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: per-user watermark read-back from the "already
+    loaded" half of the data (epoch <= cutoff plays the sink), then the
+    incremental load of strictly-newer rows and the advanced watermark
+    — the reference's resume loop (main.py:28,187-197) as ONE set-based
+    job. The watermark side is a bounded per-user aggregate →
+    broadcast; the big side never shuffles for the join."""
+    ensure_harness_conf(spark)
+    from .operators.incremental import watermark
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(EPOCH_SPARK).alias("epoch_s")
+    )
+    sink = ev.filter(F.col("epoch_s") <= 1705276800)
+    wm = watermark(sink, "user_id", "epoch_s")
+    return (
+        ev.join(F.broadcast(wm), "user_id", "left")
+        .filter(F.col("epoch_s") > F.coalesce(F.col("watermark_epoch"), F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.max("epoch_s").cast("long").alias("new_watermark"),
+        )
+    )
+
+
+@register(
+    "t1_topn_page",
+    oracle="""
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
+WHERE CAST(epoch_us(ts) AS BIGINT) > 1705276800000000
+ORDER BY ts_us DESC
+LIMIT 25
+""",
+)
+def t1_topn_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: page-1 top-N after the watermark via the incremental_scan
+    operator (reference strava_sdk.py:100 `per_page`, page=1).
+    orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    heap + driver merge of N rows, never a full sort. Compared at
+    microsecond grain (unique in the fixtures; DuckDB truncates
+    TIMESTAMP_NS to µs on read, so ns values would never hash-match)."""
+    ensure_harness_conf(spark)
+    from .operators.incremental import incremental_scan
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return incremental_scan(ev, "ts_us", 1705276800000000, per_page=25)
 
 
 @register("a6_full_scan_project", oracle="SELECT c_custkey, c_name FROM customer")
@@ -1170,6 +1327,60 @@ def flagship_rolling_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_rolling_max(spark, "/root/testdata/sf0.001")
+
+
+#: SURVEY §2 operator id → the queries that exercise it. Every row of
+#: the §2 inventory appears here; ids marked (=) are semantic aliases
+#: of another row and share its query. Checked by tests.
+SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
+    "A1": ("a1_incremental_scan",),
+    "A2": ("a2_point_lookup",),
+    "A3": ("a3_stream_align", "j3_zip_explode"),
+    "A4": ("a4_batch_lookup",),
+    "A5": ("a5_watermark_readback", "g1_filtered_max"),
+    "A6": ("a6_full_scan_project",),
+    "A7": ("a7_filtered_lookup",),
+    "A8": ("s4_idempotent_append", "g4_n7_nested_assembly"),  # append sink + nested rows
+    "A9": ("a9_upsert_lww",),
+    "N1": ("n1_normalize_defaults",),
+    "N2": ("n2_n3_timestamp_roundtrip",),
+    "N3": ("n2_n3_timestamp_roundtrip",),
+    "N4": ("n4_retention_clamp",),
+    "N5": ("n5_n6_null_normalize_cast",),
+    "N6": ("n5_n6_null_normalize_cast",),
+    "N7": ("g4_n7_nested_assembly",),
+    "N8": ("n8_negative_clamp", "g2_rolling_maxes_wide"),
+    "N9": ("n9_column_subset",),
+    "N10": ("n10_cohort_split",),
+    "N11": ("n11_md5_base64",),
+    "N12": ("n12_existence_predicate",),
+    "N13": ("n13_connected_predicate",),
+    "J1": ("j1_spine_generation",),
+    "J2": ("j2_spine_left_join",),
+    "J3": ("j3_zip_explode",),
+    "J4": ("j4_users_activities_join",),
+    "G1": ("g1_filtered_max", "a5_watermark_readback"),  # (=A5 set-based form)
+    "G2": ("g2_rolling_maxes_wide",),
+    "G3": ("g3_existence_count",),
+    "G4": ("g4_n7_nested_assembly",),
+    "W1": (
+        "w1_rolling_triang_odd",
+        "w1_rolling_triang_even",
+        "w1_rolling_triang_pandas_udf",
+        "flagship_rolling_max",
+    ),
+    "W2": ("w2_interpolate_linear",),
+    "W3": ("w3_endpoint_mask", "a3_stream_align"),
+    "W4": ("w4_row_position",),
+    "T1": ("t1_topn_page", "a1_incremental_scan"),
+    "T2": ("g1_filtered_max",),  # (=G1 max-as-top-1)
+    "T3": ("g4_n7_nested_assembly", "w4_row_position"),  # ordering discipline: every
+    # window/collect declares its sort (array_sort / explicit orderBy)
+    "S1": ("s1_incremental_ingest", "x_stream_tumbling_counts"),
+    "S2": ("a9_upsert_lww", "x_stream_stateful_user_stats"),
+    "S3": ("j4_users_activities_join",),  # per-key loop → one set-based join
+    "S4": ("s4_idempotent_append",),
+}
 
 
 # North-star extension queries (dedup / similarity / text / multimodal /

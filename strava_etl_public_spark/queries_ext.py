@@ -32,11 +32,17 @@ from .operators import dedup, multimodal, similarity, text
 _TK_SQL = "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents"
 _SH_SQL = f"""
 tk AS ({_TK_SQL}),
+shs AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS m
+  FROM tk
+),
 sh AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM tk
+         CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS shingle,
+         CAST(concat('0x', substr(m, 17, 15)) AS BIGINT) AS sh2
+  FROM shs
 )"""
 
 
@@ -90,10 +96,12 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     rows = k // bands
     sig_cols = ",\n         ".join(
-        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k)
+        f"min(shingle + {j} * sh2) AS mh{j}" for j in range(k)
     )
     band_cases = " ".join(
-        f"WHEN {b} THEN md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        f"WHEN {b} THEN concat_ws('_', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")"
         for b in range(bands)
     )
     return f"""

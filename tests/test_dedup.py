@@ -51,8 +51,12 @@ def test_dedup_exact(spark):
 def test_shingles_short_doc_empty(spark):
     sh = doc_shingles(_docs(spark), "doc_id", "text", n=3).toPandas()
     assert 5 not in set(sh.doc_id)  # <3 tokens -> zero shingles, not garbage
-    one = sh[sh.doc_id == 1].shingle.tolist()
-    assert "the quick brown" in one and "lazy dog" not in one
+    # shingle identity is the 60-bit md5-derived long of the shingle text
+    def sid(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    one = set(sh[sh.doc_id == 1].shingle.tolist())
+    assert sid("the quick brown") in one and sid("lazy dog") not in one
 
 
 def test_minhash_identical_docs_identical_signatures(spark):
@@ -66,8 +70,16 @@ def test_minhash_identical_docs_identical_signatures(spark):
         .toPandas()
         .shingle
     )
-    want = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles_1)
-    assert sig.loc[1, "mh0"] == want
+    # mh0 = min(h1); mh1 = min(h1 + h2) over the md5-derived 60-bit pair
+    want0 = min(shingles_1)
+    assert sig.loc[1, "mh0"] == want0
+    pdf1 = (
+        doc_shingles(_docs(spark), "doc_id", "text", 3)
+        .filter(F.col("doc_id") == 1)
+        .toPandas()
+    )
+    want1 = min(int(r.shingle) + int(r.sh2) for r in pdf1.itertuples())
+    assert sig.loc[1, "mh1"] == want1
 
 
 def test_minhash_lsh_finds_near_dups(spark):

@@ -35,6 +35,7 @@ HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_sim_topk_brute",
+    "x_sim_topk_brute_arrow",
     "x_sim_topk_ivf",
     "x_text_quality",
     "x_text_tfidf",

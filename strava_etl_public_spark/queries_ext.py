@@ -259,6 +259,31 @@ def x_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5)
 
 
+@register(
+    "x_sim_topk_brute_arrow",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM c JOIN q ON q_id != n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+""",
+)
+def x_sim_topk_brute_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of x_sim_topk_brute (same oracle): per-batch
+    matmul + partial top-k via mapInPandas — the dense-vector hot path
+    at scale (~100× the per-pair throughput of the JVM element fold)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_brute_arrow(emb, q, "vec_id", "embedding", k=5)
+
+
 def _lsh_oracle(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
     planes = similarity.hyperplane_weights(n_planes, dim)
 

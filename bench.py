@@ -30,13 +30,14 @@ HEADLINE = [
     "g4_n7_nested_assembly",
     "q1_pricing_summary",
     "q3_revenue_join",
-    "q_topk_per_group",
+    "q_ranking_topk",
     "q_sessionize",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
-    "x_sim_topk_brute",
     "x_sim_topk_brute_arrow",
+    "x_sim_topk_lsh",
     "x_sim_topk_ivf",
+    "x_text_lang_id",
     "x_text_quality",
     "x_text_tfidf",
 ]

@@ -58,7 +58,10 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = E.queries(), E.oracle_sql()
+    from strava_etl_public_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
+
+    qs = dict(E.queries()) | dict(EXTRA_QUERIES)
+    oracles = dict(E.oracle_sql()) | dict(EXTRA_ORACLES)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

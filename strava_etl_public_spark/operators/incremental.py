@@ -45,14 +45,22 @@ def incremental_scan(
     after_epoch: int,
     per_page: int | None = None,
     order_desc: bool = True,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Rows strictly newer than the watermark, newest-first, top-N
     (A1/T1; reference strava_sdk.py:85-111, ``after=max_time`` +
     ``per_page``). The filter is pushed into the scan; ``limit`` after
-    ``orderBy`` becomes TakeOrderedAndProject (no full sort)."""
+    ``orderBy`` becomes TakeOrderedAndProject (no full sort).
+
+    ``tiebreak`` columns (e.g. the event id) make the page boundary
+    deterministic when ``epoch_col`` has duplicates — ordering
+    discipline T3: a limit without a total order is nondeterministic
+    under retries/shuffles."""
     out = source.filter(F.col(epoch_col) > F.lit(after_epoch))
     if order_desc:
-        out = out.orderBy(F.col(epoch_col).desc())
+        out = out.orderBy(
+            F.col(epoch_col).desc(), *[F.col(c).desc() for c in tiebreak]
+        )
     if per_page is not None:
         out = out.limit(per_page)
     return out

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .io import load
 from .session import ensure_harness_conf
-from .queries import register, streams
+from .queries import register, register_extra, streams
 from .operators import dedup, multimodal, similarity, text
 
 # ---------------------------------------------------------------------------
@@ -234,7 +234,7 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_IDS = "vec_id < 8"
 
 
-@register(
+@register_extra(
     "x_sim_topk_brute",
     oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
@@ -495,7 +495,7 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs, "doc_id", "text", n=3)
 
 
-@register(
+@register_extra(
     "w1_rolling_triang_pandas_udf",
     oracle="""
 WITH s AS (

@@ -2,14 +2,21 @@
 
 import re
 
-from strava_etl_public_spark.queries import QUERIES, SURVEY_COVERAGE
+from strava_etl_public_spark.queries import (
+    EXTRA_QUERIES,
+    QUERIES,
+    SURVEY_COVERAGE,
+)
 
 
 def test_every_survey_id_has_a_registered_query():
     for sid, names in SURVEY_COVERAGE.items():
         assert names, f"{sid} has no queries"
         for n in names:
-            assert n in QUERIES, f"{sid} -> {n} not registered"
+            assert n in QUERIES or n in EXTRA_QUERIES, f"{sid} -> {n} not registered"
+        # at least one query per id must be in the PRIMARY (driver-
+        # verified) registry — extras alone don't count as coverage.
+        assert any(n in QUERIES for n in names), f"{sid} only covered by extras"
 
 
 def test_coverage_map_matches_survey_inventory():

@@ -94,8 +94,42 @@ def main() -> int:
         f"planted-dup recall: {'OK' if ok else 'MISSING DUPS'} "
         f"(exact {n_exact}/{n_exact_planted}, near {n_near}/{n_near_planted})"
     )
+
+    # --- degenerate corpus: a boilerplate blob (20% of the corpus, one
+    # identical doc repeated) lands every blob doc in ONE band bucket.
+    # Pre-guard this emitted C(B,2) pairs from a single collected array
+    # (OOM-shaped at scale); with the max_bucket star guard it must
+    # complete with exactly B-1 hub pairs and leave normal-corpus
+    # recall untouched.
+    B = max(N_DOCS // 5, 1_000)
+    blob = spark.range(B).select(
+        (F.col("id") + N_DOCS).alias("doc_id"),
+        F.lit(
+            "standard boilerplate terms of service agreement text repeated "
+            "verbatim across the crawl please read carefully before using "
+            "this website and its affiliated services without limitation"
+        ).alias("text"),
+    )
+    degen = docs.unionByName(blob).persist()
+    degen.count()
+    t0 = time.perf_counter()
+    near2 = dedup.minhash_lsh_dedup(
+        degen, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    ).persist()
+    n_near2 = near2.count()
+    t_degen = time.perf_counter() - t0
+    blob_pairs = near2.filter(F.col("doc_a") >= N_DOCS).count()
+    normal_pairs = near2.filter(F.col("doc_b") < N_DOCS).count()
+    print(
+        f"degenerate:   {t_degen:6.1f}s  docs={n + B}  blob_pairs={blob_pairs} "
+        f"(want {B - 1} star spokes)  normal_pairs={normal_pairs}"
+    )
+    ok_degen = (
+        blob_pairs == B - 1 and normal_pairs >= 0.99 * n_near_planted
+    )
+    print(f"degenerate-blob guard: {'OK' if ok_degen else 'FAILED'}")
     spark.stop()
-    return 0 if ok else 1
+    return 0 if (ok and ok_degen) else 1
 
 
 if __name__ == "__main__":

@@ -129,3 +129,62 @@ def test_embedding_near_dup_blocked(spark):
     out = embedding_near_dup(emb, "id", "v", "blk", threshold=0.99).toPandas()
     found = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
     assert found == {(1, 2)}  # (1,3) orthogonal; (1,4) cross-block
+
+
+def test_lsh_hot_bucket_star_link(spark):
+    """A bucket above max_bucket must switch to star pairs (min-id hub)
+    instead of materializing C(n,2) — and small buckets are unaffected."""
+    # 30 identical docs (one giant bucket) + one distinct near-dup pair
+    texts = ["boiler plate text repeated everywhere again and again"] * 30
+    ids = list(range(100, 130))
+    # exact dups → collide in every band regardless of hash draw
+    texts += [
+        "a unique sentence about distributed query engines at scale",
+        "a unique sentence about distributed query engines at scale",
+    ]
+    ids += [1, 2]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.3, max_bucket=8
+    ).toPandas()
+    found = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    # hot bucket (30 > 8): star around min id 100 — all 29 spokes, no cross edges
+    spokes = {(100, i) for i in range(101, 130)}
+    assert spokes <= found
+    assert not any(a != 100 and a >= 100 for a, _ in found), "cross edge emitted in hot bucket"
+    # the small-bucket pair is still found with exact jaccard
+    assert (1, 2) in found
+
+
+def test_lsh_small_buckets_identical_with_or_without_cap(spark):
+    """With no oversized buckets the guard must be a no-op."""
+    docs = _docs(spark)
+    base = minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.3)
+    capped = minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.3, max_bucket=8
+    )
+    a = sorted(map(tuple, base.toPandas().values.tolist()))
+    b = sorted(map(tuple, capped.toPandas().values.tolist()))
+    assert a == b
+
+
+def test_embedding_near_dup_hot_block_star(spark):
+    """A block above max_block degrades to rep-vs-member scoring."""
+    n = 12
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": list(range(1, n + 1)) + [100, 101],
+                "v": [[1.0, float(i) * 1e-4] for i in range(n)] + [[0.5, 0.5], [0.5, 0.501]],
+                "blk": ["hot"] * n + ["cold", "cold"],
+            }
+        )
+    )
+    out = embedding_near_dup(emb, "id", "v", "blk", threshold=0.9, max_block=8).toPandas()
+    found = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    # hot block: only star edges from min id 1
+    hot_edges = {p for p in found if p[1] <= n}
+    assert hot_edges == {(1, i) for i in range(2, n + 1)}
+    # cold block unaffected: full pairwise
+    assert (100, 101) in found

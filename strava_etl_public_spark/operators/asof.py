@@ -35,6 +35,12 @@ def asof_join_backward(
 
     ``strict=True`` uses r.ts < l.ts instead. Right value columns are
     emitted as ``{col}_asof`` (NULL when no prior right row exists).
+
+    Right-side ties on (by, ts) resolve deterministically: the row
+    that sorts greatest by ``value_cols`` wins (they are appended to
+    the window ordering, so the carry sees it last). Fully identical
+    right rows are interchangeable, so the output is stable across
+    runs, partitionings, and engines.
     """
     # side: right rows sort BEFORE left rows at equal ts, so equality
     # matches backward semantics (r.ts <= l.ts); strict flips it.
@@ -45,9 +51,16 @@ def asof_join_backward(
     ).withColumn("_side", F.lit(right_side))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # value-col keys order right rows only: at equal ts, _side already
+    # separates sides, and left rows carry NULLs there (equal among
+    # themselves — every co-timestamped left row gets the same carry).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{c}_asof").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumns(

@@ -30,9 +30,11 @@ def upsert_last_writer_wins(
 ) -> DataFrame:
     """Merge ``updates`` into ``current``, keeping the newest row per key.
 
-    ``order_col`` is the recency column (e.g. ``updated_at``); ties are
-    broken deterministically by all remaining columns via the union
-    order column added below, so the result is stable.
+    ``order_col`` is the recency column (e.g. ``updated_at``). Ties on
+    ``order_col`` prefer the update over the current row (``_src``),
+    then break deterministically on every remaining column (descending)
+    so equal-recency rows within one source pick a stable winner across
+    runs and engines.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if current is None:
@@ -41,8 +43,13 @@ def upsert_last_writer_wins(
         unioned = current.withColumn("_src", F.lit(0)).unionByName(
             updates.withColumn("_src", F.lit(1))
         )
+    rest = [
+        c for c in unioned.columns if c not in (*keys, order_col, "_src")
+    ]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc_nulls_last(), F.col("_src").desc()
+        F.col(order_col).desc_nulls_last(),
+        F.col("_src").desc(),
+        *[F.col(c).desc_nulls_last() for c in rest],
     )
     return (
         unioned.withColumn("_rn", F.row_number().over(w))

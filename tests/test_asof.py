@@ -74,3 +74,19 @@ def test_asof_no_prior_is_null(spark):
         spark.createDataFrame(left), spark.createDataFrame(right), "k", "ts", ["v"]
     ).toPandas()
     assert pd.isna(out["v_asof"].iloc[0])
+
+
+def test_asof_right_ts_tie_deterministic(spark):
+    """Two right rows at the same (k, ts): the one sorting greatest by
+    value_cols must win, regardless of input order or partitioning."""
+    left = pd.DataFrame({"k": [1], "ts": [10], "lid": [0]})
+    for right_rows in ([3.0, 7.0], [7.0, 3.0]):  # both input orders
+        right = pd.DataFrame({"k": [1, 1], "ts": [5, 5], "v": right_rows})
+        out = asof_join_backward(
+            spark.createDataFrame(left).repartition(4),
+            spark.createDataFrame(right).repartition(4),
+            "k",
+            "ts",
+            ["v"],
+        ).toPandas()
+        assert out["v_asof"].iloc[0] == 7.0

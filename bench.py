@@ -64,12 +64,27 @@ def main() -> int:
         qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[n] = round(time.perf_counter() - t0, 3)
 
+    # Recall gate for the ANN paths (not timed): ANN speed is only
+    # meaningful next to measured recall vs the exact baseline at the
+    # SAME scale factor, so record it beside the timings.
+    recall: dict[str, float] = {}
+    truth = {
+        tuple(r)
+        for r in qs["x_sim_topk_brute_arrow"](spark, SF_DIR)
+        .select("q_id", "n_id")
+        .collect()
+    }
+    for n in ("x_sim_topk_lsh", "x_sim_topk_ivf"):
+        got = {tuple(r) for r in qs[n](spark, SF_DIR).select("q_id", "n_id").collect()}
+        recall[n] = round(len(truth & got) / len(truth), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "recall": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -27,6 +27,34 @@ from pyspark.sql import functions as F
 META_SCHEMA = "doc_id long, n_bytes long, sha256 string, kind string"
 
 
+def _probe_codecs() -> dict[str, bool]:
+    """Import-time codec probe. Checked 2026-08-13 in the build
+    container: PIL, cv2, imageio, av, soundfile, librosa, torchvision,
+    skimage all absent; no ffmpeg/ffprobe binary on PATH. The real
+    kernels below activate automatically wherever the probe passes."""
+    import shutil
+
+    probe = {}
+    try:
+        import PIL.Image  # noqa: F401
+
+        probe["pil"] = True
+    except ImportError:
+        probe["pil"] = False
+    try:
+        import av  # noqa: F401
+
+        probe["pyav"] = True
+    except ImportError:
+        probe["pyav"] = False
+    probe["ffmpeg"] = shutil.which("ffmpeg") is not None
+    return probe
+
+
+#: Which codec backends this environment actually has.
+CODECS = _probe_codecs()
+
+
 def attach_binary(df: DataFrame, id_col: str, text_col: str, kind: str = "blob") -> DataFrame:
     """Materialize an opaque BINARY payload column + typed metadata.
     (Fixtures carry no real media, so the payload is the UTF-8 bytes of
@@ -60,35 +88,107 @@ def extract_meta(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return binary_df.mapInPandas(_extract, schema=META_SCHEMA)
 
 
-def decode_image(binary_df: DataFrame) -> DataFrame:
-    """STUB — real image decode (PIL/OpenCV) is not available in this
-    container. The contract: payload BINARY → struct(width, height,
-    channels, pixels array). Use `fake_decode_stats` for tests."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use fake_decode_stats() for deterministic shape-true testing"
+def decode_image(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """payload BINARY → (doc_id, width, height, channels,
+    mean_intensity) via PIL, inside the same Arrow `mapInPandas`
+    plumbing as :func:`fake_decode_stats` (only the kernel differs).
+    Raises NotImplementedError with the probe result where PIL is
+    absent (this container: CODECS['pil'] is False — checked at
+    import, see _probe_codecs)."""
+    if not CODECS["pil"]:
+        raise NotImplementedError(
+            f"image codec unavailable (probe: {CODECS}); "
+            "use fake_decode_stats() for deterministic shape-true testing"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    arr = np.asarray(im, dtype="float64")
+                    rows["doc_id"].append(doc_id)
+                    rows["width"].append(im.width)
+                    rows["height"].append(im.height)
+                    rows["channels"].append(arr.shape[2] if arr.ndim == 3 else 1)
+                    rows["mean_intensity"].append(float(arr.mean()) / 255.0)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(
+        _decode,
+        schema="doc_id long, width int, height int, channels int, mean_intensity double",
     )
 
 
-def resize_image(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — image resize needs a codec (PIL/OpenCV), absent here.
-    Contract: payload BINARY → payload BINARY (re-encoded at w×h),
-    meta.n_bytes updated. The Arrow batch plumbing is `fake_decode_stats`'s;
-    only the kernel differs."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "the mapInPandas plumbing is exercised by fake_decode_stats()"
-    )
+def resize_image(
+    binary_df: DataFrame, width: int, height: int, id_col: str = "doc_id", fmt: str = "PNG"
+) -> DataFrame:
+    """payload BINARY → payload BINARY re-encoded at width×height (PIL
+    kernel, same Arrow batch plumbing). Raises with the probe result
+    where PIL is absent (this container)."""
+    if not CODECS["pil"]:
+        raise NotImplementedError(
+            f"image codec unavailable (probe: {CODECS}); "
+            "the mapInPandas plumbing is exercised by fake_decode_stats()"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    buf = io.BytesIO()
+                    im.resize((width, height)).save(buf, format=fmt)
+                    out_ids.append(doc_id)
+                    out_payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+    return binary_df.mapInPandas(_resize, schema="doc_id long, payload binary")
 
 
-def sample_frames(binary_df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling needs a demuxer (ffmpeg/PyAV), absent
-    here. Contract: payload BINARY (video) → exploded rows
-    (doc_id, frame_idx INT, frame BINARY), one per sampled frame; use
-    `fake_frame_index` for shape-true testing."""
-    raise NotImplementedError(
-        "video codecs not available in this environment; "
-        "use fake_frame_index() for deterministic shape-true testing"
+def sample_frames(
+    binary_df: DataFrame, every_n: int = 30, id_col: str = "doc_id"
+) -> DataFrame:
+    """payload BINARY (video) → one row per sampled frame
+    (doc_id, frame_idx, frame BINARY) via PyAV demux, same explode
+    shape as :func:`fake_frame_index`. Raises with the probe result
+    where PyAV is absent (this container)."""
+    if not CODECS["pyav"]:
+        raise NotImplementedError(
+            f"video demuxer unavailable (probe: {CODECS}); "
+            "use fake_frame_index() for deterministic shape-true testing"
+        )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                with av.open(io.BytesIO(bytes(payload))) as container:
+                    for i, frame in enumerate(container.decode(video=0)):
+                        if i % every_n:
+                            continue
+                        buf = io.BytesIO()
+                        frame.to_image().save(buf, format="PNG")
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return binary_df.mapInPandas(
+        _frames, schema="doc_id long, frame_idx int, frame binary"
     )
 
 

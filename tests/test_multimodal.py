@@ -71,3 +71,27 @@ def test_fake_frame_index_explode_shape(spark):
     assert fine[fine.doc_id == 2].frame_idx.tolist() == [0, 2, 4]
     want = hashlib.md5(b"hello:0").hexdigest()
     assert fine[fine.doc_id == 1].frame_fp.iloc[0] == want
+
+
+def test_codec_probe_and_gating(spark):
+    """The import-time probe records what the container has; the real
+    kernels must raise (with the probe in the message) exactly when
+    their backend is absent, and run otherwise."""
+    from strava_etl_public_spark.operators.multimodal import (
+        CODECS,
+        attach_binary,
+        decode_image,
+        sample_frames,
+    )
+
+    assert set(CODECS) == {"pil", "pyav", "ffmpeg"}
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    b = attach_binary(docs, "doc_id", "text")
+    if not CODECS["pil"]:
+        with pytest.raises(NotImplementedError, match="probe"):
+            decode_image(b)
+    else:  # container gained codecs: the real kernel must at least plan
+        decode_image(b)
+    if not CODECS["pyav"]:
+        with pytest.raises(NotImplementedError, match="probe"):
+            sample_frames(b)

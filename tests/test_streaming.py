@@ -75,3 +75,107 @@ def test_windowed_counts_matches_batch(spark, staged_events):
         .first()["total"]
     )
     assert got == spark.read.parquet(staged_events).count()
+
+
+def test_checkpoint_kill_and_resume_exactly_once(spark, staged_events, tmp_path):
+    """S1 end-to-end: kill the query mid-stream, restart on the SAME
+    checkpoint, and the tumbling counts must come out exactly equal to
+    the batch aggregation — a lost state store undercounts, a replayed
+    micro-batch double-counts, either fails the equality."""
+    import os
+    import time
+
+    # restage into many small files so triggers are fine-grained;
+    # watermark wider than the data span: files are randomly
+    # repartitioned (each spans the whole time range), so a tight
+    # watermark would just drop later files as late — this test is
+    # about state recovery, not late-data policy
+    src = str(tmp_path / "src")
+    spark.read.parquet(staged_events).repartition(8).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink, exist_ok=True)
+
+    crash = {"armed": True}
+    seen: list[int] = []
+
+    def make_query():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = windowed_counts(stream, "1 hour", "3650 days")
+
+        def sink_batch(bdf, batch_id):
+            seen.append(batch_id)
+            if crash["armed"] and batch_id >= 2:
+                raise RuntimeError("injected crash")
+            (
+                bdf.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink)
+            )
+
+        return (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink_batch)
+            .start()
+        )
+
+    # phase 1: the injected crash kills the query at micro-batch 2
+    # (batches 0-1 committed, the rest of the 8 files unprocessed)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = make_query()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    phase1 = spark.read.parquet(sink).count()
+    assert phase1 > 0
+
+    # phase 2: resume from the checkpoint and drain the rest
+    crash["armed"] = False
+    phase1_batches = list(seen)
+    seen.clear()
+    q = make_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the restart re-runs the failed batch and finishes the backlog
+    assert max(phase1_batches) == 2 and min(seen) == 2 and max(seen) > 2, (
+        phase1_batches,
+        seen,
+    )
+    assert spark.read.parquet(sink).count() > phase1  # restart had work left
+
+    # LWW-resolve the update-mode appends: latest batch wins per key
+    from strava_etl_public_spark.streaming.ingest import with_event_time
+
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("w_start", "event_type").orderBy(F.col("batch_id").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("w_start", "event_type", "n", "total_value")
+        .toPandas()
+        .sort_values(["w_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        with_event_time(spark.read.parquet(src))
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("w_start"), "event_type", "n", "total_value")
+        .toPandas()
+        .sort_values(["w_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(final, batch)

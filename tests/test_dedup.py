@@ -188,3 +188,50 @@ def test_embedding_near_dup_hot_block_star(spark):
     assert hot_edges == {(1, i) for i in range(2, n + 1)}
     # cold block unaffected: full pairwise
     assert (100, 101) in found
+
+
+def test_simhash_near_dup_radius(spark):
+    """Exact duplicates land at hamming 0; a doc differing by one token
+    lands within a small radius; unrelated docs with distant prints are
+    not paired. The pigeonhole guarantee: any pair <= max_hamming MUST
+    be found (they share at least one exact chunk)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base,
+                    base,  # exact dup -> hamming 0
+                    base + " tomorrow",  # one extra token -> small radius
+                    "completely different content about spark query engines and "
+                    "distributed columnar execution pipelines at large scale",
+                ],
+            }
+        )
+    )
+    from strava_etl_public_spark.operators.dedup import simhash_near_dup
+
+    out = simhash_near_dup(docs, "doc_id", "text", bits=60, max_hamming=8).toPandas()
+    got = {(a, b): h for a, b, h in out.itertuples(index=False)}
+    assert got.get((1, 2)) == 0
+    # the one-token variant is within the radius of both copies
+    assert (1, 3) in got and got[(1, 3)] > 0
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_near_dup_hot_chunk_star(spark):
+    """A chunk bucket above max_bucket degrades to hub spokes — and the
+    emitted pairs still verify by true hamming distance."""
+    texts = ["identical boilerplate text repeated across the crawl corpus"] * 20
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10, 30)), "text": texts})
+    )
+    from strava_etl_public_spark.operators.dedup import simhash_near_dup
+
+    out = simhash_near_dup(
+        docs, "doc_id", "text", bits=60, max_hamming=3, max_bucket=8
+    ).toPandas()
+    found = {tuple(r) for r in out[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert found == {(10, i) for i in range(11, 30)}
+    assert (out["hamming"] == 0).all()

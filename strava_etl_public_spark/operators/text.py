@@ -158,3 +158,47 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         F.md5(norm).alias("content_fp"),
         min_sh.alias("min_shingle_fp"),
     )
+
+
+#: PII patterns, RE2-safe (no backrefs/lookarounds) so Spark
+#: regexp_replace and a SQL oracle apply the identical automaton.
+#: Order matters: longest/most-specific first so e.g. an SSN inside a
+#: longer digit run is not half-matched by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    # no leading \b: a word boundary cannot assert before "(" — the
+    # trailing \b plus the fixed separator shape bounds the match
+    ("phone", r"(\+?1[ .-])?(\([0-9]{3}\) ?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("cc", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b"),
+)
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace common PII shapes (email, SSN, NANP phone, IPv4, spaced
+    credit-card) with ``[<KIND>]`` placeholders — the scrubbing map
+    stage of a training-data pipeline. A chain of regexp_replace column
+    expressions: codegen'd, shuffle-free, scan-speed at any corpus
+    size; deterministic and SQL-replicable (RE2-safe patterns, fixed
+    application order)."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts per kind + the redacted text — the
+    audit view (filter / weight / drop decisions need the counts, the
+    scrubbed corpus needs the text; both come from one projection)."""
+    return df.select(
+        F.col(id_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ],
+        redact_pii(text_col).alias("redacted"),
+    )

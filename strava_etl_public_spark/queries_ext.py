@@ -644,6 +644,59 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs, "doc_id", "text", n=3)
 
 
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in text.PII_PATTERNS
+    )
+    redacted = "t"
+    for kind, pat in text.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or 415-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {redacted} AS redacted
+FROM seeded
+"""
+
+
+@register_extra("x_text_pii_redact", oracle=_pii_oracle())
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/SSN/phone/IPv4/card): per-doc hit counts per
+    kind + the redacted text, one scan-speed projection. The fixture
+    corpus carries no PII, so every 10th doc gets a deterministic
+    synthetic email+phone appended (same expression in the oracle) —
+    the patterns are exercised, the clean docs prove no false
+    positives."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return text.pii_counts(seeded, "doc_id", "t")
+
+
 @register_extra(
     "w1_rolling_triang_pandas_udf",
     oracle="""

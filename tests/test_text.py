@@ -92,3 +92,26 @@ def test_fingerprint(spark):
         for s in ("the quick brown", "quick brown fox")
     )
     assert out.min_shingle_fp.iloc[0] == want_min
+
+
+def test_pii_redaction_and_counts(spark):
+    from strava_etl_public_spark.operators.text import pii_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a.b+c@x.co.uk, ssn 123-45-6789, call (415) 555-0123, "
+                    "ip 10.0.0.1, card 4111 1111 1111 1111",
+                    "clean text with plain numbers 42 2026 and no identifiers",
+                ],
+            }
+        )
+    )
+    out = pii_counts(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, ["n_email", "n_ssn", "n_phone", "n_ipv4", "n_cc"]].tolist() == [1, 1, 1, 1, 1]
+    for kind in ("EMAIL", "SSN", "PHONE", "IPV4", "CC"):
+        assert f"[{kind}]" in out.loc[1, "redacted"]
+    assert out.loc[2, ["n_email", "n_ssn", "n_phone", "n_ipv4", "n_cc"]].sum() == 0
+    assert out.loc[2, "redacted"].startswith("clean text")

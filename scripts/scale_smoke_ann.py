@@ -116,9 +116,10 @@ def main() -> int:
         f"list sizes min/med/max = {sizes['mn']}/{int(sizes['md'])}/{sizes['mx']}"
     )
 
-    # --- LSH: the registered 5x12 configuration
+    # --- LSH (Arrow twin — the 100 TB path): the registered 5x12
+    # configuration
     t0 = time.perf_counter()
-    lsh = similarity.cosine_topk_lsh(
+    lsh = similarity.cosine_topk_lsh_arrow(
         emb, queries.select("vec_id"), "vec_id", "embedding",
         k=5, n_planes=5, dim=DIM, n_tables=12,
     ).persist()

@@ -391,6 +391,125 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_lsh_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 5,
+    dim: int = 64,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`cosine_topk_lsh` — the bucket codes
+    for ALL tables come from one matmul per Arrow batch against the
+    stacked (n_tables*n_planes, dim) plane matrix, replacing
+    n_tables*n_planes interpreted folds per vector (the measured
+    dominant cost of the JVM path). sign(dot) can differ from the
+    sequential fold only for dots within FP-noise of zero, so the
+    oracle-gated query keeps the fold and the scale path uses this.
+
+    Layout discipline learned by measurement: the bucketize stage
+    emits ONLY (id, norm, table, bucket) — a first version that
+    carried the vector through the x n_tables explode spent more on
+    Arrow (de)serializing 12x vector lists than the folds it saved
+    (64s vs the JVM's 48s at 200k). Vectors rejoin once per candidate
+    PAIR after the (table, bucket) join + dedup: queries from a
+    broadcast map, corpus vectors via one equi-join on the id."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.vstack(
+        [
+            np.array(hyperplane_weights(n_planes, dim, seed=f"lsh{t}" if t else "lsh"))
+            for t in range(n_tables)
+        ]
+    )  # (n_tables*n_planes, dim)
+    bits = np.asarray([1 << j for j in range(n_planes)], dtype="int64")
+    spark = emb.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        W = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            signs = (V @ W.T) > 0  # (batch, n_tables*n_planes)
+            codes = (
+                signs.reshape(len(V), n_tables, n_planes) * bits
+            ).sum(axis=2)  # (batch, n_tables)
+            norms = np.linalg.norm(V, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "_vn": np.repeat(norms, n_tables),
+                    "_tbl": np.tile(np.arange(n_tables, dtype="int64"), len(V)),
+                    "_bkt": codes.ravel(),
+                }
+            )
+
+    from pyspark import StorageLevel
+
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"{id_col} long, _vn double, _tbl long, _bkt long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    q = bucketed.join(queries.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("q_id"), F.col("_vn").alias("_qn"), "_tbl", "_bkt"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("n_id"), F.col("_vn").alias("_nn"), "_tbl", "_bkt"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["_tbl", "_bkt"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "_qn", "n_id", "_nn")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    # vectors rejoin once per surviving pair
+    q_pdf = (
+        emb.join(queries.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .toPandas()
+    )
+    bqv = spark.sparkContext.broadcast(
+        {
+            int(i): np.asarray(v, dtype="float64")
+            for i, v in zip(q_pdf["q_id"], q_pdf["q_vec"])
+        }
+    )
+    scored_in = cand.join(
+        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")), "n_id"
+    )
+
+    def score(batches):
+        qv = bqv.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack([qv[int(i)] for i in pdf["q_id"]])
+            N = np.vstack(pdf["n_vec"].to_numpy()).astype("float64")
+            cos = np.round(
+                np.einsum("ij,ij->i", Q, N)
+                / (pdf["_qn"].to_numpy() * pdf["_nn"].to_numpy()),
+                6,
+            )
+            out = pd.DataFrame({"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cos": cos})
+            yield (
+                out.sort_values(["q_id", "cos", "n_id"], ascending=[True, False, True])
+                .groupby("q_id", sort=False)
+                .head(k)
+            )
+
+    partial = scored_in.mapInPandas(score, schema="q_id long, n_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def cosine_topk_ivf_arrow(
     emb: DataFrame,
     queries: DataFrame,

@@ -417,6 +417,20 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("x_sim_topk_lsh_arrow", oracle=_lsh_oracle())
+def x_sim_topk_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of x_sim_topk_lsh (same oracle): all 60 bucket
+    codes per vector from one matmul per Arrow batch instead of 60
+    interpreted folds — measured 11.9s -> 3.0s at sf0.1, exact match.
+    The scale path; the JVM fold stays the driver-gated query."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_lsh_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_planes=5, dim=64, n_tables=12
+    )
+
+
 def _ivf_oracle(
     k: int = 5,
     n_cent: int = 16,

@@ -290,6 +290,52 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(emb, "vec_id", "embedding", "label", threshold=0.25)
 
 
+def _plane_dot_sql(vec: str, seed: str, j: int, dim: int) -> str:
+    """In-SQL hyperplane dot: weights derived from the same md5 formula
+    as similarity.hyperplane_weights (verified bit-identical), applied
+    with the same sequential list fold as the Spark side."""
+    w = (
+        f"(CAST(concat('0x', substr(md5(concat('{seed}:{j}:', "
+        f"CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 2147483647.0 - 1.0)"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {w}), (acc, x) -> acc + x)"
+    )
+
+
+def _emb_lsh_oracle(n_planes: int = 6, dim: int = 64, threshold: float = 0.25) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql('embedding', 'lsh', j, dim)} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    cos = _cos_sql("a.embedding", "x.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS blk FROM embeddings)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b, round({cos}, 6) AS cos
+FROM b a JOIN b x ON a.blk = x.blk AND a.vec_id < x.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+@register_extra("x_dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def x_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup for UNLABELED corpora: the blocking key is a
+    hyperplane-LSH bucket (6 md5-derived planes → 64 buckets) instead
+    of a label column — per-block all-pairs with the hot-block star
+    guard, never corpus-wide. Single-table blocking trades recall for
+    cost exactly like the ANN path; OR-tables widen it (union buckets,
+    dedup pairs) when near-miss pairs matter. Oracle derives identical
+    planes in SQL."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplane_weights(6, 64)
+    blocked = emb.withColumn("_blk", similarity.lsh_bucket(F.col("embedding"), planes))
+    return dedup.embedding_near_dup(
+        blocked, "vec_id", "embedding", "_blk", threshold=0.25
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

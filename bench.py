@@ -69,6 +69,25 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[n] = round(best, 3)
 
+    # Arrow scale-path twins (extras registry): timed separately so the
+    # headline metric stays the driver-gated surface while the record
+    # shows what the 100 TB path costs on the same queries.
+    from strava_etl_public_spark.queries import EXTRA_QUERIES
+
+    extras: dict[str, float] = {}
+    for n in ("x_sim_topk_lsh_arrow", "x_sim_topk_ivf_arrow"):
+        if n not in EXTRA_QUERIES:
+            continue
+        fn = EXTRA_QUERIES[n]
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extras[n] = round(best, 3)
+
     # Recall gate for the ANN paths (not timed): ANN speed is only
     # meaningful next to measured recall vs the exact baseline at the
     # SAME scale factor, so record it beside the timings.
@@ -89,6 +108,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "recall": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

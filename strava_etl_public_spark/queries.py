@@ -85,11 +85,22 @@ FROM events
 
 
 def streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → reference-shaped sparse sensor streams (FIXTURES.md §B)."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    """events → reference-shaped sparse sensor streams (FIXTURES.md §B).
+
+    The rename to activity_id happens BEFORE the window so the window
+    partitions on the surviving column: partitioning then propagates
+    through the projection and every downstream per-activity window
+    (W1/W2/G2/flagship) reuses THIS shuffle instead of adding its own
+    — windowing on user_id and renaming after drops the partitioning
+    (the alias-introducing projection sits below the exchange, so the
+    post-window projection outputs an attribute Spark no longer maps),
+    measured one extra full exchange per consumer."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("activity_id"), "ts", "event_id", "value", "event_type"
+    )
+    w = Window.partitionBy("activity_id").orderBy("ts", "event_id")
     return ev.select(
-        F.col("user_id").alias("activity_id"),
+        "activity_id",
         F.sum(F.lit(1) + F.col("event_id") % 3).over(w).cast("long").alias("time_key"),
         "value",
         "event_type",

@@ -1081,3 +1081,66 @@ def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Sketches
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle(b: int = 9) -> str:
+    from .operators import sketch
+
+    m = 1 << b
+    rem_bits = sketch.HASH_BITS - b
+    unit = 2 ** (rem_bits + 1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = repr(alpha * m * m * unit)  # shared double literal, bit-identical
+    small_m = repr(float(m))
+    thresh = repr(2.5 * m)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM events
+),
+t AS (
+  SELECT event_type, hv % {m} AS bkt,
+         CASE WHEN (hv >> {b}) = 0 THEN {rem_bits + 1}
+              ELSE {rem_bits} - length(bin(hv >> {b})) + 1 END AS rk
+  FROM h
+),
+pb AS (SELECT event_type, bkt, max(rk) AS mj FROM t GROUP BY event_type, bkt),
+ag AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({rem_bits + 1} - mj)) AS den_seen,
+         CAST(COUNT(*) AS BIGINT) AS nseen
+  FROM pb GROUP BY event_type
+),
+est AS (
+  SELECT event_type, nseen,
+         {num} / CAST(den_seen + ({m} - nseen) * CAST({unit} AS BIGINT) AS DOUBLE) AS raw
+  FROM ag
+)
+SELECT event_type,
+       CAST(floor(CASE WHEN raw <= {thresh} AND ({m} - nseen) > 0
+                       THEN {small_m} * ln({small_m} / CAST({m} - nseen AS DOUBLE))
+                       ELSE raw END) AS BIGINT) AS hll_estimate,
+       nseen AS n_buckets_seen
+FROM est
+"""
+
+
+@register_extra("x_sketch_hll_users", oracle=_hll_oracle())
+def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog: distinct users per event_type from a
+    512-register sketch — md5-derived hashing and an integer-exact
+    harmonic denominator make the ESTIMATE itself bit-identical across
+    engines (built-in approx_count_distinct can never be cross-checked
+    this way). Two hash-aggs, map-side combined; the raw values are
+    never distinct-shuffled."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    return sketch.hll_distinct(ev, "user_id", ["event_type"], b=9)

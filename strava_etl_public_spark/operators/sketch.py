@@ -94,3 +94,37 @@ def hll_distinct(
         F.floor(est).cast("long").alias("hll_estimate"),
         F.col("n_buckets_seen").cast("long").alias("n_buckets_seen"),
     )
+
+
+def sample_by_hash(df: DataFrame, id_col: str, fraction: float, salt: str = "sample") -> DataFrame:
+    """Stable uniform sample: keep rows whose md5-derived 60-bit hash
+    of (salt, id) falls below fraction * 2^60. Unlike df.sample(), the
+    kept SET is a pure function of (salt, ids) — identical across
+    runs, engines, partitionings, and cluster sizes, which is what a
+    training pipeline needs for reproducible ablations. Changing the
+    salt draws an independent sample. Pure filter — scan-speed,
+    pushdown-friendly, no shuffle."""
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.filter(h < int(fraction * (1 << HASH_BITS)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/val/test):
+    bucket = hash % 1e6 mapped to cumulative weight ranges. Every id
+    lands in exactly one split, stable under reruns and engine moves;
+    adding rows later never reassigns existing ids. Adds a `split`
+    column; one projection, no shuffle."""
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    bucket = h % 1_000_000
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = bucket < int(acc * 1_000_000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(list(weights)[-1]))

@@ -1144,3 +1144,49 @@ def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sketch.hll_distinct(ev, "user_id", ["event_type"], b=9)
+
+
+def _split_oracle() -> str:
+    h = "CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s = "CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    thresh = int(0.1 * (1 << 60))  # the exact integer sample_by_hash compares against
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN ({h}) % 1000000 < 800000 THEN 'train'
+              WHEN ({h}) % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN ({s}) < CAST({thresh} AS BIGINT) THEN 1 ELSE 0 END AS sampled
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(sampled) AS BIGINT) AS n_in_10pct_sample
+FROM assigned GROUP BY split
+"""
+
+
+@register_extra("x_sample_hash_split", oracle=_split_oracle())
+def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling + split assignment: 80/10/10
+    train/val/test by hash bucket, crossed with a 10% stable sample —
+    both pure functions of (salt, doc_id), reproducible across engines
+    and partitionings (df.sample() is neither). Scan-speed
+    projections; the oracle replicates the identical integer math."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    split = sketch.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sampled = sketch.sample_by_hash(docs, "doc_id", 0.1).select(
+        "doc_id", F.lit(1).alias("sampled")
+    )
+    return (
+        split.join(sampled, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("sampled"), F.lit(0))).cast("long").alias("n_in_10pct_sample"),
+        )
+    )

@@ -40,3 +40,24 @@ def test_hll_small_range_linear_counting(spark):
     est = hll_distinct(df, "v", [], b=9).first()
     # linear counting keeps tiny cardinalities near-exact
     assert abs(est["hll_estimate"] - 20) <= 1
+
+
+def test_hash_split_stable_and_disjoint(spark, sf_dir):
+    from strava_etl_public_spark.operators.sketch import hash_split, sample_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    s = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # disjoint + exhaustive
+    assert counts.get("train", 0) > counts.get("val", 0)
+    # stability: same assignment regardless of partitioning
+    s2 = hash_split(docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0
+    # sample proportion within binomial noise; independent salts differ
+    k = sample_by_hash(docs, "doc_id", 0.2).count()
+    assert abs(k / n - 0.2) < 0.08
+    k2 = sample_by_hash(docs, "doc_id", 0.2, salt="other").count()
+    ids1 = {r[0] for r in sample_by_hash(docs, "doc_id", 0.2).select("doc_id").collect()}
+    ids2 = {r[0] for r in sample_by_hash(docs, "doc_id", 0.2, salt="other").select("doc_id").collect()}
+    assert ids1 != ids2

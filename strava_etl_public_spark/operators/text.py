@@ -202,3 +202,48 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ],
         redact_pii(text_col).alias("redacted"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window preprocessing step of an LLM training pipeline.
+    Emits (id, chunk_idx, chunk_text, n_tokens); windows start every
+    ``stride`` tokens and span ``chunk_tokens`` (the final window is
+    the shorter tail; a doc shorter than one window yields one chunk).
+
+    Pure array math: tokenize once, generate start offsets with
+    sequence(), slice + rejoin per window, explode — codegen'd
+    projections, no UDF, no shuffle; at 100 TB this is a map-only
+    stage whose output feeds packing/batching."""
+    n = F.size(F.col("_t"))
+    # last start: smallest multiple of stride that still covers the
+    # tail (>= 0) — ceil((n - chunk)/stride) * stride
+    last = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long") * stride,
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long"))
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.slice(F.col("_t"), s + 1, chunk_tokens)
+                )
+            ).alias("chunk_idx", "_w"),
+        )
+        .filter(F.size("_w") > 0)
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join("_w", " ").alias("chunk_text"),
+            F.size("_w").cast("long").alias("n_tokens"),
+        )
+    )

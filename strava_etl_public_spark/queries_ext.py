@@ -1190,3 +1190,36 @@ def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("sampled"), F.lit(0))).cast("long").alias("n_in_10pct_sample"),
         )
     )
+
+
+def _chunk_oracle(chunk: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH tk AS ({_TK_SQL}),
+st AS (
+  SELECT doc_id, t,
+         generate_series(0,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(ceil((len(t) - {chunk}) / {stride}.0) AS BIGINT) * {stride}),
+           {stride}) AS starts
+  FROM tk
+),
+w AS (
+  SELECT doc_id, u.s AS start, list_slice(t, u.s + 1, u.s + {chunk}) AS win
+  FROM st, unnest(starts) AS u(s)
+)
+SELECT doc_id, CAST(start / {stride} AS BIGINT) AS chunk_idx,
+       array_to_string(win, ' ') AS chunk_text,
+       CAST(len(win) AS BIGINT) AS n_tokens
+FROM w WHERE len(win) > 0
+"""
+
+
+@register_extra("x_text_chunk_windows", oracle=_chunk_oracle())
+def x_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 64-token
+    windows at stride 48 (overlap 16) — the LLM-training preprocessing
+    explode. Tokenize once, slice per start offset, posexplode; pure
+    codegen'd array math, map-only at any corpus size."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)

@@ -115,3 +115,23 @@ def test_pii_redaction_and_counts(spark):
         assert f"[{kind}]" in out.loc[1, "redacted"]
     assert out.loc[2, ["n_email", "n_ssn", "n_phone", "n_ipv4", "n_cc"]].sum() == 0
     assert out.loc[2, "redacted"].startswith("clean text")
+
+
+def test_chunk_documents_windows(spark):
+    from strava_etl_public_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [" ".join(f"w{i}" for i in range(10)), "single", ""],
+            }
+        )
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # starts 0,3,6: full coverage with overlap, tail included exactly once
+    assert d1.chunk_text.tolist() == ["w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert d1.n_tokens.tolist() == [4, 4, 4]
+    assert out[out.doc_id == 2].chunk_text.tolist() == ["single"]
+    assert (out.doc_id != 3).all()  # empty doc -> no chunks

@@ -1223,3 +1223,19 @@ def x_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+@register_extra("x_text_pack_chunks")  # no SQL oracle: sequential
+# first-fit bin state is not SQL-expressible; invariants (exactly-one
+# pack per chunk, fill <= budget, determinism under repartitioning,
+# FFD efficiency) are pytest-enforced in tests/test_text.py.
+def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 64/48 context windows first-fit-decreasing
+    into 256-token packs across 8 hash buckets — the training-batch
+    construction step downstream of chunking."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    return text.pack_chunks(
+        chunks, ["doc_id", "chunk_idx"], "n_tokens", budget=256, n_buckets=8
+    )

@@ -135,3 +135,31 @@ def test_chunk_documents_windows(spark):
     assert d1.n_tokens.tolist() == [4, 4, 4]
     assert out[out.doc_id == 2].chunk_text.tolist() == ["single"]
     assert (out.doc_id != 3).all()  # empty doc -> no chunks
+
+
+def test_pack_chunks_invariants(spark):
+    from strava_etl_public_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    packed = pack_chunks(
+        chunks, ["doc_id", "chunk_idx"], "n_tokens", budget=256, n_buckets=8
+    ).toPandas()
+    # every chunk in exactly one pack
+    assert len(packed) == chunks.count()
+    assert not packed.duplicated(["doc_id", "chunk_idx"]).any()
+    # no pack over budget (fill equals the sum of its members)
+    g = packed.groupby("pack_id").n_tokens.sum()
+    assert (g <= 256).all()
+    fills = packed.groupby("pack_id").pack_fill.first()
+    assert (g == fills).all()
+    # efficiency: FFD should fill packs reasonably (>60% avg on 64-token chunks)
+    assert g.mean() / 256 > 0.6
+    # determinism across partitionings
+    packed2 = pack_chunks(
+        chunks.repartition(13), ["doc_id", "chunk_idx"], "n_tokens",
+        budget=256, n_buckets=8,
+    ).toPandas()
+    a = packed.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = packed2.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

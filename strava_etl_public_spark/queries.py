@@ -401,14 +401,30 @@ SELECT c_custkey, c_name, 'scan' AS op FROM customer
 UNION ALL
 SELECT c_custkey, c_name, 'lookup' AS op FROM customer
 WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+UNION ALL
+SELECT CAST(count(*) AS BIGINT) AS c_custkey,
+       c_mktsegment || ':' ||
+         CAST((SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) > 0) AS VARCHAR) AS c_name,
+       'exists' AS op
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT CAST(count(*) AS BIGINT) AS c_custkey,
+       'purchase_gt_190:' || CAST(count(*) > 0 AS VARCHAR) AS c_name,
+       'exists' AS op
+FROM events WHERE event_type = 'purchase' AND value > 190
 """,
 )
 def a6_a7_user_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6+A7: full keyed scan with key projection (reference
-    firebase_functions.py:30-35 get_all_users) and the 1-2-predicate
-    filtered lookup (reference firebase_functions.py:37-45), tagged by
-    path. Column pruning reaches the scan on both branches (ReadSchema
-    2-3 of 5 columns); the lookup predicates push down."""
+    """A6+A7+N12+G3: full keyed scan with key projection (reference
+    firebase_functions.py:30-35 get_all_users), the 1-2-predicate
+    filtered lookup (reference firebase_functions.py:37-45), and the
+    existence predicates at both reference shapes — the per-group
+    `len(result) > 0` probe (firebase_functions.py:101-130) and the
+    filter-then-count existence check (firebase_functions.py:106-128)
+    — all union-tagged by `op`. Column pruning reaches the scan on
+    every branch; the lookup predicates push down; the existence
+    branches are single partial+final hash aggs. (The standalone
+    N12/G3 query shape remains as extra `n12_g3_existence`.)"""
     ensure_harness_conf(spark)
     c = load(spark, sf_dir, "customer")
     scan = c.select("c_custkey", "c_name", F.lit("scan").alias("op"))
@@ -416,29 +432,80 @@ def a6_a7_user_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000))
         .select("c_custkey", "c_name", F.lit("lookup").alias("op"))
     )
-    return scan.unionByName(lookup)
+    seg = (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_custkey"),
+            (F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)) > 0).alias("_ex"),
+        )
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("_ex").cast("string")).alias(
+                "c_name"
+            ),
+            F.lit("exists").alias("op"),
+        )
+    )
+    ev = load(spark, sf_dir, "events")
+    glob = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 190))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_custkey"))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("purchase_gt_190:"), (F.col("c_custkey") > 0).cast("string")).alias(
+                "c_name"
+            ),
+            F.lit("exists").alias("op"),
+        )
+    )
+    return scan.unionByName(lookup).unionByName(seg).unionByName(glob)
 
 
 @register(
-    "a9_upsert_lww",
+    "a9_s4_upsert_sinks",
     oracle="""
-SELECT user_id, event_id, event_type, value FROM (
-  SELECT user_id, event_id, event_type, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-) WHERE rn = 1
+WITH lww AS (
+  SELECT user_id, event_id, event_type, value FROM (
+    SELECT user_id, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+app AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_appended FROM (
+    SELECT DISTINCT event_id, user_id FROM (
+      SELECT event_id, user_id FROM events
+      UNION ALL SELECT event_id, user_id FROM events
+    )
+  ) GROUP BY user_id
+)
+SELECT l.user_id, l.event_id, l.event_type, l.value, a.n_appended
+FROM lww l JOIN app a USING (user_id)
 """,
 )
-def a9_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9/S2: keyed last-writer-wins upsert — the Firestore
-    whole-document `set()` (reference firebase_functions.py:54-62) as a
-    row_number dedup. Events play per-user state updates."""
+def a9_s4_upsert_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/S2 + S4/A8 — both sink disciplines in one driver row: keyed
+    last-writer-wins upsert (the Firestore whole-document `set()`,
+    reference firebase_functions.py:54-62, as a row_number dedup;
+    events play per-user state updates) joined with the idempotent
+    re-delivery dedup count (a twice-delivered batch deduped on the
+    business key before the sink — fixes reference main.py:157,180
+    at-least-once append). Each side is one hash-partitioned pass on
+    user_id; the join reuses that partitioning. (The standalone S4
+    query shape remains as extra `s4_idempotent_append`.)"""
     ensure_harness_conf(spark)
-    from .operators.upsert import upsert_last_writer_wins
+    from .operators.upsert import idempotent_append, upsert_last_writer_wins
 
     ev = load(spark, sf_dir, "events")
     merged = upsert_last_writer_wins(None, ev, "user_id", "ts")
-    return merged.select("user_id", "event_id", "event_type", "value")
+    ids = ev.select("event_id", "user_id")
+    deduped = idempotent_append(ids.unionByName(ids), None, "event_id")
+    counts = deduped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appended")
+    )
+    return merged.select("user_id", "event_id", "event_type", "value").join(
+        counts, "user_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -455,20 +522,27 @@ SELECT doc_id,
        coalesce(json_extract(props, '$.missing')::BIGINT, -1) AS missing_k,
        nullif(source, 'src0') AS source_nulled,
        CAST(n_chars AS VARCHAR) AS n_chars_str,
-       coalesce(length(nullif(source, 'src0')) > 4, false) AS connected
+       coalesce(length(nullif(source, 'src0')) > 4, false) AS connected,
+       to_base64(from_hex(md5(source))) AS pw_hash
 FROM documents
 JOIN events ON events.event_id = documents.doc_id
 """,
 )
 def n1_n5_n6_n13_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N1+N5+N6+N13 — the normalization scalar layer in one projection:
-    try/except-style defaulting → coalesce (reference
+    """N1+N5+N6+N13+N11+N9 — the normalization scalar layer in one
+    projection: try/except-style defaulting → coalesce (reference
     strava_sdk.py:203-293) incl. permissive JSON field probes (the
     users dynamic-document pattern, firebase_functions.py:68-77);
     sentinel→NULL normalization and cast-to-string (reference
-    main.py:65-68); and the null-safe strava-connected length
-    predicate defaulting False (reference firebase_functions.py:132-140).
-    All scan-speed column expressions — one select, no shuffle."""
+    main.py:65-68); the null-safe strava-connected length predicate
+    defaulting False (reference firebase_functions.py:132-140); and
+    the md5+base64 password hash (firebase_functions.py:19-28, sane
+    semantics per SURVEY §2.K-6). The 8-column output over the
+    10+-column join input is itself the N9 column-subset projection
+    (reference main.py:71-73) — pruning reaches both scans
+    (ReadSchema). All scan-speed column expressions — one select, no
+    shuffle. (Standalone shapes remain as extras `n11_md5_base64`,
+    `n9_column_subset`.)"""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     ev = load(spark, sf_dir, "events")
@@ -484,6 +558,7 @@ def n1_n5_n6_n13_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_nulled.alias("source_nulled"),
         F.col("n_chars").cast("string").alias("n_chars_str"),
         scalars.is_connected(source_nulled, min_len=4).alias("connected"),
+        scalars.md5_base64("source").alias("pw_hash"),
     )
 
 
@@ -532,33 +607,35 @@ def n2_n3_n4_n8_scalar_transforms(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
+@register_extra(
     "n9_column_subset",
     oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
 )
 def n9_column_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N9: output-column subset projection (reference main.py:71-73);
-    pruning reaches the scan."""
+    pruning reaches the scan. Driver-gated via the consolidated
+    `n1_n5_n6_n13_normalize` projection (round-3 cap consolidation)."""
     ensure_harness_conf(spark)
     return load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
 
 
-@register(
+@register_extra(
     "n11_md5_base64",
     oracle="SELECT c_custkey, to_base64(from_hex(md5(c_name))) AS pw_hash FROM customer",
 )
 def n11_md5_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N11: md5+base64 password hash (reference
-    firebase_functions.py:19-28; sane semantics per SURVEY §2.K-6)."""
+    firebase_functions.py:19-28; sane semantics per SURVEY §2.K-6).
+    Driver-gated via the consolidated normalize query's pw_hash."""
     ensure_harness_conf(spark)
     return load(spark, sf_dir, "customer").select(
         "c_custkey", scalars.md5_base64("c_name").alias("pw_hash")
     )
 
 
-@register(
+@register_extra(
     "n12_g3_existence",
     oracle="""
 SELECT c_mktsegment AS probe,
@@ -1016,7 +1093,7 @@ def n10_cohort_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "s4_idempotent_append",
     oracle="""
 SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
@@ -1371,8 +1448,8 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
     "A5": ("a5_watermark_readback", "g1_filtered_max"),
     "A6": ("a6_a7_user_lookup",),
     "A7": ("a6_a7_user_lookup",),
-    "A8": ("s4_idempotent_append", "g4_n7_nested_assembly"),  # append sink + nested rows
-    "A9": ("a9_upsert_lww",),
+    "A8": ("a9_s4_upsert_sinks", "g4_n7_nested_assembly", "s4_idempotent_append"),
+    "A9": ("a9_s4_upsert_sinks",),
     "N1": ("n1_n5_n6_n13_normalize",),
     "N2": ("n2_n3_n4_n8_scalar_transforms",),
     "N3": ("n2_n3_n4_n8_scalar_transforms",),
@@ -1381,10 +1458,10 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
     "N6": ("n1_n5_n6_n13_normalize",),
     "N7": ("g4_n7_nested_assembly",),
     "N8": ("n2_n3_n4_n8_scalar_transforms", "g2_rolling_maxes_wide"),
-    "N9": ("n9_column_subset",),
+    "N9": ("n1_n5_n6_n13_normalize", "n9_column_subset"),
     "N10": ("n10_cohort_split",),
-    "N11": ("n11_md5_base64",),
-    "N12": ("n12_g3_existence",),
+    "N11": ("n1_n5_n6_n13_normalize", "n11_md5_base64"),
+    "N12": ("a6_a7_user_lookup", "n12_g3_existence"),
     "N13": ("n1_n5_n6_n13_normalize",),
     "J1": ("j1_j2_spine_join",),
     "J2": ("j1_j2_spine_join",),
@@ -1392,7 +1469,7 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
     "J4": ("j4_users_activities_join",),
     "G1": ("a5_watermark_readback", "g1_filtered_max"),  # (=A5 set-based form)
     "G2": ("g2_rolling_maxes_wide",),
-    "G3": ("n12_g3_existence",),
+    "G3": ("a6_a7_user_lookup", "n12_g3_existence"),
     "G4": ("g4_n7_nested_assembly",),
     "W1": (
         "w1_rolling_triang",
@@ -1407,9 +1484,9 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
     "T3": ("g4_n7_nested_assembly", "w3_w4_position_ops"),  # ordering discipline: every
     # window/collect declares its sort (array_sort / explicit orderBy)
     "S1": ("s1_incremental_ingest", "x_stream_tumbling_counts"),
-    "S2": ("a9_upsert_lww", "x_stream_stateful_user_stats"),
+    "S2": ("a9_s4_upsert_sinks", "x_stream_stateful_user_stats"),
     "S3": ("j4_users_activities_join",),  # per-key loop → one set-based join
-    "S4": ("s4_idempotent_append",),
+    "S4": ("a9_s4_upsert_sinks", "s4_idempotent_append"),
 }
 
 
@@ -1438,6 +1515,11 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_text_quality",
     "x_text_fingerprint",
     "x_text_tfidf",
+    "x_text_pii_redact",
+    "x_text_chunk_windows",
+    # sketches / deterministic sampling
+    "x_sketch_hll_users",
+    "x_sample_hash_split",
     # structured streaming
     "x_stream_tumbling_counts",
     "x_stream_session_window",
@@ -1458,13 +1540,10 @@ QUERY_ORDER: tuple[str, ...] = (
     "a3_stream_align",
     "a5_watermark_readback",
     "a6_a7_user_lookup",
-    "a9_upsert_lww",
+    "a9_s4_upsert_sinks",
     "n1_n5_n6_n13_normalize",
     "n2_n3_n4_n8_scalar_transforms",
-    "n9_column_subset",
     "n10_cohort_split",
-    "n11_md5_base64",
-    "n12_g3_existence",
     "j1_j2_spine_join",
     "j3_zip_explode",
     "j4_users_activities_join",
@@ -1474,7 +1553,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "g2_rolling_maxes_wide",
     "g4_n7_nested_assembly",
     "s1_incremental_ingest",
-    "s4_idempotent_append",
     # relational engine surface (bench shapes)
     "q1_pricing_summary",
     "q3_revenue_join",

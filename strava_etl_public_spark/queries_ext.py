@@ -729,7 +729,7 @@ FROM seeded
 """
 
 
-@register_extra("x_text_pii_redact", oracle=_pii_oracle())
+@register("x_text_pii_redact", oracle=_pii_oracle())
 def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email/SSN/phone/IPv4/card): per-doc hit counts per
     kind + the redacted text, one scan-speed projection. The fixture
@@ -1131,7 +1131,7 @@ FROM est
 """
 
 
-@register_extra("x_sketch_hll_users", oracle=_hll_oracle())
+@register("x_sketch_hll_users", oracle=_hll_oracle())
 def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog: distinct users per event_type from a
     512-register sketch — md5-derived hashing and an integer-exact
@@ -1165,7 +1165,7 @@ FROM assigned GROUP BY split
 """
 
 
-@register_extra("x_sample_hash_split", oracle=_split_oracle())
+@register("x_sample_hash_split", oracle=_split_oracle())
 def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling + split assignment: 80/10/10
     train/val/test by hash bucket, crossed with a 10% stable sample —
@@ -1214,7 +1214,7 @@ FROM w WHERE len(win) > 0
 """
 
 
-@register_extra("x_text_chunk_windows", oracle=_chunk_oracle())
+@register("x_text_chunk_windows", oracle=_chunk_oracle())
 def x_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into 64-token
     windows at stride 48 (overlap 16) — the LLM-training preprocessing

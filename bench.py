@@ -35,8 +35,8 @@ HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_sim_topk_brute_arrow",
-    "x_sim_topk_lsh",
-    "x_sim_topk_ivf",
+    "x_sim_topk_lsh_arrow",
+    "x_sim_topk_ivf_arrow",
     "x_text_lang_id",
     "x_text_quality",
     "x_text_tfidf",
@@ -69,13 +69,13 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[n] = round(best, 3)
 
-    # Arrow scale-path twins (extras registry): timed separately so the
-    # headline metric stays the driver-gated surface while the record
-    # shows what the 100 TB path costs on the same queries.
+    # JVM-fold twins (extras registry): timed separately so the record
+    # keeps showing what the no-Arrow fallback costs next to the
+    # driver-gated Arrow scale paths in the headline.
     from strava_etl_public_spark.queries import EXTRA_QUERIES
 
     extras: dict[str, float] = {}
-    for n in ("x_sim_topk_lsh_arrow", "x_sim_topk_ivf_arrow"):
+    for n in ("x_sim_topk_lsh", "x_sim_topk_ivf"):
         if n not in EXTRA_QUERIES:
             continue
         fn = EXTRA_QUERIES[n]
@@ -88,9 +88,12 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         extras[n] = round(best, 3)
 
-    # Recall gate for the ANN paths (not timed): ANN speed is only
+    # Recall GATE for the ANN paths (not timed): ANN speed is only
     # meaningful next to measured recall vs the exact baseline at the
-    # SAME scale factor, so record it beside the timings.
+    # SAME scale factor. The floor is a hard failure — a recall
+    # regression must fail the bench run, not just dent a number in a
+    # report nobody re-reads (round-2 verdict item).
+    RECALL_FLOOR = 0.7  # both paths measured 0.725 at sf0.1 (BENCH_r02)
     recall: dict[str, float] = {}
     truth = {
         tuple(r)
@@ -98,9 +101,18 @@ def main() -> int:
         .select("q_id", "n_id")
         .collect()
     }
-    for n in ("x_sim_topk_lsh", "x_sim_topk_ivf"):
+    for n in ("x_sim_topk_lsh_arrow", "x_sim_topk_ivf_arrow"):
         got = {tuple(r) for r in qs[n](spark, SF_DIR).select("q_id", "n_id").collect()}
         recall[n] = round(len(truth & got) / len(truth), 3)
+        if recall[n] < RECALL_FLOOR:
+            print(
+                json.dumps(
+                    {"error": f"{n} recall {recall[n]} < floor {RECALL_FLOOR}"}
+                ),
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 1
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

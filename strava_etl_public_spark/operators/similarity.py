@@ -281,6 +281,7 @@ def lloyd_refine(
     vec_col: str,
     iters: int = 2,
     arrow: bool = False,
+    tol: float = 0.0,
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement of IVF centroids.
 
@@ -293,19 +294,33 @@ def lloyd_refine(
     drift can flip a downstream assignment. Empty clusters keep their
     previous centroid.
 
+    Early stop: when an iteration moves no centroid component by more
+    than ``tol``, remaining iterations are skipped — ``iters`` becomes
+    a cap, so the build pays only for work that changes the model. The
+    default ``tol=0.0`` is the exact fixed point and stays bit-parity
+    with an oracle that unrolls all ``iters`` iterations: a
+    zero-movement iteration reproduces its own input exactly (same
+    centroids → same deterministic assignment → same decimal means),
+    so the skipped tail is the identity. Any ``tol > 0`` trades that
+    exactness guarantee for earlier stopping (still deterministic —
+    the movement itself is computed on the 6-dp-rounded model).
+
     Scale shape per iteration: one broadcast fan-out (k rows per
     vector), one posexplode + (cent_id, pos) hash-agg — map-side
     partial combine makes the shuffle k·dim rows regardless of corpus
     size. The k·dim refined model is collected to the driver between
     iterations (bounded model state, the standard iterative-ML
     pattern — MLlib's KMeans does the same) so each iteration's plan
-    stays flat instead of nesting lineage.
+    stays flat instead of nesting lineage; the movement check reads
+    that same collected model, costing nothing extra.
     """
     spark = emb.sparkSession
     assigner = ivf_assign_arrow if arrow else ivf_assign
-    cents = centroids.select(
+    seed_rows = centroids.select(
         "cent_id", F.transform("cent_vec", lambda x: x.cast("double")).alias("cent_vec")
-    )
+    ).collect()
+    cents = spark.createDataFrame(seed_rows, "cent_id long, cent_vec array<double>")
+    prev = {int(r["cent_id"]): list(r["cent_vec"]) for r in seed_rows}
     for _ in range(iters):
         assigned = assigner(emb, cents, id_col, vec_col, nprobe=1)
         comp = assigned.select("cent_id", F.posexplode(vec_col))
@@ -331,6 +346,17 @@ def lloyd_refine(
             .collect()
         )
         cents = spark.createDataFrame(merged, "cent_id long, cent_vec array<double>")
+        movement = max(
+            (
+                abs(a - b)
+                for r in merged
+                for a, b in zip(r["cent_vec"], prev[int(r["cent_id"])])
+            ),
+            default=0.0,
+        )
+        prev = {int(r["cent_id"]): list(r["cent_vec"]) for r in merged}
+        if movement <= tol:
+            break
     return cents
 
 

@@ -1505,10 +1505,10 @@ from . import queries_ext  # noqa: E402,F401  (registry side-effect)
 #: CORRECTNESS row.
 QUERY_ORDER: tuple[str, ...] = (
     "flagship_rolling_max",
-    # similarity search
+    # similarity search (Arrow scale paths — the plans you'd run at 100×)
     "x_sim_topk_brute_arrow",
-    "x_sim_topk_lsh",
-    "x_sim_topk_ivf",
+    "x_sim_topk_lsh_arrow",
+    "x_sim_topk_ivf_arrow",
     # text analysis
     "x_text_lang_id",
     "x_text_token_counts",

@@ -445,7 +445,7 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
 """
 
 
-@register("x_sim_topk_lsh", oracle=_lsh_oracle())
+@register_extra("x_sim_topk_lsh", oracle=_lsh_oracle())
 def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table hyperplane LSH (5 md5-derived planes
     x 12 OR-tables): equi-join on (table, bucket) bounds candidates by
@@ -454,7 +454,9 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-construction is what makes the recall/cost dial real). At
     corpus scale the dial moves the other way: more planes (occupancy
     ~ n/2^planes per table) and tables as budget allows. The oracle
-    derives the identical planes in SQL, so results match exactly."""
+    derives the identical planes in SQL, so results match exactly.
+    JVM-fold twin of the driver-gated `x_sim_topk_lsh_arrow` — kept as
+    the no-Arrow fallback and independent exactness witness."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.expr(_QUERY_IDS))
@@ -463,12 +465,16 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra("x_sim_topk_lsh_arrow", oracle=_lsh_oracle())
+@register("x_sim_topk_lsh_arrow", oracle=_lsh_oracle())
 def x_sim_topk_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy twin of x_sim_topk_lsh (same oracle): all 60 bucket
-    codes per vector from one matmul per Arrow batch instead of 60
-    interpreted folds — measured 11.9s -> 3.0s at sf0.1, exact match.
-    The scale path; the JVM fold stays the driver-gated query."""
+    """Driver-gated ANN top-5 via multi-table hyperplane LSH, Arrow
+    path: all 60 bucket codes per vector from one matmul per Arrow
+    batch instead of 60 interpreted folds — measured 11.9s -> 3.0s at
+    sf0.1, exact match vs the shared DuckDB oracle (sign-of-dot is the
+    only FP surface and the md5-derived planes keep dots away from
+    zero on the fixtures; the JVM fold twin `x_sim_topk_lsh` stays
+    oracle-verified as the independent witness). Promoted round 3 so
+    the driver-green surface IS the 100 TB plan."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.expr(_QUERY_IDS))
@@ -559,13 +565,16 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register_extra("x_sim_topk_ivf_arrow", oracle=_ivf_oracle())
+@register("x_sim_topk_ivf_arrow", oracle=_ivf_oracle())
 def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy twin of x_sim_topk_ivf (same oracle): matmul
-    centroid assignment + einsum rerank — the 100 TB throughput path
+    """Driver-gated IVF ANN top-5, Arrow path: matmul centroid
+    assignment + einsum rerank — the 100 TB throughput path
     (scale_smoke_ann at 200k vectors: 4,482 vecs/s, planted-twin
-    recall 1.0). Exact-matches the JVM twin and the DuckDB oracle on
-    the fixtures."""
+    recall 1.0). Exact-matches the shared DuckDB oracle (assignments
+    compare round(cos,6) with cent_id tie-break, so matmul-vs-fold FP
+    noise below 1e-6 cannot flip them; the JVM twin `x_sim_topk_ivf`
+    stays oracle-verified as the independent witness). Promoted round
+    3 so the driver-green surface IS the 100 TB plan."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(8).select("vec_id")
@@ -574,7 +583,7 @@ def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_sim_topk_ivf", oracle=_ivf_oracle())
+@register_extra("x_sim_topk_ivf", oracle=_ivf_oracle())
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5: deterministic seed centroids (no RNG) +
     2 Lloyd refinement iterations (decimal-exact means, so the oracle
@@ -582,7 +591,8 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-probe query fan-out, exact cosine rerank inside probed lists only
     — the inverted-file scale path next to the LSH one (recall at
     nprobe=4 on fixtures, 32-query measurement: 0.48 seeded → 0.59
-    after refinement)."""
+    after refinement). JVM-fold twin of the driver-gated
+    `x_sim_topk_ivf_arrow` — no-Arrow fallback and exactness witness."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(8).select("vec_id")

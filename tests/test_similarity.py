@@ -59,8 +59,10 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     truth = {tuple(r) for r in brute[["q_id", "n_id"]].itertuples(index=False)}
     got = {tuple(r) for r in ivf[["q_id", "n_id"]].itertuples(index=False)}
     recall = len(truth & got) / len(truth)
-    # measured 0.60 at nprobe=4/14 lists on these fixtures
-    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    # deterministic fixtures + RNG-free algorithm → recall is a
+    # constant: exactly 0.600 here. Floor pinned just below so a real
+    # regression (not noise — there is none) fails.
+    assert recall >= 0.575, f"IVF recall {recall:.2f} too low"
 
 
 @pytest.mark.slow
@@ -83,7 +85,47 @@ def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir):
 
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0, f"refinement regressed recall: {r0:.2f} -> {r2:.2f}"
-    assert r2 >= 0.5, f"refined IVF recall {r2:.2f} too low"
+    assert r2 >= 0.575, f"refined IVF recall {r2:.2f} too low"  # measured 0.59375, deterministic
+
+
+def test_lloyd_early_stop_at_fixed_point(spark, monkeypatch):
+    """On a corpus whose clusters converge after one mean update, the
+    tol=0 fixed-point check must cut the loop: an iters=10 cap runs
+    exactly 2 assignment passes (iter 1 moves the seeds to the true
+    means; iter 2 reproduces them → movement 0 → stop) and returns the
+    same model as iters=1 — skipping a zero-movement tail is the
+    identity, so oracle parity survives the early exit."""
+    from strava_etl_public_spark.operators import similarity as S
+
+    # two tight, well-separated clusters around (1,0) and (0,1)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": list(range(6)),
+                "v": [
+                    [1.0, 0.0], [1.0, 0.02], [1.0, -0.02],
+                    [0.0, 1.0], [0.02, 1.0], [-0.02, 1.0],
+                ],
+            }
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame({"cent_id": [0, 1], "cent_vec": [[1.0, 0.02], [0.02, 1.0]]})
+    )
+    calls = {"n": 0}
+    real_assign = S.ivf_assign
+
+    def counting_assign(*a, **kw):
+        calls["n"] += 1
+        return real_assign(*a, **kw)
+
+    monkeypatch.setattr(S, "ivf_assign", counting_assign)
+    capped = S.lloyd_refine(emb, cents, "id", "v", iters=10).toPandas()
+    assert calls["n"] == 2, f"expected early stop after 2 passes, ran {calls['n']}"
+    one = S.lloyd_refine(emb, cents, "id", "v", iters=1).toPandas()
+    a = capped.sort_values("cent_id").reset_index(drop=True)
+    b = one.sort_values("cent_id").reset_index(drop=True)
+    assert a.cent_vec.map(list).tolist() == b.cent_vec.map(list).tolist()
 
 
 @pytest.mark.slow
@@ -100,7 +142,8 @@ def test_lsh_recall_vs_brute(spark, sf_dir):
     truth = {tuple(r) for r in brute[["q_id", "n_id"]].itertuples(index=False)}
     got = {tuple(r) for r in lsh[["q_id", "n_id"]].itertuples(index=False)}
     recall = len(truth & got) / len(truth)
-    # 4-plane × 8-table OR-construction measured 0.72 on these fixtures
-    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    # 4-plane × 8-table OR-construction: deterministic recall, exactly
+    # 0.72 on this fixture (0.775 at sf0.01). Floor just below.
+    assert recall >= 0.7, f"LSH recall {recall:.2f} too low"
     # everything LSH returns must be rank-consistent with exact cosine
     assert set(lsh.columns) == {"q_id", "n_id", "cos", "rk"}

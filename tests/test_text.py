@@ -165,6 +165,65 @@ def test_pack_chunks_invariants(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pack_chunks_matches_independent_ffd(spark):
+    """Pin the packing itself — not just its invariants — against a
+    from-scratch pure-Python FFD over the same (bucket, sort, first-fit)
+    contract: identical bucket hash (md5 of 'pack:doc_id:chunk_idx'),
+    sort by (n_tokens desc, doc_id, chunk_idx), first open bin with
+    room. pack_id and pack_fill must agree bin-for-bin on every row —
+    a subtle FFD ordering bug in the Arrow path cannot pass this
+    (round-2 verdict item)."""
+    from strava_etl_public_spark.operators.text import chunk_documents, pack_chunks
+
+    budget, n_buckets = 256, 8
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    got = (
+        pack_chunks(chunks, ["doc_id", "chunk_idx"], "n_tokens", budget=budget,
+                    n_buckets=n_buckets)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    # independent reference: plain dicts and lists, no pandas sort /
+    # Spark code shared with the implementation under test
+    rows = [
+        (int(r.doc_id), int(r.chunk_idx), int(r.n_tokens))
+        for r in chunks.select("doc_id", "chunk_idx", "n_tokens").collect()
+    ]
+    by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+    for doc_id, chunk_idx, n in rows:
+        h = hashlib.md5(f"pack:{doc_id}:{chunk_idx}".encode()).hexdigest()
+        by_bucket.setdefault(int(h[:15], 16) % n_buckets, []).append(
+            (doc_id, chunk_idx, n)
+        )
+    expect: dict[tuple[int, int], tuple[int, int]] = {}  # (doc,chunk) -> (pack, fill)
+    for bucket, items in by_bucket.items():
+        items.sort(key=lambda t: (-t[2], t[0], t[1]))
+        bins: list[list[tuple[int, int, int]]] = []
+        rem: list[int] = []
+        for doc_id, chunk_idx, n in items:
+            for i in range(len(bins)):
+                if rem[i] >= n:
+                    bins[i].append((doc_id, chunk_idx, n))
+                    rem[i] -= n
+                    break
+            else:
+                bins.append([(doc_id, chunk_idx, n)])
+                rem.append(max(budget - n, 0))
+        for i, members in enumerate(bins):
+            fill = sum(n for _, _, n in members)
+            for doc_id, chunk_idx, _ in members:
+                expect[(doc_id, chunk_idx)] = ((bucket << 32) | i, fill)
+
+    assert len(got) == len(expect)
+    for r in got.itertuples(index=False):
+        pack_id, fill = expect[(int(r.doc_id), int(r.chunk_idx))]
+        assert int(r.pack_id) == pack_id, (r.doc_id, r.chunk_idx)
+        assert int(r.pack_fill) == fill, (r.doc_id, r.chunk_idx)
+
+
 def test_chunk_documents_coverage_property(spark):
     """Property over (n_tokens, chunk, stride) grid: every token index
     appears in at least one window; consecutive windows overlap by

@@ -7,6 +7,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect — the 100 TB-honest way to time a plan).
+
+FAULT-ISOLATED: a single raising query records {"errors": {name: msg}}
+and the rest still get timed — one bad plan must never zero the
+round's entire perf record (round-3 lesson: q_sessionize raised in
+warm-up and BENCH_r03 had no data at all).
 """
 
 from __future__ import annotations
@@ -15,10 +20,12 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
 
 #: Headline set: the reference's analytical heart (spine join +
 #: interpolation + weighted rolling + wide max), the relational
@@ -43,6 +50,21 @@ HEADLINE = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_best_of(fn, runs: int = 2) -> float:
+    """best-of-N: JIT/GC noise on a shared box measured up to 3x on
+    identical plans; the min is the plan's honest cost."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     import __spark_entry__ as E
     from strava_etl_public_spark.session import get_spark
@@ -50,69 +72,114 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     qs = E.queries()
     names = [n for n in HEADLINE if n in qs]
+    errors: dict[str, str] = {}
 
     # JVM/codegen warm-up on the smallest fixture (not timed): every
     # headline query once, so sf0.1 timings measure the plan, not
     # first-use JIT/codegen compilation of whichever query runs first.
+    # A query that raises here is excluded from the timed loop but the
+    # bench keeps going.
+    ok: list[str] = []
     for n in names:
-        qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+        try:
+            _noop(qs[n](spark, WARMUP_DIR))
+            ok.append(n)
+        except Exception as e:  # noqa: BLE001 — fault isolation is the point
+            errors[n] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
 
-    # best-of-2 per query: JIT/GC noise on a shared box measured up to
-    # 3x on identical plans; the min is the plan's honest cost.
     timings: dict[str, float] = {}
-    for n in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 3)
+    for n in ok:
+        try:
+            timings[n] = _time_best_of(lambda: _noop(qs[n](spark, SF_DIR)))
+        except Exception as e:  # noqa: BLE001
+            errors[n] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
 
-    # JVM-fold twins (extras registry): timed separately so the record
-    # keeps showing what the no-Arrow fallback costs next to the
-    # driver-gated Arrow scale paths in the headline.
+    # Extras, each independently fault-isolated:
+    #  - JVM-fold ANN twins (what the no-Arrow fallback costs)
+    #  - IVF build/probe SPLIT: at scale the index is built once and
+    #    amortized over many probe batches, so the steady-state serving
+    #    cost is the probe number; build+probe stays the headline row.
+    extras: dict[str, float] = {}
     from strava_etl_public_spark.queries import EXTRA_QUERIES
 
-    extras: dict[str, float] = {}
     for n in ("x_sim_topk_lsh", "x_sim_topk_ivf"):
         if n not in EXTRA_QUERIES:
             continue
         fn = EXTRA_QUERIES[n]
-        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        extras[n] = round(best, 3)
+        try:
+            _noop(fn(spark, WARMUP_DIR))
+            spark.catalog.clearCache()
+            extras[n] = _time_best_of(lambda: _noop(fn(spark, SF_DIR)))
+        except Exception as e:  # noqa: BLE001
+            errors[n] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
+
+    try:
+        from strava_etl_public_spark.io import load
+        from strava_etl_public_spark.operators import similarity as S
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.orderBy("vec_id").limit(8).select("vec_id")
+
+        def build():
+            cents, corpus = S.build_ivf_index_arrow(
+                emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+            )
+            _noop(corpus)
+            return cents, corpus
+
+        extras["x_sim_ivf_build"] = _time_best_of(build)
+        cents, corpus = build()
+        cents = cents.persist()
+        corpus = corpus.persist()
+        cents.count(), corpus.count()  # materialize the index
+        extras["x_sim_ivf_probe"] = _time_best_of(
+            lambda: _noop(
+                S.cosine_topk_ivf_arrow(
+                    emb, q, "vec_id", "embedding", k=5, nprobe=4,
+                    index=(cents, corpus),
+                )
+            )
+        )
+        cents.unpersist(), corpus.unpersist()
+    except Exception as e:  # noqa: BLE001
+        errors["x_sim_ivf_split"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
 
     # Recall GATE for the ANN paths (not timed): ANN speed is only
     # meaningful next to measured recall vs the exact baseline at the
     # SAME scale factor. The floor is a hard failure — a recall
     # regression must fail the bench run, not just dent a number in a
-    # report nobody re-reads (round-2 verdict item).
+    # report nobody re-reads (round-2 verdict item). Gate errors are
+    # themselves isolated so a broken gate can't zero the timings.
     RECALL_FLOOR = 0.7  # both paths measured 0.725 at sf0.1 (BENCH_r02)
     recall: dict[str, float] = {}
-    truth = {
-        tuple(r)
-        for r in qs["x_sim_topk_brute_arrow"](spark, SF_DIR)
-        .select("q_id", "n_id")
-        .collect()
-    }
-    for n in ("x_sim_topk_lsh_arrow", "x_sim_topk_ivf_arrow"):
-        got = {tuple(r) for r in qs[n](spark, SF_DIR).select("q_id", "n_id").collect()}
-        recall[n] = round(len(truth & got) / len(truth), 3)
-        if recall[n] < RECALL_FLOOR:
-            print(
-                json.dumps(
-                    {"error": f"{n} recall {recall[n]} < floor {RECALL_FLOOR}"}
-                ),
-                file=sys.stderr,
-            )
-            spark.stop()
-            return 1
+    gate_failed = False
+    try:
+        truth = {
+            tuple(r)
+            for r in qs["x_sim_topk_brute_arrow"](spark, SF_DIR)
+            .select("q_id", "n_id")
+            .collect()
+        }
+        for n in ("x_sim_topk_lsh_arrow", "x_sim_topk_ivf_arrow"):
+            got = {
+                tuple(r)
+                for r in qs[n](spark, SF_DIR).select("q_id", "n_id").collect()
+            }
+            recall[n] = round(len(truth & got) / len(truth), 3)
+            if recall[n] < RECALL_FLOOR:
+                gate_failed = True
+                errors[f"recall_gate:{n}"] = (
+                    f"recall {recall[n]} < floor {RECALL_FLOOR}"
+                )
+    except Exception as e:  # noqa: BLE001
+        errors["recall_gate"] = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -124,9 +191,11 @@ def main() -> int:
         "recall": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
-    return 0
+    return 1 if gate_failed else 0
 
 
 if __name__ == "__main__":

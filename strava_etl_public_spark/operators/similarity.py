@@ -536,6 +536,33 @@ def cosine_topk_lsh_arrow(
     )
 
 
+def build_ivf_index_arrow(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The BUILD half of IVF ANN: ``(centroids, assigned corpus)``.
+
+    At 100 TB the index is built once (seed + Lloyd passes + one
+    corpus-assignment scan), persisted, and amortized over many probe
+    batches — the probe half (:func:`cosine_topk_ivf_arrow` with these
+    passed in) is the steady-state serving cost. bench.py times the
+    two halves separately for exactly this reason.
+
+    The assigned corpus has schema ``(n_id, n_vec, cent_id)`` —
+    hash-partitioned on ``cent_id`` by the downstream candidate join.
+    """
+    cents = seed_centroids(emb, id_col, vec_col, n_centroids)
+    if refine_iters:
+        cents = lloyd_refine(emb, cents, id_col, vec_col, iters=refine_iters, arrow=True)
+    corpus = ivf_assign_arrow(emb, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cent_id"
+    )
+    return cents, corpus
+
+
 def cosine_topk_ivf_arrow(
     emb: DataFrame,
     queries: DataFrame,
@@ -545,6 +572,7 @@ def cosine_topk_ivf_arrow(
     n_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Arrow twin of :func:`cosine_topk_ivf` — matmul assignment
     (:func:`ivf_assign_arrow`) for training, corpus, and probes, and a
@@ -558,12 +586,12 @@ def cosine_topk_ivf_arrow(
     import numpy as np
     import pandas as pd
 
-    cents = seed_centroids(emb, id_col, vec_col, n_centroids)
-    if refine_iters:
-        cents = lloyd_refine(emb, cents, id_col, vec_col, iters=refine_iters, arrow=True)
-    corpus = ivf_assign_arrow(emb, cents, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cent_id"
-    )
+    if index is not None:
+        cents, corpus = index  # pre-built: probe-only cost path
+    else:
+        cents, corpus = build_ivf_index_arrow(
+            emb, id_col, vec_col, n_centroids, refine_iters
+        )
     probes = ivf_assign_arrow(
         emb.join(queries.select(id_col), id_col, "left_semi"),
         cents,

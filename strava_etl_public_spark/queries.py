@@ -32,6 +32,7 @@ from .io import load
 from .operators import resample, rolling
 from .operators.assemble import collect_samples
 from .functions import scalars
+from .functions import epoch as ep
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -112,9 +113,11 @@ def _r6(c):
     return F.round(c, 6)
 
 
-#: events.ts is long nanoseconds in Spark (nanosAsLong), TIMESTAMP_NS in
-#: DuckDB — these two expressions yield identical epoch seconds.
-EPOCH_SPARK = "ts div 1000000000"
+#: DuckDB-side epoch seconds — epoch_ns() accepts both physical
+#: encodings of events.ts (TIMESTAMP_NS and TIMESTAMP) identically.
+#: The Spark side dispatches on the actual dtype instead: functions/
+#: epoch.py (bigint-nanos under nanosAsLong vs TIMESTAMP_NTZ from
+#: timestamp[us] fixtures).
 EPOCH_DUCK = "CAST(epoch_ns(ts) // 1000000000 AS BIGINT)"
 
 
@@ -188,7 +191,8 @@ def a1_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     from .operators.incremental import incremental_scan
 
-    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("epoch_s", ep.epoch_s(ev))
     return incremental_scan(
         ev, "epoch_s", 1705276800, per_page=100, tiebreak=["event_id"]
     ).select("event_id", "user_id", "epoch_s", "value")
@@ -292,7 +296,8 @@ def a5_watermark_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the reference's per-user `SELECT max(epoch)` loop
     (main.py:187-197,199-203)."""
     ensure_harness_conf(spark)
-    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("epoch_s", ep.epoch_s(ev))
     from .operators.incremental import watermark
 
     return watermark(ev, "user_id", "epoch_s")
@@ -313,7 +318,8 @@ def g1_filtered_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bound `lit()` predicate, not the reference's injection-prone
     f-string SQL (§2.K item 7)."""
     ensure_harness_conf(spark)
-    ev = load(spark, sf_dir, "events").withColumn("epoch_s", F.expr(EPOCH_SPARK))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("epoch_s", ep.epoch_s(ev))
     return ev.agg(
         F.coalesce(
             F.max(F.when(F.col("user_id") == F.lit(1), F.col("epoch_s"))), F.lit(0)
@@ -352,9 +358,8 @@ def s1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     from .operators.incremental import watermark
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr(EPOCH_SPARK).alias("epoch_s")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", ep.epoch_s(ev).alias("epoch_s"))
     sink = ev.filter(F.col("epoch_s") <= 1705276800)
     wm = watermark(sink, "user_id", "epoch_s")
     return (
@@ -388,9 +393,8 @@ def t1_topn_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     from .operators.incremental import incremental_scan
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", ep.epoch_us(ev).alias("ts_us"))
     return incremental_scan(ev, "ts_us", 1705276800000000, per_page=25)
 
 
@@ -593,7 +597,8 @@ def n2_n3_n4_n8_scalar_transforms(spark: SparkSession, sf_dir: str) -> DataFrame
     column expressions at scan speed — no shuffle."""
     ensure_harness_conf(spark)
     now_epoch, ret = 1767225600, 62_000_000
-    ev = load(spark, sf_dir, "events").withColumn("epoch0", F.expr(EPOCH_SPARK))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("epoch0", ep.epoch_s(ev))
     iso = scalars.epoch_to_ts_string(F.col("epoch0"))
     return ev.select(
         "event_id",
@@ -1284,21 +1289,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session_window (S-family extension; guide 'Sessionization')."""
     ensure_harness_conf(spark)
     ev = load(spark, sf_dir, "events")
-    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = 3600 * 1_000_000_000
-    prev_ts = F.lag("ts").over(wt)
-    new_session = F.when(
-        prev_ts.isNull() | ((F.col("ts") - prev_ts) > gap_ns), 1
-    ).otherwise(0)
+    # gap math at the ts column's NATIVE grain (ns or µs) — truncating
+    # to seconds first would move sub-second gaps across the 1h
+    # threshold; the oracle compares at epoch_ns precision.
+    native, ups = ep.native_epoch(ev)
+    ev = ev.withColumn("_e", native)
+    wt = Window.partitionBy("user_id").orderBy("_e", "event_id")
+    gap = 3600 * ups
+    prev = F.lag("_e").over(wt)
+    new_session = F.when(prev.isNull() | ((F.col("_e") - prev) > gap), 1).otherwise(0)
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_id",
         F.sum("new_session").over(wt.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
-    iso = lambda c: F.date_format(F.timestamp_seconds(F.expr(f"{c} div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    iso = F.date_format(
+        F.timestamp_seconds(F.expr(f"_e div {ups}")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min(iso("ts")).alias("session_start"),
-        F.max(iso("ts")).alias("session_end"),
+        F.min(iso).alias("session_start"),
+        F.max(iso).alias("session_end"),
     )
 
 

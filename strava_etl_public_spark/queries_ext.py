@@ -942,11 +942,15 @@ def _run_stream(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
 
 def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture into a temp DIRECTORY (the file
-    streaming source lists directories, not single files)."""
+    streaming source lists directories, not single files), with ``ts``
+    normalized to bigint epoch-nanos so the staged files always match
+    ``EVENTS_SCHEMA`` regardless of the fixture's physical encoding."""
     import tempfile
 
+    from .streaming.ingest import normalize_events
+
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    normalize_events(load(spark, sf_dir, "events")).write.mode("overwrite").parquet(stage)
     return stage
 
 
@@ -1030,9 +1034,9 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .streaming.ingest import EVENTS_SCHEMA, session_windows
+    from .streaming.ingest import EVENTS_SCHEMA, normalize_events, session_windows
 
-    ev = load(spark, sf_dir, "events")
+    ev = normalize_events(load(spark, sf_dir, "events"))  # ts → bigint ns
     max_ts = ev.agg(F.max("ts")).first()[0]  # one scalar — watermark-read shaped
 
     stage = tempfile.mkdtemp(prefix="sess_stream_")

@@ -16,16 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import epoch as ep
+
+#: Schema of STAGED streaming input — ``ts`` is normalized epoch
+#: nanoseconds (bigint). The fixture's physical encoding varies between
+#: generations (TIMESTAMP_NS read as long vs timestamp[us] read as
+#: TIMESTAMP_NTZ); ``normalize_events`` converts either to this schema
+#: *before* staging, so the static readStream schema can never silently
+#: reinterpret raw int64 values at the wrong grain.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("ts", T.LongType()),  # epoch NANOSECONDS (normalized)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def normalize_events(ev: DataFrame) -> DataFrame:
+    """Rewrite ``ts`` to bigint epoch-nanos whatever its source dtype —
+    the one type-dispatch point for the streaming staging path."""
+    return ev.withColumn("ts", ep.epoch_ns(ev))
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -40,9 +54,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def with_event_time(stream: DataFrame) -> DataFrame:
-    return stream.withColumn(
-        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
-    )
+    """Second-grain event time, dispatching on the actual ``ts`` dtype
+    (normalized bigint-nanos from staging, or raw timestamp columns if
+    a caller streams unstaged data)."""
+    return stream.withColumn("event_time", ep.event_time(stream))
 
 
 def windowed_counts(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from strava_etl_public_spark.streaming.ingest import (
     EVENTS_SCHEMA,
+    normalize_events,
     running_user_stats,
     windowed_counts,
 )
@@ -22,7 +23,9 @@ from strava_etl_public_spark.streaming.ingest import (
 @pytest.fixture()
 def staged_events(spark, sf_dir):
     stage = tempfile.mkdtemp(prefix="t_stream_")
-    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(stage)
+    normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet")).write.mode(
+        "overwrite"
+    ).parquet(stage)
     yield stage
     shutil.rmtree(stage, ignore_errors=True)
 

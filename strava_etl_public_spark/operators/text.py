@@ -160,6 +160,84 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family used
+    to filter low-quality/templated training text — Rae et al. 2021,
+    "Scaling Language Models", table A1):
+
+    - ``top_token_frac``  — share of all tokens held by the most
+      frequent token
+    - ``top_2gram_frac``  — share of all 2-gram occurrences held by the
+      most frequent 2-gram
+    - ``dup_5gram_frac``  — fraction of 5-gram occurrences that are
+      repeats of an earlier 5-gram (1 - distinct/total)
+
+    (the fixture's documents are single-line word streams, so the
+    signals are token-n-gram based rather than line-based)
+
+    Scale shape: one explode of all three gram sizes tagged by ``n``
+    (generator-pipelined, no per-doc arrays collected), then two hash
+    aggregations keyed by doc — map-side partial aggs collapse repeated
+    grams before the shuffle, so the shuffle carries ~distinct grams
+    per doc, not tokens. No window, no sort, no pairwise work; per-doc
+    cost is linear in document length regardless of how repetitive the
+    text is (an O(n²) per-row higher-order-function count would not
+    be). Fractions are single exact int/int divisions rounded to 6dp —
+    engine-portable.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+
+    def _tag(arr: Column, n: int) -> Column:
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                _tag(F.col("_toks"), 1),
+                _tag(shingles(F.col("_toks"), 2), 2),
+                _tag(shingles(F.col("_toks"), 5), 5),
+            )
+        ).alias("_e"),
+    ).select(F.col(id_col), F.col("_e.n").alias("_n"), F.col("_e.g").alias("_g"))
+    counts = grams.groupBy(id_col, "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max("_c").alias("_top"),
+        F.sum("_c").alias("_total"),
+        F.count(F.lit(1)).alias("_uniq"),
+    )
+
+    def _pick(n: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("_n") == n, expr))
+
+    frac = lambda num, den: F.round(num.cast("double") / den.cast("double"), 6)
+    feats = per_n.groupBy(id_col).agg(
+        _pick(1, F.col("_total")).cast("long").alias("n_tokens"),
+        _pick(1, frac(F.col("_top"), F.col("_total"))).alias("top_token_frac"),
+        _pick(2, frac(F.col("_top"), F.col("_total"))).alias("top_2gram_frac"),
+        _pick(5, frac(F.col("_total") - F.col("_uniq"), F.col("_total"))).alias(
+            "dup_5gram_frac"
+        ),
+    )
+    # docs too short for a gram size (or with zero tokens) must still
+    # appear, with 0-valued signals — left join back to the corpus
+    return (
+        df.select(F.col(id_col))
+        .join(feats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+        )
+    )
+
+
 #: PII patterns, RE2-safe (no backrefs/lookarounds) so Spark
 #: regexp_replace and a SQL oracle apply the identical automaton.
 #: Order matters: longest/most-specific first so e.g. an SSN inside a

@@ -1253,3 +1253,83 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_chunks(
         chunks, ["doc_id", "chunk_idx"], "n_tokens", budget=256, n_buckets=8
     )
+
+
+_REPETITION_ORACLE = f"""
+WITH tk AS ({_TK_SQL}),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM tk
+  UNION ALL
+  SELECT doc_id, 5 AS n,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+  FROM tk
+),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+p AS (SELECT doc_id, n, max(c) AS top, sum(c) AS total, count(*) AS uniq
+      FROM c GROUP BY doc_id, n)
+SELECT d.doc_id,
+       CAST(coalesce(max(CASE WHEN n = 1 THEN total END), 0) AS BIGINT) AS n_tokens,
+       coalesce(max(CASE WHEN n = 1 THEN
+         round(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 6) END), 0.0)
+         AS top_token_frac,
+       coalesce(max(CASE WHEN n = 2 THEN
+         round(CAST(top AS DOUBLE) / CAST(total AS DOUBLE), 6) END), 0.0)
+         AS top_2gram_frac,
+       coalesce(max(CASE WHEN n = 5 THEN
+         round(CAST(total - uniq AS DOUBLE) / CAST(total AS DOUBLE), 6) END), 0.0)
+         AS dup_5gram_frac
+FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register_extra("x_text_repetition", oracle=_REPETITION_ORACLE)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (top-token /
+    top-2-gram concentration, duplicate-5-gram fraction) — the
+    quality-filter family for templated/spammy training text. One
+    tagged gram explode + two hash aggs; no window, no pairwise work."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.repetition_features(docs, "doc_id", "text")
+
+
+_DECONTAM_ORACLE = f"""
+WITH {_SH_SQL},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+per AS (
+  SELECT s.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_ov, 0) AS BIGINT) AS n_overlap,
+       coalesce(round(CAST(p.n_ov AS DOUBLE) / CAST(p.n_sh AS DOUBLE), 6), 0.0)
+         AS contamination_frac,
+       CAST(CASE WHEN coalesce(round(CAST(p.n_ov AS DOUBLE) / CAST(p.n_sh AS DOUBLE), 6), 0.0)
+                      >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+@register_extra("x_dedup_decontaminate", oracle=_DECONTAM_ORACLE)
+def x_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose 3-gram shingle
+    overlap with a (deterministic 1/19 subset playing the) held-out
+    eval corpus exceeds 30%. The benchmark shingle set is bounded →
+    broadcast; the corpus side is a map-only probe + one per-doc agg —
+    at 100 TB the corpus is never shuffled pairwise against anything."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    out = dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.3)
+    return out.withColumn("flagged", F.col("flagged").cast("long"))

@@ -249,3 +249,78 @@ def test_chunk_documents_coverage_property(spark):
             assert len(toks) <= c
             covered |= {int(t[1:]) for t in toks}
         assert covered == set(range(n)), (n, c, s, covered)
+
+
+def test_repetition_features_known_values(spark):
+    from strava_etl_public_spark.operators.text import repetition_features
+
+    rows = [
+        # 8 tokens, 'a' x4: top_token 4/8; top 2-gram 'a a' 3/7;
+        # 5-grams: 4 total, all distinct -> dup 0
+        {"doc_id": 0, "text": "a a a a b c d e"},
+        # pure repetition: one token repeated 10x -> everything maximal
+        {"doc_id": 1, "text": "x x x x x x x x x x"},
+        # all-unique tokens -> top_token 1/6, dup_5gram 0
+        {"doc_id": 2, "text": "one two three four five six"},
+        # too short for 2- and 5-grams
+        {"doc_id": 3, "text": "solo"},
+        # no tokens at all
+        {"doc_id": 4, "text": "...!!!"},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(
+            spark.createDataFrame(pd.DataFrame(rows)), "doc_id", "text"
+        )
+        .toPandas()
+        .to_dict("records")
+    }
+    assert out[0]["n_tokens"] == 8
+    assert out[0]["top_token_frac"] == 0.5
+    assert out[0]["top_2gram_frac"] == round(3 / 7, 6)
+    assert out[0]["dup_5gram_frac"] == 0.0
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 1.0
+    # 6 five-grams, all 'x x x x x' -> 1 distinct -> dup 5/6
+    assert out[1]["dup_5gram_frac"] == round(5 / 6, 6)
+    assert out[2]["top_token_frac"] == round(1 / 6, 6)
+    assert out[2]["dup_5gram_frac"] == 0.0
+    assert out[3] == {
+        "doc_id": 3, "n_tokens": 1, "top_token_frac": 1.0,
+        "top_2gram_frac": 0.0, "dup_5gram_frac": 0.0,
+    }
+    assert out[4]["n_tokens"] == 0 and out[4]["top_token_frac"] == 0.0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from strava_etl_public_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # identical to the benchmark doc -> frac 1.0
+                {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+                # shares a 3-token run with the benchmark
+                {"doc_id": 1, "text": "zz alpha beta gamma yy ww vv uu"},
+                # disjoint
+                {"doc_id": 2, "text": "p q r s t u v w"},
+                # too short for 3-grams
+                {"doc_id": 3, "text": "xx yy"},
+            ]
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 100, "text": "alpha beta gamma delta epsilon"}])
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=3, threshold=0.3)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert out[0]["contamination_frac"] == 1.0 and out[0]["flagged"]
+    # doc 1: 6 shingles, 1 overlapping ('alpha beta gamma') -> not flagged
+    assert out[1]["n_shingles"] == 6 and out[1]["n_overlap"] == 1
+    assert not out[1]["flagged"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["flagged"]
+    assert out[3]["n_shingles"] == 0 and not out[3]["flagged"]

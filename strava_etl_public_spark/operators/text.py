@@ -176,14 +176,15 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signals are token-n-gram based rather than line-based)
 
     Scale shape: one explode of all three gram sizes tagged by ``n``
-    (generator-pipelined, no per-doc arrays collected), then two hash
-    aggregations keyed by doc — map-side partial aggs collapse repeated
-    grams before the shuffle, so the shuffle carries ~distinct grams
-    per doc, not tokens. No window, no sort, no pairwise work; per-doc
-    cost is linear in document length regardless of how repetitive the
-    text is (an O(n²) per-row higher-order-function count would not
-    be). Fractions are single exact int/int divisions rounded to 6dp —
-    engine-portable.
+    (generator-pipelined, no per-doc arrays collected), then three
+    strictly-shrinking hash aggregations — (doc,n,gram) counts →
+    (doc,n) stats → per-doc pivot. Map-side partial aggs collapse
+    repeated grams before the first shuffle, so highly repetitive
+    documents (the ones being flagged) shuffle *less*, not more; the
+    later shuffles carry ≤3 rows/doc. No window, no sort, no pairwise
+    work; per-doc cost is linear in document length (an O(n²) per-row
+    higher-order-function count would not be). Fractions are single
+    exact int/int divisions rounded to 6dp — engine-portable.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
 

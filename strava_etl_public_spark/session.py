@@ -49,7 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # fixture parquet carries TIMESTAMP(NANOS) — read as long nanos
+        # some fixture generations carry parquet TIMESTAMP(NANOS), which
+        # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL) — read those as
+        # long nanos; harmless for timestamp[us] generations. Queries
+        # dispatch on the resulting dtype (functions/epoch.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
@@ -64,8 +67,10 @@ def ensure_harness_conf(spark: SparkSession) -> SparkSession:
     deterministic regardless of how the harness built its session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # TESTDATA parquet stores TIMESTAMP(NANOS,false); vanilla Spark errors
-    # on it (PARQUET_TYPE_ILLEGAL) — read as long nanoseconds instead.
+    # TIMESTAMP(NANOS) fixture generations error in vanilla Spark
+    # (PARQUET_TYPE_ILLEGAL) — read as long nanos; no-op for the
+    # timestamp[us] generations. Downstream arithmetic dispatches on
+    # the actual dtype either way (functions/epoch.py).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # byte-sized AQE reducers + cached-plan repartitioning (see get_spark)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")

@@ -95,6 +95,34 @@ def epoch_ns(df: DataFrame, col: str = "ts") -> Column:
     return (e * (NS_PER_S // ups)).cast("long")
 
 
+def as_timestamp(df: DataFrame, col: str = "ts") -> Column:
+    """TimestampType view of the column at full native grain — identity
+    (or a value-preserving NTZ cast, session TZ pinned UTC) for
+    timestamp columns; ns→µs conversion for bigint columns."""
+    dt = ts_dtype(df, col)
+    if dt == "timestamp":
+        return F.col(col)
+    if dt == "timestamp_ntz":
+        return F.col(col).cast("timestamp")
+    return F.timestamp_micros(_floordiv(F.col(col), NS_PER_S // US_PER_S))
+
+
+def utc_literal(df: DataFrame, col: str, epoch_utc: int) -> Column:
+    """A comparison literal for ``col`` at the column's OWN encoding —
+    the predicate stays a bare column-vs-literal, so Catalyst
+    constant-folds the literal and pushes the filter into the parquet
+    scan on either physical type (wrapping the *column* in a conversion
+    would defeat pushdown — the 100 TB cost of getting this backwards
+    is a full-table scan)."""
+    dt = ts_dtype(df, col)
+    if dt == "bigint":
+        return F.lit(epoch_utc * NS_PER_S)
+    lit = F.timestamp_seconds(F.lit(epoch_utc))
+    if dt == "timestamp_ntz":
+        lit = lit.cast("timestamp_ntz")
+    return lit
+
+
 def event_time(df: DataFrame, col: str = "ts") -> Column:
     """Second-grain TimestampType event time (windowed aggregations —
     the oracles bucket on epoch seconds)."""

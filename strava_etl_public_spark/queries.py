@@ -1129,8 +1129,15 @@ def s4_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: lineitem/orders timestamps are microsecond TIMESTAMP_NTZ (unlike
 #: events.ts which is nano → long); compare against timestamp literals.
 #: (Built lazily — Column construction needs an active session.)
-def _ts_ntz(s: str) -> F.Column:
-    return F.lit(s).cast("timestamp_ntz")
+def _ts_cmp(df: DataFrame, col: str, epoch_utc: int) -> tuple[F.Column, F.Column]:
+    """(column, threshold) pair for comparing a fixture timestamp column
+    against a UTC instant, valid on EITHER physical encoding
+    (bigint-nanos or timestamp/timestamp_ntz — the round-3 lesson
+    applied to the relational tables: l_shipdate / o_orderdate flip
+    encodings with the fixture generator exactly like events.ts).
+    The literal is adapted to the column, never the other way around,
+    so the predicate still pushes into the parquet scan."""
+    return F.col(col), ep.utc_literal(df, col, epoch_utc)
 
 
 @register(
@@ -1157,8 +1164,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    ship, cutoff = _ts_cmp(li, "l_shipdate", 904_694_400)  # 1998-09-02Z
     return (
-        li.filter(F.col("l_shipdate") <= _ts_ntz("1998-09-02 00:00:00"))
+        li.filter(ship <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
@@ -1191,18 +1199,16 @@ def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides broadcast, revenue accumulated exactly."""
     ensure_harness_conf(spark)
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < _ts_ntz("1998-03-15 00:00:00")
-    )
+    o = load(spark, sf_dir, "orders")
+    od, cutoff = _ts_cmp(o, "o_orderdate", 889_920_000)  # 1998-03-15Z
+    orderdate = F.date_format(ep.as_timestamp(o, "o_orderdate"), "yyyy-MM-dd")
+    o = o.filter(od < cutoff).withColumn("orderdate", orderdate)
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
+        .groupBy("o_orderkey", "orderdate")
         .agg(_dsum(rev).alias("revenue"))
         .filter(F.col("revenue") > 1000)
     )

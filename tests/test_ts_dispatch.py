@@ -152,3 +152,26 @@ def test_streaming_normalization_across_encodings(spark, encoded_dirs):
         post = [r["event_time"] for r in with_event_time(n).orderBy("event_id").collect()]
         assert pre == post
     assert norm["int64_ns"] == norm["timestamp_ns"] == norm["timestamp_us"] == NS_VALS
+
+
+def test_utc_literal_filter_identical_across_encodings(spark, encoded_dirs):
+    """The q1/q3 shape: bare column vs dispatch-adapted literal (the
+    pushdown-preserving form) must select the same rows on every
+    encoding; as_timestamp must format identically."""
+    results = {}
+    for name, path in encoded_dirs.items():
+        df = _read(spark, path)
+        out = (
+            df.filter(F.col("ts") <= ep.utc_literal(df, "ts", 1705280401))
+            .select(
+                "event_id",
+                F.date_format(ep.as_timestamp(df, "ts"), "yyyy-MM-dd HH:mm:ss").alias("iso"),
+            )
+            .orderBy("event_id")
+        )
+        results[name] = [tuple(r) for r in out.collect()]
+    assert results["int64_ns"] == results["timestamp_ns"] == results["timestamp_us"]
+    # rows 0,1 (sub-second past 1705276800) and row 3 (.923456 past
+    # 1705280400 — BELOW the 1705280401 threshold at full grain) pass;
+    # row 2 is exactly 1705280401.000000 -> included by <=
+    assert [r[0] for r in results["int64_ns"]] == [0, 1, 2, 3]

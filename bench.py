@@ -106,7 +106,12 @@ def main() -> int:
     extras: dict[str, float] = {}
     from strava_etl_public_spark.queries import EXTRA_QUERIES
 
-    for n in ("x_sim_topk_lsh", "x_sim_topk_ivf"):
+    for n in (
+        "x_sim_topk_lsh",
+        "x_sim_topk_ivf",
+        "x_text_repetition",
+        "x_dedup_decontaminate",
+    ):
         if n not in EXTRA_QUERIES:
             continue
         fn = EXTRA_QUERIES[n]

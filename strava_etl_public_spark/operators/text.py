@@ -203,6 +203,11 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("_e"),
     ).select(F.col(id_col), F.col("_e.n").alias("_n"), F.col("_e.g").alias("_g"))
+    # gram identity stays the raw string: hashing to md5-prefix longs
+    # (the doc_shingles trick) was measured 14% SLOWER end-to-end at
+    # 200k docs — the ~2x shuffle-byte saving on short grams does not
+    # pay for the digest CPU, unlike the 3-token shingle tables where
+    # the string is longer and reused across several downstream joins.
     counts = grams.groupBy(id_col, "_n", "_g").agg(
         F.count(F.lit(1)).alias("_c")
     )

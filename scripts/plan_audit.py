@@ -32,10 +32,14 @@ def main() -> int:
 
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
+    from strava_etl_public_spark.queries import EXTRA_QUERIES
+
     qs = E.queries()
+    #: bench extras with their own scale posture worth auditing
+    audited_extras = ["x_text_repetition", "x_dedup_decontaminate"]
     flagged = 0
-    for n in bench.HEADLINE:
-        df = qs[n](spark, SF_DIR)
+    for n in bench.HEADLINE + audited_extras:
+        df = (qs.get(n) or EXTRA_QUERIES[n])(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         stats = {
             "SMJ": plan.count("SortMergeJoin"),

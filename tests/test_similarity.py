@@ -147,3 +147,35 @@ def test_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.7, f"LSH recall {recall:.2f} too low"
     # everything LSH returns must be rank-consistent with exact cosine
     assert set(lsh.columns) == {"q_id", "n_id", "cos", "rk"}
+
+
+def test_ivf_prebuilt_index_matches_inline_build(spark, sf_dir):
+    """The bench's probe-only timing path: cosine_topk_ivf_arrow with a
+    pre-built (centroids, assigned-corpus) index must return exactly
+    the inline build+probe result — same params, same determinism."""
+    from strava_etl_public_spark.operators.similarity import (
+        build_ivf_index_arrow,
+        cosine_topk_ivf_arrow,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(4).select("vec_id")
+    kw = dict(k=3, nprobe=2)
+    inline = (
+        cosine_topk_ivf_arrow(
+            emb, q, "vec_id", "embedding", n_centroids=8, refine_iters=1, **kw
+        )
+        .toPandas()
+        .sort_values(["q_id", "rk"])
+        .reset_index(drop=True)
+    )
+    index = build_ivf_index_arrow(
+        emb, "vec_id", "embedding", n_centroids=8, refine_iters=1
+    )
+    prebuilt = (
+        cosine_topk_ivf_arrow(emb, q, "vec_id", "embedding", index=index, **kw)
+        .toPandas()
+        .sort_values(["q_id", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inline, prebuilt)

@@ -111,6 +111,7 @@ def main() -> int:
         "x_sim_topk_ivf",
         "x_text_repetition",
         "x_dedup_decontaminate",
+        "x_text_bigram_lm",
     ):
         if n not in EXTRA_QUERIES:
             continue

@@ -36,7 +36,11 @@ def main() -> int:
 
     qs = E.queries()
     #: bench extras with their own scale posture worth auditing
-    audited_extras = ["x_text_repetition", "x_dedup_decontaminate"]
+    audited_extras = [
+        "x_text_repetition",
+        "x_dedup_decontaminate",
+        "x_text_bigram_lm",
+    ]
     flagged = 0
     for n in bench.HEADLINE + audited_extras:
         df = (qs.get(n) or EXTRA_QUERIES[n])(spark, SF_DIR)

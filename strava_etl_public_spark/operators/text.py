@@ -244,6 +244,71 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-filter family (CCNet / LLaMA-style data curation uses a
+    KenLM score; this is its exact, engine-portable bigram analogue).
+
+    Model: add-one-smoothed bigram probabilities trained on the corpus
+    itself — ``P(w2|w1) = (C(w1 w2)+1) / (C(w1)+V)`` with ``C(w1)`` the
+    corpus unigram occurrence count and ``V`` the distinct vocabulary
+    size. Per doc: mean natural-log probability over its bigram
+    occurrences (higher = more in-distribution text; templated/spammy
+    repetition scores high, out-of-vocabulary noise scores low).
+
+    Determinism: each ln() is rounded to 6dp (the tf_idf precedent for
+    engine-divergent libm), summed as DECIMAL(38,6) (order-independent)
+    and the mean rounds to 6dp — bit-equal across engines and partition
+    counts. Docs with <2 tokens score 0.0 with n_bigrams=0.
+
+    Scale shape: one bigram explode, two corpus hash-aggs (bigram and
+    unigram tables, map-side combined), one 1-row vocab broadcast, two
+    hash joins keyed on bigram/token (AQE-skew-safe; hot function words
+    are exactly the skewed keys AQE splits), one per-doc agg. No
+    window, no pairwise work, no driver data — the "train" half is two
+    aggregations over the same scan that scores.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    uni = toks.select(F.explode(F.col("_t")).alias("_w"))
+    uni_counts = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("_v"))
+    occ = toks.select(
+        F.col(id_col), F.explode(shingles(F.col("_t"), 2)).alias("_bg")
+    ).withColumn("_w", F.split(F.col("_bg"), " ")[0])
+    bg_counts = occ.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+    lp = F.round(
+        F.log(
+            (F.col("_c2") + F.lit(1)).cast("double")
+            / (F.col("_c1") + F.col("_v")).cast("double")
+        ),
+        6,
+    )
+    per_doc = (
+        occ.join(bg_counts, "_bg")
+        .join(uni_counts, "_w")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_lp").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("lm_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_logprob", F.lit(0.0)).alias("lm_logprob"),
+        )
+    )
+
+
 #: PII patterns, RE2-safe (no backrefs/lookarounds) so Spark
 #: regexp_replace and a SQL oracle apply the identical automaton.
 #: Order matters: longest/most-specific first so e.g. an SSN inside a

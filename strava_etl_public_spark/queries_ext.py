@@ -1333,3 +1333,45 @@ def x_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 19 == 0)
     out = dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.3)
     return out.withColumn("flagged", F.col("flagged").cast("long"))
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH tk AS ({_TK_SQL}),
+uni AS (SELECT unnest(t) AS w FROM tk),
+uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(*) AS v FROM uc),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tk
+),
+o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w FROM occ),
+bgc AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+scored AS (
+  SELECT o2.doc_id,
+         round(ln(CAST(bgc.c2 + 1 AS DOUBLE) / CAST(uc.c1 + v.v AS DOUBLE)), 6) AS lp
+  FROM o2 JOIN bgc USING (bg) JOIN uc USING (w) CROSS JOIN v
+),
+p AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+           AS lm_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(p.lm_logprob, 0.0) AS lm_logprob
+FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+"""
+
+
+@register_extra("x_text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM mean log-probability per doc —
+    the perplexity-filter family (CCNet-style curation), exact and
+    engine-portable (6dp ln rounding + decimal accumulation, the
+    tf_idf precedent). Train = two hash aggs over the same scan."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.bigram_lm_score(docs, "doc_id", "text")

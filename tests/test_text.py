@@ -324,3 +324,37 @@ def test_decontaminate_flags_overlap(spark):
     assert not out[1]["flagged"]
     assert out[2]["n_overlap"] == 0 and not out[2]["flagged"]
     assert out[3]["n_shingles"] == 0 and not out[3]["flagged"]
+
+
+def test_bigram_lm_score_known_values(spark):
+    import math
+
+    from strava_etl_public_spark.operators.text import bigram_lm_score
+
+    # corpus: "a b" x2 docs + "a c" + a 1-token doc + an empty doc
+    # unigrams: a:3 b:2 c:1 x:1 -> V=4
+    # bigram counts: "a b":2, "a c":1
+    rows = [
+        {"doc_id": 0, "text": "a b"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": "x"},
+        {"doc_id": 4, "text": "!!"},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(
+            spark.createDataFrame(pd.DataFrame(rows)), "doc_id", "text"
+        )
+        .toPandas()
+        .to_dict("records")
+    }
+    lp_ab = round(math.log((2 + 1) / (3 + 4)), 6)  # P(b|a) = 3/7
+    lp_ac = round(math.log((1 + 1) / (3 + 4)), 6)  # P(c|a) = 2/7
+    assert out[0]["n_bigrams"] == 1 and out[0]["lm_logprob"] == pytest.approx(lp_ab, abs=2e-6)
+    assert out[1]["lm_logprob"] == out[0]["lm_logprob"]
+    assert out[2]["n_bigrams"] == 1 and out[2]["lm_logprob"] == pytest.approx(lp_ac, abs=2e-6)
+    # the common bigram scores higher than the rare one
+    assert out[0]["lm_logprob"] > out[2]["lm_logprob"]
+    assert out[3] == {"doc_id": 3, "n_bigrams": 0, "lm_logprob": 0.0}
+    assert out[4] == {"doc_id": 4, "n_bigrams": 0, "lm_logprob": 0.0}

@@ -1375,3 +1375,51 @@ def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     return text.bigram_lm_score(docs, "doc_id", "text")
+
+
+@register_extra(
+    "x_stream_dedup",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest dedup: the staged corpus is
+    written TWICE (the at-least-once-delivery shape — replayed files,
+    retried producers), and ``dropDuplicatesWithinWatermark`` on the
+    event id must emit each event exactly once. Counts per type over
+    the emitted rows must equal the batch distinct counts — a leaked
+    duplicate inflates them, a dropped event deflates them.
+
+    Scale: dedup state is keyed by event_id in the state store,
+    EXPIRED by the watermark bound — unlike plain ``dropDuplicates``,
+    state does not grow with the full history, only with the late-data
+    horizon; the fixture run uses a horizon wider than the data span
+    so every replay is inside it."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, normalize_events, with_event_time
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        # replay: the same normalized corpus appended again (same
+        # event_ids, new files — the redelivery case)
+        normalize_events(load(spark, sf_dir, "events")).write.mode("append").parquet(stage)
+
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        deduped = (
+            with_event_time(stream)
+            .withWatermark("event_time", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type")
+        )
+        out = _run_stream(spark, deduped, "append")
+        return (
+            out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -182,3 +182,32 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, staged_events, tmp_path)
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(final, batch)
+
+
+def test_stream_dedup_across_microbatches(spark, staged_events, tmp_path):
+    """Replayed events arriving in LATER micro-batches must be dropped
+    by the state store, not just within-batch distinct: stage the
+    corpus, then append the same rows as new files, and force one file
+    per trigger so every duplicate crosses a batch boundary."""
+    from strava_etl_public_spark.streaming.ingest import with_event_time
+
+    src = str(tmp_path / "dedup_src")
+    base = spark.read.parquet(staged_events)
+    base.repartition(4).write.parquet(src)
+    spark.read.parquet(staged_events).repartition(3).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        with_event_time(stream)
+        .withWatermark("event_time", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    out = _run(spark, deduped, "append")
+    n_unique = base.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.distinct().count() == n_unique

@@ -89,9 +89,10 @@ def main() -> int:
         f"flagged={n_flag} (bench members {n_bench_flagged}, frac==1.0 {exact_one})  "
         f"({n/t_dec:,.0f} docs/s)"
     )
-    # repetitive docs share their stem's shingles with repetitive bench
-    # members, so a few extra flags beyond the bench slice are genuine
-    ok_dec = n_dec == n and n_bench_flagged == n_bench == exact_one
+    # doc token streams are hash-unique per doc_id, so NOTHING outside
+    # the bench slice shares shingles with it — the flagged set must be
+    # exactly the bench slice; any extra flag is a false positive
+    ok_dec = n_dec == n and n_flag == n_bench_flagged == n_bench == exact_one
 
     print(f"quality-smoke: {'OK' if (ok_rep and ok_dec) else 'FAILED'}")
     spark.stop()

@@ -65,6 +65,27 @@ def _time_best_of(fn, runs: int = 2) -> float:
     return round(best, 3)
 
 
+def _time_with_spread(fn) -> dict:
+    """Timing + spread evidence (round-5 bench-variance discipline):
+    sub-2 s queries get a third run — shared-box noise measured ±20%
+    round-over-round, so cheap queries need more samples for the
+    best/median spread to mean anything; expensive ones would double
+    the bench wall-clock for little. Returns {best, median, runs}."""
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    if min(samples) < 2.0:
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    n = len(samples)
+    med = samples[n // 2] if n % 2 else (samples[n // 2 - 1] + samples[n // 2]) / 2
+    return {"best": round(samples[0], 3), "median": round(med, 3), "runs": n}
+
+
 def main() -> int:
     import __spark_entry__ as E
     from strava_etl_public_spark.session import get_spark
@@ -91,9 +112,12 @@ def main() -> int:
             spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for n in ok:
         try:
-            timings[n] = _time_best_of(lambda: _noop(qs[n](spark, SF_DIR)))
+            st = _time_with_spread(lambda: _noop(qs[n](spark, SF_DIR)))
+            timings[n] = st["best"]
+            spread[n] = st
         except Exception as e:  # noqa: BLE001
             errors[n] = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
@@ -109,9 +133,11 @@ def main() -> int:
     for n in (
         "x_sim_topk_lsh",
         "x_sim_topk_ivf",
+        "x_sim_topk_ivf_sampled",
         "x_text_repetition",
         "x_dedup_decontaminate",
         "x_text_bigram_lm",
+        "x_pipeline_activity_e2e",
     ):
         if n not in EXTRA_QUERIES:
             continue
@@ -135,7 +161,7 @@ def main() -> int:
 
         def build():
             cents, corpus = S.build_ivf_index_arrow(
-                emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+                emb, "vec_id", "embedding", n_centroids=16, refine_iters=1
             )
             _noop(corpus)
             built["idx"] = (cents, corpus)
@@ -148,7 +174,7 @@ def main() -> int:
         extras["x_sim_ivf_probe"] = _time_best_of(
             lambda: _noop(
                 S.cosine_topk_ivf_arrow(
-                    emb, q, "vec_id", "embedding", k=5, nprobe=4,
+                    emb, q, "vec_id", "embedding", k=5, nprobe=8,
                     index=(cents, corpus),
                 )
             )
@@ -164,7 +190,10 @@ def main() -> int:
     # regression must fail the bench run, not just dent a number in a
     # report nobody re-reads (round-2 verdict item). Gate errors are
     # themselves isolated so a broken gate can't zero the timings.
-    RECALL_FLOOR = 0.7  # both paths measured 0.725 at sf0.1 (BENCH_r02)
+    # Round-5 knee configs (scripts/ann_tune.py): LSH 4x12 and IVF
+    # nprobe=8/iters=1 both measure 0.9 at sf0.1 — the floor buys 0.1
+    # of regression margin instead of r4's 0.025.
+    RECALL_FLOOR = 0.8
     recall: dict[str, float] = {}
     gate_failed = False
     try:
@@ -199,6 +228,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "extras": extras,
         "recall": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -207,7 +237,12 @@ def main() -> int:
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
-    return 1 if gate_failed else 0
+    # Distinct exit codes, always AFTER the JSON line: 2 = recall gate
+    # failed, 1 = some query errored (rc-only consumers must not read a
+    # crashed-but-isolated query as a pass — ADVICE r4), 0 = clean.
+    if gate_failed:
+        return 2
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -274,6 +274,40 @@ def ivf_assign_arrow(
     )
 
 
+def _assign_local_arrow(emb: DataFrame, model: dict, vec_col: str) -> DataFrame:
+    """Nearest-centroid (nprobe=1) assignment against a DRIVER-HELD
+    model — the inner loop of :func:`lloyd_refine`'s arrow path. Same
+    math and tie-break as :func:`ivf_assign_arrow` (round(cos, 6),
+    then cent_id asc), but the model ships as a plain broadcast
+    variable instead of a centroids DataFrame, so an iteration costs
+    zero extra Spark jobs beyond its assignment+means action. Emits
+    only (cent_id, vec) — all the means agg needs."""
+    import numpy as np
+    import pandas as pd
+
+    cent_ids = np.asarray(sorted(model), dtype="int64")
+    C = np.vstack([model[int(c)] for c in cent_ids]).astype("float64")
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (cent_ids, C / np.linalg.norm(C, axis=1, keepdims=True))
+    )
+
+    def assign(batches):
+        ids, Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cos = np.round(En @ Cn.T, 6)
+            best = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)[:, 0]
+            yield pd.DataFrame({"cent_id": ids[best], vec_col: pdf[vec_col]})
+
+    vec_type = dict(emb.dtypes)[vec_col]
+    return emb.select(vec_col).mapInPandas(
+        assign, schema=f"cent_id long, {vec_col} {vec_type}"
+    )
+
+
 def lloyd_refine(
     emb: DataFrame,
     centroids: DataFrame,
@@ -282,6 +316,8 @@ def lloyd_refine(
     iters: int = 2,
     arrow: bool = False,
     tol: float = 0.0,
+    train_fraction: float = 1.0,
+    train_salt: str = "ivf-train",
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement of IVF centroids.
 
@@ -313,51 +349,77 @@ def lloyd_refine(
     pattern — MLlib's KMeans does the same) so each iteration's plan
     stays flat instead of nesting lineage; the movement check reads
     that same collected model, costing nothing extra.
+
+    ``train_fraction < 1`` trains on a deterministic hash-selected
+    subset (the faiss train-on-sample recipe, made oracle-exact): the
+    sample is a pure (salt, id) predicate — :func:`sketch.sample_by_hash`
+    — so a SQL oracle replicates the exact training SET with the same
+    WHERE clause, and the decimal-exact means over the sample stay
+    engine-portable. At 100 TB this turns each Lloyd pass from a
+    full-corpus scan into a sample-sized one (centroid quality needs a
+    bounded number of training points per cluster, not the corpus), and
+    the final full-corpus assignment remains the only complete pass.
     """
     spark = emb.sparkSession
-    assigner = ivf_assign_arrow if arrow else ivf_assign
+    if train_fraction < 1.0:
+        from .sketch import sample_by_hash
+
+        emb = sample_by_hash(emb, id_col, train_fraction, salt=train_salt)
     seed_rows = centroids.select(
         "cent_id", F.transform("cent_vec", lambda x: x.cast("double")).alias("cent_vec")
     ).collect()
-    cents = spark.createDataFrame(seed_rows, "cent_id long, cent_vec array<double>")
     prev = {int(r["cent_id"]): list(r["cent_vec"]) for r in seed_rows}
+    dim = len(next(iter(prev.values())))
+    # ONE Spark action per iteration (round-5 rework — the old form
+    # added a second groupBy + a join + a per-iteration model-DataFrame
+    # roundtrip on top of the means shuffle; at fixture scale that job
+    # overhead WAS the build cost, measured ~1.8 s/iteration → ~1.0 s):
+    # assignment feeds the posexplode + (cent_id, pos) decimal hash-agg
+    # (map-side combined, k·dim cells regardless of corpus size), the
+    # 6-dp-rounded means come back as the k·dim collected rows, and the
+    # k-row model is assembled and held driver-side between iterations.
     for _ in range(iters):
-        assigned = assigner(emb, cents, id_col, vec_col, nprobe=1)
-        comp = assigned.select("cent_id", F.posexplode(vec_col))
-        means = (
-            comp.groupBy("cent_id", "pos")
+        if arrow:
+            assigned = _assign_local_arrow(emb, prev, vec_col)
+        else:
+            cents = spark.createDataFrame(
+                sorted(prev.items()), "cent_id long, cent_vec array<double>"
+            )
+            assigned = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+                "cent_id", vec_col
+            )
+        stats = (
+            assigned.select("cent_id", F.posexplode(vec_col))
+            .groupBy("cent_id", "pos")
             .agg(
                 F.sum(F.col("col").cast("double").cast("decimal(27,12)")).alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )
-            .withColumn("m", F.round(F.col("_s").cast("double") / F.col("_n"), 6))
-        )
-        refreshed = means.groupBy("cent_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
-                lambda s: s["m"],
-            ).alias("_new")
-        )
-        merged = (
-            cents.join(refreshed, "cent_id", "left")
             .select(
-                "cent_id", F.coalesce("_new", F.col("cent_vec")).alias("cent_vec")
+                "cent_id",
+                "pos",
+                F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("m"),
             )
             .collect()
         )
-        cents = spark.createDataFrame(merged, "cent_id long, cent_vec array<double>")
+        new_means: dict[int, list] = {}
+        for r in stats:
+            new_means.setdefault(int(r["cent_id"]), [None] * dim)[int(r["pos"])] = r["m"]
+        merged = {cid: new_means.get(cid, vec) for cid, vec in prev.items()}
         movement = max(
             (
                 abs(a - b)
-                for r in merged
-                for a, b in zip(r["cent_vec"], prev[int(r["cent_id"])])
+                for cid in merged
+                for a, b in zip(merged[cid], prev[cid])
             ),
             default=0.0,
         )
-        prev = {int(r["cent_id"]): list(r["cent_vec"]) for r in merged}
+        prev = merged
         if movement <= tol:
             break
-    return cents
+    return spark.createDataFrame(
+        sorted(prev.items()), "cent_id long, cent_vec array<double>"
+    )
 
 
 def cosine_topk_ivf(
@@ -369,6 +431,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 0,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in ONE inverted list each
     (their nearest centroid); queries probe their ``nprobe`` nearest
@@ -384,7 +447,10 @@ def cosine_topk_ivf(
     """
     cents = seed_centroids(emb, id_col, vec_col, n_centroids)
     if refine_iters:
-        cents = lloyd_refine(emb, cents, id_col, vec_col, iters=refine_iters)
+        cents = lloyd_refine(
+            emb, cents, id_col, vec_col, iters=refine_iters,
+            train_fraction=train_fraction,
+        )
     corpus = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cent_id"
     ).withColumn("_nn", F.sqrt(dot(F.col("n_vec"), F.col("n_vec"))))
@@ -542,6 +608,7 @@ def build_ivf_index_arrow(
     vec_col: str,
     n_centroids: int = 16,
     refine_iters: int = 2,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD half of IVF ANN: ``(centroids, assigned corpus)``.
 
@@ -556,7 +623,10 @@ def build_ivf_index_arrow(
     """
     cents = seed_centroids(emb, id_col, vec_col, n_centroids)
     if refine_iters:
-        cents = lloyd_refine(emb, cents, id_col, vec_col, iters=refine_iters, arrow=True)
+        cents = lloyd_refine(
+            emb, cents, id_col, vec_col, iters=refine_iters, arrow=True,
+            train_fraction=train_fraction,
+        )
     corpus = ivf_assign_arrow(emb, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cent_id"
     )
@@ -572,6 +642,7 @@ def cosine_topk_ivf_arrow(
     n_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 2,
+    train_fraction: float = 1.0,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Arrow twin of :func:`cosine_topk_ivf` — matmul assignment
@@ -590,7 +661,7 @@ def cosine_topk_ivf_arrow(
         cents, corpus = index  # pre-built: probe-only cost path
     else:
         cents, corpus = build_ivf_index_arrow(
-            emb, id_col, vec_col, n_centroids, refine_iters
+            emb, id_col, vec_col, n_centroids, refine_iters, train_fraction
         )
     probes = ivf_assign_arrow(
         emb.join(queries.select(id_col), id_col, "left_semi"),

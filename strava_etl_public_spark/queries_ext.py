@@ -445,41 +445,46 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
 """
 
 
-@register_extra("x_sim_topk_lsh", oracle=_lsh_oracle())
+@register_extra("x_sim_topk_lsh", oracle=_lsh_oracle(n_planes=4, n_tables=12))
 def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via multi-table hyperplane LSH (5 md5-derived planes
+    """ANN top-5 via multi-table hyperplane LSH (4 md5-derived planes
     x 12 OR-tables): equi-join on (table, bucket) bounds candidates by
-    bucket occupancy; exact cosine rerank inside. Recall vs brute at
-    sf0.1, 8 queries: 0.725 (single 8-plane table measured 0.05 — the
+    bucket occupancy; exact cosine rerank inside. Config is the
+    measured sf0.1 recall/cost knee (scripts/ann_tune.py, round 5):
+    4 planes → 16 buckets/table → recall 0.9 vs brute (5 planes x 12
+    tables measured 0.725; a single 8-plane table 0.05 — the
     OR-construction is what makes the recall/cost dial real). At
-    corpus scale the dial moves the other way: more planes (occupancy
-    ~ n/2^planes per table) and tables as budget allows. The oracle
-    derives the identical planes in SQL, so results match exactly.
-    JVM-fold twin of the driver-gated `x_sim_topk_lsh_arrow` — kept as
-    the no-Arrow fallback and independent exactness witness."""
+    corpus scale planes scale up with log2(n) to hold per-bucket
+    occupancy, tables buy recall as budget allows. The oracle derives
+    the identical planes in SQL, so results match exactly. JVM-fold
+    twin of the driver-gated `x_sim_topk_lsh_arrow` — kept as the
+    no-Arrow fallback and independent exactness witness."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.expr(_QUERY_IDS))
     return similarity.cosine_topk_lsh(
-        emb, q, "vec_id", "embedding", k=5, n_planes=5, dim=64, n_tables=12
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
     )
 
 
-@register("x_sim_topk_lsh_arrow", oracle=_lsh_oracle())
+@register("x_sim_topk_lsh_arrow", oracle=_lsh_oracle(n_planes=4, n_tables=12))
 def x_sim_topk_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated ANN top-5 via multi-table hyperplane LSH, Arrow
-    path: all 60 bucket codes per vector from one matmul per Arrow
-    batch instead of 60 interpreted folds — measured 11.9s -> 3.0s at
-    sf0.1, exact match vs the shared DuckDB oracle (sign-of-dot is the
-    only FP surface and the md5-derived planes keep dots away from
-    zero on the fixtures; the JVM fold twin `x_sim_topk_lsh` stays
-    oracle-verified as the independent witness). Promoted round 3 so
-    the driver-green surface IS the 100 TB plan."""
+    path: all 48 bucket codes per vector from one matmul per Arrow
+    batch instead of 48 interpreted folds — measured 11.9s -> 3.0s at
+    sf0.1 when first promoted, exact match vs the shared DuckDB oracle
+    (sign-of-dot is the only FP surface and the md5-derived planes
+    keep dots away from zero on the fixtures; the JVM fold twin
+    `x_sim_topk_lsh` stays oracle-verified as the independent
+    witness). Round-5 config: 4 planes x 12 tables — the measured
+    recall/cost knee (recall 0.9 vs 0.725 at 5 planes, AND cheaper:
+    wider buckets mean fewer empty-probe misses, see
+    scripts/ann_tune.py)."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.expr(_QUERY_IDS))
     return similarity.cosine_topk_lsh_arrow(
-        emb, q, "vec_id", "embedding", k=5, n_planes=5, dim=64, n_tables=12
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
     )
 
 
@@ -490,10 +495,23 @@ def _ivf_oracle(
     nprobe: int = 4,
     refine_iters: int = 2,
     dim: int = 64,
+    train_fraction: float = 1.0,
+    train_salt: str = "ivf-train",
 ) -> str:
     span = n_cent * stride
     cos_ec = _cos_sql("e.embedding", "c.cent_vec")
     cos_qn = _cos_sql("p.q_vec", "a.embedding")
+    # Sample-trained Lloyd (faiss train-on-sample recipe, oracle-exact):
+    # the training set is the sketch.sample_by_hash predicate — a pure
+    # (salt, vec_id) md5 filter — so the oracle reproduces the exact
+    # training SET with the same WHERE clause.
+    train_where = ""
+    if train_fraction < 1.0:
+        h = (
+            f"CAST(concat('0x', substr(md5(concat('{train_salt}:', "
+            f"CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+        train_where = f" WHERE {h} < {int(train_fraction * (1 << 60))}"
     # Lloyd refinement, unrolled one CTE triple per iteration. Means use
     # the decimal-sum trick: DECIMAL(27,12) accumulation is exact and
     # summation-order-independent, so Spark and DuckDB agree bit-for-bit
@@ -507,7 +525,7 @@ def _ivf_oracle(
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
                                        c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents{i} c
+    FROM embeddings e CROSS JOIN cents{i} c{train_where}
   ) WHERE rn = 1
 ),
 means{i} AS (
@@ -565,39 +583,67 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register("x_sim_topk_ivf_arrow", oracle=_ivf_oracle())
+@register("x_sim_topk_ivf_arrow", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
 def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated IVF ANN top-5, Arrow path: matmul centroid
     assignment + einsum rerank — the 100 TB throughput path
     (scale_smoke_ann at 200k vectors: 4,482 vecs/s, planted-twin
-    recall 1.0). Exact-matches the shared DuckDB oracle (assignments
-    compare round(cos,6) with cent_id tie-break, so matmul-vs-fold FP
-    noise below 1e-6 cannot flip them; the JVM twin `x_sim_topk_ivf`
-    stays oracle-verified as the independent witness). Promoted round
-    3 so the driver-green surface IS the 100 TB plan."""
+    recall 1.0). Config is the measured sf0.1 recall/cost knee
+    (scripts/ann_tune.py, round 5): nprobe=8 + one Lloyd iteration →
+    recall 0.9 vs brute at 1.9 s, vs 0.725 at 3.9 s for the old
+    nprobe=4/iters=2 — more probes buy recall at scan-bounded cost
+    while each extra Lloyd pass bought nothing past the first.
+    Exact-matches the shared DuckDB oracle (assignments compare
+    round(cos,6) with cent_id tie-break, so matmul-vs-fold FP noise
+    below 1e-6 cannot flip them; the JVM twin `x_sim_topk_ivf` stays
+    oracle-verified as the independent witness)."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(8).select("vec_id")
     return similarity.cosine_topk_ivf_arrow(
-        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4, refine_iters=2
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8, refine_iters=1
     )
 
 
-@register_extra("x_sim_topk_ivf", oracle=_ivf_oracle())
+@register_extra("x_sim_topk_ivf", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5: deterministic seed centroids (no RNG) +
-    2 Lloyd refinement iterations (decimal-exact means, so the oracle
-    reproduces them bit-for-bit), single-list corpus assignment,
-    4-probe query fan-out, exact cosine rerank inside probed lists only
-    — the inverted-file scale path next to the LSH one (recall at
-    nprobe=4 on fixtures, 32-query measurement: 0.48 seeded → 0.59
-    after refinement). JVM-fold twin of the driver-gated
-    `x_sim_topk_ivf_arrow` — no-Arrow fallback and exactness witness."""
+    Lloyd refinement (decimal-exact means, so the oracle reproduces
+    them bit-for-bit), single-list corpus assignment, 8-probe query
+    fan-out, exact cosine rerank inside probed lists only — the
+    inverted-file scale path next to the LSH one. JVM-fold twin of the
+    driver-gated `x_sim_topk_ivf_arrow` (same config, same oracle) —
+    no-Arrow fallback and exactness witness."""
     ensure_harness_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(8).select("vec_id")
     return similarity.cosine_topk_ivf(
-        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4, refine_iters=2
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8, refine_iters=1
+    )
+
+
+@register_extra(
+    "x_sim_topk_ivf_sampled",
+    oracle=_ivf_oracle(nprobe=8, refine_iters=2, train_fraction=0.5),
+)
+def x_sim_topk_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained IVF (the faiss train-on-sample recipe, made
+    oracle-exact): Lloyd trains on the deterministic 50% hash sample
+    (sketch.sample_by_hash — a pure (salt, vec_id) predicate the
+    DuckDB oracle replicates with the same WHERE clause), means stay
+    decimal-exact over the sample, and the full corpus is only touched
+    by the final single assignment pass. At 100 TB this is THE build
+    story: Lloyd passes cost sample-size, not corpus-size, and the
+    fraction is chosen to keep ~O(100) training points per centroid
+    (at fixture scale 50% of 2k vectors ≈ 62/centroid → measured
+    recall 0.825 vs 0.9 full-trained — SCALE.md records the tradeoff;
+    at corpus scale the same point count is a vanishing fraction)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8,
+        refine_iters=2, train_fraction=0.5,
     )
 
 

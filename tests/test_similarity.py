@@ -179,3 +179,48 @@ def test_ivf_prebuilt_index_matches_inline_build(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(inline, prebuilt)
+
+
+@pytest.mark.slow
+def test_shipped_ann_configs_recall_floor(spark, sf_dir):
+    """Pytest twin of the bench recall gate (round-5 hardening — the
+    r3 lesson, recall edition): the SHIPPED headline ANN configs (LSH
+    4 planes x 12 tables; IVF nprobe=8, 1 Lloyd iteration) must hold
+    the bench's 0.8 floor on the test fixture, so a regenerated
+    embeddings fixture that silently degrades gate recall fails here
+    before the driver bench does. Measured on the current fixture:
+    LSH 0.875, IVF 0.825 (deterministic — no RNG anywhere)."""
+    from strava_etl_public_spark.operators.similarity import (
+        cosine_topk_brute_arrow,
+        cosine_topk_ivf_arrow,
+        cosine_topk_lsh_arrow,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_ids = emb.orderBy("vec_id").limit(8).select("vec_id")
+    q_full = emb.orderBy("vec_id").limit(8)
+    truth = {
+        tuple(r)
+        for r in cosine_topk_brute_arrow(emb, q_full, "vec_id", "embedding", k=5)
+        .select("q_id", "n_id")
+        .collect()
+    }
+    got = {
+        "lsh": {
+            tuple(r)
+            for r in cosine_topk_lsh_arrow(
+                emb, q_full, "vec_id", "embedding", k=5, n_planes=4, dim=64,
+                n_tables=12,
+            ).select("q_id", "n_id").collect()
+        },
+        "ivf": {
+            tuple(r)
+            for r in cosine_topk_ivf_arrow(
+                emb, q_ids, "vec_id", "embedding", k=5, n_centroids=16,
+                nprobe=8, refine_iters=1,
+            ).select("q_id", "n_id").collect()
+        },
+    }
+    for name, pairs in got.items():
+        recall = len(truth & pairs) / len(truth)
+        assert recall >= 0.8, f"{name} shipped-config recall {recall:.3f} < 0.8"

@@ -75,6 +75,7 @@ def rolling_mean_triang(
     cols: Sequence[str],
     windows: Sequence[int] = REFERENCE_WINDOWS,
     suffix: str = "tri",
+    quantize: bool = False,
 ) -> DataFrame:
     """Add ``{col}_{suffix}_{w}`` triangular-weighted trailing means.
 
@@ -90,22 +91,51 @@ def rolling_mean_triang(
     Truncated-head semantics match the sliding frame exactly
     (``coalesce(lag, 0)`` ⇒ sum from partition start); all-NULL frames
     differ (0 vs NULL) only at rows the min_periods mask nulls anyway.
+
+    ``quantize=True`` computes the mean EXACTLY over inputs quantized
+    to 1e-6 (µ-unit BIGINT prefix sums): the stencil becomes integer
+    math, identical to any per-frame weighted fold — use it when the
+    input column is itself a computed double (e.g. interpolation
+    output), where raw-double stencil-vs-fold summation-order drift
+    can straddle a round(·,6) boundary between engines. Raw fixture
+    columns don't need it (finite decimals; drift ≪ boundary gap).
+    Overflow safety is the standard modular prefix-sum argument: int64
+    S1/S2 may wrap on an extreme activity (needs |v|·n² > 9.2e18
+    µ-units, e.g. n=100k rows at |v|>920), but stencil DIFFERENCES are
+    exact mod 2^64 and the true windowed sum is bounded by
+    m²·1e6·max|v| ≤ ~4e11·|v| ≪ 2^63, so wrapped math still yields the
+    exact result (a DECIMAL(38,0) S2 variant measured +70% on the
+    rolling stage for protection against overflow that cannot change
+    the answer). Under ANSI mode a wrap raises loudly instead — either
+    way, never a silent wrong answer.
     """
     run = _running(key, ord_col)
     w_lag = Window.partitionBy(key).orderBy(ord_col)
 
     def s1(c: str, off: int) -> Column:
-        return F.col(f"_s1_{c}") if off == 0 else F.lag(f"_s1_{c}", off, 0.0).over(w_lag)
+        if off == 0:
+            return F.col(f"_s1_{c}")
+        default = F.lit(0).cast("long") if quantize else F.lit(0.0)
+        return F.coalesce(F.lag(f"_s1_{c}", off).over(w_lag), default)
 
     def s2(c: str, off: int) -> Column:
-        return F.col(f"_s2_{c}") if off == 0 else F.lag(f"_s2_{c}", off, 0.0).over(w_lag)
+        if off == 0:
+            return F.col(f"_s2_{c}")
+        default = F.lit(0).cast("long") if quantize else F.lit(0.0)
+        return F.coalesce(F.lag(f"_s2_{c}", off).over(w_lag), default)
 
     # Pass 1: S1 = running sum of the NULL→0 series (total function, so
     # the stencil identities below hold at every row) + running count of
     # the raw series for the min_periods/NULL mask.
+    src: dict[str, Column] = {}
     pass1: dict[str, Column] = {}
     for c in cols:
-        pass1[f"_s1_{c}"] = F.sum(F.coalesce(F.col(c), F.lit(0.0))).over(run)
+        src[c] = (
+            F.round(F.col(c) * F.lit(1e6)).cast("long") if quantize
+            else F.col(c)
+        )
+        zero = F.lit(0).cast("long") if quantize else F.lit(0.0)
+        pass1[f"_s1_{c}"] = F.sum(F.coalesce(src[c], zero)).over(run)
         pass1[f"_cc_{c}"] = F.count(c).over(run)
 
     # Pass 2: S2 = running sum of S1 (the double prefix sum).
@@ -119,24 +149,29 @@ def rolling_mean_triang(
     #                       − [S1(i) − S1(i−2m)]
     # Lag defaults of 0 ARE the empty-prefix sums, so no head special-
     # casing; rows whose frame is short or contains a NULL are masked.
+    two = F.lit(2).cast("long") if quantize else F.lit(2.0)
     final: dict[str, Column] = {}
     for w in windows:
         for c in cols:
             name = f"{c}_{suffix}_{w}"
             if w == 1:
-                final[name] = F.col(c).cast("double")
+                final[name] = (
+                    (src[c].cast("double") / F.lit(1e6)) if quantize
+                    else F.col(c).cast("double")
+                )
                 continue
             m = (w + 1) // 2
             if w % 2 == 1:
-                tri_sum = s2(c, 0) - F.lit(2.0) * s2(c, m) + s2(c, 2 * m)
+                tri_sum = s2(c, 0) - two * s2(c, m) + s2(c, 2 * m)
                 norm = float(m * m)
             else:
-                tri_sum = F.lit(2.0) * (
-                    s2(c, 0) - s2(c, m) - s2(c, m + 1) + s2(c, 2 * m + 1)
-                ) - (s1(c, 0) - s1(c, 2 * m))
+                box2 = two * (s2(c, 0) - s2(c, m) - s2(c, m + 1) + s2(c, 2 * m + 1))
+                box1 = s1(c, 0) - s1(c, 2 * m)
+                tri_sum = box2 - box1
                 norm = float(2 * m * m)
             n_valid = F.col(f"_cc_{c}") - F.lag(f"_cc_{c}", w, 0).over(w_lag)
-            final[name] = F.when(n_valid == w, tri_sum / F.lit(norm))
+            denom = F.lit(norm * 1e6) if quantize else F.lit(norm)
+            final[name] = F.when(n_valid == w, tri_sum.cast("double") / denom)
 
     out = df.withColumns(pass1).withColumns(pass2).withColumns(final)
     return out.drop(*[c for c in out.columns if c.startswith(("_s1_", "_s2_", "_cc_"))])

@@ -648,6 +648,193 @@ def x_sim_topk_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed end-to-end activity pipeline (reference main.py:19-181)
+# ---------------------------------------------------------------------------
+
+_E2E_METRICS = ("hr", "watts", "vel")
+
+
+def _tri_list_sql_q(w: int, col: str) -> str:
+    """Quantized (µ-unit BIGINT) twin of queries._tri_list_sql: the
+    triangular weighted sum over ``l_{col}_{w}`` lists of si values is
+    INTEGER math — exactly equal to the engine's integer stencil, so
+    fold-vs-stencil summation order cannot straddle a round boundary
+    (which real-drift measured 2/495 maxima when rolling directly over
+    interpolated doubles)."""
+    if w == 1:
+        return f"CAST(si_{col} AS DOUBLE) / 1000000.0"
+    lst = f"l_{col}_{w}"
+    if w % 2 == 1:
+        m = (w + 1) // 2
+        wt = f"({m} - abs(j - {m}))"
+        norm = float(m * m)
+    else:
+        m = w // 2
+        wt = f"(2 * least(j, {w + 1} - j) - 1)"
+        norm = float(2 * m * m)
+    return (
+        f"CASE WHEN len({lst}) = {w} THEN "
+        f"CAST(list_reduce(list_transform(generate_series(1, {w}), j -> {lst}[j] * {wt}), "
+        f"(a, b) -> a + b) AS DOUBLE) / {norm * 1e6} END"
+    )
+
+
+def _e2e_oracle() -> str:
+    """The reference's whole per-activity DAG as one CTE chain —
+    densify → interpolate(×3 metrics) → triangular rolling(×33) →
+    per-activity max → digest/assembly join. Each CTE is the
+    already-verified oracle of its piecewise query (w2 interp, g2
+    rolling maxes, g4 digest) composed verbatim; rolling runs on the
+    1e-6-quantized interp output (see _tri_list_sql_q)."""
+    from .queries import STREAMS_SQL
+    from .operators import rolling
+
+    wins = rolling.REFERENCE_WINDOWS
+    list_wins = [w for w in wins if w > 1]
+    cols = _E2E_METRICS
+    # interpolation: prev/next value+tick per metric over two shared
+    # window specs (the w2 oracle shape, once per metric)
+    k_cols = ",\n    ".join(
+        f"""{c},
+    last_value({c} IGNORE NULLS) OVER wb AS {c}_pv,
+    last_value(CASE WHEN {c} IS NOT NULL THEN time_key END IGNORE NULLS) OVER wb AS {c}_pt,
+    first_value({c} IGNORE NULLS) OVER wf AS {c}_nv,
+    first_value(CASE WHEN {c} IS NOT NULL THEN time_key END IGNORE NULLS) OVER wf AS {c}_nt"""
+        for c in cols
+    )
+    d_cols = ",\n  ".join(
+        f"""CASE WHEN {c} IS NOT NULL THEN {c}
+       WHEN {c}_pv IS NULL THEN NULL
+       WHEN {c}_nv IS NULL THEN {c}_pv
+       ELSE {c}_pv + ({c}_nv - {c}_pv) * (CAST(time_key - {c}_pt AS DOUBLE) / CAST({c}_nt - {c}_pt AS DOUBLE))
+  END AS {c}"""
+        for c in cols
+    )
+    window_defs = ",\n       ".join(
+        f"w{w} AS (PARTITION BY activity_id ORDER BY time_key "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+        for w in list_wins
+    )
+    si_cols = ",\n  ".join(
+        f"CAST(round({c} * 1000000) AS BIGINT) AS si_{c}" for c in cols
+    )
+    list_cols = ",\n       ".join(
+        f"list(si_{c}) OVER w{w} AS l_{c}_{w}" for c in cols for w in list_wins
+    )
+    tri_cols = ",\n       ".join(
+        f"{_tri_list_sql_q(w, c)} AS tri_{c}_{w}" for c in cols for w in wins
+    )
+    max_cols = ",\n       ".join(
+        f"round(max(tri_{c}_{w}), 6) AS max_{c}_{w}" for c in cols for w in wins
+    )
+    return f"""
+WITH s AS ({STREAMS_SQL}),
+base AS (SELECT activity_id, time_key,
+                value AS hr, value * 0.5 AS watts,
+                CAST(event_id % 97 AS DOUBLE) AS vel
+         FROM s),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM base GROUP BY activity_id),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key FROM mx),
+j AS (SELECT spine.activity_id, spine.time_key, base.hr, base.watts, base.vel
+      FROM spine LEFT JOIN base USING (activity_id, time_key)),
+k AS (
+  SELECT activity_id, time_key,
+    {k_cols}
+  FROM j
+  WINDOW wb AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+d AS (SELECT activity_id, time_key,
+  {d_cols}
+  FROM k),
+q AS (SELECT activity_id, time_key,
+  {si_cols}
+  FROM d),
+l AS (SELECT activity_id, si_hr, si_watts, si_vel,
+       {list_cols}
+      FROM q
+      WINDOW {window_defs}),
+r AS (SELECT activity_id,
+       {tri_cols}
+      FROM l),
+g AS (SELECT activity_id,
+       {max_cols}
+      FROM r GROUP BY activity_id),
+digest AS (
+  SELECT activity_id,
+         'act_' || activity_id AS name_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(time_key) + 1 AS BIGINT) AS n_ticks,
+         arg_min(hr, time_key) AS first_hr,
+         arg_max(hr, time_key) AS last_hr
+  FROM base GROUP BY activity_id)
+SELECT digest.*, g.* EXCLUDE (activity_id)
+FROM digest JOIN g USING (activity_id)
+"""
+
+
+@register_extra("x_pipeline_activity_e2e", oracle=_e2e_oracle())
+def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE per-activity DAG (main.py:19-181) fused
+    into one plan — densify (J1/J2) → linear-interpolate 3 metrics
+    (W2) → 33 triangular rolling means (W1) → per-activity wide max +
+    clamp (G2/N8) → nested digest/assembly (G4/N7/T3) — the query a
+    real user of the reference runs end-to-end, timed as a bench
+    extra. Plan shape: the spine explode, interpolation windows, and
+    all 33 rolling stencils share ONE activity_id partitioning (the
+    streams() shuffle); the sparse digest branch aggregates the same
+    scan and joins back on the (small) per-activity grain. Every stage
+    is the already-oracle-verified piecewise operator; the oracle
+    composes those verbatim as CTEs, so this row proves the FUSION is
+    semantics-preserving."""
+    ensure_harness_conf(spark)
+    from .operators import assemble, resample, rolling
+    from .queries import _r6
+
+    wins = rolling.REFERENCE_WINDOWS
+    cols = list(_E2E_METRICS)
+    s = streams(spark, sf_dir).select(
+        "activity_id",
+        "time_key",
+        F.col("value").alias("hr"),
+        (F.col("value") * 0.5).alias("watts"),
+        (F.col("event_id") % 97).cast("double").alias("vel"),
+    )
+    dense = resample.interpolate_linear(
+        resample.densify(s, "activity_id", "time_key"),
+        "activity_id",
+        "time_key",
+        cols,
+    )
+    rolled = rolling.rolling_mean_triang(
+        dense, "activity_id", "time_key", cols, wins, quantize=True
+    )
+    maxed = rolling.activity_maxes(rolled, "activity_id", cols, wins, clamp_negative=True)
+    nested = assemble.collect_samples(s, "activity_id", "time_key", ["hr"])
+    digest = nested.select(
+        "activity_id",
+        F.concat_ws("_", F.lit("act"), F.col("activity_id")).alias("name_id"),
+        F.size("streams").cast("long").alias("n_samples"),
+        (F.element_at("streams", -1)["time_key"] + 1).cast("long").alias("n_ticks"),
+        F.element_at("streams", 1)["hr"].alias("first_hr"),
+        F.element_at("streams", -1)["hr"].alias("last_hr"),
+    )
+    return digest.join(maxed, "activity_id").select(
+        "activity_id",
+        "name_id",
+        "n_samples",
+        "n_ticks",
+        "first_hr",
+        "last_hr",
+        *[
+            _r6(F.col(f"max_{c}_{w}")).alias(f"max_{c}_{w}")
+            for c in cols
+            for w in wins
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

@@ -159,3 +159,38 @@ def test_triang_large_windows_long_series(spark):
                 atol=1e-8,
                 err_msg=f"key={k} w={w}",
             )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_triang_quantized_matches_oracle_on_quantized_input(spark, seed):
+    """quantize=True computes the triangular mean EXACTLY over inputs
+    quantized to 1e-6 (µ-unit integer stencil; used when rolling over
+    computed doubles like interpolation output, where raw-double
+    stencil-vs-fold drift can straddle a round(·,6) boundary between
+    engines — x_pipeline_activity_e2e). Against the pandas fold oracle
+    applied to the same 6dp-rounded series, results must agree to the
+    fold's own FP noise; and the unquantized path on the rounded input
+    must agree with the quantized one to ~1e-9 (the drift being killed
+    is smaller than that — this pins that quantization IS a 6dp round,
+    not a semantics change)."""
+    pdf = _random_frame(seed)
+    pdf["x"] = pdf["x"].round(6)
+    sdf = to_sdf(spark, pdf)
+    got = (
+        rolling_mean_triang(sdf, "activity_id", "t", ["x"], WINDOWS, quantize=True)
+        .toPandas()
+        .sort_values(["activity_id", "t"])
+        .reset_index(drop=True)
+    )
+    for k, grp in pdf.groupby("activity_id"):
+        series = grp.sort_values("t")["x"].astype(float).reset_index(drop=True)
+        sub = got[got.activity_id == k].reset_index(drop=True)
+        for w in WINDOWS:
+            want = rolling_triang_pandas_oracle(series, w)
+            np.testing.assert_allclose(
+                sub[f"x_tri_{w}"].astype(float).to_numpy(),
+                want.to_numpy(),
+                rtol=1e-9,
+                atol=1e-9,
+                err_msg=f"key={k} w={w}",
+            )

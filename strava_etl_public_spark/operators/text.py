@@ -438,7 +438,10 @@ def pack_chunks(
         f"{name} {dtype}" for name, dtype in bucketed.dtypes if name != "_bucket"
     ) + ", pack_id long, pack_fill long"
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no per-param type hints: a partial hint set makes Spark's
+    # eval-type inference warn; the (key, pdf) arity alone selects the
+    # grouped-map path
+    def pack(key, pdf):
         bucket = int(key[0])
         pdf = pdf.sort_values(
             [tokens_col, *id_cols], ascending=[False] + [True] * len(id_cols)

@@ -1295,15 +1295,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session_window (S-family extension; guide 'Sessionization')."""
     ensure_harness_conf(spark)
     ev = load(spark, sf_dir, "events")
-    # gap math at the ts column's NATIVE grain (ns or µs) — truncating
-    # to seconds first would move sub-second gaps across the 1h
-    # threshold; the oracle compares at epoch_ns precision.
+    # gap math at µs grain — sub-second exact, but NOT finer: DuckDB's
+    # parquet reader truncates TIMESTAMP(NANOS) to µs, so on the
+    # bigint-nanos encoding a ns-grain comparison here could flip a
+    # boundary gap the oracle cannot see (ADVICE r4). Ordering uses the
+    # same µs key so a sub-µs tie breaks on event_id in both engines.
+    # (Truncating to SECONDS would be wrong the other way — it moves
+    # sub-second gaps across the 1h threshold.)
     native, ups = ep.native_epoch(ev)
-    ev = ev.withColumn("_e", native)
-    wt = Window.partitionBy("user_id").orderBy("_e", "event_id")
-    gap = 3600 * ups
-    prev = F.lag("_e").over(wt)
-    new_session = F.when(prev.isNull() | ((F.col("_e") - prev) > gap), 1).otherwise(0)
+    us_div = max(ups // 10**6, 1)  # 1000 on ns encodings, 1 on µs
+    ev = ev.withColumn("_e", native).withColumn(
+        "_us", F.expr(f"_e div {us_div}") if us_div > 1 else native
+    )
+    wt = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap = 3600 * 10**6
+    prev = F.lag("_us").over(wt)
+    new_session = F.when(prev.isNull() | ((F.col("_us") - prev) > gap), 1).otherwise(0)
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_id",
         F.sum("new_session").over(wt.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),

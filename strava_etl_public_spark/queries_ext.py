@@ -1231,6 +1231,59 @@ def x_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@register_extra(
+    "x_stream_sliding_counts",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+x AS (
+  SELECT event_type, value, (es - es % 900) - 900 * g.i AS ws
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM x GROUP BY ws, event_type
+""",
+)
+def x_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming counts — 1-hour windows every 15
+    minutes — closing the §2.I tumbling/sliding/session triad (the
+    other two have driver rows). Each event lands in exactly 4
+    overlapping windows (duration/slide); Spark aligns window starts
+    to multiples of the slide, which the oracle replicates by
+    exploding each event onto its 4 bucket starts
+    ((es - es%900) - 900·i, i∈0..3 — every one satisfies
+    ws ≤ es < ws+3600 since es-ws ≤ 899+2700 < 3600). State grows 4×
+    vs tumbling but stays watermark-bounded."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, windowed_counts
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = windowed_counts(
+            stream, window="1 hour", watermark="2 hours", slide="15 minutes"
+        )
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.date_format("w_start", _ISO).alias("w_start"),
+            F.date_format("w_end", _ISO).alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 @register(
     "x_stream_session_window",
     oracle="""
@@ -1613,17 +1666,23 @@ def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_extra(
     "x_stream_dedup",
     oracle="""
-SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
-FROM events GROUP BY event_type
+WITH m AS (SELECT event_id, min(event_type) AS event_type
+           FROM events GROUP BY event_id)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY event_type
 """,
 )
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest dedup: the staged corpus is
     written TWICE (the at-least-once-delivery shape — replayed files,
     retried producers), and ``dropDuplicatesWithinWatermark`` on the
-    event id must emit each event exactly once. Counts per type over
-    the emitted rows must equal the batch distinct counts — a leaked
-    duplicate inflates them, a dropped event deflates them.
+    event id must emit each event exactly once. The emitted ID SET is
+    what the gate checks: ids join to a deterministic id→type map
+    (min event_type per id, same rule both engines — ADVICE r4: WHICH
+    replica survives dedup is micro-batch-order dependent, so the
+    surviving row's own type column must not feed the compare), then
+    count per type. A leaked duplicate id inflates its type's count, a
+    dropped id deflates it.
 
     Scale: dedup state is keyed by event_id in the state store,
     EXPIRED by the watermark bound — unlike plain ``dropDuplicates``,
@@ -1646,11 +1705,17 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_event_time(stream)
             .withWatermark("event_time", "3650 days")
             .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id", "event_type")
+            .select("event_id")
         )
         out = _run_stream(spark, deduped, "append")
+        id_type = (
+            load(spark, sf_dir, "events")
+            .groupBy("event_id")
+            .agg(F.min("event_type").alias("event_type"))
+        )
         return (
-            out.groupBy("event_type")
+            out.join(id_type, "event_id")
+            .groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .localCheckpoint()
         )

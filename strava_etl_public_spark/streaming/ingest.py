@@ -61,13 +61,26 @@ def with_event_time(stream: DataFrame) -> DataFrame:
 
 
 def windowed_counts(
-    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts with late-data bound (§2.I extension)."""
+    """Tumbling-window counts with late-data bound (§2.I extension).
+
+    ``slide`` makes the window SLIDING (e.g. 1-hour windows every 15
+    minutes): each event lands in duration/slide overlapping windows —
+    state rows multiply by that factor but stay watermark-bounded, and
+    the grouping stays one hash-agg; no other change."""
+    win = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
     return (
         with_event_time(stream)
         .withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             # decimal accumulation → order-independent double (queries.py header)

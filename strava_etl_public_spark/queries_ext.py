@@ -143,6 +143,54 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
 
 
+def _clusters_oracle() -> str:
+    """Recursive-closure twin of dedup.duplicate_clusters over the
+    minhash near-dup pair set: enumerate every label reachable from
+    each node through the (bidirectional) edge set, keep the min —
+    the same fixed point min-label propagation converges to, computed
+    a structurally different way (closure vs iteration), so the two
+    engines cross-check the COMPONENT STRUCTURE, not just each other's
+    arithmetic."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)
+SELECT cc.doc_id, cc.rep_id, CAST(sz.n AS BIGINT) AS cluster_size
+FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz
+  USING (rep_id)
+"""
+
+
+@register_extra("x_dedup_clusters", oracle=_clusters_oracle())
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over
+    the MinHash-LSH near-dup pairs via deterministic min-label
+    propagation — every doc maps to the smallest doc id in its
+    component plus the cluster size, i.e. the "keep one per cluster"
+    step a training pipeline applies after pairwise dedup. The fixed
+    point is a pure function of the edge set (engine/partitioning
+    independent); the oracle recomputes it as a recursive closure.
+    Scale: per round one edge⋈label join + one min-agg (both keyed on
+    doc id), state = one row per node, rounds = component diameter
+    (shallow for dup chains; fixture ≤3), loud failure past the cap."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    return dedup.duplicate_clusters(pairs, "doc_a", "doc_b")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     def nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"

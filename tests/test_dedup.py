@@ -235,3 +235,48 @@ def test_simhash_near_dup_hot_chunk_star(spark):
     found = {tuple(r) for r in out[["doc_a", "doc_b"]].itertuples(index=False)}
     assert found == {(10, i) for i in range(11, 30)}
     assert (out["hamming"] == 0).all()
+
+
+def test_duplicate_clusters_chain_and_triangle(spark):
+    """Min-label propagation: a 4-chain (diameter 3 — needs >1 round),
+    a triangle, and an isolated pair each collapse to the component's
+    min id with the right size; docs in no pair are absent."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 7-5-3-1, triangle 10-11-12, pair 20-21
+                "doc_a": [7, 5, 3, 10, 11, 10, 20],
+                "doc_b": [5, 3, 1, 11, 12, 12, 21],
+            }
+        )
+    )
+    out = duplicate_clusters(pairs).toPandas().sort_values("doc_id")
+    got = {(int(r.doc_id), int(r.rep_id), int(r.cluster_size)) for r in out.itertuples()}
+    want = (
+        {(i, 1, 4) for i in (1, 3, 5, 7)}
+        | {(i, 10, 3) for i in (10, 11, 12)}
+        | {(i, 20, 2) for i in (20, 21)}
+    )
+    assert got == want
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must raise, never
+    return a partially-propagated (silently wrong) cluster map."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from strava_etl_public_spark.operators.dedup import duplicate_clusters
+
+    # path graph 0-1-2-...-8: diameter 8, labels travel 1 hop/round
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(8)), "doc_b": list(range(1, 9))})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
+    out = duplicate_clusters(pairs, max_iters=10).toPandas()
+    assert set(out.rep_id) == {0} and set(out.cluster_size) == {9}

@@ -138,6 +138,7 @@ def main() -> int:
         "x_dedup_decontaminate",
         "x_text_bigram_lm",
         "x_pipeline_activity_e2e",
+        "x_pipeline_corpus_filter",
     ):
         if n not in EXTRA_QUERIES:
             continue

@@ -939,10 +939,7 @@ def x_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN = ", ".join(repr(w) for w in text.LANG_PROFILES["en"])
 
-
-@register(
-    "x_text_quality",
-    oracle=f"""
+_QUALITY_ORACLE = f"""
 WITH f AS (
   SELECT doc_id,
          len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok,
@@ -962,8 +959,10 @@ SELECT doc_id,
          + (CAST(alpha AS DOUBLE) / CAST(nc AS DOUBLE)) * 0.3
        END, 6) AS quality_score
 FROM f
-""",
-)
+"""
+
+
+@register("x_text_quality", oracle=_QUALITY_ORACLE)
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/punctuation quality features + composite score."""
     ensure_harness_conf(spark)
@@ -1667,6 +1666,98 @@ def x_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 19 == 0)
     out = dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.3)
     return out.withColumn("flagged", F.col("flagged").cast("long"))
+
+
+def _corpus_filter_oracle() -> str:
+    """The whole corpus-cleaning decision as one CTE composition — each
+    CTE is a piece query's already-verified oracle verbatim (lang-id,
+    quality, Gopher repetition, decontamination, near-dup clusters
+    incl. the recursive closure), joined into per-doc keep flags."""
+    return f"""
+WITH lang AS ({_lang_oracle()}),
+qual AS ({_QUALITY_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+dec AS ({_DECONTAM_ORACLE}),
+cc AS ({_clusters_oracle()})
+SELECT d.doc_id,
+       (l.lang_pred = 'en') AS lang_ok,
+       (q.quality_score >= 0.4) AS quality_ok,
+       (r.top_token_frac <= 0.15 AND r.top_2gram_frac <= 0.08) AS repetition_ok,
+       (x.contamination_frac < 0.3) AS decontam_ok,
+       (cc.rep_id IS NULL OR cc.rep_id = d.doc_id) AS dedup_keep,
+       ((l.lang_pred = 'en') AND (q.quality_score >= 0.4)
+        AND (r.top_token_frac <= 0.15 AND r.top_2gram_frac <= 0.08)
+        AND (x.contamination_frac < 0.3)
+        AND (cc.rep_id IS NULL OR cc.rep_id = d.doc_id)) AS keep
+FROM documents d
+JOIN lang l USING (doc_id)
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+JOIN dec x USING (doc_id)
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+"""
+
+
+@register_extra("x_pipeline_corpus_filter", oracle=_corpus_filter_oracle())
+def x_pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data twin of x_pipeline_activity_e2e: the WHOLE
+    corpus-cleaning decision fused in one plan — language-ID, quality
+    score, Gopher repetition signals, benchmark decontamination, and
+    near-dup cluster canonicalization — emitting per-doc keep flags
+    and their conjunction (the doc set a pretraining run would read).
+    Thresholds sit at measured fixture quantiles (SCALE.md r5) so
+    every flag discriminates rather than passing everything.
+
+    Plan shape: five branches over ONE documents scan (all shuffles
+    keyed on doc_id except the bounded broadcast probes inside
+    decontamination), joined back on the per-doc grain; the cluster
+    branch adds the iterative CC rounds. At 100 TB each branch is the
+    already-audited piecewise plan; the join grain is one row per doc.
+    """
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
+    lang = toks.select(
+        "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
+    )
+    qual = text.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    rep = text.repetition_features(docs, "doc_id", "text").select(
+        "doc_id", "top_token_frac", "top_2gram_frac"
+    )
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    dec = dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.3).select(
+        "doc_id", "contamination_frac"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b").select("doc_id", "rep_id")
+    lang_ok = F.col("lang_pred") == "en"
+    quality_ok = F.col("quality_score") >= 0.4
+    repetition_ok = (F.col("top_token_frac") <= 0.15) & (F.col("top_2gram_frac") <= 0.08)
+    decontam_ok = F.col("contamination_frac") < 0.3
+    dedup_keep = F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            lang_ok.alias("lang_ok"),
+            quality_ok.alias("quality_ok"),
+            repetition_ok.alias("repetition_ok"),
+            decontam_ok.alias("decontam_ok"),
+            dedup_keep.alias("dedup_keep"),
+            (lang_ok & quality_ok & repetition_ok & decontam_ok & dedup_keep).alias(
+                "keep"
+            ),
+        )
+    )
 
 
 _BIGRAM_LM_ORACLE = f"""

@@ -353,6 +353,34 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 1000) -> DataFrame:
+    """Corpus vocabulary build: the k most frequent tokens with total
+    count and document frequency — the tokenizer-training / vocab-
+    pruning stage of an LLM data pipeline.
+
+    Deterministic ordering by (count desc, token asc). Scale shape:
+    one explode + one hash agg keyed on token (map-side combined —
+    Zipfian heavy hitters collapse per partition before the shuffle;
+    count(DISTINCT id) rides the same agg), then a global top-k that
+    Spark plans as TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows, never a full sort); ranks are assigned over the
+    ALREADY-REDUCED k rows, so the single-partition window is bounded
+    by k, not vocabulary size."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

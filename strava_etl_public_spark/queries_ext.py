@@ -1588,6 +1588,29 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "x_text_vocab_topk",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+c AS (SELECT token,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok GROUP BY token),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c)
+SELECT token, n, n_docs, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 1000
+""",
+)
+def x_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-1000 tokens by (count desc, token)
+    with total and document frequency — the tokenizer-training stage.
+    One explode + one map-side-combined hash agg + TakeOrdered top-k;
+    the rank window runs over the already-reduced k rows only."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, "doc_id", "text", k=1000)
+
+
 _REPETITION_ORACLE = f"""
 WITH tk AS ({_TK_SQL}),
 g AS (

@@ -1589,6 +1589,49 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_skew_salted_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       MAX(l_extendedprice) AS max_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over the fact table's 6-value
+    grouping key — the skew pattern AQE cannot fix (a split join
+    partition still reduces a 6-key groupBy into ≤6 final tasks;
+    salting reduces on 6×32). Phase 1 aggregates by (keys, salt from
+    xxhash64 of row content — retry-deterministic, unlike rand());
+    phase 2 merges the ≤192 partials with each aggregate's combine
+    function. Decimal-cast sums keep the merge order-independent, so
+    the result is bit-identical to the plain GROUP BY the oracle runs
+    — salting must never be observable downstream."""
+    ensure_harness_conf(spark)
+    from .operators import skew
+
+    li = load(spark, sf_dir, "lineitem")
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(38,6)")),
+            "max_price": ("max", F.col("l_extendedprice")),
+            "count_order": ("count", "l_quantity"),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_price",
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+@register_extra(
     "x_text_vocab_topk",
     oracle=f"""
 WITH tk AS ({_TK_SQL}),

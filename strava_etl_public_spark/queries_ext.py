@@ -1589,6 +1589,82 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_rollup_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def x_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) in
+    one pass — Spark plans grouping sets as a single Expand + hash agg,
+    not one scan per level. NULL grouping slots are coalesced to a
+    sentinel so the oracle compare is unambiguous (a NULL from rollup
+    vs a NULL key are different things). Decimal-cast revenue keeps
+    the sums order-independent across engines."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register_extra(
+    "x_pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+""",
+)
+def x_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide counts per event type). The pivot value list
+    is EXPLICIT, which is the scale rule: an unlisted pivot runs an
+    extra distinct pass over the key column AND makes the output
+    schema data-dependent — a schema change waiting to happen upstream
+    of a writer. With listed values Spark plans the same single hash
+    agg as the FILTER-clause oracle."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+
+
+@register_extra(
     "x_skew_salted_agg",
     oracle="""
 SELECT l_returnflag, l_linestatus,

@@ -40,6 +40,12 @@ def main() -> int:
         "x_text_repetition",
         "x_dedup_decontaminate",
         "x_text_bigram_lm",
+        "x_pipeline_activity_e2e",
+        "x_pipeline_corpus_filter",
+        "x_text_vocab_topk",
+        "x_skew_salted_agg",
+        "x_rollup_revenue",
+        "x_pivot_event_counts",
     ]
     flagged = 0
     for n in bench.HEADLINE + audited_extras:

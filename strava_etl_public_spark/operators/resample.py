@@ -81,23 +81,38 @@ def interpolate_linear(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
-    out = df
+    # All same-spec window expressions land in ONE projection batch per
+    # direction (withColumns, not a per-column withColumn loop): the
+    # loop interleaves asc/desc exprs, and Catalyst preserves that
+    # order — measured 4 Window + 4 Sort nodes for a single column
+    # (12/10 at three columns). Batched: exactly one Window node (and
+    # one sort) per direction however many columns interpolate.
+    wb_cols: dict[str, F.Column] = {}
+    wf_cols: dict[str, F.Column] = {}
     for c in cols:
         v = F.col(c)
         t_if = F.when(v.isNotNull(), F.col(ord_col))
-        prev_v = F.last(v, ignorenulls=True).over(w_back)
-        prev_t = F.last(t_if, ignorenulls=True).over(w_back)
-        next_v = F.last(v, ignorenulls=True).over(w_fwd)
-        next_t = F.last(t_if, ignorenulls=True).over(w_fwd)
+        wb_cols[f"_pv_{c}"] = F.last(v, ignorenulls=True).over(w_back)
+        wb_cols[f"_pt_{c}"] = F.last(t_if, ignorenulls=True).over(w_back)
+        wf_cols[f"_nv_{c}"] = F.last(v, ignorenulls=True).over(w_fwd)
+        wf_cols[f"_nt_{c}"] = F.last(t_if, ignorenulls=True).over(w_fwd)
+    out = df.withColumns(wb_cols).withColumns(wf_cols)
+    final: dict[str, F.Column] = {}
+    for c in cols:
+        v = F.col(c)
+        prev_v, prev_t = F.col(f"_pv_{c}"), F.col(f"_pt_{c}")
+        next_v, next_t = F.col(f"_nv_{c}"), F.col(f"_nt_{c}")
         ratio = (F.col(ord_col) - prev_t).cast("double") / (next_t - prev_t).cast("double")
-        interp = (
+        final[c] = (
             F.when(v.isNotNull(), v)
             .when(prev_v.isNull(), F.lit(None))
             .when(next_v.isNull(), prev_v)  # trailing ffill
             .otherwise(prev_v + (next_v - prev_v) * ratio)
         )
-        out = out.withColumn(c, interp)
-    return out
+    out = out.withColumns(final)
+    return out.drop(
+        *[f"_{p}_{c}" for c in cols for p in ("pv", "pt", "nv", "nt")]
+    )
 
 
 def mask_endpoints(

@@ -1589,6 +1589,55 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_quantiles_value",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75
+FROM v GROUP BY event_type
+""",
+)
+def x_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (percentile_disc semantics: the value
+    at rank ⌈p·n⌉) computed by explicit rank math, NOT an engine
+    percentile builtin — Spark's `percentile` interpolates and
+    `percentile_approx` sketches, neither cross-engine-exact; rank
+    arithmetic is (0.25/0.5/0.75 are exact binary fractions, so
+    ⌈p·n⌉ is integer-exact in both engines). One shuffle+sort per
+    group family — the honest cost of EXACT quantiles at any scale;
+    the HLL sketch (x_sketch_hll_users) is the approximate-precedent
+    pattern when a full sort is too expensive."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = {
+        f"p{int(p * 100)}": F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+        )
+        for p in (0.25, 0.50, 0.75)
+    }
+    return v.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        *[c.alias(name) for name, c in pick.items()],
+    )
+
+
+@register_extra(
     "x_rollup_revenue",
     oracle="""
 SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,

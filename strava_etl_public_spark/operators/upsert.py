@@ -78,3 +78,51 @@ def append_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    attr: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event stream —
+    the CDC compaction downstream of any upsert feed: collapse
+    consecutive duplicate attribute values into validity intervals
+    ``(key, attr, valid_from, valid_to, is_current)``, where
+    ``valid_to`` is the next change's ``valid_from`` (NULL while
+    current). The reference's whole-document LWW replace keeps only
+    the final state; SCD2 is what a warehouse keeps instead when
+    history must be queryable (point-in-time joins ride
+    ``valid_from <= t < valid_to``).
+
+    Change detection is ``attr IS DISTINCT FROM lag(attr)`` (NULL-safe,
+    so NULL→value and value→NULL are changes, NULL→NULL is not).
+    Scale: two window passes on ONE (key, ord) sort family — no
+    self-join; one shuffle total.
+    """
+    order = [F.col(ord_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # first row per key is always a change (lag undefined); eqNullSafe
+    # on the lag alone would call a NULL-valued head "no change"
+    changed = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_chg",
+        (F.col("_rn") == 1) | ~F.col(attr).eqNullSafe(F.lag(attr).over(w)),
+    )
+    tie = [F.col(tie_col).alias("_tie")] if tie_col else []
+    versions = changed.filter(F.col("_chg")).select(
+        key, F.col(ord_col).alias("valid_from"), F.col(attr).alias(attr), *tie
+    )
+    w2 = Window.partitionBy(key).orderBy(
+        *([F.col("valid_from")] + ([F.col("_tie")] if tie_col else []))
+    )
+    return (
+        versions.select(
+            key,
+            attr,
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .functions import epoch as ep
 from .io import load
 from .session import ensure_harness_conf
 from .queries import register, register_extra, streams
@@ -1586,6 +1587,47 @@ def x_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_chunks(
         chunks, ["doc_id", "chunk_idx"], "n_tokens", budget=256, n_buckets=8
     )
+
+
+@register_extra(
+    "x_scd2_user_state",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id, event_type
+  FROM events
+),
+c AS (
+  SELECT user_id, us, event_id, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+v AS (
+  SELECT user_id, event_type, us AS valid_from, event_id
+  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+""",
+)
+def x_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (the warehouse CDC pattern the reference's
+    whole-document LWW replace throws away): consecutive duplicate
+    per-user event_type states collapse into validity intervals
+    (valid_from, valid_to µs-epoch, NULL-open while current), with
+    NULL-safe change detection and point-in-time joins riding
+    valid_from <= t < valid_to. Two window passes on ONE (user, time)
+    sort family — no self-join, one shuffle."""
+    ensure_harness_conf(spark)
+    from .operators import upsert as U
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", ep.epoch_us(ev).alias("us"), "event_id", "event_type"
+    )
+    return U.scd2_history(ev, "user_id", "us", "event_type", tie_col="event_id")
 
 
 @register_extra(

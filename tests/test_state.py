@@ -103,3 +103,37 @@ def test_upsert_in_source_tie_deterministic(spark):
         ).repartition(4)
         out = upsert_last_writer_wins(None, updates, "username", "updated_at").toPandas()
         assert len(out) == 1 and out["payload"].iloc[0] == "z"
+
+
+def test_scd2_history_collapses_runs_nullsafe(spark):
+    """SCD2: consecutive duplicate states collapse into one interval;
+    NULL→value and value→NULL are changes, NULL→NULL is not; intervals
+    chain (valid_to = next valid_from) and only the last is open."""
+    from strava_etl_public_spark.operators.upsert import scd2_history
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 6 + [2] * 3,
+            "t": [10, 20, 30, 40, 50, 60, 10, 20, 30],
+            "tie": list(range(9)),
+            "s": ["a", "a", None, None, "b", "b", None, None, "x"],
+        }
+    )
+    out = (
+        scd2_history(spark.createDataFrame(pdf), "k", "t", "s", tie_col="tie")
+        .toPandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    rows = [
+        (int(r.k), r.s, int(r.valid_from),
+         None if pd.isna(r.valid_to) else int(r.valid_to), bool(r.is_current))
+        for r in out.itertuples()
+    ]
+    assert rows == [
+        (1, "a", 10, 30, False),
+        (1, None, 30, 50, False),
+        (1, "b", 50, None, True),
+        (2, None, 10, 30, False),
+        (2, "x", 30, None, True),
+    ]

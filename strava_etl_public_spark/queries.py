@@ -720,7 +720,7 @@ def j1_j2_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "j3_zip_explode",
     oracle=f"""
 WITH s AS ({STREAMS_SQL}),
@@ -1488,7 +1488,9 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
     "N13": ("n1_n5_n6_n13_normalize",),
     "J1": ("j1_j2_spine_join",),
     "J2": ("j1_j2_spine_join",),
-    "J3": ("j3_zip_explode",),
+    # J3's exact arrays_zip+posexplode shape runs inside a3_stream_align
+    # (queries.py:242-284); the dedicated twin lives in extras since r6.
+    "J3": ("a3_stream_align", "j3_zip_explode"),
     "J4": ("j4_users_activities_join",),
     "G1": ("a5_watermark_readback", "g1_filtered_max"),  # (=A5 set-based form)
     "G2": ("g2_rolling_maxes_wide",),
@@ -1547,16 +1549,20 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_stream_tumbling_counts",
     "x_stream_session_window",
     "x_stream_stateful_user_stats",
-    # multimodal plumbing
+    # multimodal plumbing (x_mm_extract_meta demoted to extras r6 — same
+    # mapInPandas plumbing as x_mm_decode_stats, which now runs a REAL
+    # stdlib PNG decode)
     "x_mm_frame_sample",
-    "x_mm_extract_meta",
     "x_mm_decode_stats",
-    # deduplication
+    # deduplication (+ r5 flagship promoted r6: cluster canonicalization)
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash_neardup",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
+    "x_dedup_clusters",
+    # fused end-to-end pipeline (r5 flagship promoted r6)
+    "x_pipeline_activity_e2e",
     # SURVEY §2 reference parity
     "a1_incremental_scan",
     "a2_a4_lookups",
@@ -1568,7 +1574,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "n2_n3_n4_n8_scalar_transforms",
     "n10_cohort_split",
     "j1_j2_spine_join",
-    "j3_zip_explode",
+    # j3_zip_explode demoted to extras r6: its exact shape runs inside
+    # a3_stream_align (queries.py:242-284); J3 stays covered via extras.
     "j4_users_activities_join",
     "w1_rolling_triang",
     "w2_interpolate_linear",

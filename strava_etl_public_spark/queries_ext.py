@@ -172,7 +172,7 @@ FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz
 """
 
 
-@register_extra("x_dedup_clusters", oracle=_clusters_oracle())
+@register("x_dedup_clusters", oracle=_clusters_oracle())
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over
     the MinHash-LSH near-dup pairs via deterministic min-label
@@ -822,7 +822,7 @@ FROM digest JOIN g USING (activity_id)
 """
 
 
-@register_extra("x_pipeline_activity_e2e", oracle=_e2e_oracle())
+@register("x_pipeline_activity_e2e", oracle=_e2e_oracle())
 def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's WHOLE per-activity DAG (main.py:19-181) fused
     into one plan — densify (J1/J2) → linear-interpolate 3 metrics
@@ -1153,7 +1153,7 @@ def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_frame_index(payloads, every_n=16)
 
 
-@register(
+@register_extra(
     "x_mm_extract_meta",
     oracle="""
 SELECT doc_id,

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import pngcodec
+
 META_SCHEMA = "doc_id long, n_bytes long, sha256 string, kind string"
 
 
@@ -31,7 +33,11 @@ def _probe_codecs() -> dict[str, bool]:
     """Import-time codec probe. Checked 2026-08-13 in the build
     container: PIL, cv2, imageio, av, soundfile, librosa, torchvision,
     skimage all absent; no ffmpeg/ffprobe binary on PATH. The real
-    kernels below activate automatically wherever the probe passes."""
+    kernels below activate automatically wherever the probe passes.
+
+    ``png_stdlib`` is always True: operators/pngcodec.py implements a
+    real non-interlaced 8-bit PNG decoder on zlib+struct alone, so the
+    decode stage has an executable REAL codec even in this container."""
     import shutil
 
     probe = {}
@@ -48,6 +54,7 @@ def _probe_codecs() -> dict[str, bool]:
     except ImportError:
         probe["pyav"] = False
     probe["ffmpeg"] = shutil.which("ffmpeg") is not None
+    probe["png_stdlib"] = True
     return probe
 
 
@@ -88,36 +95,84 @@ def extract_meta(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return binary_df.mapInPandas(_extract, schema=META_SCHEMA)
 
 
+def attach_png(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a REAL deterministic PNG payload per row (the
+    fixture tables carry no media, so the image content derives from
+    sha256 of the text column — see pngcodec.deterministic_png for the
+    closed-form layout a SQL oracle can predict). Encoding runs
+    executor-side in Arrow batches."""
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[text_col].map(
+                        lambda t: pngcodec.deterministic_png(
+                            hashlib.sha256(str(t).encode()).digest()
+                        )
+                    ),
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+    return out.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("image/png").alias("kind"),
+        ).alias("meta"),
+    )
+
+
 def decode_image(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """payload BINARY → (doc_id, width, height, channels,
-    mean_intensity) via PIL, inside the same Arrow `mapInPandas`
-    plumbing as :func:`fake_decode_stats` (only the kernel differs).
-    Raises NotImplementedError with the probe result where PIL is
-    absent (this container: CODECS['pil'] is False — checked at
-    import, see _probe_codecs)."""
-    if not CODECS["pil"]:
-        raise NotImplementedError(
-            f"image codec unavailable (probe: {CODECS}); "
-            "use fake_decode_stats() for deterministic shape-true testing"
-        )
+    mean_intensity) through Arrow `mapInPandas`. Kernel dispatch via
+    the import-time probe: PIL where present (any format), else the
+    pure-stdlib PNG decoder (operators/pngcodec.py — real chunk walk,
+    CRC verify, IDAT inflate, all five filter reconstructions;
+    non-interlaced 8-bit PNGs). In this container the stdlib path IS
+    the hot path (CODECS['pil'] is False, 'png_stdlib' always True).
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+    mean_intensity on both kernels = sum(samples)/n/255 with fixed
+    division order so SQL oracles reproduce the double exactly."""
 
-        import numpy as np
-        from PIL import Image
+    if CODECS["pil"]:
 
-        for pdf in batches:
-            rows = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                with Image.open(io.BytesIO(bytes(payload))) as im:
-                    arr = np.asarray(im, dtype="float64")
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            for pdf in batches:
+                rows = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
+                for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        arr = np.asarray(im, dtype="int64")
+                        rows["doc_id"].append(doc_id)
+                        rows["width"].append(im.width)
+                        rows["height"].append(im.height)
+                        rows["channels"].append(arr.shape[2] if arr.ndim == 3 else 1)
+                        rows["mean_intensity"].append(int(arr.sum()) / arr.size / 255.0)
+                yield pd.DataFrame(rows)
+
+    else:
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
+                for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                    w, h, c, mean = pngcodec.decode_stats(bytes(payload))
                     rows["doc_id"].append(doc_id)
-                    rows["width"].append(im.width)
-                    rows["height"].append(im.height)
-                    rows["channels"].append(arr.shape[2] if arr.ndim == 3 else 1)
-                    rows["mean_intensity"].append(float(arr.mean()) / 255.0)
-            yield pd.DataFrame(rows)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["mean_intensity"].append(mean)
+                yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(
         _decode,

@@ -1174,6 +1174,13 @@ def x_mm_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_oracle() -> str:
+    """Closed-form prediction of the REAL PNG decode: payloads are
+    deterministic PNGs synthesized from sha256(text) (pngcodec.
+    deterministic_png documents the layout), so the oracle derives
+    width/height/channels from the digest bytes and the exact integer
+    sample sum from the row-constant pixel recipe — no image library
+    needed on the DuckDB side either."""
+
     def nib(i: int) -> str:
         return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
 
@@ -1181,25 +1188,42 @@ def _decode_oracle() -> str:
         return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
 
     return f"""
-WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents)
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             8 + {byte(0)} % 56 AS w,
+             8 + {byte(1)} % 56 AS ht,
+             CASE WHEN {byte(2)} % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             {byte(3)} AS s
+      FROM hh),
+m AS (SELECT doc_id, w, ht, ch,
+             SUM(CASE WHEN ch = 1 THEN (s + y) % 256
+                      ELSE (s + y) % 256 + (s + y + 85) % 256 + (s + y + 170) % 256
+                 END) AS rowsum
+      FROM p, LATERAL (SELECT unnest(generate_series(0, ht - 1)) AS y) u
+      GROUP BY doc_id, w, ht, ch)
 SELECT doc_id,
-       CAST(64 + {byte(0)} % 192 AS INTEGER) AS width,
-       CAST(64 + {byte(1)} % 192 AS INTEGER) AS height,
-       CAST(1 + {byte(2)} % 4 AS INTEGER) AS channels,
-       CAST({byte(3)} AS DOUBLE) / 255.0 AS mean_intensity
-FROM hh
+       CAST(w AS INTEGER) AS width,
+       CAST(ht AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       round(CAST(w * rowsum AS DOUBLE) / (w * ht * ch) / 255.0, 6) AS mean_intensity
+FROM m
 """
 
 
 @register("x_mm_decode_stats", oracle=_decode_oracle())
 def x_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode stage run through its real mapInPandas batch path with
-    the deterministic fake codec (real image/audio libs are stubbed —
-    multimodal.decode_image raises NotImplementedError)."""
+    """The decode stage with a REAL codec on the hot path: synthesize a
+    deterministic PNG per document (executor-side, Arrow batches), then
+    decode it with the pure-stdlib PNG decoder (pngcodec.decode_stats —
+    chunk walk + CRC verify + IDAT inflate + all five filter
+    reconstructions). The oracle predicts the decoded stats in closed
+    form from the digest recipe; a decoder bug (filter math, stride,
+    chunk parse) breaks the hash match."""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
-    payload = multimodal.attach_binary(docs, "doc_id", "text", kind="image")
-    return multimodal.fake_decode_stats(payload, "doc_id")
+    payload = multimodal.attach_png(docs, "doc_id", "text")
+    out = multimodal.decode_image(payload, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
 
 
 # ---------------------------------------------------------------------------

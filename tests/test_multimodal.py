@@ -49,15 +49,102 @@ def test_fake_decode_deterministic(spark):
     assert ((a.channels >= 1) & (a.channels <= 4)).all()
 
 
-def test_decode_image_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image(_bin_df(spark))
-    from strava_etl_public_spark.operators.multimodal import resize_image, sample_frames
+def test_absent_codecs_still_stubbed(spark):
+    """resize (PIL re-encode) and video demux (PyAV) remain probe-gated
+    in this container; decode_image no longer is — the stdlib PNG
+    kernel took that path over (test_decode_image_real_png)."""
+    from strava_etl_public_spark.operators.multimodal import (
+        CODECS,
+        resize_image,
+        sample_frames,
+    )
 
-    with pytest.raises(NotImplementedError):
-        resize_image(_bin_df(spark), 64, 64)
-    with pytest.raises(NotImplementedError):
-        sample_frames(_bin_df(spark))
+    if not CODECS["pil"]:
+        with pytest.raises(NotImplementedError):
+            resize_image(_bin_df(spark), 64, 64)
+    if not CODECS["pyav"]:
+        with pytest.raises(NotImplementedError):
+            sample_frames(_bin_df(spark))
+
+
+def test_decode_image_real_png(spark):
+    """End-to-end REAL decode: attach_png synthesizes genuine PNG bytes
+    (signature, CRC-valid chunks, deflate, per-row filters 0-4) and
+    decode_image reconstructs them with the stdlib kernel. Expectations
+    computed from the digest recipe, independently of the codec."""
+    import hashlib as hl
+
+    from strava_etl_public_spark.operators.multimodal import attach_png
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hello", "world!", "abc"]})
+    )
+    out = (
+        decode_image(attach_png(docs, "doc_id", "text"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for doc_id, text in [(1, "hello"), (2, "world!"), (3, "abc")]:
+        d = hl.sha256(text.encode()).digest()
+        w, h = 8 + d[0] % 56, 8 + d[1] % 56
+        c, s = (3 if d[2] % 2 == 0 else 1), d[3]
+        rowsum = sum(
+            (s + y) % 256
+            if c == 1
+            else (s + y) % 256 + (s + y + 85) % 256 + (s + y + 170) % 256
+            for y in range(h)
+        )
+        assert out.loc[doc_id, "width"] == w
+        assert out.loc[doc_id, "height"] == h
+        assert out.loc[doc_id, "channels"] == c
+        assert out.loc[doc_id, "mean_intensity"] == (w * rowsum) / (w * h * c) / 255.0
+
+
+def test_png_codec_filters_and_errors():
+    """Pure-codec contract: all five filter types round-trip pixel-
+    identically; hand-computed filter vectors pin the encoder side so a
+    matching encode/decode bug pair can't cancel; corrupt CRC and
+    unsupported headers are rejected loudly."""
+    import struct
+    import zlib
+
+    from strava_etl_public_spark.operators import pngcodec as P
+
+    rows = [
+        bytes([(7 * x + 13 * y) % 256 for x in range(9) for _ in range(3)])
+        for y in range(7)
+    ]
+    for ft in range(5):
+        png = P.encode_rows(rows, 9, 2, filter_of=lambda y, ft=ft: ft)
+        _, _, _, back = P.decode(png)
+        assert back == rows, f"filter {ft} round-trip"
+
+    # hand-computed vectors, bpp=1, row=[10,20,30] over prev=[5,5,5]
+    row, prev = bytes([10, 20, 30]), bytes([5, 5, 5])
+    assert P._filter_row(1, row, prev, 1) == bytes([10, 10, 10])  # Sub
+    assert P._filter_row(2, row, prev, 1) == bytes([5, 15, 25])  # Up
+    assert P._filter_row(3, row, prev, 1) == bytes([8, 13, 18])  # Average
+    assert P._filter_row(4, row, prev, 1) == bytes([5, 10, 10])  # Paeth
+
+    good = P.encode_rows([bytes([1, 2, 3])], 3, 0)
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        P.decode(b"nope" + good)
+    # 16-bit depth must be rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        P.decode(deep)
 
 
 def test_fake_frame_index_explode_shape(spark):
@@ -84,14 +171,11 @@ def test_codec_probe_and_gating(spark):
         sample_frames,
     )
 
-    assert set(CODECS) == {"pil", "pyav", "ffmpeg"}
+    assert set(CODECS) == {"pil", "pyav", "ffmpeg", "png_stdlib"}
+    assert CODECS["png_stdlib"] is True  # stdlib decoder is always live
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     b = attach_binary(docs, "doc_id", "text")
-    if not CODECS["pil"]:
-        with pytest.raises(NotImplementedError, match="probe"):
-            decode_image(b)
-    else:  # container gained codecs: the real kernel must at least plan
-        decode_image(b)
+    decode_image(b)  # plans with either kernel (PIL or stdlib PNG)
     if not CODECS["pyav"]:
         with pytest.raises(NotImplementedError, match="probe"):
             sample_frames(b)

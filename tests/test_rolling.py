@@ -107,15 +107,32 @@ def test_box_matches_pandas(spark):
             )
 
 
-def test_oracle_matches_pandas():
-    scipy = pytest.importorskip("scipy")  # noqa: F841 — win_type needs scipy
+def _triang_weights(n: int) -> np.ndarray:
+    """Standard triangular (Bartlett-with-nonzero-ends) window, the same
+    shape pandas' win_type='triang' delegates to scipy for:
+    w(k) = 1 - |2k - n + 1| / (n + 1 if n odd else n)."""
+    k = np.arange(n, dtype=float)
+    denom = n + 1 if n % 2 else n
+    return 1.0 - np.abs(2 * k - n + 1) / denom
+
+
+def test_oracle_matches_weighted_mean():
+    # reference expectation built directly from the public triang-window
+    # formula (no scipy in this container): weighted mean over each full
+    # window, NaN when the frame is incomplete or contains NaN.
     rng = np.random.default_rng(3)
     s = pd.Series(rng.normal(0, 1, 200))
     s[rng.random(200) < 0.1] = np.nan
     for w in (2, 4, 5, 10):
-        want = s.rolling(w, win_type="triang").mean()
+        wts = _triang_weights(w)
+        vals = s.to_numpy()
+        want = np.full(len(s), np.nan)
+        for i in range(w - 1, len(s)):
+            frame = vals[i - w + 1 : i + 1]
+            if not np.isnan(frame).any():
+                want[i] = float(np.dot(frame, wts) / wts.sum())
         got = rolling_triang_pandas_oracle(s, w)
-        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(got.to_numpy(), want, rtol=1e-12, atol=1e-12)
 
 
 def test_activity_maxes_clamps_negative(spark):

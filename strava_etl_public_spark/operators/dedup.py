@@ -103,14 +103,20 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
 DEFAULT_MAX_BUCKET = 1024
 
 
-def lsh_candidate_pairs(
+def _lsh_candidates_raw(
     sig: DataFrame,
     id_col: str,
     k: int = 8,
     bands: int = 4,
     max_bucket: int = DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """Band the k-row signature into `bands` buckets; docs sharing any
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy core of :func:`lsh_candidate_pairs`: returns ``(cand,
+    annotated)`` where ``annotated`` is the internally PERSISTED bucket
+    table the caller must unpersist after its last action — letting a
+    composing pipeline (minhash_lsh_dedup) place ONE materialization
+    barrier instead of stacking two.
+
+    Band the k-row signature into `bands` buckets; docs sharing any
     band bucket become candidate pairs (doc_a < doc_b).
 
     Pairs are generated by **bucket-collect**, not a self-join: group by
@@ -199,7 +205,26 @@ def lsh_candidate_pairs(
         .filter(F.col(id_col) != F.col("_min_id"))
         .select(F.col("_min_id").alias("doc_a"), F.col(id_col).alias("doc_b"))
     )
-    return pairs_small.unionByName(pairs_hot).distinct()
+    return pairs_small.unionByName(pairs_hot).distinct(), annotated
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Standalone face of :func:`_lsh_candidates_raw`: eagerly
+    materializes the candidate pairs (the SMALL end of the funnel —
+    bucket-combinatorics-bounded) so the persisted bucket table is
+    released here instead of leaking for the session lifetime
+    (duplicate_clusters discipline; r5 watch item #1)."""
+    cand, annotated = _lsh_candidates_raw(sig, id_col, k, bands, max_bucket)
+    try:
+        return cand.localCheckpoint(eager=True)
+    finally:
+        annotated.unpersist()
 
 
 def jaccard_verify(
@@ -253,20 +278,36 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
     The shingle table feeds the signature agg AND three verify joins;
     without a persist every consumer re-runs the tokenize→shingle→
     distinct shuffle. MEMORY_AND_DISK keeps it a spill-safe one-pass
-    cost at scale (shingles ≈ tokens × n, the biggest intermediate).
+    cost at scale (shingles ≈ tokens × n, the biggest intermediate);
+    the verified pair table (the small end of the funnel) is eagerly
+    materialized — ONE barrier for the whole pipeline — so the shingle
+    and bucket caches are released on exit rather than leaking for the
+    session lifetime.
+
+    ``sh``: a precomputed (ideally caller-persisted) ``doc_shingles``
+    table to share with sibling operators (e.g. decontamination in a
+    fused corpus pipeline) — the caller then owns its lifecycle.
     """
     from pyspark import StorageLevel
 
-    sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    own_sh = sh is None
+    if own_sh:
+        sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, id_col, k)
-    cand = lsh_candidate_pairs(sig, id_col, k, bands, max_bucket)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    cand, annotated = _lsh_candidates_raw(sig, id_col, k, bands, max_bucket)
+    try:
+        return jaccard_verify(cand, sh, id_col, threshold).localCheckpoint(eager=True)
+    finally:
+        annotated.unpersist()
+        if own_sh:
+            sh.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -284,17 +325,20 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
-    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return jaccard_verify(cand, sh, id_col, threshold)
+    try:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+        a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return jaccard_verify(cand, sh, id_col, threshold).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -419,13 +463,18 @@ def simhash_near_dup(
         )
     )
     cand = pairs_small.unionByName(pairs_hot).dropDuplicates(["doc_a", "doc_b"])
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    # verified-pair funnel end: materialize, release the bucket cache
+    try:
+        return (
+            cand.withColumn(
+                "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    finally:
+        annotated.unpersist()
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -512,6 +561,8 @@ def decontaminate(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    corpus_shingles: DataFrame | None = None,
+    benchmark_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per-document n-gram overlap with an
     evaluation corpus (the train/test-contamination check every
@@ -530,10 +581,18 @@ def decontaminate(
     never shuffled pairwise against anything; cost is one pass.
     Shingle identity is the 60-bit md5 prefix from :func:`doc_shingles`
     (fixed-width join keys, engine-replicable).
+
+    ``corpus_shingles`` / ``benchmark_shingles``: precomputed (ideally
+    caller-persisted) ``doc_shingles`` tables, so a fused pipeline that
+    also runs MinHash dedup shingles the corpus ONCE.
     """
-    d = doc_shingles(corpus, id_col, text_col, n).select(id_col, "shingle")
+    if corpus_shingles is None:
+        corpus_shingles = doc_shingles(corpus, id_col, text_col, n)
+    if benchmark_shingles is None:
+        benchmark_shingles = doc_shingles(benchmark, id_col, text_col, n)
+    d = corpus_shingles.select(id_col, "shingle")
     b = (
-        doc_shingles(benchmark, id_col, text_col, n)
+        benchmark_shingles
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -616,34 +675,38 @@ def duplicate_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "lab", F.col("id")
-    ).localCheckpoint()
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("lab").alias("_nbr"))
-        )
-        merged = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select(
-                "id",
-                "lab",
-                F.least(F.col("lab"), F.coalesce("_nbr", F.col("lab"))).alias("_new"),
+    # try/finally so the non-convergence RuntimeError releases the
+    # persisted edge/pair tables too (ADVICE r5)
+    try:
+        labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+            "lab", F.col("id")
+        ).localCheckpoint()
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("lab").alias("_nbr"))
             )
-        ).localCheckpoint()  # cut lineage; also materializes for the count
-        changed = merged.filter(F.col("_new") != F.col("lab")).count()
-        labels = merged.select("id", F.col("_new").alias("lab"))
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iters} rounds "
-            "(component diameter exceeds the cap — raise max_iters)"
-        )
-    edges.unpersist()
-    pairs.unpersist()
+            merged = (
+                labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+                .select(
+                    "id",
+                    "lab",
+                    F.least(F.col("lab"), F.coalesce("_nbr", F.col("lab"))).alias("_new"),
+                )
+            ).localCheckpoint()  # cut lineage; also materializes for the count
+            changed = merged.filter(F.col("_new") != F.col("lab")).count()
+            labels = merged.select("id", F.col("_new").alias("lab"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iters} rounds "
+                "(component diameter exceeds the cap — raise max_iters)"
+            )
+    finally:
+        edges.unpersist()
+        pairs.unpersist()
     cc = labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("rep_id"))
     sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     return cc.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")

@@ -274,14 +274,18 @@ def ivf_assign_arrow(
     )
 
 
-def _assign_local_arrow(emb: DataFrame, model: dict, vec_col: str) -> DataFrame:
+def _assign_local_arrow(emb: DataFrame, model: dict, vec_col: str):
     """Nearest-centroid (nprobe=1) assignment against a DRIVER-HELD
     model — the inner loop of :func:`lloyd_refine`'s arrow path. Same
     math and tie-break as :func:`ivf_assign_arrow` (round(cos, 6),
     then cent_id asc), but the model ships as a plain broadcast
     variable instead of a centroids DataFrame, so an iteration costs
     zero extra Spark jobs beyond its assignment+means action. Emits
-    only (cent_id, vec) — all the means agg needs."""
+    only (cent_id, vec) — all the means agg needs.
+
+    Returns ``(df, bc)`` — the caller must ``bc.unpersist()`` once the
+    iteration's action completes, or each Lloyd pass leaks a centroid
+    broadcast for the session lifetime (ADVICE r5)."""
     import numpy as np
     import pandas as pd
 
@@ -303,9 +307,10 @@ def _assign_local_arrow(emb: DataFrame, model: dict, vec_col: str) -> DataFrame:
             yield pd.DataFrame({"cent_id": ids[best], vec_col: pdf[vec_col]})
 
     vec_type = dict(emb.dtypes)[vec_col]
-    return emb.select(vec_col).mapInPandas(
+    df = emb.select(vec_col).mapInPandas(
         assign, schema=f"cent_id long, {vec_col} {vec_type}"
     )
+    return df, bc
 
 
 def lloyd_refine(
@@ -379,8 +384,9 @@ def lloyd_refine(
     # 6-dp-rounded means come back as the k·dim collected rows, and the
     # k-row model is assembled and held driver-side between iterations.
     for _ in range(iters):
+        bc = None
         if arrow:
-            assigned = _assign_local_arrow(emb, prev, vec_col)
+            assigned, bc = _assign_local_arrow(emb, prev, vec_col)
         else:
             cents = spark.createDataFrame(
                 sorted(prev.items()), "cent_id long, cent_vec array<double>"
@@ -402,6 +408,8 @@ def lloyd_refine(
             )
             .collect()
         )
+        if bc is not None:  # iteration's action done — release the model
+            bc.unpersist()
         new_means: dict[int, list] = {}
         for r in stats:
             new_means.setdefault(int(r["cent_id"]), [None] * dim)[int(r["pos"])] = r["m"]
@@ -595,11 +603,19 @@ def cosine_topk_lsh_arrow(
 
     partial = scored_in.mapInPandas(score, schema="q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        partial.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "cos", "rk")
-    )
+    # |queries|*k rows: materialize, then release the bucket cache and
+    # both broadcasts instead of leaking them for the session lifetime
+    try:
+        return (
+            partial.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "cos", "rk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bucketed.unpersist()
+        bp.unpersist()
+        bqv.unpersist()
 
 
 def build_ivf_index_arrow(
@@ -770,8 +786,13 @@ def cosine_topk_lsh(
         F.round(dot(F.col("q_vec"), F.col("n_vec")) / (F.col("_qn") * F.col("_nn")), 6),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "cos", "rk")
-    )
+    # |queries|*k rows: materialize, then release the bucket cache
+    try:
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", "cos", "rk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bucketed.unpersist()

@@ -55,7 +55,10 @@ def salted_agg(
     final-agg key set is smaller than the cluster.
 
     ``aggs``: {out_col: (fn_name, col)} with fn_name in count/sum/min/
-    max. ``salt_on``: columns whose xxhash64 picks the salt (default:
+    max. ``count`` follows SQL semantics exactly: col=None → count(*)
+    (all rows); a column → count(col), NULLs excluded (ADVICE r5 — the
+    old form silently computed count(*) whatever column was passed).
+    ``salt_on``: columns whose xxhash64 picks the salt (default:
     all non-key columns — deterministic under retries, unlike rand()).
     """
     for name, (fn, _) in aggs.items():
@@ -65,11 +68,15 @@ def salted_agg(
         F.col(c) for c in (salt_on if salt_on is not None else df.columns)
     ]
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+
+    def _phase1(fn: str, col):
+        if fn == "count":
+            return F.count(F.lit(1)) if col is None else F.count(col)
+        return getattr(F, fn)(col)
+
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
-            (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
-            ).alias(f"_p_{name}")
+            _phase1(fn, col).alias(f"_p_{name}")
             for name, (fn, col) in aggs.items()
         ]
     )

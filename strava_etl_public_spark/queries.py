@@ -954,8 +954,14 @@ def _g2_oracle() -> str:
     tri_cols = ",\n       ".join(
         f"{_tri_list_sql(w, c)} AS tri_{c}_{w}" for c in _G2_METRICS for w in wins
     )
+    # negative-to-NULL clamp mirrored from activity_maxes(
+    # clamp_negative=True) — identical by construction even on fixtures
+    # with negative metrics (ADVICE r5, same fix as the e2e oracle)
     max_cols = ",\n       ".join(
-        f"round(max(tri_{c}_{w}), 6) AS max_{c}_{w}" for c in _G2_METRICS for w in wins
+        f"CASE WHEN max(tri_{c}_{w}) >= 0 THEN round(max(tri_{c}_{w}), 6) END"
+        f" AS max_{c}_{w}"
+        for c in _G2_METRICS
+        for w in wins
     )
     return f"""
 WITH s AS ({STREAMS_SQL}),

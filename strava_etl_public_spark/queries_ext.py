@@ -773,8 +773,16 @@ def _e2e_oracle() -> str:
     tri_cols = ",\n       ".join(
         f"{_tri_list_sql_q(w, c)} AS tri_{c}_{w}" for c in cols for w in wins
     )
+    # negative-to-NULL clamp mirrored from the Spark side's
+    # activity_maxes(clamp_negative=True) — keeps both sides identical
+    # by construction even if a fixture ever carries negative metrics
+    # (ADVICE r5: the old oracle passed only because hr/watts/vel are
+    # non-negative in the fixtures)
     max_cols = ",\n       ".join(
-        f"round(max(tri_{c}_{w}), 6) AS max_{c}_{w}" for c in cols for w in wins
+        f"CASE WHEN max(tri_{c}_{w}) >= 0 THEN round(max(tri_{c}_{w}), 6) END"
+        f" AS max_{c}_{w}"
+        for c in cols
+        for w in wins
     )
     return f"""
 WITH s AS ({STREAMS_SQL}),
@@ -835,8 +843,19 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and joins back on the (small) per-activity grain. Every stage
     is the already-oracle-verified piecewise operator; the oracle
     composes those verbatim as CTEs, so this row proves the FUSION is
-    semantics-preserving."""
+    semantics-preserving.
+
+    The streams projection (one cumsum window) feeds THREE branches —
+    densify's spine agg, its probe side, and the digest assembly — and
+    Spark does not dedupe common subtrees across branches (no
+    ReusedExchange under AQE; r5 plan carried 8 Window / 6 Sort nodes,
+    three of them the same cumsum). Pipeline-level fix, operators stay
+    pure: persist ``s``, eagerly materialize the (150-row-per-grain)
+    result via localCheckpoint, release the cache in ``finally`` —
+    the duplicate_clusters discipline applied at the pipeline grain."""
     ensure_harness_conf(spark)
+    from pyspark import StorageLevel
+
     from .operators import assemble, resample, rolling
     from .queries import _r6
 
@@ -848,39 +867,45 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("hr"),
         (F.col("value") * 0.5).alias("watts"),
         (F.col("event_id") % 97).cast("double").alias("vel"),
-    )
-    dense = resample.interpolate_linear(
-        resample.densify(s, "activity_id", "time_key"),
-        "activity_id",
-        "time_key",
-        cols,
-    )
-    rolled = rolling.rolling_mean_triang(
-        dense, "activity_id", "time_key", cols, wins, quantize=True
-    )
-    maxed = rolling.activity_maxes(rolled, "activity_id", cols, wins, clamp_negative=True)
-    nested = assemble.collect_samples(s, "activity_id", "time_key", ["hr"])
-    digest = nested.select(
-        "activity_id",
-        F.concat_ws("_", F.lit("act"), F.col("activity_id")).alias("name_id"),
-        F.size("streams").cast("long").alias("n_samples"),
-        (F.element_at("streams", -1)["time_key"] + 1).cast("long").alias("n_ticks"),
-        F.element_at("streams", 1)["hr"].alias("first_hr"),
-        F.element_at("streams", -1)["hr"].alias("last_hr"),
-    )
-    return digest.join(maxed, "activity_id").select(
-        "activity_id",
-        "name_id",
-        "n_samples",
-        "n_ticks",
-        "first_hr",
-        "last_hr",
-        *[
-            _r6(F.col(f"max_{c}_{w}")).alias(f"max_{c}_{w}")
-            for c in cols
-            for w in wins
-        ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dense = resample.interpolate_linear(
+            resample.densify(s, "activity_id", "time_key"),
+            "activity_id",
+            "time_key",
+            cols,
+        )
+        rolled = rolling.rolling_mean_triang(
+            dense, "activity_id", "time_key", cols, wins, quantize=True
+        )
+        maxed = rolling.activity_maxes(
+            rolled, "activity_id", cols, wins, clamp_negative=True
+        )
+        nested = assemble.collect_samples(s, "activity_id", "time_key", ["hr"])
+        digest = nested.select(
+            "activity_id",
+            F.concat_ws("_", F.lit("act"), F.col("activity_id")).alias("name_id"),
+            F.size("streams").cast("long").alias("n_samples"),
+            (F.element_at("streams", -1)["time_key"] + 1).cast("long").alias("n_ticks"),
+            F.element_at("streams", 1)["hr"].alias("first_hr"),
+            F.element_at("streams", -1)["hr"].alias("last_hr"),
+        )
+        out = digest.join(maxed, "activity_id").select(
+            "activity_id",
+            "name_id",
+            "n_samples",
+            "n_ticks",
+            "first_hr",
+            "last_hr",
+            *[
+                _r6(F.col(f"max_{c}_{w}")).alias(f"max_{c}_{w}")
+                for c in cols
+                for w in wins
+            ],
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1745,6 +1770,45 @@ def x_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_cube_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def x_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE twin of :func:`x_rollup_revenue` — ALL grouping-set
+    combinations (flag, status, flag+status, grand total) in one
+    Expand + hash-agg pass, closing the grouping-sets family ROLLUP
+    opened. Same sentinel/decimal discipline."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register_extra(
     "x_pivot_event_counts",
     oracle="""
 SELECT user_id,
@@ -1970,51 +2034,75 @@ def x_pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination), joined back on the per-doc grain; the cluster
     branch adds the iterative CC rounds. At 100 TB each branch is the
     already-audited piecewise plan; the join grain is one row per doc.
+
+    The documents scan feeds SIX branch subtrees (lang, quality,
+    repetition, both sides of decontamination, minhash) and Spark does
+    not dedupe them; pipeline-level persist of the scan AND of ONE
+    shared shingle table (decontamination and MinHash both consume it —
+    the corpus is shingled once, not three times) + eager
+    localCheckpoint of the per-doc flag table (one row per doc) +
+    unpersist in ``finally`` — same discipline as the activity e2e.
     """
     ensure_harness_conf(spark)
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
-    lang = toks.select(
-        "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+    sh_all = dedup.doc_shingles(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    qual = text.quality_features(docs, "doc_id", "text").select(
-        "doc_id", "quality_score"
-    )
-    rep = text.repetition_features(docs, "doc_id", "text").select(
-        "doc_id", "top_token_frac", "top_2gram_frac"
-    )
-    bench = docs.filter(F.col("doc_id") % 19 == 0)
-    dec = dedup.decontaminate(docs, bench, "doc_id", "text", n=3, threshold=0.3).select(
-        "doc_id", "contamination_frac"
-    )
-    pairs = dedup.minhash_lsh_dedup(
-        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
-    )
-    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b").select("doc_id", "rep_id")
-    lang_ok = F.col("lang_pred") == "en"
-    quality_ok = F.col("quality_score") >= 0.4
-    repetition_ok = (F.col("top_token_frac") <= 0.15) & (F.col("top_2gram_frac") <= 0.08)
-    decontam_ok = F.col("contamination_frac") < 0.3
-    dedup_keep = F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id"))
-    return (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .join(dec, "doc_id")
-        .join(cc, "doc_id", "left")
-        .select(
-            "doc_id",
-            lang_ok.alias("lang_ok"),
-            quality_ok.alias("quality_ok"),
-            repetition_ok.alias("repetition_ok"),
-            decontam_ok.alias("decontam_ok"),
-            dedup_keep.alias("dedup_keep"),
-            (lang_ok & quality_ok & repetition_ok & decontam_ok & dedup_keep).alias(
-                "keep"
-            ),
+    try:
+        toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
+        lang = toks.select(
+            "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
         )
-    )
+        qual = text.quality_features(docs, "doc_id", "text").select(
+            "doc_id", "quality_score"
+        )
+        rep = text.repetition_features(docs, "doc_id", "text").select(
+            "doc_id", "top_token_frac", "top_2gram_frac"
+        )
+        bench = docs.filter(F.col("doc_id") % 19 == 0)
+        dec = dedup.decontaminate(
+            docs, bench, "doc_id", "text", n=3, threshold=0.3,
+            corpus_shingles=sh_all,
+            benchmark_shingles=sh_all.filter(F.col("doc_id") % 19 == 0),
+        ).select("doc_id", "contamination_frac")
+        pairs = dedup.minhash_lsh_dedup(
+            docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5, sh=sh_all
+        )
+        cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b").select(
+            "doc_id", "rep_id"
+        )
+        lang_ok = F.col("lang_pred") == "en"
+        quality_ok = F.col("quality_score") >= 0.4
+        repetition_ok = (F.col("top_token_frac") <= 0.15) & (
+            F.col("top_2gram_frac") <= 0.08
+        )
+        decontam_ok = F.col("contamination_frac") < 0.3
+        dedup_keep = F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id"))
+        out = (
+            docs.select("doc_id")
+            .join(lang, "doc_id")
+            .join(qual, "doc_id")
+            .join(rep, "doc_id")
+            .join(dec, "doc_id")
+            .join(cc, "doc_id", "left")
+            .select(
+                "doc_id",
+                lang_ok.alias("lang_ok"),
+                quality_ok.alias("quality_ok"),
+                repetition_ok.alias("repetition_ok"),
+                decontam_ok.alias("decontam_ok"),
+                dedup_keep.alias("dedup_keep"),
+                (lang_ok & quality_ok & repetition_ok & decontam_ok & dedup_keep).alias(
+                    "keep"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh_all.unpersist()
+        docs.unpersist()
 
 
 _BIGRAM_LM_ORACLE = f"""

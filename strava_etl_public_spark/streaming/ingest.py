@@ -160,6 +160,93 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def merge_batch_lww(
+    updates: DataFrame, state_path: str, key: str, order_col: str
+) -> None:
+    """One micro-batch of the streaming LWW upsert sink: merge
+    ``updates`` into the keyed parquet state table at
+    ``<state_path>/current`` with :func:`upsert_last_writer_wins`.
+
+    Crash-safe directory swap (local/HDFS rename semantics): the merged
+    state is written to a staging dir FIRST, then swapped in via
+    renames (current → _old, staging → current), so a reader never sees
+    a half-written table and a crash in any window is recoverable —
+    ``_read_state`` falls back to ``_old`` when ``current`` is missing
+    (the only crash window that loses ``current`` is after it was
+    renamed to ``_old``).
+
+    Exactly-once EFFECT under replay: Structured Streaming re-runs a
+    failed batch from the checkpoint, and re-merging the same updates
+    into an already-merged state is a fixpoint — LWW with a
+    deterministic total tie-break is idempotent — so at-least-once
+    delivery plus this sink equals exactly-once state. (With a real
+    table format, this whole function is a MERGE INTO; see module
+    header.)
+    """
+    import os
+    import shutil
+
+    from ..operators.upsert import upsert_last_writer_wins
+
+    spark = updates.sparkSession
+    current = _read_state(spark, state_path)
+    merged = upsert_last_writer_wins(current, updates, key, order_col)
+    cur = os.path.join(state_path, "current")
+    stg = os.path.join(state_path, "_staging")
+    old = os.path.join(state_path, "_old")
+    merged.write.mode("overwrite").parquet(stg)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(stg, cur)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _read_state(spark: SparkSession, state_path: str):
+    """Current LWW state table, or None before the first merge.
+    Falls back current → _old to cover the mid-swap crash window."""
+    import os
+
+    for d in ("current", "_old"):
+        p = os.path.join(state_path, d)
+        if os.path.isdir(p) and os.listdir(p):
+            return spark.read.parquet(p)
+    return None
+
+
+def upsert_stream_sink(
+    stream: DataFrame,
+    state_path: str,
+    key: str,
+    order_col: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    on_batch=None,
+):
+    """S2 as a first-class streaming operator: the reference's
+    Firestore ``doc_ref.set(full_doc)`` LWW upsert (reference
+    firebase_functions.py:50-51,59-60) as a checkpointed foreachBatch
+    sink over :func:`merge_batch_lww`. Returns the started
+    StreamingQuery; the caller drives/stops it.
+
+    ``on_batch(batch_df, batch_id)``: optional observability hook
+    invoked before each merge (tests use it to inject crashes for the
+    kill-and-resume exactly-once check).
+    """
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(bdf, batch_id)
+        merge_batch_lww(bdf, state_path, key, order_col)
+
+    return (
+        stream.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
 def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over the (finite) file source to
     completion into a memory sink named `query_name`."""

@@ -61,6 +61,34 @@ def test_salted_agg_matches_plain_groupby(spark):
     assert got.sum_v.tolist() == [round(x, 6) for x in want.sum_v.tolist()]
 
 
+def test_salted_agg_count_null_semantics(spark):
+    """SQL count semantics (ADVICE r5): count(col) excludes NULLs,
+    count with col=None is count(*)."""
+    from tests.conftest import to_sdf
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "v": [1.0, None, 3.0, None, None],
+        }
+    )
+    sdf = to_sdf(spark, pdf)  # real SQL NULLs, not pandas NaN
+    got = (
+        salted_agg(
+            sdf,
+            ["k"],
+            {"n_v": ("count", "v"), "n_all": ("count", None)},
+            n_salts=4,
+            salt_on=["v"],
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert got.loc[1, "n_v"] == 2 and got.loc[1, "n_all"] == 3
+    assert got.loc[2, "n_v"] == 0 and got.loc[2, "n_all"] == 2
+
+
 def test_salted_agg_rejects_non_algebraic(spark):
     sdf, _ = _skewed(spark, n=50)
     with pytest.raises(ValueError, match="not algebraic"):

@@ -211,3 +211,89 @@ def test_stream_dedup_across_microbatches(spark, staged_events, tmp_path):
     n_unique = base.select("event_id").distinct().count()
     assert out.count() == n_unique
     assert out.distinct().count() == n_unique
+
+
+def test_upsert_stream_sink_kill_and_resume(spark, staged_events, tmp_path):
+    """The S2 LWW upsert sink end-to-end with an injected crash:
+    batches 0-1 merge, batch 2 dies, the restarted query re-runs the
+    failed batch from the checkpoint and drains the backlog. The final
+    state table must equal the BATCH LWW over the whole corpus — the
+    exactly-once check (a replayed merge must be a fixpoint, not a
+    duplicate) — regardless of micro-batch slicing."""
+    from strava_etl_public_spark.operators.upsert import upsert_last_writer_wins
+    from strava_etl_public_spark.streaming.ingest import upsert_stream_sink
+
+    src = str(tmp_path / "src")
+    # event_id is a unique total order -> LWW state is slicing-invariant
+    spark.read.parquet(staged_events).repartition(8).write.parquet(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    crash = {"armed": True}
+    seen: list[int] = []
+
+    def on_batch(bdf, batch_id):
+        seen.append(batch_id)
+        if crash["armed"] and batch_id >= 2:
+            raise RuntimeError("injected crash")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return upsert_stream_sink(
+            stream.select("event_id", "ts", "user_id", "event_type", "value"),
+            state,
+            key="user_id",
+            order_col="event_id",
+            checkpoint_dir=ckpt,
+            on_batch=on_batch,
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    phase1 = spark.read.parquet(f"{state}/current").count()
+    assert phase1 > 0
+    phase1_batches = list(seen)
+    seen.clear()
+
+    crash["armed"] = False
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the restart re-ran the failed batch (exactly-once = re-merge is a
+    # fixpoint) and drained the backlog
+    assert max(phase1_batches) == 2 and min(seen) == 2 and max(seen) > 2
+
+    got = (
+        spark.read.parquet(f"{state}/current")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        upsert_last_writer_wins(
+            None,
+            spark.read.parquet(src).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            "user_id",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

@@ -303,9 +303,16 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(sh, id_col, k)
     cand, annotated = _lsh_candidates_raw(sig, id_col, k, bands, max_bucket)
     try:
+        # jaccard_verify consumes cand THREE times (both union legs +
+        # the intersection join); materializing it here (small, bounded
+        # by bucket combinatorics) is cheaper than re-running the
+        # bucket-collect 3x, and lets annotated release immediately
+        try:
+            cand = cand.localCheckpoint(eager=True)
+        finally:
+            annotated.unpersist()
         return jaccard_verify(cand, sh, id_col, threshold).localCheckpoint(eager=True)
     finally:
-        annotated.unpersist()
         if own_sh:
             sh.unpersist()
 

@@ -108,6 +108,32 @@ def sample_by_hash(df: DataFrame, id_col: str, fraction: float, salt: str = "sam
     return df.filter(h < int(fraction * (1 << HASH_BITS)))
 
 
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-class deterministic sampling (class balancing — e.g. keep
+    10% of the majority class and all of the rare ones when curating
+    training data): a row survives iff its (salt, id) hash falls below
+    ITS CLASS's threshold. Same engine-portable integer math as
+    :func:`sample_by_hash`, so the kept set is a pure function of
+    (salt, ids, fractions) — reproducible across runs, engines and
+    partitionings, and a SQL oracle replicates it exactly. Classes not
+    in ``fractions`` keep ``default``. Pure filter: scan-speed,
+    pushdown-friendly, no shuffle, no per-class passes."""
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    thresh = F.lit(int(default * (1 << HASH_BITS)))
+    for cls, frac in fractions.items():
+        thresh = F.when(
+            F.col(class_col) == cls, F.lit(int(frac * (1 << HASH_BITS)))
+        ).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

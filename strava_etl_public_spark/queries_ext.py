@@ -1774,6 +1774,72 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@register_extra(
+    "x_range_join_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+s AS (
+  SELECT user_id, es,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id)
+              AS BIGINT) AS session_id
+  FROM g
+),
+iv AS (
+  SELECT user_id, session_id,
+         CAST(min(es) - 1800 AS BIGINT) AS lo,
+         CAST(max(es) + 1800 AS BIGINT) AS hi
+  FROM s GROUP BY user_id, session_id
+)
+SELECT iv.user_id, iv.session_id, iv.lo, iv.hi,
+       CAST(count(*) AS BIGINT) AS n_nearby
+FROM iv JOIN e p ON p.es BETWEEN iv.lo AND iv.hi
+GROUP BY iv.user_id, iv.session_id, iv.lo, iv.hi
+""",
+)
+def x_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN via binning (operators/rangejoin.py): count ALL
+    events — any user — inside each session's ±30 min neighborhood
+    (concurrency/attribution shape: points × time intervals with
+    NEITHER side broadcast-sized at scale). A bare BETWEEN join plans
+    as BroadcastNestedLoopJoin — the O(n·m) trap; binning at 3600 s
+    (≈ the widened interval span → ≤2-3 bins per interval) turns it
+    into one equi-join on the bin plus an exact post-filter, with each
+    matching pair met exactly once (a point lives in ONE bin). The
+    oracle runs the naive BETWEEN join — same result set, different
+    algorithm."""
+    ensure_harness_conf(spark)
+    from .operators.rangejoin import range_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", ep.epoch_s(ev).alias("es"))
+    wt = W.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(wt)
+    new_s = F.when(prev.isNull() | ((F.col("es") - prev) > 3600), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_s).over(wt.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        (F.min("es") - 1800).cast("long").alias("lo"),
+        (F.max("es") + 1800).cast("long").alias("hi"),
+    )
+    points = e.select(F.col("event_id").alias("p_id"), F.col("es").alias("p_es"))
+    pairs = range_join_binned(points, iv, "p_es", "lo", "hi", bin_size=3600)
+    return pairs.groupBy("user_id", "session_id", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nearby")
+    )
+
+
 def _chunk_oracle(chunk: int = 64, stride: int = 48) -> str:
     return f"""
 WITH tk AS ({_TK_SQL}),

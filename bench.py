@@ -145,6 +145,8 @@ def main() -> int:
         "x_text_repetition",
         "x_dedup_decontaminate",
         "x_text_bigram_lm",
+        "x_range_join_sessions",
+        "x_embed_quantize_int8",
     ):
         if n not in EXTRA_QUERIES:
             continue

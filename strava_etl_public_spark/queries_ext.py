@@ -1775,6 +1775,72 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_embed_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+         CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+              ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER))
+         END AS qc
+  FROM s
+),
+err AS (
+  SELECT vec_id, scale, qc,
+         list_transform(generate_series(1, len(e)),
+                        i -> abs(e[i] - qc[i] * scale)) AS ae
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_max(qc) AS INTEGER) AS max_code,
+       round(list_max(ae), 6) AS max_abs_err,
+       round(list_sum(ae) / len(ae), 6) AS mean_abs_err
+FROM err
+""",
+)
+def x_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (4× storage/shuffle reduction at 100 TB) + exact reconstruction
+    error report — codes and errors reproduced bit-for-bit by the SQL
+    oracle (same scale formula, same half-away-from-zero rounding,
+    same array-order error fold). max_code ≤ 127 by construction."""
+    ensure_harness_conf(spark)
+    from .operators import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    qd = quantize.quantize_int8(emb, "embedding")
+    errs = quantize.reconstruction_error("embedding")
+    # errors first, rounding in a SECOND projection: aliasing the
+    # rounded scale to "scale" in the same select would capture the
+    # error expressions' scale reference via lateral column alias
+    # resolution (measured: max_abs_err computed against the 6dp
+    # scale), silently changing the semantics
+    full = qd.select(
+        "vec_id",
+        "scale",
+        F.array_max("q").cast("int").alias("max_code"),
+        errs["max_abs_err"].alias("max_abs_err"),
+        errs["mean_abs_err"].alias("mean_abs_err"),
+    )
+    return full.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "max_code",
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+        F.round("mean_abs_err", 6).alias("mean_abs_err"),
+    )
+
+
+@register_extra(
     "x_range_join_sessions",
     oracle="""
 WITH e AS (

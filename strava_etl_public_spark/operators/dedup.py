@@ -348,6 +348,70 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup: ``|A∩B| / min(|A|, |B|)`` — the
+    subset detector Jaccard structurally misses. A 100-line excerpt
+    embedded in a 10,000-line page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0; web scrapes are full of exactly this shape (quotes,
+    syndication, boilerplate-wrapped copies), and dedup pipelines that
+    only threshold Jaccard keep both copies (Broder's original
+    resemblance/containment distinction).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: rare-shingle
+    (df <= max_df) blocking bounds candidates, one intersection join,
+    sizes from one agg; the small verified-pair end is materialized
+    and the shingle cache released (r6 lifecycle discipline).
+    Emits (doc_a, doc_b, containment) with doc_a < doc_b; the fraction
+    is one exact int/int division — engine-portable unrounded.
+    """
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+        a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        out = (
+            inter.join(za, "doc_a")
+            .join(zb, "doc_b")
+            .withColumn(
+                "containment",
+                F.col("inter").cast("double")
+                / F.least("sz_a", "sz_b").cast("double"),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash over the distinct token set: bit j votes +1/-1 by bit j
     of md5(token); sign of the vote sum forms the fingerprint.

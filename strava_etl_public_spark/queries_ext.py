@@ -321,6 +321,72 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_df=10, threshold=0.3)
 
 
+def _containment_oracle(max_df: int = 10, threshold: float = 0.8) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, greatest(length(text) // 2, 20)) AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM corpus),
+shs AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS m
+  FROM tk
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS shingle
+  FROM shs
+),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {max_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) >= {threshold}
+"""
+
+
+@register_extra("x_dedup_containment", oracle=_containment_oracle())
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (subset) near-dup over an excerpt-planted corpus:
+    every 5th document contributes a re-keyed half-length excerpt, the
+    exact shape (quotes, syndication, wrapped copies) whose Jaccard is
+    too low to trip the resemblance threshold but whose containment is
+    ~1.0. Rare-shingle blocking bounds the candidate set; the verify
+    fraction is one exact int/int division (engine-portable with no
+    rounding)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substr(text, 1, greatest(length(text) div 2, 20))").alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, max_df=10, threshold=0.8
+    )
+
+
 @register(
     "x_dedup_embedding_cosine",
     oracle=f"""

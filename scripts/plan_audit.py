@@ -40,12 +40,18 @@ def main() -> int:
         "x_text_repetition",
         "x_dedup_decontaminate",
         "x_text_bigram_lm",
-        "x_pipeline_activity_e2e",
-        "x_pipeline_corpus_filter",
+        # (the fused pipelines moved into bench.HEADLINE in r6; their
+        # returned plans are checkpoint-truncated — scripts/plan_nodes.py
+        # is the per-pipeline audit tool)
         "x_text_vocab_topk",
         "x_skew_salted_agg",
         "x_rollup_revenue",
+        "x_cube_revenue",
         "x_pivot_event_counts",
+        "x_range_join_sessions",
+        "x_sample_stratified",
+        "x_embed_quantize_int8",
+        "x_dedup_containment",
     ]
     flagged = 0
     for n in bench.HEADLINE + audited_extras:

@@ -60,8 +60,6 @@ def hll_distinct(
     linear counting applied when estimate <= 2.5m and empty buckets
     exist, like standard HLL) and ``n_buckets_seen``.
     """
-    m = 1 << b
-    rem_bits = HASH_BITS - b
     bucket, rank = hll_terms(F.col(value_col), b)
     keys = list(group_cols)
     per_bucket = (
@@ -69,6 +67,21 @@ def hll_distinct(
         .groupBy(*keys, "_bkt")
         .agg(F.max("_rk").alias("_mj"))
     )
+    return finish_hll_registers(per_bucket, keys, b)
+
+
+def finish_hll_registers(
+    per_bucket: DataFrame, group_cols: Sequence[str] = (), b: int = 9
+) -> DataFrame:
+    """Estimate stage over a REGISTER table ``(group_cols…, _bkt,
+    _mj)`` — split out so register state can be maintained elsewhere
+    (e.g. a streaming aggregation, whose single-agg limit can't chain
+    the estimate) and finished at read time, the standard
+    sketch-serving split. Register maxima are order-free, so the
+    estimate is independent of how the registers were accumulated."""
+    m = 1 << b
+    rem_bits = HASH_BITS - b
+    keys = list(group_cols)
     # integer-exact harmonic denominator: sum over SEEN buckets of
     # 2^(rem_bits+1-Mj), plus 2^(rem_bits+1) per EMPTY bucket (Mj=0),
     # all as BIGINT; alpha_m * m^2 * 2^(rem_bits+1) stays in double

@@ -1455,6 +1455,50 @@ def x_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_stream_enrich_join",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join — the standard streaming pattern
+    the window queries don't cover: each micro-batch of the event
+    stream joins a broadcast static dimension (no state, no watermark
+    needed for an inner stream-static join), then feeds a running
+    aggregation. At 100 TB the dim is broadcast once per batch and the
+    stream side never shuffles for the join; the only stateful op is
+    the downstream agg. Oracle = the equivalent batch join."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        joined = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        )
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.col("c_mktsegment").alias("mktsegment"), "n", "total_value"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
     "x_stream_upsert_sink",
     oracle="""
 WITH e AS (
@@ -1682,6 +1726,39 @@ def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sketch.hll_distinct(ev, "user_id", ["event_type"], b=9)
+
+
+@register_extra("x_stream_hll_users", oracle=_hll_oracle())
+def x_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch maintained BY THE STREAM: the register table
+    (max rank per (event_type, bucket)) is the streaming aggregation's
+    state — one stateful agg, the only kind streaming allows — and the
+    harmonic estimate is finished at read time over the 512-register
+    table (sketch.finish_hll_registers; the sketch-serving split).
+    Register maxima are order-free, so micro-batch slicing cannot
+    change a single register and the estimate equals the batch
+    x_sketch_hll_users bit-for-bit — same oracle."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .operators import sketch
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        bucket, rank = sketch.hll_terms(F.col("user_id"), b=9)
+        regs = (
+            stream.select("event_type", bucket.alias("_bkt"), rank.alias("_rk"))
+            .groupBy("event_type", "_bkt")
+            .agg(F.max("_rk").alias("_mj"))
+        )
+        reg_table = _run_stream(spark, regs, "complete")
+        return sketch.finish_hll_registers(
+            reg_table, ["event_type"], b=9
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _split_oracle() -> str:

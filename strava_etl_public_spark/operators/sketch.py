@@ -109,6 +109,71 @@ def finish_hll_registers(
     )
 
 
+def cms_build(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min sketch over a value column: a ``d × w`` integer cell
+    table ``(r, c, n)`` — each value increments one cell per hash row
+    (md5-derived, engine-portable like the HLL terms). ONE tagged
+    explode + one hash agg; the sketch is d·w cells regardless of
+    cardinality, and cells merge by addition (map-side combined, and
+    unions of sketches are sums — the distributed-friendly property).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    _hash60(F.concat(F.lit(f"cms{r}:"), F.col(value_col).cast("string")))
+                    % w
+                ).alias("c"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_e"))
+        .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame, keys: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` rows against a built sketch:
+    min over the d cells a value hashes to — the classic CMS
+    overestimate (never under). The keys side explodes to d probe rows
+    and equi-joins the (tiny, broadcastable) cell table."""
+    probes = keys.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            _hash60(
+                                F.concat(
+                                    F.lit(f"cms{r}:"), F.col(value_col).cast("string")
+                                )
+                            )
+                            % w
+                        ).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_e"),
+    ).select(value_col, F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "c"])
+        .groupBy(value_col)
+        .agg(F.min("n").cast("long").alias("cms_count"))
+    )
+
+
 def sample_by_hash(df: DataFrame, id_col: str, fraction: float, salt: str = "sample") -> DataFrame:
     """Stable uniform sample: keep rows whose md5-derived 60-bit hash
     of (salt, id) falls below fraction * 2^60. Unlike df.sample(), the

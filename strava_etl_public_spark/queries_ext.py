@@ -1728,6 +1728,65 @@ def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_distinct(ev, "user_id", ["event_type"], b=9)
 
 
+def _cms_oracle(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    def h(term: str, row: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5('cms' || {row} || ':' || {term}), 1, 15)) "
+            f"AS BIGINT) % {w}"
+        )
+
+    return f"""
+WITH tk AS ({_TK_SQL}),
+tok AS (SELECT unnest(t) AS term FROM tk),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_true FROM tok GROUP BY term),
+top AS (
+  SELECT term, n_true
+  FROM (SELECT term, n_true,
+               row_number() OVER (ORDER BY n_true DESC, term) AS rn
+        FROM exact)
+  WHERE rn <= {k}
+),
+rows_ AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+cms AS (
+  SELECT r.i AS r, {h('term', 'r.i')} AS c, CAST(count(*) AS BIGINT) AS n
+  FROM tok CROSS JOIN rows_ r
+  GROUP BY 1, 2
+)
+SELECT t.term, t.n_true, CAST(min(m.n) AS BIGINT) AS cms_count
+FROM top t CROSS JOIN rows_ r
+JOIN cms m ON m.r = r.i AND m.c = {h('t.term', 'r.i')}
+GROUP BY t.term, t.n_true
+"""
+
+
+@register_extra("x_sketch_cms_tokens", oracle=_cms_oracle())
+def x_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation: build a 4×1024 cell
+    sketch over the token stream (one tagged explode + one hash agg —
+    d·w cells regardless of vocabulary size, cells merge by addition),
+    then point-estimate the true top-20 tokens against it. Estimates
+    are deterministic (md5 row hashes) so the oracle reproduces every
+    cell and every min exactly; CMS never underestimates
+    (tests assert cms_count >= n_true)."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(dedup.tokens("text")).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    wr = W.orderBy(F.col("n_true").desc(), "term")
+    top = (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("term", "n_true")
+    )
+    cms = sketch.cms_build(toks, "term", d=4, w=1024)
+    est = sketch.cms_lookup(cms, top, "term", d=4, w=1024)
+    return top.join(est, "term").select("term", "n_true", "cms_count")
+
+
 @register_extra("x_stream_hll_users", oracle=_hll_oracle())
 def x_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL sketch maintained BY THE STREAM: the register table

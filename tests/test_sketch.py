@@ -61,3 +61,25 @@ def test_hash_split_stable_and_disjoint(spark, sf_dir):
     ids1 = {r[0] for r in sample_by_hash(docs, "doc_id", 0.2).select("doc_id").collect()}
     ids2 = {r[0] for r in sample_by_hash(docs, "doc_id", 0.2, salt="other").select("doc_id").collect()}
     assert ids1 != ids2
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS point estimates are >= true counts always, and exact when
+    the sketch is sparse enough that the min row has no collision."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.sketch import cms_build, cms_lookup
+
+    vals = [f"tok{i}" for i in range(50) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    truth = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    cms = cms_build(df, "v", d=4, w=1024)
+    est = cms_lookup(cms, truth.select("v"), "v", d=4, w=1024)
+    out = truth.join(est, "v").toPandas()
+    assert (out.cms_count >= out.n_true).all()
+    # 50 distinct keys into 4x1024 cells: overwhelmingly likely at
+    # least the min row is collision-free per key -> exact estimates
+    assert (out.cms_count == out.n_true).all()
+    # sketch size is d*w cells max, independent of input
+    assert cms.count() <= 4 * 1024

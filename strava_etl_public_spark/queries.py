@@ -825,7 +825,7 @@ FROM l
 """
 
 
-@register("w1_rolling_triang", oracle=_w1_wide_oracle())
+@register_extra("w1_rolling_triang", oracle=_w1_wide_oracle())
 def w1_rolling_triang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 at the reference's REAL shape (main.py:83-106): the per-row
     triangular-weighted trailing-mean SERIES for 3 metrics
@@ -1569,6 +1569,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_dedup_clusters",
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
+    # binned range join (new r6 operator family)
+    "x_range_join_sessions",
     # SURVEY §2 reference parity
     "a1_incremental_scan",
     "a2_a4_lookups",
@@ -1583,7 +1585,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # j3_zip_explode demoted to extras r6: its exact shape runs inside
     # a3_stream_align (queries.py:242-284); J3 stays covered via extras.
     "j4_users_activities_join",
-    "w1_rolling_triang",
+    # w1_rolling_triang demoted to extras r6: the same 11-window
+    # triangular stencil is certified by flagship_rolling_max (and the
+    # pandas twin extra); the freed slot gives the r6 binned range
+    # join an official row.
     "w2_interpolate_linear",
     "w3_w4_position_ops",
     "g2_rolling_maxes_wide",

@@ -2042,7 +2042,7 @@ def x_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "x_range_join_sessions",
     oracle="""
 WITH e AS (

@@ -136,7 +136,6 @@ def main() -> int:
     #    amortized over many probe batches, so the steady-state serving
     #    cost is the probe number; build+probe stays the headline row.
     extras: dict[str, float] = {}
-    from strava_etl_public_spark.queries import EXTRA_QUERIES
 
     for n in (
         "x_sim_topk_lsh",
@@ -148,9 +147,9 @@ def main() -> int:
         "x_range_join_sessions",
         "x_embed_quantize_int8",
     ):
-        if n not in EXTRA_QUERIES:
+        fn = qs.get(n)  # merged extras+driver registry (built above)
+        if fn is None:
             continue
-        fn = EXTRA_QUERIES[n]
         try:
             _noop(fn(spark, WARMUP_DIR))
             spark.catalog.clearCache()

@@ -54,7 +54,12 @@ def main() -> int:
         "x_dedup_containment",
     ]
     flagged = 0
-    for n in bench.HEADLINE + audited_extras:
+    # the fused pipelines execute eagerly (localCheckpoint) and return
+    # a checkpoint-truncated plan — auditing them here would pay the
+    # full sf0.1 run for an all-zero row; scripts/plan_nodes.py is the
+    # per-pipeline audit tool (code-review r6 finding)
+    skip = {"x_pipeline_activity_e2e", "x_pipeline_corpus_filter"}
+    for n in [q for q in bench.HEADLINE + audited_extras if q not in skip]:
         df = (qs.get(n) or EXTRA_QUERIES[n])(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         stats = {

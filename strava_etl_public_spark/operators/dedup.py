@@ -227,12 +227,9 @@ def lsh_candidate_pairs(
         annotated.unpersist()
 
 
-def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
-) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
-    j >= threshold. Intersection via equi-join on shingle, sizes via
-    one agg — no per-pair re-tokenization.
+def _pair_overlap_stats(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b) for candidate pairs — the
+    shared verify core of the Jaccard and containment operators.
 
     The shingle table is semi-joined down to candidate docs FIRST: the
     (doc, shingle) intersection join then shuffles only candidates'
@@ -257,14 +254,20 @@ def jaccard_verify(
     )
     za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    j = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
+    return inter.join(za, "doc_a").join(zb, "doc_b")
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
+    j >= threshold. Intersection via equi-join on shingle, sizes via
+    one agg — no per-pair re-tokenization (see _pair_overlap_stats for
+    the candidate-semi-join scale shape)."""
+    j = _pair_overlap_stats(pairs, sh, id_col).withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
     )
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
@@ -333,19 +336,27 @@ def ngram_jaccard_pairs(
 
     sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
-        a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
-        b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-        cand = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        cand = _rare_shingle_candidates(sh, id_col, max_df)
         return jaccard_verify(cand, sh, id_col, threshold).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def _rare_shingle_candidates(sh: DataFrame, id_col: str, max_df: int) -> DataFrame:
+    """(doc_a, doc_b) candidates sharing a shingle that appears in
+    <= max_df docs — the blocking core shared by the Jaccard and
+    containment operators (one copy, so a change to the blocking
+    semantics can't silently diverge between them)."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def containment_pairs(
@@ -365,9 +376,12 @@ def containment_pairs(
     resemblance/containment distinction).
 
     Same scale shape as :func:`ngram_jaccard_pairs`: rare-shingle
-    (df <= max_df) blocking bounds candidates, one intersection join,
-    sizes from one agg; the small verified-pair end is materialized
-    and the shingle cache released (r6 lifecycle discipline).
+    (df <= max_df) blocking bounds candidates (shared
+    _rare_shingle_candidates core), verify via _pair_overlap_stats —
+    so the candidate-doc semi-join pushdown applies here too (the
+    first version re-aggregated the FULL shingle table; code-review r6
+    finding); the small verified-pair end is materialized and the
+    shingle cache released (r6 lifecycle discipline).
     Emits (doc_a, doc_b, containment) with doc_a < doc_b; the fraction
     is one exact int/int division — engine-portable unrounded.
     """
@@ -375,30 +389,9 @@ def containment_pairs(
 
     sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
-        a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
-        b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-        cand = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-        sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-        sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-        inter = (
-            cand.join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-        zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        cand = _rare_shingle_candidates(sh, id_col, max_df)
         out = (
-            inter.join(za, "doc_a")
-            .join(zb, "doc_b")
+            _pair_overlap_stats(cand, sh, id_col)
             .withColumn(
                 "containment",
                 F.col("inter").cast("double")

@@ -106,7 +106,7 @@ def attach_png(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "payload": pdf[text_col].map(
                         lambda t: pngcodec.deterministic_png(
                             hashlib.sha256(str(t).encode()).digest()

@@ -144,6 +144,8 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):  # keep the ValueError contract
+            raise ValueError(f"truncated {tag!r} chunk at offset {pos}")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -169,7 +171,10 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("no IHDR chunk")
     channels = _CHANNELS[color_type]
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # keep the documented ValueError contract
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"IDAT payload {len(raw)} bytes != {(stride + 1) * height} expected"

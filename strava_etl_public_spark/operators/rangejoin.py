@@ -34,16 +34,21 @@ def range_join_binned(
     hi_col: str,
     bin_size: int,
     keys: Seq[str] = (),
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row with
+    """INNER-join each point row to every interval row with
     ``lo <= point <= hi`` (and equal ``keys``, if given). Columns from
     both sides survive; ``points``/``intervals`` must not share other
     column names.
 
     ``keys`` tightens the equi-join to (keys…, bin) — the
     equi+range case (e.g. per-user intervals) shuffles on the real key
-    and bins only disambiguate within it."""
+    and bins only disambiguate within it.
+
+    Inner semantics only, deliberately: an outer variant can't ride
+    the bin join + post-filter shape (a point whose bin matches
+    intervals that all fail the exact predicate would vanish instead
+    of NULL-padding — code-review r6 finding); unmatched-point
+    retention needs an explicit anti-join the caller composes."""
     p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size))
     i = intervals.withColumn(
         "_bin",
@@ -53,7 +58,7 @@ def range_join_binned(
             )
         ),
     )
-    joined = p.join(i, [*keys, "_bin"], how)
+    joined = p.join(i, [*keys, "_bin"], "inner")
     return joined.filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     ).drop("_bin")

@@ -109,17 +109,11 @@ def finish_hll_registers(
     )
 
 
-def cms_build(
-    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
-) -> DataFrame:
-    """Count-min sketch over a value column: a ``d × w`` integer cell
-    table ``(r, c, n)`` — each value increments one cell per hash row
-    (md5-derived, engine-portable like the HLL terms). ONE tagged
-    explode + one hash agg; the sketch is d·w cells regardless of
-    cardinality, and cells merge by addition (map-side combined, and
-    unions of sketches are sums — the distributed-friendly property).
-    """
-    cells = F.array(
+def _cms_cells(value_col: str, d: int, w: int) -> Column:
+    """The d (row, cell) hash targets of one value — ONE definition
+    shared by build and lookup, because the sketch is only correct if
+    both sides hash identically (code-review r6 finding)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(r).alias("r"),
@@ -131,8 +125,20 @@ def cms_build(
             for r in range(d)
         ]
     )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min sketch over a value column: a ``d × w`` integer cell
+    table ``(r, c, n)`` — each value increments one cell per hash row
+    (md5-derived, engine-portable like the HLL terms). ONE tagged
+    explode + one hash agg; the sketch is d·w cells regardless of
+    cardinality, and cells merge by addition (map-side combined, and
+    unions of sketches are sums — the distributed-friendly property).
+    """
     return (
-        df.select(F.explode(cells).alias("_e"))
+        df.select(F.explode(_cms_cells(value_col, d, w)).alias("_e"))
         .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -147,25 +153,7 @@ def cms_lookup(
     overestimate (never under). The keys side explodes to d probe rows
     and equi-joins the (tiny, broadcastable) cell table."""
     probes = keys.select(
-        F.col(value_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            _hash60(
-                                F.concat(
-                                    F.lit(f"cms{r}:"), F.col(value_col).cast("string")
-                                )
-                            )
-                            % w
-                        ).alias("c"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("_e"),
+        F.col(value_col), F.explode(_cms_cells(value_col, d, w)).alias("_e")
     ).select(value_col, F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
     return (
         probes.join(F.broadcast(cms), ["r", "c"])

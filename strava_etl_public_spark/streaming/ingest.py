@@ -195,8 +195,12 @@ def merge_batch_lww(
     stg = os.path.join(state_path, "_staging")
     old = os.path.join(state_path, "_old")
     merged.write.mode("overwrite").parquet(stg)
-    shutil.rmtree(old, ignore_errors=True)
+    # _old may only be deleted while `current` exists: on the recovery
+    # path (crash between the two renames left state ONLY in _old) an
+    # early rmtree would destroy the last copy if we then crashed
+    # before staging was swapped in (code-review r6 finding).
     if os.path.isdir(cur):
+        shutil.rmtree(old, ignore_errors=True)
         os.rename(cur, old)
     os.rename(stg, cur)
     shutil.rmtree(old, ignore_errors=True)

@@ -297,3 +297,48 @@ def test_upsert_stream_sink_kill_and_resume(spark, staged_events, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_merge_batch_lww_mid_swap_recovery(spark, tmp_path):
+    """The crash window the r6 review found: state living ONLY in _old
+    (crash fell between the two renames) must survive the next merge —
+    an early _old delete would destroy the last copy if the process
+    died again before staging swapped in."""
+    import os
+
+    import pandas as pd
+
+    from strava_etl_public_spark.streaming.ingest import (
+        _read_state,
+        merge_batch_lww,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    # simulate the mid-swap crash artifact: committed state in _old,
+    # no current, a stale _staging from the interrupted batch
+    old_df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "ord": [10, 20], "v": ["a", "b"]})
+    )
+    old_df.write.parquet(f"{state}/_old")
+    spark.createDataFrame(
+        pd.DataFrame({"k": [9], "ord": [1], "v": ["stale"]})
+    ).write.parquet(f"{state}/_staging")
+
+    assert _read_state(spark, state).count() == 2  # fallback reads _old
+
+    updates = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3], "ord": [25, 5], "v": ["b2", "c"]})
+    )
+    merge_batch_lww(updates, state, key="k", order_col="ord")
+    got = (
+        spark.read.parquet(f"{state}/current")
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # old keys preserved, LWW applied, stale staging discarded
+    assert got.loc[1, "v"] == "a"
+    assert got.loc[2, "v"] == "b2"
+    assert got.loc[3, "v"] == "c"
+    assert 9 not in got.index

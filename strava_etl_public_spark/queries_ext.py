@@ -1728,6 +1728,44 @@ def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hll_distinct(ev, "user_id", ["event_type"], b=9)
 
 
+@register_extra(
+    "x_zorder_events",
+    oracle="""
+WITH b AS (
+  SELECT event_id,
+         user_id % 65536 AS ux,
+         (CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 3600) % 65536 AS hb
+  FROM events
+)
+SELECT event_id, CAST(ux AS BIGINT) AS ux, CAST(hb AS BIGINT) AS hb,
+       CAST(list_sum(list_transform(generate_series(0, 15), i ->
+            (((ux >> i) & 1) << (2 * i)) + (((hb >> i) & 1) << (2 * i + 1))
+       )) AS BIGINT) AS z
+FROM b
+""",
+)
+def x_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user, hour) — the
+    write-time layout that makes parquet min/max stats prune on BOTH
+    columns (Delta/Iceberg Z-ORDER; a single-column sort prunes on one
+    and nothing else). The key is pure shift/mask/or integer math the
+    oracle reproduces bit-for-bit; tests/test_layout.py proves the
+    locality property (per-partition spans shrink on BOTH columns
+    after zorder_layout, where a plain sort only shrinks its own)."""
+    ensure_harness_conf(spark)
+    from .operators import layout
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("ux"),
+        ((ep.epoch_s(ev) / 3600).cast("long") % 65536).alias("hb"),
+    )
+    return b.select(
+        "event_id", "ux", "hb", layout.z_value(["ux", "hb"], bits=16).alias("z")
+    )
+
+
 def _cms_oracle(d: int = 4, w: int = 1024, k: int = 20) -> str:
     def h(term: str, row: str) -> str:
         return (

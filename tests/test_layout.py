@@ -1,0 +1,69 @@
+"""Z-order layout: Morton key correctness vs a python reference, and
+the locality property the layout exists for — per-partition spans
+shrink on BOTH interleaved columns, where a plain sort shrinks only
+its own column."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.layout import z_value, zorder_layout
+
+
+def _z_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference(spark):
+    pdf = pd.DataFrame(
+        {
+            "x": [0, 1, 2, 3, 255, 65535, 12345],
+            "y": [0, 1, 3, 2, 255, 65535, 54321],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select("x", "y", z_value(["x", "y"]).alias("z"))
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        assert r.z == _z_ref(int(r.x), int(r.y))
+
+
+def test_z_value_rejects_overflow(spark):
+    with pytest.raises(ValueError, match="BIGINT"):
+        z_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_layout_localizes_both_columns(spark):
+    # a 64x64 grid: plain sort on x gives y-span ~global per partition;
+    # z-order shrinks the mean span on BOTH axes
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def mean_spans(df):
+        spans = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("sx"), F.avg("sy").alias("sy"))
+            .collect()[0]
+        )
+        return spans["sx"], spans["sy"]
+
+    zx, zy = mean_spans(zorder_layout(grid, ["x", "y"], bits=6, n_files=16))
+    px, py = mean_spans(grid.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    # plain x-sort: x-span tiny, y-span ~ full 63
+    assert px < 8 and py > 48
+    # z-order: BOTH spans well under the global 63
+    assert zx < 32 and zy < 32

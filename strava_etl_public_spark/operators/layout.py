@@ -41,6 +41,39 @@ def z_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
     return z
 
 
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files (the classic fix for
+    streaming/micro-batch sinks that accrete thousands of tiny files —
+    each file costs a task, a footer read, and an object-store request
+    at 100 TB). Optional ``sort_cols`` re-sorts within output files so
+    min/max stats stay tight after the rewrite (pairs with
+    :func:`zorder_layout` for the clustered variant). Returns the
+    output file count."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_out
+
+
 def zorder_layout(
     df: DataFrame, cols: Sequence[str], bits: int = 16, n_files: int = 32
 ) -> DataFrame:

@@ -67,3 +67,29 @@ def test_zorder_layout_localizes_both_columns(spark):
     assert px < 8 and py > 48
     # z-order: BOTH spans well under the global 63
     assert zx < 32 and zy < 32
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from strava_etl_public_spark.operators.layout import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(40).write.parquet(src)  # the small-files disease
+
+    import glob
+
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src >= 40
+    # tiny target so the test exercises >1 output file
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n_out = compact_parquet(spark, src, dst, target_bytes=total // 3 + 1, sort_cols=["k"])
+    n_dst = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_dst == n_out <= 4 < n_src
+    # content identical
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

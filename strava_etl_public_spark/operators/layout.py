@@ -27,11 +27,23 @@ from pyspark.sql import functions as F
 def z_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
     """Morton key interleaving ``bits`` low bits of each column:
     output bit ``i*n + j`` = bit ``i`` of column ``j``. With n·bits
-    ≤ 63 the key stays in a signed BIGINT."""
+    ≤ 63 the key stays in a signed BIGINT. Values are taken modulo
+    ``2^bits`` (explicit mask) — the caller owns a monotone mapping
+    into that range if full-range clustering is wanted."""
     n = len(cols)
     if n * bits > 63:
         raise ValueError(f"{n} cols x {bits} bits exceeds a signed BIGINT")
-    cs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+    # inputs are masked to their low `bits` explicitly: values are
+    # taken modulo 2^bits (documented), and a negative long's
+    # arithmetic shiftright can no longer scatter 1-bits into every
+    # extracted position (code-review r6 finding)
+    mask = (1 << bits) - 1
+    cs = [
+        (F.col(c).cast("long") if isinstance(c, str) else c.cast("long")).bitwiseAND(
+            F.lit(mask)
+        )
+        for c in cols
+    ]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cs):
@@ -57,16 +69,19 @@ def compact_parquet(
     :func:`zorder_layout` for the clustered variant). Returns the
     output file count."""
     import math
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_dir)
+    # size via Hadoop FS over the scan's own file list — correct for
+    # ANY scheme Spark can read (s3a/hdfs/file); a driver-local
+    # os.walk would silently see 0 bytes for remote paths and funnel
+    # the whole dataset into one file (code-review r6 finding)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / target_bytes))
     out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)

@@ -151,14 +151,19 @@ def cms_lookup(
     """Point-estimate counts for ``keys`` rows against a built sketch:
     min over the d cells a value hashes to — the classic CMS
     overestimate (never under). The keys side explodes to d probe rows
-    and equi-joins the (tiny, broadcastable) cell table."""
+    and LEFT-joins the (tiny, broadcastable) cell table: an empty cell
+    counts as 0, so unseen keys estimate 0 instead of vanishing (or
+    over-reporting from only their populated cells — code-review r6
+    finding)."""
     probes = keys.select(
         F.col(value_col), F.explode(_cms_cells(value_col, d, w)).alias("_e")
     ).select(value_col, F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
     return (
-        probes.join(F.broadcast(cms), ["r", "c"])
+        probes.join(F.broadcast(cms), ["r", "c"], "left")
         .groupBy(value_col)
-        .agg(F.min("n").cast("long").alias("cms_count"))
+        .agg(
+            F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_count")
+        )
     )
 
 

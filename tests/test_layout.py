@@ -36,7 +36,7 @@ def test_z_value_matches_reference(spark):
         assert r.z == _z_ref(int(r.x), int(r.y))
 
 
-def test_z_value_rejects_overflow(spark):
+def test_z_value_rejects_overflow():
     with pytest.raises(ValueError, match="BIGINT"):
         z_value(["a", "b", "c", "d"], bits=16)
 

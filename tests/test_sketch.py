@@ -83,3 +83,18 @@ def test_cms_overestimates_never_under(spark):
     assert (out.cms_count == out.n_true).all()
     # sketch size is d*w cells max, independent of input
     assert cms.count() <= 4 * 1024
+
+
+def test_cms_unseen_key_estimates_zero(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.sketch import cms_build, cms_lookup
+
+    df = spark.createDataFrame(pd.DataFrame({"v": ["a", "a", "b"]}))
+    cms = cms_build(df, "v", d=4, w=1024)
+    probe = spark.createDataFrame(pd.DataFrame({"v": ["a", "never-seen"]}))
+    out = cms_lookup(cms, probe, "v", d=4, w=1024).toPandas().set_index("v")
+    assert out.loc["a", "cms_count"] == 2
+    # unseen key: row present, estimate 0 (empty cell counts as 0)
+    assert out.loc["never-seen", "cms_count"] == 0

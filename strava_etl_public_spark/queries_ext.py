@@ -2401,6 +2401,82 @@ def x_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_set_ops_users",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'click_and_buy' AS cohort FROM (
+  SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'click_no_error' FROM (
+  SELECT user_id FROM clickers EXCEPT SELECT user_id FROM erroring)
+""",
+)
+def x_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (§2.G) as first-class rows:
+    Spark plans both as aggregate-free semi/anti joins over distinct
+    inputs — same shuffle shape as the equivalent joins, and AQE
+    broadcasts the small side. Cohort labels keep the two results in
+    one comparable table."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+
+    def users_of(kind: str):
+        return ev.filter(F.col("event_type") == kind).select("user_id").distinct()
+
+    both = users_of("click").intersect(users_of("purchase"))
+    clean = users_of("click").exceptAll(users_of("error"))
+    return both.withColumn("cohort", F.lit("click_and_buy")).unionByName(
+        clean.withColumn("cohort", F.lit("click_no_error"))
+    )
+
+
+@register_extra(
+    "x_delete_propagation",
+    oracle="""
+WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+SELECT 'events' AS tbl,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM events) - count(*) AS BIGINT) AS n_deleted
+FROM events e WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = e.user_id)
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) - count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = o.o_custkey)
+""",
+)
+def x_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation: a tombstone key set
+    (every 13th user plays the deletion-request table) anti-joined
+    through every fact table that carries the key — the compliance
+    sweep a training-data pipeline must run before each export. Scale
+    shape: the tombstone set is bounded (requests, not users) →
+    broadcast anti-join per table, each fact scanned once, never
+    shuffled; the digest row per table makes the sweep auditable."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    tomb = ev.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+
+    def sweep(df: DataFrame, key: str, name: str) -> DataFrame:
+        kept = df.join(
+            F.broadcast(tomb.withColumnRenamed("user_id", key)), key, "left_anti"
+        )
+        total = df.count()  # bounded driver scalar: audit arithmetic
+        return kept.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            (F.lit(total) - F.count(F.lit(1))).cast("long").alias("n_deleted"),
+        )
+
+    return sweep(ev, "user_id", "events").unionByName(
+        sweep(orders, "o_custkey", "orders")
+    )
+
+
+@register_extra(
     "x_unpivot_lineitem",
     oracle="""
 SELECT l_orderkey, l_linenumber, metric, round(val, 6) AS val

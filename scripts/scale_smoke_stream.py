@@ -126,6 +126,40 @@ def main() -> int:
     ok &= run("stateful_user_stats", running_user_stats(stream), "update",
               check_stateful)
 
+    # LWW upsert sink (r6): checkpointed foreachBatch merge into a
+    # keyed parquet state table — state stays N_USERS rows however
+    # many events stream through; final state must equal the batch
+    # LWW over the whole corpus (event_id is a unique total order)
+    from strava_etl_public_spark.operators.upsert import upsert_last_writer_wins
+    from strava_etl_public_spark.streaming.ingest import upsert_stream_sink
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    state, ckpt = f"{base}/upsert_state", f"{base}/upsert_ckpt"
+    t0 = time.perf_counter()
+    stream2 = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max(N_FILES // 8, 1))
+        .parquet(src)
+    )
+    q = upsert_stream_sink(
+        stream2.select(*cols), state, key="user_id",
+        order_col="event_id", checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dt = time.perf_counter() - t0
+    got = spark.read.parquet(f"{state}/current").select(*cols)
+    want = upsert_last_writer_wins(None, batch.select(*cols), "user_id", "event_id")
+    sink_ok = (
+        got.count() == want.count()
+        and got.exceptAll(want).count() == 0
+    )
+    print(f"{'upsert_stream_sink':22s} {dt:6.1f}s  ({n / dt:,.0f} events/s)  "
+          f"batch-equal: {'OK' if sink_ok else 'FAILED'}")
+    ok &= sink_ok
+
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     return 0 if ok else 1

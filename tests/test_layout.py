@@ -41,6 +41,29 @@ def test_z_value_rejects_overflow():
         z_value(["a", "b", "c", "d"], bits=16)
 
 
+def test_z_value_three_columns_and_masking(spark):
+    def ref3(x, y, w, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (3 * i)
+            z |= ((y >> i) & 1) << (3 * i + 1)
+            z |= ((w >> i) & 1) << (3 * i + 2)
+        return z
+
+    pdf = pd.DataFrame(
+        {"x": [5, 255, 300], "y": [9, 128, -1], "w": [2, 7, 511]}
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select("x", "y", "w", z_value(["x", "y", "w"], bits=8).alias("z"))
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        # inputs are masked to the low `bits` (values mod 2^bits;
+        # negatives take their two's-complement low bits)
+        assert r.z == ref3(int(r.x) & 255, int(r.y) & 255, int(r.w) & 255)
+
+
 def test_zorder_layout_localizes_both_columns(spark):
     # a 64x64 grid: plain sort on x gives y-span ~global per partition;
     # z-order shrinks the mean span on BOTH axes

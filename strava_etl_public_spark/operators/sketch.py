@@ -167,6 +167,99 @@ def cms_lookup(
     )
 
 
+def _bloom_positions(value_col: str, m: int, k: int) -> Column:
+    """The k bit positions of one value — ONE definition shared by
+    build, probe, and prefilter (the CMS lesson: a sketch is only
+    correct if every side hashes identically). md5-derived like the
+    HLL/CMS terms, so a SQL oracle reproduces every bit."""
+    return F.array(
+        *[
+            (
+                _hash60(F.concat(F.lit(f"bloom{r}:"), F.col(value_col).cast("string")))
+                % m
+            ).cast("long")
+            for r in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, value_col: str, m: int = 4096, k: int = 5) -> DataFrame:
+    """Bloom filter over a key column, represented as the table of
+    DISTINCT set bit positions ``(pos)`` — at most m rows whatever the
+    input cardinality. One tagged explode + one distinct; filters
+    merge by UNION DISTINCT (bitmaps OR — the distributed-merge
+    property), and the result is small enough to broadcast
+    (m=2^18 → ≤262k longs) against any fact table."""
+    return (
+        df.select(F.explode(_bloom_positions(value_col, m, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, keys: DataFrame, value_col: str, m: int = 4096, k: int = 5
+) -> DataFrame:
+    """Membership test of ``keys`` against a built filter: a key hits
+    iff ALL k of its positions are set. The keys side explodes to k
+    probe rows and LEFT-joins the broadcast position table; each
+    exploded row matches at most one (distinct) position row, so
+    ``count(matched) == k`` ⇔ every position present — duplicate
+    positions within one key's array count once each and keep the
+    identity. No false negatives ever; false-positive rate is the
+    classic (1 - e^(-kn/m))^k."""
+    probes = keys.select(
+        F.col(value_col), F.explode(_bloom_positions(value_col, m, k)).alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy(value_col)
+        .agg((F.count("_set") == k).alias("bloom_hit"))
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame, bloom: DataFrame, value_col: str, m: int = 4096, k: int = 5
+) -> DataFrame:
+    """Map-only join-pruning filter: drop fact rows whose key is
+    definitely NOT in the filter, BEFORE any shuffle — the reason
+    bloom filters exist in a distributed engine (a semi-join would
+    shuffle the 100 TB side; this is a scan-speed filter).
+
+    The position table is folded to a ≤m/64-row word table in Spark
+    (bit_or per 64-bit word), collected as bounded model state
+    (m=2^18 → 32 KiB bitmap) and broadcast; positions are computed
+    JVM-side (md5), and the bit tests run as one Arrow-batched numpy
+    gather per batch. Keeps every true member (no false negatives);
+    survivors still need the exact join."""
+    import numpy as np
+
+    words = (
+        bloom.groupBy(F.shiftright("pos", 6).alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmap = np.zeros(m // 64 + 1, dtype=np.int64)
+    for row in words:
+        bitmap[row["w"]] = row["bits"]
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    out_schema = df.schema
+
+    def keep_members(batches):
+        bm = bc.value
+        for pdf in batches:
+            arr = np.vstack(pdf["_pos"].to_numpy()).astype(np.int64)
+            hit = ((bm[arr >> 6] >> (arr & 63)) & 1).all(axis=1)
+            yield pdf.loc[hit, [f.name for f in out_schema.fields]]
+
+    return df.withColumn("_pos", _bloom_positions(value_col, m, k)).mapInPandas(
+        keep_members, schema=out_schema
+    )
+
+
 def sample_by_hash(df: DataFrame, id_col: str, fraction: float, salt: str = "sample") -> DataFrame:
     """Stable uniform sample: keep rows whose md5-derived 60-bit hash
     of (salt, id) falls below fraction * 2^60. Unlike df.sample(), the
@@ -203,6 +296,30 @@ def sample_stratified(
             F.col(class_col) == cls, F.lit(int(frac * (1 << HASH_BITS)))
         ).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Importance (quality-weighted) sampling: keep a row with
+    probability = its per-row weight in [0,1] — the standard curation
+    move of keeping high-quality documents at a higher rate instead of
+    a hard threshold. A row survives iff its (salt, id) hash, scaled
+    to [0,1), falls below ITS OWN weight; weights outside [0,1] are
+    clamped. Deterministic like the other samplers — the kept set is
+    a pure function of (salt, ids, weights), reproducible across
+    engines and partitionings, and re-running after adding rows never
+    flips earlier decisions. Pure filter: scan-speed, no shuffle."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # integer threshold per row: floor(weight * 2^60) — same math the
+    # uniform sampler uses with a constant fraction, so weight==f
+    # reproduces sample_by_hash(f) exactly
+    return df.filter(h < F.floor(w * F.lit(float(1 << HASH_BITS))).cast("long"))
 
 
 def hash_split(

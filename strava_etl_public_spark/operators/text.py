@@ -144,6 +144,100 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Full-text top-k retrieval with BM25 over an inverted index —
+    the keyword-search half of a data-curation stack (finding
+    benchmark-adjacent or topic-matched documents at corpus scale).
+
+    Index: postings ``(term, doc, tf)`` + doc lengths from ONE
+    tokenize pass (two hash aggs, map-side combined). ``queries`` is a
+    bounded list of ``(query_id, query_text)`` — model-state-sized, so
+    its distinct terms broadcast and CUT the postings to query terms
+    BEFORE any per-term stats join (df counts are computed on the
+    pruned postings, not the full vocabulary). Corpus scalars
+    (N, total length) are a 1-row broadcast.
+
+    Scoring (Robertson/Sparck Jones, the Lucene-default shape):
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``tf_part = tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/Σdl))`` — note
+    ``dl/avgdl`` is computed as ``dl·N/Σdl`` so every input is an
+    exact BIGINT and the double math is one fixed expression tree.
+    Each ln rounds to 6dp (the tf_idf/bigram-LM precedent for
+    engine-divergent libm); per-term contributions round to 6dp and
+    sum as DECIMAL(38,6) (order-free), so scores are bit-equal across
+    engines and partitionings. Top-k per query by (score desc,
+    doc_id) row_number — per-query k rows out.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    tok_long = df.select(F.col(id_col), tokens(text_col).alias("_t")).select(
+        F.col(id_col), F.explode("_t").alias("term")
+    )
+    tc = tok_long.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_n")
+    )
+    dl = tc.groupBy(id_col).agg(F.sum("tf_n").alias("doc_len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("sum_dl"),
+    )
+    qdf = spark.createDataFrame(queries, ["query_id", "q_text"])
+    qterms = qdf.select(
+        F.col("query_id").cast("long"), F.explode(tokens("q_text")).alias("term")
+    ).distinct()
+    # prune postings to query terms first — df stats over the pruned set
+    hits = tc.join(F.broadcast(qterms), "term")
+    # hits is one row per (doc, term) already (tc is a groupBy result)
+    dft = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_n"))
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df_n") + F.lit(0.5))
+            / (F.col("df_n").cast("double") + F.lit(0.5))
+        ),
+        6,
+    )
+    norm_len = (
+        F.col("doc_len").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    tf_part = (F.col("tf_n").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf_n").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_len)
+    )
+    scored = (
+        hits.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_contrib", F.round(idf * tf_part, 6))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_contrib").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col), "bm25", "n_terms_matched", "rk")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Document fingerprints: md5 of the normalized token stream (exact
     content identity) + min shingle hash (a 1-perm MinHash — the

@@ -2877,3 +2877,272 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter sketches (join pruning)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_sql(val: str, m: int, k: int) -> str:
+    """DuckDB list of the k bloom bit positions of ``val`` — mirrors
+    sketch._bloom_positions (same salts, same md5-60-bit math)."""
+    terms = ", ".join(
+        f"CAST(concat('0x', substr(md5('bloom{r}:' || {val}), 1, 15)) AS BIGINT) % {m}"
+        for r in range(k)
+    )
+    return f"[{terms}]"
+
+
+def _bloom_probe_oracle(m: int = 4096, k: int = 5) -> str:
+    return f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 450000
+),
+bloom AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql("CAST(key AS VARCHAR)", m, k)}) AS pos
+  FROM members
+),
+probes AS (
+  SELECT c_custkey AS key,
+         unnest({_bloom_pos_sql("CAST(c_custkey AS VARCHAR)", m, k)}) AS pos
+  FROM customer
+),
+hits AS (
+  SELECT p.key, count(b.pos) = {k} AS bloom_hit
+  FROM probes p LEFT JOIN bloom b USING (pos)
+  GROUP BY p.key
+)
+SELECT h.bloom_hit, m.key IS NOT NULL AS exact_hit,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM hits h LEFT JOIN members m USING (key)
+GROUP BY 1, 2
+"""
+
+
+@register_extra("x_sketch_bloom_probe", oracle=_bloom_probe_oracle())
+def x_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: build a m=4096/k=5 filter over
+    the big-spender customer set (custkeys holding a >450k order) and
+    probe EVERY customer, cross-tabbed against exact membership.
+
+    The (bloom_hit=true, exact_hit=false) cell is the measured
+    false-positive count at the classic (1-e^(-kn/m))^k rate; the
+    (false, true) cell is structurally empty — a bloom filter has no
+    false negatives, and the oracle hash-match proves every bit
+    position, not just the rates. m is deliberately undersized here to
+    make the FP tradeoff visible at fixture scale; bloom_prefilter
+    sizes m to n for the pruning use.
+
+    Scale: build is one explode + distinct over the member set (≤m
+    rows out whatever the cardinality, mergeable by union); probe
+    explodes keys ×k and broadcast-joins the position table — no
+    shuffle of the probed side beyond its own k-row groupBy."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    members = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = sketch.bloom_build(members, "key", m=4096, k=5)
+    probed = sketch.bloom_probe(
+        bloom,
+        load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key")),
+        "key",
+        m=4096,
+        k=5,
+    )
+    return (
+        probed.join(members.withColumn("_m", F.lit(1)), "key", "left")
+        .groupBy("bloom_hit", F.col("_m").isNotNull().alias("exact_hit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+
+
+def _bloom_prefilter_oracle(m: int = 1 << 18, k: int = 5) -> str:
+    return f"""
+WITH hot AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 250000
+),
+bloom AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql("CAST(o_orderkey AS VARCHAR)", m, k)}) AS pos
+  FROM hot
+),
+probes AS (
+  SELECT l_orderkey,
+         unnest({_bloom_pos_sql("CAST(l_orderkey AS VARCHAR)", m, k)}) AS pos
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+),
+hitkeys AS (
+  SELECT p.l_orderkey
+  FROM probes p LEFT JOIN bloom b USING (pos)
+  GROUP BY p.l_orderkey HAVING count(b.pos) = {k}
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_bloom_kept,
+       CAST(count(h.o_orderkey) AS BIGINT) AS n_true
+FROM lineitem l
+JOIN hitkeys USING (l_orderkey)
+LEFT JOIN hot h ON l.l_orderkey = h.o_orderkey
+GROUP BY l.l_returnflag
+"""
+
+
+@register_extra("x_sketch_bloom_prefilter", oracle=_bloom_prefilter_oracle())
+def x_sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom join-pruning: the 100 TB use of the sketch. A filter
+    built on the dimension side's join keys (hot orders) prunes the
+    fact table (lineitem) at SCAN SPEED — no shuffle, no semi-join —
+    before the exact join runs on the survivors. Per returnflag:
+    rows the bloom kept vs rows truly joining; the gap is the
+    false-positive carryover the exact join still removes, bounded by
+    (1-e^(-kn/m))^k with m sized to n (2^18 bits = a 32 KiB broadcast
+    bitmap — the whole point: 100 TB pruned by 32 KiB).
+
+    Spark shape: position table folded to ≤m/64 bit-or words in
+    Spark, collected as bounded model state, broadcast as a numpy
+    bitmap; JVM-side md5 positions + one Arrow-batched vectorized
+    bit-gather per batch (sketch.bloom_prefilter). The oracle
+    recomputes every bit position and the exact join."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    m, k = 1 << 18, 5
+    hot = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_orderkey")
+    )
+    bloom = sketch.bloom_build(hot, "o_orderkey", m=m, k=k)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    kept = sketch.bloom_prefilter(li, bloom, "l_orderkey", m=m, k=k)
+    return (
+        kept.join(
+            F.broadcast(hot.withColumn("_h", F.lit(1))),
+            kept["l_orderkey"] == hot["o_orderkey"],
+            "left",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bloom_kept"),
+            F.count("_h").cast("long").alias("n_true"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling (curation)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_THRESH = (
+    "CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)"  # 2^60
+)
+
+
+@register_extra(
+    "x_sample_weighted",
+    oracle=f"""
+WITH qual AS ({_QUALITY_ORACLE})
+SELECT doc_id, quality_score
+FROM qual
+WHERE CAST(concat('0x', substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) < {_WEIGHTED_THRESH}
+""",
+)
+def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted document sampling: each doc survives with
+    probability equal to its OWN quality score (soft curation — keeps
+    some low-quality text for diversity instead of a hard cutoff,
+    upsamples clean text). Same deterministic md5-threshold math as
+    the uniform/stratified samplers, so the kept SET is reproducible
+    across engines and partitionings and the oracle reproduces it
+    row-for-row. Pure filter after the quality projection — scan
+    speed, no shuffle."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    q = text.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    return sketch.sample_weighted(q, "doc_id", "quality_score", salt="curate")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (inverted index)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join shuffle"),
+    (2, "window sort order"),
+    (3, "vector scan filter"),
+]
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25_QUERIES)
+    return f"""
+WITH tk AS ({_TK_SQL}),
+tc AS (
+  SELECT doc_id, unnest(t) AS term FROM tk
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_n
+  FROM tc GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf_n) AS doc_len FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_len) AS BIGINT) AS sum_dl FROM dl),
+qraw(query_id, q_text) AS (VALUES {qvals}),
+qterms AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         unnest(regexp_extract_all(lower(q_text), '[a-z0-9_]+')) AS term
+  FROM qraw
+),
+hits AS (SELECT q.query_id, p.doc_id, p.term, p.tf_n
+         FROM postings p JOIN qterms q USING (term)),
+dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_n
+        FROM hits GROUP BY term),
+contrib AS (
+  SELECT h.query_id, h.doc_id,
+         round(
+           round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df_n + 0.5)
+                          / (CAST(d.df_n AS DOUBLE) + 0.5)), 6)
+           * (CAST(h.tf_n AS DOUBLE) * {k1 + 1.0})
+             / (CAST(h.tf_n AS DOUBLE)
+                + {k1} * ({1.0 - b} + {b} * (CAST(l.doc_len AS DOUBLE)
+                                             * CAST(s.n_docs AS DOUBLE)
+                                             / CAST(s.sum_dl AS DOUBLE)))),
+           6) AS c
+  FROM hits h JOIN dft d USING (term) JOIN dl l USING (doc_id)
+       CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, bm25, n_terms_matched, rk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
+@register_extra("x_text_bm25_topk", oracle=_bm25_oracle())
+def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over an inverted index: top-10 documents
+    per query for a bounded query set. The index is one tokenize pass
+    (postings + doc-length aggs); query terms broadcast and prune the
+    postings BEFORE any stats join, so per-query work is proportional
+    to the posting lists touched, not the corpus. Scores are
+    engine-exact (each ln rounded 6dp, contributions summed as
+    DECIMAL(38,6), dl/avgdl computed as dl·N/Σdl from exact BIGINTs) —
+    the full ranking, not just the ids, hash-matches the oracle."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)

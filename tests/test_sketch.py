@@ -98,3 +98,83 @@ def test_cms_unseen_key_estimates_zero(spark):
     assert out.loc["a", "cms_count"] == 2
     # unseen key: row present, estimate 0 (empty cell counts as 0)
     assert out.loc["never-seen", "cms_count"] == 0
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark, sf_dir):
+    from strava_etl_public_spark.operators.sketch import bloom_build, bloom_probe
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    members = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "key", m=4096, k=5)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("key")
+    )
+    probed = bloom_probe(bloom, cust, "key", m=4096, k=5).toPandas()
+    mem = {r["key"] for r in members.collect()}
+    hits = dict(zip(probed.key, probed.bloom_hit))
+    # every true member hits — the structural guarantee
+    assert all(hits[k] for k in mem if k in hits)
+    # false positives exist but are a minority of the non-members
+    non = [k for k in hits if k not in mem]
+    fp = sum(hits[k] for k in non)
+    assert fp <= 0.5 * max(len(non), 1)
+
+
+def test_bloom_prefilter_equals_probe_and_merges(spark, sf_dir):
+    from strava_etl_public_spark.operators.sketch import (
+        bloom_build,
+        bloom_prefilter,
+        bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    half_b = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    m, k = 8192, 5
+    # union of member sets == union (distinct) of the two filters
+    merged = bloom_build(half_a.union(half_b), "doc_id", m=m, k=k)
+    unioned = (
+        bloom_build(half_a, "doc_id", m=m, k=k)
+        .union(bloom_build(half_b, "doc_id", m=m, k=k))
+        .distinct()
+    )
+    assert merged.exceptAll(unioned).count() == 0
+    assert unioned.exceptAll(merged).count() == 0
+    # map-only prefilter keeps exactly the probe's bloom_hit=true keys
+    kept = bloom_prefilter(docs, merged, "doc_id", m=m, k=k)
+    probed = bloom_probe(merged, docs.select("doc_id"), "doc_id", m=m, k=k)
+    expect = {
+        r["doc_id"] for r in probed.filter("bloom_hit").collect()
+    }
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == expect
+
+
+def test_sample_weighted_edges_and_uniform_equivalence(spark, sf_dir):
+    from strava_etl_public_spark.operators.sketch import (
+        sample_by_hash,
+        sample_weighted,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    zero = sample_weighted(docs.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    one = sample_weighted(docs.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    assert zero.count() == 0
+    assert one.count() == n
+    # out-of-range weights clamp instead of misbehaving
+    wild = docs.withColumn("w", F.when(F.col("doc_id") % 2 == 0, 7.0).otherwise(-3.0))
+    kept_wild = {r["doc_id"] for r in sample_weighted(wild, "doc_id", "w").collect()}
+    assert kept_wild == {r["doc_id"] for r in docs.filter("doc_id % 2 = 0").collect()}
+    # constant weight f reproduces the uniform sampler at fraction f
+    const = sample_weighted(
+        docs.withColumn("w", F.lit(0.37)), "doc_id", "w", salt="s7"
+    )
+    uni = sample_by_hash(docs, "doc_id", 0.37, salt="s7")
+    assert {r["doc_id"] for r in const.collect()} == {
+        r["doc_id"] for r in uni.collect()
+    }

@@ -358,3 +358,51 @@ def test_bigram_lm_score_known_values(spark):
     assert out[0]["lm_logprob"] > out[2]["lm_logprob"]
     assert out[3] == {"doc_id": 3, "n_bigrams": 0, "lm_logprob": 0.0}
     assert out[4] == {"doc_id": 4, "n_bigrams": 0, "lm_logprob": 0.0}
+
+
+def test_bm25_ranking_semantics(spark):
+    """A document matching more query terms more often, at comparable
+    length, must outrank one with a single glancing mention; docs with
+    no query term never appear."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "hash join hash join build probe side",
+                    "join once then filler words pad pad pad",
+                    "totally unrelated content about nothing",
+                    "hash table lookup words pad pad pad pad",
+                ],
+            }
+        )
+    )
+    out = bm25_topk(docs, "doc_id", "text", [(1, "hash join")], k=10).toPandas()
+    assert set(out.query_id) == {1}
+    assert 3 not in set(out.doc_id)
+    ranked = out.sort_values("rk").doc_id.tolist()
+    assert ranked[0] == 1
+    # rk is dense 1..n and follows (bm25 desc, doc_id) exactly
+    assert ranked == out.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True]
+    ).doc_id.tolist()
+    by_doc = dict(zip(out.doc_id, out.n_terms_matched))
+    assert by_doc[1] == 2 and by_doc[2] == 1 and by_doc[4] == 1
+
+
+def test_bm25_partition_invariance(spark, sf_dir):
+    from strava_etl_public_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = [(1, "hash join"), (2, "window sort")]
+    a = bm25_topk(docs, "doc_id", "text", qs, k=5).toPandas()
+    b = bm25_topk(docs.repartition(13), "doc_id", "text", qs, k=5).toPandas()
+    key = ["query_id", "rk"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

@@ -1,0 +1,144 @@
+"""Dataset statistics operators (north-star extension): per-group
+linear trend fitting and one-pass column profiling.
+
+Both are pure aggregation shapes — the 100 TB versions of "fit a
+trend per user" and "profile this table" are one hash-agg each, no
+window, no collect. Determinism follows the repo's exact-sums rule:
+every FP result is derived from exact integer aggregates (BIGINT /
+DECIMAL(38,0) sums of quantized inputs) through ONE fixed double
+expression tree, so a SQL oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: quantization scale for regression inputs (6 dp — the repo standard)
+Y_SCALE = 1_000_000
+
+
+def group_linreg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: Column | str,
+    y_col: Column | str,
+    min_n: int = 2,
+) -> DataFrame:
+    """Closed-form least-squares line per group: ``y ≈ a·x + b`` with
+    Pearson r² — the per-entity trend extraction stage (engagement
+    drift per user, metric trend per activity) at aggregation speed.
+
+    ``x_col`` must be an exact integer column of bounded magnitude
+    (e.g. epoch seconds SHIFTED to a corpus-relative origin — the
+    caller shifts, keeping x² within BIGINT); ``y_col`` is quantized
+    to 6 dp integers internally. All five sufficient statistics
+    (Σx, Σy, Σx², Σy², Σxy) are exact BIGINT sums; the normal-equation
+    products run in DECIMAL(38,0) (they exceed int64 but are exact in
+    38 digits), and only the final slope/intercept/r² division drops
+    to double — one canonical expression an oracle mirrors verbatim
+    (DuckDB does the same integer math in HUGEINT).
+
+    Emits per group: ``n``, ``slope`` (y units per x unit, 9 dp —
+    per-second trends are tiny), ``intercept`` (y at x=0, 6 dp),
+    ``r2`` (6 dp). Groups with fewer than ``min_n`` points or zero
+    x-variance emit NULL fit columns instead of ±inf.
+
+    Scale shape: ONE map-side-combined hash aggregate over the group
+    keys — sufficient statistics are the whole point of closed-form
+    regression in a distributed engine (no per-group iteration, no
+    sort, mergeable partial aggs).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    yq = F.round(y.cast("double") * Y_SCALE, 0).cast("long")
+    keys = list(group_cols)
+    d38 = "decimal(38,0)"
+    sums = df.select(*keys, x.alias("_x"), yq.alias("_y")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        # cross products summed in DECIMAL(38,0): x·y of (epoch-shift,
+        # 6dp-quantized) inputs can brush the int64 edge on big groups
+        F.sum(F.col("_x").cast(d38) * F.col("_x").cast(d38)).alias("sxx"),
+        F.sum(F.col("_x").cast(d38) * F.col("_y").cast(d38)).alias("sxy"),
+        F.sum(F.col("_y").cast(d38) * F.col("_y").cast(d38)).alias("syy"),
+    )
+    n = F.col("n").cast(d38)
+    num = (n * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)).cast(
+        "double"
+    )
+    den_x = (n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)).cast(
+        "double"
+    )
+    den_y = (n * F.col("syy") - F.col("sy").cast(d38) * F.col("sy").cast(d38)).cast(
+        "double"
+    )
+    fit_ok = (F.col("n") >= min_n) & (den_x > 0)
+    slope = num / den_x / F.lit(float(Y_SCALE))
+    intercept = (
+        F.col("sy").cast("double") / F.lit(float(Y_SCALE))
+        - num / den_x / F.lit(float(Y_SCALE)) * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = F.when(den_y > 0, num * num / (den_x * den_y)).otherwise(F.lit(None))
+    return sums.select(
+        *keys,
+        "n",
+        F.when(fit_ok, F.round(slope, 9)).otherwise(F.lit(None)).alias("slope"),
+        F.when(fit_ok, F.round(intercept, 6)).otherwise(F.lit(None)).alias("intercept"),
+        F.when(fit_ok, F.round(r2, 6)).otherwise(F.lit(None)).alias("r2"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-pass table profile: per column — row count, null count,
+    exact distinct count, and min/max (numeric ones rounded to 6 dp
+    doubles; string ones as-is) in long format (one row per column).
+
+    The whole profile is ONE aggregate over ONE scan: Spark plans the
+    multiple count(distinct)s as a single Expand (each input row
+    replicated once per distinct-column) — linear in columns profiled,
+    with map-side partial aggregation, instead of one scan per column
+    (what a naive profiler issues). The numeric/string split keeps
+    min/max exactly typed rather than relying on engine-specific
+    double→string formatting.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in (*numeric_cols, *string_cols):
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_dist_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.round(F.min(F.col(c).cast("double")), 6).alias(f"_min_{c}"))
+        aggs.append(F.round(F.max(F.col(c).cast("double")), 6).alias(f"_max_{c}"))
+    for c in string_cols:
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if c in numeric_cols else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"_max_{c}") if c in numeric_cols else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.col(f"_min_{c}") if c in string_cols else F.lit(None).cast("string")).alias(
+                "min_str"
+            ),
+            (F.col(f"_max_{c}") if c in string_cols else F.lit(None).cast("string")).alias(
+                "max_str"
+            ),
+        )
+        for c in (*numeric_cols, *string_cols)
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")

@@ -3146,3 +3146,114 @@ def x_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     return text.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Dataset statistics: per-group trend fit, one-pass profiling
+# ---------------------------------------------------------------------------
+
+_EPOCH_DUCK = "CAST(epoch_ns(ts) // 1000000000 AS BIGINT)"
+
+
+def _trend_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         {_EPOCH_DUCK} - (SELECT min({_EPOCH_DUCK}) FROM events) AS x,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM base GROUP BY user_id
+),
+t AS (
+  SELECT user_id, n,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+)
+SELECT user_id, n,
+       CASE WHEN n >= 2 AND denx > 0
+            THEN round(num / denx / 1000000.0, 9) END AS slope,
+       CASE WHEN n >= 2 AND denx > 0
+            THEN round((syd / 1000000.0 - num / denx / 1000000.0 * sxd)
+                       / CAST(n AS DOUBLE), 6) END AS intercept,
+       CASE WHEN n >= 2 AND denx > 0 THEN
+         CASE WHEN deny > 0 THEN round(num * num / (denx * deny), 6) END
+       END AS r2
+FROM t
+"""
+
+
+@register_extra("x_trend_user_value", oracle=_trend_oracle())
+def x_trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — the
+    per-entity drift extraction stage (closed form, no iteration).
+    x is epoch seconds shifted to the corpus start (a 1-row broadcast
+    min keeps x² inside exact integer range); y quantizes to 6 dp.
+    Slope/intercept/r² derive from five exact integer sufficient
+    statistics through one canonical double expression, so the full
+    fit — not a tolerance band — hash-matches the oracle (DuckDB runs
+    the same integer math in HUGEINT, Spark in DECIMAL(38,0)).
+    ONE hash aggregate per the group keys; mergeable partials."""
+    ensure_harness_conf(spark)
+    from .operators import stats
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("_es", ep.epoch_s(ev))
+    t0 = ev.agg(F.min("_es").alias("_t0"))
+    shifted = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id", (F.col("_es") - F.col("_t0")).alias("x"), "value"
+    )
+    return stats.group_linreg(shifted, ["user_id"], "x", "value")
+
+
+_PROFILE_NUM = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min_num,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register_extra("x_profile_lineitem", oracle=_profile_oracle())
+def x_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling: per column — rows, nulls, exact
+    distinct count, typed min/max — as one row per column. The whole
+    profile is ONE aggregate over ONE scan (Spark's Expand handles
+    the multiple exact distincts); the oracle issues one scan per
+    column, which is exactly the naive plan this operator replaces.
+    At 100 TB this is the schema-drift / data-quality gate you run on
+    every ingest batch."""
+    ensure_harness_conf(spark)
+    from .operators import stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return stats.profile_columns(
+        li, numeric_cols=_PROFILE_NUM, string_cols=_PROFILE_STR
+    )

@@ -1,0 +1,100 @@
+"""group_linreg / profile_columns: known-value fits, degenerate-group
+guards, partition invariance, profile vs pandas ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.stats import group_linreg, profile_columns
+
+
+def test_linreg_known_line_and_degenerate_groups(spark):
+    rows = []
+    # group "exact": y = 2x + 3, perfect fit
+    for x in range(10):
+        rows.append(("exact", x, 2.0 * x + 3.0))
+    # group "noisy": known polyfit comparison
+    rng = np.random.RandomState(7)
+    xs = np.arange(50)
+    ys = 0.5 * xs + 10 + rng.normal(0, 2, 50)
+    for x, y in zip(xs, ys):
+        rows.append(("noisy", int(x), float(y)))
+    # degenerate: single point, and constant-x pair
+    rows.append(("single", 5, 1.0))
+    rows.append(("constx", 3, 1.0))
+    rows.append(("constx", 3, 9.0))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
+    out = group_linreg(df, ["g"], "x", "y").toPandas().set_index("g")
+
+    assert abs(out.loc["exact", "slope"] - 2.0) < 1e-6
+    assert abs(out.loc["exact", "intercept"] - 3.0) < 1e-6
+    assert abs(out.loc["exact", "r2"] - 1.0) < 1e-6
+
+    # y was quantized to 6dp, so compare against polyfit of the
+    # quantized series at matching tolerance
+    yq = np.round(ys, 6)
+    sl, ic = np.polyfit(xs, yq, 1)
+    assert abs(out.loc["noisy", "slope"] - sl) < 1e-5
+    assert abs(out.loc["noisy", "intercept"] - ic) < 1e-4
+
+    # degenerate groups: NULL fit, not ±inf
+    for g in ("single", "constx"):
+        assert out.loc[g, ["slope", "intercept", "r2"]].isna().all(), g
+
+
+def test_linreg_partition_invariance(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from strava_etl_public_spark.functions import epoch as ep
+
+    ev = ev.withColumn("_es", ep.epoch_s(ev))
+    t0 = ev.agg(F.min("_es").alias("_t0"))
+    shifted = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id", (F.col("_es") - F.col("_t0")).alias("x"), "value"
+    )
+    a = group_linreg(shifted, ["user_id"], "x", "value").toPandas()
+    b = group_linreg(shifted.repartition(13), ["user_id"], "x", "value").toPandas()
+    key = "user_id"
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_profile_matches_pandas(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        profile_columns(
+            li,
+            numeric_cols=["l_quantity", "l_discount"],
+            string_cols=["l_returnflag"],
+        )
+        .toPandas()
+        .set_index("col_name")
+    )
+    pdf = li.select("l_quantity", "l_discount", "l_returnflag").toPandas()
+    n = len(pdf)
+    for c in ("l_quantity", "l_discount"):
+        assert out.loc[c, "n_rows"] == n
+        assert out.loc[c, "n_nulls"] == pdf[c].isna().sum()
+        assert out.loc[c, "n_distinct"] == pdf[c].nunique()
+        assert abs(out.loc[c, "min_num"] - round(pdf[c].min(), 6)) < 1e-9
+        assert abs(out.loc[c, "max_num"] - round(pdf[c].max(), 6)) < 1e-9
+        assert pd.isna(out.loc[c, "min_str"])
+    assert out.loc["l_returnflag", "min_str"] == pdf["l_returnflag"].min()
+    assert out.loc["l_returnflag", "max_str"] == pdf["l_returnflag"].max()
+    assert pd.isna(out.loc["l_returnflag", "min_num"])
+
+
+def test_profile_single_scan_plan(spark, sf_dir):
+    """The profile must be one scan of the table — Expand for the
+    distincts, not one subplan per column."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = profile_columns(
+        li,
+        numeric_cols=["l_quantity", "l_discount", "l_extendedprice"],
+        string_cols=["l_returnflag"],
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan

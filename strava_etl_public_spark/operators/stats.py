@@ -92,6 +92,31 @@ def group_linreg(
     )
 
 
+def fk_orphans(
+    name: str,
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """One referential-integrity edge: total child rows and child rows
+    whose parent key is absent, as a 1-row frame ``(fk, n_rows,
+    n_orphans)``. The parent side reduces to DISTINCT keys
+    (dimension-sized → broadcast), so the child NEVER shuffles — at
+    100 TB an FK audit must be a scan-speed probe, not a join
+    repartition of the fact table."""
+    pk = parent.select(parent_key).distinct()
+    return child.join(
+        F.broadcast(pk), child[child_key] == pk[parent_key], "left"
+    ).agg(
+        F.lit(name).alias("fk"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col(parent_key).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    )
+
+
 def profile_columns(
     df: DataFrame,
     numeric_cols: Sequence[str] = (),

@@ -338,6 +338,79 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    phrase-mining step of tokenizer/vocab construction (finding pairs
+    like "new york" that behave as one unit, worth merging before BPE
+    training).
+
+    ``PMI(w1,w2) = ln( P(w1w2) / (P(w1)·P(w2)) )`` with
+    ``P(w1w2) = C12/NB`` over bigram occurrences and ``P(w) = C/NT``
+    over token occurrences — computed as ONE ln of a ratio of exact
+    BIGINT counts (``C12·NT·NT / (C1·C2·NB)``), rounded to 6 dp, so
+    the score is engine-exact (single fixed expression tree; no sum of
+    logs to reorder). ``min_count`` prunes rare bigrams BEFORE the
+    stats joins — at corpus scale the long tail of singleton bigrams
+    is most of the table and none of the answer.
+
+    Scale shape: one bigram explode + two corpus hash-aggs (bigram,
+    unigram), one 1-row totals broadcast, two joins keyed on token
+    (AQE-skew-safe — function words are the hot keys), then a global
+    top-k that plans as TakeOrderedAndProject (per-partition heaps,
+    no full sort)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    uni = toks.select(F.explode(F.col("_t")).alias("_w"))
+    uni_counts = uni.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    bg = toks.select(F.explode(shingles(F.col("_t"), 2)).alias("_bg"))
+    bg_counts = (
+        bg.groupBy("_bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.split(F.col("_bg"), " ")[0])
+        .withColumn("w2", F.split(F.col("_bg"), " ")[1])
+    )
+    totals = uni.agg(F.count(F.lit(1)).cast("long").alias("nt")).crossJoin(
+        bg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("nt").cast("double")
+            * F.col("nt").cast("double")
+            / (
+                F.col("_l1").cast("double")
+                * F.col("_l2").cast("double")
+                * F.col("nb").cast("double")
+            )
+        ),
+        6,
+    )
+    scored = (
+        bg_counts.join(uni_counts.select(F.col("_w").alias("w1"), F.col("_c1").alias("_l1")), "w1")
+        .join(uni_counts.select(F.col("_w").alias("w2"), F.col("_c1").alias("_l2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("pmi").desc(), "w1", "w2"))
+            .cast("long"),
+        )
+    )
+
+
 def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus-trained bigram language-model score per document — the
     perplexity-filter family (CCNet / LLaMA-style data curation uses a

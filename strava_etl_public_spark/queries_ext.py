@@ -3257,3 +3257,144 @@ def x_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.profile_columns(
         li, numeric_cols=_PROFILE_NUM, string_cols=_PROFILE_STR
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations, FK audit, histograms
+# ---------------------------------------------------------------------------
+
+
+def _pmi_oracle(min_count: int = 5, k: int = 50) -> str:
+    return f"""
+WITH tk AS ({_TK_SQL}),
+uni AS (SELECT unnest(t) AS w FROM tk),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS b
+  FROM tk
+),
+bc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY b HAVING count(*) >= {min_count}
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS nt,
+         (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb
+),
+scored AS (
+  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, c12,
+         round(ln(CAST(c12 AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                  / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)
+                     * CAST(nb AS DOUBLE))), 6) AS pmi
+  FROM bc
+  JOIN uc u1 ON u1.w = split_part(b, ' ', 1)
+  JOIN uc u2 ON u2.w = split_part(b, ' ', 2)
+  CROSS JOIN tot
+)
+SELECT w1, w2, c12, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rk
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {k}
+"""
+
+
+@register_extra("x_text_pmi_collocations", oracle=_pmi_oracle())
+def x_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining by pointwise mutual information: the top-50
+    bigrams whose co-occurrence most exceeds independence — the
+    merge-candidate list fed to tokenizer/vocab construction. Scores
+    are ONE ln of a ratio of exact counts (no log-sum reordering),
+    rounded 6 dp; min_count prunes the singleton tail before any
+    join. Global top-k plans as TakeOrderedAndProject."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
+
+
+@register_extra(
+    "x_audit_fk_orphans",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+  ON c.c_nationkey = n.n_nationkey
+""",
+)
+def x_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the FK chain
+    lineitem→orders→customer→nation: per edge, total child rows and
+    rows whose parent key is missing — the data-quality gate every
+    warehouse ingest runs. Each edge is one LEFT join against the
+    DISTINCT parent keys; parent key sets are dimension-sized, so
+    Spark broadcasts them (the fact side never shuffles) — at 100 TB
+    this is three scan-speed probes, not three shuffles."""
+    ensure_harness_conf(spark)
+    from .operators.stats import fk_orphans as edge
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(edge("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )
+
+
+_HIST_BINS = 20
+
+
+@register_extra(
+    "x_hist_value",
+    oracle=f"""
+WITH rng AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - r.lo) / ((r.hi - r.lo) / {_HIST_BINS}.0)),
+                    {_HIST_BINS - 1}.0) AS BIGINT) AS bin
+  FROM events e CROSS JOIN rng r
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY event_type, bin
+""",
+)
+def x_hist_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per event type — the
+    distribution half of the profiling gate (the profiler gives
+    min/max/distinct; this gives shape). Bin = floor((x-lo)/width)
+    clamped so x==hi lands in the last bin; lo/hi are a 1-row
+    broadcast from one min/max agg, the bin math is one fixed double
+    expression (engine-exact), and the histogram itself is one
+    map-side-combined hash agg — two passes total at scan speed, no
+    sort, no per-bin work."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    n = float(_HIST_BINS)
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n)),
+            F.lit(float(_HIST_BINS - 1)),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -98,3 +98,21 @@ def test_profile_single_scan_plan(spark, sf_dir):
     )
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_fk_orphans_detects_injected_orphans(spark):
+    from strava_etl_public_spark.operators.stats import fk_orphans
+
+    parent = spark.createDataFrame(pd.DataFrame({"pid": [1, 2, 3]}))
+    child = spark.createDataFrame(
+        pd.DataFrame({"cid": range(6), "ref": [1, 2, 3, 3, 99, -1]})
+    )
+    out = fk_orphans("child->parent", child, "ref", parent, "pid").first()
+    assert out["fk"] == "child->parent"
+    assert out["n_rows"] == 6
+    assert out["n_orphans"] == 2
+    # clean edge reports zero
+    clean = fk_orphans(
+        "c", child.filter(F.col("ref").isin(1, 2, 3)), "ref", parent, "pid"
+    ).first()
+    assert clean["n_orphans"] == 0

@@ -406,3 +406,42 @@ def test_bm25_partition_invariance(spark, sf_dir):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_pmi_collocations_semantics(spark):
+    """A pair that ALWAYS co-occurs must outscore a pair of
+    independent frequent words; bigrams under min_count are pruned."""
+    from strava_etl_public_spark.operators.text import pmi_collocations
+
+    rows = []
+    # "san francisco" always together, 6 times, in separate docs
+    for i in range(6):
+        rows.append((i, "san francisco is foggy today really"))
+    # "the cat" / "the dog": 'the' everywhere -> low PMI pairs
+    for i in range(6, 12):
+        rows.append((i, "the cat saw the dog near the gate"))
+    # rare pair below min_count: must not appear
+    rows.append((12, "quux zzyzx"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = pmi_collocations(docs, "doc_id", "text", min_count=5, k=50).toPandas()
+    pairs = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
+    assert ("san", "francisco") in pairs
+    assert ("quux", "zzyzx") not in pairs
+    the_pairs = [v for (a, b), v in pairs.items() if a == "the" or b == "the"]
+    assert the_pairs and all(pairs[("san", "francisco")] > v for v in the_pairs)
+    # rk follows (pmi desc, w1, w2)
+    srt = out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+    assert srt.rk.tolist() == sorted(out.rk.tolist())
+
+
+def test_hist_value_invariants(spark, sf_dir):
+    from strava_etl_public_spark import queries as q
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = q.EXTRA_QUERIES["x_hist_value"](spark, sf_dir).toPandas()
+    assert out.n.sum() == ev.count()
+    assert out.bin.between(0, 19).all()
+    # the global max value must land in the LAST bin (clamp check)
+    mx = ev.agg(F.max("value")).first()[0]
+    typ = ev.filter(F.col("value") == mx).first()["event_type"]
+    assert 19 in set(out[out.event_type == typ].bin)

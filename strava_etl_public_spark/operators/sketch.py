@@ -167,20 +167,25 @@ def cms_lookup(
     )
 
 
-def _bloom_positions(value_col: str, m: int, k: int) -> Column:
+def _bloom_position_cols(value_col: str, m: int, k: int) -> list[Column]:
     """The k bit positions of one value — ONE definition shared by
     build, probe, and prefilter (the CMS lesson: a sketch is only
-    correct if every side hashes identically). md5-derived like the
-    HLL/CMS terms, so a SQL oracle reproduces every bit."""
-    return F.array(
-        *[
-            (
-                _hash60(F.concat(F.lit(f"bloom{r}:"), F.col(value_col).cast("string")))
-                % m
-            ).cast("long")
-            for r in range(k)
-        ]
-    )
+    correct if every side hashes identically). Kirsch-Mitzenmacher
+    double hashing: ONE md5 yields two independent 60-bit halves
+    (h1 = hex[1:15], h2 = hex[17:31] — the fingerprint-split
+    convention the MinHash shingles use) and ``pos_r = (h1 + r·(h2|1))
+    mod m`` — k positions for one hash evaluation (the dominant
+    prefilter cost at fact-scan scale), with the classic proof that
+    the FP rate is asymptotically unchanged. h2 forced odd so the
+    stride never degenerates to a single repeated position."""
+    m5 = F.md5(F.concat(F.lit("bloom:"), F.col(value_col).cast("string")))
+    h1 = F.conv(F.substring(m5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m5, 17, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return [((h1 + r * h2) % m).cast("long") for r in range(k)]
+
+
+def _bloom_positions(value_col: str, m: int, k: int) -> Column:
+    return F.array(*_bloom_position_cols(value_col, m, k))
 
 
 def bloom_build(df: DataFrame, value_col: str, m: int = 4096, k: int = 5) -> DataFrame:
@@ -247,17 +252,21 @@ def bloom_prefilter(
         bitmap[row["w"]] = row["bits"]
     bc = df.sparkSession.sparkContext.broadcast(bitmap)
     out_schema = df.schema
+    pos_cols = [f"_pos{r}" for r in range(k)]
 
     def keep_members(batches):
         bm = bc.value
         for pdf in batches:
-            arr = np.vstack(pdf["_pos"].to_numpy()).astype(np.int64)
-            hit = ((bm[arr >> 6] >> (arr & 63)) & 1).all(axis=1)
+            hit = None
+            for c in pos_cols:
+                arr = pdf[c].to_numpy(dtype=np.int64)  # flat int64, no object rows
+                h = ((bm[arr >> 6] >> (arr & 63)) & 1).astype(bool)
+                hit = h if hit is None else (hit & h)
             yield pdf.loc[hit, [f.name for f in out_schema.fields]]
 
-    return df.withColumn("_pos", _bloom_positions(value_col, m, k)).mapInPandas(
-        keep_members, schema=out_schema
-    )
+    pos = _bloom_position_cols(value_col, m, k)
+    with_pos = df.withColumns(dict(zip(pos_cols, pos)))
+    return with_pos.mapInPandas(keep_members, schema=out_schema)
 
 
 def sample_by_hash(df: DataFrame, id_col: str, fraction: float, salt: str = "sample") -> DataFrame:

@@ -2886,11 +2886,12 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bloom_pos_sql(val: str, m: int, k: int) -> str:
     """DuckDB list of the k bloom bit positions of ``val`` — mirrors
-    sketch._bloom_positions (same salts, same md5-60-bit math)."""
-    terms = ", ".join(
-        f"CAST(concat('0x', substr(md5('bloom{r}:' || {val}), 1, 15)) AS BIGINT) % {m}"
-        for r in range(k)
-    )
+    sketch._bloom_position_cols (same ONE-md5 Kirsch-Mitzenmacher
+    double hashing: h1 = hex[1:15], h2 = hex[17:31] forced odd,
+    pos_r = (h1 + r*h2) mod m)."""
+    h1 = f"CAST(concat('0x', substr(md5('bloom:' || {val}), 1, 15)) AS BIGINT)"
+    h2 = f"(CAST(concat('0x', substr(md5('bloom:' || {val}), 17, 15)) AS BIGINT) | 1)"
+    terms = ", ".join(f"({h1} + {r} * {h2}) % {m}" for r in range(k))
     return f"[{terms}]"
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: quantization scale for regression inputs (6 dp — the repo standard)
@@ -89,6 +89,118 @@ def group_linreg(
         F.when(fit_ok, F.round(slope, 9)).otherwise(F.lit(None)).alias("slope"),
         F.when(fit_ok, F.round(intercept, 6)).otherwise(F.lit(None)).alias("intercept"),
         F.when(fit_ok, F.round(r2, 6)).otherwise(F.lit(None)).alias("r2"),
+    )
+
+
+def _rank_quantile(
+    value: Column, rn: Column, n: Column, num: int, den: int
+) -> Column:
+    """percentile_disc(num/den) as a window expression over rows
+    carrying (value, row_number rn, partition count n): the value at
+    rank ⌈n·num/den⌉, with the rank computed in INTEGER math
+    ``(n·num + den − 1) div den`` — exact in both engines for any
+    rational p (the 0.05 float route rounds differently near integer
+    boundaries)."""
+    rank = ((n * num + (den - 1)) / den).cast("long")
+    return F.max(F.when(rn == rank, value))
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """Winsorization: clamp each value into its OWN group's exact
+    [p_lo, p_hi] band (percentile_disc rank math, default 5th/95th) —
+    the outlier-taming step before averaging noisy metrics. Adds
+    ``{value}_w`` (clamped), ``p_lo``/``p_hi``, and ``clamped``
+    (-1/0/+1) to every row.
+
+    Both percentiles and the clamp ride ONE sort family: row_number
+    and the partition count come from the ordered window, the two
+    rank-picked percentiles from the unordered window over the same
+    partition keys — one shuffle+sort per group family, the honest
+    exact cost (same posture as the exact-quantiles query; sketches
+    are the scale fallback when even one sort is too much)."""
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col, *tiebreak)
+    wn = Window.partitionBy(*keys)
+    v = F.col(value_col)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    base = df.select(
+        *df.columns, rn.alias("_rn"), n.alias("_n")
+    )
+    p_lo = _rank_quantile(v, F.col("_rn"), F.col("_n"), *lo).over(wn)
+    p_hi = _rank_quantile(v, F.col("_rn"), F.col("_n"), *hi).over(wn)
+    with_p = base.select(*df.columns, p_lo.alias("p_lo"), p_hi.alias("p_hi"))
+    clamped = F.when(v < F.col("p_lo"), F.lit(-1)).when(
+        v > F.col("p_hi"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return with_p.select(
+        *df.columns,
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")).alias(f"{value_col}_w"),
+        clamped.cast("int").alias("clamped"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute
+    deviation: a point is an outlier when ``|x − median| > n_sigmas ·
+    1.4826 · MAD`` (1.4826 scales MAD to σ under normality) — the
+    robust alternative to mean/stddev z-scores, which the outliers
+    themselves corrupt. Emits per group: n, the exact median, the
+    exact MAD, and the outlier count.
+
+    Two sort families, necessarily: the median needs rank over value,
+    the MAD needs rank over |x − median| (a column that exists only
+    after the first). Both medians are percentile_disc rank picks
+    (integer rank math), and |x − median| is one fixed double
+    subtraction — deterministic across engines."""
+    keys = list(group_cols)
+    w1 = Window.partitionBy(*keys).orderBy(value_col, *tiebreak)
+    wn = Window.partitionBy(*keys)
+    v = F.col(value_col)
+    med_rows = df.select(
+        *keys,
+        value_col,
+        *tiebreak,
+        F.row_number().over(w1).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    med = _rank_quantile(v, F.col("_rn"), F.col("_n"), 1, 2).over(wn)
+    dev = med_rows.select(
+        *keys, value_col, *tiebreak, F.col("_n").alias("_n"), med.alias("_med")
+    ).withColumn("_dev", F.abs(v - F.col("_med")))
+    w2 = Window.partitionBy(*keys).orderBy("_dev", value_col, *tiebreak)
+    dev_rows = dev.withColumn("_drn", F.row_number().over(w2))
+    mad = _rank_quantile(F.col("_dev"), F.col("_drn"), F.col("_n"), 1, 2).over(wn)
+    flagged = dev_rows.select(
+        *keys,
+        "_n",
+        "_med",
+        "_dev",
+        mad.alias("_mad"),
+    ).withColumn(
+        "_is_out",
+        (F.col("_dev") > F.lit(n_sigmas) * F.lit(1.4826) * F.col("_mad")).cast("int"),
+    )
+    return flagged.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_med").alias("med"),
+        F.max("_mad").alias("mad"),
+        F.sum("_is_out").cast("long").alias("n_outliers"),
     )
 
 

@@ -3399,3 +3399,132 @@ def x_hist_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorization, MAD outliers
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_winsorize_value",
+    oracle="""
+WITH v AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+q AS (
+  SELECT *,
+         max(CASE WHEN rn = (n * 1 + 19) // 20 THEN value END)
+           OVER (PARTITION BY event_type) AS p_lo,
+         max(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END)
+           OVER (PARTITION BY event_type) AS p_hi
+  FROM r
+),
+c AS (
+  SELECT event_type, n, p_lo, p_hi,
+         least(greatest(value, p_lo), p_hi) AS vw,
+         CASE WHEN value < p_lo THEN 1 ELSE 0 END AS lo_f,
+         CASE WHEN value > p_hi THEN 1 ELSE 0 END AS hi_f
+  FROM q
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(p_lo) AS p05, max(p_hi) AS p95,
+       CAST(sum(lo_f) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(hi_f) AS BIGINT) AS n_clamped_hi,
+       round(CAST(sum(CAST(round(vw * 1000000, 0) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 / CAST(max(n) AS DOUBLE), 6) AS mean_w
+FROM c GROUP BY event_type
+""",
+)
+def x_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value summary: every value clamped into its
+    own group's exact [p05, p95] (percentile_disc INTEGER rank math —
+    (n·a + b−1) div b, no float-p rank drift), then the robust mean
+    over the clamped values (6dp-quantized decimal sum — order-free).
+    Percentiles and clamp ride ONE sort family (stats.winsorize); the
+    aggregate is one more hash agg."""
+    ensure_harness_conf(spark)
+    from .operators import stats
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    wz = stats.winsorize(
+        ev, ["event_type"], "value", tiebreak=["event_id"], lo=(1, 20), hi=(19, 20)
+    )
+    return wz.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("p_lo").alias("p05"),
+        F.max("p_hi").alias("p95"),
+        F.sum(F.when(F.col("clamped") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_lo"),
+        F.sum(F.when(F.col("clamped") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_hi"),
+        F.round(
+            F.sum(F.round(F.col("value_w") * 1000000, 0).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_w"),
+    )
+
+
+@register_extra(
+    "x_outliers_mad",
+    oracle="""
+WITH v AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+m AS (
+  SELECT *, max(CASE WHEN rn = (n * 1 + 1) // 2 THEN value END)
+              OVER (PARTITION BY event_type) AS med
+  FROM r1
+),
+d AS (SELECT event_type, event_id, value, n, med, abs(value - med) AS dev FROM m),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, value, event_id) AS drn
+  FROM d
+),
+m2 AS (
+  SELECT *, max(CASE WHEN drn = (n * 1 + 1) // 2 THEN dev END)
+              OVER (PARTITION BY event_type) AS mad
+  FROM r2
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(med) AS med, max(mad) AS mad,
+       CAST(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM m2 GROUP BY event_type
+""",
+)
+def x_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: |x − median| > 3·1.4826·MAD
+    with the median AND the MAD as exact percentile_disc rank picks —
+    the mean/stddev z-score alternative that outliers themselves
+    can't corrupt. Two sort families (value, then |x−med|) — the
+    honest exact cost; both medians are integer-rank math and the
+    deviation is one fixed double subtraction, so counts AND the
+    med/mad values hash-match the oracle."""
+    ensure_harness_conf(spark)
+    from .operators import stats
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    return stats.mad_outliers(
+        ev, ["event_type"], "value", tiebreak=["event_id"], n_sigmas=3.0
+    )

@@ -116,3 +116,38 @@ def test_fk_orphans_detects_injected_orphans(spark):
         "c", child.filter(F.col("ref").isin(1, 2, 3)), "ref", parent, "pid"
     ).first()
     assert clean["n_orphans"] == 0
+
+
+def test_winsorize_semantics(spark):
+    from strava_etl_public_spark.operators.stats import winsorize
+
+    # 1..100 in one group: p05 (rank ceil(100/20)=5) = 5, p95 (rank 95) = 95
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 100, "id": range(100), "v": [float(i + 1) for i in range(100)]})
+    )
+    out = winsorize(df, ["g"], "v", tiebreak=["id"], lo=(1, 20), hi=(19, 20)).toPandas()
+    assert (out.p_lo == 5.0).all() and (out.p_hi == 95.0).all()
+    assert out.v_w.min() == 5.0 and out.v_w.max() == 95.0
+    assert (out.clamped == -1).sum() == 4 and (out.clamped == 1).sum() == 5
+    # untouched interior rows keep their value
+    mid = out[(out.v >= 5.0) & (out.v <= 95.0)]
+    assert (mid.v_w == mid.v).all() and (mid.clamped == 0).all()
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from strava_etl_public_spark.operators.stats import mad_outliers
+
+    vals = [10.0 + 0.1 * (i % 7) for i in range(50)] + [1000.0, -500.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 52, "id": range(52), "v": vals})
+    )
+    out = mad_outliers(df, ["g"], "v", tiebreak=["id"]).first()
+    assert out["n"] == 52
+    assert 10.0 <= out["med"] <= 10.6
+    assert out["n_outliers"] == 2
+    # degenerate: constant group -> MAD 0, every equal point inlier
+    const = spark.createDataFrame(
+        pd.DataFrame({"g": ["c"] * 10, "id": range(10), "v": [5.0] * 10})
+    )
+    c = mad_outliers(const, ["g"], "v", tiebreak=["id"]).first()
+    assert c["mad"] == 0.0 and c["n_outliers"] == 0

@@ -338,6 +338,61 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish /
+    compression-junk detector (base64 blobs and minified code sit far
+    above prose entropy; repeated-char padding far below), a standard
+    quality-filter feature alongside the stopword/punctuation ratios.
+
+    ``H = −Σ_c (n_c/N)·ln(n_c/N)`` over the document's character
+    counts. Determinism: each ln rounds to 6 dp (the repo's libm
+    rule), the per-char contribution ``n_c · ln_r`` rounds to 6 dp
+    and sums as DECIMAL(38,6) (order-free), and the final ``−S/N``
+    rounds to 6 dp — bit-equal across engines and partitionings.
+    Empty docs emit 0.0 with n_chars=0.
+
+    Scale shape: one char explode + one (doc, char) hash agg + one
+    per-doc agg — the tokens() shape at character granularity, all
+    map-side combined."""
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_c")
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_nc")
+    )
+    per_doc = counts.withColumn(
+        "_n", F.sum("_nc").over(Window.partitionBy(id_col))
+    ).withColumn(
+        "_contrib",
+        F.round(
+            F.col("_nc").cast("double")
+            * F.round(
+                F.log(F.col("_nc").cast("double") / F.col("_n").cast("double")), 6
+            ),
+            6,
+        ),
+    )
+    ent = per_doc.groupBy(id_col).agg(
+        F.max("_n").cast("long").alias("n_chars"),
+        F.round(
+            -F.sum(F.col("_contrib").cast("decimal(38,6)")).cast("double")
+            / F.max("_n").cast("double"),
+            6,
+        ).alias("char_entropy"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(ent, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     id_col: str,

@@ -3528,3 +3528,81 @@ def x_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.mad_outliers(
         ev, ["event_type"], "value", tiebreak=["event_id"], n_sigmas=3.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Char entropy, incremental aggregation state
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+),
+cnt AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS nc
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+per AS (
+  SELECT doc_id, nc, sum(nc) OVER (PARTITION BY doc_id) AS n
+  FROM cnt
+),
+contrib AS (
+  SELECT doc_id, n,
+         round(CAST(nc AS DOUBLE)
+               * round(ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)), 6), 6) AS c
+  FROM per
+),
+ent AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+         round(-CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(max(n) AS DOUBLE), 6) AS char_entropy
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.n_chars, 0) AS n_chars,
+       coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
+""",
+)
+def x_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    base64-blob / padding detector of the quality-filter family.
+    Engine-exact via the 6dp-ln + decimal-sum rule; one char explode
+    + two hash aggs, scan shape."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.char_entropy(docs, "doc_id", "text")
+
+
+@register_extra(
+    "x_incremental_agg_merge",
+    oracle="""
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0, 6) AS sum_v,
+       round(CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 / CAST(count(value) AS DOUBLE), 6) AS mean_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type
+""",
+)
+def x_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the corpus arrives as THREE
+    batches (event_id mod 3 slices), each reduced to per-key algebraic
+    state, states merged WITHOUT rescanning any batch, then finished
+    to serving metrics. The oracle aggregates the whole corpus in one
+    shot — the merge must be indistinguishable from full recompute
+    (``merge(state(A), state(B), state(C)) == state(A∪B∪C)``), which
+    holds because counts/quantized-sums add and mins/maxes combine.
+    At 100 TB this is the only affordable refresh: state tables are
+    keys-sized, batches are scanned once, ever."""
+    ensure_harness_conf(spark)
+    from .operators import aggstate
+
+    ev = load(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [aggstate.agg_state(b, ["event_type"], "value") for b in batches]
+    return aggstate.finish_state(aggstate.merge_agg_states(*states))

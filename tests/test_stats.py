@@ -151,3 +151,32 @@ def test_mad_outliers_flags_planted_spike(spark):
     )
     c = mad_outliers(const, ["g"], "v", tiebreak=["id"]).first()
     assert c["mad"] == 0.0 and c["n_outliers"] == 0
+
+
+def test_agg_state_merge_equals_full_recompute(spark, sf_dir):
+    """merge(state(A), state(B)) must equal state(A ∪ B) exactly,
+    for any slicing — the algebraic contract."""
+    from strava_etl_public_spark.operators import aggstate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = aggstate.finish_state(
+        aggstate.agg_state(ev, ["event_type"], "value")
+    ).toPandas()
+    # a deliberately skewed 4-way slicing
+    parts = [ev.filter((F.col("event_id") % 7) % 4 == i) for i in range(4)]
+    states = [aggstate.agg_state(p, ["event_type"], "value") for p in parts]
+    merged = aggstate.finish_state(aggstate.merge_agg_states(*states)).toPandas()
+    key = "event_type"
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        merged.sort_values(key).reset_index(drop=True),
+    )
+    # merging a state with an EMPTY batch's state is a no-op
+    empty = aggstate.agg_state(ev.filter(F.lit(False)), ["event_type"], "value")
+    with_empty = aggstate.finish_state(
+        aggstate.merge_agg_states(aggstate.agg_state(ev, ["event_type"], "value"), empty)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        with_empty.sort_values(key).reset_index(drop=True),
+    )

@@ -445,3 +445,31 @@ def test_hist_value_invariants(spark, sf_dir):
     mx = ev.agg(F.max("value")).first()[0]
     typ = ev.filter(F.col("value") == mx).first()["event_type"]
     assert 19 in set(out[out.event_type == typ].bin)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from strava_etl_public_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["aaaa", "abab", "abcd", ""],
+            }
+        )
+    )
+    out = (
+        char_entropy(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    )
+    # constant string: zero entropy
+    assert out.loc[1, "char_entropy"] == 0.0 and out.loc[1, "n_chars"] == 4
+    # two equiprobable symbols: ln 2
+    assert abs(out.loc[2, "char_entropy"] - math.log(2)) < 1e-5
+    # four equiprobable symbols: ln 4
+    assert abs(out.loc[3, "char_entropy"] - math.log(4)) < 1e-5
+    # empty doc: 0 with n_chars 0
+    assert out.loc[4, "n_chars"] == 0 and out.loc[4, "char_entropy"] == 0.0
+    # ordering property: random-ish text above repeated text
+    assert out.loc[3, "char_entropy"] > out.loc[2, "char_entropy"] > out.loc[1, "char_entropy"]

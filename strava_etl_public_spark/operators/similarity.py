@@ -796,3 +796,212 @@ def cosine_topk_lsh(
         )
     finally:
         bucketed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook compression + ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-norm every vector (element cast double / sqrt(self-dot))
+    — one fixed expression tree, oracle-mirrored verbatim."""
+    n = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    return emb.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
+
+def _pq_slices(emb: DataFrame, id_col: str, vec_col: str, n_sub: int, d: int) -> DataFrame:
+    """Explode each vector into its n_sub d-dim subvectors as rows
+    ``(id, sub_id, sv)`` — ONE plan handles every subspace (the
+    per-subspace loop becomes a dimension of the data, not S copies
+    of the pipeline)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub_id"),
+                F.slice(F.col(vec_col), s * d + 1, d).alias("sv"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    return emb.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        F.col(id_col), F.col("_e.sub_id").alias("sub_id"), F.col("_e.sv").alias("sv")
+    )
+
+
+def _pq_assign(sl: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) by squared L2 —
+    expanded as ``dot(s,s) − 2·dot(s,c) + dot(c,c)`` so the self-dots
+    fold once per row/centroid instead of per pair (the ivf_assign
+    norm trick), rounded 6 dp with cent_id tie-break (deterministic,
+    oracle-mirrored). The codebook is bounded (n_sub·n_cent rows) —
+    broadcast fan-out, no shuffle of the corpus."""
+    c = cb.withColumn("_cc", dot(F.col("cv"), F.col("cv")))
+    s2 = sl.withColumn("_ss", dot(F.col("sv"), F.col("sv")))
+    j = s2.join(F.broadcast(c), "sub_id").withColumn(
+        "_l2",
+        F.round(
+            F.col("_ss") - F.lit(2.0) * dot(F.col("sv"), F.col("cv")) + F.col("_cc"),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(F.col("_l2"), F.col("cent_id"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub_id", "sv", "cent_id")
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    dim: int = 64,
+    n_cent: int = 16,
+    stride: int = 37,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Train PQ codebooks: per subspace, n_cent centroids over the
+    corpus's d-dim subvectors — deterministic strided init (the
+    seed_centroids recipe, the same picked ids in every subspace)
+    plus Lloyd refinement with the DECIMAL(27,12) exact-mean trick,
+    so the trained model is bit-identical to a SQL oracle.
+
+    Returns ``(sub_id, cent_id, cv)`` — n_sub·n_cent rows of d doubles
+    (the whole model is one bounded broadcast; for dim=64/8×16 it is
+    128 tiny rows). At 100 TB PQ is the memory story: codes are
+    n_sub bytes per vector vs 4·dim — 32× less to shuffle, cache, or
+    serve than raw float32."""
+    d = dim // n_sub
+    sl = _pq_slices(emb, id_col, vec_col, n_sub, d)
+    w = Window.partitionBy("sub_id", "_grp").orderBy(id_col)
+    cb = (
+        sl.filter((F.col(id_col) % stride) == 0)
+        .withColumn("_grp", F.floor((F.col(id_col) % (n_cent * stride)) / stride))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "sub_id",
+            F.col("_grp").cast("long").alias("cent_id"),
+            F.transform(F.col("sv"), lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    for _ in range(refine_iters):
+        a = _pq_assign(sl, cb, id_col)
+        means = (
+            a.select("sub_id", "cent_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_id", "cent_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("double").cast("decimal(27,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+        )
+        newv = means.groupBy("sub_id", "cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("nv")
+        )
+        cb = (
+            cb.join(newv, ["sub_id", "cent_id"], "left")
+            .select(
+                "sub_id",
+                "cent_id",
+                F.coalesce(F.col("nv"), F.col("cv")).alias("cv"),
+            )
+        )
+    return cb
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    n_cent: int = 16,
+    stride: int = 37,
+    refine_iters: int = 1,
+    rerank_r: int = 50,
+) -> DataFrame:
+    """Top-k by asymmetric distance computation over PQ codes: encode
+    every corpus vector as n_sub centroid ids, build a per-query
+    lookup table of exact ``dot(q_sub, centroid)`` parts (|q|·n_sub·
+    n_cent rows — broadcast), and score each (query, neighbor) as the
+    SUM of its parts — the inner product decomposes across subspaces,
+    so query time never touches a raw corpus vector, only codes + a
+    LUT (the ADC trick; 32× less data motion than the brute scan).
+
+    Determinism: LUT parts round 6 dp, per-pair sums accumulate as
+    DECIMAL(38,6) (order-free), final score rounds 6 dp, rank ties on
+    n_id — the whole ranking hash-matches the SQL oracle. Query ids =
+    first n_queries vec_ids (the IVF convention).
+
+    Vectors are L2-NORMALIZED first (so the decomposed dot IS cosine)
+    and the ADC ranking is a CANDIDATE GENERATOR: the top ``rerank_r``
+    per query are re-scored with exact cosine on raw vectors (bounded:
+    r vectors re-read per query) — the IVF-PQ+refine serving pattern.
+    ADC distortion shuffles ranks WITHIN a tight cluster, so pure-ADC
+    recall@5 measured only 0.225 on the clustered fixture; with the
+    r=50 exact rerank the same codes reach high recall while query
+    scans still touch codes + r raw rows, never the corpus."""
+    d = dim // n_sub
+    emb = _l2_normalize(emb, vec_col)
+    cb = pq_codebooks(emb, id_col, vec_col, n_sub, dim, n_cent, stride, refine_iters)
+    sl = _pq_slices(emb, id_col, vec_col, n_sub, d)
+    codes = _pq_assign(sl, cb, id_col).select(
+        F.col(id_col).alias("n_id"), "sub_id", "cent_id"
+    )
+    qids = emb.orderBy(id_col).limit(n_queries).select(F.col(id_col))
+    qsl = _pq_slices(
+        emb.join(qids, id_col, "left_semi"), id_col, vec_col, n_sub, d
+    ).select(F.col(id_col).alias("q_id"), "sub_id", F.col("sv").alias("qv"))
+    lut = qsl.join(F.broadcast(cb), "sub_id").select(
+        "q_id",
+        "sub_id",
+        "cent_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_id", "cent_id"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.round(
+                F.sum(F.col("part").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    cands = (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= rerank_r)
+        .select("q_id", "n_id", "adc")
+    )
+    # exact rerank: raw (normalized) vectors only for the r candidates
+    # per query — dot on unit vectors IS cosine
+    nvec = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_nv"))
+    qvec = emb.join(qids, id_col, "left_semi").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    exact = (
+        cands.join(nvec, "n_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn("cos", F.round(dot(F.col("_qv"), F.col("_nv")), 6))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc", "cos", "rk")
+    )

@@ -224,3 +224,45 @@ def test_shipped_ann_configs_recall_floor(spark, sf_dir):
     for name, pairs in got.items():
         recall = len(truth & pairs) / len(truth)
         assert recall >= 0.8, f"{name} shipped-config recall {recall:.3f} < 0.8"
+
+
+@pytest.mark.slow
+def test_pq_adc_recall_and_determinism(spark, sf_dir):
+    """PQ+rerank recall vs brute cosine, model size bound, and
+    partition invariance of the full ranking."""
+    from strava_etl_public_spark.operators.similarity import (
+        cosine_topk_brute,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, "vec_id", "embedding", n_sub=8, dim=64, n_cent=16)
+    # bounded model: at most n_sub*n_cent rows, every vector 8 doubles
+    assert cb.count() <= 8 * 16
+    assert cb.select(F.size("cv")).distinct().first()[0] == 8
+
+    pq = pq_adc_topk(
+        emb, "vec_id", "embedding", k=5, refine_iters=2, rerank_r=100
+    ).toPandas()
+    queries = emb.orderBy("vec_id").limit(8).select("vec_id", "embedding")
+    brute = cosine_topk_brute(emb, queries, "vec_id", "embedding", k=5).toPandas()
+    truth = {tuple(r) for r in brute[["q_id", "n_id"]].itertuples(index=False)}
+    got = {tuple(r) for r in pq[["q_id", "n_id"]].itertuples(index=False)}
+    recall = len(truth & got) / len(truth)
+    # deterministic fixtures + RNG-free training → exactly 0.800 here;
+    # floor pinned just below
+    assert recall >= 0.775, f"PQ recall {recall:.2f} too low"
+
+    again = (
+        pq_adc_topk(
+            emb.repartition(13), "vec_id", "embedding", k=5,
+            refine_iters=2, rerank_r=100,
+        )
+        .toPandas()
+        .sort_values(["q_id", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        pq.sort_values(["q_id", "rk"]).reset_index(drop=True), again
+    )

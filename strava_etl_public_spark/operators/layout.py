@@ -100,3 +100,21 @@ def zorder_layout(
     writing if the schema must stay clean."""
     keyed = df.withColumn("_z", z_value(list(cols), bits))
     return keyed.repartitionByRange(n_files, "_z").sortWithinPartitions("_z")
+
+
+def hive_partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout: one directory per partition
+    value, so a reader's filter on the partition column prunes whole
+    directories BEFORE any file is opened (PartitionFilters in the
+    scan — zero I/O for excluded partitions, the coarsest and
+    cheapest data-skipping layer, ahead of z-order min/max stats and
+    row-group pushdown). Use for low-cardinality columns a large
+    fraction of queries filter on (date, source, event type); high
+    cardinality here is the classic small-files trap — that is what
+    compact_parquet and z-order are for."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

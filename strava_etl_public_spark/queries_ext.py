@@ -3718,7 +3718,7 @@ SELECT q_id, n_id, adc, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register_extra("x_sim_topk_pq", oracle=_pq_oracle())
+@register("x_sim_topk_pq", oracle=_pq_oracle())
 def x_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8 subspaces × 16 centroids trained by
     deterministic strided init + two exact-mean Lloyd passes (the IVF
@@ -3738,4 +3738,52 @@ def x_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         emb, "vec_id", "embedding", k=5, n_queries=8, n_sub=8, dim=64,
         n_cent=16, stride=37, refine_iters=2, rerank_r=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction (JSON props)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_json_extract_props",
+    oracle="""
+WITH px AS (
+  SELECT event_type,
+         CAST(props->>'k' AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM px GROUP BY event_type
+""",
+)
+def x_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column
+    with an EXPLICIT schema (``from_json`` — one vectorized parse into
+    a typed struct, the scalable path; schema inference would rescan)
+    and aggregate the extracted field per event type. Malformed or
+    missing fields become NULL (PERMISSIVE), surfaced by the
+    n vs n_with_k gap — the ingest-quality contract for JSON columns
+    at scan speed, no UDF."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    px = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), schema).getField("k").alias("k"),
+    )
+    return px.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
     )

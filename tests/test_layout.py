@@ -116,3 +116,23 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").toPandas()
     b = spark.read.parquet(dst).orderBy("id").toPandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column must show up as a
+    PartitionFilter (directory pruning), not a data filter — and the
+    pruned read returns exactly the partition's rows."""
+    from strava_etl_public_spark.operators.layout import hive_partitioned_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "by_type")
+    hive_partitioned_write(ev, out, ["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "click" in plan, plan
+    # no row-level filter needed for the partition column
+    n_expect = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_expect
+    # every column round-trips (partition col restored from the path)
+    assert set(back.columns) == set(ev.columns)

@@ -137,3 +137,36 @@ def row_position(df: DataFrame, key: str, ord_col: str, out_col: str = "time_new
     """Dense 0-based row position per key (W4; reference main.py:63)."""
     w = Window.partitionBy(key).orderBy(ord_col)
     return df.withColumn(out_col, (F.row_number().over(w) - F.lit(1)).cast("long"))
+
+
+def locf_fill(
+    df: DataFrame,
+    key: str,
+    ord_cols: Sequence[str],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: each NULL takes the
+    most recent non-NULL value within its key, in (ord_cols…) order —
+    the step-function sibling of interpolate_linear for state-like
+    series (a sensor that reports on change, a price that holds until
+    the next tick). Leading NULLs (nothing to carry) stay NULL.
+
+    One window per key ordering shared by every filled column
+    (``last(…, ignorenulls)`` over an unbounded-preceding frame) —
+    one shuffle+sort total, the same single-sort-family discipline as
+    the interpolation operator. Adds ``{col}_filled`` plus a
+    ``{col}_was_filled`` flag per column."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    new_cols: dict[str, F.Column] = {}
+    for c in cols:
+        filled = F.last(F.col(c), ignorenulls=True).over(w)
+        new_cols[f"{c}_filled"] = filled
+        new_cols[f"{c}_was_filled"] = (
+            F.col(c).isNull() & filled.isNotNull()
+        ).cast("int")
+    return out.withColumns(new_cols)

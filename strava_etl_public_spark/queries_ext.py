@@ -3787,3 +3787,215 @@ def x_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: LOCF fill, running distinct, cohorts, funnel
+# ---------------------------------------------------------------------------
+
+_DAY_DUCK = "(CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400)"
+
+
+@register_extra(
+    "x_locf_fill",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) AS BIGINT) AS ord_ns,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ord_ns, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+  FROM b
+)
+SELECT event_id, user_id, value_filled,
+       CAST(CASE WHEN v IS NULL AND value_filled IS NOT NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS was_filled
+FROM f
+""",
+)
+def x_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: 'error' events are
+    treated as missing readings and take the user's most recent good
+    value in event-time order (step-function fill — the state-series
+    sibling of W2's linear interpolation; leading gaps stay NULL).
+    One shuffle+sort per user ordering, every filled column sharing
+    the frame (resample.locf_fill)."""
+    ensure_harness_conf(spark)
+    from .operators import resample
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        ep.epoch_ns(ev).alias("_ord"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = resample.locf_fill(base, "user_id", ["_ord", "event_id"], ["v"])
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.col("v_filled").alias("value_filled"),
+        F.col("v_was_filled").cast("long").alias("was_filled"),
+    )
+
+
+@register_extra(
+    "x_running_distinct_users",
+    oracle=f"""
+WITH d AS (SELECT user_id, {_DAY_DUCK} AS day FROM events),
+days AS (SELECT DISTINCT day FROM d),
+first_seen AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id),
+new_per_day AS (SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY d0)
+SELECT days.day AS day,
+       coalesce(n.n_new, 0) AS n_new_users,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY days.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_users
+FROM days LEFT JOIN new_per_day n ON n.day = days.day
+""",
+)
+def x_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the FIRST-SEEN transform:
+    a user contributes to the running distinct count exactly once (the
+    day they first appear), so the running count is a cumulative SUM
+    of per-day new-user counts — one user-level agg + one tiny day
+    window, instead of the naive per-day COUNT(DISTINCT over growing
+    prefix) which is O(days × history) rescans. The scan-once shape
+    every growth dashboard should compile to at 100 TB."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    es = ep.epoch_s(ev)
+    d = ev.select("user_id", F.floor(es / F.lit(86400)).cast("long").alias("day"))
+    days = d.select("day").distinct()
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new_users"))
+        .withColumn(
+            "cum_distinct_users", F.sum("n_new_users").over(w).cast("long")
+        )
+    )
+
+
+@register_extra(
+    "x_cohort_retention",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT user_id, {_DAY_DUCK} AS day FROM events),
+first_seen AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id),
+act AS (
+  SELECT DISTINCT f.user_id, f.d0 // 7 AS cohort_week, d.day // 7 - f.d0 // 7 AS week_offset
+  FROM d JOIN first_seen f USING (user_id)
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+""",
+)
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted once per (cohort, weeks-since-first-seen) they were active
+    — the standard retention triangle. Two hash aggs + one join keyed
+    on user (the cohort label broadcasts back onto activity); integer
+    day/week math on epoch seconds, engine-portable with no timezone
+    or DATE-cast drift."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    es = ep.epoch_s(ev)
+    d = ev.select(
+        "user_id", F.floor(es / F.lit(86400)).cast("long").alias("day")
+    ).distinct()
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    act = (
+        d.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.col("d0") / 7).cast("long").alias("cohort_week"),
+            (F.floor(F.col("day") / 7) - F.floor(F.col("d0") / 7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register_extra(
+    "x_funnel_steps",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t FROM events
+),
+v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.t) AS tc
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.t >= v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.t) AS tp
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.t >= c.tc
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+""",
+)
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AT OR AFTER
+    their first view, then purchased at or after that click — the
+    order-sensitive conversion count (a user who purchases before
+    ever viewing does NOT convert, which a naive per-type distinct
+    count gets wrong). Three stage aggregations, each a keyed min
+    joined forward — no per-user event-array materialization, no
+    window over the whole history."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", ep.epoch_ns(ev).alias("t"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage("view", v)
+        .unionAll(stage("click_after_view", c))
+        .unionAll(stage("purchase_after_click", p))
+    )

@@ -115,3 +115,37 @@ def test_row_position(spark):
         .sort_values("time_key")
     )
     assert out.time_new.tolist() == [0, 1, 2]
+
+
+def test_locf_fill_semantics(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.resample import locf_fill
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "t": [1, 2, 3, 4, 5, 1, 2, 3],
+            "v": [None, 10.0, None, None, 20.0, None, None, 5.0],
+        }
+    )
+    from tests.conftest import to_sdf
+
+    df = to_sdf(spark, pdf)
+    out = (
+        locf_fill(df, "k", ["t"], ["v"])
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # leading NULLs stay NULL and are not flagged
+    assert pd.isna(out.loc[0, "v_filled"]) and out.loc[0, "v_was_filled"] == 0
+    # carries forward across multi-row gaps
+    assert out.loc[2, "v_filled"] == 10.0 and out.loc[2, "v_was_filled"] == 1
+    assert out.loc[3, "v_filled"] == 10.0
+    # real observations pass through unflagged
+    assert out.loc[4, "v_filled"] == 20.0 and out.loc[4, "v_was_filled"] == 0
+    # keys are independent: b's leading gap not filled from a
+    b = out[out.k == "b"].reset_index(drop=True)
+    assert pd.isna(b.loc[0, "v_filled"]) and pd.isna(b.loc[1, "v_filled"])
+    assert b.loc[2, "v_filled"] == 5.0

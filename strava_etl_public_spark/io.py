@@ -86,3 +86,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header — the interchange face (exports, legacy
+    consumers). Nulls serialize as empty fields; readers must supply
+    an explicit schema (CSV carries none — inference rescans and
+    guesses, both wrong at scale)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-first CSV source: explicit StructType, header skipped,
+    PERMISSIVE mode (malformed rows become NULLs instead of killing
+    the job — count them via a required-column IS NULL filter). No
+    inference pass, splittable scan."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the training-data interchange format (one
+    document per line, append-friendly, splittable)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-first JSON-lines source; PERMISSIVE like read_csv."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)

@@ -3999,3 +3999,181 @@ def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("click_after_view", c))
         .unionAll(stage("purchase_after_click", p))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality: PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85, k: int = 20) -> str:
+    base = repr(1.0 - damping)  # exact IEEE literal (1-0.85 != 0.15)
+    rounds = []
+    for i in range(iters):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, round(r.rank / CAST(d.deg AS DOUBLE), 6) AS c
+  FROM r{i} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+),
+g{i} AS (
+  SELECT node, CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM c{i} GROUP BY node
+),
+r{i + 1} AS (
+  SELECT nodes.node,
+         round({base} / CAST(n AS DOUBLE) + {damping} * coalesce(g.s, 0.0), 6) AS rank
+  FROM nodes LEFT JOIN g{i} g USING (node) CROSS JOIN nn
+)"""
+        )
+    return f"""
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+e AS (
+  SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM sp
+  UNION ALL
+  SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+         's:' || CAST(l_suppkey AS VARCHAR) FROM sp
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, round(1.0 / CAST(n AS DOUBLE), 6) AS rank
+  FROM nodes CROSS JOIN nn
+),
+{",".join(rounds)}
+SELECT node, rank, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT node, rank,
+         row_number() OVER (ORDER BY rank DESC, node) AS rk
+  FROM r{iters}
+) WHERE rk <= {k}
+"""
+
+
+@register_extra("x_graph_pagerank", oracle=_pagerank_oracle())
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the supplier↔part bipartite graph
+    (edges = distinct lineitem supplier-part pairs, both directions):
+    the importance signal that picks canonical entities and weights
+    linked training data — the companion to connected-components'
+    identity signal. Three iterations, every rank 6dp-quantized and
+    every gather decimal-summed (the Lloyd determinism recipe for
+    iterative algorithms), so the oracle unrolls the SAME iterations
+    CTE-for-CTE and the final top-20 hash-matches. Per iteration: one
+    ranks⋈edges join keyed the same way every round + one hash agg —
+    no driver state."""
+    ensure_harness_conf(spark)
+    from .operators import graph
+
+    sp = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    fwd = sp.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    bwd = sp.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = graph.pagerank(fwd.unionAll(bwd), iters=3, damping=0.85)
+    w = W.orderBy(F.col("rank").desc(), "node")
+    return (
+        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("node", "rank", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interchange sources: CSV / JSON-lines round-trips
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+@register_extra("x_source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def x_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round-trip: write lineitem's flag/status/price
+    columns to a header CSV, read them back through the SCHEMA-FIRST
+    source (no inference pass — CSV carries no types; PERMISSIVE so
+    malformed rows surface as NULLs, not job kills), and aggregate.
+    The oracle reads the original parquet — any serialization drift
+    (quoting, null encoding, float text round-trip) breaks the hash.
+    Prices compare as exact integer cents: float→text→float is only
+    trusted where it is provably exact."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from .io import read_csv, write_csv
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        write_csv(li, out)
+        schema = StructType(
+            [
+                StructField("l_returnflag", StringType()),
+                StructField("l_linestatus", StringType()),
+                StructField("l_extendedprice", DoubleType()),
+            ]
+        )
+        back = read_csv(spark, out, schema)
+        return _roundtrip_agg(back).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register_extra("x_source_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def x_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange round-trip (the training-data export
+    format): same schema-first read-back and exact-cents compare as
+    the CSV twin."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from .io import read_jsonl, write_jsonl
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl(li, out)
+        schema = StructType(
+            [
+                StructField("l_returnflag", StringType()),
+                StructField("l_linestatus", StringType()),
+                StructField("l_extendedprice", DoubleType()),
+            ]
+        )
+        back = read_jsonl(spark, out, schema)
+        return _roundtrip_agg(back).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,53 @@
+"""PageRank: known-topology values, mass behavior, partition
+invariance."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"])
+    )
+
+
+def test_pagerank_star_center_dominates(spark):
+    """In a star (all leaves -> center, center -> all leaves), the
+    center must out-rank every leaf, and leaves tie exactly."""
+    leaves = [f"l{i}" for i in range(6)]
+    pairs = [(l, "hub") for l in leaves] + [("hub", l) for l in leaves]
+    r = pagerank(_edges(spark, pairs), iters=5).toPandas().set_index("node")
+    hub = r.loc["hub", "rank"]
+    leaf_ranks = [r.loc[l, "rank"] for l in leaves]
+    assert all(hub > lr for lr in leaf_ranks)
+    assert len(set(leaf_ranks)) == 1  # symmetry -> exact tie
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node keeps the
+    uniform rank 1/N at every iteration (6dp)."""
+    n = 5
+    pairs = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    r = pagerank(_edges(spark, pairs), iters=4).toPandas()
+    assert set(round(v, 6) for v in r["rank"]) == {round(1 / n, 6)}
+
+
+def test_pagerank_partition_invariance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    e = sp.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        F.col("l_partkey").cast("string").alias("dst"),
+    )
+    a = pagerank(e, iters=3).toPandas().sort_values("node").reset_index(drop=True)
+    b = (
+        pagerank(e.repartition(13), iters=3)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -4177,3 +4177,226 @@ def x_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _roundtrip_agg(back).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite, TPC-H-style relational breadth
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_window_suite",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY user_id ORDER BY value), 6) AS cume,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+       nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+""",
+)
+def x_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface in ONE
+    query — row_number / rank / dense_rank / ntile / percent_rank /
+    cume_dist / lag / lead / first_value / nth_value — all sharing
+    two sort families (event-time order and value order) over one
+    user partitioning, so the plan is two sorts on one exchange, not
+    ten. percent_rank and cume_dist are rank arithmetic over exact
+    integers (engine-portable); rank ties on equal values are
+    IDENTICAL by definition in both engines."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    wt = W.partitionBy("user_id").orderBy(ep.epoch_ns(ev), "event_id")
+    wv = W.partitionBy("user_id").orderBy("value")
+    wt_frame = wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(wt).cast("long").alias("rn"),
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("cume"),
+        F.lag("value", 1).over(wt).alias("prev_value"),
+        F.lead("value", 1).over(wt).alias("next_value"),
+        F.first("value").over(wt_frame).alias("first_v"),
+        F.nth_value("value", 3).over(wt_frame).alias("third_v"),
+    )
+
+
+@register_extra(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table join —
+    customer⋈orders⋈lineitem⋈supplier⋈nation⋈region with the
+    same-nation correlation — per-nation revenue. Catalyst broadcasts
+    every dimension (region/nation/supplier/customer) so the only
+    shuffle is lineitem⋈orders on orderkey; revenue accumulates as
+    6dp-quantized DECIMAL(38,6) (order-free, engine-exact)."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(n, n["n_nationkey"] == s["s_nationkey"])
+        .join(r, r["r_regionkey"] == n["n_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+                ).cast("decimal(38,6)")
+            ).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+
+
+@register_extra(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns. The returnflag filter pushes into the
+    lineitem scan; nation/customer broadcast; the final top-20 plans
+    as TakeOrderedAndProject. Revenue exact via quantized decimal
+    sums; deterministic order ties on custkey."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+                ).cast("decimal(38,6)")
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+@register_extra(
+    "x_stream_stream_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+c AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.user_id
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.es >= c.es AND p.es <= c.es + 3600
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY user_id
+""",
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the last missing face of the
+    streaming surface (tumbling/sliding/session windows, stateful
+    stats, stream-static enrichment, LWW sink, and dedup are covered;
+    this is two UNBOUNDED sides joined on key + time range): clicks
+    joined to same-user purchases within the following hour. Both
+    sides carry watermarks, so the state store holds only the
+    time-bound horizon per key — the join is feasible precisely
+    because the range condition lets Spark expire click state once
+    the purchase-side watermark passes click_time + 1h. Joined pairs
+    stream out in append mode; the per-user pair counts are the
+    batch-checkable result (oracle = the equivalent batch interval
+    join, second-grain)."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, with_event_time
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        def side(tag: str, typ: str):
+            s = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+            s = with_event_time(s).filter(F.col("event_type") == typ)
+            return (
+                s.withWatermark("event_time", "3650 days")
+                .select(
+                    F.col("event_id").alias(f"{tag}_id"),
+                    F.col("user_id").alias(f"{tag}_user"),
+                    F.col("event_time").alias(f"{tag}_time"),
+                )
+            )
+
+        clicks = side("c", "click")
+        purchases = side("p", "purchase")
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_time") >= F.col("c_time"))
+            & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 1 HOUR")),
+        ).select(F.col("c_user").alias("user_id"))
+        out = _run_stream(spark, joined, "append")
+        return (
+            out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -4400,3 +4400,226 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Distribution moments, association rules, time-weighted average
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_moments_value",
+    oracle="""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS HUGEINT)) AS s1,
+         sum(CAST(y AS HUGEINT) * y) AS s2,
+         sum(CAST(y AS HUGEINT) * y * y) AS s3,
+         sum(CAST(CAST(y AS HUGEINT) * y AS HUGEINT) * CAST(CAST(y AS HUGEINT) * y AS HUGEINT)) AS s4
+  FROM q GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) / 1000000.0 AS d1,
+         CAST(s2 AS DOUBLE) / 1000000000000.0 AS d2,
+         CAST(s3 AS DOUBLE) / 1000000000000000000.0 AS d3,
+         CAST(s4 AS DOUBLE) / 1e24 AS d4
+  FROM s
+),
+m AS (
+  SELECT event_type, n, d1 / nd AS mean,
+         d2 / nd - (d1 / nd) * (d1 / nd) AS var_p,
+         d3 / nd AS m3r, d4 / nd AS m4r, d1 / nd AS mu, nd
+  FROM d
+)
+SELECT event_type, n,
+       round(mean, 6) AS mean,
+       round(var_p, 6) AS var_p,
+       round((m3r - 3.0 * mu * var_p - mu * mu * mu)
+             / (sqrt(var_p) * var_p), 6) AS skewness,
+       round((m4r - 4.0 * mu * m3r + 6.0 * mu * mu * var_p
+              + 3.0 * mu * mu * mu * mu)
+             / (var_p * var_p), 6) AS kurtosis
+FROM m
+""",
+)
+def x_moments_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution sketch from EXACT integer power sums: per-type
+    mean, population variance, skewness, kurtosis — all derived from
+    (n, Σy, Σy², Σy³, Σy⁴) over 6dp-quantized values, the fully
+    MERGEABLE alternative to a quantile sketch (power sums add across
+    batches/partitions like the aggstate counts do, and the moments
+    finish at read time). One hash agg; the double math is one fixed
+    expression tree both engines share, so even the third and fourth
+    standardized moments hash-match. Spark side sums in
+    DECIMAL(38,0) (y⁴ of 6dp-quantized values needs ~36 digits),
+    DuckDB in HUGEINT×HUGEINT."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    y = F.round(F.col("value") * 1000000, 0).cast("long")
+    q = ev.select("event_type", y.alias("y"))
+    yq = F.col("y").cast(d38)
+    y2 = (yq * yq).cast(d38)
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(yq).alias("s1"),
+        F.sum(y2).alias("s2"),
+        F.sum((y2 * yq).cast(d38)).alias("s3"),
+        F.sum((y2 * y2).cast(d38)).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double") / F.lit(1000000.0)
+    d2 = F.col("s2").cast("double") / F.lit(1000000000000.0)
+    d3 = F.col("s3").cast("double") / F.lit(1000000000000000000.0)
+    d4 = F.col("s4").cast("double") / F.lit(1e24)
+    mu = d1 / nd
+    var_p = d2 / nd - mu * mu
+    m3r = d3 / nd
+    m4r = d4 / nd
+    skew = (m3r - F.lit(3.0) * mu * var_p - mu * mu * mu) / (
+        F.sqrt(var_p) * var_p
+    )
+    kurt = (
+        m4r
+        - F.lit(4.0) * mu * m3r
+        + F.lit(6.0) * mu * mu * var_p
+        + F.lit(3.0) * mu * mu * mu * mu
+    ) / (var_p * var_p)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(var_p, 6).alias("var_p"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+    )
+
+
+@register_extra(
+    "x_assoc_rules_events",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS lhs, b.event_type AS rhs,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.lhs, p.rhs, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / CAST(n.n_users AS DOUBLE), 6) AS support,
+       round(CAST(p.n_both AS DOUBLE) / CAST(tl.n_t AS DOUBLE), 6) AS confidence,
+       round(CAST(p.n_both AS DOUBLE) * CAST(n.n_users AS DOUBLE)
+             / (CAST(tl.n_t AS DOUBLE) * CAST(tr.n_t AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN t tl ON tl.event_type = p.lhs
+JOIN t tr ON tr.event_type = p.rhs
+CROSS JOIN nu n
+""",
+)
+def x_assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user behavior (market-basket on event
+    types): for each unordered type pair, support / confidence / lift
+    from exact distinct-user counts. The pair table comes from ONE
+    self-join of the deduplicated (user, type) set — bounded by
+    users × types², with types a small vocabulary (the itemset is the
+    schema, not the data); totals broadcast. All three measures are
+    fixed ratios of exact BIGINTs — engine-exact at 6 dp."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    t = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("lhs"))
+    b = ut.select("user_id", F.col("event_type").alias("rhs"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("lhs") < F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    tl = t.select(F.col("event_type").alias("lhs"), F.col("n_t").alias("n_l"))
+    tr = t.select(F.col("event_type").alias("rhs"), F.col("n_t").alias("n_r"))
+    nd = lambda c: F.col(c).cast("double")
+    return (
+        pairs.join(F.broadcast(tl), "lhs")
+        .join(F.broadcast(tr), "rhs")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "lhs",
+            "rhs",
+            "n_both",
+            F.round(nd("n_both") / nd("n_users"), 6).alias("support"),
+            F.round(nd("n_both") / nd("n_l"), 6).alias("confidence"),
+            F.round(
+                nd("n_both") * nd("n_users") / (nd("n_l") * nd("n_r")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register_extra(
+    "x_twap_value",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         event_id
+  FROM events
+),
+seg AS (
+  SELECT user_id, value, es,
+         lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - es AS dt
+  FROM e
+),
+w AS (
+  SELECT user_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vq, dt
+  FROM seg WHERE dt IS NOT NULL AND dt > 0
+)
+SELECT user_id,
+       CAST(sum(dt) AS BIGINT) AS total_secs,
+       round(CAST(sum(CAST(vq AS HUGEINT) * dt) AS DOUBLE)
+             / CAST(sum(dt) AS DOUBLE) / 1000000.0, 6) AS twap
+FROM w GROUP BY user_id
+""",
+)
+def x_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the sensor/price
+    standard where a reading HOLDS until the next one, so a plain mean
+    over-weights bursts): each observation weighted by its holding
+    interval (lead(ts) − ts), the last open-ended reading excluded.
+    Weights and 6dp-quantized values multiply as exact integers and
+    sum in DECIMAL(38,0), so the weighted mean is engine-exact. One
+    sort family for the lead + one hash agg."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    es = ep.epoch_s(ev)
+    e = ev.select("user_id", "value", es.alias("es"), "event_id")
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    seg = e.withColumn("dt", F.lead("es").over(w) - F.col("es")).filter(
+        F.col("dt").isNotNull() & (F.col("dt") > 0)
+    )
+    vq = F.round(F.col("value") * 1000000, 0).cast("long")
+    d38 = "decimal(38,0)"
+    return (
+        seg.select("user_id", vq.alias("vq"), "dt")
+        .groupBy("user_id")
+        .agg(
+            F.sum("dt").cast("long").alias("total_secs"),
+            F.round(
+                F.sum((F.col("vq").cast(d38) * F.col("dt").cast(d38)).cast(d38))
+                .cast("double")
+                / F.sum("dt").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("twap"),
+        )
+    )

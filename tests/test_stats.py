@@ -180,3 +180,25 @@ def test_agg_state_merge_equals_full_recompute(spark, sf_dir):
         full.sort_values(key).reset_index(drop=True),
         with_empty.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    """Spark's exact-power-sum moments must agree with numpy's
+    direct central-moment computation (within quantization)."""
+    from strava_etl_public_spark import queries as q
+
+    out = (
+        q.EXTRA_QUERIES["x_moments_value"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    for t, g in ev.groupby("event_type"):
+        v = np.round(g.value.dropna().to_numpy(), 6)
+        mu, var = v.mean(), v.var()
+        sk = ((v - mu) ** 3).mean() / var**1.5
+        ku = ((v - mu) ** 4).mean() / var**2
+        assert abs(out.loc[t, "mean"] - mu) < 1e-4
+        assert abs(out.loc[t, "var_p"] - var) < 1e-3
+        assert abs(out.loc[t, "skewness"] - sk) < 1e-3
+        assert abs(out.loc[t, "kurtosis"] - ku) < 1e-2

@@ -202,3 +202,72 @@ def test_moments_match_numpy(spark, sf_dir):
         assert abs(out.loc[t, "var_p"] - var) < 1e-3
         assert abs(out.loc[t, "skewness"] - sk) < 1e-3
         assert abs(out.loc[t, "kurtosis"] - ku) < 1e-2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_winsorize_matches_numpy_percentile_disc(spark, vals):
+    """Property: winsorize's exact-rank percentiles equal numpy's
+    'lower/higher'-free discrete pick (value at ceil(p*n)) for
+    arbitrary float data, and clamping preserves row count and
+    ordering of the untouched middle."""
+    from strava_etl_public_spark.operators.stats import winsorize
+
+    pdf = pd.DataFrame({"g": "a", "id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    out = winsorize(df, ["g"], "v", tiebreak=["id"], lo=(1, 20), hi=(19, 20)).toPandas()
+    n = len(vals)
+    sv = np.sort(np.asarray(vals))
+    p05 = sv[max((n * 1 + 19) // 20 - 1, 0)]
+    p95 = sv[max((n * 19 + 19) // 20 - 1, 0)]
+    assert (out.p_lo == p05).all() and (out.p_hi == p95).all()
+    assert len(out) == n
+    assert out.v_w.min() >= p05 and out.v_w.max() <= p95
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_mad_matches_numpy(spark, vals):
+    """Property: med and MAD equal numpy's discrete-median
+    (value at ceil(n/2)) computation for arbitrary float data."""
+    from strava_etl_public_spark.operators.stats import mad_outliers
+
+    pdf = pd.DataFrame({"g": "a", "id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    out = mad_outliers(df, ["g"], "v", tiebreak=["id"]).first()
+    n = len(vals)
+    a = np.asarray(vals)
+    med = np.sort(a)[(n + 1) // 2 - 1]
+    mad = np.sort(np.abs(a - med))[(n + 1) // 2 - 1]
+    assert out["med"] == med
+    assert out["mad"] == mad
+    expect_out = int((np.abs(a - med) > 3.0 * 1.4826 * mad).sum())
+    assert out["n_outliers"] == expect_out

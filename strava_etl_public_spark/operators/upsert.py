@@ -126,3 +126,48 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshots of a keyed table — the inverse of
+    applying changes: emit one row per differing key with
+    ``change_type`` in {insert, delete, update}, carrying the new
+    row's compare columns (NULL for deletes) — what you feed a
+    downstream MERGE, a delete-propagation sweep, or an audit log
+    when the upstream only ships full snapshots.
+
+    NULL-safe equality (``eqNullSafe``) per compared column, the same
+    change-compaction rule SCD2 uses — a NULL→value transition IS a
+    change, NULL→NULL is not. One full-outer join on the key (the
+    honest cost of diffing two snapshots; at 100 TB both sides
+    co-partition on the key, and bucketed layouts make it
+    exchange-free); unchanged keys are filtered before any downstream
+    work."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c not in keys
+    ]
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in cols]).withColumn(
+        "_in_old", F.lit(1)
+    )
+    n = new.select(*keys, *cols).withColumn("_in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    changed = [~F.col(c).eqNullSafe(F.col(f"_o_{c}")) for c in cols]
+    any_change = changed[0]
+    for c in changed[1:]:
+        any_change = any_change | c
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(any_change, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", *cols)
+    )

@@ -4623,3 +4623,69 @@ def x_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events
+  WHERE event_id % 5 != 0 AND user_id % 11 != 3
+  GROUP BY user_id
+),
+new AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events
+  WHERE user_id % 7 != 2
+  GROUP BY user_id
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.n_events IS DISTINCT FROM n.n_events
+              OR o.sum_q IS DISTINCT FROM n.sum_q THEN 'update' END AS change_type,
+       n.n_events, n.sum_q
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN n.user_id IS NULL THEN 'delete'
+           WHEN o.n_events IS DISTINCT FROM n.n_events
+             OR o.sum_q IS DISTINCT FROM n.sum_q THEN 'update' END IS NOT NULL
+""",
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots (the inverse of SCD2's
+    change-application): two deterministic per-user rollup snapshots
+    — 'old' missing some events and some users, 'new' missing a
+    different user slice — diffed into insert/delete/update rows via
+    one NULL-safe full-outer join on the key. What a pipeline emits
+    when the upstream only ships full snapshots and downstream needs
+    a MERGE feed / audit log."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import snapshot_diff
+
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast(d38))
+            .cast("long")
+            .alias("sum_q"),
+        )
+
+    old = snap(
+        ev.filter((F.col("event_id") % 5 != 0) & (F.col("user_id") % 11 != 3))
+    )
+    new = snap(ev.filter(F.col("user_id") % 7 != 2))
+    return snapshot_diff(old, new, "user_id", ["n_events", "sum_q"])

@@ -59,7 +59,10 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
-            .join(F.broadcast(deg), "src")
+            # deg is O(|V|) rows — NOT broadcast (code-review): the
+            # ranks⋈edges shuffle is already keyed on src, so the
+            # degree join rides the same partitioning
+            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("rank") / F.col("deg").cast("double"), 6).alias("c"),

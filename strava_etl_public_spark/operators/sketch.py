@@ -177,7 +177,12 @@ def _bloom_position_cols(value_col: str, m: int, k: int) -> list[Column]:
     mod m`` — k positions for one hash evaluation (the dominant
     prefilter cost at fact-scan scale), with the classic proof that
     the FP rate is asymptotically unchanged. h2 forced odd so the
-    stride never degenerates to a single repeated position."""
+    stride never degenerates to a single repeated position. k caps at
+    8: r·h2 with r ≥ 9 overflows int64 into negative positions
+    (code-review finding); k=8 already reaches FP rates below 1e-4
+    at m/n=16."""
+    if not 1 <= k <= 8:
+        raise ValueError(f"bloom k must be in [1, 8], got {k}")
     m5 = F.md5(F.concat(F.lit("bloom:"), F.col(value_col).cast("string")))
     h1 = F.conv(F.substring(m5, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(m5, 17, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
@@ -212,7 +217,10 @@ def bloom_probe(
     positions within one key's array count once each and keep the
     identity. No false negatives ever; false-positive rate is the
     classic (1 - e^(-kn/m))^k."""
-    probes = keys.select(
+    # distinct keys first: a duplicated probe key would pool 2k probe
+    # rows per group and fail the count==k test — a FALSE NEGATIVE on
+    # a true member (code-review finding)
+    probes = keys.select(value_col).distinct().select(
         F.col(value_col), F.explode(_bloom_positions(value_col, m, k)).alias("pos")
     )
     return (

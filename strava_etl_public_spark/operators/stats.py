@@ -56,7 +56,14 @@ def group_linreg(
     yq = F.round(y.cast("double") * Y_SCALE, 0).cast("long")
     keys = list(group_cols)
     d38 = "decimal(38,0)"
-    sums = df.select(*keys, x.alias("_x"), yq.alias("_y")).groupBy(*keys).agg(
+    # rows with a NULL x or y are excluded WHOLESALE — count(*) mixed
+    # with NULL-skipping sums would combine moments from different row
+    # subsets into a garbage fit (code-review finding)
+    sums = (
+        df.select(*keys, x.alias("_x"), yq.alias("_y"))
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy(*keys)
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("_x").alias("sx"),
         F.sum("_y").alias("sy"),
@@ -217,13 +224,15 @@ def fk_orphans(
     (dimension-sized → broadcast), so the child NEVER shuffles — at
     100 TB an FK audit must be a scan-speed probe, not a join
     repartition of the fact table."""
-    pk = parent.select(parent_key).distinct()
+    # parent key aliased to a private name so an identically-named
+    # child column can't make the NULL check ambiguous (code-review)
+    pk = parent.select(F.col(parent_key).alias("_pk")).distinct()
     return child.join(
-        F.broadcast(pk), child[child_key] == pk[parent_key], "left"
+        F.broadcast(pk), child[child_key] == pk["_pk"], "left"
     ).agg(
         F.lit(name).alias("fk"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.when(F.col(parent_key).isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_orphans"),
     )

@@ -194,10 +194,16 @@ def bm25_topk(
     qterms = qdf.select(
         F.col("query_id").cast("long"), F.explode(tokens("q_text")).alias("term")
     ).distinct()
-    # prune postings to query terms first — df stats over the pruned set
-    hits = tc.join(F.broadcast(qterms), "term")
-    # hits is one row per (doc, term) already (tc is a groupBy result)
-    dft = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_n"))
+    # prune postings to the DISTINCT query-term set first (df stats
+    # over the pruned postings — one row per (doc, term)); the
+    # per-query fan-out joins AFTER, so a term shared by two queries
+    # does not double its document frequency (code-review finding)
+    qt = qterms.select("term").distinct()
+    postings_q = tc.join(F.broadcast(qt), "term")
+    dft = postings_q.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_n")
+    )
+    hits = postings_q.join(F.broadcast(qterms), "term")
     idf = F.round(
         F.log(
             F.lit(1.0)

@@ -158,8 +158,9 @@ def snapshot_diff(
     n = new.select(*keys, *cols).withColumn("_in_new", F.lit(1))
     j = o.join(n, keys, "full_outer")
     changed = [~F.col(c).eqNullSafe(F.col(f"_o_{c}")) for c in cols]
-    any_change = changed[0]
-    for c in changed[1:]:
+    # no compare columns (pure key-set diff) → inserts/deletes only
+    any_change = F.lit(False)
+    for c in changed:
         any_change = any_change | c
     change_type = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))

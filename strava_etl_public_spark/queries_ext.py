@@ -3163,6 +3163,7 @@ WITH base AS (
          {_EPOCH_DUCK} - (SELECT min({_EPOCH_DUCK}) FROM events) AS x,
          CAST(round(value * 1000000, 0) AS BIGINT) AS y
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 s AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n,

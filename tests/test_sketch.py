@@ -178,3 +178,30 @@ def test_sample_weighted_edges_and_uniform_equivalence(spark, sf_dir):
     assert {r["doc_id"] for r in const.collect()} == {
         r["doc_id"] for r in uni.collect()
     }
+
+
+def test_bloom_probe_duplicate_keys_no_false_negative(spark):
+    """A duplicated probe key must still hit (code-review regression:
+    pooled probe rows used to fail the count==k test)."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(pd.DataFrame({"key": [1, 2, 3]}))
+    probes = spark.createDataFrame(pd.DataFrame({"key": [1, 1, 1, 2, 99]}))
+    out = bloom_probe(
+        bloom_build(members, "key", m=1024, k=5), probes, "key", m=1024, k=5
+    ).toPandas()
+    hits = dict(zip(out.key, out.bloom_hit))
+    assert hits[1] and hits[2]
+
+
+def test_bloom_k_cap(spark):
+    import pandas as pd
+    import pytest
+
+    from strava_etl_public_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame(pd.DataFrame({"key": [1]}))
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m=1024, k=9)

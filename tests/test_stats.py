@@ -271,3 +271,34 @@ def test_mad_matches_numpy(spark, vals):
     assert out["mad"] == mad
     expect_out = int((np.abs(a - med) > 3.0 * 1.4826 * mad).sum())
     assert out["n_outliers"] == expect_out
+
+
+def test_fk_orphans_same_column_name(spark):
+    """Same key name on both sides must not be ambiguous
+    (code-review regression)."""
+    from strava_etl_public_spark.operators.stats import fk_orphans
+
+    parent = spark.createDataFrame(pd.DataFrame({"user_id": [1, 2]}))
+    child = spark.createDataFrame(pd.DataFrame({"user_id": [1, 2, 2, 9]}))
+    out = fk_orphans("c->p", child, "user_id", parent, "user_id").first()
+    assert out["n_rows"] == 4 and out["n_orphans"] == 1
+
+
+def test_linreg_null_rows_excluded_wholesale(spark):
+    """A NULL y must drop the whole pair, not desynchronize the
+    sufficient statistics (code-review regression)."""
+    from strava_etl_public_spark.operators.stats import group_linreg
+    from tests.conftest import to_sdf
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 4,
+            "x": [0, 1, 2, 3],
+            "y": [1.0, None, 5.0, 7.0],
+        }
+    )
+    out = group_linreg(to_sdf(spark, pdf), ["g"], "x", "y").first()
+    # fit over the 3 valid pairs: y = 2x + 1 exactly
+    assert out["n"] == 3
+    assert abs(out["slope"] - 2.0) < 1e-6
+    assert abs(out["intercept"] - 1.0) < 1e-6

@@ -473,3 +473,31 @@ def test_char_entropy_known_values(spark):
     assert out.loc[4, "n_chars"] == 0 and out.loc[4, "char_entropy"] == 0.0
     # ordering property: random-ish text above repeated text
     assert out.loc[3, "char_entropy"] > out.loc[2, "char_entropy"] > out.loc[1, "char_entropy"]
+
+
+def test_bm25_shared_term_across_queries_keeps_true_df(spark):
+    """A term appearing in two queries must not double its document
+    frequency: scores for a single-term query must be identical
+    whether or not another query shares the term (code-review
+    regression)."""
+    from strava_etl_public_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "hash join build",
+                    "hash probe side",
+                    "totally unrelated words",
+                ],
+            }
+        )
+    )
+    alone = bm25_topk(docs, "doc_id", "text", [(1, "hash")], k=10).toPandas()
+    shared = bm25_topk(
+        docs, "doc_id", "text", [(1, "hash"), (2, "hash join")], k=10
+    ).toPandas()
+    a = alone.set_index("doc_id").bm25
+    s = shared[shared.query_id == 1].set_index("doc_id").bm25
+    pd.testing.assert_series_equal(a.sort_index(), s.sort_index())

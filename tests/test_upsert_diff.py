@@ -72,3 +72,14 @@ def test_snapshot_diff_apply_roundtrip(spark, sf_dir):
     )
     assert applied.exceptAll(new).count() == 0
     assert new.exceptAll(applied).count() == 0
+
+
+def test_snapshot_diff_pure_key_sets(spark):
+    """No compare columns: inserts/deletes only, no crash
+    (code-review regression)."""
+    old = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3]}))
+    new = spark.createDataFrame(pd.DataFrame({"k": [2, 3, 4]}))
+    out = snapshot_diff(old, new, "k").toPandas().set_index("k")
+    assert out.loc[1, "change_type"] == "delete"
+    assert out.loc[4, "change_type"] == "insert"
+    assert set(out.index) == {1, 4}

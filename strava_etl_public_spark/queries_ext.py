@@ -4690,3 +4690,125 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = snap(ev.filter(F.col("user_id") % 7 != 2))
     return snapshot_diff(old, new, "user_id", ["n_events", "sum_q"])
+
+
+# ---------------------------------------------------------------------------
+# Data governance: k-anonymity, declarative expectations
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_kanonymity_report",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS grp_n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+       CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       CAST(min(grp_n) AS BIGINT) AS min_class_size
+FROM g
+""",
+)
+def x_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination
+    (nation × market segment, k=5): equivalence-class sizes in one
+    hash agg, then the privacy report — classes below k, rows at
+    re-identification risk, and the minimum class size (the dataset's
+    actual k). The release gate that complements PII redaction
+    (column-level) and delete propagation (row-level): this one is
+    about what the REMAINING columns jointly reveal. Two hash aggs at
+    scan speed."""
+    ensure_harness_conf(spark)
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("grp_n"))
+    )
+    k = 5
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("grp_n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_classes"),
+        F.sum(F.when(F.col("grp_n") < k, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("grp_n").cast("long").alias("min_class_size"),
+    )
+
+
+@register_extra(
+    "x_dq_expectations",
+    oracle="""
+SELECT 'value_non_negative' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM events
+UNION ALL
+SELECT 'event_type_in_domain', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type NOT IN
+                     ('click','view','purchase','signup','error')
+                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'ts_not_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'event_id_unique', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+FROM events
+""",
+)
+def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check: per-rule violation counts —
+    range (value ≥ 0), domain (event_type in vocabulary), presence
+    (ts not null), uniqueness (event_id) — in ONE pass over one scan
+    (the row rules are conditional sums in a single aggregate; the
+    uniqueness rule is count−countDistinct in the same agg). The
+    ingest gate a pipeline runs before publishing a batch; pairs with
+    the profiler (shape) and FK audit (referential) rows."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    domain = ["click", "view", "purchase", "signup", "error"]
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNotNull() & (F.col("value") < 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_range"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(domain) | F.col("event_type").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_domain"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("v_uniq"),
+    )
+    rules = [
+        ("value_non_negative", "v_range"),
+        ("event_type_in_domain", "v_domain"),
+        ("ts_not_null", "v_null"),
+        ("event_id_unique", "v_uniq"),
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(c).alias("n_violations"),
+            )
+            for name, c in rules
+        ]
+    )
+    return agg.select(F.explode(entries).alias("_e")).select("_e.*")

@@ -359,3 +359,134 @@ def hash_split(
         cond = bucket < int(acc * 1_000_000)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(list(weights)[-1]))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch: the ``k`` smallest distinct
+    60-bit md5 hashes of ``value_col`` per group, as rows
+    ``(group_cols…, _h, _rk)`` with ``_rk`` the 1-based rank.
+
+    Why next to HLL: a KMV sketch supports SET OPERATIONS — the
+    bottom-k of a union is the bottom-k of the merged hash sets, and
+    membership of a hash in both input sketches estimates Jaccard /
+    intersection cardinality directly (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+    HLL intersections only exist via inclusion-exclusion, whose error
+    explodes for small overlaps.
+
+    Scale shape: one projection to hashes, a per-partition partial
+    bottom-k prune in Arrow batches (algebraically safe — the global
+    bottom-k of a union is contained in the union of per-batch
+    bottom-ks, the same reason map-side combine is safe for MIN), then
+    one distinct + per-group window over rows already pruned to
+    ≤ k·partitions per group. The raw values are never
+    distinct-shuffled; what shuffles is at most k longs per (group,
+    input partition).
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    proj = df.select(*keys, _hash60(F.col(value_col)).alias("_h")).filter(
+        F.col("_h").isNotNull()
+    )
+
+    schema = proj.schema
+
+    def _prune(batches):
+        # per-Arrow-batch partial bottom-k per group: a superset of the
+        # global bottom-k, bounded memory (k rows out per group/batch)
+        for pdf in batches:
+            pdf = pdf.drop_duplicates()
+            if keys:
+                yield pdf.sort_values("_h").groupby(keys, sort=False).head(k)
+            else:
+                yield pdf.nsmallest(k, "_h")
+
+    pruned = proj.mapInPandas(_prune, schema=schema)
+    w = Window.partitionBy(*keys).orderBy("_h") if keys else Window.orderBy("_h")
+    return (
+        pruned.distinct()
+        .withColumn("_rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("_rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: Sequence[str] = (), k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact ``n_seen`` when
+    the group has fewer than k distinct values (the sketch IS the
+    distinct set), else the standard unbiased (k-1)·2^60 / h_(k).
+    Deterministic: (k-1)·2^60 is exactly representable (≤ 9
+    significant bits), h_(k) is an exact BIGINT, one IEEE division,
+    floor — bit-identical in any engine."""
+    keys = list(group_cols)
+    num = float((k - 1) * (1 << HASH_BITS))
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        F.lit(num) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *keys,
+        F.floor(est).cast("long").alias("kmv_estimate"),
+        F.col("n_seen"),
+    )
+
+
+def kmv_pair_ops(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Pairwise set-operation estimates between every pair of groups
+    from their KMV sketches: Jaccard = |bottom-k(A∪B) ∩ A ∩ B| / k'
+    (k' = min(k, |A∪B| hashes)), intersection ≈ Jaccard · D(A∪B).
+
+    Serving-scale op: inputs are k-bounded sketches (≤ k rows per
+    group), so the pair explosion is P²·k — model state, not data.
+    All counts integer; the two divisions are single IEEE ops → the
+    estimates are engine-portable like :func:`kmv_estimate`."""
+    from pyspark.sql import Window
+
+    a = sketch.select(F.col(group_col).alias("g1"), "_h")
+    b = sketch.select(F.col(group_col).alias("g2"), "_h")
+    # unordered group pairs (tiny — distinct group values of a sketch)
+    pairs = (
+        a.select("g1").distinct().crossJoin(b.select("g2").distinct())
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    # union of the two sketches per pair, tagged with membership
+    ua = pairs.join(a, "g1").select("g1", "g2", "_h", F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"))
+    ub = pairs.join(b, "g2").select("g1", "g2", "_h", F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("g1", "g2", "_h")
+        .agg(F.max("_in_a").alias("in_a"), F.max("_in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("g1", "g2").orderBy("_h")
+    topk = merged.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    union_num = float((k - 1) * (1 << HASH_BITS))
+    agg = topk.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_seen"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+    )
+    d_union = F.when(
+        F.col("n_union_seen") < k, F.col("n_union_seen").cast("double")
+    ).otherwise(F.lit(union_num) / F.col("_hk").cast("double"))
+    jac = F.col("n_both").cast("double") / F.col("n_union_seen").cast("double")
+    return agg.select(
+        "g1",
+        "g2",
+        F.col("n_both"),
+        F.col("n_union_seen"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.floor(jac * d_union).cast("long").alias("intersection_est"),
+    )

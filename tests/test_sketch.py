@@ -205,3 +205,59 @@ def test_bloom_k_cap(spark):
     df = spark.createDataFrame(pd.DataFrame({"key": [1]}))
     with pytest.raises(ValueError):
         bloom_build(df, "key", m=1024, k=9)
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import kmv_build, kmv_estimate
+
+    rows = []
+    # "big": 5000 distinct values (estimated), "small": 10 (exact path)
+    for v in range(5000):
+        rows.append(("big", v))
+    for v in range(10):
+        rows.append(("small", v))
+        rows.append(("small", v))  # duplicates must not matter
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    sk = kmv_build(df, "v", ["g"], k=64)
+    est = kmv_estimate(sk, ["g"], k=64).toPandas().set_index("g")
+    assert est.loc["small", "kmv_estimate"] == 10  # < k → exact
+    assert est.loc["small", "n_seen"] == 10
+    # k=64 → relative error ~1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert abs(est.loc["big", "kmv_estimate"] - 5000) < 5000 * 0.4
+
+
+def test_kmv_partition_invariance_and_merge(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import kmv_build, kmv_estimate
+
+    pdf = pd.DataFrame({"g": ["a"] * 3000, "v": [f"u{i % 900}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf)
+    a = kmv_build(df, "v", ["g"], k=32).toPandas().sort_values("_rk")
+    b = kmv_build(df.repartition(17), "v", ["g"], k=32).toPandas().sort_values("_rk")
+    # the sketch is a pure function of the value SET
+    assert list(a._h) == list(b._h)
+    # merge property: bottom-k of a union == bottom-k over merged hash sets
+    half1 = spark.createDataFrame(pdf.iloc[:1500])
+    half2 = spark.createDataFrame(pdf.iloc[1500:])
+    merged = kmv_build(half1.unionByName(half2), "v", ["g"], k=32).toPandas()
+    assert sorted(merged._h) == sorted(a._h)
+
+
+def test_kmv_pair_ops_known_overlap(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import kmv_build, kmv_pair_ops
+
+    # A = {0..399}, B = {200..599} → |A∩B|=200, |A∪B|=600, J=1/3
+    rows = [("A", v) for v in range(400)] + [("B", v) for v in range(200, 600)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    sk = kmv_build(df, "v", ["g"], k=64)
+    out = kmv_pair_ops(sk, "g", k=64).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.g1, r.g2) == ("A", "B")
+    assert abs(r.jaccard_est - 1 / 3) < 0.2
+    assert abs(r.intersection_est - 200) < 200 * 0.6

@@ -170,3 +170,39 @@ def locf_fill(
             F.col(c).isNull() & filled.isNotNull()
         ).cast("int")
     return out.withColumns(new_cols)
+
+
+def downsample_ohlc(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ord_col: str,
+    value_col: str,
+    width: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Downsample an irregular series to fixed ``width`` buckets with
+    open/high/low/close + observation count — the standard lossy
+    compaction for sensor/price series (candlesticks) and the
+    aggregation face of the resampling family (densify/interpolate
+    reconstruct, this one summarizes).
+
+    open/close are picked by ``min_by``/``max_by`` over the
+    (ord, tiebreak…) struct — ONE hash aggregate, no per-bucket sort,
+    map-side combined (min_by merges like MIN), so at 100 TB this is
+    a plain groupBy shuffle of one row per (keys, bucket). Values
+    pass through untouched (no arithmetic) → engine-exact.
+    ``tiebreak_cols`` must make the ordering total (e.g. a unique
+    event id) or open/close are nondeterministic under ties.
+    """
+    keys = list(key_cols)
+    order = F.struct(F.col(ord_col), *[F.col(c) for c in tiebreak_cols])
+    bucket = (F.floor(F.col(ord_col) / F.lit(float(width))) * width).cast("long")
+    return df.groupBy(
+        *[F.col(c) for c in keys], bucket.alias("bucket_start")
+    ).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )

@@ -4922,3 +4922,56 @@ def x_sketch_kmv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     sk = sketch.kmv_build(ev, "user_id", ["event_type"], k=_KMV_K)
     return sketch.kmv_pair_ops(sk, "event_type", k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_ohlc_downsample",
+    oracle="""
+WITH e AS (
+  SELECT user_id, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, event_id
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT user_id,
+         CAST(floor(es / 600.0) AS BIGINT) * 600 AS bucket_start,
+         value, es, event_id
+  FROM e
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY es, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, bucket_start) AS n
+  FROM b
+)
+SELECT user_id, bucket_start,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn = n THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM r GROUP BY user_id, bucket_start
+""",
+)
+def x_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute OHLC candles of `value` per user: open/close picked
+    by min_by/max_by over the (epoch, event_id) total order — ONE
+    map-side-combined hash aggregate, no per-bucket sort (the oracle
+    proves the same result via the row_number formulation; the engine
+    never pays that window). Values are untouched doubles → exact."""
+    ensure_harness_conf(spark)
+    from .operators.resample import downsample_ohlc
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id", "value", ep.epoch_s(ev).alias("es"), "event_id"
+    )
+    return downsample_ohlc(
+        e, ["user_id"], "es", "value", width=600, tiebreak_cols=["event_id"]
+    )

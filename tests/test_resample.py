@@ -149,3 +149,32 @@ def test_locf_fill_semantics(spark):
     b = out[out.k == "b"].reset_index(drop=True)
     assert pd.isna(b.loc[0, "v_filled"]) and pd.isna(b.loc[1, "v_filled"])
     assert b.loc[2, "v_filled"] == 5.0
+
+
+def test_downsample_ohlc_known_values_and_plan(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.resample import downsample_ohlc
+
+    rows = [
+        # key, t, value, tb — bucket width 10
+        ("a", 0, 5.0, 1),
+        ("a", 3, 9.0, 2),
+        ("a", 9, 2.0, 3),   # bucket 0: open=5 high=9 low=2 close=2
+        ("a", 10, 7.0, 4),  # bucket 10: single obs → all 7
+        ("b", 5, 1.0, 5),
+        ("b", 5, 4.0, 6),   # same t: tiebreak decides open=1, close=4
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "t", "v", "tb"]))
+    out = downsample_ohlc(df, ["k"], "t", "v", width=10, tiebreak_cols=["tb"])
+    p = out.toPandas().set_index(["k", "bucket_start"]).sort_index()
+    assert tuple(p.loc[("a", 0), ["open", "high", "low", "close", "n_obs"]]) == (
+        5.0, 9.0, 2.0, 2.0, 3,
+    )
+    assert tuple(p.loc[("a", 10), ["open", "high", "low", "close", "n_obs"]]) == (
+        7.0, 7.0, 7.0, 7.0, 1,
+    )
+    assert tuple(p.loc[("b", 0), ["open", "close"]]) == (1.0, 4.0)
+    # the whole thing is one hash aggregate — no Window/Sort in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan

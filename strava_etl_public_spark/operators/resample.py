@@ -178,7 +178,7 @@ def downsample_ohlc(
     ord_col: str,
     value_col: str,
     width: int,
-    tiebreak_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Downsample an irregular series to fixed ``width`` buckets with
     open/high/low/close + observation count — the standard lossy
@@ -186,23 +186,47 @@ def downsample_ohlc(
     aggregation face of the resampling family (densify/interpolate
     reconstruct, this one summarizes).
 
-    open/close are picked by ``min_by``/``max_by`` over the
-    (ord, tiebreak…) struct — ONE hash aggregate, no per-bucket sort,
-    map-side combined (min_by merges like MIN), so at 100 TB this is
-    a plain groupBy shuffle of one row per (keys, bucket). Values
-    pass through untouched (no arithmetic) → engine-exact.
-    ``tiebreak_cols`` must make the ordering total (e.g. a unique
-    event id) or open/close are nondeterministic under ties.
+    Plan shape (the point of this implementation): ``min_by`` with a
+    STRUCT ordering — the obvious way to break (ord, tiebreak) ties —
+    silently degrades the whole aggregate to SortAggregate, because
+    hash aggregation requires mutable primitive buffer types; that
+    re-sorts the entire input by group key. Instead, tie resolution
+    is itself algebraic, so with a ``tiebreak_col`` this decomposes
+    into TWO HashAggregates with primitive orderings: level 0 groups
+    by (keys, bucket, ord) and resolves ties via min_by/max_by over
+    the tiebreak; level 1 groups by (keys, bucket) and picks
+    open/close via min_by/max_by over ord. Both stay in whole-stage
+    codegen with map-side combine — no sort anywhere, which is the
+    plan you want when 100 TB flows through. Without a tiebreak the
+    single-level hash aggregate is used (open/close then
+    nondeterministic under exact ord ties). Values pass through with
+    no arithmetic → engine-exact.
     """
     keys = list(key_cols)
-    order = F.struct(F.col(ord_col), *[F.col(c) for c in tiebreak_cols])
     bucket = (F.floor(F.col(ord_col) / F.lit(float(width))) * width).cast("long")
-    return df.groupBy(
-        *[F.col(c) for c in keys], bucket.alias("bucket_start")
+    if tiebreak_col is None:
+        return df.groupBy(
+            *[F.col(c) for c in keys], bucket.alias("bucket_start")
+        ).agg(
+            F.min_by(F.col(value_col), F.col(ord_col)).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), F.col(ord_col)).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    per_ord = df.groupBy(
+        *[F.col(c) for c in keys], bucket.alias("bucket_start"), F.col(ord_col)
     ).agg(
-        F.min_by(F.col(value_col), order).alias("open"),
-        F.max(value_col).alias("high"),
-        F.min(value_col).alias("low"),
-        F.max_by(F.col(value_col), order).alias("close"),
-        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.min_by(F.col(value_col), F.col(tiebreak_col)).alias("_v_first"),
+        F.max_by(F.col(value_col), F.col(tiebreak_col)).alias("_v_last"),
+        F.max(value_col).alias("_v_high"),
+        F.min(value_col).alias("_v_low"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return per_ord.groupBy(*keys, "bucket_start").agg(
+        F.min_by("_v_first", ord_col).alias("open"),
+        F.max("_v_high").alias("high"),
+        F.min("_v_low").alias("low"),
+        F.max_by("_v_last", ord_col).alias("close"),
+        F.sum("_cnt").cast("long").alias("n_obs"),
     )

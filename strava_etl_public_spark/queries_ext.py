@@ -4960,11 +4960,13 @@ FROM r GROUP BY user_id, bucket_start
 """,
 )
 def x_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute OHLC candles of `value` per user: open/close picked
-    by min_by/max_by over the (epoch, event_id) total order — ONE
-    map-side-combined hash aggregate, no per-bucket sort (the oracle
-    proves the same result via the row_number formulation; the engine
-    never pays that window). Values are untouched doubles → exact."""
+    """10-minute OHLC candles of `value` per user with the
+    (epoch, event_id) total order: tie resolution decomposed into a
+    first hash aggregate on (user, bucket, epoch) so BOTH levels stay
+    HashAggregate — a struct-ordered min_by would silently degrade to
+    SortAggregate and re-sort the input (pytest-pinned). The oracle
+    proves the same result via the row_number formulation the engine
+    never pays. Values are untouched doubles → exact."""
     ensure_harness_conf(spark)
     from .operators.resample import downsample_ohlc
 
@@ -4973,5 +4975,5 @@ def x_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", ep.epoch_s(ev).alias("es"), "event_id"
     )
     return downsample_ohlc(
-        e, ["user_id"], "es", "value", width=600, tiebreak_cols=["event_id"]
+        e, ["user_id"], "es", "value", width=600, tiebreak_col="event_id"
     )

@@ -166,7 +166,7 @@ def test_downsample_ohlc_known_values_and_plan(spark):
         ("b", 5, 4.0, 6),   # same t: tiebreak decides open=1, close=4
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "t", "v", "tb"]))
-    out = downsample_ohlc(df, ["k"], "t", "v", width=10, tiebreak_cols=["tb"])
+    out = downsample_ohlc(df, ["k"], "t", "v", width=10, tiebreak_col="tb")
     p = out.toPandas().set_index(["k", "bucket_start"]).sort_index()
     assert tuple(p.loc[("a", 0), ["open", "high", "low", "close", "n_obs"]]) == (
         5.0, 9.0, 2.0, 2.0, 3,
@@ -175,6 +175,8 @@ def test_downsample_ohlc_known_values_and_plan(spark):
         7.0, 7.0, 7.0, 7.0, 1,
     )
     assert tuple(p.loc[("b", 0), ["open", "close"]]) == (1.0, 4.0)
-    # the whole thing is one hash aggregate — no Window/Sort in the plan
+    # tie-safe OHLC stays sort-free: two HashAggregates, never the
+    # SortAggregate a struct-ordered min_by would force, no Window
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan and "Sort" not in plan
+    assert "SortAggregate" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2

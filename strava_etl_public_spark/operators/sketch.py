@@ -490,3 +490,95 @@ def kmv_pair_ops(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
         F.round(jac, 6).alias("jaccard_est"),
         F.floor(jac * d_union).cast("long").alias("intersection_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing (α-power resampling across sources)
+# ---------------------------------------------------------------------------
+
+
+def domain_mix_plan(
+    df: DataFrame,
+    domain_col: str,
+    budget_frac: float,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Mixture manifest for α-power domain resampling: per domain, the
+    row count and the deterministic keep-threshold that realizes a
+    target share ∝ n_d^α of an overall ``budget_frac·N`` budget — the
+    LLaMA/Pile-style move of flattening the natural distribution so
+    rare domains are over-represented relative to their raw size
+    (α=1 keeps natural proportions, α=0 equalizes domains).
+
+    Engine-portable by construction: weights are quantized to exact
+    BIGINTs (floor(n^α·10⁶)) before the share division, the keep
+    fraction is one double expression over exact integers, and the
+    threshold is its floor at 10⁶ granularity — so the plan (and
+    therefore the kept SET) is a pure function of the domain counts.
+    α=0.5 uses sqrt, which IEEE requires correctly rounded —
+    bit-identical in any engine; other α go through pow, whose last
+    ulp is libm-dependent (documented, not oracle-checked).
+
+    Scale: one hash agg (P domain rows — bounded model state), one
+    1-row total broadcast. Emits ``(domain, n_total, keep_thr)``;
+    a domain whose fair share exceeds its size is kept whole
+    (threshold capped at 10⁶ — this operator downsamples, it never
+    replicates)."""
+    w_of = (
+        F.sqrt(F.col("_n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    counts = counts.withColumn(
+        "_wq", F.floor(w_of * F.lit(1000000.0)).cast("long")
+    )
+    totals = counts.agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum("_wq").cast("long").alias("_sumwq"),
+    )
+    # totals shares counts' lineage — reference columns through their
+    # owning DataFrame or the analyzer flags `_n` ambiguous
+    n, wq = counts["_n"], counts["_wq"]
+    budget = F.floor(
+        F.lit(float(budget_frac)) * totals["_N"].cast("double")
+    ).cast("long")
+    f = (budget.cast("double") * wq.cast("double")) / (
+        totals["_sumwq"].cast("double") * n.cast("double")
+    )
+    thr = F.least(
+        F.lit(1000000).cast("long"), F.floor(f * F.lit(1000000.0)).cast("long")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        n.alias("n_total"),
+        thr.alias("keep_thr"),
+    )
+
+
+def sample_domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    budget_frac: float,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply a :func:`domain_mix_plan`: keep a row iff its (salt, id)
+    hash bucket falls below ITS DOMAIN's threshold — the same md5
+    10⁶-bucket math as :func:`hash_split`, so the kept set is
+    reproducible across engines/partitionings and re-sampling with a
+    different α never reshuffles survivors randomly (same hash, new
+    thresholds). One broadcast join of the P-row plan + a pure filter:
+    scan speed at any corpus size."""
+    plan = domain_mix_plan(df, domain_col, budget_frac, alpha)
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.join(
+            F.broadcast(plan), df[domain_col] == plan["domain"], "inner"
+        )
+        .filter(h % 1_000_000 < F.col("keep_thr"))
+        .drop("domain", "n_total", "keep_thr")
+    )

@@ -4977,3 +4977,65 @@ def x_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_ohlc(
         e, ["user_id"], "es", "value", width=600, tiebreak_col="event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sample_domain_mix",
+    oracle="""
+WITH c AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(wq) AS BIGINT) AS sumwq FROM c),
+th AS (
+  SELECT domain, n,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor(
+                 (CAST(CAST(floor(0.5 * CAST(ntot AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                  * CAST(wq AS DOUBLE))
+                 / (CAST(sumwq AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS keep_thr
+  FROM c, t
+)
+SELECT th.domain, th.n AS n_total, th.keep_thr,
+       CAST(sum(CASE WHEN CAST(concat('0x', substr(
+                md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+                AS BIGINT) % 1000000 < th.keep_thr
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN th ON d.source = th.domain
+GROUP BY th.domain, th.n, th.keep_thr
+""",
+)
+def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mixing of the documents corpus across
+    sources at a 50% overall budget: rare sources keep a larger
+    fraction than their natural share (the LLaMA/Pile flattening
+    move), realized as a P-row mixture manifest (auditable model
+    state) broadcast onto a pure hash filter. The whole mixture —
+    thresholds AND the kept set — is a deterministic function of the
+    per-source counts, which is what makes ablations reproducible;
+    the oracle recomputes both from scratch."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    plan = sketch.domain_mix_plan(docs, "source", budget_frac=0.5, alpha=0.5)
+    kept = sketch.sample_domain_mix(
+        docs, "doc_id", "source", budget_frac=0.5, alpha=0.5
+    )
+    kc = kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    # left join: a domain whose threshold rounds to 0 keeps 0 rows
+    return plan.join(kc, "domain", "left").select(
+        "domain",
+        "n_total",
+        "keep_thr",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )

@@ -261,3 +261,37 @@ def test_kmv_pair_ops_known_overlap(spark):
     assert (r.g1, r.g2) == ("A", "B")
     assert abs(r.jaccard_est - 1 / 3) < 0.2
     assert abs(r.intersection_est - 200) < 200 * 0.6
+
+
+def test_domain_mix_alpha_semantics_and_determinism(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import (
+        domain_mix_plan,
+        sample_domain_mix,
+    )
+
+    rows = [("big", i) for i in range(2000)] + [("rare", i + 10000) for i in range(100)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["dom", "id"]))
+
+    # alpha=1 → natural proportions: every domain keeps ~budget_frac
+    p1 = domain_mix_plan(df, "dom", budget_frac=0.5, alpha=1.0).toPandas()
+    for t in p1.keep_thr:
+        assert abs(t - 500000) < 10
+    # alpha=0.5 flattens: the rare domain keeps a larger fraction
+    p5 = domain_mix_plan(df, "dom", budget_frac=0.5, alpha=0.5).toPandas().set_index("domain")
+    assert p5.loc["rare", "keep_thr"] > p5.loc["big", "keep_thr"]
+    # alpha=0 equalizes expected kept counts (until capped)
+    p0 = domain_mix_plan(df, "dom", budget_frac=0.5, alpha=0.0).toPandas().set_index("domain")
+    exp_big = p0.loc["big", "keep_thr"] / 1e6 * 2000
+    exp_rare = p0.loc["rare", "keep_thr"] / 1e6 * 100
+    # rare is capped at keeping everything; big carries the rest
+    assert p0.loc["rare", "keep_thr"] == 1000000
+    assert exp_big + exp_rare <= 0.5 * 2100 + 1
+
+    # kept set is partition-invariant and salt-keyed
+    a = sorted(sample_domain_mix(df, "id", "dom", 0.5).toPandas().id)
+    b = sorted(sample_domain_mix(df.repartition(13), "id", "dom", 0.5).toPandas().id)
+    assert a == b
+    c = sorted(sample_domain_mix(df, "id", "dom", 0.5, salt="other").toPandas().id)
+    assert a != c

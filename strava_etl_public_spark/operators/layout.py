@@ -118,3 +118,72 @@ def hive_partitioned_write(
     cardinality here is the classic small-files trap — that is what
     compact_parquet and z-order are for."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global row numbers over a total order —
+    WITHOUT the single-partition trap: ``row_number().OVER (ORDER BY
+    …)`` with no PARTITION BY plans an Exchange SinglePartition, i.e.
+    the entire dataset funnels through one task (pytest pins this).
+    At 100 TB that plan does not finish.
+
+    Two-pass instead (the distributed zipWithIndex recipe, kept in
+    DataFrame/Arrow land): range-partition + sort-within-partitions
+    on the order columns, count rows per partition (the ONLY driver
+    state — one BIGINT per partition), turn the counts into start
+    offsets, then stream each partition through ``mapInPandas``
+    stamping ``offset + local position``. Range partitioning makes
+    partition p's rows all precede partition p+1's, so local order +
+    offsets = the exact global row_number.
+
+    Deliberately NOT persisted between the passes: at the scale where
+    this operator matters the input cannot be cached (eviction would
+    silently turn the cache into recompute anyway), so correctness
+    must rest on determinism instead — range boundaries come from
+    RangePartitioner's fixed-seed sample of a deterministic scan, so
+    both passes see identical partitioning. The count pass is cheap:
+    it needs only the Exchange (Catalyst's EliminateSorts drops the
+    local sort under the count aggregate).
+
+    ``order_cols`` must be a total order (unique key) or numbering
+    within ties is arbitrary (though still contiguous and 1:1).
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    n_parts = num_partitions or df.rdd.getNumPartitions()
+    part = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    counts = (
+        part.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(by_pid, default=-1) + 1):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+
+    schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def _stamp(batches):
+        pid = TaskContext.get().partitionId()
+        nxt = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf[out_col] = range(nxt + 1, nxt + 1 + n)
+            nxt += n
+            yield pdf
+
+    return part.mapInPandas(_stamp, schema=schema)

@@ -5039,3 +5039,42 @@ def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_thr",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous global row IDs
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_global_row_ids",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+r AS (
+  SELECT event_id, es,
+         row_number() OVER (ORDER BY es, event_id) AS row_id
+  FROM e
+)
+SELECT event_id, es, CAST(row_id AS BIGINT) AS row_id
+FROM r WHERE event_id % 97 = 0
+""",
+)
+def x_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering of all events in (time,
+    event_id) order — WITHOUT the Exchange SinglePartition that a bare
+    row_number() OVER (ORDER BY …) plans (the whole corpus through one
+    task; pytest pins both plans). Range partitioning + per-partition
+    offsets reproduce the exact same numbering distributed; the oracle
+    IS the naive global window. The stable dense id every downstream
+    tokenize/pack/shard step wants."""
+    ensure_harness_conf(spark)
+    from .operators.layout import assign_global_ids
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("event_id", ep.epoch_s(ev).alias("es"))
+    ids = assign_global_ids(e, ["es", "event_id"], num_partitions=8)
+    return ids.filter(F.col("event_id") % 97 == 0)

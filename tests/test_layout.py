@@ -136,3 +136,40 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     assert back.count() == n_expect
     # every column round-trips (partition col restored from the path)
     assert set(back.columns) == set(ev.columns)
+
+
+def test_assign_global_ids_matches_window_and_avoids_single_partition(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import assign_global_ids
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    out = assign_global_ids(ev, ["event_id"], num_partitions=7)
+    got = out.toPandas().sort_values("event_id")
+    # exact row_number over the total order
+    naive = ev.withColumn(
+        "row_id", F.row_number().over(Window.orderBy("event_id")).cast("long")
+    )
+    want = naive.toPandas().sort_values("event_id")
+    assert list(got.row_id) == list(want.row_id)
+    assert got.row_id.min() == 1 and got.row_id.max() == len(got)
+    # the naive plan funnels through ONE partition; ours must not
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan
+    our_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in our_plan
+
+
+def test_assign_global_ids_contiguous_under_ties(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.layout import assign_global_ids
+
+    # non-unique order column: numbering within ties is arbitrary but
+    # must stay a contiguous 1:1 assignment
+    df = spark.createDataFrame(pd.DataFrame({"k": [5, 5, 5, 1, 1, 9]}))
+    got = assign_global_ids(df, ["k"], num_partitions=3).toPandas()
+    assert sorted(got.row_id) == [1, 2, 3, 4, 5, 6]
+    ranks = got.sort_values("row_id").k.tolist()
+    assert ranks == sorted(ranks)

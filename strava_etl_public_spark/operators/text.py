@@ -726,3 +726,62 @@ def pack_chunks(
         return pdf
 
     return bucketed.groupBy("_bucket").applyInPandas(pack, schema=out_schema)
+
+
+def boilerplate_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet move): a line
+    whose normalized form appears in at least ``min_df`` DISTINCT
+    documents is boilerplate — nav bars, cookie banners, copyright
+    footers — and is dropped from every document; blank lines go too.
+    Line-level dedup is the complement of document-level dedup: it
+    removes the repeated FRAGMENTS that survive whole-document
+    near-dup filters and that LMs then memorize.
+
+    Emits one row per document: ``n_lines``, ``n_removed``, and
+    ``clean_text`` reassembled from the kept lines in original order.
+
+    Scale shape: one posexplode, one distinct + hash agg for line
+    document-frequency (map-side combined), one equi-join of lines
+    against the boilerplate set on the line hash — the set is the
+    high-df tail (≤ total_lines/min_df entries, in practice tiny), so
+    AQE converts the join to broadcast at runtime — then one
+    collect_list per doc. Pure string/integer ops → oracle-exact.
+    """
+    lid = F.md5(F.trim(F.col("line")))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("_norm", F.trim("line"))
+    docfreq = (
+        lines.filter(F.col("_norm") != "")
+        .select(id_col, F.md5("_norm").alias("_lh"))
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_lh")
+    )
+    flagged = lines.join(
+        docfreq, lid == docfreq["_lh"], "left"
+    ).withColumn(
+        "_keep", F.col("_lh").isNull() & (F.col("_norm") != "")
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            sep,
+        ).alias("clean_text"),
+    )

@@ -5078,3 +5078,67 @@ def x_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select("event_id", ep.epoch_s(ev).alias("es"))
     ids = assign_global_ids(e, ["es", "event_id"], num_partitions=8)
     return ids.filter(F.col("event_id") % 97 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_boilerplate",
+    oracle="""
+WITH l AS (
+  SELECT doc_id, t.i AS pos,
+         CASE t.i WHEN 1 THEN 'nav: home | about | contact'
+                  WHEN 2 THEN 'source: ' || source
+                  WHEN 3 THEN text
+                  ELSE 'copyright ' || source END AS line
+  FROM documents, unnest([1, 2, 3, 4]) AS t(i)
+),
+n AS (SELECT doc_id, pos, line, trim(line) AS norm FROM l),
+bp AS (
+  SELECT md5(norm) AS lh FROM (SELECT DISTINCT doc_id, norm FROM n WHERE norm != '')
+  GROUP BY md5(norm) HAVING count(*) >= 5
+),
+f AS (
+  SELECT n.doc_id, n.pos, n.line,
+         (bp.lh IS NULL AND n.norm != '') AS keep
+  FROM n LEFT JOIN bp ON md5(n.norm) = bp.lh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+         AS clean_md5
+FROM f GROUP BY doc_id
+""",
+)
+def x_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal over a derived 4-line corpus
+    (global nav header + per-source banner + real content + per-source
+    footer — the repeated-fragment shape real crawls have): any line
+    whose normalized form appears in ≥5 distinct documents is dropped
+    corpus-wide, so the banners vanish and content survives — EXCEPT
+    content that is itself duplicated ≥5× (the planted exact-dup
+    groups), which line-level dedup correctly catches too. Output
+    compares the reassembled text by md5 so the oracle still proves
+    byte-exact reassembly without shipping full texts."""
+    ensure_harness_conf(spark)
+    from .operators.text import boilerplate_filter
+
+    d = load(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("nav: home | about | contact"),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("copyright "), F.col("source")),
+        ).alias("mtext"),
+    )
+    out = boilerplate_filter(multi, "doc_id", "mtext", min_df=5, sep="\n")
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )

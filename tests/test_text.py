@@ -501,3 +501,44 @@ def test_bm25_shared_term_across_queries_keeps_true_df(spark):
     a = alone.set_index("doc_id").bm25
     s = shared[shared.query_id == 1].set_index("doc_id").bm25
     pd.testing.assert_series_equal(a.sort_index(), s.sort_index())
+
+
+def test_boilerplate_filter_semantics(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import boilerplate_filter
+
+    bp = "COOKIE BANNER"
+    docs = []
+    # banner appears in docs 0..2 (df=3 → boilerplate at min_df=3)
+    for i in range(3):
+        docs.append((i, f"{bp}\ncontent {i} line one\n\ncontent {i} line two"))
+    # doc 3 repeats the banner TWICE in one doc — still df counts once,
+    # and a within-doc-only repeat is NOT boilerplate
+    docs.append((3, f"{bp}\nself repeated\nself repeated\n{bp}"))
+    # doc 4: unique content only
+    docs.append((4, "totally unique"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = (
+        boilerplate_filter(df, "doc_id", "text", min_df=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # banner + blank line removed, both content lines kept in order
+    assert out.loc[0, "clean_text"] == "content 0 line one\ncontent 0 line two"
+    assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_removed"] == 2
+    # within-doc repeat survives (df=1), both banner copies removed
+    assert out.loc[3, "clean_text"] == "self repeated\nself repeated"
+    assert out.loc[3, "n_removed"] == 2
+    assert out.loc[4, "clean_text"] == "totally unique"
+
+    # min_df boundary: df=2 banner with min_df=3 is NOT boilerplate
+    out2 = (
+        boilerplate_filter(
+            df.filter("doc_id < 2"), "doc_id", "text", min_df=3
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[0, "clean_text"].startswith(bp)

@@ -785,3 +785,50 @@ def boilerplate_filter(
             sep,
         ).alias("clean_text"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document duplicated-span scoring (the signal behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): for every document, the fraction of its n-token spans
+    that also occur in at least one OTHER document. Complements the
+    whole-document dedup family — a doc can pass near-dup filters yet
+    be 60% stitched from corpus-repeated spans — and the boilerplate
+    filter (which needs line structure; this doesn't).
+
+    Per doc: ``n_spans`` (positional, with multiplicity), both the
+    count and fraction of spans whose shingle has corpus document-
+    frequency > 1. Scale shape: one shingle explode kept positional,
+    one distinct + hash agg for span document-frequency, one long-key
+    equi-join against the duplicated-span set (the >1-df tail), one
+    hash agg per doc. Same 60-bit md5 shingle identity as the dedup
+    family → oracle-exact.
+    """
+    from .dedup import shingles, tokens
+
+    sp = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("_s"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long").alias("_sh"),
+    )
+    dup_set = (
+        sp.distinct()
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") > 1)
+        .select("_sh", F.lit(1).alias("_dup"))
+    )
+    j = sp.join(dup_set, "_sh", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -5142,3 +5142,48 @@ def x_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span fraction
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_dup_spans",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 15)) AS BIGINT) AS sh
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+dfq AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+  GROUP BY sh HAVING count(*) > 1
+),
+j AS (
+  SELECT sp.doc_id, CASE WHEN dfq.sh IS NULL THEN 0 ELSE 1 END AS dup
+  FROM sp LEFT JOIN dfq ON sp.sh = dfq.sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM j GROUP BY doc_id
+""",
+)
+def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction (Lee et al. 2022 signal):
+    share of each doc's positional 3-token spans whose shingle occurs
+    in >1 document corpus-wide. Catches stitched/templated documents
+    that whole-document near-dup misses; pairs with x_dedup_* (drop
+    decisions) as a graded keep/down-weight signal. Same 60-bit
+    shingle identity as the dedup family, so the two families compose
+    on one shingle table in fused pipelines."""
+    ensure_harness_conf(spark)
+    from .operators.text import dup_span_stats
+
+    return dup_span_stats(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)

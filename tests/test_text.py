@@ -542,3 +542,23 @@ def test_boilerplate_filter_semantics(spark):
         .set_index("doc_id")
     )
     assert out2.loc[0, "clean_text"].startswith(bp)
+
+
+def test_dup_span_stats_known_corpus(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import dup_span_stats
+
+    docs = [
+        (0, "alpha beta gamma delta"),        # spans: abg, bgd
+        (1, "alpha beta gamma epsilon"),      # spans: abg, bge
+        (2, "zeta eta theta iota"),           # unique spans
+        (3, "xy"),                            # < n tokens → no spans row
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = dup_span_stats(df, "doc_id", "text", n=3).toPandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[0, "n_spans"] == 2 and out.loc[0, "n_dup_spans"] == 1
+    assert out.loc[0, "dup_frac"] == 0.5
+    assert out.loc[1, "n_dup_spans"] == 1
+    assert out.loc[2, "n_dup_spans"] == 0 and out.loc[2, "dup_frac"] == 0.0

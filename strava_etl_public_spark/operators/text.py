@@ -832,3 +832,198 @@ def dup_span_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_word(sym: list, a: str, b: str) -> list:
+    """Greedy leftmost application of one merge (a,b)→ab."""
+    ab = a + b
+    out: list = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 20,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
+    over a corpus, distributed: returns the ordered merge list
+    ``[(left, right, pair_count), …]`` and the final symbolized word
+    vocabulary ``(w, cnt, sym)``.
+
+    The corpus is touched ONCE — BPE statistics live entirely on the
+    word-frequency table (one tokenize + hash agg), which is what
+    makes the algorithm tractable at 100 TB: iterations run over
+    |distinct words| rows, not corpus rows. Per merge iteration:
+    adjacent-pair counts via one explode + hash agg, the argmax pair
+    collected to the driver (ONE bounded action per iteration — one
+    (a, b, count) row, the Lloyd/PageRank bounded-model-state
+    convention), then only the words CONTAINING both symbols are
+    rewritten in an Arrow batch pass. Lineage is cut per iteration
+    with an eager localCheckpoint so iteration k never replays
+    iterations 1..k-1.
+
+    Deterministic: ties in pair count break on (left, right)
+    lexicographic order, so the merge sequence is a pure function of
+    the corpus — pytest pins it against a single-process reference
+    implementation. Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    from pyspark.sql import types as T
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+            "sym"
+        ),
+    ).localCheckpoint(eager=True)
+
+    pair_expr = F.expr(
+        "CASE WHEN size(sym) >= 2 THEN "
+        "transform(sequence(1, size(sym)-1), "
+        "  i -> struct(element_at(sym, i) AS a, element_at(sym, i+1) AS b)) "
+        "ELSE array() END"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sym", T.ArrayType(T.StringType())),
+        ]
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            vocab.select("cnt", F.explode(pair_expr).alias("p"))
+            .select("cnt", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        merges.append((a, b, pc))
+
+        def _rewrite(batches, a=a, b=b):
+            for pdf in batches:
+                pdf["sym"] = [
+                    _bpe_merge_word(list(s), a, b) for s in pdf["sym"]
+                ]
+                yield pdf
+
+        touched = F.array_contains("sym", a) & F.array_contains("sym", b)
+        changed = vocab.filter(touched).mapInPandas(_rewrite, schema=schema)
+        # coalesce: union doubles the partition count every iteration —
+        # without it, iteration k runs 2^k tasks (measured: the
+        # 20-merge run exploded from seconds to unbounded)
+        n_parts = vocab.rdd.getNumPartitions()
+        vocab = (
+            vocab.filter(~touched)
+            .unionByName(changed)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+    return merges, vocab
+
+
+def bpe_encode_tokens(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference BPE encode of one word: repeatedly apply the
+    lowest-rank applicable merge (standard BPE inference)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, sym[i], sym[i + 1])
+        if best is None:
+            break
+        sym = _bpe_merge_word(sym, best[1], best[2])
+    return sym
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Encode every document with a trained merge list; emits per doc
+    ``n_words``, ``n_bpe_tokens`` and the 6dp compression ratio. The
+    merge table is driver-held model state (num_merges rows) shipped
+    in the task closure; encoding runs in Arrow batches with a
+    per-partition word→encoding memo (corpora repeat words — the memo
+    turns per-token work into per-distinct-word work per partition)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    tok_re = _re.compile(TOKEN_RE)
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def _encode(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out_id, out_w, out_t = [], [], []
+            for did, txt in zip(pdf["_id"], pdf["_txt"]):
+                ws = tok_re.findall(txt.lower()) if txt is not None else []
+                total = 0
+                for w in ws:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(bpe_encode_tokens(w, ranks))
+                        memo[w] = n
+                    total += n
+                out_id.append(did)
+                out_w.append(len(ws))
+                out_t.append(total)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"_id": out_id, "n_words": out_w, "n_bpe_tokens": out_t}
+            )
+
+    enc = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(_encode, schema=schema)
+    return enc.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.greatest(F.col("n_words").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )

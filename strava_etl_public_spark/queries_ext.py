@@ -5187,3 +5187,48 @@ def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import dup_span_stats
 
     return dup_span_stats(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (rows-only: iterative merge state is not
+# SQL-expressible; pinned instead against a single-process reference
+# implementation in tests/test_text.py)
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_text_bpe_vocab")
+def x_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016):
+    20 merges trained on the documents corpus. The corpus is scanned
+    once into a word-frequency table; every iteration runs over
+    |distinct words| rows with ONE bounded driver action (the argmax
+    pair), so corpus size only affects the first agg. Deterministic
+    merge order (count desc, pair lex asc) — pytest proves the exact
+    sequence equals a single-process reference trainer."""
+    ensure_harness_conf(spark)
+    from .operators.text import bpe_train
+
+    merges, _vocab = bpe_train(
+        load(spark, sf_dir, "documents"), "text", num_merges=20
+    )
+    rows = [
+        (i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    )
+
+
+@register_extra("x_text_bpe_encode")
+def x_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained BPE merge table to every document:
+    per-doc word count, BPE token count, tokens/word. The merge table
+    is bounded driver model state; encoding is one Arrow pass with a
+    per-partition word→length memo. The real token-budget accounting
+    a training pipeline runs after inducing its tokenizer."""
+    ensure_harness_conf(spark)
+    from .operators.text import bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", num_merges=20)
+    return bpe_apply(docs, "doc_id", "text", merges)

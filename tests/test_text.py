@@ -562,3 +562,76 @@ def test_dup_span_stats_known_corpus(spark):
     assert out.loc[0, "dup_frac"] == 0.5
     assert out.loc[1, "n_dup_spans"] == 1
     assert out.loc[2, "n_dup_spans"] == 0 and out.loc[2, "dup_frac"] == 0.0
+
+
+def _ref_bpe(word_counts, num_merges, min_pair_count=2):
+    """Single-process Sennrich BPE reference."""
+    from strava_etl_public_spark.operators.text import _bpe_merge_word
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        for w in vocab:
+            vocab[w] = _bpe_merge_word(vocab[w], a, b)
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    import pandas as pd
+    import re
+
+    from strava_etl_public_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got_merges, got_vocab = bpe_train(df, "text", num_merges=12)
+
+    wc = {}
+    for t in texts:
+        for w in re.findall("[a-z0-9_]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_vocab = _ref_bpe(wc, 12)
+    assert got_merges == want_merges
+    gv = {r["w"]: list(r["sym"]) for r in got_vocab.collect()}
+    assert gv == want_vocab
+
+
+def test_bpe_train_partition_invariant_and_apply(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import (
+        bpe_apply,
+        bpe_encode_tokens,
+        bpe_train,
+    )
+
+    texts = ["aaa aab abab baba", "aaa aab aab caca", "deed deed dee aaa"]
+    df = spark.createDataFrame(pd.DataFrame({"id": range(3), "text": texts}))
+    m1, _ = bpe_train(df, "text", num_merges=6)
+    m2, _ = bpe_train(df.repartition(5), "text", num_merges=6)
+    assert m1 == m2
+
+    enc = bpe_apply(df, "id", "text", m1).toPandas().set_index("id")
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(m1)}
+    import re
+
+    for i, t in enumerate(texts):
+        ws = re.findall("[a-z0-9_]+", t)
+        want = sum(len(bpe_encode_tokens(w, ranks)) for w in ws)
+        assert enc.loc[i, "n_bpe_tokens"] == want
+        assert enc.loc[i, "n_words"] == len(ws)

@@ -582,3 +582,46 @@ def sample_domain_mix(
         .filter(h % 1_000_000 < F.col("keep_thr"))
         .drop("domain", "n_total", "keep_thr")
     )
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str],
+    k: int,
+    salt: str = "fixk",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by (salt, id)
+    hash order — the fixed-SIZE companion of the fraction samplers
+    (eval-set carving, per-domain inspection samples, capped per-user
+    exports all want "k per group", not "p% of group"). Equivalent to
+    a uniform draw without replacement, but deterministic: the kept
+    set is a pure function of (salt, ids), stable under reruns,
+    engines, partitionings, and appends of later-hashing rows.
+
+    Scale shape: the same per-Arrow-batch partial bottom-k prune as
+    :func:`kmv_build` (global bottom-k ⊆ union of per-batch
+    bottom-ks) cuts each partition to ≤ k rows per group BEFORE the
+    shuffle, so the per-group window sorts ≤ k·partitions rows, never
+    the group's full population. Ties cannot occur (the hash input
+    includes the unique id; identical ids tie-break on the id
+    itself)."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    proj = df.withColumn("_h", h)
+
+    schema = proj.schema
+
+    def _prune(batches):
+        for pdf in batches:
+            yield pdf.sort_values("_h").groupby(keys, sort=False).head(k)
+
+    pruned = proj.mapInPandas(_prune, schema=schema)
+    w = Window.partitionBy(*keys).orderBy("_h", id_col)
+    return (
+        pruned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_h", "_rk")
+    )

@@ -5232,3 +5232,40 @@ def x_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, "text", num_merges=20)
     return bpe_apply(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k per-group deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sample_fixed_k",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('fixk:', CAST(doc_id AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id FROM r WHERE rk <= 10
+""",
+)
+def x_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per source by deterministic hash order —
+    the fixed-size sampler (inspection/eval carving) next to the
+    fraction-based ones. The per-batch bottom-k prune bounds what the
+    per-group window ever sorts; the oracle is the naive global
+    window the engine never pays in full."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sketch.sample_fixed_k(docs, "doc_id", ["source"], k=10).select(
+        "source", "doc_id"
+    )

@@ -295,3 +295,32 @@ def test_domain_mix_alpha_semantics_and_determinism(spark):
     assert a == b
     c = sorted(sample_domain_mix(df, "id", "dom", 0.5, salt="other").toPandas().id)
     assert a != c
+
+
+def test_sample_fixed_k_exact_size_and_determinism(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import sample_fixed_k
+
+    rows = [("big", i) for i in range(500)] + [("tiny", 1000 + i) for i in range(3)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id"]))
+    out = sample_fixed_k(df, "id", ["g"], k=7).toPandas()
+    sizes = out.groupby("g").size()
+    assert sizes["big"] == 7       # exactly k
+    assert sizes["tiny"] == 3      # whole group when smaller than k
+    # deterministic and partition-invariant
+    out2 = sample_fixed_k(df.repartition(11), "id", ["g"], k=7).toPandas()
+    assert sorted(out.id) == sorted(out2.id)
+    # append-stability: adding rows never evicts *earlier-hashing* survivors
+    # beyond the hash order itself — the kept set equals the k smallest
+    # hashes, so re-running on a superset keeps any survivor that still
+    # ranks in the top k
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rows + [("big", 9000 + i) for i in range(100)], columns=["g", "id"])
+    )
+    out3 = sample_fixed_k(df2, "id", ["g"], k=7).toPandas()
+    kept_big_old = set(out[out.g == "big"].id)
+    kept_big_new = set(out3[out3.g == "big"].id)
+    # new rows can displace old ones only by hashing lower; survivors of
+    # the superset that existed before must have survived before
+    assert kept_big_new - set(range(9000, 9100)) <= kept_big_old

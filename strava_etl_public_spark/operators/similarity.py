@@ -1005,3 +1005,38 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "adc", "cos", "rk")
     )
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label mean embedding (class centroids): one posexplode +
+    hash agg per (label, dim) with 6dp-quantized DECIMAL sums — the
+    Lloyd accumulation recipe applied to labeled data, so every
+    centroid component is an exact integer sum finished by one IEEE
+    division and the whole centroid table is oracle-checkable.
+    Output: ``(label, centroid array<double>)`` — |labels|·dim rows of
+    intermediate state, bounded model size at any corpus scale.
+    Centroids are what SemDeDup-style semantic curation, per-class
+    drift monitors, and cheap nearest-class-mean classifiers all
+    start from."""
+    d38 = "decimal(38,0)"
+    ex = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per = ex.groupBy(label_col, "dim").agg(
+        F.sum(F.round(F.col("x").cast("double") * 1000000, 0).cast(d38)).alias(
+            "_s"
+        ),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    comp = per.select(
+        label_col,
+        "dim",
+        (
+            F.col("_s").cast("double") / F.col("_c").cast("double") / F.lit(1000000.0)
+        ).alias("c"),
+    )
+    return comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )

@@ -288,3 +288,46 @@ def profile_columns(
         for c in (*numeric_cols, *string_cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: int = 8,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group equi-depth (equal-count) histogram: rows are ranked
+    within their group and bucket ``i`` (1-based) takes ranks with
+    ``(rank−1)·q div n == i−1`` — pure integer math, so bucket
+    membership (and therefore every count and min/max boundary) is
+    exact and engine-portable, unlike float-quantile binning whose
+    edges drift near ties. The value-domain complement of the
+    equi-WIDTH histogram row: equal-width shows shape, equal-depth
+    shows where the mass actually sits (and its boundaries are the
+    optimizer-style depth-balanced statistics).
+
+    One sort family per group (row_number and the partition count ride
+    the same window sort) + one hash agg. ``tiebreak_cols`` (a unique
+    id) makes ranking total so ties at bucket edges split
+    deterministically."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col, *tiebreak_cols)
+    wp = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    bucket = F.expr(f"((_rn - 1) * {q}) div _n + 1").cast("long")
+    return (
+        ranked.groupBy(*keys, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )

@@ -5269,3 +5269,123 @@ def x_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.sample_fixed_k(docs, "doc_id", ["source"], k=10).select(
         "source", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_hist_equidepth",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_type,
+       CAST((rn - 1) * 8 // n + 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(value) AS lo,
+       max(value) AS hi
+FROM r GROUP BY event_type, (rn - 1) * 8 // n + 1
+""",
+)
+def x_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of `value` per event type —
+    integer-rank bucket assignment (no float quantile drift), one
+    sort family per group plus one hash agg. Depth-balanced
+    boundaries are what an optimizer's statistics or a monitoring
+    dashboard's percentile bands actually want; complements the
+    equi-width x_hist_value row."""
+    ensure_harness_conf(spark)
+    from .operators.stats import equidepth_histogram
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return equidepth_histogram(
+        ev, ["event_type"], "value", q=8, tiebreak_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding class centroids + cluster tightness
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+per AS (
+  SELECT label, dim,
+         sum(CAST(round(x * 1000000, 0) AS HUGEINT)) AS s,
+         count(*) AS c
+  FROM ex GROUP BY label, dim
+),
+comp AS (
+  SELECT label, dim, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 AS cc
+  FROM per
+),
+cent AS (SELECT label, list(cc ORDER BY dim) AS cv FROM comp GROUP BY label),
+j AS (
+  SELECT e.label, e.vec_id,
+         {_cos_sql('e.embedding', 'cent.cv')} AS cos,
+         sqrt({_dot_sql('cent.cv', 'cent.cv')}) AS cn
+  FROM embeddings e JOIN cent ON e.label = cent.label
+),
+q AS (
+  SELECT label, cn, CAST(round(cos * 1000000, 0) AS BIGINT) AS cq FROM j
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(max(cn), 6) AS centroid_norm,
+       round(CAST(sum(cq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+         AS avg_cos,
+       CAST(min(cq) AS DOUBLE) / 1000000.0 AS min_cos,
+       CAST(max(cq) AS DOUBLE) / 1000000.0 AS max_cos
+FROM q GROUP BY label
+""",
+)
+def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids + cluster-tightness report: exact
+    decimal-summed mean vectors (bounded |labels|·dim model state),
+    broadcast back onto the corpus for per-vector cosine-to-centroid,
+    then 6dp-quantized exact averaging. centroid_norm ≪ 1 or low
+    avg_cos flags an incoherent label — the SemDeDup-style health
+    check before semantic curation trusts a clustering. One explode +
+    two hash aggs + one broadcast join."""
+    ensure_harness_conf(spark)
+    from .operators import dedup
+    from .operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label", "embedding")
+    j = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        dedup.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        F.sqrt(dedup.dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
+    )
+    q = j.select(
+        "label", "cn", F.round(F.col("cos") * 1000000, 0).cast("long").alias("cq")
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.max("cn"), 6).alias("centroid_norm"),
+        F.round(
+            F.sum("cq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_cos"),
+        (F.min("cq").cast("double") / F.lit(1000000.0)).alias("min_cos"),
+        (F.max("cq").cast("double") / F.lit(1000000.0)).alias("max_cos"),
+    )

@@ -302,3 +302,47 @@ def test_linreg_null_rows_excluded_wholesale(spark):
     assert out["n"] == 3
     assert abs(out["slope"] - 2.0) < 1e-6
     assert abs(out["intercept"] - 1.0) < 1e-6
+
+
+def test_equidepth_histogram_balanced_and_exact(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.stats import equidepth_histogram
+
+    # 16 rows, q=4 → four buckets of exactly 4; values 0..15
+    rows = [("g", float(v), v) for v in range(16)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v", "id"]))
+    out = (
+        equidepth_histogram(df, ["g"], "v", q=4, tiebreak_cols=["id"])
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_rows) == [4, 4, 4, 4]
+    assert list(out.lo) == [0.0, 4.0, 8.0, 12.0]
+    assert list(out.hi) == [3.0, 7.0, 11.0, 15.0]
+
+    # non-divisible: 10 rows, q=4 → sizes 3,2,3,2 under the div rule
+    rows = [("g", float(v), v) for v in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v", "id"]))
+    out = equidepth_histogram(df, ["g"], "v", q=4, tiebreak_cols=["id"]).toPandas()
+    assert out.n_rows.sum() == 10 and out.bucket.nunique() == 4
+    assert out.n_rows.max() - out.n_rows.min() <= 1
+
+
+def test_label_centroids_known_values(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.similarity import label_centroids
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [0.0, 1.0]),
+        (1, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    out = label_centroids(df, "label", "embedding").toPandas().set_index("label")
+    assert list(out.loc[0, "centroid"]) == [0.5, 0.5]
+    assert list(out.loc[1, "centroid"]) == [2.0, 2.0]

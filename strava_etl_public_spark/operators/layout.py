@@ -119,71 +119,89 @@ def hive_partitioned_write(
     compact_parquet and z-order are for."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
-
 def assign_global_ids(
     df: DataFrame,
     order_cols: Sequence[str],
     out_col: str = "row_id",
     num_partitions: int | None = None,
+    bins_per_partition: int = 4,
 ) -> DataFrame:
     """Contiguous 1-based global row numbers over a total order —
-    WITHOUT the single-partition trap: ``row_number().OVER (ORDER BY
+    WITHOUT the single-partition trap: ``row_number() OVER (ORDER BY
     …)`` with no PARTITION BY plans an Exchange SinglePartition, i.e.
     the entire dataset funnels through one task (pytest pins this).
     At 100 TB that plan does not finish.
 
-    Two-pass instead (the distributed zipWithIndex recipe, kept in
-    DataFrame/Arrow land): range-partition + sort-within-partitions
-    on the order columns, count rows per partition (the ONLY driver
-    state — one BIGINT per partition), turn the counts into start
-    offsets, then stream each partition through ``mapInPandas``
-    stamping ``offset + local position``. Range partitioning makes
-    partition p's rows all precede partition p+1's, so local order +
-    offsets = the exact global row_number.
+    Why not the textbook zipWithIndex recipe (range-partition, count
+    per partition, stamp offset + local position)? It silently
+    miscounts: ``repartitionByRange`` samples with a seed derived from
+    the RDD id, so the count job and the stamp job see DIFFERENT
+    boundaries — measured at sf0.01, two back-to-back count jobs over
+    the same lineage returned different per-partition sizes, and the
+    stamped ids drifted by +25. Caching "fixes" it only until a block
+    is evicted and recomputed with fresh boundaries.
 
-    Deliberately NOT persisted between the passes: at the scale where
-    this operator matters the input cannot be cached (eviction would
-    silently turn the cache into recompute anyway), so correctness
-    must rest on determinism instead — range boundaries come from
-    RangePartitioner's fixed-seed sample of a deterministic scan, so
-    both passes see identical partitioning. The count pass is cheap:
-    it needs only the Exchange (Catalyst's EliminateSorts drops the
-    local sort under the count aggregate).
+    This implementation makes the binning itself deterministic
+    instead, exploiting that the OUTPUT is invariant to where the bin
+    boundaries fall: boundaries of the first order column are
+    estimated once with ``approxQuantile`` and FROZEN as literals in
+    the plan (driver model state, ≤ bins·8 bytes), every row maps to
+    a bin with pure column math, per-BIN counts come from one
+    deterministic hash agg, and the stamp pass hash-partitions on the
+    bin, sorts within partitions by (bin, order), and writes
+    ``bin_offset + position-within-bin`` in one Arrow pass. Boundary
+    quality only affects balance, never correctness. The first order
+    column must be numeric (boundary estimation); the remaining
+    columns refine ordering within a boundary value.
 
     ``order_cols`` must be a total order (unique key) or numbering
     within ties is arbitrary (though still contiguous and 1:1).
     """
-    from pyspark import TaskContext
     from pyspark.sql import types as T
 
     n_parts = num_partitions or df.rdd.getNumPartitions()
-    part = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    counts = (
-        part.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .count()
-        .collect()
-    )
-    by_pid = {r["_pid"]: r["count"] for r in counts}
+    n_bins = max(n_parts * bins_per_partition, 1)
+    first = order_cols[0]
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = sorted(
+        set(df.stat.approxQuantile(first, probs, 0.01))
+    ) if probs else []
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bin_col = F.size(
+            F.filter(arr, lambda b: F.col(first).cast("double") > b)
+        ).cast("long")
+    else:
+        bin_col = F.lit(0).cast("long")
+
+    binned = df.withColumn("_bin", bin_col)
+    counts = binned.groupBy("_bin").count().collect()
+    by_bin = {int(r["_bin"]): r["count"] for r in counts}
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in range(max(by_pid, default=-1) + 1):
-        offsets[pid] = acc
-        acc += by_pid.get(pid, 0)
+    for b in sorted(by_bin):
+        offsets[b] = acc
+        acc += by_bin[b]
 
+    part = binned.repartition(n_parts, "_bin").sortWithinPartitions(
+        "_bin", *order_cols
+    )
     schema = T.StructType(
-        list(part.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+        [f for f in part.schema.fields if f.name != "_bin"]
+        + [T.StructField(out_col, T.LongType(), False)]
     )
 
     def _stamp(batches):
-        pid = TaskContext.get().partitionId()
-        nxt = offsets.get(pid, 0)
+        pos: dict[int, int] = {}
         for pdf in batches:
-            n = len(pdf)
-            pdf[out_col] = range(nxt + 1, nxt + 1 + n)
-            nxt += n
+            ids = []
+            for b in pdf["_bin"]:
+                b = int(b)
+                nxt = pos.get(b, offsets.get(b, 0))
+                ids.append(nxt + 1)
+                pos[b] = nxt + 1
+            pdf = pdf.drop(columns=["_bin"])
+            pdf[out_col] = ids
             yield pdf
 
     return part.mapInPandas(_stamp, schema=schema)

@@ -173,3 +173,23 @@ def test_assign_global_ids_contiguous_under_ties(spark):
     assert sorted(got.row_id) == [1, 2, 3, 4, 5, 6]
     ranks = got.sort_values("row_id").k.tolist()
     assert ranks == sorted(ranks)
+
+
+def test_assign_global_ids_bin_collisions_and_determinism(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.layout import assign_global_ids
+
+    # 2 partitions x 4 bins/partition → bins must share partitions;
+    # heavy duplicate order values stress boundary assignment
+    pdf = pd.DataFrame({"k": [i % 37 for i in range(2000)], "id": range(2000)})
+    df = spark.createDataFrame(pdf)
+    out = assign_global_ids(df, ["k", "id"], num_partitions=2).toPandas()
+    assert sorted(out.row_id) == list(range(1, 2001))
+    ordered = out.sort_values("row_id")[["k", "id"]].values.tolist()
+    assert ordered == sorted(ordered)
+    # two runs agree exactly (frozen-boundary determinism)
+    out2 = assign_global_ids(df, ["k", "id"], num_partitions=2).toPandas()
+    m1 = dict(zip(out.id, out.row_id))
+    m2 = dict(zip(out2.id, out2.row_id))
+    assert m1 == m2

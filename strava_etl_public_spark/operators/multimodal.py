@@ -302,3 +302,78 @@ def fake_decode_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame
         _decode,
         schema="doc_id long, width int, height int, channels int, mean_intensity double",
     )
+
+
+def attach_wav(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a REAL deterministic PCM16 WAV payload per row
+    (audio sibling of attach_png — content derives from sha256 of the
+    text column; wavcodec.deterministic_wav documents the closed-form
+    waveform a SQL oracle can reproduce). Encoding runs executor-side
+    in Arrow batches."""
+    from . import wavcodec
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[text_col].map(
+                        lambda t: wavcodec.deterministic_wav(
+                            hashlib.sha256(str(t).encode()).digest()
+                        )
+                    ),
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+    return out.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("audio/wav").alias("kind"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Waveform feature extraction over a BINARY audio column with a
+    REAL decoder on the hot path: wavcodec parses the RIFF chunks,
+    validates PCM16, unpacks interleaved frames, and reduces to
+    (n_frames, sample_rate, channels, peak, mean_abs, rms) — exact
+    integer sums, fixed IEEE op order, 6dp rounding at the edge so the
+    whole row is oracle-checkable. PCM is the training-corpus on-disk
+    norm; compressed codecs (mp3/opus) would route through PyAV behind
+    the same probe the image path uses. Arrow mapInPandas: map-only,
+    scan-speed, no shuffle."""
+    from . import wavcodec
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wavcodec.decode_stats(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": [s[0] for s in stats],
+                    "sample_rate": [s[1] for s in stats],
+                    "channels": [s[2] for s in stats],
+                    "peak": [s[3] for s in stats],
+                    "mean_abs": [s[4] for s in stats],
+                    "rms": [s[5] for s in stats],
+                }
+            )
+
+    raw = binary_df.select(F.col(id_col), "payload").mapInPandas(
+        _decode,
+        schema=(
+            f"{id_col} long, n_frames long, sample_rate long, "
+            "channels long, peak long, mean_abs double, rms double"
+        ),
+    )
+    # round JVM-side: Python's round() is half-even, Spark/DuckDB round
+    # half-away — rounding must happen where the oracle's semantics live
+    return raw.withColumns(
+        {"mean_abs": F.round("mean_abs", 6), "rms": F.round("rms", 6)}
+    )

@@ -37,6 +37,10 @@ def test_registry_priority_order():
 #: ops, verified by invariant tests instead (each must name its test).
 ORACLE_EXEMPT_EXTRAS = {
     "x_text_pack_chunks",  # sequential bin-packing state; tests/test_text.py
+    # iterative BPE merge state; pinned against a single-process
+    # reference trainer in tests/test_text.py::test_bpe_train_*
+    "x_text_bpe_vocab",
+    "x_text_bpe_encode",
 }
 
 

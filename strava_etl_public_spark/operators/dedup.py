@@ -774,3 +774,89 @@ def duplicate_clusters(
     cc = labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("rep_id"))
     sizes = cc.groupBy("rep_id").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     return cc.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")
+
+
+def jaccard_join_prefix(
+    sets: DataFrame,
+    id_col: str,
+    elem_col: str,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """EXACT set-similarity self-join: every pair (id1 < id2) whose
+    element-set Jaccard is ≥ tau_num/tau_den — with a COMPLETENESS
+    guarantee, via prefix filtering (Bayardo et al., "Scaling Up All
+    Pairs Similarity Search", WWW'07): order each set's elements by
+    global rarity (document frequency asc, element asc) and keep only
+    the first ``s − ⌈τ·s⌉ + 1`` as its signature prefix; any pair
+    meeting τ MUST share a prefix element (if two sets share none of
+    either's prefix, their overlap is bounded below τ — the pigeonhole
+    argument), so joining on prefix elements misses nothing. This is
+    the exact counterpart of `ngram_jaccard_pairs`, whose max_df
+    blocking deliberately drops pairs that share only common shingles.
+
+    τ is a rational and every comparison is integer cross-multiplied
+    (⌈τ·s⌉ = (s·num + den − 1) div den; the final test is
+    inter·den ≥ union·num) — no float thresholds, so the result set is
+    exact and oracle-checkable.
+
+    Scale shape: one df hash-agg, one element-keyed annotate join, a
+    per-SET local sort (collect + array_sort — bounded by document
+    size, never a global rank window), candidate generation joining
+    ONLY prefix elements (the rare tail — candidate count is the
+    algorithm's whole point), then verification joins bounded by
+    Σ_pairs |set|. Input is a pre-exploded ``(id, elem)`` table with
+    one row per distinct element per set (build one with
+    :func:`doc_shingles` for shingle resemblance, or token explode
+    for bag-of-words)."""
+    dfc = sets.groupBy(elem_col).agg(F.count(F.lit(1)).alias("_df"))
+    ann = sets.join(dfc, elem_col)
+    per = ann.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_df", elem_col))).alias("_sorted"),
+        F.count(F.lit(1)).alias("_s"),
+    )
+    ceil_tau_s = F.expr(f"(_s * {tau_num} + {tau_den - 1}) div {tau_den}")
+    plen = (F.col("_s") - ceil_tau_s + 1).cast("int")
+    prefix = per.select(
+        F.col(id_col),
+        F.col("_s"),
+        F.explode(F.slice("_sorted", F.lit(1), plen)).alias("_e"),
+    ).select(id_col, "_s", F.col(f"_e.{elem_col}").alias(elem_col))
+
+    a = prefix.select(
+        F.col(id_col).alias("_id1"), F.col("_s").alias("s1"), elem_col
+    )
+    b = prefix.select(
+        F.col(id_col).alias("_id2"), F.col("_s").alias("s2"), elem_col
+    )
+    cand = (
+        a.join(b, elem_col)
+        .filter(F.col("_id1") < F.col("_id2"))
+        .select("_id1", "_id2", "s1", "s2")
+        .distinct()
+    )
+    ta = sets.select(F.col(id_col).alias("_id1"), F.col(elem_col).alias("_ea"))
+    tb = sets.select(F.col(id_col).alias("_id2b"), F.col(elem_col).alias("_eb"))
+    inter = (
+        cand.join(ta, "_id1")
+        .join(
+            tb,
+            (F.col("_id2") == F.col("_id2b")) & (F.col("_ea") == F.col("_eb")),
+        )
+        .groupBy("_id1", "_id2", "s1", "s2")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    union = F.col("s1") + F.col("s2") - F.col("inter_size")
+    return (
+        inter.filter(F.col("inter_size") * tau_den >= union * tau_num)
+        .select(
+            F.col("_id1").alias("id1"),
+            F.col("_id2").alias("id2"),
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            F.round(
+                F.col("inter_size").cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

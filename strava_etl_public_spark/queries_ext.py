@@ -5455,3 +5455,47 @@ def x_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wav = multimodal.attach_wav(docs, "doc_id", "text")
     return multimodal.decode_audio(wav, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering, completeness-guaranteed)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_dedup_jaccard_exact",
+    oracle=f"""
+WITH {_SH_SQL},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT id1, id2, i, sa.s AS s1, sb.s AS s2
+  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+)
+SELECT id1, id2,
+       CAST(i AS BIGINT) AS inter_size,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2,
+       round(CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE), 6) AS jaccard
+FROM j WHERE i * 2 >= (s1 + s2 - i) * 1
+""",
+)
+def x_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT τ=1/2 shingle-resemblance join over the whole corpus via
+    prefix filtering (Bayardo WWW'07): provably finds every qualifying
+    pair — the completeness guarantee `x_dedup_ngram_jaccard`'s rare-
+    shingle blocking trades away — while joining only signature-prefix
+    elements, never all pairs. Integer cross-multiplied threshold, so
+    the result SET is exact; the oracle is the naive all-pairs join
+    the engine never executes."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import doc_shingles, jaccard_join_prefix
+
+    sh = doc_shingles(load(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "shingle"
+    )
+    return jaccard_join_prefix(sh, "doc_id", "shingle", tau_num=1, tau_den=2)

@@ -280,3 +280,44 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
         duplicate_clusters(pairs, max_iters=2)
     out = duplicate_clusters(pairs, max_iters=10).toPandas()
     assert set(out.rep_id) == {0} and set(out.cluster_size) == {9}
+
+
+def test_jaccard_join_prefix_complete_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import jaccard_join_prefix
+
+    rng = random.Random(11)
+    universe = [f"e{i}" for i in range(60)]
+    sets = {}
+    # clustered sets with heavy overlap + some distinct ones
+    base = rng.sample(universe, 20)
+    for i in range(12):
+        s = set(base)
+        for _ in range(rng.randint(0, 8)):
+            s.add(rng.choice(universe))
+            if len(s) > 3 and rng.random() < 0.5:
+                s.discard(next(iter(s)))
+        sets[i] = s
+    for i in range(12, 20):
+        sets[i] = set(rng.sample(universe, rng.randint(3, 15)))
+
+    rows = [(i, e) for i, s in sets.items() for e in sorted(s)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "elem"]))
+    for num, den in [(1, 2), (7, 10), (9, 10)]:
+        got = jaccard_join_prefix(df, "id", "elem", num, den).toPandas()
+        got_pairs = {(r.id1, r.id2) for r in got.itertuples()}
+        want_pairs = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if i * den >= u * num:
+                want_pairs.add((a, b))
+        assert got_pairs == want_pairs, (num, den)
+        # reported sizes are exact
+        for r in got.itertuples():
+            assert r.inter_size == len(sets[r.id1] & sets[r.id2])
+            assert r.s1 == len(sets[r.id1]) and r.s2 == len(sets[r.id2])

@@ -5499,3 +5499,78 @@ def x_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shingle"
     )
     return jaccard_join_prefix(sh, "doc_id", "shingle", tau_num=1, tau_den=2)
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination audit (hash_split ∘ shingle overlap)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_split_contamination",
+    oracle=f"""
+WITH {_SH_SQL},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+              < 900000 THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+tsh AS (
+  SELECT DISTINCT sh.shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+  WHERE sp.split = 'train'
+),
+v AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+  WHERE sp.split = 'val'
+),
+h AS (
+  SELECT v.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN t.shingle IS NULL THEN 0 ELSE 1 END) AS n_hit
+  FROM v LEFT JOIN tsh t ON v.shingle = t.shingle
+  GROUP BY v.doc_id
+)
+SELECT doc_id,
+       CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_train_hits,
+       round(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS contamination
+FROM h
+""",
+)
+def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit as a composition of existing faces:
+    deterministic 90/10 hash split, then every val document scored by
+    the fraction of its distinct 3-token shingles that also appear
+    ANYWHERE in the train split. Unlike x_dedup_decontaminate (tiny
+    benchmark set → broadcast), both sides here are corpus-scale, so
+    the overlap is a plain long-key equi-join against the distinct
+    train-shingle table — the shape that survives when the "benchmark"
+    is 90% of 100 TB. High contamination on a val doc means the split
+    is leaking (near-dups straddling the boundary) and eval numbers
+    are inflated."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+    from .operators.dedup import doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    split = sketch.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    sh = doc_shingles(docs, "doc_id", "text").select("doc_id", "shingle")
+    sh = sh.join(split.select("doc_id", "split"), "doc_id")
+    tsh = (
+        sh.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    v = sh.filter(F.col("split") == "val").select("doc_id", "shingle")
+    j = v.join(tsh, "shingle", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_train_hits"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination"),
+    )

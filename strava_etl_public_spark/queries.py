@@ -1378,7 +1378,7 @@ def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "q_semi_anti_join",
     oracle="""
 SELECT c_custkey, 'has_orders' AS status FROM customer
@@ -1607,7 +1607,11 @@ QUERY_ORDER: tuple[str, ...] = (
     # SURVEY §2 id, and the grouping-sets family is certified by the
     # x_rollup_revenue / x_cube_revenue extras — the freed slot gives
     # the PQ ANN path an official row.
-    "q_semi_anti_join",
+    # q_semi_anti_join demoted to extras (sixth batch): semi/anti is
+    # certified by the x_set_ops_users extra and A7's semi-shaped probe;
+    # the freed slot gives contiguous global row IDs (the operator
+    # whose naive plan dies at scale) an official CORRECTNESS row.
+    "x_global_row_ids",
     "q_asof_join",
 )
 

@@ -5046,7 +5046,7 @@ def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_global_row_ids",
     oracle="""
 WITH e AS (

@@ -214,3 +214,88 @@ def assign_global_ids(
             yield pdf
 
     return part.mapInPandas(_stamp, schema=schema)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+    bins_per_partition: int = 4,
+) -> DataFrame:
+    """Running total of ``value_col`` over a GLOBAL order without the
+    Exchange SinglePartition a bare ``sum() OVER (ORDER BY …)`` plans —
+    the generalization of :func:`assign_global_ids` (which is this
+    with value ≡ 1): frozen approxQuantile boundaries bin the order
+    deterministically, one hash agg totals each bin, bin totals
+    cumsum to base offsets on the driver (bounded model state), and a
+    per-bin window adds the within-bin running sum to its bin's base.
+    Correctness is invariant to where the boundaries fall; they only
+    balance the per-bin sorts. ``value_col`` must be integral so
+    offsets are exact. Exclusive by default (the value's own row not
+    included) — that is what shard/packing assignment wants."""
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or df.rdd.getNumPartitions()
+    n_bins = max(n_parts * bins_per_partition, 1)
+    first = order_cols[0]
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = sorted(set(df.stat.approxQuantile(first, probs, 0.01))) if probs else []
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bin_col = F.size(
+            F.filter(arr, lambda b: F.col(first).cast("double") > b)
+        ).cast("long")
+    else:
+        bin_col = F.lit(0).cast("long")
+    binned = df.withColumn("_bin", bin_col)
+    totals = (
+        binned.groupBy("_bin")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
+        .collect()
+    )
+    by_bin = {int(r["_bin"]): int(r["_t"]) for r in totals}
+    base: dict[int, int] = {}
+    acc = 0
+    for b in sorted(by_bin):
+        base[b] = acc
+        acc += by_bin[b]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in base.items() for x in kv]
+    ) if base else F.create_map()
+    w = (
+        Window.partitionBy("_bin")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(F.col(value_col).cast("long")).over(w)
+    if exclusive:
+        within = within - F.col(value_col).cast("long")
+    return binned.withColumn(
+        out_col,
+        (F.coalesce(F.element_at(base_map, F.col("_bin")), F.lit(0)) + within).cast(
+            "long"
+        ),
+    ).drop("_bin")
+
+
+def shard_manifest(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign rows to contiguous fixed-budget shards in global order
+    (the training-data sharding step after dedup/curation: stable
+    shard boundaries every worker can reproduce): shard =
+    exclusive-prefix-sum(size) div budget — a row goes to the shard
+    where its bytes START, so every shard except the last holds at
+    least ``budget`` minus one row's worth and order is never broken.
+    Runs on :func:`global_prefix_sum`, so no single-partition funnel;
+    the assignment is a pure function of (order, sizes, budget)."""
+    ps = global_prefix_sum(df, order_cols, size_col, "_start", exclusive=True)
+    return ps.withColumn(
+        "shard_id", F.expr(f"_start div {budget}").cast("long")
+    ).drop("_start")

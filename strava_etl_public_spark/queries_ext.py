@@ -5574,3 +5574,135 @@ def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_users_oracle(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    def h(term: str, row: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5('cms' || {row} || ':' || {term}), 1, 15)) "
+            f"AS BIGINT) % {w}"
+        )
+
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_true FROM ev GROUP BY term),
+top AS (
+  SELECT term, n_true
+  FROM (SELECT term, n_true,
+               row_number() OVER (ORDER BY n_true DESC, CAST(term AS BIGINT)) AS rn
+        FROM exact)
+  WHERE rn <= {k}
+),
+rows_ AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+cms AS (
+  SELECT r.i AS r, {h('term', 'r.i')} AS c, CAST(count(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN rows_ r
+  GROUP BY 1, 2
+)
+SELECT CAST(t.term AS BIGINT) AS user_id, t.n_true,
+       CAST(min(m.n) AS BIGINT) AS cms_count
+FROM top t CROSS JOIN rows_ r
+JOIN cms m ON m.r = r.i AND m.c = {h('t.term', 'r.i')}
+GROUP BY t.term, t.n_true
+"""
+
+
+@register_extra("x_stream_cms_users", oracle=_cms_users_oracle())
+def x_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY THE STREAM: the d×w cell
+    table is the streaming aggregation's state (cells are SUMS —
+    order-free and micro-batch-slicing-invariant, the same mergeable-
+    state argument as the streaming HLL), heavy-hitter lookups happen
+    at read time against the final cell table (the sketch-serving
+    split). Estimates equal the batch sketch bit-for-bit under the
+    same oracle; at 100 TB/day this is the bounded-memory way to track
+    hot keys on an unbounded stream."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .operators import sketch
+    from .operators.sketch import _cms_cells
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        cells = (
+            stream.select(F.explode(_cms_cells("user_id", 4, 1024)).alias("_e"))
+            .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        cms = _run_stream(spark, cells, "complete")
+        ev = load(spark, sf_dir, "events")
+        exact = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")
+        )
+        wr = W.orderBy(F.col("n_true").desc(), "user_id")
+        top = (
+            exact.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 20)
+            .select(F.col("user_id").cast("string").alias("user_id"), "n_true")
+        )
+        est = sketch.cms_lookup(cms, top, "user_id", d=4, w=1024)
+        return (
+            top.join(est, "user_id")
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                "n_true",
+                "cms_count",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest (global prefix sum without the SinglePartition funnel)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_shard_manifest",
+    oracle="""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS st
+  FROM documents
+)
+SELECT CAST(st // 20000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM o GROUP BY st // 20000
+""",
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous fixed-budget sharding of the corpus in doc_id order
+    (20k chars per shard): shard = exclusive-global-prefix-sum(size)
+    div budget, computed WITHOUT the Exchange SinglePartition a bare
+    running-total window plans — frozen quantile bins + per-bin
+    totals + per-bin windows (layout.global_prefix_sum, the
+    generalization of the global-ids recipe). The manifest (count,
+    bytes, id range per shard) is what a training job's data loader
+    actually consumes; the oracle IS the naive global window."""
+    ensure_harness_conf(spark)
+    from .operators.layout import shard_manifest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = shard_manifest(docs, ["doc_id"], "n_chars", budget=20000)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

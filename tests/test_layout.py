@@ -193,3 +193,47 @@ def test_assign_global_ids_bin_collisions_and_determinism(spark):
     m1 = dict(zip(out.id, out.row_id))
     m2 = dict(zip(out2.id, out2.row_id))
     assert m1 == m2
+
+
+def test_global_prefix_sum_matches_window_and_plan(spark):
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import global_prefix_sum
+
+    pdf = pd.DataFrame({"k": [(i * 31) % 97 for i in range(1500)], "id": range(1500),
+                        "v": [(i % 7) + 1 for i in range(1500)]})
+    df = spark.createDataFrame(pdf)
+    out = global_prefix_sum(df, ["k", "id"], "v", num_partitions=3)
+    naive = df.withColumn(
+        "prefix_sum",
+        F.sum("v").over(
+            Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("v"),
+    )
+    got = out.toPandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want = naive.toPandas().sort_values(["k", "id"]).reset_index(drop=True)
+    assert list(got.prefix_sum) == list(want.prefix_sum)
+    assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shard_manifest_budget_and_contiguity(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.layout import shard_manifest
+
+    pdf = pd.DataFrame({"id": range(200), "sz": [(i % 13) * 10 + 5 for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    out = shard_manifest(df, ["id"], "sz", budget=300).toPandas().sort_values("id")
+    # shards are contiguous, non-decreasing in order
+    assert list(out.shard_id) == sorted(out.shard_id)
+    # each shard's exclusive start respects the budget rule: a row's
+    # shard equals its exclusive prefix sum div budget
+    csum = out.sz.cumsum() - out.sz
+    assert list(out.shard_id) == list(csum // 300)
+    # every shard except possibly the last carries >= budget - max_item
+    totals = out.groupby("shard_id").sz.sum()
+    assert (totals.iloc[:-1] >= 300 - out.sz.max()).all()

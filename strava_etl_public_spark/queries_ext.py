@@ -5706,3 +5706,68 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_interval_join_overlap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+act AS (
+  SELECT user_id, es // 86400 AS day,
+         min(es) AS a_lo, max(es) AS a_hi
+  FROM e GROUP BY user_id, es // 86400
+),
+err AS (
+  SELECT (es // 3600) * 3600 AS w_lo, (es // 3600) * 3600 + 3599 AS w_hi
+  FROM e WHERE event_type = 'error' GROUP BY es // 3600
+)
+SELECT act.user_id, CAST(act.day AS BIGINT) AS day,
+       err.w_lo,
+       CAST(least(act.a_hi, err.w_hi) - greatest(act.a_lo, err.w_lo) + 1
+            AS BIGINT) AS overlap_secs
+FROM act JOIN err ON act.a_lo <= err.w_hi AND err.w_lo <= act.a_hi
+""",
+)
+def x_interval_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user-day activity spans overlap an error-hour window —
+    interval×interval overlap via double binning with the
+    reference-bin trick (each overlapping pair counted exactly once in
+    the later-starting interval's first bin; no dedup shuffle). The
+    naive overlap join is BroadcastNestedLoopJoin; the oracle runs
+    exactly that, the engine never does."""
+    ensure_harness_conf(spark)
+    from .operators.rangejoin import interval_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ep.epoch_s(ev).alias("es")
+    )
+    act = e.groupBy(
+        "user_id", (F.col("es") / 86400).cast("long").alias("day")
+    ).agg(F.min("es").alias("a_lo"), F.max("es").alias("a_hi"))
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(((F.col("es") / 3600).cast("long") * 3600).alias("w_lo"))
+        .agg(F.first(F.lit(1)).alias("_x"))
+        .select("w_lo", (F.col("w_lo") + 3599).alias("w_hi"))
+    )
+    j = interval_join_binned(
+        act, err, "a_lo", "a_hi", "w_lo", "w_hi", bin_size=43200
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "w_lo",
+        (
+            F.least("a_hi", "w_hi") - F.greatest("a_lo", "w_lo") + 1
+        ).cast("long").alias("overlap_secs"),
+    )

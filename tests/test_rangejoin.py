@@ -85,3 +85,34 @@ def test_inclusive_boundaries(spark):
         .tolist()
     )
     assert sorted(got) == [2, 3]  # both endpoints in, neighbors out
+
+
+def test_interval_join_binned_vs_naive_and_bin_invariance(spark):
+    import random
+
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.rangejoin import interval_join_binned
+
+    rng = random.Random(5)
+    L = [(i, rng.randint(0, 500), rng.randint(0, 60)) for i in range(80)]
+    R = [(j, rng.randint(0, 500), rng.randint(0, 60)) for j in range(60)]
+    ldf = spark.createDataFrame(
+        pd.DataFrame([(i, lo, lo + w) for i, lo, w in L], columns=["lid", "l_lo", "l_hi"])
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame([(j, lo, lo + w) for j, lo, w in R], columns=["rid", "r_lo", "r_hi"])
+    )
+    want = set()
+    for i, llo, lw in L:
+        for j, rlo, rw in R:
+            if llo <= rlo + rw and rlo <= llo + lw:
+                want.add((i, j))
+    for bin_size in (1, 7, 64, 1000):
+        got = interval_join_binned(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_size=bin_size
+        ).toPandas()
+        pairs = list(zip(got.lid, got.rid))
+        # exactly once per overlapping pair, at EVERY bin size
+        assert len(pairs) == len(set(pairs)) == len(want), bin_size
+        assert set(pairs) == want, bin_size

@@ -119,6 +119,36 @@ def hive_partitioned_write(
     compact_parquet and z-order are for."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
+def _frozen_bins(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None,
+    bins_per_partition: int,
+) -> tuple[int, DataFrame]:
+    """Shared frozen-boundary binning for the global-order two-pass
+    operators (assign_global_ids / global_prefix_sum): approxQuantile
+    boundaries of the first order column FROZEN as plan literals →
+    binning is pure column math, identical in every job that reuses
+    the returned plan (repartitionByRange's RDD-id-seeded sampling is
+    not — see assign_global_ids). Returns (n_parts, df + ``_bin``).
+    The first order column must be numeric."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n_bins = max(n_parts * bins_per_partition, 1)
+    first = order_cols[0]
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(first, probs, 0.01))) if probs else []
+    )
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bin_col = F.size(
+            F.filter(arr, lambda b: F.col(first).cast("double") > b)
+        ).cast("long")
+    else:
+        bin_col = F.lit(0).cast("long")
+    return n_parts, df.withColumn("_bin", bin_col)
+
+
 def assign_global_ids(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -159,22 +189,7 @@ def assign_global_ids(
     """
     from pyspark.sql import types as T
 
-    n_parts = num_partitions or df.rdd.getNumPartitions()
-    n_bins = max(n_parts * bins_per_partition, 1)
-    first = order_cols[0]
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = sorted(
-        set(df.stat.approxQuantile(first, probs, 0.01))
-    ) if probs else []
-    if bounds:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        bin_col = F.size(
-            F.filter(arr, lambda b: F.col(first).cast("double") > b)
-        ).cast("long")
-    else:
-        bin_col = F.lit(0).cast("long")
-
-    binned = df.withColumn("_bin", bin_col)
+    n_parts, binned = _frozen_bins(df, order_cols, num_partitions, bins_per_partition)
     counts = binned.groupBy("_bin").count().collect()
     by_bin = {int(r["_bin"]): r["count"] for r in counts}
     offsets: dict[int, int] = {}
@@ -234,28 +249,15 @@ def global_prefix_sum(
     per-bin window adds the within-bin running sum to its bin's base.
     Correctness is invariant to where the boundaries fall; they only
     balance the per-bin sorts. ``value_col`` must be integral so
-    offsets are exact. Exclusive by default (the value's own row not
-    included) — that is what shard/packing assignment wants."""
+    offsets are exact; NULL values count as 0 (the SQL SUM convention,
+    made explicit so all-NULL bins can't poison the driver offsets —
+    code-review finding). Exclusive by default (the value's own row
+    not included) — that is what shard/packing assignment wants."""
     from pyspark.sql import Window
 
-    n_parts = num_partitions or df.rdd.getNumPartitions()
-    n_bins = max(n_parts * bins_per_partition, 1)
-    first = order_cols[0]
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = sorted(set(df.stat.approxQuantile(first, probs, 0.01))) if probs else []
-    if bounds:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        bin_col = F.size(
-            F.filter(arr, lambda b: F.col(first).cast("double") > b)
-        ).cast("long")
-    else:
-        bin_col = F.lit(0).cast("long")
-    binned = df.withColumn("_bin", bin_col)
-    totals = (
-        binned.groupBy("_bin")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
-        .collect()
-    )
+    _, binned = _frozen_bins(df, order_cols, num_partitions, bins_per_partition)
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    totals = binned.groupBy("_bin").agg(F.sum(val).alias("_t")).collect()
     by_bin = {int(r["_bin"]): int(r["_t"]) for r in totals}
     base: dict[int, int] = {}
     acc = 0
@@ -270,9 +272,9 @@ def global_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = F.sum(F.col(value_col).cast("long")).over(w)
+    within = F.sum(val).over(w)
     if exclusive:
-        within = within - F.col(value_col).cast("long")
+        within = within - val
     return binned.withColumn(
         out_col,
         (F.coalesce(F.element_at(base_map, F.col("_bin")), F.lit(0)) + within).cast(

@@ -565,6 +565,7 @@ def sample_domain_mix(
     budget_frac: float,
     alpha: float = 0.5,
     salt: str = "mix",
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a :func:`domain_mix_plan`: keep a row iff its (salt, id)
     hash bucket falls below ITS DOMAIN's threshold — the same md5
@@ -572,8 +573,11 @@ def sample_domain_mix(
     reproducible across engines/partitionings and re-sampling with a
     different α never reshuffles survivors randomly (same hash, new
     thresholds). One broadcast join of the P-row plan + a pure filter:
-    scan speed at any corpus size."""
-    plan = domain_mix_plan(df, domain_col, budget_frac, alpha)
+    scan speed at any corpus size. Pass a precomputed ``plan`` when
+    the caller already built one (inspection/manifest export) so the
+    corpus is not count-aggregated twice (code-review finding)."""
+    if plan is None:
+        plan = domain_mix_plan(df, domain_col, budget_frac, alpha)
     h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     return (
         df.join(
@@ -616,9 +620,15 @@ def sample_fixed_k(
 
     def _prune(batches):
         for pdf in batches:
-            yield pdf.sort_values("_h").groupby(keys, sort=False).head(k)
+            if keys:
+                yield pdf.sort_values("_h").groupby(keys, sort=False).head(k)
+            else:
+                yield pdf.nsmallest(k, "_h")
 
     pruned = proj.mapInPandas(_prune, schema=schema)
+    # no keys → "k rows overall": the global window is fine because the
+    # prune already cut the input to ≤ k·partitions rows (kmv_build's
+    # no-keys convention; code-review finding)
     w = Window.partitionBy(*keys).orderBy("_h", id_col)
     return (
         pruned.withColumn("_rk", F.row_number().over(w))

@@ -753,10 +753,15 @@ def boilerplate_filter(
     AQE converts the join to broadcast at runtime — then one
     collect_list per doc. Pure string/integer ops → oracle-exact.
     """
+    import re as _re
+
     lid = F.md5(F.trim(F.col("line")))
+    # split() takes a REGEX: escape the separator so a metachar sep
+    # ('|', '.') splits literally, matching the literal array_join
+    # reassembly below (code-review finding)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(sep)), -1)).alias(
             "pos", "line"
         ),
     ).withColumn("_norm", F.trim("line"))

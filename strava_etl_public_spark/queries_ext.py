@@ -4825,7 +4825,7 @@ _KMV_SKETCH_SQL = f"""
 h AS (
   SELECT DISTINCT event_type,
          CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 r AS (
   SELECT event_type, hv,
@@ -5027,7 +5027,7 @@ def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     plan = sketch.domain_mix_plan(docs, "source", budget_frac=0.5, alpha=0.5)
     kept = sketch.sample_domain_mix(
-        docs, "doc_id", "source", budget_frac=0.5, alpha=0.5
+        docs, "doc_id", "source", budget_frac=0.5, alpha=0.5, plan=plan
     )
     kc = kept.groupBy(F.col("source").alias("domain")).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept")

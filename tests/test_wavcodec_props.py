@@ -53,7 +53,7 @@ def test_decode_skips_extra_chunks_and_pad():
 def test_decode_rejects_malformed(mutate):
     data = wavcodec.encode_pcm16([0, 1, 2, 3], 2, 8000)
     with pytest.raises(ValueError):
-        wavcodec.decode(mutate(bytearray(data)) if False else mutate(data))
+        wavcodec.decode(mutate(data))
 
 
 def test_deterministic_wav_matches_recipe():

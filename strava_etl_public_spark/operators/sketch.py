@@ -635,3 +635,102 @@ def sample_fixed_k(
         .filter(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def quantile_hist_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    bins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch: per group, a ``bins``-cell equi-width
+    histogram over the group's [min, max] — counts ADD (sketch unions
+    are sums, like CMS cells and HLL registers... with the caveat that
+    merging requires equal bin edges, i.e. a shared min/max epoch; the
+    t-digest/KLL alternatives merge more freely but are sampling- or
+    insertion-order-dependent, which breaks this repo's cross-engine
+    exactness contract). Two passes: a min/max hash agg (P-row model
+    state broadcast back) and the bin hash agg. Deterministic to the
+    bit: bin = floor((v−mn)·bins/(mx−mn)) clamped, computed in ONE
+    fixed double expression.
+
+    Emits ``(group_cols…, _bin, _n, _mn, _mx, _total)`` — the serving
+    split: estimates are finished at read time by
+    :func:`quantile_hist_estimate`."""
+    keys = list(group_cols)
+    data = df.filter(F.col(value_col).isNotNull())
+    mm = data.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+        F.count(F.lit(1)).cast("long").alias("_total"),
+    )
+    j = data.join(F.broadcast(mm), keys) if keys else data.crossJoin(F.broadcast(mm))
+    v = F.col(value_col).cast("double")
+    raw_bin = F.floor(
+        (v - F.col("_mn")) * bins / (F.col("_mx") - F.col("_mn"))
+    ).cast("long")
+    bin_col = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(raw_bin, F.lit(bins - 1))
+    )
+    return (
+        j.groupBy(*keys, bin_col.alias("_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("_mn").alias("_mn"),
+            F.min("_mx").alias("_mx"),
+            F.min("_total").alias("_total"),
+        )
+    )
+
+
+def quantile_hist_estimate(
+    sketch: DataFrame,
+    quantiles: Sequence[tuple[int, int]],
+    group_cols: Sequence[str] = (),
+    bins: int = 256,
+) -> DataFrame:
+    """Finish quantile estimates from a histogram sketch: for each
+    rational q = num/den, rank r = ⌈q·n⌉ (exact integer math), find
+    the first bin whose cumulative count reaches r, and linearly
+    interpolate inside it. Error ≤ one bin width of the value range —
+    the honest accuracy statement an equi-width sketch can make. The
+    cumulative walk runs over ≤ bins rows per group (sketch-sized, not
+    corpus-sized). Output: one row per (group, quantile) with
+    ``q_num/q_den``, the estimate (6dp) and the group count."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("_cum", F.sum("_n").over(w))
+    qdf = None
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    for num, den in quantiles:
+        rank = F.expr(f"(_total * {num} + {den - 1}) div {den}")
+        hit = cum.filter(F.col("_cum") >= rank).groupBy(*keys).agg(
+            F.min_by(
+                F.struct("_bin", "_n", "_cum", "_mn", "_mx", "_total"), F.col("_bin")
+            ).alias("_h")
+        ).select(*keys, "_h.*")
+        rank2 = F.expr(f"(_total * {num} + {den - 1}) div {den}")
+        frac = (rank2 - (F.col("_cum") - F.col("_n"))).cast("double") / F.col(
+            "_n"
+        ).cast("double")
+        est = F.col("_mn") + (F.col("_bin").cast("double") + frac) * width
+        row = hit.select(
+            *keys,
+            F.lit(num).alias("q_num"),
+            F.lit(den).alias("q_den"),
+            F.round(est, 6).alias("estimate"),
+            F.col("_total").alias("n"),
+        )
+        qdf = row if qdf is None else qdf.unionByName(row)
+    return qdf

@@ -5771,3 +5771,76 @@ def x_interval_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_hi", "w_hi") - F.greatest("a_lo", "w_lo") + 1
         ).cast("long").alias("overlap_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sketch_quantile_hist",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (
+  SELECT event_type, min(v) AS mn, max(v) AS mx,
+         CAST(count(*) AS BIGINT) AS total
+  FROM e GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE least(CAST(floor((e.v - mm.mn) * 256 / (mm.mx - mm.mn))
+                              AS BIGINT), 255) END AS bin,
+         mm.mn, mm.mx, mm.total
+  FROM e JOIN mm ON e.event_type = mm.event_type
+),
+h AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+         min(mn) AS mn, min(mx) AS mx, min(total) AS total
+  FROM b GROUP BY event_type, bin
+),
+c AS (
+  SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM h
+),
+q(qn, qd) AS (VALUES (1, 2), (9, 10), (99, 100)),
+r AS (
+  SELECT c.*, q.qn, q.qd, (total * qn + qd - 1) // qd AS rk FROM c, q
+),
+hit AS (
+  SELECT * FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY event_type, qn, qd
+                                   ORDER BY bin) AS rn
+    FROM r WHERE cum >= rk
+  ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(qn AS INTEGER) AS q_num,
+       CAST(qd AS INTEGER) AS q_den,
+       round(mn + (CAST(bin AS DOUBLE)
+                   + CAST(rk - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ((mx - mn) / 256.0), 6) AS estimate,
+       total AS n
+FROM hit
+""",
+)
+def x_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of `value` per event type from a 256-bin mergeable
+    histogram sketch (counts ADD across partitions/days — the
+    distributed-merge property t-digest gets only by giving up
+    insertion-order determinism, which would break cross-engine
+    exactness). Two hash aggs build; the estimate walks ≤256
+    sketch rows per group. Error ≤ one bin width (pytest quantifies it
+    against exact rank quantiles); the ESTIMATE itself is
+    deterministic to the bit — same recipe as the HLL/CMS rows."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = sketch.quantile_hist_build(ev, "value", ["event_type"], bins=256)
+    return sketch.quantile_hist_estimate(
+        sk, [(1, 2), (9, 10), (99, 100)], ["event_type"], bins=256
+    )

@@ -5844,3 +5844,66 @@ def x_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.quantile_hist_estimate(
         sk, [(1, 2), (9, 10), (99, 100)], ["event_type"], bins=256
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution pipeline: exact similarity join → canonical clusters
+# ---------------------------------------------------------------------------
+
+
+def _entity_resolution_oracle() -> str:
+    """Exact τ=1/2 resemblance pairs (naive all-pairs — the plan the
+    engine never runs) fed into the recursive-closure twin of
+    min-label propagation: the full entity-resolution answer computed
+    two structurally different ways end-to-end."""
+    return f"""
+WITH RECURSIVE {_SH_SQL},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1 AS doc_a, id2 AS doc_b
+  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+  WHERE i * 2 >= (sa.s + sb.s - i) * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)
+SELECT cc.doc_id, cc.rep_id, CAST(sz2.n AS BIGINT) AS cluster_size
+FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz2
+  USING (rep_id)
+"""
+
+
+@register_extra("x_pipeline_entity_resolution", oracle=_entity_resolution_oracle())
+def x_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end with EXACT pair semantics: the
+    prefix-filtered τ=1/2 resemblance join (provably complete — no
+    LSH misses) feeds min-label-propagation connected components, so
+    the cluster map is the true transitive closure of "resembles at
+    τ", not an approximation of it. This is the dedup decision a
+    curation pipeline can defend row-by-row: the oracle recomputes
+    pairs naively AND the closure recursively. Composition of two
+    already-verified faces — the point is that they compose on one
+    shingle table without re-scanning the corpus."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import doc_shingles, duplicate_clusters, jaccard_join_prefix
+
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text").select("doc_id", "shingle")
+    pairs = jaccard_join_prefix(sh, "doc_id", "shingle", tau_num=1, tau_den=2).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    return duplicate_clusters(pairs, "doc_a", "doc_b")

@@ -5907,3 +5907,123 @@ def x_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
     )
     return duplicate_clusters(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between snapshots
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_drift_psi",
+    oracle="""
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (
+  SELECT event_type, min(v) AS mn, max(v) AS mx FROM e GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type, e.event_id % 2 AS snap,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE least(CAST(floor((e.v - mm.mn) * 10 / (mm.mx - mm.mn))
+                              AS BIGINT), 9) END AS bin
+  FROM e JOIN mm ON e.event_type = mm.event_type
+),
+grid AS (
+  SELECT DISTINCT event_type, u.b AS bin
+  FROM mm, unnest(generate_series(0, 9)) AS u(b)
+),
+cnt AS (
+  SELECT g.event_type, g.bin,
+         CAST(coalesce(sum(CASE WHEN b.snap = 0 THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN b.snap = 1 THEN 1 END), 0) AS BIGINT) AS n2
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY g.event_type, g.bin
+),
+tot AS (
+  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2 FROM cnt GROUP BY event_type
+),
+term AS (
+  SELECT c.event_type,
+         (CAST(c.n1 + 1 AS DOUBLE) / CAST(t.t1 + 10 AS DOUBLE)
+          - CAST(c.n2 + 1 AS DOUBLE) / CAST(t.t2 + 10 AS DOUBLE))
+         * round(ln(CAST((c.n1 + 1) * (t.t2 + 10) AS DOUBLE)
+                    / CAST((c.n2 + 1) * (t.t1 + 10) AS DOUBLE)), 6) AS trm
+  FROM cnt c JOIN tot t ON c.event_type = t.event_type
+),
+q AS (
+  SELECT event_type, CAST(round(trm * 1000000, 0) AS BIGINT) AS tq FROM term
+)
+SELECT event_type,
+       round(CAST(sum(tq) AS DOUBLE) / 1000000.0, 6) AS psi
+FROM q GROUP BY event_type
+""",
+)
+def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two event snapshots (even vs
+    odd event ids — the deterministic stand-in for last-week vs
+    this-week): 10 shared equi-width bins per event type, Laplace
+    smoothing so empty bins don't blow up the log, PSI = Σ(p−q)·ln(p/q)
+    with each ln taken over a RATIO OF EXACT INTEGERS and 6dp-rounded
+    (the bigram-LM recipe), per-bin terms quantized before the sum so
+    summation order can't move a bit. PSI > 0.2 is the standard
+    retrain/investigate alarm — the monitoring face of the profiler
+    and histogram rows. Three hash aggs, one broadcast of the P-row
+    bin-edge table."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v")
+    )
+    mm = e.groupBy("event_type").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    j = e.join(F.broadcast(mm), "event_type")
+    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))).cast(
+                "long"
+            ),
+            F.lit(9).cast("long"),
+        )
+    )
+    b = j.select(
+        "event_type", (F.col("event_id") % 2).alias("snap"), bin_col.alias("bin")
+    )
+    grid = mm.select("event_type").crossJoin(
+        spark.range(10).select(F.col("id").alias("bin"))
+    )
+    cnt = (
+        grid.join(b, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("snap") == 0, 1)), F.lit(0))
+            .cast("long")
+            .alias("n1"),
+            F.coalesce(F.sum(F.when(F.col("snap") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    c = cnt.join(tot, "event_type")
+    p = (F.col("n1") + 1).cast("double") / (F.col("t1") + 10).cast("double")
+    q = (F.col("n2") + 1).cast("double") / (F.col("t2") + 10).cast("double")
+    lnr = F.round(
+        F.log(
+            ((F.col("n1") + 1) * (F.col("t2") + 10)).cast("double")
+            / ((F.col("n2") + 1) * (F.col("t1") + 10)).cast("double")
+        ),
+        6,
+    )
+    term = c.select(
+        "event_type",
+        F.round((p - q) * lnr * 1000000, 0).cast("long").alias("tq"),
+    )
+    return term.groupBy("event_type").agg(
+        F.round(F.sum("tq").cast("double") / F.lit(1000000.0), 6).alias("psi")
+    )

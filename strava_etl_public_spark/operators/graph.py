@@ -84,3 +84,71 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    clustering/community-density signal (a node in many triangles
+    sits inside a tight cluster; triangle-free hubs are bridges or
+    spam). Input edges may be directed/duplicated; they are
+    canonicalized to distinct undirected pairs first.
+
+    Scale design — degree-ordered orientation (the standard
+    compact-forward algorithm): orient every edge from its
+    lower-(degree, id) endpoint to the higher one. Every node's
+    OUT-degree is then bounded by O(√(2m)) regardless of how big a
+    hub it is, so the wedge join (out-neighbor pairs of a common
+    tail) cannot quadratically explode on hot nodes the way the naive
+    a<b<c id-ordered chain join does — id ordering leaves a
+    low-id hub with out-degree ≈ its full degree. Each triangle is
+    found exactly once, at its minimum-(degree, id) corner, by joining
+    wedges against the oriented edge set; corners then explode back
+    to per-node counts (one row per node with ≥1 triangle).
+
+    The RESULT is orientation-invariant (a pure function of the edge
+    set), so the oracle can verify with the naive id-ordered chain
+    join the engine deliberately avoids."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    keyed = und.join(da, "u").join(db, "v")
+    # consistent field names so the CASE branches share one struct type
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    fwd = ku < kv
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, ku).otherwise(kv).alias("_ks"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, kv).otherwise(ku).alias("_kt"),
+    )
+    e1 = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b"), F.col("_kt").alias("_kb")
+    )
+    e2 = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("c"), F.col("_kt").alias("_kc")
+    )
+    wedges = e1.join(e2, "a").filter(F.col("_kb") < F.col("_kc"))
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

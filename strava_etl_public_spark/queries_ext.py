@@ -6027,3 +6027,55 @@ def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term.groupBy("event_type").agg(
         F.round(F.sum("tq").cast("double") / F.lit(1000000.0), 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (market-basket co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_graph_triangles",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+""",
+)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the market-basket co-purchase
+    graph (parts co-occurring in an order are linked): computed with
+    degree-ordered orientation so hub out-degrees stay O(√m) and the
+    wedge join can't explode on hot parts — the oracle verifies the
+    identical result via the naive id-ordered chain join the engine
+    avoids. The community-density complement of PageRank (importance)
+    and connected components (identity)."""
+    ensure_harness_conf(spark)
+    from .operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)

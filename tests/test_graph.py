@@ -51,3 +51,26 @@ def test_pagerank_partition_invariance(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_counts_known_graphs(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.graph import triangle_counts
+
+    # K4 (every node in C(3,2)=3 triangles), plus a pendant and a
+    # separate triangle with a duplicate/reversed edge thrown in
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (4, 5),                                            # pendant
+        (10, 11), (11, 12), (12, 10), (11, 10),            # triangle + dup reversed
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = triangle_counts(df).toPandas().set_index("node").n_triangles
+    assert out.loc[1] == 3 and out.loc[2] == 3 and out.loc[3] == 3 and out.loc[4] == 3
+    assert 5 not in out.index
+    assert out.loc[10] == 1 and out.loc[11] == 1 and out.loc[12] == 1
+    # star has NO triangles (the hub case orientation protects against)
+    star = [(0, i) for i in range(1, 30)]
+    sdf = spark.createDataFrame(pd.DataFrame(star, columns=["src", "dst"]))
+    assert triangle_counts(sdf).count() == 0

@@ -1040,3 +1040,71 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
         ).alias("centroid")
     )
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str, chunk_rows: int = 1000
+) -> DataFrame:
+    """Exact d×d covariance of an embedding column — the whitening /
+    PCA-input statistic — computed the way 100 TB requires: each Arrow
+    batch contributes ONE d×d outer-product partial (numpy Qᵀ@Q over
+    6dp-quantized int64 codes, chunked so no cell can overflow int64),
+    partials hash-aggregate by (i, j) cell in DECIMAL(38,0), and the
+    d(d+1)/2-cell upper triangle finishes with fixed-order double math.
+    Data motion is d²·partitions cells — independent of row count; the
+    naive pair-explode ships n·d² rows. Everything before the final
+    division is exact integer arithmetic, so a SQL oracle doing the
+    naive explode reproduces every cell bit-for-bit.
+
+    Output: (i, j, cov) for 1-based i ≤ j, cov rounded to 6dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _round_half_away(x: "np.ndarray") -> "np.ndarray":
+        # np.rint is half-even; the engines round half AWAY — match them
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = _round_half_away(M * 1000000.0)
+            d = Q.shape[1]
+            iu, ju = np.triu_indices(d)
+            for s in range(0, len(Q), chunk_rows):
+                C = Q[s : s + chunk_rows]
+                P = C.T @ C  # int64-safe: |q| ≤ ~1e8 ⇒ cell ≤ 1e16·chunk/1e3
+                lin = C.sum(axis=0)
+                n = C.shape[0]
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate((iu + 1, np.arange(1, d + 1), [0])),
+                        "j": np.concatenate((ju + 1, np.zeros(d, dtype=int), [0])),
+                        "s": np.concatenate((P[iu, ju], lin, [n])),
+                    }
+                )
+
+    parts = emb.select(vec_col).mapInPandas(_partials, schema="i int, j int, s long")
+    sums = parts.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("sv")
+    )
+    n1 = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("sv").cast("long").alias("n")
+    )
+    lin = sums.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("k"), F.col("sv").alias("sk")
+    )
+    pairs = sums.filter((F.col("i") > 0) & (F.col("j") > 0))
+    la = lin.select(F.col("k").alias("i"), F.col("sk").alias("si"))
+    lb = lin.select(F.col("k").alias("j"), F.col("sk").alias("sj"))
+    j = pairs.join(F.broadcast(la), "i").join(F.broadcast(lb), "j").crossJoin(
+        F.broadcast(n1)
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        F.col("sv").cast("double") / nd
+        - (F.col("si").cast("double") / nd) * (F.col("sj").cast("double") / nd)
+    ) / F.lit(1000000000000.0)
+    return j.select("i", "j", F.round(cov, 6).alias("cov"))

@@ -6079,3 +6079,46 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (Arrow outer-product partials)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_covariance",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+m AS (SELECT i, sum(CAST(q AS HUGEINT)) AS si, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
+              - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
+                * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
+             / 1000000000000.0, 6) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+""",
+)
+def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64×64 covariance of the embedding corpus via Arrow
+    outer-product partials: each batch ships ONE d×d cell block
+    (data motion independent of row count — the naive pair explode
+    the oracle runs ships n·d² rows), cells sum exactly in
+    DECIMAL(38,0), and the finish is fixed-order double math. The
+    statistic PCA/whitening and the covariance-shift drift monitors
+    start from; pairs with x_embed_centroids (first moment) as the
+    second-moment face."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import covariance_matrix
+
+    return covariance_matrix(load(spark, sf_dir, "embeddings"), "embedding")

@@ -266,3 +266,30 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
     pd.testing.assert_frame_equal(
         pq.sort_values(["q_id", "rk"]).reset_index(drop=True), again
     )
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.similarity import covariance_matrix
+
+    rng = np.random.RandomState(9)
+    M = rng.normal(0, 2, (300, 5))
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in M]})
+    )
+    out = covariance_matrix(df, "embedding", chunk_rows=64).toPandas()
+    # quantized ground truth (the operator's contract is 6dp-quantized
+    # inputs, exact integer sums, population covariance)
+    Q = np.sign(M * 1e6) * np.floor(np.abs(M * 1e6) + 0.5)
+    C = (Q.T @ Q) / len(Q) - np.outer(Q.mean(axis=0), Q.mean(axis=0))
+    for r in out.itertuples():
+        want = C[r.i - 1, r.j - 1] / 1e12
+        assert abs(r.cov - want) < 2e-6, (r.i, r.j)
+    assert len(out) == 5 * 6 // 2
+    # partition invariance (exact integer partials)
+    out2 = covariance_matrix(df.repartition(7), "embedding", chunk_rows=64).toPandas()
+    a = out.sort_values(["i", "j"]).reset_index(drop=True)
+    b = out2.sort_values(["i", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -813,30 +813,49 @@ def dup_span_stats(
     """
     from .dedup import shingles, tokens
 
-    sp = df.select(
+    from ..io import fan_out
+
+    # materialize the token array ONCE: the shingle transform touches it
+    # n times per position, and an inlined tokens() re-runs the regex for
+    # every element_at reference (measured 19 s → 1.5 s at sf0.1 — the
+    # dedup.doc_shingles lesson applied here); fan the scan out first —
+    # the fixture arrives as ONE parquet split and would serialize the
+    # whole shingle map stage onto one core (io.fan_out's exact purpose)
+    toks = fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sp = toks.select(
         F.col(id_col),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("_s"),
+        F.explode(shingles(F.col("_toks"), n)).alias("_s"),
     ).select(
         id_col,
         F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long").alias("_sh"),
     )
-    dup_set = (
-        sp.distinct()
-        .groupBy("_sh")
-        .agg(F.count(F.lit(1)).alias("_ndocs"))
-        .filter(F.col("_ndocs") > 1)
-        .select("_sh", F.lit(1).alias("_dup"))
-    )
-    j = sp.join(dup_set, "_sh", "left")
-    return j.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_spans"),
-        F.round(
-            F.sum(F.coalesce("_dup", F.lit(0))).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("dup_frac"),
-    )
+    # the span table feeds TWO consumers (the doc-frequency agg and the
+    # per-position join) — persist it, checkpoint the small per-doc
+    # funnel end, release (the minhash cache-lifecycle discipline)
+    from pyspark import StorageLevel
+
+    sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dup_set = (
+            sp.distinct()
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_ndocs"))
+            .filter(F.col("_ndocs") > 1)
+            .select("_sh", F.lit(1).alias("_dup"))
+        )
+        j = sp.join(dup_set, "_sh", "left")
+        out = j.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum(F.coalesce("_dup", F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sp.unpersist()
 
 
 # ---------------------------------------------------------------------------

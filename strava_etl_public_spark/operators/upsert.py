@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -172,3 +172,68 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type", *cols)
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    delete_cond: Column | None = None,
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """General MERGE (the Delta/Iceberg `MERGE INTO` semantics as one
+    relational expression): per target key matched by ``source`` —
+    delete it when ``delete_cond`` (evaluated over the source row)
+    holds, otherwise update ``update_cols`` from the source; source
+    keys with no target match insert (unless ``insert_unmatched`` is
+    False); unmatched target rows pass through. The batch-general
+    superset of `upsert_last_writer_wins` (which is MERGE with
+    update-all + insert and a timestamp tiebreak) and the forward
+    application of `snapshot_diff` (diff → MERGE round-trips to the
+    new snapshot).
+
+    ONE NULL-safe full-outer join on the key — no per-action passes;
+    all three action branches are CASE arms over the joined row, so
+    the plan is a single shuffle at any scale (broadcast when the
+    source is a small change batch — the common CDC shape; AQE decides
+    from runtime sizes). ``source`` must have at most one row per key
+    (the MERGE precondition; enforced upstream or via
+    upsert_last_writer_wins first). ``delete_cond`` is evaluated over
+    the joined row: reference source columns as ``_s_<name>``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [c for c in target.columns if c not in keys]
+    upd = list(update_cols) if update_cols is not None else cols
+    src = source.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in source.columns if c not in keys],
+        F.lit(1).alias("_s_present"),
+    )
+    cond = None
+    for k in keys:
+        e = target[k].eqNullSafe(F.col(f"_s_{k}"))
+        cond = e if cond is None else cond & e
+    j = target.join(src, cond, "full_outer")
+    matched = F.col("_s_present").isNotNull()
+    tgt_present = j[keys[0]].isNotNull()  # keys non-null in target rows
+    if delete_cond is not None:
+        kill = matched & tgt_present & delete_cond
+    else:
+        kill = F.lit(False)
+    keep = ~kill & (tgt_present | (F.lit(insert_unmatched) & matched))
+    out_cols = []
+    for k in keys:
+        out_cols.append(F.coalesce(j[k], F.col(f"_s_{k}")).alias(k))
+    src_cols = set(source.columns)
+    for c in cols:
+        if c in upd and c in src_cols:
+            # matched-update and unmatched-insert both take the source
+            # value; pass-through keeps the target's
+            val = F.when(matched, F.col(f"_s_{c}")).otherwise(j[c])
+        elif c in src_cols:
+            # not updated on match, but inserts still need the value
+            val = F.when(tgt_present, j[c]).otherwise(F.col(f"_s_{c}"))
+        else:
+            val = j[c]
+        out_cols.append(val.alias(c))
+    return j.filter(keep).select(*out_cols)

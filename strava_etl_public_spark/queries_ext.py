@@ -6122,3 +6122,63 @@ def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import covariance_matrix
 
     return covariance_matrix(load(spark, sf_dir, "embeddings"), "embedding")
+
+
+# ---------------------------------------------------------------------------
+# General MERGE INTO
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_merge_into",
+    oracle="""
+WITH tgt AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events WHERE event_id % 5 != 0 AND user_id % 11 != 3
+  GROUP BY user_id
+),
+src AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events WHERE user_id % 7 != 2 AND user_id % 3 = 0
+  GROUP BY user_id
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.n_events ELSE t.n_events END
+         AS n_events,
+       CASE WHEN s.user_id IS NOT NULL THEN s.sum_q ELSE t.sum_q END AS sum_q
+FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+WHERE NOT (s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+           AND s.n_events % 7 = 0)
+""",
+)
+def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as one relational expression: a per-user
+    rollup target merged with a CDC-ish source batch — matched rows
+    update (or DELETE when the source says the 7-multiple condition
+    holds), unmatched source rows insert, unmatched target rows pass
+    through — all three action arms as CASEs over ONE NULL-safe
+    full-outer join. The general superset of the LWW upsert row and
+    the forward application of x_snapshot_diff."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import merge_into
+
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast(d38))
+            .cast("long")
+            .alias("sum_q"),
+        )
+
+    tgt = snap(ev.filter((F.col("event_id") % 5 != 0) & (F.col("user_id") % 11 != 3)))
+    src = snap(ev.filter((F.col("user_id") % 7 != 2) & (F.col("user_id") % 3 == 0)))
+    return merge_into(
+        tgt, src, "user_id", delete_cond=F.col("_s_n_events") % 7 == 0
+    )

@@ -83,3 +83,66 @@ def test_snapshot_diff_pure_key_sets(spark):
     assert out.loc[1, "change_type"] == "delete"
     assert out.loc[4, "change_type"] == "insert"
     assert set(out.index) == {1, 4}
+
+
+def test_merge_into_all_action_arms(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.upsert import merge_into
+
+    tgt = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3, 4], "v": [10, 20, 30, 40], "tag": list("abcd")}
+        )
+    )
+    # source: update k=1, delete k=2 (v<0 signals delete), insert k=9;
+    # k=3,4 untouched
+    src = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 9], "v": [111, -1, 99], "tag": ["x", "y", "z"]})
+    )
+    out = (
+        merge_into(tgt, src, "k", delete_cond=F.col("_s_v") < 0)
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 3, 4, 9]
+    assert out.loc[1, "v"] == 111 and out.loc[1, "tag"] == "x"
+    assert out.loc[3, "v"] == 30 and out.loc[4, "v"] == 40
+    assert out.loc[9, "v"] == 99
+
+    # update only selected columns: tag stays, v updates
+    out2 = (
+        merge_into(tgt, src, "k", update_cols=["v"])
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out2.loc[1, "v"] == 111 and out2.loc[1, "tag"] == "a"
+    assert out2.loc[2, "v"] == -1  # no delete_cond → update wins
+    assert out2.loc[9, "tag"] == "z"  # inserts still carry source values
+
+    # no insert
+    out3 = merge_into(tgt, src, "k", insert_unmatched=False).toPandas()
+    assert 9 not in set(out3.k)
+
+    # diff → merge round-trip: applying snapshot_diff via merge yields new
+    from strava_etl_public_spark.operators.upsert import snapshot_diff
+
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 3, 7], "v": [12, 30, 70], "tag": ["a2", "c", "g"]})
+    )
+    diff = snapshot_diff(tgt.select("k", "v", "tag"), new, "k", ["v", "tag"])
+    upserts = diff.filter(F.col("change_type") != "delete").select("k", "v", "tag")
+    deletes = diff.filter(F.col("change_type") == "delete").select(
+        "k", F.lit(1).alias("kill")
+    )
+    step1 = merge_into(tgt, upserts, "k")
+    step2 = merge_into(
+        step1, deletes, "k", delete_cond=F.col("_s_kill") == 1, insert_unmatched=False
+    )
+    got = step2.toPandas().sort_values("k").reset_index(drop=True)
+    want = new.toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "tag"]], want[["k", "v", "tag"]])

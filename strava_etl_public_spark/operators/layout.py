@@ -301,3 +301,68 @@ def shard_manifest(
     return ps.withColumn(
         "shard_id", F.expr(f"_start div {budget}").cast("long")
     ).drop("_start")
+
+
+def write_with_stats(
+    df: DataFrame, path: str, stat_cols: Sequence[str]
+) -> dict:
+    """Write parquet plus an Iceberg-style file manifest: per output
+    file, min/max of ``stat_cols`` (collected in ONE pass over the
+    written data, grouped by ``input_file_name``) into
+    ``<path>/_manifest.json``. The manifest is the file-level
+    data-skipping layer an engine consults BEFORE opening any footer —
+    coarser than row-group stats, free to check, and exactly what
+    makes the z-order/sorted layouts pay off for selective scans.
+    Returns the manifest dict. Pair with a clustering layout
+    (zorder_layout / sortWithinPartitions) — stats on randomly
+    distributed data span the whole domain and prune nothing."""
+    import json
+    import os
+
+    df.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    manifest = {
+        "stat_cols": list(stat_cols),
+        "files": [r.asDict() for r in rows],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
+def read_with_skipping(
+    spark, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned read: keep only files whose [min, max] range of
+    ``col`` intersects [lo, hi], then apply the exact filter to the
+    survivors. Returns (df, files_read, files_total) so callers (and
+    tests) can audit the prune rate. Correct for any manifest because
+    pruning is conservative (range intersection) and the residual
+    filter is exact."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    keep = [
+        r["file"]
+        for r in manifest["files"]
+        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    total = len(manifest["files"])
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(keep), total

@@ -237,3 +237,37 @@ def test_shard_manifest_budget_and_contiguity(spark):
     # every shard except possibly the last carries >= budget - max_item
     totals = out.groupby("shard_id").sz.sum()
     assert (totals.iloc[:-1] >= 300 - out.sz.max()).all()
+
+
+def test_manifest_skipping_prunes_and_is_exact(spark, tmp_path):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import (
+        read_with_skipping,
+        write_with_stats,
+    )
+
+    pdf = pd.DataFrame({"k": range(10000), "v": [i % 977 for i in range(10000)]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "tbl")
+    # clustered layout: range-partition + sort on k → tight per-file ranges
+    clustered = df.repartitionByRange(8, "k").sortWithinPartitions("k")
+    manifest = write_with_stats(clustered, path, ["k"])
+    assert len(manifest["files"]) >= 4
+
+    out, read, total = read_with_skipping(spark, path, "k", 100, 900)
+    assert read < total  # the prune actually skipped files
+    got = sorted(out.toPandas().k)
+    assert got == list(range(100, 901))
+
+    # empty-range prune reads nothing
+    out2, read2, _ = read_with_skipping(spark, path, "k", 50000, 60000)
+    assert read2 == 0 and out2.count() == 0
+
+    # unclustered layout prunes nothing (the documented caveat)
+    path2 = str(tmp_path / "tbl2")
+    write_with_stats(df.repartition(8), path2, ["k"])
+    _, read3, total3 = read_with_skipping(spark, path2, "k", 100, 900)
+    assert read3 == total3

@@ -331,3 +331,118 @@ def equidepth_histogram(
             F.max("_v").alias("hi"),
         )
     )
+
+
+#: Poisson(1) CDF thresholds quantized to 60-bit integers: a uniform
+#: 60-bit hash h draws weight k iff T_{k-1} <= h < T_k. Shared with
+#: the SQL oracle as literals, so both engines draw identical weights.
+_POISSON1_T: list[int] = []
+
+
+def _poisson1_thresholds() -> list[int]:
+    if not _POISSON1_T:
+        import math
+
+        acc = 0.0
+        term = math.exp(-1.0)
+        for k in range(9):
+            acc += term
+            _POISSON1_T.append(int(acc * (1 << 60)))
+            term /= k + 1
+    return _POISSON1_T
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_replicas: int = 64,
+    tail_num: int = 1,
+    tail_den: int = 40,
+) -> DataFrame:
+    """Confidence interval for the mean in ONE pass via the Poisson
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): classic bootstrap resampling needs N
+    draws per replica from the FULL dataset — impossible distributed —
+    but each row's multiplicity in a replica is asymptotically
+    Poisson(1), so every row independently draws its own weight per
+    replica and never needs to see the others. One explode over
+    ``n_replicas`` (map-side combined immediately — shuffled rows =
+    replicas × partitions, not replicas × N) + one hash agg; replica
+    means are then a ``n_replicas``-row model table whose empirical
+    [tail, 1−tail] quantiles (integer-rank picks) are the CI.
+
+    Deterministic to the bit: weights come from md5-hash inversion of
+    the Poisson(1) CDF quantized to 60-bit integer thresholds (shared
+    as literals with the SQL oracle), sums are exact integers, each
+    replica mean is one division rounded to 6dp. Re-running — on any
+    engine, any partitioning — reproduces the identical interval, so
+    a pipeline can alert on CI drift without bootstrap noise.
+
+    Output per group: ``mean`` (full-sample, exact), ``ci_lo``,
+    ``ci_hi``, ``n``, ``n_replicas``."""
+    keys = list(group_cols)
+    t = _poisson1_thresholds()
+    vq = F.round(F.col(value_col).cast("double") * 1000000, 0).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(id_col).alias("_id"), vq.alias("_vq")
+    )
+    rep = base.select(
+        *keys,
+        "_id",
+        "_vq",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("_b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("boot"), F.col("_b"), F.col("_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(8, 0, -1):
+        w = F.when(h < t[k - 1], k - 1).otherwise(w)
+    per_rep = (
+        rep.select(*keys, "_b", w.alias("_w"), "_vq")
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_vq")).alias("_swv"),
+            F.sum("_w").cast("long").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+    )
+    mean_b = F.round(
+        F.col("_swv").cast("double") / F.col("_sw").cast("double") / F.lit(1000000.0),
+        6,
+    )
+    reps = per_rep.select(*keys, "_b", mean_b.alias("_m"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(*keys).orderBy("_m", "_b")
+    wp = Window.partitionBy(*keys)
+    ranked = reps.select(
+        *keys,
+        "_m",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_nb"),
+    )
+    lo = _rank_quantile(F.col("_m"), F.col("_rn"), F.col("_nb"), tail_num, tail_den)
+    hi = _rank_quantile(
+        F.col("_m"), F.col("_rn"), F.col("_nb"), tail_den - tail_num, tail_den
+    )
+    ci = ranked.groupBy(*keys).agg(lo.alias("ci_lo"), hi.alias("ci_hi"))
+    full = base.groupBy(*keys).agg(
+        F.round(
+            F.sum(F.col("_vq").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = full.join(ci, keys) if keys else full.crossJoin(ci)
+    return out.select(
+        *keys, "mean", "ci_lo", "ci_hi", "n", F.lit(n_replicas).alias("n_replicas")
+    )

@@ -6182,3 +6182,143 @@ def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_into(
         tgt, src, "user_id", delete_cond=F.col("_s_n_events") % 7 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_markov_transitions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS dst
+  FROM e
+),
+t AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM s
+      WHERE dst IS NOT NULL GROUP BY src, dst),
+tot AS (SELECT src, sum(n) AS tn FROM t GROUP BY src)
+SELECT t.src, t.dst, t.n,
+       round(CAST(t.n AS DOUBLE) / CAST(tot.tn AS DOUBLE), 6) AS p
+FROM t JOIN tot ON t.src = tot.src
+""",
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (click→view→purchase probabilities — the product-
+    analytics path model next to the funnel and cohort rows): one
+    lead window per user (one sort family) + two hash aggs; row
+    counts exact, probabilities one division. |types|² output — model
+    state, not data."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ep.epoch_s(ev).alias("es"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = s.groupBy(F.col("event_type").alias("src"), "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = t.groupBy("src").agg(F.sum("n").alias("tn"))
+    return t.join(tot, "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_oracle(B: int = 64, tn: int = 1, td: int = 40) -> str:
+    from .operators.stats import _poisson1_thresholds
+
+    t = _poisson1_thresholds()
+    h = (
+        "CAST(concat('0x', substr(md5('boot' || ':' || CAST(r.b AS VARCHAR) "
+        "|| ':' || CAST(e.event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    wcase = "CASE " + " ".join(
+        f"WHEN {h} < {t[k]} THEN {k}" for k in range(8)
+    ) + " ELSE 8 END"
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT e.event_type, r.b, {wcase} AS w, e.vq
+  FROM e, unnest(generate_series(0, {B - 1})) AS r(b)
+),
+pr AS (
+  SELECT event_type, b,
+         sum(CAST(w AS HUGEINT) * vq) AS swv,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM rep GROUP BY event_type, b
+),
+m AS (
+  SELECT event_type, b,
+         round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0, 6) AS mb
+  FROM pr WHERE sw > 0
+),
+rk AS (
+  SELECT event_type, mb,
+         row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM m
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (nb * {tn} + {td - 1}) // {td} THEN mb END) AS ci_lo,
+         max(CASE WHEN rn = (nb * {td - tn} + {td - 1}) // {td} THEN mb END)
+           AS ci_hi
+  FROM rk GROUP BY event_type
+),
+fl AS (
+  SELECT event_type,
+         round(CAST(sum(CAST(vq AS HUGEINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+)
+SELECT fl.event_type, fl.mean, ci.ci_lo, ci.ci_hi, fl.n,
+       CAST({B} AS INTEGER) AS n_replicas
+FROM fl JOIN ci ON fl.event_type = ci.event_type
+"""
+
+
+@register_extra("x_bootstrap_ci", oracle=_bootstrap_oracle())
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for mean(value) per event type via the one-pass Poisson
+    bootstrap (Chamandy et al. 2012): each row draws its own Poisson(1)
+    multiplicity per replica from an md5-inverted CDF (integer
+    thresholds shared with the oracle), so the resample never needs a
+    global view — the distributed answer to "error bars on a 100 TB
+    mean". 64 replicas, integer-exact sums, replica means and the
+    interval endpoints deterministic to the bit: rerunning anywhere
+    reproduces the identical CI (alertable, unlike RNG bootstraps)."""
+    ensure_harness_conf(spark)
+    from .operators.stats import bootstrap_mean_ci
+
+    ev = load(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "event_id", "value", ["event_type"], n_replicas=64
+    )

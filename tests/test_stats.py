@@ -346,3 +346,40 @@ def test_label_centroids_known_values(spark):
     out = label_centroids(df, "label", "embedding").toPandas().set_index("label")
     assert list(out.loc[0, "centroid"]) == [0.5, 0.5]
     assert list(out.loc[1, "centroid"]) == [2.0, 2.0]
+
+
+def test_bootstrap_ci_coverage_and_determinism(spark):
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.stats import bootstrap_mean_ci
+
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame(
+        {"id": range(4000), "g": ["a"] * 4000, "v": rng.normal(50, 10, 4000)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = bootstrap_mean_ci(df, "id", "v", ["g"], n_replicas=64).toPandas().iloc[0]
+    # interval brackets the sample mean and has plausible width
+    # (se ≈ 10/sqrt(4000) ≈ 0.16 → 95% CI half-width ≈ 0.31)
+    assert out.ci_lo < out["mean"] < out.ci_hi
+    half = (out.ci_hi - out.ci_lo) / 2
+    assert 0.1 < half < 1.0
+    # bit-determinism under repartition
+    out2 = (
+        bootstrap_mean_ci(df.repartition(13), "id", "v", ["g"], n_replicas=64)
+        .toPandas()
+        .iloc[0]
+    )
+    assert (out.ci_lo, out.ci_hi) == (out2.ci_lo, out2.ci_hi)
+    # 4x the data → roughly half the width (bootstrap se ~ 1/sqrt(n))
+    big = pd.DataFrame(
+        {"id": range(16000), "g": ["a"] * 16000, "v": rng.normal(50, 10, 16000)}
+    )
+    outb = (
+        bootstrap_mean_ci(spark.createDataFrame(big), "id", "v", ["g"], n_replicas=64)
+        .toPandas()
+        .iloc[0]
+    )
+    halfb = (outb.ci_hi - outb.ci_lo) / 2
+    assert halfb < half * 0.8

@@ -446,3 +446,84 @@ def bootstrap_mean_ci(
     return out.select(
         *keys, "mean", "ci_lo", "ci_hi", "n", F.lit(n_replicas).alias("n_replicas")
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cohort_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the two cohorts
+    of ``cohort_col`` (values 'a'/'b'), per group — the standard
+    nonparametric A/B significance test (no normality assumption, so
+    it survives the heavy-tailed metrics real product data has).
+    Complements bootstrap_mean_ci: that row bounds the ESTIMATE, this
+    one scores the TREATMENT DIFFERENCE.
+
+    Exactness discipline: pooled ranks use the average-rank tie
+    convention kept in INTEGERS by doubling — 2·avgrank = 2·rank() +
+    (ties−1), exact in a BIGINT — so 2·R_a sums exactly; U, the tie
+    correction Σ(t³−t), and the normal approximation
+    z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    are fixed-order double expressions over exact integers → the
+    statistic is bit-identical in any engine. One sort family per
+    group (rank + tie counts ride the same window sort) + two hash
+    aggs."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wt = Window.partitionBy(*keys, value_col)
+    ranked = df.select(
+        *keys,
+        F.col(cohort_col).alias("_c"),
+        F.col(value_col).alias("_v"),
+        F.rank().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wt).alias("_t"),
+    )
+    # 2*average-rank, exact integer
+    r2 = 2 * F.col("_rk") + (F.col("_t") - 1)
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_c") == "a", r2)).cast("long").alias("_r2a"),
+        F.sum(F.when(F.col("_c") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_c") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    ties = (
+        ranked.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_tc").cast("decimal(38,0)") * F.col("_tc") * F.col("_tc")
+                - F.col("_tc")
+            )
+            .cast("long")
+            .alias("_tie3")
+        )
+    )
+    j = agg.join(ties, keys) if keys else agg.crossJoin(ties)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    nd = n.cast("double")
+    u = (F.col("_r2a").cast("double") / F.lit(2.0)) - (
+        F.col("n_a").cast("double") * (F.col("n_a") + 1).cast("double") / F.lit(2.0)
+    )
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("_tie3").cast("double") / (nd * (n - 1).cast("double"))
+        )
+    )
+    z = F.when(var > 0, (u - mu) / F.sqrt(var))
+    return j.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

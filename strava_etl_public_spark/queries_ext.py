@@ -6322,3 +6322,74 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(
         ev, "event_id", "value", ["event_type"], n_replicas=64
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B testing: Mann-Whitney rank-sum
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_ab_mannwhitney",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS c,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, c, v,
+         rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY event_type, v) AS t
+  FROM e
+),
+ag AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN c = 'a' THEN 2 * rk + (t - 1) END) AS BIGINT) AS r2a,
+         CAST(sum(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM r GROUP BY event_type
+),
+tv AS (
+  SELECT event_type, CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie3
+  FROM (SELECT event_type, v, CAST(count(*) AS HUGEINT) AS tc
+        FROM e GROUP BY event_type, v)
+  GROUP BY event_type
+),
+s AS (
+  SELECT ag.event_type, ag.n_a, ag.n_b,
+         CAST(ag.r2a AS DOUBLE) / 2.0
+           - CAST(ag.n_a AS DOUBLE) * CAST(ag.n_a + 1 AS DOUBLE) / 2.0 AS u,
+         CAST(ag.n_a AS DOUBLE) * CAST(ag.n_b AS DOUBLE) / 2.0 AS mu,
+         CAST(ag.n_a AS DOUBLE) * CAST(ag.n_b AS DOUBLE) / 12.0
+           * (CAST(ag.n_a + ag.n_b + 1 AS DOUBLE)
+              - CAST(tv.tie3 AS DOUBLE)
+                / (CAST(ag.n_a + ag.n_b AS DOUBLE)
+                   * CAST(ag.n_a + ag.n_b - 1 AS DOUBLE))) AS var
+  FROM ag JOIN tv ON ag.event_type = tv.event_type
+)
+SELECT event_type, n_a, n_b,
+       round(u, 6) AS u_stat,
+       round(CASE WHEN var > 0 THEN (u - mu) / sqrt(var) END, 6) AS z_score
+FROM s
+""",
+)
+def x_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test per event type between the even/odd
+    user cohorts — the nonparametric A/B significance test that
+    survives heavy-tailed metrics. Average-rank ties kept in exact
+    integers by doubling, tie-corrected normal approximation as one
+    fixed expression → the z-score is bit-identical across engines
+    (a rerunnable, alertable experiment readout). One sort family per
+    group + two hash aggs."""
+    ensure_harness_conf(spark)
+    from .operators.stats import mann_whitney
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("cohort"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return mann_whitney(e, ["event_type"], "cohort", "v")

@@ -383,3 +383,51 @@ def test_bootstrap_ci_coverage_and_determinism(spark):
     )
     halfb = (outb.ci_hi - outb.ci_lo) / 2
     assert halfb < half * 0.8
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.stats import mann_whitney
+
+    rng = np.random.RandomState(4)
+    a = rng.normal(10, 2, 300)
+    b = rng.normal(10.8, 2, 280)  # shifted → significant
+    # quantize to force ties
+    a, b = np.round(a, 1), np.round(b, 1)
+    rows = [("g", "a", float(v)) for v in a] + [("g", "b", float(v)) for v in b]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "c", "v"]))
+    out = mann_whitney(df, ["g"], "c", "v").toPandas().iloc[0]
+
+    # reference: textbook U with average ranks + tie correction
+    pooled = np.concatenate([a, b])
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2
+        i = j
+    ra = ranks[: len(a)].sum()
+    u = ra - len(a) * (len(a) + 1) / 2
+    n = len(a) + len(b)
+    _, tc = np.unique(pooled, return_counts=True)
+    tie3 = float((tc.astype(np.int64) ** 3 - tc).sum())
+    mu = len(a) * len(b) / 2
+    var = len(a) * len(b) / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u - mu) / np.sqrt(var)
+    assert abs(out.u_stat - u) < 1e-6
+    assert abs(out.z_score - z) < 1e-5
+    assert out.n_a == len(a) and out.n_b == len(b)
+    # shifted cohorts should read as significant
+    assert out.z_score < -2
+
+    # identical cohorts → |z| small
+    rows2 = [("g", "a", float(v)) for v in a] + [("g", "b", float(v)) for v in a]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["g", "c", "v"]))
+    out2 = mann_whitney(df2, ["g"], "c", "v").toPandas().iloc[0]
+    assert abs(out2.z_score) < 0.2

@@ -271,3 +271,33 @@ def test_manifest_skipping_prunes_and_is_exact(spark, tmp_path):
     write_with_stats(df.repartition(8), path2, ["k"])
     _, read3, total3 = read_with_skipping(spark, path2, "k", 100, 900)
     assert read3 == total3
+
+
+def test_hive_layout_triggers_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import hive_partitioned_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "ev_part")
+    hive_partitioned_write(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    # dim whose FILTER decides which partitions matter — only known at
+    # runtime, so static pruning can't help; DPP must kick in
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("is_conv", F.col("event_type").isin("purchase", "signup"))
+    )
+    j = fact.join(dim.filter("is_conv"), "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["event_type"]: r["count"] for r in j.collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want

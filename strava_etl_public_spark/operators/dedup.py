@@ -860,3 +860,63 @@ def jaccard_join_prefix(
             ).alias("jaccard"),
         )
     )
+
+
+def edit_distance_join(
+    sets: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_d: int = 1,
+) -> DataFrame:
+    """Fuzzy self-join on edit distance ≤ ``max_d`` via deletion-
+    neighborhood blocking (the SymSpell index, Garbe 2012): each
+    string's candidate key set is itself plus every string reachable
+    by deleting up to ``max_d`` characters; two strings within edit
+    distance d are GUARANTEED to share a key (equal → the string
+    itself; substitution → both sides' deletion at the differing
+    position; insert/delete → the shorter string equals a deletion of
+    the longer), so joining on keys then verifying with
+    ``levenshtein`` is exact — the record-linkage / typo-dedup face
+    next to the set-similarity joins (token-level: jaccard_join_prefix;
+    char-level: this).
+
+    Scale: key generation is a map-only explode of ≤ len+1 variants
+    per string (d=1; d grows it to O(len^d) — the classic SymSpell
+    trade documented upstream), the join is equi on variant strings,
+    and verification touches only candidate pairs. The naive plan is
+    an all-pairs levenshtein cross join — what the oracle runs.
+    Currently implements d=1 blocking (raises otherwise): every
+    deletion generated by built-in column functions, no UDF."""
+    if max_d != 1:
+        raise NotImplementedError("deletion blocking implemented for max_d=1")
+    s = F.col(str_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda k: F.concat(
+                F.substring(s, F.lit(1), k - 1),
+                s.substr(k + 1, F.length(s)),
+            ),
+        ),
+    )
+    keyed = sets.select(
+        F.col(id_col), F.col(str_col), F.explode(variants).alias("_k")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id1"), F.col(str_col).alias("s1"), "_k"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id2"), F.col(str_col).alias("s2"), "_k"
+    )
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "s1", "id2", "s2")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("s1", "s2") <= max_d).select(
+        "id1",
+        "id2",
+        F.levenshtein("s1", "s2").cast("long").alias("distance"),
+    )

@@ -6393,3 +6393,38 @@ def x_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
     )
     return mann_whitney(e, ["event_type"], "cohort", "v")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join on edit distance (SymSpell deletion blocking)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_fuzzy_join_names",
+    oracle="""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def x_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: every customer-name pair within edit distance 1
+    via SymSpell deletion-neighborhood blocking — each name emits
+    len+1 deletion variants (map-only), candidates share a variant
+    (provably complete for d=1), verification runs levenshtein only
+    on candidates. The oracle is the all-pairs levenshtein cross join
+    the engine never executes. Char-level sibling of the token-level
+    jaccard_join_prefix."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import edit_distance_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = edit_distance_join(c, "c_custkey", "c_name", max_d=1)
+    return out.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "distance",
+    )

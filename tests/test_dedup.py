@@ -321,3 +321,40 @@ def test_jaccard_join_prefix_complete_vs_bruteforce(spark):
         for r in got.itertuples():
             assert r.inter_size == len(sets[r.id1] & sets[r.id2])
             assert r.s1 == len(sets[r.id1]) and r.s2 == len(sets[r.id2])
+
+
+def test_edit_distance_join_complete_vs_naive(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        "kitten", "sitten", "kitte", "kittens", "mitten",   # d=1 web around kitten
+        "kitchen",                                           # d=2 from kitten
+        "abc", "abd", "ab", "abcd", "xbc", "bc",            # short-string edge cases
+        "a", "", "b",                                        # empty/1-char
+        "same", "same",                                      # exact dup (distance 0)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(names)), "s": names})
+    )
+    got = edit_distance_join(df, "id", "s", max_d=1).toPandas()
+    got_pairs = {(r.id1, r.id2): r.distance for r in got.itertuples()}
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = lev(names[i], names[j])
+            if d <= 1:
+                want[(i, j)] = d
+    assert got_pairs == want

@@ -1107,4 +1107,7 @@ def covariance_matrix(
         F.col("sv").cast("double") / nd
         - (F.col("si").cast("double") / nd) * (F.col("sj").cast("double") / nd)
     ) / F.lit(1000000000000.0)
-    return j.select("i", "j", F.round(cov, 6).alias("cov"))
+    # + 0.0 canonicalizes IEEE negative zero: DuckDB's round keeps the
+    # sign of a tiny negative, Spark's BigDecimal round does not —
+    # without this a -0.0/-+0.0 split breaks row alignment in compares
+    return j.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

@@ -6105,7 +6105,7 @@ SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
        round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
               - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
                 * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
-             / 1000000000000.0, 6) AS cov
+             / 1000000000000.0, 6) + 0.0 AS cov
 FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
 """,
 )

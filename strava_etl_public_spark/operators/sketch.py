@@ -729,7 +729,8 @@ def quantile_hist_estimate(
             *keys,
             F.lit(num).alias("q_num"),
             F.lit(den).alias("q_den"),
-            F.round(est, 6).alias("estimate"),
+            # + 0.0: negative-zero canonicalization (engine round split)
+            (F.round(est, 6) + F.lit(0.0)).alias("estimate"),
             F.col("_total").alias("n"),
         )
         qdf = row if qdf is None else qdf.unionByName(row)

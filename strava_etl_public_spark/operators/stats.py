@@ -432,7 +432,9 @@ def bootstrap_mean_ci(
     hi = _rank_quantile(
         F.col("_m"), F.col("_rn"), F.col("_nb"), tail_den - tail_num, tail_den
     )
-    ci = ranked.groupBy(*keys).agg(lo.alias("ci_lo"), hi.alias("ci_hi"))
+    ci = ranked.groupBy(*keys).agg(
+        (lo + F.lit(0.0)).alias("ci_lo"), (hi + F.lit(0.0)).alias("ci_hi")
+    )
     full = base.groupBy(*keys).agg(
         F.round(
             F.sum(F.col("_vq").cast("decimal(38,0)")).cast("double")
@@ -520,10 +522,12 @@ def mann_whitney(
         )
     )
     z = F.when(var > 0, (u - mu) / F.sqrt(var))
+    # + 0.0 canonicalizes IEEE negative zero (DuckDB round keeps the
+    # sign on tiny negatives; Spark's BigDecimal round does not)
     return j.select(
         *keys,
         "n_a",
         "n_b",
-        F.round(u, 6).alias("u_stat"),
-        F.round(z, 6).alias("z_score"),
+        (F.round(u, 6) + F.lit(0.0)).alias("u_stat"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )

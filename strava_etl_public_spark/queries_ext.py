@@ -5822,7 +5822,7 @@ SELECT event_type,
        CAST(qd AS INTEGER) AS q_den,
        round(mn + (CAST(bin AS DOUBLE)
                    + CAST(rk - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE))
-                  * ((mx - mn) / 256.0), 6) AS estimate,
+                  * ((mx - mn) / 256.0), 6) + 0.0 AS estimate,
        total AS n
 FROM hit
 """,
@@ -6287,8 +6287,9 @@ rk AS (
 ),
 ci AS (
   SELECT event_type,
-         max(CASE WHEN rn = (nb * {tn} + {td - 1}) // {td} THEN mb END) AS ci_lo,
-         max(CASE WHEN rn = (nb * {td - tn} + {td - 1}) // {td} THEN mb END)
+         max(CASE WHEN rn = (nb * {tn} + {td - 1}) // {td} THEN mb END) + 0.0
+           AS ci_lo,
+         max(CASE WHEN rn = (nb * {td - tn} + {td - 1}) // {td} THEN mb END) + 0.0
            AS ci_hi
   FROM rk GROUP BY event_type
 ),
@@ -6370,8 +6371,8 @@ s AS (
   FROM ag JOIN tv ON ag.event_type = tv.event_type
 )
 SELECT event_type, n_a, n_b,
-       round(u, 6) AS u_stat,
-       round(CASE WHEN var > 0 THEN (u - mu) / sqrt(var) END, 6) AS z_score
+       round(u, 6) + 0.0 AS u_stat,
+       round(CASE WHEN var > 0 THEN (u - mu) / sqrt(var) END, 6) + 0.0 AS z_score
 FROM s
 """,
 )

@@ -809,6 +809,12 @@ def jaccard_join_prefix(
     one row per distinct element per set (build one with
     :func:`doc_shingles` for shingle resemblance, or token explode
     for bag-of-words)."""
+    from pyspark import StorageLevel
+
+    # `sets` feeds the df agg, the annotate join, and both verification
+    # legs — four consumers of an often-expensive shingle derivation
+    # (plan-audit finding; Spark never dedupes common subtrees)
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     dfc = sets.groupBy(elem_col).agg(F.count(F.lit(1)).alias("_df"))
     ann = sets.join(dfc, elem_col)
     per = ann.groupBy(id_col).agg(
@@ -847,19 +853,23 @@ def jaccard_join_prefix(
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
     union = F.col("s1") + F.col("s2") - F.col("inter_size")
-    return (
-        inter.filter(F.col("inter_size") * tau_den >= union * tau_num)
-        .select(
-            F.col("_id1").alias("id1"),
-            F.col("_id2").alias("id2"),
-            F.col("inter_size").cast("long").alias("inter_size"),
-            F.col("s1").cast("long").alias("s1"),
-            F.col("s2").cast("long").alias("s2"),
-            F.round(
-                F.col("inter_size").cast("double") / union.cast("double"), 6
-            ).alias("jaccard"),
+    try:
+        return (
+            inter.filter(F.col("inter_size") * tau_den >= union * tau_num)
+            .select(
+                F.col("_id1").alias("id1"),
+                F.col("_id2").alias("id2"),
+                F.col("inter_size").cast("long").alias("inter_size"),
+                F.col("s1").cast("long").alias("s1"),
+                F.col("s2").cast("long").alias("s2"),
+                F.round(
+                    F.col("inter_size").cast("double") / union.cast("double"), 6
+                ).alias("jaccard"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        sets.unpersist()
 
 
 def edit_distance_join(

@@ -107,7 +107,18 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 
     The RESULT is orientation-invariant (a pure function of the edge
     set), so the oracle can verify with the naive id-ordered chain
-    join the engine deliberately avoids."""
+    join the engine deliberately avoids.
+
+    Plan hygiene: the canonical edge set feeds the degree agg AND the
+    orientation join, and the oriented set feeds BOTH wedge legs plus
+    the closing-edge probe — Spark does not deduplicate common
+    subtrees, so without materialization the edge-derivation subplan
+    replicates ~15× (measured: 184 exchanges in the unpersisted plan).
+    Both are persisted, the small per-node funnel end is checkpointed
+    eagerly, and the caches released (the repo's cache-lifecycle
+    discipline)."""
+    from pyspark import StorageLevel
+
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -115,6 +126,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -134,7 +146,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.when(fwd, ku).otherwise(kv).alias("_ks"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(fwd, kv).otherwise(ku).alias("_kt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.select(
         F.col("s").alias("a"), F.col("t").alias("b"), F.col("_kt").alias("_kb")
     )
@@ -149,6 +161,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionByName(tris.select(F.col("b").alias("node")))
         .unionByName(tris.select(F.col("c").alias("node")))
     )
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    try:
+        return (
+            corners.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        oriented.unpersist()
+        und.unpersist()

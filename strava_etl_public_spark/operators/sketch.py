@@ -455,6 +455,10 @@ def kmv_pair_ops(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     estimates are engine-portable like :func:`kmv_estimate`."""
     from pyspark.sql import Window
 
+    # the sketch feeds both pair legs — it is k-bounded model state, so
+    # an eager checkpoint is cheap and stops the build subplan (a full
+    # corpus agg) running once per leg (plan-audit finding)
+    sketch = sketch.localCheckpoint(eager=True)
     a = sketch.select(F.col(group_col).alias("g1"), "_h")
     b = sketch.select(F.col(group_col).alias("g2"), "_h")
     # unordered group pairs (tiny — distinct group values of a sketch)

@@ -5995,16 +5995,20 @@ def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = mm.select("event_type").crossJoin(
         spark.range(10).select(F.col("id").alias("bin"))
     )
+    # aggregate the corpus FIRST, then left-join the tiny grid onto the
+    # tiny counts — joining grid⋈corpus forces a SortMergeJoin because a
+    # left join cannot broadcast its preserved side (plan-audit finding)
+    raw = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("_c2"),
+    )
     cnt = (
-        grid.join(b, ["event_type", "bin"], "left")
-        .groupBy("event_type", "bin")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("snap") == 0, 1)), F.lit(0))
-            .cast("long")
-            .alias("n1"),
-            F.coalesce(F.sum(F.when(F.col("snap") == 1, 1)), F.lit(0))
-            .cast("long")
-            .alias("n2"),
+        grid.join(F.broadcast(raw), ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("_c1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("_c2", F.lit(0)).cast("long").alias("n2"),
         )
     )
     tot = cnt.groupBy("event_type").agg(

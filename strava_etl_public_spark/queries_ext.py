@@ -6433,3 +6433,107 @@ def x_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id2").cast("long").alias("id2"),
         "distance",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on daily series
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_cusum_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day,
+         CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT event_type, day,
+         CAST(round(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0)
+              AS BIGINT) AS mq
+  FROM e GROUP BY event_type, day
+),
+p AS (
+  SELECT event_type, day, mq,
+         sum(mq) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pre,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(mq) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d
+),
+s AS (
+  SELECT event_type, day, nd,
+         abs(nd * pre - k * tot) AS absd
+  FROM p
+),
+sel AS (
+  SELECT event_type, day, nd, absd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY absd DESC, day) AS rn
+  FROM s
+)
+SELECT event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS changepoint_day,
+       round(CAST(absd AS DOUBLE) / CAST(nd AS DOUBLE) / 1000000.0, 6)
+         AS cusum_max
+FROM sel WHERE rn = 1
+""",
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over the daily-mean series:
+    S_k = Σ_{i≤k}(x̄_i − x̄) peaks at the most likely mean-shift day
+    (Page 1954 / the standard offline CUSUM scan). Kept EXACT by
+    clearing denominators — n·prefix_k − k·total over 6dp-quantized
+    daily means is pure BIGINT, so the argmax day is unambiguous and
+    engine-identical; only the reported magnitude divides at the end.
+    The alarm that tells you WHEN the drift x_drift_psi scores
+    actually began. One hash agg + one sort family over the (tiny)
+    per-day series + one argmax agg."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        (ep.epoch_s(ev) / 86400).cast("long").alias("day"),
+        F.round(F.col("value").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("vq"),
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.round(F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"), 0)
+        .cast("long")
+        .alias("mq")
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    p = d.select(
+        "event_type",
+        "day",
+        F.sum("mq").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "pre"
+        ),
+        F.row_number().over(wo).alias("k"),
+        F.sum("mq").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("nd"),
+    )
+    s = p.select(
+        "event_type",
+        "day",
+        "nd",
+        F.abs(F.col("nd") * F.col("pre") - F.col("k") * F.col("tot")).alias("absd"),
+    )
+    return s.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        F.max_by("day", F.struct(F.col("absd"), (-F.col("day")).alias("nd2")))
+        .cast("long")
+        .alias("changepoint_day"),
+        F.round(
+            F.max("absd").cast("double")
+            / F.max("nd").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("cusum_max"),
+    )

@@ -431,3 +431,33 @@ def test_mann_whitney_matches_scipy_formula(spark):
     df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["g", "c", "v"]))
     out2 = mann_whitney(df2, ["g"], "c", "v").toPandas().iloc[0]
     assert abs(out2.z_score) < 0.2
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.queries import EXTRA_QUERIES
+
+    # synthetic check through the operator shape directly: a daily series
+    # with a clean mean shift at day 30 must put the CUSUM peak there
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("g", d, 10.0 if d < 30 else 20.0) for d in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "day", "m"]))
+    d = df.select("g", "day", F.round(F.col("m") * 1000000, 0).cast("long").alias("mq"))
+    wo = Window.partitionBy("g").orderBy("day")
+    wp = Window.partitionBy("g")
+    p = d.select(
+        "g", "day",
+        F.sum("mq").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("pre"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("mq").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("nd"),
+    )
+    s = p.select(
+        "g", "day",
+        F.abs(F.col("nd") * F.col("pre") - F.col("k") * F.col("tot")).alias("absd"),
+    )
+    best = s.orderBy(F.desc("absd"), "day").first()
+    assert best["day"] == 29  # last day of the old regime = CUSUM peak

@@ -6537,3 +6537,109 @@ def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) as exact double literals shared with the oracle —
+#: constants, so no engine-libm log enters the comparison at all.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    pcase = "CASE d " + " ".join(
+        f"WHEN {d} THEN {repr(p)}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    return f"""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL AND value > 0
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d
+  FROM v
+),
+c AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS obs
+  FROM d WHERE d BETWEEN 1 AND 9 GROUP BY event_type, d
+),
+g AS (
+  SELECT a.event_type, b.d
+  FROM (SELECT DISTINCT event_type FROM c) a,
+       unnest(generate_series(1, 9)) AS b(d)
+),
+f AS (
+  SELECT g.event_type, g.d, coalesce(c.obs, 0) AS obs
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d
+),
+t AS (SELECT event_type, sum(obs) AS n FROM f GROUP BY event_type),
+chi AS (
+  SELECT f.event_type,
+         CAST(round((CAST(f.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({pcase}))
+                    * (CAST(f.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({pcase}))
+                    / (CAST(t.n AS DOUBLE) * ({pcase})) * 1000000, 0) AS BIGINT)
+           AS termq
+  FROM f JOIN t ON f.event_type = t.event_type
+)
+SELECT chi.event_type,
+       CAST(max(t.n) AS BIGINT) AS n,
+       round(CAST(sum(termq) AS DOUBLE) / 1000000.0, 6) AS chi2
+FROM chi JOIN t ON chi.event_type = t.event_type
+GROUP BY chi.event_type
+"""
+
+
+@register_extra("x_benford_audit", oracle=_benford_oracle())
+def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of `value` per event type: leading-digit
+    distribution (of the 6dp-integerized value — leading digit is
+    scale-invariant) vs the log10(1+1/d) expectation, χ² per group.
+    Fabricated or truncated numeric columns jump out (the classic
+    fraud/data-entry screen); a synthetic uniform fixture rightly
+    FAILS Benford — large χ² here is a property of the data, not a
+    bug, and that is the point of shipping the audit. Expected
+    frequencies are double LITERALS shared with the oracle (no libm
+    in the comparison); per-digit χ² terms are 6dp-quantized before
+    the sum so order can't move a bit."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    d = ev.select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 1000000).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d"),
+    ).filter(F.col("d").between(1, 9))
+    c = d.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(1, 10).select(F.col("id").alias("d")))
+    )
+    f = grid.join(F.broadcast(c), ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
+    t = f.groupBy("event_type").agg(F.sum("obs").alias("n"))
+    pexpr = F.lit(None).cast("double")
+    for dd in range(9, 0, -1):
+        pexpr = F.when(F.col("d") == dd, F.lit(_BENFORD_P[dd])).otherwise(pexpr)
+    j = f.join(t, "event_type")
+    exp = F.col("n").cast("double") * pexpr
+    termq = F.round(
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp
+        * 1000000,
+        0,
+    ).cast("long")
+    chi = j.select("event_type", F.col("n"), termq.alias("termq"))
+    return chi.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum("termq").cast("double") / F.lit(1000000.0), 6).alias("chi2"),
+    )

@@ -6643,3 +6643,73 @@ def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n"),
         F.round(F.sum("termq").cast("double") / F.lit(1000000.0), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (finish of the covariance statistic)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_correlation",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+m AS (SELECT i, sum(CAST(q AS HUGEINT)) AS si, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i),
+cv AS (
+  SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+         round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
+                - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
+                  * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
+               / 1000000000000.0, 6) + 0.0 AS cov
+  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+),
+dg AS (SELECT i, cov AS var FROM cv WHERE i = j)
+SELECT cv.i, cv.j,
+       round(cv.cov / (sqrt(da.var) * sqrt(db.var)), 6) + 0.0 AS corr
+FROM cv JOIN dg da ON da.i = cv.i JOIN dg db ON db.i = cv.j
+WHERE da.var > 0 AND db.var > 0
+""",
+)
+def x_embed_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix finished from the covariance
+    statistic: corr_ij = cov_ij / (σ_i·σ_j) over the SAME 6dp-rounded
+    covariance cells both engines already agree on (the covariance
+    table is d² model state — checkpointed once, consumed by the
+    diagonal and the pair scan without re-running the corpus pass).
+    The redundancy/whitening screen read directly: |corr| ≈ 1
+    dimensions carry no independent signal."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import covariance_matrix
+
+    cov = covariance_matrix(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    ).localCheckpoint(eager=True)
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("cov").alias("var")
+    ).filter(F.col("var") > 0)
+    da = diag.select(F.col("k").alias("i"), F.col("var").alias("vi"))
+    db = diag.select(F.col("k").alias("j"), F.col("var").alias("vj"))
+    return (
+        cov.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("cov") / (F.sqrt(F.col("vi")) * F.sqrt(F.col("vj"))), 6
+                )
+                + F.lit(0.0)
+            ).alias("corr"),
+        )
+    )

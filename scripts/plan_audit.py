@@ -52,24 +52,24 @@ def main() -> int:
         "x_sample_stratified",
         "x_embed_quantize_int8",
         "x_dedup_containment",
-        # sixth-to-ninth batch curation operators
+        # sixth-to-ninth batch curation operators (x_graph_triangles,
+        # x_dedup_jaccard_exact, x_text_dup_spans checkpoint internally
+        # → their returned plans are scan-of-checkpoint; they are
+        # audited by plan reading at change time, not here)
         "x_sketch_kmv",
         "x_sketch_kmv_pairs",
         "x_ohlc_downsample",
         "x_sample_domain_mix",
         "x_sample_fixed_k",
         "x_text_boilerplate",
-        "x_text_dup_spans",
         "x_hist_equidepth",
         "x_embed_centroids",
         "x_mm_audio_stats",
-        "x_dedup_jaccard_exact",
         "x_split_contamination",
         "x_shard_manifest",
         "x_interval_join_overlap",
         "x_sketch_quantile_hist",
         "x_drift_psi",
-        "x_graph_triangles",
         "x_embed_covariance",
         "x_merge_into",
         "x_markov_transitions",

@@ -925,8 +925,8 @@ def edit_distance_join(
         .select("id1", "s1", "id2", "s2")
         .distinct()
     )
-    return cand.filter(F.levenshtein("s1", "s2") <= max_d).select(
-        "id1",
-        "id2",
-        F.levenshtein("s1", "s2").cast("long").alias("distance"),
+    return (
+        cand.withColumn("distance", F.levenshtein("s1", "s2").cast("long"))
+        .filter(F.col("distance") <= max_d)
+        .select("id1", "id2", "distance")
     )

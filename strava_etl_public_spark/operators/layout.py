@@ -353,11 +353,21 @@ def read_with_skipping(
 
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = json.load(f)
-    keep = [
-        r["file"]
-        for r in manifest["files"]
-        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
-    ]
+
+    def _keep(r) -> bool:
+        mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+        if mn is None or mx is None:
+            return True  # unknown stats → conservative keep
+        try:
+            return not (mx < lo or mn > hi)
+        except TypeError as e:  # stringified (e.g. date) stats vs numeric bounds
+            raise ValueError(
+                f"manifest stats for {col!r} are {type(mn).__name__}, "
+                f"bounds are {type(lo).__name__} — stat column must be "
+                "numeric or bounds must match its serialized type"
+            ) from e
+
+    keep = [r["file"] for r in manifest["files"] if _keep(r)]
     total = len(manifest["files"])
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))

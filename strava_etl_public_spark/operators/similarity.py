@@ -1073,9 +1073,15 @@ def covariance_matrix(
             Q = _round_half_away(M * 1000000.0)
             d = Q.shape[1]
             iu, ju = np.triu_indices(d)
-            for s in range(0, len(Q), chunk_rows):
-                C = Q[s : s + chunk_rows]
-                P = C.T @ C  # int64-safe: |q| ≤ ~1e8 ⇒ cell ≤ 1e16·chunk/1e3
+            # int64 overflow guard: a cell accumulates ≤ chunk·qmax², and
+            # numpy wraps silently — shrink the chunk so it can't
+            # (code-review finding; the old comment's bound was wrong)
+            qmax = int(np.abs(Q).max(initial=1))
+            safe = max(1, int((1 << 62) // (qmax * qmax)))
+            step = min(chunk_rows, safe)
+            for s in range(0, len(Q), step):
+                C = Q[s : s + step]
+                P = C.T @ C
                 lin = C.sum(axis=0)
                 n = C.shape[0]
                 yield pd.DataFrame(
@@ -1087,9 +1093,13 @@ def covariance_matrix(
                 )
 
     parts = emb.select(vec_col).mapInPandas(_partials, schema="i int, j int, s long")
+    # d²-row model state consumed by four filtered branches — checkpoint
+    # so the corpus Arrow pass runs ONCE, not once per branch
+    # (code-review finding: the filters push below the shuffle, so
+    # ReuseExchange never fires)
     sums = parts.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("sv")
-    )
+    ).localCheckpoint(eager=True)
     n1 = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("sv").cast("long").alias("n")
     )

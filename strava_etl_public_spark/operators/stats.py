@@ -475,6 +475,13 @@ def mann_whitney(
     from pyspark.sql import Window
 
     keys = list(group_cols)
+    # the statistic is defined over exactly two cohorts with observed
+    # values — NULLs or a third label would silently enter the pooled
+    # ranking and tie counts while n_a/n_b exclude them (code-review
+    # finding)
+    df = df.filter(
+        F.col(cohort_col).isin("a", "b") & F.col(value_col).isNotNull()
+    )
     w = Window.partitionBy(*keys).orderBy(value_col)
     wt = Window.partitionBy(*keys, value_col)
     ranked = df.select(

@@ -204,6 +204,9 @@ def merge_into(
     keys = [key] if isinstance(key, str) else list(key)
     cols = [c for c in target.columns if c not in keys]
     upd = list(update_cols) if update_cols is not None else cols
+    # explicit presence indicator: testing key nullability would
+    # misclassify NULL-key target rows as absent (code-review finding)
+    target = target.withColumn("_t_present", F.lit(1))
     src = source.select(
         *[F.col(k).alias(f"_s_{k}") for k in keys],
         *[F.col(c).alias(f"_s_{c}") for c in source.columns if c not in keys],
@@ -215,7 +218,7 @@ def merge_into(
         cond = e if cond is None else cond & e
     j = target.join(src, cond, "full_outer")
     matched = F.col("_s_present").isNotNull()
-    tgt_present = j[keys[0]].isNotNull()  # keys non-null in target rows
+    tgt_present = F.col("_t_present").isNotNull()
     if delete_cond is not None:
         kill = matched & tgt_present & delete_cond
     else:

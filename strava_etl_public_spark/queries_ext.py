@@ -6076,11 +6076,13 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # no .distinct() here: triangle_counts canonicalizes + dedupes
+    # internally, and a driver-side distinct would shuffle the largest
+    # intermediate twice (code-review finding)
     edges = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
     )
     return triangle_counts(edges)
 

@@ -146,3 +146,25 @@ def test_merge_into_all_action_arms(spark):
     got = step2.toPandas().sort_values("k").reset_index(drop=True)
     want = new.toPandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "v", "tag"]], want[["k", "v", "tag"]])
+
+
+def test_merge_into_null_keys(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.upsert import merge_into
+
+    tgt = spark.createDataFrame([(1.0, 10), (None, 20)], "k double, v long")
+    # no source match: the NULL-key target row must pass through
+    src_empty = spark.createDataFrame(pd.DataFrame({"k": [9.0], "v": [99]}))
+    out = merge_into(tgt, src_empty, "k").toPandas()
+    assert len(out) == 3
+    assert out[out.k.isna()].v.iloc[0] == 20
+    # NULL-key source row eqNullSafe-matches the NULL-key target → update
+    src_null = spark.createDataFrame([(None, 21)], "k double, v long")
+    out2 = merge_into(tgt, src_null, "k").toPandas()
+    assert out2[out2.k.isna()].v.iloc[0] == 21
+    # delete_cond fires on the NULL-key matched row
+    out3 = merge_into(tgt, src_null, "k", delete_cond=F.col("_s_v") == 21).toPandas()
+    assert out3.k.isna().sum() == 0 and len(out3) == 1

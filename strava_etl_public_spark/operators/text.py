@@ -1051,3 +1051,120 @@ def bpe_apply(
             6,
         ).alias("tokens_per_word"),
     )
+
+
+def nb_train_predict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    train_frac: float = 0.8,
+    salt: str = "nb",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated IN the engine —
+    the classical supervised text classifier as pure relational
+    algebra, end-to-end: deterministic hash split, token-count
+    training with Laplace smoothing, log-space scoring of the held-out
+    split, argmax prediction. Every quantity is either an exact
+    integer count or a 6dp-quantized ln of a ratio of exact counts
+    (the bigram-LM recipe), and score sums are exact BIGINT math — so
+    the trained model AND every prediction are bit-identical across
+    engines and a SQL oracle replays the whole workflow.
+
+    Scale shape: training = one tokenize explode + three hash aggs
+    (token-class counts, class totals, vocab size — the model is
+    |vocab|·|classes| rows, joined not collected); scoring = test
+    token counts × |classes| (a small broadcast fan-out) joined
+    against the model on (token, label), with unseen-token mass
+    handled in closed form (doc_len − seen) · default_c, so missing
+    (token, class) pairs never materialize. Output: one row per test
+    doc — (id, actual, predicted, correct)."""
+    from .sketch import hash_split
+
+    split = hash_split(
+        df.select(id_col, text_col, label_col),
+        id_col,
+        {"train": train_frac, "test": 1.0 - train_frac},
+        salt=salt,
+    )
+    toks = split.select(
+        id_col, label_col, "split", tokens(F.col(text_col)).alias("_toks")
+    )
+    tok_long = toks.select(
+        id_col, label_col, "split", F.explode("_toks").alias("tok")
+    )
+    train = tok_long.filter(F.col("split") == "train")
+
+    tc = train.groupBy(label_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cls = train.groupBy(label_col).agg(
+        F.sum(F.lit(1)).cast("long").alias("tot_c"),
+        F.countDistinct(id_col).cast("long").alias("n_docs_c"),
+    )
+    vocab = tc.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    ndocs = (
+        split.filter(F.col("split") == "train")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    consts = cls.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(ndocs))
+    lnq6 = lambda num, den: (  # noqa: E731 — shared quantized-ln shape
+        F.round(F.log(num.cast("double") / den.cast("double")), 6) * 1000000
+    ).cast("long")
+    model_cls = consts.select(
+        label_col,
+        lnq6(F.col("n_docs_c"), F.col("nd")).alias("lnprior"),
+        lnq6(F.lit(1), F.col("tot_c") + F.col("v")).alias("lndefault"),
+        (F.col("tot_c") + F.col("v")).alias("_den"),
+    )
+    model_tok = tc.join(F.broadcast(model_cls.select(label_col, "_den")), label_col).select(
+        label_col,
+        "tok",
+        lnq6(F.col("cnt") + 1, F.col("_den")).alias("lntok"),
+    )
+
+    test = tok_long.filter(F.col("split") == "test")
+    dt = test.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    dl = dt.groupBy(id_col).agg(F.sum("nt").cast("long").alias("dlen"))
+    # fan each test doc's tokens out across the class list (tiny)
+    classes = model_cls.select(label_col, "lnprior", "lndefault")
+    fan = dt.crossJoin(F.broadcast(classes.select(label_col)))
+    hit = fan.join(model_tok, [label_col, "tok"], "left")
+    per = hit.groupBy(id_col, label_col).agg(
+        F.sum(F.when(F.col("lntok").isNotNull(), F.col("nt") * F.col("lntok")))
+        .cast("long")
+        .alias("_seen"),
+        F.sum(F.when(F.col("lntok").isNotNull(), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("_nseen"),
+    )
+    scored = (
+        per.join(F.broadcast(classes), label_col)
+        .join(dl, id_col)
+        .select(
+            id_col,
+            label_col,
+            (
+                F.col("lnprior")
+                + F.coalesce("_seen", F.lit(0))
+                + (F.col("dlen") - F.col("_nseen")) * F.col("lndefault")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(id_col).orderBy(F.desc("score"), label_col)
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(label_col).alias("predicted"))
+    )
+    actual = split.filter(F.col("split") == "test").select(
+        id_col, F.col(label_col).alias("actual")
+    )
+    return actual.join(pred, id_col).select(
+        id_col,
+        "actual",
+        "predicted",
+        (F.col("actual") == F.col("predicted")).cast("int").alias("correct"),
+    )

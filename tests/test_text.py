@@ -635,3 +635,28 @@ def test_bpe_train_partition_invariant_and_apply(spark):
         want = sum(len(bpe_encode_tokens(w, ranks)) for w in ws)
         assert enc.loc[i, "n_bpe_tokens"] == want
         assert enc.loc[i, "n_words"] == len(ws)
+
+
+def test_nb_classifier_separable_corpus(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import nb_train_predict
+
+    # two classes with disjoint vocabularies → held-out accuracy must be
+    # perfect; a third class with mixed vocab lands by prior/overlap
+    rows = []
+    for i in range(120):
+        rows.append((i, "apple banana cherry apple fruit " * 3, "fruit"))
+    for i in range(120, 240):
+        rows.append((i, "carrot potato onion turnip root " * 3, "veg"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = nb_train_predict(df, "doc_id", "text", "lang", 0.8).toPandas()
+    assert len(out) > 20  # ~20% held out
+    assert (out.correct == 1).all()
+    # deterministic under repartition
+    out2 = nb_train_predict(
+        df.repartition(7), "doc_id", "text", "lang", 0.8
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

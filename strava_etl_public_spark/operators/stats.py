@@ -538,3 +538,86 @@ def mann_whitney(
         (F.round(u, 6) + F.lit(0.0)).alias("u_stat"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    iters: int = 10,
+    lr: float = 0.5,
+) -> list[float]:
+    """Binary logistic regression trained by full-batch gradient
+    descent IN the engine — the quality-classifier trainer (fasttext-
+    style linear filters are the workhorse of corpus curation): per
+    iteration ONE job computes the exact gradient and the driver holds
+    only the (d+1)-float weight vector (the Lloyd/PageRank bounded-
+    model-state convention).
+
+    Partition-invariance discipline: each row's gradient contribution
+    (σ(w·x) − y)·x_j is quantized to 6dp BIGINTs BEFORE the sum, so
+    the aggregated gradient is exact integer math — reruns and
+    repartitions produce bit-identical weight trajectories (σ uses
+    the JVM's exp, so cross-ENGINE exactness is not claimed — this
+    operator is reference-pinned by pytest instead of SQL-oracled,
+    like BPE). Weights are re-quantized to 6dp per step for the same
+    reason. The feature table is persisted across iterations and
+    released on exit."""
+    from pyspark import StorageLevel
+
+    feats = list(feature_cols)
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.col(label_col).cast("double").alias("_y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        w = [0.0] * (len(feats) + 1)
+        n = None
+        for _ in range(iters):
+            z = F.lit(w[0])
+            for j, c in enumerate(feats):
+                z = z + F.lit(w[j + 1]) * F.col(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("_y")
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            aggs.append(
+                F.sum(F.round(err * 1000000, 0).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("g0")
+            )
+            for j, c in enumerate(feats):
+                aggs.append(
+                    F.sum(
+                        F.round(err * F.col(c) * 1000000, 0).cast("decimal(38,0)")
+                    )
+                    .cast("double")
+                    .alias(f"g{j + 1}")
+                )
+            row = base.agg(*aggs).collect()[0]
+            n = row["_n"]
+            w = [
+                round(w[j] - lr * (row[f"g{j}"] / 1000000.0) / n, 6)
+                for j in range(len(w))
+            ]
+        return w
+    finally:
+        base.unpersist()
+
+
+def logreg_score(
+    df: DataFrame, feature_cols: Sequence[str], weights: Sequence[float]
+) -> DataFrame:
+    """Score rows with a trained weight vector: adds ``prob`` (6dp)
+    and ``pred`` columns. Weights are literals — a pure codegen'd
+    projection at scan speed, the shape a 100 TB quality-filter pass
+    needs."""
+    z = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumns(
+        {
+            "prob": F.round(p, 6),
+            "pred": (p >= 0.5).cast("int"),
+        }
+    )

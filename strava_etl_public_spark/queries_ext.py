@@ -6816,3 +6816,51 @@ def x_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train_predict(
         load(spark, sf_dir, "documents"), "doc_id", "text", "lang", 0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (rows-only: sigmoid/exp is
+# libm-bound; reference-pinned in tests/test_stats.py like BPE)
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_quality_logreg")
+def x_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear (logistic) quality classifier in-engine —
+    English-vs-rest from the quality features — by full-batch GD with
+    exact-integer gradient sums (one bounded driver action per
+    iteration; weights are the only driver state), then score the
+    corpus at scan speed with the frozen weights. The fasttext-style
+    curation-filter workflow end-to-end. Deterministic across
+    partitionings/reruns (quantized gradient terms + 6dp weight steps;
+    pytest pins the exact weight trajectory against a single-process
+    reference). Output: weight vector rows + train accuracy."""
+    ensure_harness_conf(spark)
+    from .operators.stats import logreg_score, logreg_train
+    from .operators.text import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    feat = qf.select(
+        "doc_id",
+        (F.col("n_tokens").cast("double") / 100.0).alias("f_len"),
+        (
+            F.col("stopword_hits").cast("double")
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
+        ).alias("f_stop"),
+        F.col("quality_score").alias("f_q"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w = logreg_train(feat, ["f_len", "f_stop", "f_q"], "y", iters=8, lr=0.5)
+    scored = logreg_score(feat, ["f_len", "f_stop", "f_q"], w)
+    acc = scored.agg(
+        (
+            F.sum((F.col("pred") == F.col("y")).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    rows = [(f"w{j}", float(wj)) for j, wj in enumerate(w)]
+    rows.append(("train_acc", round(acc, 6)))
+    return spark.createDataFrame(rows, "term STRING, value DOUBLE")

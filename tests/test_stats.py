@@ -461,3 +461,48 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     )
     best = s.orderBy(F.desc("absd"), "day").first()
     assert best["day"] == 29  # last day of the old regime = CUSUM peak
+
+
+def test_logreg_matches_reference_and_separates(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.stats import logreg_score, logreg_train
+
+    rng = np.random.RandomState(13)
+    n = 2000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = ((x1 + 2 * x2 + rng.normal(0, 0.3, n)) > 0).astype(int)
+    pdf = pd.DataFrame({"a": x1, "b": x2, "y": y})
+    df = spark.createDataFrame(pdf)
+    iters, lr = 6, 0.5
+    w = logreg_train(df, ["a", "b"], "y", iters=iters, lr=lr)
+
+    # single-process reference replicating BOTH quantizations exactly:
+    # half-away 6dp rounding of per-row terms (Spark F.round), exact
+    # integer sums, Python round() (half-even) on the weight step
+    def half_away(v):
+        return math.floor(abs(v) * 1e6 + 0.5) * (1 if v >= 0 else -1)
+
+    wr = [0.0, 0.0, 0.0]
+    X = np.column_stack([np.ones(n), x1, x2])
+    for _ in range(iters):
+        z = X @ np.array(wr)
+        p = 1 / (1 + np.exp(-z))
+        err = p - y
+        g = [
+            sum(half_away(e * X[i, j]) for i, e in enumerate(err))
+            for j in range(3)
+        ]
+        wr = [round(wr[j] - lr * (g[j] / 1e6) / n, 6) for j in range(3)]
+    assert w == wr
+
+    scored = logreg_score(df, ["a", "b"], w).toPandas()
+    acc = (scored.pred == scored.y).mean()
+    assert acc > 0.9
+    # partition invariance of the whole trajectory
+    w2 = logreg_train(df.repartition(11), ["a", "b"], "y", iters=iters, lr=lr)
+    assert w == w2

@@ -6864,3 +6864,120 @@ def x_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(f"w{j}", float(wj)) for j, wj in enumerate(w)]
     rows.append(("train_acc", round(acc, 6)))
     return spark.createDataFrame(rows, "term STRING, value DOUBLE")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection: distance-preservation report
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_jl_projection",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0),
+x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM v, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+js AS (SELECT unnest(generate_series(0, 15)) AS j),
+sg AS (
+  SELECT js.j, x.vec_id, x.i, x.q,
+         CASE WHEN CAST(concat('0x',
+                substr(md5('jl:' || CAST(js.j AS VARCHAR) || ':'
+                           || CAST(x.i - 1 AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+              THEN x.q ELSE -x.q END AS t
+  FROM js, x
+),
+p AS (
+  SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS ps
+  FROM sg GROUP BY vec_id, j
+),
+pr AS (
+  SELECT vec_id,
+         list(CAST(ps AS DOUBLE) / 1000000.0 / 4.0 ORDER BY j) AS pl
+  FROM p GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         xa.embedding AS ea, xb.embedding AS eb,
+         pa.pl AS pla, pb.pl AS plb
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  JOIN v xa ON xa.vec_id = a.vec_id
+  JOIN v xb ON xb.vec_id = b.vec_id
+  JOIN pr pa ON pa.vec_id = a.vec_id
+  JOIN pr pb ON pb.vec_id = b.vec_id
+),
+d AS (
+  SELECT id_a, id_b,
+         list_reduce(list_transform(generate_series(1, len(ea)),
+           k -> (round(CAST(ea[k] AS DOUBLE) * 1000000, 0)
+                 - round(CAST(eb[k] AS DOUBLE) * 1000000, 0))
+              * (round(CAST(ea[k] AS DOUBLE) * 1000000, 0)
+                 - round(CAST(eb[k] AS DOUBLE) * 1000000, 0))),
+           (acc, x) -> acc + x) AS od2,
+         list_reduce(list_transform(generate_series(1, len(pla)),
+           k -> (pla[k] - plb[k]) * (pla[k] - plb[k])),
+           (acc, x) -> acc + x) AS pd2
+  FROM pairs
+)
+SELECT id_a, id_b,
+       round(pd2 * 1000000000000.0 / od2, 6) + 0.0 AS dist_ratio
+FROM d WHERE od2 > 0
+""",
+)
+def x_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 projection with a deterministic
+    md5-sign matrix, verified by the property that MAKES it useful:
+    per sampled pair, projected-vs-original squared-distance ratio
+    (≈1 ± 1/√16). The projection is pure column math at scan speed —
+    the 4× shuffle-narrowing pre-step for ANN/clustering — and both
+    the projection and the report are oracle-exact (integer sums, one
+    ordered fold per distance, fixed scaling divisions)."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import random_projection
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 37 == 0)
+    proj = random_projection(emb, "vec_id", "embedding", out_dim=16)
+    j = emb.join(proj, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    qd = lambda p, q: (  # noqa: E731
+        F.round(p.cast("double") * 1000000, 0) - F.round(q.cast("double") * 1000000, 0)
+    )
+    od2 = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda p, q: qd(p, q) * qd(p, q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pd2 = F.aggregate(
+        F.zip_with(F.col("pa"), F.col("pb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            od2.alias("od2"),
+            pd2.alias("pd2"),
+        )
+        .filter(F.col("od2") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.round(F.col("pd2") * F.lit(1000000000000.0) / F.col("od2"), 6)
+                + F.lit(0.0)
+            ).alias("dist_ratio"),
+        )
+    )

@@ -293,3 +293,34 @@ def test_covariance_matrix_matches_numpy(spark):
     a = out.sort_values(["i", "j"]).reset_index(drop=True)
     b = out2.sort_values(["i", "j"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(6)
+    M = rng.normal(0, 1, (40, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(40), "embedding": [r.tolist() for r in M]})
+    )
+    proj = random_projection(df, "id", "embedding", out_dim=16).toPandas()
+    P = np.stack([np.array(p) for p in proj.sort_values("id").proj])
+    # JL: squared-distance ratios concentrate around 1 with sd ~ sqrt(2/k)
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            od = ((M[i].astype(float) - M[j]) ** 2).sum()
+            pdist = ((P[i] - P[j]) ** 2).sum()
+            ratios.append(pdist / od)
+    r = np.array(ratios)
+    assert 0.8 < r.mean() < 1.2
+    assert (np.abs(r - 1) < 1.5).all()
+    # deterministic: same salt → identical projection
+    proj2 = random_projection(
+        df.repartition(5), "id", "embedding", out_dim=16
+    ).toPandas()
+    P2 = np.stack([np.array(p) for p in proj2.sort_values("id").proj])
+    assert np.array_equal(P, P2)

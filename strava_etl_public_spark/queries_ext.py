@@ -6981,3 +6981,76 @@ def x_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: delta rule over an agg-on-join view
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_ivm_join_view",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                     AS HUGEINT)) AS BIGINT) AS revenue_q
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY year(o.o_orderdate)
+""",
+)
+def x_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the delta rule: the
+    revenue-per-order-year view is maintained INCREMENTALLY — the
+    base state aggregates 'history' (line numbers ≠ 1), the delta
+    batch (line number 1) aggregates separately through the SAME
+    join, and the two states merge algebraically (counts and exact
+    decimal sums ADD, a NULL-safe full-outer merge per group) — while
+    the ORACLE recomputes the view from scratch over everything.
+    Equality proves Δ(A⋈B → γ) = γ(ΔA⋈B) ⊕ V for an append-only fact
+    side — the update path that touches only the delta instead of
+    re-scanning 100 TB of history (the aggstate row's algebra, now
+    with the dimension join inside the loop)."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    od = o.select(
+        "o_orderkey", F.year(ep.as_timestamp(o, "o_orderdate")).alias("order_year")
+    )
+    rq = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("decimal(38,0)")
+
+    def view(df: DataFrame) -> DataFrame:
+        return (
+            df.join(od, df["l_orderkey"] == od["o_orderkey"])
+            .groupBy("order_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(rq).alias("rev"),
+            )
+        )
+
+    v_old = view(li.filter(F.col("l_linenumber") != 1))
+    v_delta = view(li.filter(F.col("l_linenumber") == 1))
+    a = v_old.select(
+        F.col("order_year").alias("y"),
+        F.col("n_items").alias("n1"),
+        F.col("rev").alias("r1"),
+    )
+    b = v_delta.select(
+        F.col("order_year").alias("y2"),
+        F.col("n_items").alias("n2"),
+        F.col("rev").alias("r2"),
+    )
+    merged = a.join(b, a["y"] == b["y2"], "full_outer")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return merged.select(
+        F.coalesce("y", "y2").alias("order_year"),
+        (
+            F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))
+        ).cast("long").alias("n_items"),
+        (F.coalesce("r1", zero) + F.coalesce("r2", zero))
+        .cast("long")
+        .alias("revenue_q"),
+    )

@@ -183,13 +183,41 @@ def decode_image(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def resize_image(
     binary_df: DataFrame, width: int, height: int, id_col: str = "doc_id", fmt: str = "PNG"
 ) -> DataFrame:
-    """payload BINARY → payload BINARY re-encoded at width×height (PIL
-    kernel, same Arrow batch plumbing). Raises with the probe result
-    where PIL is absent (this container)."""
+    """payload BINARY → payload BINARY re-encoded at width×height.
+    With PIL present the PIL kernel handles any format; without it,
+    PNG payloads go through a REAL pure-stdlib nearest-neighbor
+    kernel (pngcodec decode → index-sampled rows/cols → re-encode) —
+    so the resize stage is executable in this container, and because
+    nearest-neighbor picks EXACT source pixels the resized image's
+    stats stay closed-form predictable for the oracle."""
     if not CODECS["pil"]:
-        raise NotImplementedError(
-            f"image codec unavailable (probe: {CODECS}); "
-            "the mapInPandas plumbing is exercised by fake_decode_stats()"
+        if fmt.upper() != "PNG":
+            raise NotImplementedError(
+                f"only PNG resize without PIL (probe: {CODECS})"
+            )
+
+        def _resize_nn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from . import pngcodec
+
+            for pdf in batches:
+                outs = []
+                for payload in pdf["payload"]:
+                    w, h, ch, rows = pngcodec.decode(bytes(payload))
+                    out_rows = []
+                    for y2 in range(height):
+                        src = rows[y2 * h // height]
+                        row = bytearray()
+                        for x2 in range(width):
+                            xs = x2 * w // width
+                            row += src[xs * ch : (xs + 1) * ch]
+                        out_rows.append(bytes(row))
+                    outs.append(
+                        pngcodec.encode_rows(out_rows, width, 2 if ch == 3 else 0)
+                    )
+                yield pd.DataFrame({id_col: pdf[id_col], "payload": outs})
+
+        return binary_df.mapInPandas(
+            _resize_nn, schema=f"{id_col} long, payload binary"
         )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

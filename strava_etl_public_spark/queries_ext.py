@@ -7054,3 +7054,64 @@ def x_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image resize on the multimodal path
+# ---------------------------------------------------------------------------
+
+
+def _resize_oracle(W: int = 16, H: int = 16) -> str:
+    """Closed-form stats of the nearest-neighbor-resized deterministic
+    PNG: resized row y' copies source row y'·h div H, whose pixels are
+    the row-constant recipe values — so the resized mean is an exact
+    sum over 16 sampled rows."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             8 + {byte(1)} % 56 AS ht,
+             CASE WHEN {byte(2)} % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             {byte(3)} AS s
+      FROM hh),
+m AS (SELECT doc_id, ch,
+             SUM(CASE WHEN ch = 1 THEN (s + (y2 * ht) // {H}) % 256
+                      ELSE (s + (y2 * ht) // {H}) % 256
+                           + (s + (y2 * ht) // {H} + 85) % 256
+                           + (s + (y2 * ht) // {H} + 170) % 256
+                 END) AS rowsum
+      FROM p, LATERAL (SELECT unnest(generate_series(0, {H - 1})) AS y2) u
+      GROUP BY doc_id, ch)
+SELECT doc_id,
+       CAST({W} AS INTEGER) AS width,
+       CAST({H} AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       round(CAST({W} * rowsum AS DOUBLE) / ({W} * {H} * ch) / 255.0, 6)
+         AS mean_intensity
+FROM m
+"""
+
+
+@register_extra("x_mm_resize_stats", oracle=_resize_oracle())
+def x_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage with a REAL kernel in this container:
+    deterministic PNGs decoded, nearest-neighbor-resampled to 16×16,
+    re-encoded (all pure-stdlib pngcodec), then decoded AGAIN for
+    stats — two full codec round-trips on the executor hot path. The
+    oracle predicts the resized mean in closed form because nearest-
+    neighbor picks exact source rows of the row-constant recipe; any
+    index-math or re-encode bug breaks the hash. Completes the
+    multimodal image family: meta, decode, frame-sample, resize —
+    all real."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    png = multimodal.attach_png(docs, "doc_id", "text")
+    small = multimodal.resize_image(png, 16, 16, "doc_id")
+    out = multimodal.decode_image(small, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))

@@ -179,3 +179,24 @@ def test_codec_probe_and_gating(spark):
     if not CODECS["pyav"]:
         with pytest.raises(NotImplementedError, match="probe"):
             sample_frames(b)
+
+
+def test_resize_nn_stdlib_roundtrip(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators import multimodal, pngcodec
+
+    # build a 4x2 gradient PNG, resize to 2x1 and 8x4, check exact
+    # nearest-neighbor pixel selection through the real codec
+    rows = [bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])]
+    payload = pngcodec.encode_rows(rows, 4, 0)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [payload]}))
+    small = multimodal.resize_image(df, 2, 1, "doc_id").collect()[0]
+    w, h, c, out_rows = pngcodec.decode(bytes(small["payload"]))
+    assert (w, h, c) == (2, 1, 1)
+    assert list(out_rows[0]) == [10, 30]  # cols 0,2 of row 0
+    big = multimodal.resize_image(df, 8, 4, "doc_id").collect()[0]
+    w, h, c, out_rows = pngcodec.decode(bytes(big["payload"]))
+    assert (w, h) == (8, 4)
+    assert list(out_rows[0]) == [10, 10, 20, 20, 30, 30, 40, 40]  # upsample dup
+    assert list(out_rows[3]) == [50, 50, 60, 60, 70, 70, 80, 80]

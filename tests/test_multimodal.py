@@ -50,9 +50,11 @@ def test_fake_decode_deterministic(spark):
 
 
 def test_absent_codecs_still_stubbed(spark):
-    """resize (PIL re-encode) and video demux (PyAV) remain probe-gated
-    in this container; decode_image no longer is — the stdlib PNG
-    kernel took that path over (test_decode_image_real_png)."""
+    """Video demux (PyAV) remains probe-gated in this container;
+    decode_image and PNG resize no longer are — the stdlib kernels
+    took those paths over (test_decode_image_real_png /
+    test_resize_nn_stdlib_roundtrip). Non-PNG resize still needs
+    PIL."""
     from strava_etl_public_spark.operators.multimodal import (
         CODECS,
         resize_image,
@@ -61,7 +63,7 @@ def test_absent_codecs_still_stubbed(spark):
 
     if not CODECS["pil"]:
         with pytest.raises(NotImplementedError):
-            resize_image(_bin_df(spark), 64, 64)
+            resize_image(_bin_df(spark), 64, 64, fmt="JPEG")
     if not CODECS["pyav"]:
         with pytest.raises(NotImplementedError):
             sample_frames(_bin_df(spark))

@@ -7115,3 +7115,97 @@ def x_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = multimodal.resize_image(png, 16, 16, "doc_id")
     out = multimodal.decode_image(small, "doc_id")
     return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering assignments (the clustering face of the IVF machinery)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(
+    n_cent: int = 16, stride: int = 37, refine_iters: int = 2, dim: int = 64
+) -> str:
+    """cents0 + Lloyd CTEs + final assignment, same generation recipe
+    as _ivf_oracle (strided seed, decimal-exact means, 6dp-rounded
+    cosine argmax), finished as per-vector cluster labels + sizes."""
+    span = n_cent * stride
+    refine = []
+    for i in range(refine_iters):
+        refine.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c
+  ) WHERE rn = 1
+),
+means{i} AS (
+  SELECT cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cent_id, g.i
+),
+cents{i + 1} AS (
+  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
+    final = f"cents{refine_iters}"
+    return f"""
+WITH cents0 AS (
+  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+){refine_sql},
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cent_id,
+       CAST(count(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
+FROM assign
+"""
+
+
+@register_extra("x_embed_kmeans", oracle=_kmeans_oracle())
+def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering as a first-class output (not just an ANN
+    index): 16 clusters, deterministic strided seeds, two decimal-
+    exact Lloyd passes, per-vector labels + cluster sizes — every
+    ASSIGNMENT hash-matched against the oracle's unrolled-CTE replay.
+    The clustering face the SemDeDup/curation stack consumes directly
+    (x_embed_centroids audits a labeled clustering; this one creates
+    an unlabeled one)."""
+    ensure_harness_conf(spark)
+    from pyspark.sql import Window as W2
+
+    from .operators.similarity import build_ivf_index_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    _cents, corpus = build_ivf_index_arrow(
+        emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+    )
+    return corpus.select(
+        F.col("n_id").alias("vec_id"),
+        "cent_id",
+        F.count(F.lit(1))
+        .over(W2.partitionBy("cent_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )

@@ -7209,3 +7209,97 @@ def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: learned clusters as the dedup blocking key
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(
+    threshold: float = 0.4,
+    n_cent: int = 16,
+    stride: int = 37,
+    refine_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    span = n_cent * stride
+    refine = []
+    for i in range(refine_iters):
+        refine.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c
+  ) WHERE rn = 1
+),
+means{i} AS (
+  SELECT cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cent_id, g.i
+),
+cents{i + 1} AS (
+  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
+    final = f"cents{refine_iters}"
+    return f"""
+WITH cents0 AS (
+  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+){refine_sql},
+assign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+FROM assign a JOIN assign b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= {threshold}
+""".replace("{threshold}", repr(threshold))
+
+
+@register_extra("x_dedup_semantic", oracle=_semdedup_oracle())
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): semantic near-dup pairs
+    found WITHIN learned k-means clusters — the clustering bounds the
+    pairwise work (the whole point of the method: within-cluster
+    pairs only, never corpus²) and the cosine threshold picks the
+    semantic duplicates. Pure composition of two verified faces
+    (x_embed_kmeans clustering → embedding_near_dup with cent_id as
+    the block key), oracle-exact end-to-end through the unrolled
+    Lloyd replay + in-cluster pairwise scan."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import build_ivf_index_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    _cents, corpus = build_ivf_index_arrow(
+        emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+    )
+    clustered = emb.join(
+        corpus.select(F.col("n_id").alias("vec_id"), "cent_id"), "vec_id"
+    )
+    return dedup.embedding_near_dup(
+        clustered, "vec_id", "embedding", "cent_id", threshold=0.4
+    )

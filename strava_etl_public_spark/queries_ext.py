@@ -7303,3 +7303,69 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(
         clustered, "vec_id", "embedding", "cent_id", threshold=0.4
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial radius join (cell-blocked, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_geo_radius_join",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 2000001 - 1000000 AS cla,
+         (c_custkey * 16807) % 2000001 - 1000000 AS clo
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 69621) % 2000001 - 1000000 AS sla,
+         (s_suppkey * 40692) % 2000001 - 1000000 AS slo
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       CAST((c.cla - s.sla) * (c.cla - s.sla)
+            + (c.clo - s.slo) * (c.clo - s.slo) AS BIGINT) AS dist2_micro
+FROM c, s
+WHERE (c.cla - s.sla) * (c.cla - s.sla)
+      + (c.clo - s.slo) * (c.clo - s.slo) <= 2500000000
+""",
+)
+def x_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer within 0.05° of a supplier site (coordinates
+    derived deterministically from keys): the 2D member of the
+    blocked-join family — both sides snap to radius-sized grid cells,
+    the probe side fans into its 3×3 neighborhood (bounded, map-side),
+    the join is equi on the cell, and the exact integer planar
+    predicate post-filters. Provably complete for radius ≤ cell size;
+    the oracle runs the BroadcastNestedLoopJoin the engine avoids.
+    Exact micro-degree math end-to-end."""
+    ensure_harness_conf(spark)
+    from .operators.geo import radius_join_cells
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clat"),
+        (
+            ((F.col("c_custkey") * 16807) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 69621) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slat"),
+        (
+            ((F.col("s_suppkey") * 40692) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slon"),
+    )
+    out = radius_join_cells(c, s, "clat", "clon", "slat", "slon", 50000)
+    return out.select("c_custkey", "s_suppkey", "dist2_micro")

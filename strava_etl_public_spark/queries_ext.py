@@ -7369,3 +7369,81 @@ def x_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = radius_join_cells(c, s, "clat", "clon", "slat", "slon", 50000)
     return out.select("c_custkey", "s_suppkey", "dist2_micro")
+
+
+@register_extra(
+    "x_geo_nearest",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 2000001 - 1000000 AS cla,
+         (c_custkey * 16807) % 2000001 - 1000000 AS clo
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 69621) % 2000001 - 1000000 AS sla,
+         (s_suppkey * 40692) % 2000001 - 1000000 AS slo
+  FROM supplier
+),
+j AS (
+  SELECT c.c_custkey,
+         (c.cla - s.sla) * (c.cla - s.sla)
+         + (c.clo - s.slo) * (c.clo - s.slo) AS d2,
+         s.s_suppkey
+  FROM c, s
+  WHERE (c.cla - s.sla) * (c.cla - s.sla)
+        + (c.clo - s.slo) * (c.clo - s.slo) <= 90000000000
+),
+enc AS (
+  SELECT c_custkey, min(d2 * 1048576 + s_suppkey) AS e FROM j GROUP BY c_custkey
+)
+SELECT c_custkey,
+       CAST(e % 1048576 AS BIGINT) AS nearest_suppkey,
+       CAST(e // 1048576 AS BIGINT) AS dist2_micro
+FROM enc
+""",
+)
+def x_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer within a 0.3° cutoff — bounded
+    nearest-neighbor as radius-join + argmin, with the argmin packed
+    into ONE integer key (dist²·2²⁰ + supplier id, both exact and
+    bounded) so it is a single map-side-combined hash MIN — the OHLC
+    lesson applied: no struct-ordered min_by, no SortAggregate. The
+    bounded-cutoff form is the honest distributed k-NN: completeness
+    inside the radius is the cell-blocking guarantee, and a miss means
+    "nothing within cutoff", never a silent wrong neighbor."""
+    ensure_harness_conf(spark)
+    from .operators.geo import radius_join_cells
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clat"),
+        (
+            ((F.col("c_custkey") * 16807) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 69621) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slat"),
+        (
+            ((F.col("s_suppkey") * 40692) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slon"),
+    )
+    j = radius_join_cells(c, s, "clat", "clon", "slat", "slon", 300000)
+    enc = j.groupBy("c_custkey").agg(
+        F.min(F.col("dist2_micro") * 1048576 + F.col("s_suppkey")).alias("e")
+    )
+    return enc.select(
+        "c_custkey",
+        (F.col("e") % 1048576).cast("long").alias("nearest_suppkey"),
+        F.expr("e div 1048576").cast("long").alias("dist2_micro"),
+    )

@@ -1220,7 +1220,7 @@ def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "q_ranking_topk",
     oracle="""
 SELECT event_id, user_id, value,
@@ -1597,10 +1597,14 @@ QUERY_ORDER: tuple[str, ...] = (
     "g2_rolling_maxes_wide",
     "g4_n7_nested_assembly",
     "s1_incremental_ingest",
+    # oracle-exact in-engine ML (thirteenth-batch promotion: the
+    # strongest new capability gets an official row; q_ranking_topk's
+    # top-k/window family is certified by t1_topn_page + the
+    # window-suite extras)
+    "x_nb_classifier",
     # relational engine surface (bench shapes)
     "q1_pricing_summary",
     "q3_revenue_join",
-    "q_ranking_topk",
     "q_sessionize",
     "q_pivot_event_counts",
     # q_rollup_distinct demoted to extras (continuation batch): not a

@@ -6722,7 +6722,7 @@ def x_embed_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_nb_classifier",
     oracle="""
 WITH sp AS (

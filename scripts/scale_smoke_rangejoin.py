@@ -72,5 +72,54 @@ def main() -> None:
     iv.unpersist()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "geo" not in sys.argv:
     main()
+
+
+def geo_smoke(n_points: int = 2_000_000, n_sites: int = 100_000) -> int:
+    """2D member: n_points probes against n_sites within a 0.01-degree
+    radius over a ±1-degree extent. Expected pairs ≈ n_p·n_s·πr²/A —
+    checked within 3x; the naive plan is BroadcastNestedLoopJoin."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.geo import radius_join_cells
+    from strava_etl_public_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_geo")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = spark.range(n_points).select(
+        F.col("id").alias("pid"),
+        ((F.xxhash64("id") % 2000001).cast("double") / 1000000.0).alias("pla"),
+        ((F.xxhash64("id", F.lit(1)) % 2000001).cast("double") / 1000000.0).alias(
+            "plo"
+        ),
+    )
+    sites = spark.range(n_sites).select(
+        F.col("id").alias("sid"),
+        ((F.xxhash64("id", F.lit(2)) % 2000001).cast("double") / 1000000.0).alias(
+            "sla"
+        ),
+        ((F.xxhash64("id", F.lit(3)) % 2000001).cast("double") / 1000000.0).alias(
+            "slo"
+        ),
+    )
+    r = 10000  # 0.01 deg
+    t0 = time.time()
+    n = radius_join_cells(pts, sites, "pla", "plo", "sla", "slo", r).count()
+    dt = time.time() - t0
+    # signed modulo → coordinates span (-2, 2) degrees → area 16e12 μdeg²
+    exp = n_points * n_sites * math.pi * r * r / 16e12
+    ok = exp / 3 < n < exp * 3
+    print(
+        f"geo radius_join: {n_points}x{n_sites} r=0.01deg in {dt:.1f}s — "
+        f"{n} pairs (expect ~{int(exp)}) ok={ok}"
+    )
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__" and "geo" in sys.argv:
+    raise SystemExit(geo_smoke())

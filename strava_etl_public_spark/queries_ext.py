@@ -7447,3 +7447,76 @@ def x_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e") % 1048576).cast("long").alias("nearest_suppkey"),
         F.expr("e div 1048576").cast("long").alias("dist2_micro"),
     )
+
+
+@register_extra(
+    "x_geo_track_length",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         (event_id * 48271) % 200001 - 100000 AS la,
+         (event_id * 16807) % 200001 - 100000 AS lo
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         la - lag(la) OVER w AS dla,
+         lo - lag(lo) OVER w AS dlo
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+q AS (
+  SELECT user_id,
+         CAST(round(sqrt(CAST(dla * dla + dlo * dlo AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS lenq
+  FROM s WHERE dla IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(CAST(sum(lenq) AS DOUBLE) / 1000000000000.0, 6) AS track_deg
+FROM q GROUP BY user_id
+""",
+)
+def x_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length over the event sequence (positions
+    derived deterministically from event ids): one lag window per
+    user, per-segment planar length with the exact-sum discipline —
+    sqrt is IEEE-exact, each segment quantizes to 6dp BEFORE the sum,
+    so the total is order-proof and engine-identical. The
+    movement-analytics face (distance accumulated per entity) on the
+    same sort family the session/TWAP rows already pay."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        ep.epoch_s(ev).alias("es"),
+        ((F.col("event_id") * 48271) % 200001 - 100000).alias("la"),
+        ((F.col("event_id") * 16807) % 200001 - 100000).alias("lo"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    s = e.select(
+        "user_id",
+        (F.col("la") - F.lag("la").over(w)).alias("dla"),
+        (F.col("lo") - F.lag("lo").over(w)).alias("dlo"),
+    ).filter(F.col("dla").isNotNull())
+    q = s.select(
+        "user_id",
+        F.round(
+            F.sqrt(
+                (F.col("dla") * F.col("dla") + F.col("dlo") * F.col("dlo")).cast(
+                    "double"
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("lenq"),
+    )
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.round(
+            F.sum("lenq").cast("double") / F.lit(1000000000000.0), 6
+        ).alias("track_deg"),
+    )

@@ -7520,3 +7520,90 @@ def x_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lenq").cast("double") / F.lit(1000000000000.0), 6
         ).alias("track_deg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch union at the query level: merged half-sketches == whole sketch
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_sketch_hll_merge", oracle=_hll_oracle())
+def x_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL union proof at the query level: registers built on two
+    DISJOINT event halves merge by register-max, and the finished
+    estimate equals the whole-corpus sketch under the SAME oracle —
+    the property that lets 100 TB of per-day sketches roll up into
+    any ad-hoc window without touching raw data (the batch face of
+    the streaming-HLL state argument, like x_incremental_agg_merge
+    for algebraic aggs)."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    bucket, rank = sketch.hll_terms(F.col("user_id"), b=9)
+
+    def regs(df: DataFrame) -> DataFrame:
+        return (
+            df.select("event_type", bucket.alias("_bkt"), rank.alias("_rk"))
+            .groupBy("event_type", "_bkt")
+            .agg(F.max("_rk").alias("_mj"))
+        )
+
+    r1 = regs(ev.filter(F.col("event_id") % 2 == 0))
+    r2 = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("event_type", "_bkt")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+    return sketch.finish_hll_registers(merged, ["event_type"], b=9)
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-list: the final curation output
+# ---------------------------------------------------------------------------
+
+
+def _keeplist_oracle() -> str:
+    """Recursive-closure clusters over the minhash pairs, anti-joined:
+    a doc survives iff it is not a non-representative member."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id),
+drops AS (SELECT doc_id FROM cc WHERE doc_id != rep_id)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register_extra("x_dedup_keeplist", oracle=_keeplist_oracle())
+def x_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list a curation pipeline actually ships: corpus minus
+    every non-representative member of a near-dup cluster (MinHash
+    pairs → min-label components → anti-join). Singletons and cluster
+    representatives survive; the anti-join is against the BOUNDED drop
+    set (cluster members only), so the corpus side streams through a
+    broadcast-anti at any scale — the same shape as the
+    delete-propagation sweep."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b")
+    drops = cc.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )

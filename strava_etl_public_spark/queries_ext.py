@@ -7607,3 +7607,34 @@ def x_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "source"
     )
+
+
+@register_extra(
+    "x_geo_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT (c_custkey * 48271) % 2000001 - 1000000 AS la,
+         (c_custkey * 16807) % 2000001 - 1000000 AS lo
+  FROM customer
+)
+SELECT CAST(floor(CAST(la AS DOUBLE) / 250000) AS BIGINT) AS cell_y,
+       CAST(floor(CAST(lo AS DOUBLE) / 250000) AS BIGINT) AS cell_x,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2
+""",
+)
+def x_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid (0.25° cells) of the customer sites — the
+    heat-map aggregation every geo dashboard starts from and the
+    occupancy statistic that sizes the radius join's cells: one hash
+    agg over integer cell keys, map-side combined, |cells| rows out
+    regardless of point count."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 48271) % 2000001 - 1000000).alias("la"),
+        ((F.col("c_custkey") * 16807) % 2000001 - 1000000).alias("lo"),
+    )
+    return c.groupBy(
+        F.floor(F.col("la").cast("double") / 250000).cast("long").alias("cell_y"),
+        F.floor(F.col("lo").cast("double") / 250000).cast("long").alias("cell_x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -108,7 +108,8 @@ def geo_smoke(n_points: int = 2_000_000, n_sites: int = 100_000) -> int:
     )
     r = 10000  # 0.01 deg
     t0 = time.time()
-    n = radius_join_cells(pts, sites, "pla", "plo", "sla", "slo", r).count()
+    # sites is the small side → it takes the 9x neighborhood fan
+    n = radius_join_cells(sites, pts, "sla", "slo", "pla", "plo", r).count()
     dt = time.time() - t0
     # signed modulo → coordinates span (-2, 2) degrees → area 16e12 μdeg²
     exp = n_points * n_sites * math.pi * r * r / 16e12

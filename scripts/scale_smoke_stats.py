@@ -74,8 +74,11 @@ def main() -> int:
 
     # ---- MERGE at N target rows, N/10 source ----
     tgt = spark.range(N).select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    # stride 12 → max key 1.2N: ~83% of source keys match (updates or
+    # deletes), ~17% are genuine inserts — all three arms exercised
+    # (code-review finding: the old stride-7 source never inserted)
     src = spark.range(N // 10).select(
-        (F.col("id") * 7).alias("k"),  # 70% of source keys < N (updates), rest inserts
+        (F.col("id") * 12).alias("k"),
         F.lit(-1).alias("v"),
     )
     t0 = time.time()
@@ -86,8 +89,11 @@ def main() -> int:
     ).collect()[0]
     t_mg = time.time() - t0
     n_src = N // 10
-    n_del = len([k for k in range(0, n_src * 7, 7) if k % 5 == 0 and k < N])
-    n_ins = len([k for k in range(0, n_src * 7, 7) if k >= N and k % 5 != 0])
+    src_keys = range(0, n_src * 12, 12)
+    # deletes fire only on MATCHED rows; unmatched source rows insert
+    # regardless of delete_cond (merge_into semantics)
+    n_del = sum(1 for k in src_keys if k < N and k % 5 == 0)
+    n_ins = sum(1 for k in src_keys if k >= N)
     want_n = N - n_del + n_ins
     ok = stats["n"] == want_n
     print(

@@ -66,7 +66,12 @@ def radius_join_cells(
 
     The naive plan is BroadcastNestedLoopJoin — the oracle runs it,
     the engine never does. Same family as range_join_binned (1D) and
-    interval_join_binned (1D×1D); this is the 2D member."""
+    interval_join_binned (1D×1D); this is the 2D member.
+
+    Pass the SMALLER side as ``left``: the 9× neighborhood fan-out
+    replicates the left rows, so fanning the small side shuffles ~9×
+    fewer rows (the join is symmetric in its output columns —
+    swapping arguments yields the same pairs)."""
     cell = radius_micro
     la1, lo1 = quantize_deg(F.col(lat1)), quantize_deg(F.col(lon1))
     la2, lo2 = quantize_deg(F.col(lat2)), quantize_deg(F.col(lon2))

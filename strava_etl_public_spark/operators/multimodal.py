@@ -201,6 +201,11 @@ def resize_image(
 
             for pdf in batches:
                 outs = []
+                # channels → PNG color type for EVERY layout decode
+                # accepts (gray/RGB/gray+alpha/RGBA) — the old
+                # 'ch==3 else 0' mapping crashed executor-side on 2- and
+                # 4-channel images (code-review finding)
+                color_type = {1: 0, 3: 2, 2: 4, 4: 6}
                 for payload in pdf["payload"]:
                     w, h, ch, rows = pngcodec.decode(bytes(payload))
                     out_rows = []
@@ -212,7 +217,7 @@ def resize_image(
                             row += src[xs * ch : (xs + 1) * ch]
                         out_rows.append(bytes(row))
                     outs.append(
-                        pngcodec.encode_rows(out_rows, width, 2 if ch == 3 else 0)
+                        pngcodec.encode_rows(out_rows, width, color_type[ch])
                     )
                 yield pd.DataFrame({id_col: pdf[id_col], "payload": outs})
 

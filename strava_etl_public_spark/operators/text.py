@@ -1162,9 +1162,14 @@ def nb_train_predict(
     actual = split.filter(F.col("split") == "test").select(
         id_col, F.col(label_col).alias("actual")
     )
-    return actual.join(pred, id_col).select(
+    # LEFT join: a zero-token test doc has no score rows — it keeps its
+    # output row with predicted NULL / correct 0 rather than vanishing
+    # (code-review finding; the docstring contract is one row per doc)
+    return actual.join(pred, id_col, "left").select(
         id_col,
         "actual",
         "predicted",
-        (F.col("actual") == F.col("predicted")).cast("int").alias("correct"),
+        F.coalesce(
+            (F.col("actual") == F.col("predicted")).cast("int"), F.lit(0)
+        ).alias("correct"),
     )

@@ -144,16 +144,12 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
 
 
-def _clusters_oracle() -> str:
-    """Recursive-closure twin of dedup.duplicate_clusters over the
-    minhash near-dup pair set: enumerate every label reachable from
-    each node through the (bidirectional) edge set, keep the min —
-    the same fixed point min-label propagation converges to, computed
-    a structurally different way (closure vs iteration), so the two
-    engines cross-check the COMPONENT STRUCTURE, not just each other's
-    arithmetic."""
-    return f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+#: Recursive-closure fragment shared by every connected-components
+#: oracle (clusters / entity resolution / keep-list): expects a
+#: ``pairs(doc_a, doc_b)`` CTE in scope and yields ``cc(doc_id,
+#: rep_id)`` — ONE definition so a change to the closure cannot drift
+#: between oracles (code-review finding).
+_CC_CLOSURE_SQL = """
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -165,7 +161,19 @@ reach(id, lab) AS (
   UNION
   SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
 ),
-cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)
+cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)"""
+
+
+def _clusters_oracle() -> str:
+    """Recursive-closure twin of dedup.duplicate_clusters over the
+    minhash near-dup pair set: enumerate every label reachable from
+    each node through the (bidirectional) edge set, keep the min —
+    the same fixed point min-label propagation converges to, computed
+    a structurally different way (closure vs iteration), so the two
+    engines cross-check the COMPONENT STRUCTURE, not just each other's
+    arithmetic."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL}
 SELECT cc.doc_id, cc.rep_id, CAST(sz.n AS BIGINT) AS cluster_size
 FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz
   USING (rep_id)
@@ -5868,19 +5876,7 @@ pairs AS (
   SELECT id1 AS doc_a, id2 AS doc_b
   FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
   WHERE i * 2 >= (sa.s + sb.s - i) * 1
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach(id, lab) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
-),
-cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)
+),{_CC_CLOSURE_SQL}
 SELECT cc.doc_id, cc.rep_id, CAST(sz2.n AS BIGINT) AS cluster_size
 FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz2
   USING (rep_id)
@@ -7122,12 +7118,15 @@ def x_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(
-    n_cent: int = 16, stride: int = 37, refine_iters: int = 2, dim: int = 64
+def _lloyd_assign_sql(
+    n_cent: int, stride: int, refine_iters: int, dim: int, with_embedding: bool
 ) -> str:
-    """cents0 + Lloyd CTEs + final assignment, same generation recipe
-    as _ivf_oracle (strided seed, decimal-exact means, 6dp-rounded
-    cosine argmax), finished as per-vector cluster labels + sizes."""
+    """Shared cents0 + Lloyd-iteration + final-assignment CTE prefix
+    for the clustering oracles (kmeans / SemDeDup) — ONE generator so
+    the seed/mean/tie-break recipe cannot drift between them
+    (code-review finding; _ivf_oracle keeps its own copy because it
+    additionally threads the train-fraction predicate and probes).
+    Yields ``assign(vec_id[, embedding], cent_id)``."""
     span = n_cent * stride
     refine = []
     for i in range(refine_iters):
@@ -7157,6 +7156,8 @@ cents{i + 1} AS (
         )
     refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
     final = f"cents{refine_iters}"
+    emb_col = "e.embedding, " if with_embedding else ""
+    emb_out = "vec_id, embedding, cent_id" if with_embedding else "vec_id, cent_id"
     return f"""
 WITH cents0 AS (
   SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
@@ -7169,14 +7170,22 @@ WITH cents0 AS (
   ) WHERE rn = 1
 ){refine_sql},
 assign AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT e.vec_id, c.cent_id,
+  SELECT {emb_out} FROM (
+    SELECT e.vec_id, {emb_col}c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
                                        c.cent_id) AS rn
     FROM embeddings e CROSS JOIN {final} c
   ) WHERE rn = 1
-)
+)"""
+
+
+def _kmeans_oracle(
+    n_cent: int = 16, stride: int = 37, refine_iters: int = 2, dim: int = 64
+) -> str:
+    """Lloyd prefix (shared generator) finished as per-vector cluster
+    labels + sizes."""
+    return f"""{_lloyd_assign_sql(n_cent, stride, refine_iters, dim, False)}
 SELECT vec_id, cent_id,
        CAST(count(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
 FROM assign
@@ -7223,61 +7232,15 @@ def _semdedup_oracle(
     refine_iters: int = 2,
     dim: int = 64,
 ) -> str:
-    span = n_cent * stride
-    refine = []
-    for i in range(refine_iters):
-        refine.append(
-            f"""assign{i} AS (
-  SELECT vec_id, embedding, cent_id FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
-                                       c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents{i} c
-  ) WHERE rn = 1
-),
-means{i} AS (
-  SELECT cent_id, g.i AS pos,
-         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
-               / COUNT(*), 6) AS m
-  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
-  GROUP BY cent_id, g.i
-),
-cents{i + 1} AS (
-  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
-  FROM cents{i} c LEFT JOIN (
-    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
-  ) n USING (cent_id)
-)"""
-        )
-    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
-    final = f"cents{refine_iters}"
-    return f"""
-WITH cents0 AS (
-  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
-  FROM (
-    SELECT vec_id, embedding,
-           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
-                              ORDER BY vec_id) AS rn
-    FROM embeddings WHERE vec_id % {stride} = 0
-  ) WHERE rn = 1
-){refine_sql},
-assign AS (
-  SELECT vec_id, embedding, cent_id FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
-                                       c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN {final} c
-  ) WHERE rn = 1
-)
+    """Lloyd prefix (shared generator, with embeddings) finished as
+    the in-cluster pairwise scan at the cosine threshold."""
+    return f"""{_lloyd_assign_sql(n_cent, stride, refine_iters, dim, True)}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
 FROM assign a JOIN assign b
   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= {threshold}
-""".replace("{threshold}", repr(threshold))
+"""
 
 
 @register_extra("x_dedup_semantic", oracle=_semdedup_oracle())
@@ -7300,8 +7263,14 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = emb.join(
         corpus.select(F.col("n_id").alias("vec_id"), "cent_id"), "vec_id"
     )
+    # max_block pinned ABOVE any fixture cluster size: the oracle
+    # models the all-pairs tier only, and the default 4096 star guard
+    # would silently diverge from it on a >4096-member cluster
+    # (code-review finding). At real scale, drop the oracle claim and
+    # let the star guard bound the work.
     return dedup.embedding_near_dup(
-        clustered, "vec_id", "embedding", "cent_id", threshold=0.4
+        clustered, "vec_id", "embedding", "cent_id", threshold=0.4,
+        max_block=100_000,
     )
 
 
@@ -7367,7 +7336,8 @@ def x_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("slon"),
     )
-    out = radius_join_cells(c, s, "clat", "clon", "slat", "slon", 50000)
+    # supplier is the small side → it takes the 9x neighborhood fan
+    out = radius_join_cells(s, c, "slat", "slon", "clat", "clon", 50000)
     return out.select("c_custkey", "s_suppkey", "dist2_micro")
 
 
@@ -7438,7 +7408,8 @@ def x_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("slon"),
     )
-    j = radius_join_cells(c, s, "clat", "clon", "slat", "slon", 300000)
+    # supplier is the small side → it takes the 9x neighborhood fan
+    j = radius_join_cells(s, c, "slat", "slon", "clat", "clon", 300000)
     enc = j.groupBy("c_custkey").agg(
         F.min(F.col("dist2_micro") * 1048576 + F.col("s_suppkey")).alias("e")
     )
@@ -7568,19 +7539,7 @@ def _keeplist_oracle() -> str:
     """Recursive-closure clusters over the minhash pairs, anti-joined:
     a doc survives iff it is not a non-representative member."""
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach(id, lab) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
-),
-cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id),
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL},
 drops AS (SELECT doc_id FROM cc WHERE doc_id != rep_id)
 SELECT d.doc_id, d.source
 FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id

@@ -156,6 +156,7 @@ def main() -> int:
         "x_embed_covariance",
         "x_text_boilerplate",
         "x_mm_audio_stats",
+        "x_geo_radius_join",
     ):
         fn = qs.get(n)  # merged extras+driver registry (built above)
         if fn is None:

@@ -7597,3 +7597,43 @@ def x_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("la").cast("double") / 250000).cast("long").alias("cell_y"),
         F.floor(F.col("lo").cast("double") / 250000).cast("long").alias("cell_x"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register_extra("x_sketch_cms_merge", oracle=_cms_users_oracle())
+def x_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS union proof at the query level (completing the mergeable-
+    sketch trio with x_sketch_hll_merge and x_incremental_agg_merge):
+    cell tables built on two disjoint event halves merge by ADDITION,
+    and heavy-hitter lookups against the merged sketch equal the
+    whole-corpus sketch under the same oracle — per-day hot-key
+    sketches roll up into any window without re-reading raw data."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+    from .operators.sketch import _cms_cells
+
+    ev = load(spark, sf_dir, "events")
+
+    def cells(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(_cms_cells("user_id", 4, 1024)).alias("_e"))
+            .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    c1 = cells(ev.filter(F.col("event_id") % 2 == 0))
+    c2 = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        c1.unionByName(c2).groupBy("r", "c").agg(F.sum("n").cast("long").alias("n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    wr = W.orderBy(F.col("n_true").desc(), "user_id")
+    top = (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("user_id").cast("string").alias("user_id"), "n_true")
+    )
+    est = sketch.cms_lookup(merged, top, "user_id", d=4, w=1024)
+    return top.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"), "n_true", "cms_count"
+    )

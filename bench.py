@@ -59,7 +59,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_best_of(fn, runs: int = 2) -> float:
+def _time_best_of(fn, runs: int = 3) -> float:
     """best-of-N: JIT/GC noise on a shared box measured up to 3x on
     identical plans; the min is the plan's honest cost."""
     best = float("inf")
@@ -70,18 +70,13 @@ def _time_best_of(fn, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def _time_with_spread(fn) -> dict:
-    """Timing + spread evidence (round-5 bench-variance discipline):
-    sub-2 s queries get a third run — shared-box noise measured ±20%
-    round-over-round, so cheap queries need more samples for the
-    best/median spread to mean anything; expensive ones would double
-    the bench wall-clock for little. Returns {best, median, runs}."""
+def _time_with_spread(fn, runs: int = 3) -> dict:
+    """Timing + spread evidence (round-5 bench-variance discipline,
+    tightened r7 per VERDICT #8): every query gets >=3 runs so
+    round-over-round deltas can be read off MEDIANS instead of
+    adjudicated as best-of noise. Returns {best, median, runs}."""
     samples = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn()
-        samples.append(time.perf_counter() - t0)
-    if min(samples) < 2.0:
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
@@ -136,6 +131,7 @@ def main() -> int:
     #    amortized over many probe batches, so the steady-state serving
     #    cost is the probe number; build+probe stays the headline row.
     extras: dict[str, float] = {}
+    extras_spread: dict[str, dict] = {}
 
     for n in (
         "x_sim_topk_lsh",
@@ -164,7 +160,9 @@ def main() -> int:
         try:
             _noop(fn(spark, WARMUP_DIR))
             spark.catalog.clearCache()
-            extras[n] = _time_best_of(lambda: _noop(fn(spark, SF_DIR)))
+            st = _time_with_spread(lambda: _noop(fn(spark, SF_DIR)))
+            extras[n] = st["best"]
+            extras_spread[n] = st
         except Exception as e:  # noqa: BLE001
             errors[n] = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
@@ -242,18 +240,43 @@ def main() -> int:
         traceback.print_exc(file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Detail (spread/extras/recall/errors) goes to its OWN earlier
+    # stdout line AND a sidecar file; the FINAL stdout line stays
+    # compact so the driver's tail-capture window always parses it
+    # (round-6 lesson: the single giant line outgrew the window and
+    # BENCH_r06.json recorded "parsed": null — the official headline
+    # number survived only by reconstruction from fragments).
+    detail = {
+        "metric": "bench_detail",
+        "spread": spread,
+        "extras": extras,
+        "extras_spread": extras_spread,
+        "recall": recall,
+        "errors": errors,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; stdout detail line already out
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "extras": extras,
-        "recall": recall,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
+        # names only — full messages live in the detail line/sidecar
+        out["errors"] = sorted(errors)
     print(json.dumps(out))
     spark.stop()
     # Distinct exit codes, always AFTER the JSON line: 2 = recall gate

@@ -319,6 +319,22 @@ def write_with_stats(
     import json
     import os
 
+    from pyspark.sql.types import NumericType, StringType
+
+    # Fail FAST on stat columns whose min/max don't survive the JSON
+    # round-trip (ADVICE r6: json.dump(default=str) silently turned
+    # date/timestamp stats into strings, and the failure only surfaced
+    # at query time in read_with_skipping, after the write succeeded).
+    for c in stat_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, StringType)):
+            raise ValueError(
+                f"write_with_stats: stat column {c!r} has type "
+                f"{dt.simpleString()} — only numeric/string stats "
+                "round-trip through the JSON manifest; cast the column "
+                "(e.g. date→epoch days) before writing"
+            )
+
     df.write.mode("overwrite").parquet(path)
     back = df.sparkSession.read.parquet(path)
     aggs = []

@@ -1077,6 +1077,15 @@ def covariance_matrix(
             # numpy wraps silently — shrink the chunk so it can't
             # (code-review finding; the old comment's bound was wrong)
             qmax = int(np.abs(Q).max(initial=1))
+            if qmax * qmax >= (1 << 62):
+                # a SINGLE row's product already wraps int64 — no chunk
+                # size can save it (ADVICE r6: the old clamp-to-1 hid
+                # the wrap); |x| ≳ 2147 after 6dp quantization
+                raise ValueError(
+                    f"covariance_matrix: |quantized value| {qmax} too "
+                    "large — a single product overflows int64; rescale "
+                    "the embeddings first"
+                )
             safe = max(1, int((1 << 62) // (qmax * qmax)))
             step = min(chunk_rows, safe)
             for s in range(0, len(Q), step):
@@ -1124,7 +1133,12 @@ def covariance_matrix(
 
 
 def random_projection(
-    emb: DataFrame, id_col: str, vec_col: str, out_dim: int, salt: str = "jl"
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    salt: str = "jl",
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a
     DETERMINISTIC ±1 projection matrix (sign of an md5 bit per (out
@@ -1136,8 +1150,19 @@ def random_projection(
     ~1/√out_dim — the cheap pre-step that makes downstream
     ANN/clustering 4× narrower. Pure column math (the sign matrix
     unrolls into the plan as literals — out_dim·in_dim terms), no
-    shuffle, scan speed. Emits (id, proj array<double>)."""
-    in_dim = len(emb.select(vec_col).first()[0])
+    shuffle, scan speed. Emits (id, proj array<double>).
+
+    ``in_dim`` should be passed explicitly where known — probing it
+    from data costs a hidden driver action (a full upstream job) and
+    fails opaquely on empty input (ADVICE r6)."""
+    if in_dim is None:
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "random_projection: cannot infer in_dim from an empty "
+                "DataFrame — pass in_dim explicitly"
+            )
+        in_dim = len(row[0])
     import hashlib
 
     signs = [

@@ -611,9 +611,12 @@ def sample_fixed_k(
     :func:`kmv_build` (global bottom-k ⊆ union of per-batch
     bottom-ks) cuts each partition to ≤ k rows per group BEFORE the
     shuffle, so the per-group window sorts ≤ k·partitions rows, never
-    the group's full population. Ties cannot occur (the hash input
-    includes the unique id; identical ids tie-break on the id
-    itself)."""
+    the group's full population. Distinct ids CAN collide in the
+    60-bit hash (rare but possible at scale), so both the per-batch
+    prune and the final window order by (_h, id) — the kept set stays
+    a pure function of (salt, ids) even through a boundary collision
+    (ADVICE r6: a prune sorted by _h alone made the superset
+    partition-dependent when a collision straddled the k cut)."""
     from pyspark.sql import Window
 
     keys = list(group_cols)
@@ -624,10 +627,11 @@ def sample_fixed_k(
 
     def _prune(batches):
         for pdf in batches:
+            srt = pdf.sort_values(["_h", id_col])
             if keys:
-                yield pdf.sort_values("_h").groupby(keys, sort=False).head(k)
+                yield srt.groupby(keys, sort=False).head(k)
             else:
-                yield pdf.nsmallest(k, "_h")
+                yield srt.head(k)
 
     pruned = proj.mapInPandas(_prune, schema=schema)
     # no keys → "k rows overall": the global window is fine because the

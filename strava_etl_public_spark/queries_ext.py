@@ -6870,7 +6870,11 @@ def x_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_extra(
     "x_embed_jl_projection",
     oracle="""
-WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0),
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('jlsample:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 64
+),
 x AS (
   SELECT vec_id, u.i AS i,
          CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
@@ -6929,11 +6933,27 @@ def x_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈1 ± 1/√16). The projection is pure column math at scan speed —
     the 4× shuffle-narrowing pre-step for ANN/clustering — and both
     the projection and the report are oracle-exact (integer sums, one
-    ordered fold per distance, fixed scaling divisions)."""
+    ordered fold per distance, fixed scaling divisions).
+
+    The report samples a FIXED-SIZE set: bottom-64 vectors by a
+    deterministic md5 hash of vec_id (TakeOrderedAndProject — per-
+    partition partial top-k, no funnel), so the all-pairs report is
+    ≤ 2016 pairs at ANY corpus size. (r6 verdict: the old `% 37`
+    sample was a constant FRACTION, so pairs grew O(n²/37²) — at 10⁹
+    vectors that was 3.6×10¹⁴ pairs.)"""
     ensure_harness_conf(spark)
     from .operators.similarity import random_projection
 
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 37 == 0)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("jlsample:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(64)
+        .drop("_h")
+    )
     proj = random_projection(emb, "vec_id", "embedding", out_dim=16)
     j = emb.join(proj, "vec_id")
     a = j.select(
@@ -7410,9 +7430,21 @@ def x_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # supplier is the small side → it takes the 9x neighborhood fan
     j = radius_join_cells(s, c, "slat", "slon", "clat", "clon", 300000)
-    enc = j.groupBy("c_custkey").agg(
-        F.min(F.col("dist2_micro") * 1048576 + F.col("s_suppkey")).alias("e")
+    # ENFORCED packing bound (ADVICE r6): s_suppkey must fit the 2^20
+    # low bits or the packed argmin silently corrupts BOTH the chosen
+    # neighbor and the distance — and the oracle packs identically, so
+    # the gate could never catch it. raise_error sits inside the min's
+    # input expression, so Catalyst cannot prune it away.
+    packed = F.when(
+        F.col("s_suppkey") < F.lit(1048576),
+        F.col("dist2_micro") * 1048576 + F.col("s_suppkey"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("x_geo_nearest: s_suppkey >= 2^20 — packed argmin "
+                  "key would corrupt; widen the packing factor")
+        ).cast("long")
     )
+    enc = j.groupBy("c_custkey").agg(F.min(packed).alias("e"))
     return enc.select(
         "c_custkey",
         (F.col("e") % 1048576).cast("long").alias("nearest_suppkey"),

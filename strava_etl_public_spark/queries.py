@@ -1536,15 +1536,19 @@ from . import queries_ext  # noqa: E402,F401  (registry side-effect)
 #: CORRECTNESS row.
 QUERY_ORDER: tuple[str, ...] = (
     "flagship_rolling_max",
-    # similarity search (Arrow scale paths — the plans you'd run at 100×)
-    "x_sim_topk_brute_arrow",
+    # similarity search (Arrow scale paths — the plans you'd run at
+    # 100×). x_sim_topk_brute_arrow demoted to extras r7: the brute
+    # family is certified via the PQ exact-rerank path + extras, and
+    # bench.py still runs it as the recall-gate truth; the freed slot
+    # gives the completeness-guaranteed exact Jaccard join an
+    # official row.
     "x_sim_topk_lsh_arrow",
     "x_sim_topk_ivf_arrow",
-    # text analysis
+    # text analysis (x_text_fingerprint demoted r7: shingle identity
+    # is certified by the dedup family; slot freed for MERGE INTO)
     "x_text_lang_id",
     "x_text_token_counts",
     "x_text_quality",
-    "x_text_fingerprint",
     "x_text_tfidf",
     "x_text_pii_redact",
     "x_text_chunk_windows",
@@ -1555,18 +1559,26 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_stream_tumbling_counts",
     "x_stream_session_window",
     "x_stream_stateful_user_stats",
-    # multimodal plumbing (x_mm_extract_meta demoted to extras r6 — same
-    # mapInPandas plumbing as x_mm_decode_stats, which now runs a REAL
-    # stdlib PNG decode)
-    "x_mm_frame_sample",
+    # multimodal plumbing (x_mm_extract_meta demoted to extras r6,
+    # x_mm_frame_sample demoted r7 — the mapInPandas plumbing is
+    # certified by x_mm_decode_stats, which runs a REAL stdlib PNG
+    # decode; slot freed for the triangle-counting graph row)
     "x_mm_decode_stats",
-    # deduplication (+ r5 flagship promoted r6: cluster canonicalization)
+    # deduplication (+ r5 flagship promoted r6: cluster
+    # canonicalization; r7: the exact Jaccard similarity join —
+    # Bayardo prefix filtering, the completeness-guaranteed exact
+    # counterpart of the approximate family)
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash_neardup",
     "x_dedup_ngram_jaccard",
     "x_dedup_embedding_cosine",
     "x_dedup_clusters",
+    "x_dedup_jaccard_exact",
+    # general MERGE INTO + graph triangles (r7 promotions — the two
+    # strongest round-6 operator families get official rows)
+    "x_merge_into",
+    "x_graph_triangles",
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
     # binned range join (new r6 operator family)

@@ -491,7 +491,7 @@ def x_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5)
 
 
-@register(
+@register_extra(
     "x_sim_topk_brute_arrow",
     oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
@@ -1077,7 +1077,7 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(docs, "doc_id", "text")
 
 
-@register(
+@register_extra(
     "x_text_fingerprint",
     oracle=f"""
 WITH tk AS ({_TK_SQL}),
@@ -1230,7 +1230,7 @@ def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_mm_frame_sample",
     oracle="""
 WITH f AS (
@@ -5470,7 +5470,7 @@ def x_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_dedup_jaccard_exact",
     oracle=f"""
 WITH {_SH_SQL},
@@ -6034,7 +6034,7 @@ def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_graph_triangles",
     oracle="""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -6131,7 +6131,7 @@ def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_merge_into",
     oracle="""
 WITH tgt AS (

@@ -1,0 +1,607 @@
+"""Seeded randomized differential harness: Spark SQL vs DuckDB.
+
+The curated registry (169 queries, scripts/verify_oracle.py) is
+builder-chosen — it can only catch bugs the builder thought to write a
+query for. This harness generates RANDOM query shapes over the fixture
+schemas (filter/project, group-agg, equi-join+agg, window, set ops,
+IN/EXISTS/scalar subqueries, order+limit) and runs the SAME SQL text
+through Spark SQL and DuckDB, diffing row counts, column names, and
+exact values. Any mismatch is a semantic hole; pinned seeds make every
+run reproducible and any failure a one-line regression case.
+
+Generation discipline (so exact compares are meaningful — the same
+bit-determinism rules as queries.py's header):
+- double aggregation goes through DECIMAL(38,6) (exact, order-free)
+  then CAST AS DOUBLE; scalar double arithmetic is avoided in
+  projections except IEEE-exact +/-/* comparisons in predicates.
+- counts/rank/row_number CAST AS BIGINT.
+- window ORDER BY is always a TOTAL order (unique key last) for
+  position-dependent functions (row_number/lag/lead/frame sums);
+  rank/dense_rank may order by non-unique columns (tie output is
+  order-insensitive).
+- timestamp columns are EXCLUDED (their physical parquet encoding
+  varies between fixture generations — FIXTURES.md; the curated suite
+  covers them through the epoch-dispatch helpers).
+- string min/max only on ASCII categorical/name columns (binary
+  collation identical in both engines).
+
+Usage:
+    python scripts/fuzz_oracle.py [sf_dir] [n_queries] [seed]
+Defaults: /root/testdata/sf0.001, 240, 7001.
+Exit 0 = all match; 1 = mismatches (specs printed + saved).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Schema metadata (FIXTURES.md §A; timestamp columns deliberately absent)
+# ---------------------------------------------------------------------------
+
+# kind: key (unique int id), int, dbl, cat (low-card ASCII string),
+#       name (high-card ASCII string, prefix-structured)
+COLS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "cat"},
+    "nation": {"n_nationkey": "int", "n_name": "cat", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "key",
+        "c_name": "name",
+        "c_nationkey": "int",
+        "c_acctbal": "dbl",
+        "c_mktsegment": "cat",
+    },
+    "supplier": {
+        "s_suppkey": "key",
+        "s_name": "name",
+        "s_nationkey": "int",
+        "s_acctbal": "dbl",
+    },
+    "part": {
+        "p_partkey": "key",
+        "p_name": "name",
+        "p_brand": "cat",
+        "p_type": "cat",
+        "p_size": "int",
+        "p_retailprice": "dbl",
+    },
+    "orders": {
+        "o_orderkey": "key",
+        "o_custkey": "int",
+        "o_orderstatus": "cat",
+        "o_totalprice": "dbl",
+        "o_orderpriority": "cat",
+    },
+    "lineitem": {
+        "l_orderkey": "int",
+        "l_partkey": "int",
+        "l_suppkey": "int",
+        "l_linenumber": "int",
+        "l_quantity": "dbl",
+        "l_extendedprice": "dbl",
+        "l_discount": "dbl",
+        "l_tax": "dbl",
+        "l_returnflag": "cat",
+        "l_linestatus": "cat",
+    },
+    "documents": {
+        "doc_id": "key",
+        "lang": "cat",
+        "source": "cat",
+        "n_chars": "int",
+    },
+    "events": {
+        "event_id": "key",
+        "user_id": "int",
+        "event_type": "cat",
+        "value": "dbl",
+    },
+}
+
+#: Total-order key per table (unique; tuple where one column isn't).
+UNIQUE: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "documents": ("doc_id",),
+    "events": ("event_id",),
+}
+
+#: Equi-join edges (left, right, left_key, right_key) — the fixture's
+#: natural FKs, so joins produce real (non-empty, non-exploding) work.
+JOINS = [
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+]
+
+MAX_ROWS = 200_000  # safety: a shape that explodes past this is a bug
+
+
+def _q(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Value pools (sampled deterministically from the data via DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def build_pools(con) -> dict:
+    pools: dict = {}
+    for t, cols in COLS.items():
+        for c, kind in cols.items():
+            if kind in ("cat", "name"):
+                vals = [
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT DISTINCT {c} FROM {t} WHERE {c} IS NOT NULL "
+                        f"ORDER BY {c} LIMIT 40"
+                    ).fetchall()
+                ]
+                pools[(t, c)] = vals
+            else:
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM {t}"
+                ).fetchone()
+                pools[(t, c)] = (lo, hi)
+    return pools
+
+
+# ---------------------------------------------------------------------------
+# Expression generators
+# ---------------------------------------------------------------------------
+
+
+def _cols_of(t, kinds, qual=""):
+    pre = f"{qual}." if qual else ""
+    return [(pre + c, c, k) for c, k in COLS[t].items() if k in kinds]
+
+
+def gen_pred(rng: random.Random, t: str, pools, qual: str = "") -> str:
+    """1-3 conjuncts/disjuncts over table t's columns."""
+    terms = []
+    for _ in range(rng.randint(1, 3)):
+        ref, c, kind = rng.choice(_cols_of(t, ("key", "int", "dbl", "cat", "name"), qual))
+        if kind in ("key", "int"):
+            lo, hi = pools[(t, c)]
+            lo, hi = int(lo), int(hi)
+            pick = rng.random()
+            if pick < 0.35:
+                op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+                terms.append(f"{ref} {op} {rng.randint(lo, hi)}")
+            elif pick < 0.55 and hi >= 0:
+                k = rng.randint(2, 13)
+                terms.append(f"{ref} % {k} = {rng.randint(0, k - 1)}")
+            elif pick < 0.8:
+                a = rng.randint(lo, hi)
+                b = rng.randint(lo, hi)
+                a, b = min(a, b), max(a, b)
+                terms.append(f"{ref} BETWEEN {a} AND {b}")
+            else:
+                vals = sorted(rng.sample(range(lo, hi + 1), min(5, hi - lo + 1)))
+                terms.append(f"{ref} IN ({', '.join(map(str, vals))})")
+        elif kind == "dbl":
+            lo, hi = pools[(t, c)]
+            lit = round(rng.uniform(float(lo), float(hi)), 2)
+            op = rng.choice(["<", "<=", ">", ">="])
+            terms.append(f"{ref} {op} {lit}")
+        elif kind == "cat":
+            vals = pools[(t, c)]
+            if not vals:
+                continue
+            pick = rng.random()
+            if pick < 0.5:
+                terms.append(f"{ref} = {_q(rng.choice(vals))}")
+            elif pick < 0.8:
+                sel = rng.sample(vals, min(rng.randint(1, 3), len(vals)))
+                terms.append(f"{ref} IN ({', '.join(_q(v) for v in sel)})")
+            else:
+                terms.append(f"{ref} <> {_q(rng.choice(vals))}")
+        else:  # name
+            vals = pools[(t, c)]
+            if not vals:
+                continue
+            v = rng.choice(vals)
+            n = rng.randint(3, max(3, min(10, len(v))))
+            terms.append(f"{ref} LIKE {_q(v[:n] + '%')}")
+    if not terms:
+        return "1 = 1"
+    glue = " AND " if rng.random() < 0.7 else " OR "
+    return "(" + glue.join(terms) + ")"
+
+
+def gen_agg(rng: random.Random, t: str, alias: str, qual: str = "") -> str:
+    """One deterministic aggregate expression aliased to `alias`."""
+    choices = []
+    ints = _cols_of(t, ("key", "int"), qual)
+    dbls = _cols_of(t, ("dbl",), qual)
+    cats = _cols_of(t, ("cat", "name"), qual)
+    choices.append("CAST(count(*) AS BIGINT)")
+    if ints:
+        ref, _, _ = rng.choice(ints)
+        choices += [
+            f"CAST(count({ref}) AS BIGINT)",
+            f"CAST(count(DISTINCT {ref}) AS BIGINT)",
+            f"CAST(sum({ref}) AS BIGINT)",
+            f"CAST(min({ref}) AS BIGINT)",
+            f"CAST(max({ref}) AS BIGINT)",
+        ]
+    if dbls:
+        ref, _, _ = rng.choice(dbls)
+        choices += [
+            f"CAST(sum(CAST({ref} AS DECIMAL(38,6))) AS DOUBLE)",
+            f"min({ref})",
+            f"max({ref})",
+        ]
+    if cats:
+        ref, _, _ = rng.choice(cats)
+        choices += [
+            f"min({ref})",
+            f"max({ref})",
+            f"CAST(count(DISTINCT {ref}) AS BIGINT)",
+        ]
+    return f"{rng.choice(choices)} AS {alias}"
+
+
+def gen_proj(rng: random.Random, t: str, alias: str, qual: str = "") -> str:
+    """One deterministic scalar projection aliased to `alias`."""
+    ref, c, kind = rng.choice(
+        _cols_of(t, ("key", "int", "dbl", "cat", "name"), qual)
+    )
+    if kind in ("key", "int"):
+        pick = rng.random()
+        if pick < 0.4:
+            expr = ref
+        elif pick < 0.6:
+            expr = f"({ref} + {rng.randint(1, 100)})"
+        elif pick < 0.8:
+            expr = f"({ref} % {rng.randint(2, 17)})"
+        else:
+            return (
+                f"(CASE WHEN {ref} % 2 = 0 THEN 'even' ELSE 'odd' END) "
+                f"AS {alias}"
+            )
+        return f"CAST({expr} AS BIGINT) AS {alias}"
+    if kind == "dbl":
+        return f"{ref} AS {alias}"
+    pick = rng.random()
+    if pick < 0.4:
+        expr = ref
+    elif pick < 0.6:
+        expr = f"upper({ref})"
+    elif pick < 0.75:
+        expr = f"substr({ref}, 1, {rng.randint(1, 6)})"
+    elif pick < 0.9:
+        expr = f"CAST(length({ref}) AS BIGINT)"
+    else:
+        expr = f"coalesce(nullif({ref}, {ref}), 'same')"
+    return f"{expr} AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Query-shape generators — each returns (shape_name, sql)
+# ---------------------------------------------------------------------------
+
+
+def shape_filter_project(rng, pools):
+    t = rng.choice(list(COLS))
+    pred = gen_pred(rng, t, pools)
+    n = rng.randint(1, 4)
+    sel = ", ".join(gen_proj(rng, t, f"c{i}") for i in range(n))
+    key = ", ".join(UNIQUE[t])
+    dedup = "DISTINCT " if rng.random() < 0.25 else ""
+    if not dedup:  # keep a stable id so duplicates in proj are fine
+        sel = f"{sel}, {key.split(', ')[0]} AS rid"
+    return "filter_project", f"SELECT {dedup}{sel} FROM {t} WHERE {pred}"
+
+
+def shape_group_agg(rng, pools):
+    t = rng.choice(list(COLS))
+    groupable = _cols_of(t, ("int", "cat"))
+    if not groupable:
+        groupable = _cols_of(t, ("key",))
+    keys = rng.sample(groupable, min(rng.randint(1, 2), len(groupable)))
+    kexprs = []
+    for i, (ref, c, kind) in enumerate(keys):
+        if kind == "int" and rng.random() < 0.3:
+            kexprs.append((f"({ref} % {rng.randint(2, 7)})", f"g{i}"))
+        elif kind == "cat" and rng.random() < 0.3:
+            kexprs.append((f"substr({ref}, 1, 3)", f"g{i}"))
+        else:
+            kexprs.append((ref, f"g{i}"))
+    gsel = ", ".join(f"{e} AS {a}" for e, a in kexprs)
+    gby = ", ".join(e for e, _ in kexprs)
+    n = rng.randint(1, 3)
+    aggs = ", ".join(gen_agg(rng, t, f"a{i}") for i in range(n))
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.7 else "1 = 1"
+    having = (
+        f" HAVING CAST(count(*) AS BIGINT) >= {rng.randint(1, 5)}"
+        if rng.random() < 0.3
+        else ""
+    )
+    return (
+        "group_agg",
+        f"SELECT {gsel}, {aggs} FROM {t} WHERE {pred} GROUP BY {gby}{having}",
+    )
+
+
+def shape_join_agg(rng, pools):
+    lt, rt, lk, rk = rng.choice(JOINS)
+    jtype = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    pl = gen_pred(rng, lt, pools, "a") if rng.random() < 0.6 else "1 = 1"
+    # right-side predicate only for INNER (a LEFT JOIN + WHERE on the
+    # right side silently becomes inner — generate what we mean)
+    pr = (
+        gen_pred(rng, rt, pools, "b")
+        if (jtype == "JOIN" and rng.random() < 0.5)
+        else "1 = 1"
+    )
+    if rng.random() < 0.5:
+        # join → group agg on a key from either side
+        side, qual = rng.choice([(lt, "a"), (rt, "b")])
+        groupable = _cols_of(side, ("int", "cat"), qual)
+        if not groupable:
+            groupable = _cols_of(side, ("key",), qual)
+        gref, _, _ = rng.choice(groupable)
+        aggs = []
+        for i in range(rng.randint(1, 2)):
+            aside, aqual = rng.choice([(lt, "a"), (rt, "b")])
+            aggs.append(gen_agg(rng, aside, f"a{i}", aqual))
+        sql = (
+            f"SELECT {gref} AS g0, {', '.join(aggs)} FROM {lt} a {jtype} {rt} b "
+            f"ON a.{lk} = b.{rk} WHERE {pl} AND {pr} GROUP BY {gref}"
+        )
+    else:
+        # join → projection with both-side columns, keyed by left unique
+        sels = []
+        for i in range(rng.randint(1, 3)):
+            pside, pqual = rng.choice([(lt, "a"), (rt, "b")])
+            sels.append(gen_proj(rng, pside, f"c{i}", pqual))
+        key = ", ".join(f"a.{k} AS rid{j}" for j, k in enumerate(UNIQUE[lt]))
+        sql = (
+            f"SELECT {', '.join(sels)}, {key} FROM {lt} a {jtype} {rt} b "
+            f"ON a.{lk} = b.{rk} WHERE {pl} AND {pr}"
+        )
+    return "join_agg", sql
+
+
+def shape_window(rng, pools):
+    t = rng.choice(["customer", "orders", "lineitem", "part", "events", "documents"])
+    uniq = list(UNIQUE[t])
+    parts = _cols_of(t, ("int", "cat"))
+    pref, _, _ = rng.choice(parts)
+    total_order = ", ".join(uniq)
+    ints = _cols_of(t, ("key", "int"))
+    iref, _, _ = rng.choice(ints)
+    nonuniq = rng.choice(parts)[0]
+    fn = rng.choice(["row_number", "rank", "dense_rank", "lag", "lead", "fsum", "pmin"])
+    if fn == "row_number":
+        w = f"CAST(row_number() OVER (PARTITION BY {pref} ORDER BY {total_order}) AS BIGINT)"
+    elif fn == "rank":
+        w = f"CAST(rank() OVER (PARTITION BY {pref} ORDER BY {nonuniq}) AS BIGINT)"
+    elif fn == "dense_rank":
+        w = f"CAST(dense_rank() OVER (PARTITION BY {pref} ORDER BY {nonuniq}) AS BIGINT)"
+    elif fn == "lag":
+        w = f"lag({iref}, 1) OVER (PARTITION BY {pref} ORDER BY {total_order})"
+    elif fn == "lead":
+        w = f"lead({iref}, 1) OVER (PARTITION BY {pref} ORDER BY {total_order})"
+    elif fn == "fsum":
+        w = (
+            f"CAST(sum({iref}) OVER (PARTITION BY {pref} ORDER BY {total_order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+    else:
+        w = f"min({iref}) OVER (PARTITION BY {pref})"
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    key = ", ".join(f"{k} AS rid{j}" for j, k in enumerate(uniq))
+    return (
+        "window",
+        f"SELECT {key}, {w} AS w0 FROM {t} WHERE {pred}",
+    )
+
+
+def shape_setop(rng, pools):
+    # custkey population from two different tables — same type both sides
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    p1 = gen_pred(rng, "orders", pools)
+    p2 = gen_pred(rng, "customer", pools)
+    a = f"SELECT o_custkey AS c0 FROM orders WHERE {p1}"
+    b = f"SELECT c_custkey AS c0 FROM customer WHERE {p2}"
+    if op == "UNION ALL" :
+        # multiset compare is fine (comparator sorts rows)
+        pass
+    return "setop", f"{a} {op} {b}"
+
+
+def shape_subquery(rng, pools):
+    pick = rng.random()
+    if pick < 0.4:
+        pred = gen_pred(rng, "nation", pools)
+        outer = gen_pred(rng, "customer", pools)
+        sql = (
+            f"SELECT c_custkey AS c0, c_mktsegment AS c1 FROM customer "
+            f"WHERE {outer} AND c_nationkey IN "
+            f"(SELECT n_nationkey FROM nation WHERE {pred})"
+        )
+    elif pick < 0.7:
+        inner = gen_pred(rng, "lineitem", pools, "l")
+        neg = "NOT " if rng.random() < 0.4 else ""
+        sql = (
+            f"SELECT o.o_orderkey AS c0 FROM orders o WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            f"AND {inner})"
+        )
+    else:
+        mm = rng.choice(["min", "max"])
+        sql = (
+            f"SELECT c_custkey AS c0, c_nationkey AS c1 FROM customer "
+            f"WHERE c_acctbal > (SELECT {mm}(s_acctbal) FROM supplier)"
+        )
+    return "subquery", sql
+
+
+def shape_order_limit(rng, pools):
+    t = rng.choice(list(COLS))
+    uniq = list(UNIQUE[t])
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.6 else "1 = 1"
+    desc = " DESC" if rng.random() < 0.5 else ""
+    order = ", ".join(f"{k}{desc}" for k in uniq)
+    n = rng.randint(1, 25)
+    cols = ", ".join(
+        [f"{k} AS rid{j}" for j, k in enumerate(uniq)]
+        + [gen_proj(rng, t, "c0")]
+    )
+    return (
+        "order_limit",
+        f"SELECT {cols} FROM {t} WHERE {pred} ORDER BY {order} LIMIT {n}",
+    )
+
+
+SHAPES = [
+    (shape_filter_project, 5),
+    (shape_group_agg, 6),
+    (shape_join_agg, 5),
+    (shape_window, 4),
+    (shape_setop, 2),
+    (shape_subquery, 3),
+    (shape_order_limit, 2),
+]
+
+
+def gen_query(rng: random.Random, pools) -> tuple[str, str]:
+    fns = [f for f, w in SHAPES for _ in range(w)]
+    return rng.choice(fns)(rng, pools)
+
+
+# ---------------------------------------------------------------------------
+# Exact compare (verify_oracle discipline + int/float dtype alignment)
+# ---------------------------------------------------------------------------
+
+
+def _norm(df: pd.DataFrame, float_cols: set) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        out = []
+        for col, v in zip(df.columns, tup):
+            if v is None or v is pd.NA or (
+                isinstance(v, float) and math.isnan(v)
+            ):
+                out.append(None)
+                continue
+            if hasattr(v, "item"):
+                try:
+                    v = v.item()
+                except Exception:
+                    pass
+            # nullable-int columns come back float64 on ONE side when
+            # that side has any null — align numerics to float when
+            # either side's column is floaty
+            if col in float_cols and isinstance(v, int) and not isinstance(v, bool):
+                v = float(v)
+            out.append(v)
+        rows.append(tuple(out))
+    rows.sort(key=repr)
+    return rows
+
+
+def compare(s_df: pd.DataFrame, d_df: pd.DataFrame) -> str | None:
+    s_cols, d_cols = sorted(s_df.columns), sorted(d_df.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
+        return f"schema: spark={s_cols} duckdb={d_cols}"
+    s_df.columns = [c.lower() for c in s_df.columns]
+    d_df.columns = [c.lower() for c in d_df.columns]
+    if len(s_df) != len(d_df):
+        return f"rows: spark={len(s_df)} duckdb={len(d_df)}"
+    floaty = set()
+    for c in s_df.columns:
+        for df in (s_df, d_df):
+            if str(df[c].dtype).startswith("float"):
+                floaty.add(c)
+    a, b = _norm(s_df, floaty), _norm(d_df, floaty)
+    if a != b:
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x != y:
+                return f"values differ at sorted row {i}: spark={x!r} duckdb={y!r}"
+        return "values differ (row multiset)"
+    return None
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 240
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7001
+
+    from strava_etl_public_spark.session import get_spark, ensure_harness_conf
+
+    spark = get_spark(cpus=8)
+    ensure_harness_conf(spark)
+    con = duckdb.connect()
+    for t in COLS:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    pools = build_pools(con)
+    failures: list[dict] = []
+    counts: dict[str, int] = {}
+    for i in range(n_queries):
+        rng = random.Random(f"{seed}:{i}")
+        shape, sql = gen_query(rng, pools)
+        counts[shape] = counts.get(shape, 0) + 1
+        tag = f"[{i:03d} {shape}]"
+        try:
+            d_df = con.execute(sql).df()
+            if len(d_df) > MAX_ROWS:
+                failures.append({"i": i, "shape": shape, "sql": sql,
+                                 "err": f"oracle produced {len(d_df)} rows (> cap)"})
+                print(f"FAIL {tag} row-cap", flush=True)
+                continue
+            s_df = spark.sql(sql).toPandas()
+        except Exception as e:  # noqa: BLE001 — a dialect crash IS a finding
+            failures.append({"i": i, "shape": shape, "sql": sql,
+                             "err": f"{type(e).__name__}: {e}"})
+            print(f"FAIL {tag} error: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        diff = compare(s_df, d_df)
+        if diff:
+            failures.append({"i": i, "shape": shape, "sql": sql, "err": diff})
+            print(f"FAIL {tag} {diff}\n  SQL: {sql}", flush=True)
+        elif i % 40 == 0:
+            print(f"ok   {tag} {len(d_df)} rows", flush=True)
+
+    print(f"\nshapes: {counts}")
+    if failures:
+        with open("FUZZ_FAILURES.json", "w") as f:
+            json.dump({"seed": seed, "sf_dir": sf_dir, "failures": failures}, f, indent=1)
+        print(f"{n_queries - len(failures)}/{n_queries} match; "
+              f"{len(failures)} MISMATCHES → FUZZ_FAILURES.json")
+        return 1
+    print(f"{n_queries}/{n_queries} random queries match exactly (seed {seed})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

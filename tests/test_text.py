@@ -637,6 +637,48 @@ def test_bpe_train_partition_invariant_and_apply(spark):
         assert enc.loc[i, "n_words"] == len(ws)
 
 
+def test_bpe_batched_identical_to_sequential(spark, sf_dir):
+    """The batched trainer (top-k non-interacting merges per round,
+    r7) must produce the IDENTICAL merge sequence as the strictly
+    sequential schedule (batch_k=1) on a real corpus — the whole
+    point of _bpe_batch_prefix's proof obligations."""
+    from strava_etl_public_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m_seq, _ = bpe_train(docs, "text", num_merges=15, batch_k=1)
+    m_bat, _ = bpe_train(docs, "text", num_merges=15, batch_k=16)
+    assert m_bat == m_seq
+    assert len(m_bat) == 15
+
+
+def test_bpe_batch_prefix_guards():
+    """Unit cases for the batch-acceptance proof conditions."""
+    from strava_etl_public_spark.operators.text import _bpe_batch_prefix
+
+    # disjoint pairs with distinct counts: all accepted
+    rows = [("a", "b", 10), ("c", "d", 8), ("e", "f", 6)]
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows
+    # symbol overlap stops the batch (b reused)
+    rows = [("a", "b", 10), ("b", "c", 8), ("e", "f", 6)]
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows[:1]
+    # concatenated new symbol collides with a later pair's symbol
+    rows = [("a", "b", 10), ("ab", "c", 8)]
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows[:1]
+    # a visible neighbor pair touching an accepted symbol with count
+    # >= candidate's can spawn a new-symbol pair that overtakes it
+    rows = [("a", "b", 10), ("b", "x", 9), ("c", "d", 8)]
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows[:1]
+    # full table: a candidate tying the K-th count may lose to an
+    # unseen pair on the lexicographic tie-break → stop
+    rows = [("a", "b", 10), ("c", "d", 6), ("e", "f", 6)]
+    assert _bpe_batch_prefix(rows, True, 99, 2) == rows[:1]
+    # same counts, table NOT full → no unseen pairs → accepted
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows
+    # budget and min_pair_count respected
+    assert _bpe_batch_prefix(rows, False, 2, 2) == rows[:2]
+    assert _bpe_batch_prefix([("a", "b", 1)], False, 9, 2) == []
+
+
 def test_nb_classifier_separable_corpus(spark):
     import pandas as pd
 

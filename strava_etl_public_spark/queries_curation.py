@@ -1,0 +1,1228 @@
+"""Curation: domain mixing, row IDs, boilerplate, BPE, exact joins, PSI.
+
+Split from the former single-file queries_ext.py (round 7, verdict
+#7): registrations, names, and oracle SQL are unchanged — the
+aggregator queries_ext.py imports the family modules in the original
+registration order. Shared oracle fragments live in queries_common.
+"""
+
+from __future__ import annotations
+
+import uuid  # noqa: F401  (shared header across family modules)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .functions import epoch as ep  # noqa: F401
+from .io import load  # noqa: F401
+from .session import ensure_harness_conf  # noqa: F401
+from .queries import register, register_extra, streams  # noqa: F401
+from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .queries_common import _SH_SQL, _cos_sql, _dot_sql  # noqa: F401
+from .queries_dedup_sim import _CC_CLOSURE_SQL, x_dedup_ngram_jaccard  # noqa: F401
+from .queries_text_mm_stream import _run_stream, _stage_events_dir  # noqa: F401
+from .queries_sketch import x_dedup_decontaminate  # noqa: F401
+from .queries_stats_text import x_hist_value  # noqa: F401
+from .queries_rel_graph import x_snapshot_diff  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sample_domain_mix",
+    oracle="""
+WITH c AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(wq) AS BIGINT) AS sumwq FROM c),
+th AS (
+  SELECT domain, n,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor(
+                 (CAST(CAST(floor(0.5 * CAST(ntot AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                  * CAST(wq AS DOUBLE))
+                 / (CAST(sumwq AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS keep_thr
+  FROM c, t
+)
+SELECT th.domain, th.n AS n_total, th.keep_thr,
+       CAST(sum(CASE WHEN CAST(concat('0x', substr(
+                md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+                AS BIGINT) % 1000000 < th.keep_thr
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN th ON d.source = th.domain
+GROUP BY th.domain, th.n, th.keep_thr
+""",
+)
+def x_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mixing of the documents corpus across
+    sources at a 50% overall budget: rare sources keep a larger
+    fraction than their natural share (the LLaMA/Pile flattening
+    move), realized as a P-row mixture manifest (auditable model
+    state) broadcast onto a pure hash filter. The whole mixture —
+    thresholds AND the kept set — is a deterministic function of the
+    per-source counts, which is what makes ablations reproducible;
+    the oracle recomputes both from scratch."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    plan = sketch.domain_mix_plan(docs, "source", budget_frac=0.5, alpha=0.5)
+    kept = sketch.sample_domain_mix(
+        docs, "doc_id", "source", budget_frac=0.5, alpha=0.5, plan=plan
+    )
+    kc = kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    # left join: a domain whose threshold rounds to 0 keeps 0 rows
+    return plan.join(kc, "domain", "left").select(
+        "domain",
+        "n_total",
+        "keep_thr",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous global row IDs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_global_row_ids",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+r AS (
+  SELECT event_id, es,
+         row_number() OVER (ORDER BY es, event_id) AS row_id
+  FROM e
+)
+SELECT event_id, es, CAST(row_id AS BIGINT) AS row_id
+FROM r WHERE event_id % 97 = 0
+""",
+)
+def x_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering of all events in (time,
+    event_id) order — WITHOUT the Exchange SinglePartition that a bare
+    row_number() OVER (ORDER BY …) plans (the whole corpus through one
+    task; pytest pins both plans). Range partitioning + per-partition
+    offsets reproduce the exact same numbering distributed; the oracle
+    IS the naive global window. The stable dense id every downstream
+    tokenize/pack/shard step wants."""
+    ensure_harness_conf(spark)
+    from .operators.layout import assign_global_ids
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select("event_id", ep.epoch_s(ev).alias("es"))
+    ids = assign_global_ids(e, ["es", "event_id"], num_partitions=8)
+    return ids.filter(F.col("event_id") % 97 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_boilerplate",
+    oracle="""
+WITH l AS (
+  SELECT doc_id, t.i AS pos,
+         CASE t.i WHEN 1 THEN 'nav: home | about | contact'
+                  WHEN 2 THEN 'source: ' || source
+                  WHEN 3 THEN text
+                  ELSE 'copyright ' || source END AS line
+  FROM documents, unnest([1, 2, 3, 4]) AS t(i)
+),
+n AS (SELECT doc_id, pos, line, trim(line) AS norm FROM l),
+bp AS (
+  SELECT md5(norm) AS lh FROM (SELECT DISTINCT doc_id, norm FROM n WHERE norm != '')
+  GROUP BY md5(norm) HAVING count(*) >= 5
+),
+f AS (
+  SELECT n.doc_id, n.pos, n.line,
+         (bp.lh IS NULL AND n.norm != '') AS keep
+  FROM n LEFT JOIN bp ON md5(n.norm) = bp.lh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+         AS clean_md5
+FROM f GROUP BY doc_id
+""",
+)
+def x_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal over a derived 4-line corpus
+    (global nav header + per-source banner + real content + per-source
+    footer — the repeated-fragment shape real crawls have): any line
+    whose normalized form appears in ≥5 distinct documents is dropped
+    corpus-wide, so the banners vanish and content survives — EXCEPT
+    content that is itself duplicated ≥5× (the planted exact-dup
+    groups), which line-level dedup correctly catches too. Output
+    compares the reassembled text by md5 so the oracle still proves
+    byte-exact reassembly without shipping full texts."""
+    ensure_harness_conf(spark)
+    from .operators.text import boilerplate_filter
+
+    d = load(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("nav: home | about | contact"),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("copyright "), F.col("source")),
+        ).alias("mtext"),
+    )
+    out = boilerplate_filter(multi, "doc_id", "mtext", min_df=5, sep="\n")
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span fraction
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_dup_spans",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 15)) AS BIGINT) AS sh
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+dfq AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+  GROUP BY sh HAVING count(*) > 1
+),
+j AS (
+  SELECT sp.doc_id, CASE WHEN dfq.sh IS NULL THEN 0 ELSE 1 END AS dup
+  FROM sp LEFT JOIN dfq ON sp.sh = dfq.sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM j GROUP BY doc_id
+""",
+)
+def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction (Lee et al. 2022 signal):
+    share of each doc's positional 3-token spans whose shingle occurs
+    in >1 document corpus-wide. Catches stitched/templated documents
+    that whole-document near-dup misses; pairs with x_dedup_* (drop
+    decisions) as a graded keep/down-weight signal. Same 60-bit
+    shingle identity as the dedup family, so the two families compose
+    on one shingle table in fused pipelines."""
+    ensure_harness_conf(spark)
+    from .operators.text import dup_span_stats
+
+    return dup_span_stats(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (rows-only: iterative merge state is not
+# SQL-expressible; pinned instead against a single-process reference
+# implementation in tests/test_text.py)
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_text_bpe_vocab")
+def x_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016):
+    20 merges trained on the documents corpus. The corpus is scanned
+    once into a word-frequency table; every iteration runs over
+    |distinct words| rows with ONE bounded driver action (the argmax
+    pair), so corpus size only affects the first agg. Deterministic
+    merge order (count desc, pair lex asc) — pytest proves the exact
+    sequence equals a single-process reference trainer."""
+    ensure_harness_conf(spark)
+    from .operators.text import bpe_train
+
+    merges, _vocab = bpe_train(
+        load(spark, sf_dir, "documents"), "text", num_merges=20
+    )
+    rows = [
+        (i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    )
+
+
+@register_extra("x_text_bpe_encode")
+def x_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained BPE merge table to every document:
+    per-doc word count, BPE token count, tokens/word. The merge table
+    is bounded driver model state; encoding is one Arrow pass with a
+    per-partition word→length memo. The real token-budget accounting
+    a training pipeline runs after inducing its tokenizer."""
+    ensure_harness_conf(spark)
+    from .operators.text import bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", num_merges=20)
+    return bpe_apply(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k per-group deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sample_fixed_k",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('fixk:', CAST(doc_id AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id FROM r WHERE rk <= 10
+""",
+)
+def x_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per source by deterministic hash order —
+    the fixed-size sampler (inspection/eval carving) next to the
+    fraction-based ones. The per-batch bottom-k prune bounds what the
+    per-group window ever sorts; the oracle is the naive global
+    window the engine never pays in full."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sketch.sample_fixed_k(docs, "doc_id", ["source"], k=10).select(
+        "source", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_hist_equidepth",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_type,
+       CAST((rn - 1) * 8 // n + 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(value) AS lo,
+       max(value) AS hi
+FROM r GROUP BY event_type, (rn - 1) * 8 // n + 1
+""",
+)
+def x_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of `value` per event type —
+    integer-rank bucket assignment (no float quantile drift), one
+    sort family per group plus one hash agg. Depth-balanced
+    boundaries are what an optimizer's statistics or a monitoring
+    dashboard's percentile bands actually want; complements the
+    equi-width x_hist_value row."""
+    ensure_harness_conf(spark)
+    from .operators.stats import equidepth_histogram
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return equidepth_histogram(
+        ev, ["event_type"], "value", q=8, tiebreak_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding class centroids + cluster tightness
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+per AS (
+  SELECT label, dim,
+         sum(CAST(round(x * 1000000, 0) AS HUGEINT)) AS s,
+         count(*) AS c
+  FROM ex GROUP BY label, dim
+),
+comp AS (
+  SELECT label, dim, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 AS cc
+  FROM per
+),
+cent AS (SELECT label, list(cc ORDER BY dim) AS cv FROM comp GROUP BY label),
+j AS (
+  SELECT e.label, e.vec_id,
+         {_cos_sql('e.embedding', 'cent.cv')} AS cos,
+         sqrt({_dot_sql('cent.cv', 'cent.cv')}) AS cn
+  FROM embeddings e JOIN cent ON e.label = cent.label
+),
+q AS (
+  SELECT label, cn, CAST(round(cos * 1000000, 0) AS BIGINT) AS cq FROM j
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(max(cn), 6) AS centroid_norm,
+       round(CAST(sum(cq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+         AS avg_cos,
+       CAST(min(cq) AS DOUBLE) / 1000000.0 AS min_cos,
+       CAST(max(cq) AS DOUBLE) / 1000000.0 AS max_cos
+FROM q GROUP BY label
+""",
+)
+def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids + cluster-tightness report: exact
+    decimal-summed mean vectors (bounded |labels|·dim model state),
+    broadcast back onto the corpus for per-vector cosine-to-centroid,
+    then 6dp-quantized exact averaging. centroid_norm ≪ 1 or low
+    avg_cos flags an incoherent label — the SemDeDup-style health
+    check before semantic curation trusts a clustering. One explode +
+    two hash aggs + one broadcast join."""
+    ensure_harness_conf(spark)
+    from .operators import dedup
+    from .operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label", "embedding")
+    j = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        dedup.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        F.sqrt(dedup.dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
+    )
+    q = j.select(
+        "label", "cn", F.round(F.col("cos") * 1000000, 0).cast("long").alias("cq")
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.max("cn"), 6).alias("centroid_norm"),
+        F.round(
+            F.sum("cq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_cos"),
+        (F.min("cq").cast("double") / F.lit(1000000.0)).alias("min_cos"),
+        (F.max("cq").cast("double") / F.lit(1000000.0)).alias("max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio: REAL WAV decode on the hot path
+# ---------------------------------------------------------------------------
+
+
+def _audio_oracle() -> str:
+    """Closed-form prediction of the REAL WAV decode (wavcodec.
+    deterministic_wav documents the waveform recipe): the oracle
+    regenerates every sample from the sha256 digest bytes and sums the
+    same exact integers — no audio library on the DuckDB side."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             64 + {byte(0)} * 4 AS nf,
+             8000 + {byte(1)} * 125 AS rate,
+             1 + {byte(5)} % 2 AS ch,
+             {byte(2)} * 256 + {byte(3)} AS a,
+             257 + {byte(4)} AS b
+      FROM hh),
+t AS (SELECT doc_id, nf, rate, ch,
+             (a + b * i) % 65536 AS v
+      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) u),
+m AS (SELECT doc_id, nf, rate, ch,
+             max(greatest(abs(v - 32768),
+                          CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END)) AS peak,
+             sum(abs(v - 32768)
+                 + CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END) AS sum_abs,
+             sum(CAST((v - 32768) AS BIGINT) * (v - 32768)
+                 + CASE WHEN ch = 2
+                        THEN CAST((32767 - v) AS BIGINT) * (32767 - v)
+                        ELSE 0 END) AS sum_sq
+      FROM t GROUP BY doc_id, nf, rate, ch)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(peak AS BIGINT) AS peak,
+       round(CAST(sum_abs AS DOUBLE) / CAST(nf * ch AS DOUBLE), 6) AS mean_abs,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(nf * ch AS DOUBLE)), 6) AS rms
+FROM m
+"""
+
+
+@register_extra("x_mm_audio_stats", oracle=_audio_oracle())
+def x_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio decode stage with a REAL codec on the hot path:
+    synthesize a deterministic PCM16 WAV per document (executor-side),
+    then parse the RIFF chunk structure, unpack interleaved frames and
+    reduce to waveform features with the pure-stdlib decoder
+    (wavcodec.decode_stats). Second real modality next to the PNG
+    image path — the oracle regenerates every sample from the digest
+    recipe, so any decoder bug (chunk offsets, endianness, interleave)
+    breaks the hash match."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.attach_wav(docs, "doc_id", "text")
+    return multimodal.decode_audio(wav, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering, completeness-guaranteed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_jaccard_exact",
+    oracle=f"""
+WITH {_SH_SQL},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT id1, id2, i, sa.s AS s1, sb.s AS s2
+  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+)
+SELECT id1, id2,
+       CAST(i AS BIGINT) AS inter_size,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2,
+       round(CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE), 6) AS jaccard
+FROM j WHERE i * 2 >= (s1 + s2 - i) * 1
+""",
+)
+def x_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT τ=1/2 shingle-resemblance join over the whole corpus via
+    prefix filtering (Bayardo WWW'07): provably finds every qualifying
+    pair — the completeness guarantee `x_dedup_ngram_jaccard`'s rare-
+    shingle blocking trades away — while joining only signature-prefix
+    elements, never all pairs. Integer cross-multiplied threshold, so
+    the result SET is exact; the oracle is the naive all-pairs join
+    the engine never executes."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import doc_shingles, jaccard_join_prefix
+
+    sh = doc_shingles(load(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "shingle"
+    )
+    return jaccard_join_prefix(sh, "doc_id", "shingle", tau_num=1, tau_den=2)
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination audit (hash_split ∘ shingle overlap)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_split_contamination",
+    oracle=f"""
+WITH {_SH_SQL},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+              < 900000 THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+tsh AS (
+  SELECT DISTINCT sh.shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+  WHERE sp.split = 'train'
+),
+v AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+  WHERE sp.split = 'val'
+),
+h AS (
+  SELECT v.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN t.shingle IS NULL THEN 0 ELSE 1 END) AS n_hit
+  FROM v LEFT JOIN tsh t ON v.shingle = t.shingle
+  GROUP BY v.doc_id
+)
+SELECT doc_id,
+       CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_train_hits,
+       round(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS contamination
+FROM h
+""",
+)
+def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit as a composition of existing faces:
+    deterministic 90/10 hash split, then every val document scored by
+    the fraction of its distinct 3-token shingles that also appear
+    ANYWHERE in the train split. Unlike x_dedup_decontaminate (tiny
+    benchmark set → broadcast), both sides here are corpus-scale, so
+    the overlap is a plain long-key equi-join against the distinct
+    train-shingle table — the shape that survives when the "benchmark"
+    is 90% of 100 TB. High contamination on a val doc means the split
+    is leaking (near-dups straddling the boundary) and eval numbers
+    are inflated."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+    from .operators.dedup import doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    split = sketch.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    sh = doc_shingles(docs, "doc_id", "text").select("doc_id", "shingle")
+    sh = sh.join(split.select("doc_id", "split"), "doc_id")
+    tsh = (
+        sh.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    v = sh.filter(F.col("split") == "val").select("doc_id", "shingle")
+    j = v.join(tsh, "shingle", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_train_hits"),
+        F.round(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_users_oracle(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    def h(term: str, row: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5('cms' || {row} || ':' || {term}), 1, 15)) "
+            f"AS BIGINT) % {w}"
+        )
+
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_true FROM ev GROUP BY term),
+top AS (
+  SELECT term, n_true
+  FROM (SELECT term, n_true,
+               row_number() OVER (ORDER BY n_true DESC, CAST(term AS BIGINT)) AS rn
+        FROM exact)
+  WHERE rn <= {k}
+),
+rows_ AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
+cms AS (
+  SELECT r.i AS r, {h('term', 'r.i')} AS c, CAST(count(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN rows_ r
+  GROUP BY 1, 2
+)
+SELECT CAST(t.term AS BIGINT) AS user_id, t.n_true,
+       CAST(min(m.n) AS BIGINT) AS cms_count
+FROM top t CROSS JOIN rows_ r
+JOIN cms m ON m.r = r.i AND m.c = {h('t.term', 'r.i')}
+GROUP BY t.term, t.n_true
+"""
+
+
+@register_extra("x_stream_cms_users", oracle=_cms_users_oracle())
+def x_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY THE STREAM: the d×w cell
+    table is the streaming aggregation's state (cells are SUMS —
+    order-free and micro-batch-slicing-invariant, the same mergeable-
+    state argument as the streaming HLL), heavy-hitter lookups happen
+    at read time against the final cell table (the sketch-serving
+    split). Estimates equal the batch sketch bit-for-bit under the
+    same oracle; at 100 TB/day this is the bounded-memory way to track
+    hot keys on an unbounded stream."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .operators import sketch
+    from .operators.sketch import _cms_cells
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        cells = (
+            stream.select(F.explode(_cms_cells("user_id", 4, 1024)).alias("_e"))
+            .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        cms = _run_stream(spark, cells, "complete")
+        ev = load(spark, sf_dir, "events")
+        exact = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")
+        )
+        wr = W.orderBy(F.col("n_true").desc(), "user_id")
+        top = (
+            exact.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 20)
+            .select(F.col("user_id").cast("string").alias("user_id"), "n_true")
+        )
+        est = sketch.cms_lookup(cms, top, "user_id", d=4, w=1024)
+        return (
+            top.join(est, "user_id")
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                "n_true",
+                "cms_count",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest (global prefix sum without the SinglePartition funnel)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_shard_manifest",
+    oracle="""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS st
+  FROM documents
+)
+SELECT CAST(st // 20000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM o GROUP BY st // 20000
+""",
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous fixed-budget sharding of the corpus in doc_id order
+    (20k chars per shard): shard = exclusive-global-prefix-sum(size)
+    div budget, computed WITHOUT the Exchange SinglePartition a bare
+    running-total window plans — frozen quantile bins + per-bin
+    totals + per-bin windows (layout.global_prefix_sum, the
+    generalization of the global-ids recipe). The manifest (count,
+    bytes, id range per shard) is what a training job's data loader
+    actually consumes; the oracle IS the naive global window."""
+    ensure_harness_conf(spark)
+    from .operators.layout import shard_manifest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = shard_manifest(docs, ["doc_id"], "n_chars", budget=20000)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_interval_join_overlap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+act AS (
+  SELECT user_id, es // 86400 AS day,
+         min(es) AS a_lo, max(es) AS a_hi
+  FROM e GROUP BY user_id, es // 86400
+),
+err AS (
+  SELECT (es // 3600) * 3600 AS w_lo, (es // 3600) * 3600 + 3599 AS w_hi
+  FROM e WHERE event_type = 'error' GROUP BY es // 3600
+)
+SELECT act.user_id, CAST(act.day AS BIGINT) AS day,
+       err.w_lo,
+       CAST(least(act.a_hi, err.w_hi) - greatest(act.a_lo, err.w_lo) + 1
+            AS BIGINT) AS overlap_secs
+FROM act JOIN err ON act.a_lo <= err.w_hi AND err.w_lo <= act.a_hi
+""",
+)
+def x_interval_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user-day activity spans overlap an error-hour window —
+    interval×interval overlap via double binning with the
+    reference-bin trick (each overlapping pair counted exactly once in
+    the later-starting interval's first bin; no dedup shuffle). The
+    naive overlap join is BroadcastNestedLoopJoin; the oracle runs
+    exactly that, the engine never does."""
+    ensure_harness_conf(spark)
+    from .operators.rangejoin import interval_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ep.epoch_s(ev).alias("es")
+    )
+    act = e.groupBy(
+        "user_id", (F.col("es") / 86400).cast("long").alias("day")
+    ).agg(F.min("es").alias("a_lo"), F.max("es").alias("a_hi"))
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(((F.col("es") / 3600).cast("long") * 3600).alias("w_lo"))
+        .agg(F.first(F.lit(1)).alias("_x"))
+        .select("w_lo", (F.col("w_lo") + 3599).alias("w_hi"))
+    )
+    j = interval_join_binned(
+        act, err, "a_lo", "a_hi", "w_lo", "w_hi", bin_size=43200
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "w_lo",
+        (
+            F.least("a_hi", "w_hi") - F.greatest("a_lo", "w_lo") + 1
+        ).cast("long").alias("overlap_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sketch_quantile_hist",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (
+  SELECT event_type, min(v) AS mn, max(v) AS mx,
+         CAST(count(*) AS BIGINT) AS total
+  FROM e GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE least(CAST(floor((e.v - mm.mn) * 256 / (mm.mx - mm.mn))
+                              AS BIGINT), 255) END AS bin,
+         mm.mn, mm.mx, mm.total
+  FROM e JOIN mm ON e.event_type = mm.event_type
+),
+h AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+         min(mn) AS mn, min(mx) AS mx, min(total) AS total
+  FROM b GROUP BY event_type, bin
+),
+c AS (
+  SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM h
+),
+q(qn, qd) AS (VALUES (1, 2), (9, 10), (99, 100)),
+r AS (
+  SELECT c.*, q.qn, q.qd, (total * qn + qd - 1) // qd AS rk FROM c, q
+),
+hit AS (
+  SELECT * FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY event_type, qn, qd
+                                   ORDER BY bin) AS rn
+    FROM r WHERE cum >= rk
+  ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(qn AS INTEGER) AS q_num,
+       CAST(qd AS INTEGER) AS q_den,
+       round(mn + (CAST(bin AS DOUBLE)
+                   + CAST(rk - (cum - n) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ((mx - mn) / 256.0), 6) + 0.0 AS estimate,
+       total AS n
+FROM hit
+""",
+)
+def x_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of `value` per event type from a 256-bin mergeable
+    histogram sketch (counts ADD across partitions/days — the
+    distributed-merge property t-digest gets only by giving up
+    insertion-order determinism, which would break cross-engine
+    exactness). Two hash aggs build; the estimate walks ≤256
+    sketch rows per group. Error ≤ one bin width (pytest quantifies it
+    against exact rank quantiles); the ESTIMATE itself is
+    deterministic to the bit — same recipe as the HLL/CMS rows."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = sketch.quantile_hist_build(ev, "value", ["event_type"], bins=256)
+    return sketch.quantile_hist_estimate(
+        sk, [(1, 2), (9, 10), (99, 100)], ["event_type"], bins=256
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution pipeline: exact similarity join → canonical clusters
+# ---------------------------------------------------------------------------
+
+
+def _entity_resolution_oracle() -> str:
+    """Exact τ=1/2 resemblance pairs (naive all-pairs — the plan the
+    engine never runs) fed into the recursive-closure twin of
+    min-label propagation: the full entity-resolution answer computed
+    two structurally different ways end-to-end."""
+    return f"""
+WITH RECURSIVE {_SH_SQL},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1 AS doc_a, id2 AS doc_b
+  FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+  WHERE i * 2 >= (sa.s + sb.s - i) * 1
+),{_CC_CLOSURE_SQL}
+SELECT cc.doc_id, cc.rep_id, CAST(sz2.n AS BIGINT) AS cluster_size
+FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz2
+  USING (rep_id)
+"""
+
+
+@register_extra("x_pipeline_entity_resolution", oracle=_entity_resolution_oracle())
+def x_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end with EXACT pair semantics: the
+    prefix-filtered τ=1/2 resemblance join (provably complete — no
+    LSH misses) feeds min-label-propagation connected components, so
+    the cluster map is the true transitive closure of "resembles at
+    τ", not an approximation of it. This is the dedup decision a
+    curation pipeline can defend row-by-row: the oracle recomputes
+    pairs naively AND the closure recursively. Composition of two
+    already-verified faces — the point is that they compose on one
+    shingle table without re-scanning the corpus."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import doc_shingles, duplicate_clusters, jaccard_join_prefix
+
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text").select("doc_id", "shingle")
+    pairs = jaccard_join_prefix(sh, "doc_id", "shingle", tau_num=1, tau_den=2).select(
+        F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b")
+    )
+    return duplicate_clusters(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between snapshots
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_drift_psi",
+    oracle="""
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (
+  SELECT event_type, min(v) AS mn, max(v) AS mx FROM e GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type, e.event_id % 2 AS snap,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE least(CAST(floor((e.v - mm.mn) * 10 / (mm.mx - mm.mn))
+                              AS BIGINT), 9) END AS bin
+  FROM e JOIN mm ON e.event_type = mm.event_type
+),
+grid AS (
+  SELECT DISTINCT event_type, u.b AS bin
+  FROM mm, unnest(generate_series(0, 9)) AS u(b)
+),
+cnt AS (
+  SELECT g.event_type, g.bin,
+         CAST(coalesce(sum(CASE WHEN b.snap = 0 THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN b.snap = 1 THEN 1 END), 0) AS BIGINT) AS n2
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY g.event_type, g.bin
+),
+tot AS (
+  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2 FROM cnt GROUP BY event_type
+),
+term AS (
+  SELECT c.event_type,
+         (CAST(c.n1 + 1 AS DOUBLE) / CAST(t.t1 + 10 AS DOUBLE)
+          - CAST(c.n2 + 1 AS DOUBLE) / CAST(t.t2 + 10 AS DOUBLE))
+         * round(ln(CAST((c.n1 + 1) * (t.t2 + 10) AS DOUBLE)
+                    / CAST((c.n2 + 1) * (t.t1 + 10) AS DOUBLE)), 6) AS trm
+  FROM cnt c JOIN tot t ON c.event_type = t.event_type
+),
+q AS (
+  SELECT event_type, CAST(round(trm * 1000000, 0) AS BIGINT) AS tq FROM term
+)
+SELECT event_type,
+       round(CAST(sum(tq) AS DOUBLE) / 1000000.0, 6) AS psi
+FROM q GROUP BY event_type
+""",
+)
+def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two event snapshots (even vs
+    odd event ids — the deterministic stand-in for last-week vs
+    this-week): 10 shared equi-width bins per event type, Laplace
+    smoothing so empty bins don't blow up the log, PSI = Σ(p−q)·ln(p/q)
+    with each ln taken over a RATIO OF EXACT INTEGERS and 6dp-rounded
+    (the bigram-LM recipe), per-bin terms quantized before the sum so
+    summation order can't move a bit. PSI > 0.2 is the standard
+    retrain/investigate alarm — the monitoring face of the profiler
+    and histogram rows. Three hash aggs, one broadcast of the P-row
+    bin-edge table."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v")
+    )
+    mm = e.groupBy("event_type").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    j = e.join(F.broadcast(mm), "event_type")
+    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))).cast(
+                "long"
+            ),
+            F.lit(9).cast("long"),
+        )
+    )
+    b = j.select(
+        "event_type", (F.col("event_id") % 2).alias("snap"), bin_col.alias("bin")
+    )
+    grid = mm.select("event_type").crossJoin(
+        spark.range(10).select(F.col("id").alias("bin"))
+    )
+    # aggregate the corpus FIRST, then left-join the tiny grid onto the
+    # tiny counts — joining grid⋈corpus forces a SortMergeJoin because a
+    # left join cannot broadcast its preserved side (plan-audit finding)
+    raw = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("_c2"),
+    )
+    cnt = (
+        grid.join(F.broadcast(raw), ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("_c1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("_c2", F.lit(0)).cast("long").alias("n2"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    c = cnt.join(tot, "event_type")
+    p = (F.col("n1") + 1).cast("double") / (F.col("t1") + 10).cast("double")
+    q = (F.col("n2") + 1).cast("double") / (F.col("t2") + 10).cast("double")
+    lnr = F.round(
+        F.log(
+            ((F.col("n1") + 1) * (F.col("t2") + 10)).cast("double")
+            / ((F.col("n2") + 1) * (F.col("t1") + 10)).cast("double")
+        ),
+        6,
+    )
+    term = c.select(
+        "event_type",
+        F.round((p - q) * lnr * 1000000, 0).cast("long").alias("tq"),
+    )
+    return term.groupBy("event_type").agg(
+        F.round(F.sum("tq").cast("double") / F.lit(1000000.0), 6).alias("psi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (market-basket co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_graph_triangles",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+""",
+)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the market-basket co-purchase
+    graph (parts co-occurring in an order are linked): computed with
+    degree-ordered orientation so hub out-degrees stay O(√m) and the
+    wedge join can't explode on hot parts — the oracle verifies the
+    identical result via the naive id-ordered chain join the engine
+    avoids. The community-density complement of PageRank (importance)
+    and connected components (identity)."""
+    ensure_harness_conf(spark)
+    from .operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # no .distinct() here: triangle_counts canonicalizes + dedupes
+    # internally, and a driver-side distinct would shuffle the largest
+    # intermediate twice (code-review finding)
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (Arrow outer-product partials)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_covariance",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+m AS (SELECT i, sum(CAST(q AS HUGEINT)) AS si, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
+              - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
+                * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
+             / 1000000000000.0, 6) + 0.0 AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+""",
+)
+def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64×64 covariance of the embedding corpus via Arrow
+    outer-product partials: each batch ships ONE d×d cell block
+    (data motion independent of row count — the naive pair explode
+    the oracle runs ships n·d² rows), cells sum exactly in
+    DECIMAL(38,0), and the finish is fixed-order double math. The
+    statistic PCA/whitening and the covariance-shift drift monitors
+    start from; pairs with x_embed_centroids (first moment) as the
+    second-moment face."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import covariance_matrix
+
+    return covariance_matrix(load(spark, sf_dir, "embeddings"), "embedding")
+
+
+# ---------------------------------------------------------------------------
+# General MERGE INTO
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_merge_into",
+    oracle="""
+WITH tgt AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events WHERE event_id % 5 != 0 AND user_id % 11 != 3
+  GROUP BY user_id
+),
+src AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events WHERE user_id % 7 != 2 AND user_id % 3 = 0
+  GROUP BY user_id
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.n_events ELSE t.n_events END
+         AS n_events,
+       CASE WHEN s.user_id IS NOT NULL THEN s.sum_q ELSE t.sum_q END AS sum_q
+FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+WHERE NOT (s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+           AND s.n_events % 7 = 0)
+""",
+)
+def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as one relational expression: a per-user
+    rollup target merged with a CDC-ish source batch — matched rows
+    update (or DELETE when the source says the 7-multiple condition
+    holds), unmatched source rows insert, unmatched target rows pass
+    through — all three action arms as CASEs over ONE NULL-safe
+    full-outer join. The general superset of the LWW upsert row and
+    the forward application of x_snapshot_diff."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import merge_into
+
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast(d38))
+            .cast("long")
+            .alias("sum_q"),
+        )
+
+    tgt = snap(ev.filter((F.col("event_id") % 5 != 0) & (F.col("user_id") % 11 != 3)))
+    src = snap(ev.filter((F.col("user_id") % 7 != 2) & (F.col("user_id") % 3 == 0)))
+    return merge_into(
+        tgt, src, "user_id", delete_cond=F.col("_s_n_events") % 7 == 0
+    )
+
+

@@ -1,0 +1,950 @@
+"""Deduplication, similarity search (ANN), fused activity pipeline.
+
+Split from the former single-file queries_ext.py (round 7, verdict
+#7): registrations, names, and oracle SQL are unchanged — the
+aggregator queries_ext.py imports the family modules in the original
+registration order. Shared oracle fragments live in queries_common.
+"""
+
+from __future__ import annotations
+
+import uuid  # noqa: F401  (shared header across family modules)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .functions import epoch as ep  # noqa: F401
+from .io import load  # noqa: F401
+from .session import ensure_harness_conf  # noqa: F401
+from .queries import register, register_extra, streams  # noqa: F401
+from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .queries_common import _SH_SQL, _cos_sql  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (keep smallest id). The corpus is
+    documents ∪ a re-keyed 1/7 sample — the re-crawled-corpus shape, so
+    real duplicate groups exist. One hash-agg shuffle; at 100 TB the
+    map-side partial agg collapses per-partition copies first."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dedup.dedup_exact(docs.unionByName(recrawl), "doc_id", "text")
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = k // bands
+    sig_cols = ",\n         ".join(
+        f"min(shingle + {j} * sh2) AS mh{j}" for j in range(k)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN concat_ws('_', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SH_SQL},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_idx, CASE band_idx {band_cases} END AS h
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+@register("x_dedup_minhash_lsh", oracle=_minhash_oracle())
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→exact-Jaccard near-dup (shingle n=3, k=8 perms,
+    4 bands). Pairwise work only within band buckets — never O(n²)
+    across the corpus."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+
+
+#: Recursive-closure fragment shared by every connected-components
+#: oracle (clusters / entity resolution / keep-list): expects a
+#: ``pairs(doc_a, doc_b)`` CTE in scope and yields ``cc(doc_id,
+#: rep_id)`` — ONE definition so a change to the closure cannot drift
+#: between oracles (code-review finding).
+_CC_CLOSURE_SQL = """
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS rep_id FROM reach GROUP BY id)"""
+
+
+def _clusters_oracle() -> str:
+    """Recursive-closure twin of dedup.duplicate_clusters over the
+    minhash near-dup pair set: enumerate every label reachable from
+    each node through the (bidirectional) edge set, keep the min —
+    the same fixed point min-label propagation converges to, computed
+    a structurally different way (closure vs iteration), so the two
+    engines cross-check the COMPONENT STRUCTURE, not just each other's
+    arithmetic."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL}
+SELECT cc.doc_id, cc.rep_id, CAST(sz.n AS BIGINT) AS cluster_size
+FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz
+  USING (rep_id)
+"""
+
+
+@register("x_dedup_clusters", oracle=_clusters_oracle())
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over
+    the MinHash-LSH near-dup pairs via deterministic min-label
+    propagation — every doc maps to the smallest doc id in its
+    component plus the cluster size, i.e. the "keep one per cluster"
+    step a training pipeline applies after pairwise dedup. The fixed
+    point is a pure function of the edge set (engine/partitioning
+    independent); the oracle recomputes it as a recursive closure.
+    Scale: per round one edge⋈label join + one min-agg (both keyed on
+    doc id), state = one row per node, rounds = component diameter
+    (shallow for dup chains; fixture ≤3), loud failure past the cap."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    return dedup.duplicate_clusters(pairs, "doc_a", "doc_b")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM((CAST(floor({nib(j // 4 + 1)} / {2 ** (j % 4)}) AS INTEGER) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@register_extra("x_dedup_simhash", oracle=_simhash_oracle())
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over the distinct token set — docs
+    sharing a fingerprint are hamming-0 near-dup candidates. Superseded
+    in the driver registry by x_dedup_simhash_neardup (radius search);
+    kept here as the fingerprint-layer check."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_neardup_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    votes = ",\n         ".join(
+        f"SUM((CAST(floor({nib(j // 4 + 1)} / {2 ** (j % 4)}) AS INTEGER) % 2) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS band_idx, "
+        f"(simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1} AS hh FROM s"
+        for c in range(chunks)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM corpus
+),
+hh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v),
+b AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.simhash AS sa, x.simhash AS sb
+  FROM b a JOIN b x ON a.band_idx = x.band_idx AND a.hh = x.hh
+  WHERE a.doc_id < x.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("x_dedup_simhash_neardup", oracle=_simhash_neardup_oracle())
+def x_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash radius search: all pairs within hamming distance 3 of a
+    60-bit fingerprint, over the recrawl-shaped corpus (documents ∪
+    re-keyed 1/7 sample, so exact-dup pairs exist at hamming 0).
+    Pigeonhole blocking — four 15-bit chunks, equi-join on any exact
+    chunk match — bounds candidates by chunk-bucket occupancy (with the
+    LSH star guard for hot buckets); verification is one integer
+    popcount per candidate. Never an all-pairs scan."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dedup.simhash_near_dup(
+        docs.unionByName(recrawl), "doc_id", "text", bits=60, max_hamming=3
+    )
+
+
+def _ngram_oracle(max_df: int = 10, threshold: float = 0.3) -> str:
+    return f"""
+WITH {_SH_SQL},
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {max_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+@register("x_dedup_ngram_jaccard", oracle=_ngram_oracle())
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with rare-shingle blocking (df<=10) —
+    the candidate set is bounded by shingle document-frequency, not
+    corpus size."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_df=10, threshold=0.3)
+
+
+def _containment_oracle(max_df: int = 10, threshold: float = 0.8) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, greatest(length(text) // 2, 20)) AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM corpus),
+shs AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS m
+  FROM tk
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS shingle
+  FROM shs
+),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE df <= {max_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) >= {threshold}
+"""
+
+
+@register_extra("x_dedup_containment", oracle=_containment_oracle())
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (subset) near-dup over an excerpt-planted corpus:
+    every 5th document contributes a re-keyed half-length excerpt, the
+    exact shape (quotes, syndication, wrapped copies) whose Jaccard is
+    too low to trip the resemblance threshold but whose containment is
+    ~1.0. Rare-shingle blocking bounds the candidate set; the verify
+    fraction is one exact int/int division (engine-portable with no
+    rounding)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substr(text, 1, greatest(length(text) div 2, 20))").alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, max_df=10, threshold=0.8
+    )
+
+
+@register(
+    "x_dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.25
+""",
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup blocked on `label` — pairwise work is
+    per-block (an IVF-cell shape), never corpus-wide."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, "vec_id", "embedding", "label", threshold=0.25)
+
+
+def _plane_dot_sql(vec: str, seed: str, j: int, dim: int) -> str:
+    """In-SQL hyperplane dot: weights derived from the same md5 formula
+    as similarity.hyperplane_weights (verified bit-identical), applied
+    with the same sequential list fold as the Spark side."""
+    w = (
+        f"(CAST(concat('0x', substr(md5(concat('{seed}:{j}:', "
+        f"CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 2147483647.0 - 1.0)"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * {w}), (acc, x) -> acc + x)"
+    )
+
+
+def _emb_lsh_oracle(n_planes: int = 6, dim: int = 64, threshold: float = 0.25) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql('embedding', 'lsh', j, dim)} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    cos = _cos_sql("a.embedding", "x.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS blk FROM embeddings)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b, round({cos}, 6) AS cos
+FROM b a JOIN b x ON a.blk = x.blk AND a.vec_id < x.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+@register_extra("x_dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def x_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup for UNLABELED corpora: the blocking key is a
+    hyperplane-LSH bucket (6 md5-derived planes → 64 buckets) instead
+    of a label column — per-block all-pairs with the hot-block star
+    guard, never corpus-wide. Single-table blocking trades recall for
+    cost exactly like the ANN path; OR-tables widen it (union buckets,
+    dedup pairs) when near-miss pairs matter. Oracle derives identical
+    planes in SQL."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplane_weights(6, 64)
+    blocked = emb.withColumn("_blk", similarity.lsh_bucket(F.col("embedding"), planes))
+    return dedup.embedding_near_dup(
+        blocked, "vec_id", "embedding", "_blk", threshold=0.25
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = "vec_id < 8"
+
+
+@register_extra(
+    "x_sim_topk_brute",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM c JOIN q ON q_id != n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+""",
+)
+def x_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a bounded query set: broadcast
+    the queries, ONE corpus pass + per-query partial top-k — no corpus
+    shuffle at any scale."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5)
+
+
+@register_extra(
+    "x_sim_topk_brute_arrow",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE {_QUERY_IDS}),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM c JOIN q ON q_id != n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+""",
+)
+def x_sim_topk_brute_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of x_sim_topk_brute (same oracle): per-batch
+    matmul + partial top-k via mapInPandas — the dense-vector hot path
+    at scale (~100× the per-pair throughput of the JVM element fold)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_brute_arrow(emb, q, "vec_id", "embedding", k=5)
+
+
+def _lsh_oracle(k: int = 5, n_planes: int = 5, dim: int = 64, n_tables: int = 12) -> str:
+    """Multi-table (OR-construction) hyperplane-LSH oracle. The plane
+    weights are DERIVED IN SQL from the same md5 formula as
+    similarity.hyperplane_weights (verified bit-identical), and the dot
+    is the same sequential list fold as the Spark side — so bucket
+    codes, candidates, and the rerank all match exactly without
+    embedding n_tables*n_planes*dim literal weights."""
+
+    def dot_plane(vec: str, seed: str, j: int) -> str:
+        w = (
+            f"(CAST(concat('0x', substr(md5(concat('{seed}:{j}:', "
+            f"CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 2147483647.0 - 1.0)"
+        )
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * {w}), (acc, x) -> acc + x)"
+        )
+
+    branches = []
+    for t in range(n_tables):
+        seed = f"lsh{t}" if t else "lsh"
+        bucket = " + ".join(
+            f"CASE WHEN {dot_plane('embedding', seed, j)} > 0 THEN {2**j} ELSE 0 END"
+            for j in range(n_planes)
+        )
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bucket} AS BIGINT) AS bkt FROM embeddings"
+        )
+    banded = "\n  UNION ALL\n  ".join(branches)
+    return f"""
+WITH b AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM b c JOIN (SELECT * FROM b WHERE {_QUERY_IDS}) q USING (tbl, bkt)
+  WHERE q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id,
+         round({_cos_sql('qe.embedding', 'ne.embedding')}, 6) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.q_id
+  JOIN embeddings ne ON ne.vec_id = cand.n_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+"""
+
+
+@register_extra("x_sim_topk_lsh", oracle=_lsh_oracle(n_planes=4, n_tables=12))
+def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table hyperplane LSH (4 md5-derived planes
+    x 12 OR-tables): equi-join on (table, bucket) bounds candidates by
+    bucket occupancy; exact cosine rerank inside. Config is the
+    measured sf0.1 recall/cost knee (scripts/ann_tune.py, round 5):
+    4 planes → 16 buckets/table → recall 0.9 vs brute (5 planes x 12
+    tables measured 0.725; a single 8-plane table 0.05 — the
+    OR-construction is what makes the recall/cost dial real). At
+    corpus scale planes scale up with log2(n) to hold per-bucket
+    occupancy, tables buy recall as budget allows. The oracle derives
+    the identical planes in SQL, so results match exactly. JVM-fold
+    twin of the driver-gated `x_sim_topk_lsh_arrow` — kept as the
+    no-Arrow fallback and independent exactness witness."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_lsh(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
+    )
+
+
+@register("x_sim_topk_lsh_arrow", oracle=_lsh_oracle(n_planes=4, n_tables=12))
+def x_sim_topk_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ANN top-5 via multi-table hyperplane LSH, Arrow
+    path: all 48 bucket codes per vector from one matmul per Arrow
+    batch instead of 48 interpreted folds — measured 11.9s -> 3.0s at
+    sf0.1 when first promoted, exact match vs the shared DuckDB oracle
+    (sign-of-dot is the only FP surface and the md5-derived planes
+    keep dots away from zero on the fixtures; the JVM fold twin
+    `x_sim_topk_lsh` stays oracle-verified as the independent
+    witness). Round-5 config: 4 planes x 12 tables — the measured
+    recall/cost knee (recall 0.9 vs 0.725 at 5 planes, AND cheaper:
+    wider buckets mean fewer empty-probe misses, see
+    scripts/ann_tune.py)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    return similarity.cosine_topk_lsh_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
+    )
+
+
+def _ivf_oracle(
+    k: int = 5,
+    n_cent: int = 16,
+    stride: int = 37,
+    nprobe: int = 4,
+    refine_iters: int = 2,
+    dim: int = 64,
+    train_fraction: float = 1.0,
+    train_salt: str = "ivf-train",
+) -> str:
+    span = n_cent * stride
+    cos_ec = _cos_sql("e.embedding", "c.cent_vec")
+    cos_qn = _cos_sql("p.q_vec", "a.embedding")
+    # Sample-trained Lloyd (faiss train-on-sample recipe, oracle-exact):
+    # the training set is the sketch.sample_by_hash predicate — a pure
+    # (salt, vec_id) md5 filter — so the oracle reproduces the exact
+    # training SET with the same WHERE clause.
+    train_where = ""
+    if train_fraction < 1.0:
+        h = (
+            f"CAST(concat('0x', substr(md5(concat('{train_salt}:', "
+            f"CAST(e.vec_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+        train_where = f" WHERE {h} < {int(train_fraction * (1 << 60))}"
+    # Lloyd refinement, unrolled one CTE triple per iteration. Means use
+    # the decimal-sum trick: DECIMAL(27,12) accumulation is exact and
+    # summation-order-independent, so Spark and DuckDB agree bit-for-bit
+    # before the 6 dp round — no FP drift can flip an assignment.
+    refine = []
+    for i in range(refine_iters):
+        refine.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c{train_where}
+  ) WHERE rn = 1
+),
+means{i} AS (
+  SELECT cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cent_id, g.i
+),
+cents{i + 1} AS (
+  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
+    final = f"cents{refine_iters}"
+    return f"""
+WITH cents0 AS (
+  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+){refine_sql},
+assign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+    WHERE e.vec_id IN (SELECT vec_id FROM qids)
+  ) WHERE rn <= {nprobe}
+)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT p.q_id, a.vec_id AS n_id, round({cos_qn}, 6) AS cos,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY round({cos_qn}, 6) DESC, a.vec_id) AS rk
+  FROM assign a JOIN probes p USING (cent_id)
+  WHERE p.q_id != a.vec_id
+) WHERE rk <= {k}
+"""
+
+
+@register("x_sim_topk_ivf_arrow", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
+def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated IVF ANN top-5, Arrow path: matmul centroid
+    assignment + einsum rerank — the 100 TB throughput path
+    (scale_smoke_ann at 200k vectors: 4,482 vecs/s, planted-twin
+    recall 1.0). Config is the measured sf0.1 recall/cost knee
+    (scripts/ann_tune.py, round 5): nprobe=8 + one Lloyd iteration →
+    recall 0.9 vs brute at 1.9 s, vs 0.725 at 3.9 s for the old
+    nprobe=4/iters=2 — more probes buy recall at scan-bounded cost
+    while each extra Lloyd pass bought nothing past the first.
+    Exact-matches the shared DuckDB oracle (assignments compare
+    round(cos,6) with cent_id tie-break, so matmul-vs-fold FP noise
+    below 1e-6 cannot flip them; the JVM twin `x_sim_topk_ivf` stays
+    oracle-verified as the independent witness)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8, refine_iters=1
+    )
+
+
+@register_extra("x_sim_topk_ivf", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
+def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: deterministic seed centroids (no RNG) +
+    Lloyd refinement (decimal-exact means, so the oracle reproduces
+    them bit-for-bit), single-list corpus assignment, 8-probe query
+    fan-out, exact cosine rerank inside probed lists only — the
+    inverted-file scale path next to the LSH one. JVM-fold twin of the
+    driver-gated `x_sim_topk_ivf_arrow` (same config, same oracle) —
+    no-Arrow fallback and exactness witness."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8, refine_iters=1
+    )
+
+
+@register_extra(
+    "x_sim_topk_ivf_sampled",
+    oracle=_ivf_oracle(nprobe=8, refine_iters=2, train_fraction=0.5),
+)
+def x_sim_topk_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained IVF (the faiss train-on-sample recipe, made
+    oracle-exact): Lloyd trains on the deterministic 50% hash sample
+    (sketch.sample_by_hash — a pure (salt, vec_id) predicate the
+    DuckDB oracle replicates with the same WHERE clause), means stay
+    decimal-exact over the sample, and the full corpus is only touched
+    by the final single assignment pass. At 100 TB this is THE build
+    story: Lloyd passes cost sample-size, not corpus-size, and the
+    fraction is chosen to keep ~O(100) training points per centroid
+    (at fixture scale 50% of 2k vectors ≈ 62/centroid → measured
+    recall 0.825 vs 0.9 full-trained — SCALE.md records the tradeoff;
+    at corpus scale the same point count is a vanishing fraction)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf_arrow(
+        emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8,
+        refine_iters=2, train_fraction=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end activity pipeline (reference main.py:19-181)
+# ---------------------------------------------------------------------------
+
+_E2E_METRICS = ("hr", "watts", "vel")
+
+
+def _tri_list_sql_q(w: int, col: str) -> str:
+    """Quantized (µ-unit BIGINT) twin of queries._tri_list_sql: the
+    triangular weighted sum over ``l_{col}_{w}`` lists of si values is
+    INTEGER math — exactly equal to the engine's integer stencil, so
+    fold-vs-stencil summation order cannot straddle a round boundary
+    (which real-drift measured 2/495 maxima when rolling directly over
+    interpolated doubles)."""
+    if w == 1:
+        return f"CAST(si_{col} AS DOUBLE) / 1000000.0"
+    lst = f"l_{col}_{w}"
+    if w % 2 == 1:
+        m = (w + 1) // 2
+        wt = f"({m} - abs(j - {m}))"
+        norm = float(m * m)
+    else:
+        m = w // 2
+        wt = f"(2 * least(j, {w + 1} - j) - 1)"
+        norm = float(2 * m * m)
+    return (
+        f"CASE WHEN len({lst}) = {w} THEN "
+        f"CAST(list_reduce(list_transform(generate_series(1, {w}), j -> {lst}[j] * {wt}), "
+        f"(a, b) -> a + b) AS DOUBLE) / {norm * 1e6} END"
+    )
+
+
+def _e2e_oracle() -> str:
+    """The reference's whole per-activity DAG as one CTE chain —
+    densify → interpolate(×3 metrics) → triangular rolling(×33) →
+    per-activity max → digest/assembly join. Each CTE is the
+    already-verified oracle of its piecewise query (w2 interp, g2
+    rolling maxes, g4 digest) composed verbatim; rolling runs on the
+    1e-6-quantized interp output (see _tri_list_sql_q)."""
+    from .queries import STREAMS_SQL
+    from .operators import rolling
+
+    wins = rolling.REFERENCE_WINDOWS
+    list_wins = [w for w in wins if w > 1]
+    cols = _E2E_METRICS
+    # interpolation: prev/next value+tick per metric over two shared
+    # window specs (the w2 oracle shape, once per metric)
+    k_cols = ",\n    ".join(
+        f"""{c},
+    last_value({c} IGNORE NULLS) OVER wb AS {c}_pv,
+    last_value(CASE WHEN {c} IS NOT NULL THEN time_key END IGNORE NULLS) OVER wb AS {c}_pt,
+    first_value({c} IGNORE NULLS) OVER wf AS {c}_nv,
+    first_value(CASE WHEN {c} IS NOT NULL THEN time_key END IGNORE NULLS) OVER wf AS {c}_nt"""
+        for c in cols
+    )
+    d_cols = ",\n  ".join(
+        f"""CASE WHEN {c} IS NOT NULL THEN {c}
+       WHEN {c}_pv IS NULL THEN NULL
+       WHEN {c}_nv IS NULL THEN {c}_pv
+       ELSE {c}_pv + ({c}_nv - {c}_pv) * (CAST(time_key - {c}_pt AS DOUBLE) / CAST({c}_nt - {c}_pt AS DOUBLE))
+  END AS {c}"""
+        for c in cols
+    )
+    window_defs = ",\n       ".join(
+        f"w{w} AS (PARTITION BY activity_id ORDER BY time_key "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+        for w in list_wins
+    )
+    si_cols = ",\n  ".join(
+        f"CAST(round({c} * 1000000) AS BIGINT) AS si_{c}" for c in cols
+    )
+    list_cols = ",\n       ".join(
+        f"list(si_{c}) OVER w{w} AS l_{c}_{w}" for c in cols for w in list_wins
+    )
+    tri_cols = ",\n       ".join(
+        f"{_tri_list_sql_q(w, c)} AS tri_{c}_{w}" for c in cols for w in wins
+    )
+    # negative-to-NULL clamp mirrored from the Spark side's
+    # activity_maxes(clamp_negative=True) — keeps both sides identical
+    # by construction even if a fixture ever carries negative metrics
+    # (ADVICE r5: the old oracle passed only because hr/watts/vel are
+    # non-negative in the fixtures)
+    max_cols = ",\n       ".join(
+        f"CASE WHEN max(tri_{c}_{w}) >= 0 THEN round(max(tri_{c}_{w}), 6) END"
+        f" AS max_{c}_{w}"
+        for c in cols
+        for w in wins
+    )
+    return f"""
+WITH s AS ({STREAMS_SQL}),
+base AS (SELECT activity_id, time_key,
+                value AS hr, value * 0.5 AS watts,
+                CAST(event_id % 97 AS DOUBLE) AS vel
+         FROM s),
+mx AS (SELECT activity_id, max(time_key) AS mx FROM base GROUP BY activity_id),
+spine AS (SELECT activity_id, unnest(generate_series(0, mx)) AS time_key FROM mx),
+j AS (SELECT spine.activity_id, spine.time_key, base.hr, base.watts, base.vel
+      FROM spine LEFT JOIN base USING (activity_id, time_key)),
+k AS (
+  SELECT activity_id, time_key,
+    {k_cols}
+  FROM j
+  WINDOW wb AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY activity_id ORDER BY time_key ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+d AS (SELECT activity_id, time_key,
+  {d_cols}
+  FROM k),
+q AS (SELECT activity_id, time_key,
+  {si_cols}
+  FROM d),
+l AS (SELECT activity_id, si_hr, si_watts, si_vel,
+       {list_cols}
+      FROM q
+      WINDOW {window_defs}),
+r AS (SELECT activity_id,
+       {tri_cols}
+      FROM l),
+g AS (SELECT activity_id,
+       {max_cols}
+      FROM r GROUP BY activity_id),
+digest AS (
+  SELECT activity_id,
+         'act_' || activity_id AS name_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(time_key) + 1 AS BIGINT) AS n_ticks,
+         arg_min(hr, time_key) AS first_hr,
+         arg_max(hr, time_key) AS last_hr
+  FROM base GROUP BY activity_id)
+SELECT digest.*, g.* EXCLUDE (activity_id)
+FROM digest JOIN g USING (activity_id)
+"""
+
+
+@register("x_pipeline_activity_e2e", oracle=_e2e_oracle())
+def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE per-activity DAG (main.py:19-181) fused
+    into one plan — densify (J1/J2) → linear-interpolate 3 metrics
+    (W2) → 33 triangular rolling means (W1) → per-activity wide max +
+    clamp (G2/N8) → per-activity digest join — the query a real user
+    of the reference runs end-to-end, timed in the bench headline.
+    (The full nested-array assembly G4/N7/T3 is exercised end-to-end
+    by g4_n7_nested_assembly; here the digest reads 4 scalars, so it
+    aggregates them directly instead of sorting full sample arrays.) Plan shape: the spine explode, interpolation windows, and
+    all 33 rolling stencils share ONE activity_id partitioning (the
+    streams() shuffle); the sparse digest branch aggregates the same
+    scan and joins back on the (small) per-activity grain. Every stage
+    is the already-oracle-verified piecewise operator; the oracle
+    composes those verbatim as CTEs, so this row proves the FUSION is
+    semantics-preserving.
+
+    The streams projection (one cumsum window) feeds THREE branches —
+    densify's spine agg, its probe side, and the digest assembly — and
+    Spark does not dedupe common subtrees across branches (no
+    ReusedExchange under AQE; r5 plan carried 8 Window / 6 Sort nodes,
+    three of them the same cumsum). Pipeline-level fix, operators stay
+    pure: persist ``s``, eagerly materialize the (150-row-per-grain)
+    result via localCheckpoint, release the cache in ``finally`` —
+    the duplicate_clusters discipline applied at the pipeline grain."""
+    ensure_harness_conf(spark)
+    from pyspark import StorageLevel
+
+    from .operators import resample, rolling
+    from .queries import _r6
+
+    wins = rolling.REFERENCE_WINDOWS
+    cols = list(_E2E_METRICS)
+    s = streams(spark, sf_dir).select(
+        "activity_id",
+        "time_key",
+        F.col("value").alias("hr"),
+        (F.col("value") * 0.5).alias("watts"),
+        (F.col("event_id") % 97).cast("double").alias("vel"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dense = resample.interpolate_linear(
+            resample.densify(s, "activity_id", "time_key"),
+            "activity_id",
+            "time_key",
+            cols,
+        )
+        rolled = rolling.rolling_mean_triang(
+            dense, "activity_id", "time_key", cols, wins, quantize=True
+        )
+        maxed = rolling.activity_maxes(
+            rolled, "activity_id", cols, wins, clamp_negative=True
+        )
+        # digest scalars via direct min_by/max_by aggregation — the
+        # nested-array assembly (G4/N7) would materialize and sort the
+        # full per-activity sample arrays just to read 4 scalars (the
+        # assembly operator itself is exercised end-to-end by
+        # g4_n7_nested_assembly); time_key is strictly increasing per
+        # activity so min_by/max_by are deterministic
+        digest = s.groupBy("activity_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            (F.max("time_key") + 1).cast("long").alias("n_ticks"),
+            F.min_by("hr", "time_key").alias("first_hr"),
+            F.max_by("hr", "time_key").alias("last_hr"),
+        ).withColumn(
+            "name_id", F.concat_ws("_", F.lit("act"), F.col("activity_id"))
+        )
+        out = digest.join(maxed, "activity_id").select(
+            "activity_id",
+            "name_id",
+            "n_samples",
+            "n_ticks",
+            "first_hr",
+            "last_hr",
+            *[
+                _r6(F.col(f"max_{c}_{w}")).alias(f"max_{c}_{w}")
+                for c in cols
+                for w in wins
+            ],
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.unpersist()
+
+

@@ -1,0 +1,1511 @@
+"""In-engine ML, stats tests, JL projection, k-means/SemDeDup, geospatial.
+
+Split from the former single-file queries_ext.py (round 7, verdict
+#7): registrations, names, and oracle SQL are unchanged — the
+aggregator queries_ext.py imports the family modules in the original
+registration order. Shared oracle fragments live in queries_common.
+"""
+
+from __future__ import annotations
+
+import uuid  # noqa: F401  (shared header across family modules)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .functions import epoch as ep  # noqa: F401
+from .io import load  # noqa: F401
+from .session import ensure_harness_conf  # noqa: F401
+from .queries import register, register_extra, streams  # noqa: F401
+from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .queries_common import _cos_sql  # noqa: F401
+from .queries_dedup_sim import _CC_CLOSURE_SQL, _ivf_oracle, _minhash_oracle  # noqa: F401
+from .queries_sketch import _hll_oracle  # noqa: F401
+from .queries_stats_text import x_incremental_agg_merge  # noqa: F401
+from .queries_curation import _cms_users_oracle, x_drift_psi, x_embed_centroids  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_markov_transitions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS dst
+  FROM e
+),
+t AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM s
+      WHERE dst IS NOT NULL GROUP BY src, dst),
+tot AS (SELECT src, sum(n) AS tn FROM t GROUP BY src)
+SELECT t.src, t.dst, t.n,
+       round(CAST(t.n AS DOUBLE) / CAST(tot.tn AS DOUBLE), 6) AS p
+FROM t JOIN tot ON t.src = tot.src
+""",
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (click→view→purchase probabilities — the product-
+    analytics path model next to the funnel and cohort rows): one
+    lead window per user (one sort family) + two hash aggs; row
+    counts exact, probabilities one division. |types|² output — model
+    state, not data."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ep.epoch_s(ev).alias("es"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = s.groupBy(F.col("event_type").alias("src"), "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = t.groupBy("src").agg(F.sum("n").alias("tn"))
+    return t.join(tot, "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_oracle(B: int = 64, tn: int = 1, td: int = 40) -> str:
+    from .operators.stats import _poisson1_thresholds
+
+    t = _poisson1_thresholds()
+    h = (
+        "CAST(concat('0x', substr(md5('boot' || ':' || CAST(r.b AS VARCHAR) "
+        "|| ':' || CAST(e.event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    wcase = "CASE " + " ".join(
+        f"WHEN {h} < {t[k]} THEN {k}" for k in range(8)
+    ) + " ELSE 8 END"
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT e.event_type, r.b, {wcase} AS w, e.vq
+  FROM e, unnest(generate_series(0, {B - 1})) AS r(b)
+),
+pr AS (
+  SELECT event_type, b,
+         sum(CAST(w AS HUGEINT) * vq) AS swv,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM rep GROUP BY event_type, b
+),
+m AS (
+  SELECT event_type, b,
+         round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0, 6) AS mb
+  FROM pr WHERE sw > 0
+),
+rk AS (
+  SELECT event_type, mb,
+         row_number() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM m
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (nb * {tn} + {td - 1}) // {td} THEN mb END) + 0.0
+           AS ci_lo,
+         max(CASE WHEN rn = (nb * {td - tn} + {td - 1}) // {td} THEN mb END) + 0.0
+           AS ci_hi
+  FROM rk GROUP BY event_type
+),
+fl AS (
+  SELECT event_type,
+         round(CAST(sum(CAST(vq AS HUGEINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+)
+SELECT fl.event_type, fl.mean, ci.ci_lo, ci.ci_hi, fl.n,
+       CAST({B} AS INTEGER) AS n_replicas
+FROM fl JOIN ci ON fl.event_type = ci.event_type
+"""
+
+
+@register_extra("x_bootstrap_ci", oracle=_bootstrap_oracle())
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for mean(value) per event type via the one-pass Poisson
+    bootstrap (Chamandy et al. 2012): each row draws its own Poisson(1)
+    multiplicity per replica from an md5-inverted CDF (integer
+    thresholds shared with the oracle), so the resample never needs a
+    global view — the distributed answer to "error bars on a 100 TB
+    mean". 64 replicas, integer-exact sums, replica means and the
+    interval endpoints deterministic to the bit: rerunning anywhere
+    reproduces the identical CI (alertable, unlike RNG bootstraps)."""
+    ensure_harness_conf(spark)
+    from .operators.stats import bootstrap_mean_ci
+
+    ev = load(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "event_id", "value", ["event_type"], n_replicas=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B testing: Mann-Whitney rank-sum
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_ab_mannwhitney",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS c,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, c, v,
+         rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY event_type, v) AS t
+  FROM e
+),
+ag AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN c = 'a' THEN 2 * rk + (t - 1) END) AS BIGINT) AS r2a,
+         CAST(sum(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM r GROUP BY event_type
+),
+tv AS (
+  SELECT event_type, CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie3
+  FROM (SELECT event_type, v, CAST(count(*) AS HUGEINT) AS tc
+        FROM e GROUP BY event_type, v)
+  GROUP BY event_type
+),
+s AS (
+  SELECT ag.event_type, ag.n_a, ag.n_b,
+         CAST(ag.r2a AS DOUBLE) / 2.0
+           - CAST(ag.n_a AS DOUBLE) * CAST(ag.n_a + 1 AS DOUBLE) / 2.0 AS u,
+         CAST(ag.n_a AS DOUBLE) * CAST(ag.n_b AS DOUBLE) / 2.0 AS mu,
+         CAST(ag.n_a AS DOUBLE) * CAST(ag.n_b AS DOUBLE) / 12.0
+           * (CAST(ag.n_a + ag.n_b + 1 AS DOUBLE)
+              - CAST(tv.tie3 AS DOUBLE)
+                / (CAST(ag.n_a + ag.n_b AS DOUBLE)
+                   * CAST(ag.n_a + ag.n_b - 1 AS DOUBLE))) AS var
+  FROM ag JOIN tv ON ag.event_type = tv.event_type
+)
+SELECT event_type, n_a, n_b,
+       round(u, 6) + 0.0 AS u_stat,
+       round(CASE WHEN var > 0 THEN (u - mu) / sqrt(var) END, 6) + 0.0 AS z_score
+FROM s
+""",
+)
+def x_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test per event type between the even/odd
+    user cohorts — the nonparametric A/B significance test that
+    survives heavy-tailed metrics. Average-rank ties kept in exact
+    integers by doubling, tie-corrected normal approximation as one
+    fixed expression → the z-score is bit-identical across engines
+    (a rerunnable, alertable experiment readout). One sort family per
+    group + two hash aggs."""
+    ensure_harness_conf(spark)
+    from .operators.stats import mann_whitney
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("cohort"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return mann_whitney(e, ["event_type"], "cohort", "v")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join on edit distance (SymSpell deletion blocking)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_fuzzy_join_names",
+    oracle="""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def x_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: every customer-name pair within edit distance 1
+    via SymSpell deletion-neighborhood blocking — each name emits
+    len+1 deletion variants (map-only), candidates share a variant
+    (provably complete for d=1), verification runs levenshtein only
+    on candidates. The oracle is the all-pairs levenshtein cross join
+    the engine never executes. Char-level sibling of the token-level
+    jaccard_join_prefix."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import edit_distance_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = edit_distance_join(c, "c_custkey", "c_name", max_d=1)
+    return out.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "distance",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on daily series
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_cusum_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day,
+         CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT event_type, day,
+         CAST(round(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0)
+              AS BIGINT) AS mq
+  FROM e GROUP BY event_type, day
+),
+p AS (
+  SELECT event_type, day, mq,
+         sum(mq) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pre,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(mq) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d
+),
+s AS (
+  SELECT event_type, day, nd,
+         abs(nd * pre - k * tot) AS absd
+  FROM p
+),
+sel AS (
+  SELECT event_type, day, nd, absd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY absd DESC, day) AS rn
+  FROM s
+)
+SELECT event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS changepoint_day,
+       round(CAST(absd AS DOUBLE) / CAST(nd AS DOUBLE) / 1000000.0, 6)
+         AS cusum_max
+FROM sel WHERE rn = 1
+""",
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over the daily-mean series:
+    S_k = Σ_{i≤k}(x̄_i − x̄) peaks at the most likely mean-shift day
+    (Page 1954 / the standard offline CUSUM scan). Kept EXACT by
+    clearing denominators — n·prefix_k − k·total over 6dp-quantized
+    daily means is pure BIGINT, so the argmax day is unambiguous and
+    engine-identical; only the reported magnitude divides at the end.
+    The alarm that tells you WHEN the drift x_drift_psi scores
+    actually began. One hash agg + one sort family over the (tiny)
+    per-day series + one argmax agg."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        (ep.epoch_s(ev) / 86400).cast("long").alias("day"),
+        F.round(F.col("value").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("vq"),
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.round(F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double"), 0)
+        .cast("long")
+        .alias("mq")
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    p = d.select(
+        "event_type",
+        "day",
+        F.sum("mq").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "pre"
+        ),
+        F.row_number().over(wo).alias("k"),
+        F.sum("mq").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("nd"),
+    )
+    s = p.select(
+        "event_type",
+        "day",
+        "nd",
+        F.abs(F.col("nd") * F.col("pre") - F.col("k") * F.col("tot")).alias("absd"),
+    )
+    return s.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        F.max_by("day", F.struct(F.col("absd"), (-F.col("day")).alias("nd2")))
+        .cast("long")
+        .alias("changepoint_day"),
+        F.round(
+            F.max("absd").cast("double")
+            / F.max("nd").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("cusum_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) as exact double literals shared with the oracle —
+#: constants, so no engine-libm log enters the comparison at all.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    pcase = "CASE d " + " ".join(
+        f"WHEN {d} THEN {repr(p)}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    return f"""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL AND value > 0
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d
+  FROM v
+),
+c AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS obs
+  FROM d WHERE d BETWEEN 1 AND 9 GROUP BY event_type, d
+),
+g AS (
+  SELECT a.event_type, b.d
+  FROM (SELECT DISTINCT event_type FROM c) a,
+       unnest(generate_series(1, 9)) AS b(d)
+),
+f AS (
+  SELECT g.event_type, g.d, coalesce(c.obs, 0) AS obs
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d
+),
+t AS (SELECT event_type, sum(obs) AS n FROM f GROUP BY event_type),
+chi AS (
+  SELECT f.event_type,
+         CAST(round((CAST(f.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({pcase}))
+                    * (CAST(f.obs AS DOUBLE) - CAST(t.n AS DOUBLE) * ({pcase}))
+                    / (CAST(t.n AS DOUBLE) * ({pcase})) * 1000000, 0) AS BIGINT)
+           AS termq
+  FROM f JOIN t ON f.event_type = t.event_type
+)
+SELECT chi.event_type,
+       CAST(max(t.n) AS BIGINT) AS n,
+       round(CAST(sum(termq) AS DOUBLE) / 1000000.0, 6) AS chi2
+FROM chi JOIN t ON chi.event_type = t.event_type
+GROUP BY chi.event_type
+"""
+
+
+@register_extra("x_benford_audit", oracle=_benford_oracle())
+def x_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of `value` per event type: leading-digit
+    distribution (of the 6dp-integerized value — leading digit is
+    scale-invariant) vs the log10(1+1/d) expectation, χ² per group.
+    Fabricated or truncated numeric columns jump out (the classic
+    fraud/data-entry screen); a synthetic uniform fixture rightly
+    FAILS Benford — large χ² here is a property of the data, not a
+    bug, and that is the point of shipping the audit. Expected
+    frequencies are double LITERALS shared with the oracle (no libm
+    in the comparison); per-digit χ² terms are 6dp-quantized before
+    the sum so order can't move a bit."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    d = ev.select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 1000000).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d"),
+    ).filter(F.col("d").between(1, 9))
+    c = d.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(1, 10).select(F.col("id").alias("d")))
+    )
+    f = grid.join(F.broadcast(c), ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
+    t = f.groupBy("event_type").agg(F.sum("obs").alias("n"))
+    pexpr = F.lit(None).cast("double")
+    for dd in range(9, 0, -1):
+        pexpr = F.when(F.col("d") == dd, F.lit(_BENFORD_P[dd])).otherwise(pexpr)
+    j = f.join(t, "event_type")
+    exp = F.col("n").cast("double") * pexpr
+    termq = F.round(
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp
+        * 1000000,
+        0,
+    ).cast("long")
+    chi = j.select("event_type", F.col("n"), termq.alias("termq"))
+    return chi.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum("termq").cast("double") / F.lit(1000000.0), 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (finish of the covariance statistic)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_correlation",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+m AS (SELECT i, sum(CAST(q AS HUGEINT)) AS si, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY i),
+cv AS (
+  SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+         round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
+                - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
+                  * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
+               / 1000000000000.0, 6) + 0.0 AS cov
+  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+),
+dg AS (SELECT i, cov AS var FROM cv WHERE i = j)
+SELECT cv.i, cv.j,
+       round(cv.cov / (sqrt(da.var) * sqrt(db.var)), 6) + 0.0 AS corr
+FROM cv JOIN dg da ON da.i = cv.i JOIN dg db ON db.i = cv.j
+WHERE da.var > 0 AND db.var > 0
+""",
+)
+def x_embed_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix finished from the covariance
+    statistic: corr_ij = cov_ij / (σ_i·σ_j) over the SAME 6dp-rounded
+    covariance cells both engines already agree on (the covariance
+    table is d² model state — checkpointed once, consumed by the
+    diagonal and the pair scan without re-running the corpus pass).
+    The redundancy/whitening screen read directly: |corr| ≈ 1
+    dimensions carry no independent signal."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import covariance_matrix
+
+    cov = covariance_matrix(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    ).localCheckpoint(eager=True)
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("cov").alias("var")
+    ).filter(F.col("var") > 0)
+    da = diag.select(F.col("k").alias("i"), F.col("var").alias("vi"))
+    db = diag.select(F.col("k").alias("j"), F.col("var").alias("vj"))
+    return (
+        cov.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("cov") / (F.sqrt(F.col("vi")) * F.sqrt(F.col("vj"))), 6
+                )
+                + F.lit(0.0)
+            ).alias("corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes: train + held-out evaluation, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_nb_classifier",
+    oracle="""
+WITH sp AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('nb:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+              < 800000 THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+tl AS (
+  SELECT doc_id, lang, split,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM sp
+),
+tc AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tl WHERE split = 'train' GROUP BY lang, tok
+),
+cls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot_c,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_c
+  FROM tl WHERE split = 'train' GROUP BY lang
+),
+vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sp WHERE split = 'train'),
+mc AS (
+  SELECT cls.lang,
+         CAST(round(ln(CAST(n_docs_c AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 6)
+              * 1000000 AS BIGINT) AS lnprior,
+         CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tot_c + vv.v AS DOUBLE)), 6)
+              * 1000000 AS BIGINT) AS lndefault,
+         tot_c + vv.v AS den
+  FROM cls, vv, nd
+),
+mt AS (
+  SELECT tc.lang, tc.tok,
+         CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(mc.den AS DOUBLE)), 6)
+              * 1000000 AS BIGINT) AS lntok
+  FROM tc JOIN mc ON tc.lang = mc.lang
+),
+dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS nt
+  FROM tl WHERE split = 'test' GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS dlen FROM dt GROUP BY doc_id),
+fan AS (SELECT dt.doc_id, dt.tok, dt.nt, mc.lang FROM dt, mc),
+hit AS (
+  SELECT f.doc_id, f.lang,
+         CAST(coalesce(sum(CASE WHEN mt.lntok IS NOT NULL
+                                THEN f.nt * mt.lntok END), 0) AS BIGINT) AS seen,
+         CAST(sum(CASE WHEN mt.lntok IS NOT NULL THEN f.nt ELSE 0 END)
+              AS BIGINT) AS nseen
+  FROM fan f LEFT JOIN mt ON mt.lang = f.lang AND mt.tok = f.tok
+  GROUP BY f.doc_id, f.lang
+),
+sc AS (
+  SELECT h.doc_id, h.lang,
+         mc.lnprior + h.seen + (dl.dlen - h.nseen) * mc.lndefault AS score
+  FROM hit h JOIN mc ON h.lang = mc.lang JOIN dl ON h.doc_id = dl.doc_id
+),
+pr AS (
+  SELECT doc_id, lang AS predicted
+  FROM (SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM sc)
+  WHERE rn = 1
+)
+SELECT sp.doc_id, sp.lang AS actual, pr.predicted,
+       CAST(CASE WHEN sp.lang = pr.predicted THEN 1 ELSE 0 END AS INTEGER)
+         AS correct
+FROM sp JOIN pr ON sp.doc_id = pr.doc_id
+WHERE sp.split = 'test'
+""",
+)
+def x_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised learning entirely in the engine, oracle-exact:
+    multinomial Naive Bayes over document tokens — deterministic 80/20
+    hash split, Laplace-smoothed training (the model is
+    |vocab|·|classes| relational rows, never collected), log-space
+    scoring of the held-out split with closed-form unseen-token mass,
+    argmax prediction. Counts are exact integers and every log is a
+    6dp-quantized ln of a ratio of exact counts, so the model AND
+    every per-doc prediction hash-match a SQL replay of the whole
+    train→predict workflow. (The synthetic fixture's languages share
+    a vocabulary, so accuracy is near-prior — the verified artifact is
+    the workflow, and the per-doc agreement proves it end-to-end.)"""
+    ensure_harness_conf(spark)
+    from .operators.text import nb_train_predict
+
+    return nb_train_predict(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "lang", 0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (rows-only: sigmoid/exp is
+# libm-bound; reference-pinned in tests/test_stats.py like BPE)
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_quality_logreg")
+def x_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear (logistic) quality classifier in-engine —
+    English-vs-rest from the quality features — by full-batch GD with
+    exact-integer gradient sums (one bounded driver action per
+    iteration; weights are the only driver state), then score the
+    corpus at scan speed with the frozen weights. The fasttext-style
+    curation-filter workflow end-to-end. Deterministic across
+    partitionings/reruns (quantized gradient terms + 6dp weight steps;
+    pytest pins the exact weight trajectory against a single-process
+    reference). Output: weight vector rows + train accuracy."""
+    ensure_harness_conf(spark)
+    from .operators.stats import logreg_score, logreg_train
+    from .operators.text import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    feat = qf.select(
+        "doc_id",
+        (F.col("n_tokens").cast("double") / 100.0).alias("f_len"),
+        (
+            F.col("stopword_hits").cast("double")
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
+        ).alias("f_stop"),
+        F.col("quality_score").alias("f_q"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w = logreg_train(feat, ["f_len", "f_stop", "f_q"], "y", iters=8, lr=0.5)
+    scored = logreg_score(feat, ["f_len", "f_stop", "f_q"], w)
+    acc = scored.agg(
+        (
+            F.sum((F.col("pred") == F.col("y")).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    rows = [(f"w{j}", float(wj)) for j, wj in enumerate(w)]
+    rows.append(("train_acc", round(acc, 6)))
+    return spark.createDataFrame(rows, "term STRING, value DOUBLE")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection: distance-preservation report
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_embed_jl_projection",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('jlsample:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 64
+),
+x AS (
+  SELECT vec_id, u.i AS i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+  FROM v, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+js AS (SELECT unnest(generate_series(0, 15)) AS j),
+sg AS (
+  SELECT js.j, x.vec_id, x.i, x.q,
+         CASE WHEN CAST(concat('0x',
+                substr(md5('jl:' || CAST(js.j AS VARCHAR) || ':'
+                           || CAST(x.i - 1 AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+              THEN x.q ELSE -x.q END AS t
+  FROM js, x
+),
+p AS (
+  SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS ps
+  FROM sg GROUP BY vec_id, j
+),
+pr AS (
+  SELECT vec_id,
+         list(CAST(ps AS DOUBLE) / 1000000.0 / 4.0 ORDER BY j) AS pl
+  FROM p GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         xa.embedding AS ea, xb.embedding AS eb,
+         pa.pl AS pla, pb.pl AS plb
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  JOIN v xa ON xa.vec_id = a.vec_id
+  JOIN v xb ON xb.vec_id = b.vec_id
+  JOIN pr pa ON pa.vec_id = a.vec_id
+  JOIN pr pb ON pb.vec_id = b.vec_id
+),
+d AS (
+  SELECT id_a, id_b,
+         list_reduce(list_transform(generate_series(1, len(ea)),
+           k -> (round(CAST(ea[k] AS DOUBLE) * 1000000, 0)
+                 - round(CAST(eb[k] AS DOUBLE) * 1000000, 0))
+              * (round(CAST(ea[k] AS DOUBLE) * 1000000, 0)
+                 - round(CAST(eb[k] AS DOUBLE) * 1000000, 0))),
+           (acc, x) -> acc + x) AS od2,
+         list_reduce(list_transform(generate_series(1, len(pla)),
+           k -> (pla[k] - plb[k]) * (pla[k] - plb[k])),
+           (acc, x) -> acc + x) AS pd2
+  FROM pairs
+)
+SELECT id_a, id_b,
+       round(pd2 * 1000000000000.0 / od2, 6) + 0.0 AS dist_ratio
+FROM d WHERE od2 > 0
+""",
+)
+def x_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 projection with a deterministic
+    md5-sign matrix, verified by the property that MAKES it useful:
+    per sampled pair, projected-vs-original squared-distance ratio
+    (≈1 ± 1/√16). The projection is pure column math at scan speed —
+    the 4× shuffle-narrowing pre-step for ANN/clustering — and both
+    the projection and the report are oracle-exact (integer sums, one
+    ordered fold per distance, fixed scaling divisions).
+
+    The report samples a FIXED-SIZE set: bottom-64 vectors by a
+    deterministic md5 hash of vec_id (TakeOrderedAndProject — per-
+    partition partial top-k, no funnel), so the all-pairs report is
+    ≤ 2016 pairs at ANY corpus size. (r6 verdict: the old `% 37`
+    sample was a constant FRACTION, so pairs grew O(n²/37²) — at 10⁹
+    vectors that was 3.6×10¹⁴ pairs.)"""
+    ensure_harness_conf(spark)
+    from .operators.similarity import random_projection
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("jlsample:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(64)
+        .drop("_h")
+    )
+    proj = random_projection(emb, "vec_id", "embedding", out_dim=16)
+    j = emb.join(proj, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    qd = lambda p, q: (  # noqa: E731
+        F.round(p.cast("double") * 1000000, 0) - F.round(q.cast("double") * 1000000, 0)
+    )
+    od2 = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda p, q: qd(p, q) * qd(p, q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pd2 = F.aggregate(
+        F.zip_with(F.col("pa"), F.col("pb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            od2.alias("od2"),
+            pd2.alias("pd2"),
+        )
+        .filter(F.col("od2") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.round(F.col("pd2") * F.lit(1000000000000.0) / F.col("od2"), 6)
+                + F.lit(0.0)
+            ).alias("dist_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: delta rule over an agg-on-join view
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_ivm_join_view",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                     AS HUGEINT)) AS BIGINT) AS revenue_q
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY year(o.o_orderdate)
+""",
+)
+def x_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the delta rule: the
+    revenue-per-order-year view is maintained INCREMENTALLY — the
+    base state aggregates 'history' (line numbers ≠ 1), the delta
+    batch (line number 1) aggregates separately through the SAME
+    join, and the two states merge algebraically (counts and exact
+    decimal sums ADD, a NULL-safe full-outer merge per group) — while
+    the ORACLE recomputes the view from scratch over everything.
+    Equality proves Δ(A⋈B → γ) = γ(ΔA⋈B) ⊕ V for an append-only fact
+    side — the update path that touches only the delta instead of
+    re-scanning 100 TB of history (the aggstate row's algebra, now
+    with the dimension join inside the loop)."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    od = o.select(
+        "o_orderkey", F.year(ep.as_timestamp(o, "o_orderdate")).alias("order_year")
+    )
+    rq = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("decimal(38,0)")
+
+    def view(df: DataFrame) -> DataFrame:
+        return (
+            df.join(od, df["l_orderkey"] == od["o_orderkey"])
+            .groupBy("order_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(rq).alias("rev"),
+            )
+        )
+
+    v_old = view(li.filter(F.col("l_linenumber") != 1))
+    v_delta = view(li.filter(F.col("l_linenumber") == 1))
+    a = v_old.select(
+        F.col("order_year").alias("y"),
+        F.col("n_items").alias("n1"),
+        F.col("rev").alias("r1"),
+    )
+    b = v_delta.select(
+        F.col("order_year").alias("y2"),
+        F.col("n_items").alias("n2"),
+        F.col("rev").alias("r2"),
+    )
+    merged = a.join(b, a["y"] == b["y2"], "full_outer")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return merged.select(
+        F.coalesce("y", "y2").alias("order_year"),
+        (
+            F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))
+        ).cast("long").alias("n_items"),
+        (F.coalesce("r1", zero) + F.coalesce("r2", zero))
+        .cast("long")
+        .alias("revenue_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real image resize on the multimodal path
+# ---------------------------------------------------------------------------
+
+
+def _resize_oracle(W: int = 16, H: int = 16) -> str:
+    """Closed-form stats of the nearest-neighbor-resized deterministic
+    PNG: resized row y' copies source row y'·h div H, whose pixels are
+    the row-constant recipe values — so the resized mean is an exact
+    sum over 16 sampled rows."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             8 + {byte(1)} % 56 AS ht,
+             CASE WHEN {byte(2)} % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             {byte(3)} AS s
+      FROM hh),
+m AS (SELECT doc_id, ch,
+             SUM(CASE WHEN ch = 1 THEN (s + (y2 * ht) // {H}) % 256
+                      ELSE (s + (y2 * ht) // {H}) % 256
+                           + (s + (y2 * ht) // {H} + 85) % 256
+                           + (s + (y2 * ht) // {H} + 170) % 256
+                 END) AS rowsum
+      FROM p, LATERAL (SELECT unnest(generate_series(0, {H - 1})) AS y2) u
+      GROUP BY doc_id, ch)
+SELECT doc_id,
+       CAST({W} AS INTEGER) AS width,
+       CAST({H} AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       round(CAST({W} * rowsum AS DOUBLE) / ({W} * {H} * ch) / 255.0, 6)
+         AS mean_intensity
+FROM m
+"""
+
+
+@register_extra("x_mm_resize_stats", oracle=_resize_oracle())
+def x_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage with a REAL kernel in this container:
+    deterministic PNGs decoded, nearest-neighbor-resampled to 16×16,
+    re-encoded (all pure-stdlib pngcodec), then decoded AGAIN for
+    stats — two full codec round-trips on the executor hot path. The
+    oracle predicts the resized mean in closed form because nearest-
+    neighbor picks exact source rows of the row-constant recipe; any
+    index-math or re-encode bug breaks the hash. Completes the
+    multimodal image family: meta, decode, frame-sample, resize —
+    all real."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    png = multimodal.attach_png(docs, "doc_id", "text")
+    small = multimodal.resize_image(png, 16, 16, "doc_id")
+    out = multimodal.decode_image(small, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering assignments (the clustering face of the IVF machinery)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_assign_sql(
+    n_cent: int, stride: int, refine_iters: int, dim: int, with_embedding: bool
+) -> str:
+    """Shared cents0 + Lloyd-iteration + final-assignment CTE prefix
+    for the clustering oracles (kmeans / SemDeDup) — ONE generator so
+    the seed/mean/tie-break recipe cannot drift between them
+    (code-review finding; _ivf_oracle keeps its own copy because it
+    additionally threads the train-fraction predicate and probes).
+    Yields ``assign(vec_id[, embedding], cent_id)``."""
+    span = n_cent * stride
+    refine = []
+    for i in range(refine_iters):
+        refine.append(
+            f"""assign{i} AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents{i} c
+  ) WHERE rn = 1
+),
+means{i} AS (
+  SELECT cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM assign{i} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cent_id, g.i
+),
+cents{i + 1} AS (
+  SELECT c.cent_id, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM cents{i} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS v FROM means{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    refine_sql = (",\n" + ",\n".join(refine)) if refine else ""
+    final = f"cents{refine_iters}"
+    emb_col = "e.embedding, " if with_embedding else ""
+    emb_out = "vec_id, embedding, cent_id" if with_embedding else "vec_id, cent_id"
+    return f"""
+WITH cents0 AS (
+  SELECT CAST(floor((vec_id % {span}) / {stride}) AS BIGINT) AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+){refine_sql},
+assign AS (
+  SELECT {emb_out} FROM (
+    SELECT e.vec_id, {emb_col}c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
+                                       c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN {final} c
+  ) WHERE rn = 1
+)"""
+
+
+def _kmeans_oracle(
+    n_cent: int = 16, stride: int = 37, refine_iters: int = 2, dim: int = 64
+) -> str:
+    """Lloyd prefix (shared generator) finished as per-vector cluster
+    labels + sizes."""
+    return f"""{_lloyd_assign_sql(n_cent, stride, refine_iters, dim, False)}
+SELECT vec_id, cent_id,
+       CAST(count(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
+FROM assign
+"""
+
+
+@register_extra("x_embed_kmeans", oracle=_kmeans_oracle())
+def x_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering as a first-class output (not just an ANN
+    index): 16 clusters, deterministic strided seeds, two decimal-
+    exact Lloyd passes, per-vector labels + cluster sizes — every
+    ASSIGNMENT hash-matched against the oracle's unrolled-CTE replay.
+    The clustering face the SemDeDup/curation stack consumes directly
+    (x_embed_centroids audits a labeled clustering; this one creates
+    an unlabeled one)."""
+    ensure_harness_conf(spark)
+    from pyspark.sql import Window as W2
+
+    from .operators.similarity import build_ivf_index_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    _cents, corpus = build_ivf_index_arrow(
+        emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+    )
+    return corpus.select(
+        F.col("n_id").alias("vec_id"),
+        "cent_id",
+        F.count(F.lit(1))
+        .over(W2.partitionBy("cent_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: learned clusters as the dedup blocking key
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(
+    threshold: float = 0.4,
+    n_cent: int = 16,
+    stride: int = 37,
+    refine_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Lloyd prefix (shared generator, with embeddings) finished as
+    the in-cluster pairwise scan at the cosine threshold."""
+    return f"""{_lloyd_assign_sql(n_cent, stride, refine_iters, dim, True)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+FROM assign a JOIN assign b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= {threshold}
+"""
+
+
+@register_extra("x_dedup_semantic", oracle=_semdedup_oracle())
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): semantic near-dup pairs
+    found WITHIN learned k-means clusters — the clustering bounds the
+    pairwise work (the whole point of the method: within-cluster
+    pairs only, never corpus²) and the cosine threshold picks the
+    semantic duplicates. Pure composition of two verified faces
+    (x_embed_kmeans clustering → embedding_near_dup with cent_id as
+    the block key), oracle-exact end-to-end through the unrolled
+    Lloyd replay + in-cluster pairwise scan."""
+    ensure_harness_conf(spark)
+    from .operators.similarity import build_ivf_index_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    _cents, corpus = build_ivf_index_arrow(
+        emb, "vec_id", "embedding", n_centroids=16, refine_iters=2
+    )
+    clustered = emb.join(
+        corpus.select(F.col("n_id").alias("vec_id"), "cent_id"), "vec_id"
+    )
+    # max_block pinned ABOVE any fixture cluster size: the oracle
+    # models the all-pairs tier only, and the default 4096 star guard
+    # would silently diverge from it on a >4096-member cluster
+    # (code-review finding). At real scale, drop the oracle claim and
+    # let the star guard bound the work.
+    return dedup.embedding_near_dup(
+        clustered, "vec_id", "embedding", "cent_id", threshold=0.4,
+        max_block=100_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial radius join (cell-blocked, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_geo_radius_join",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 2000001 - 1000000 AS cla,
+         (c_custkey * 16807) % 2000001 - 1000000 AS clo
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 69621) % 2000001 - 1000000 AS sla,
+         (s_suppkey * 40692) % 2000001 - 1000000 AS slo
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       CAST((c.cla - s.sla) * (c.cla - s.sla)
+            + (c.clo - s.slo) * (c.clo - s.slo) AS BIGINT) AS dist2_micro
+FROM c, s
+WHERE (c.cla - s.sla) * (c.cla - s.sla)
+      + (c.clo - s.slo) * (c.clo - s.slo) <= 2500000000
+""",
+)
+def x_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer within 0.05° of a supplier site (coordinates
+    derived deterministically from keys): the 2D member of the
+    blocked-join family — both sides snap to radius-sized grid cells,
+    the probe side fans into its 3×3 neighborhood (bounded, map-side),
+    the join is equi on the cell, and the exact integer planar
+    predicate post-filters. Provably complete for radius ≤ cell size;
+    the oracle runs the BroadcastNestedLoopJoin the engine avoids.
+    Exact micro-degree math end-to-end."""
+    ensure_harness_conf(spark)
+    from .operators.geo import radius_join_cells
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clat"),
+        (
+            ((F.col("c_custkey") * 16807) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 69621) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slat"),
+        (
+            ((F.col("s_suppkey") * 40692) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slon"),
+    )
+    # supplier is the small side → it takes the 9x neighborhood fan
+    out = radius_join_cells(s, c, "slat", "slon", "clat", "clon", 50000)
+    return out.select("c_custkey", "s_suppkey", "dist2_micro")
+
+
+@register_extra(
+    "x_geo_nearest",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 2000001 - 1000000 AS cla,
+         (c_custkey * 16807) % 2000001 - 1000000 AS clo
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 69621) % 2000001 - 1000000 AS sla,
+         (s_suppkey * 40692) % 2000001 - 1000000 AS slo
+  FROM supplier
+),
+j AS (
+  SELECT c.c_custkey,
+         (c.cla - s.sla) * (c.cla - s.sla)
+         + (c.clo - s.slo) * (c.clo - s.slo) AS d2,
+         s.s_suppkey
+  FROM c, s
+  WHERE (c.cla - s.sla) * (c.cla - s.sla)
+        + (c.clo - s.slo) * (c.clo - s.slo) <= 90000000000
+),
+enc AS (
+  SELECT c_custkey, min(d2 * 1048576 + s_suppkey) AS e FROM j GROUP BY c_custkey
+)
+SELECT c_custkey,
+       CAST(e % 1048576 AS BIGINT) AS nearest_suppkey,
+       CAST(e // 1048576 AS BIGINT) AS dist2_micro
+FROM enc
+""",
+)
+def x_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer within a 0.3° cutoff — bounded
+    nearest-neighbor as radius-join + argmin, with the argmin packed
+    into ONE integer key (dist²·2²⁰ + supplier id, both exact and
+    bounded) so it is a single map-side-combined hash MIN — the OHLC
+    lesson applied: no struct-ordered min_by, no SortAggregate. The
+    bounded-cutoff form is the honest distributed k-NN: completeness
+    inside the radius is the cell-blocking guarantee, and a miss means
+    "nothing within cutoff", never a silent wrong neighbor."""
+    ensure_harness_conf(spark)
+    from .operators.geo import radius_join_cells
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clat"),
+        (
+            ((F.col("c_custkey") * 16807) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 69621) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slat"),
+        (
+            ((F.col("s_suppkey") * 40692) % 2000001 - 1000000).cast("double")
+            / 1000000.0
+        ).alias("slon"),
+    )
+    # supplier is the small side → it takes the 9x neighborhood fan
+    j = radius_join_cells(s, c, "slat", "slon", "clat", "clon", 300000)
+    # ENFORCED packing bound (ADVICE r6): s_suppkey must fit the 2^20
+    # low bits or the packed argmin silently corrupts BOTH the chosen
+    # neighbor and the distance — and the oracle packs identically, so
+    # the gate could never catch it. raise_error sits inside the min's
+    # input expression, so Catalyst cannot prune it away.
+    packed = F.when(
+        F.col("s_suppkey") < F.lit(1048576),
+        F.col("dist2_micro") * 1048576 + F.col("s_suppkey"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("x_geo_nearest: s_suppkey >= 2^20 — packed argmin "
+                  "key would corrupt; widen the packing factor")
+        ).cast("long")
+    )
+    enc = j.groupBy("c_custkey").agg(F.min(packed).alias("e"))
+    return enc.select(
+        "c_custkey",
+        (F.col("e") % 1048576).cast("long").alias("nearest_suppkey"),
+        F.expr("e div 1048576").cast("long").alias("dist2_micro"),
+    )
+
+
+@register_extra(
+    "x_geo_track_length",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         (event_id * 48271) % 200001 - 100000 AS la,
+         (event_id * 16807) % 200001 - 100000 AS lo
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         la - lag(la) OVER w AS dla,
+         lo - lag(lo) OVER w AS dlo
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+q AS (
+  SELECT user_id,
+         CAST(round(sqrt(CAST(dla * dla + dlo * dlo AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS lenq
+  FROM s WHERE dla IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(CAST(sum(lenq) AS DOUBLE) / 1000000000000.0, 6) AS track_deg
+FROM q GROUP BY user_id
+""",
+)
+def x_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length over the event sequence (positions
+    derived deterministically from event ids): one lag window per
+    user, per-segment planar length with the exact-sum discipline —
+    sqrt is IEEE-exact, each segment quantizes to 6dp BEFORE the sum,
+    so the total is order-proof and engine-identical. The
+    movement-analytics face (distance accumulated per entity) on the
+    same sort family the session/TWAP rows already pay."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        ep.epoch_s(ev).alias("es"),
+        ((F.col("event_id") * 48271) % 200001 - 100000).alias("la"),
+        ((F.col("event_id") * 16807) % 200001 - 100000).alias("lo"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    s = e.select(
+        "user_id",
+        (F.col("la") - F.lag("la").over(w)).alias("dla"),
+        (F.col("lo") - F.lag("lo").over(w)).alias("dlo"),
+    ).filter(F.col("dla").isNotNull())
+    q = s.select(
+        "user_id",
+        F.round(
+            F.sqrt(
+                (F.col("dla") * F.col("dla") + F.col("dlo") * F.col("dlo")).cast(
+                    "double"
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("lenq"),
+    )
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.round(
+            F.sum("lenq").cast("double") / F.lit(1000000000000.0), 6
+        ).alias("track_deg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch union at the query level: merged half-sketches == whole sketch
+# ---------------------------------------------------------------------------
+
+
+@register_extra("x_sketch_hll_merge", oracle=_hll_oracle())
+def x_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL union proof at the query level: registers built on two
+    DISJOINT event halves merge by register-max, and the finished
+    estimate equals the whole-corpus sketch under the SAME oracle —
+    the property that lets 100 TB of per-day sketches roll up into
+    any ad-hoc window without touching raw data (the batch face of
+    the streaming-HLL state argument, like x_incremental_agg_merge
+    for algebraic aggs)."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    bucket, rank = sketch.hll_terms(F.col("user_id"), b=9)
+
+    def regs(df: DataFrame) -> DataFrame:
+        return (
+            df.select("event_type", bucket.alias("_bkt"), rank.alias("_rk"))
+            .groupBy("event_type", "_bkt")
+            .agg(F.max("_rk").alias("_mj"))
+        )
+
+    r1 = regs(ev.filter(F.col("event_id") % 2 == 0))
+    r2 = regs(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("event_type", "_bkt")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+    return sketch.finish_hll_registers(merged, ["event_type"], b=9)
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-list: the final curation output
+# ---------------------------------------------------------------------------
+
+
+def _keeplist_oracle() -> str:
+    """Recursive-closure clusters over the minhash pairs, anti-joined:
+    a doc survives iff it is not a non-representative member."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL},
+drops AS (SELECT doc_id FROM cc WHERE doc_id != rep_id)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register_extra("x_dedup_keeplist", oracle=_keeplist_oracle())
+def x_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list a curation pipeline actually ships: corpus minus
+    every non-representative member of a near-dup cluster (MinHash
+    pairs → min-label components → anti-join). Singletons and cluster
+    representatives survive; the anti-join is against the BOUNDED drop
+    set (cluster members only), so the corpus side streams through a
+    broadcast-anti at any scale — the same shape as the
+    delete-propagation sweep."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b")
+    drops = cc.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+@register_extra(
+    "x_geo_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT (c_custkey * 48271) % 2000001 - 1000000 AS la,
+         (c_custkey * 16807) % 2000001 - 1000000 AS lo
+  FROM customer
+)
+SELECT CAST(floor(CAST(la AS DOUBLE) / 250000) AS BIGINT) AS cell_y,
+       CAST(floor(CAST(lo AS DOUBLE) / 250000) AS BIGINT) AS cell_x,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2
+""",
+)
+def x_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid (0.25° cells) of the customer sites — the
+    heat-map aggregation every geo dashboard starts from and the
+    occupancy statistic that sizes the radius join's cells: one hash
+    agg over integer cell keys, map-side combined, |cells| rows out
+    regardless of point count."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 48271) % 2000001 - 1000000).alias("la"),
+        ((F.col("c_custkey") * 16807) % 2000001 - 1000000).alias("lo"),
+    )
+    return c.groupBy(
+        F.floor(F.col("la").cast("double") / 250000).cast("long").alias("cell_y"),
+        F.floor(F.col("lo").cast("double") / 250000).cast("long").alias("cell_x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register_extra("x_sketch_cms_merge", oracle=_cms_users_oracle())
+def x_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS union proof at the query level (completing the mergeable-
+    sketch trio with x_sketch_hll_merge and x_incremental_agg_merge):
+    cell tables built on two disjoint event halves merge by ADDITION,
+    and heavy-hitter lookups against the merged sketch equal the
+    whole-corpus sketch under the same oracle — per-day hot-key
+    sketches roll up into any window without re-reading raw data."""
+    ensure_harness_conf(spark)
+    from .operators import sketch
+    from .operators.sketch import _cms_cells
+
+    ev = load(spark, sf_dir, "events")
+
+    def cells(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(_cms_cells("user_id", 4, 1024)).alias("_e"))
+            .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    c1 = cells(ev.filter(F.col("event_id") % 2 == 0))
+    c2 = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        c1.unionByName(c2).groupBy("r", "c").agg(F.sum("n").cast("long").alias("n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    wr = W.orderBy(F.col("n_true").desc(), "user_id")
+    top = (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("user_id").cast("string").alias("user_id"), "n_true")
+    )
+    est = sketch.cms_lookup(merged, top, "user_id", d=4, w=1024)
+    return top.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"), "n_true", "cms_count"
+    )

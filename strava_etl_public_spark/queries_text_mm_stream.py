@@ -1,0 +1,708 @@
+"""Text analysis, multimodal plumbing, Structured Streaming.
+
+Split from the former single-file queries_ext.py (round 7, verdict
+#7): registrations, names, and oracle SQL are unchanged — the
+aggregator queries_ext.py imports the family modules in the original
+registration order. Shared oracle fragments live in queries_common.
+"""
+
+from __future__ import annotations
+
+import uuid  # noqa: F401  (shared header across family modules)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .functions import epoch as ep  # noqa: F401
+from .io import load  # noqa: F401
+from .session import ensure_harness_conf  # noqa: F401
+from .queries import register, register_extra, streams  # noqa: F401
+from .operators import dedup, multimodal, similarity, text  # noqa: F401
+from .queries_common import _TK_SQL  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    scores = {
+        lang: f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in text.LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_PROFILES) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} = {best} THEN '{l}'" for l in text.LANG_PROFILES
+    )
+    score_cols = ", ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
+    return f"""
+WITH tk AS ({_TK_SQL}),
+s AS (SELECT doc_id, {score_cols} FROM tk)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM s
+"""
+
+
+@register("x_text_lang_id", oracle=_lang_oracle())
+def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-profile argmax (fixed tie order
+    en>fr>es>de, 'und' when nothing matches) — a scan-speed projection."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
+    return toks.select(
+        "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
+    )
+
+
+@register(
+    "x_text_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[^ \t\n]+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def x_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (the tokens-per-doc
+    budget stage of a curation pipeline)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_ws_tokens"),
+        text.token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+_EN = ", ".join(repr(w) for w in text.LANG_PROFILES["en"])
+
+_QUALITY_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok,
+         length(text) AS nc,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         x -> x IN ({_EN}))) AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars_obs,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.3
+         + (CAST(alpha AS DOUBLE) / CAST(nc AS DOUBLE)) * 0.3
+       END, 6) AS quality_score
+FROM f
+"""
+
+
+@register("x_text_quality", oracle=_QUALITY_ORACLE)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality features + composite score."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_features(docs, "doc_id", "text")
+
+
+@register_extra(
+    "x_text_fingerprint",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+sh AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shl
+  FROM tk
+)
+SELECT doc_id,
+       md5(array_to_string(t, ' ')) AS content_fp,
+       list_min(list_transform(shl, s -> md5(s))) AS min_shingle_fp
+FROM sh
+""",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of the normalized token stream) + min
+    shingle hash (1-perm MinHash winnowing anchor)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text", n=3)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in text.PII_PATTERNS
+    )
+    redacted = "t"
+    for kind, pat in text.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or 415-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {redacted} AS redacted
+FROM seeded
+"""
+
+
+@register("x_text_pii_redact", oracle=_pii_oracle())
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/SSN/phone/IPv4/card): per-doc hit counts per
+    kind + the redacted text, one scan-speed projection. The fixture
+    corpus carries no PII, so every 10th doc gets a deterministic
+    synthetic email+phone appended (same expression in the oracle) —
+    the patterns are exercised, the clean docs prove no false
+    positives."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return text.pii_counts(seeded, "doc_id", "t")
+
+
+@register_extra(
+    "w1_rolling_triang_pandas_udf",
+    oracle="""
+WITH s AS (
+SELECT user_id AS activity_id,
+       CAST(SUM(1 + event_id % 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS time_key,
+       value, event_type, event_id
+FROM events
+),
+r AS (
+  SELECT activity_id,
+         (1*lag(value,4) OVER w + 2*lag(value,3) OVER w + 3*lag(value,2) OVER w
+          + 2*lag(value,1) OVER w + 1*value) / 9.0 AS tri5
+  FROM s WINDOW w AS (PARTITION BY activity_id ORDER BY time_key)
+)
+SELECT activity_id,
+       round(max(tri5), 6) AS max_tri5,
+       CAST(count(tri5) AS BIGINT) AS n_windows
+FROM r GROUP BY activity_id
+""",
+)
+def w1_rolling_triang_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship W1 computation through the §2.J Arrow grouped-map
+    path (``applyInPandas`` running the numpy triangular oracle per
+    activity) instead of the box-composition window expressions — the
+    differential check that the UDF surface and the JVM surface agree
+    with a THIRD independent implementation (DuckDB lag-arithmetic)."""
+    ensure_harness_conf(spark)
+    from .operators import rolling
+
+    s = streams(spark, sf_dir)
+    r = rolling.rolling_mean_triang_pandas(s, "activity_id", "time_key", ["value"], [5])
+    return r.groupBy("activity_id").agg(
+        F.round(F.max("value_tri_5"), 6).alias("max_tri5"),
+        F.count("value_tri_5").cast("long").alias("n_windows"),
+    )
+
+
+@register(
+    "x_text_tfidf",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+tok_long AS (SELECT doc_id, unnest(t) AS term FROM tk),
+tc AS (SELECT doc_id, term, count(*) AS tf_n FROM tok_long GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf_n) AS doc_len FROM tc GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df_n FROM tc GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         round((CAST(tf_n AS DOUBLE) / CAST(doc_len AS DOUBLE))
+               * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df_n + 1 AS DOUBLE)) + 1.0),
+               6) AS tf_idf
+  FROM tc JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf_idf,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf). Two hash aggs +
+    one per-doc window top-k; corpus size is a 1-row broadcast."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    return text.tf_idf(docs, "doc_id", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(list_transform(
+           generate_series(0, CAST(greatest(nb // 16, 1) AS BIGINT) - 1),
+           i -> i * 16)) AS frame_idx
+  FROM f
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(text || ':' || frame_idx) AS frame_fp
+FROM idx
+""",
+)
+def x_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1 binary payload row → N frame rows
+    through mapInPandas (the demuxer kernel is a deterministic fake;
+    the explode shape, schema contract, and Arrow batching are real)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary(docs, "doc_id", "text")
+    return multimodal.fake_frame_index(payloads, every_n=16)
+
+
+@register_extra(
+    "x_mm_extract_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       'blob' AS kind
+FROM documents
+""",
+)
+def x_mm_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque BINARY payload + typed metadata, then partition-parallel
+    Arrow-batched metadata extraction (mapInPandas) — the real decode-
+    stage plumbing with a deterministic hash in place of a codec."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary(docs, "doc_id", "text", kind="blob")
+    return multimodal.extract_meta(payload, "doc_id")
+
+
+def _decode_oracle() -> str:
+    """Closed-form prediction of the REAL PNG decode: payloads are
+    deterministic PNGs synthesized from sha256(text) (pngcodec.
+    deterministic_png documents the layout), so the oracle derives
+    width/height/channels from the digest bytes and the exact integer
+    sample sum from the row-constant pixel recipe — no image library
+    needed on the DuckDB side either."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             8 + {byte(0)} % 56 AS w,
+             8 + {byte(1)} % 56 AS ht,
+             CASE WHEN {byte(2)} % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             {byte(3)} AS s
+      FROM hh),
+m AS (SELECT doc_id, w, ht, ch,
+             SUM(CASE WHEN ch = 1 THEN (s + y) % 256
+                      ELSE (s + y) % 256 + (s + y + 85) % 256 + (s + y + 170) % 256
+                 END) AS rowsum
+      FROM p, LATERAL (SELECT unnest(generate_series(0, ht - 1)) AS y) u
+      GROUP BY doc_id, w, ht, ch)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(ht AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       round(CAST(w * rowsum AS DOUBLE) / (w * ht * ch) / 255.0, 6) AS mean_intensity
+FROM m
+"""
+
+
+@register("x_mm_decode_stats", oracle=_decode_oracle())
+def x_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage with a REAL codec on the hot path: synthesize a
+    deterministic PNG per document (executor-side, Arrow batches), then
+    decode it with the pure-stdlib PNG decoder (pngcodec.decode_stats —
+    chunk walk + CRC verify + IDAT inflate + all five filter
+    reconstructions). The oracle predicts the decoded stats in closed
+    form from the digest recipe; a decoder bug (filter math, stride,
+    chunk parse) breaks the hash match."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_png(docs, "doc_id", "text")
+    out = multimodal.decode_image(payload, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (S1/S2 streaming face + §2.I window extensions)
+# ---------------------------------------------------------------------------
+
+_ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _run_stream(spark: SparkSession, agg: DataFrame, mode: str) -> DataFrame:
+    """Run a (finite-source) streaming aggregation to completion into a
+    uniquely-named memory sink and return the result table."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture into a temp DIRECTORY (the file
+    streaming source lists directories, not single files), with ``ts``
+    normalized to bigint epoch-nanos so the staged files always match
+    ``EVENTS_SCHEMA`` regardless of the fixture's physical encoding."""
+    import tempfile
+
+    from .streaming.ingest import normalize_events
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    normalize_events(load(spark, sf_dir, "events")).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+@register(
+    "x_stream_tumbling_counts",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+b AS (SELECT event_type, value, es - es % 3600 AS ws FROM e)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM b GROUP BY ws, event_type
+""",
+)
+def x_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts as a REAL Structured Streaming
+    query (file source → memory sink, complete mode), verified against
+    the batch SQL equivalent. At scale this runs continuously with
+    checkpointed offsets replacing the reference's max(epoch) read-back
+    (S1)."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, windowed_counts
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.date_format("w_start", _ISO).alias("w_start"),
+            F.date_format("w_end", _ISO).alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_sliding_counts",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+x AS (
+  SELECT event_type, value, (es - es % 900) - 900 * g.i AS ws
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM x GROUP BY ws, event_type
+""",
+)
+def x_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming counts — 1-hour windows every 15
+    minutes — closing the §2.I tumbling/sliding/session triad (the
+    other two have driver rows). Each event lands in exactly 4
+    overlapping windows (duration/slide); Spark aligns window starts
+    to multiples of the slide, which the oracle replicates by
+    exploding each event onto its 4 bucket starts
+    ((es - es%900) - 900·i, i∈0..3 — every one satisfies
+    ws ≤ es < ws+3600 since es-ws ≤ 899+2700 < 3600). State grows 4×
+    vs tumbling but stays watermark-bounded."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, windowed_counts
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = windowed_counts(
+            stream, window="1 hour", watermark="2 hours", slide="15 minutes"
+        )
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.date_format("w_start", _ISO).alias("w_start"),
+            F.date_format("w_end", _ISO).alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_enrich_join",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join — the standard streaming pattern
+    the window queries don't cover: each micro-batch of the event
+    stream joins a broadcast static dimension (no state, no watermark
+    needed for an inner stream-static join), then feeds a running
+    aggregation. At 100 TB the dim is broadcast once per batch and the
+    stream side never shuffles for the join; the only stateful op is
+    the downstream agg. Oracle = the equivalent batch join."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        joined = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        )
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.col("c_mktsegment").alias("mktsegment"), "n", "total_value"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_upsert_sink",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns,
+         event_type, value
+  FROM events
+)
+SELECT user_id,
+       CAST(arg_max(event_id, event_id) AS BIGINT) AS event_id,
+       CAST(arg_max(ts_ns, event_id) AS BIGINT) AS ts,
+       arg_max(event_type, event_id) AS event_type,
+       arg_max(value, event_id) AS value
+FROM e GROUP BY user_id
+""",
+)
+def x_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2 streaming LWW upsert sink end-to-end as an ORACLE-EXACT
+    query: stream the staged events in micro-batches through
+    upsert_stream_sink (checkpointed foreachBatch merge into a keyed
+    parquet state table), then read the final state back. event_id is
+    a unique total recency order, so the merged state is micro-batch-
+    slicing-invariant and equals the batch arg_max per user — the
+    reference's Firestore doc.set() final state (firebase_functions.py
+    :50-60), verifiable in SQL."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import EVENTS_SCHEMA, upsert_stream_sink
+
+    stage = _stage_events_dir(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(stage)
+        )
+        q = upsert_stream_sink(
+            stream.select("event_id", "ts", "user_id", "event_type", "value"),
+            state,
+            key="user_id",
+            order_col="event_id",
+            checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(f"{state}/current")
+            .select(
+                "user_id",
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("ts").cast("long").alias("ts"),
+                "event_type",
+                "value",
+            )
+            .localCheckpoint()  # state dir is removed in finally
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "x_stream_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events
+),
+g AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+s AS (
+  SELECT user_id, es,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY es
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(make_timestamp(min(es) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS s_start,
+       strftime(make_timestamp((max(es) + 3600) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS s_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(1h gap) streaming aggregation with watermarked
+    append output. A far-future sentinel event staged after the fixture
+    advances the watermark so every real session is finalized and
+    emitted (the no-data-batch flush); the sentinel's own session is
+    filtered back out. Oracle: the batch lag/gap sessionization."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import EVENTS_SCHEMA, normalize_events, session_windows
+
+    ev = normalize_events(load(spark, sf_dir, "events"))  # ts → bigint ns
+    max_ts = ev.agg(F.max("ts")).first()[0]  # one scalar — watermark-read shaped
+
+    stage = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        ev.write.mode("overwrite").parquet(stage)
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(max_ts + 30 * 86400 * 10**9), int(-1), "__flush__", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(stage)
+
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        agg = session_windows(stream, gap="1 hour", watermark="0 seconds")
+        out = _run_stream(spark, agg, "append")
+        return out.filter(F.col("user_id") >= 0).select(
+            "user_id",
+            F.date_format("s_start", _ISO).alias("s_start"),
+            F.date_format("s_end", _ISO).alias("s_end"),
+            "n_events",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "x_stream_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count + max maintained in the state store across
+    micro-batches, update-mode output. The final running row per user
+    (greatest n_events) must equal the batch aggregate exactly — only
+    order-independent aggregates are kept, so micro-batch slicing
+    cannot change the answer."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, running_user_stats
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        out = _run_stream(spark, running_user_stats(stream), "update")
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "max_value")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+

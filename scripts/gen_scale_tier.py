@@ -1,0 +1,178 @@
+"""Generate a larger scale tier (default sf1) for the heavy-hitter
+scale test (r6 verdict #3).
+
+The driver's fixtures stop at sf0.1; this generates schema-compatible
+documents / events / embeddings at an arbitrary sf, calibrated to the
+official fixtures' distributions (per-lang unigram frequencies and
+doc-length range read FROM the sf0.1 documents table; events: ~25.9 s
+mean gap, 5 uniform event types, users scaling with sf; embeddings:
+64-dim float32, 10 label clusters, center ±0.15 + noise ±0.25 —
+matching the observed ±0.39 value range). Generation is DETERMINISTIC
+and distributed: every value is a pure function of (seed, id, pos)
+via xxhash64 — no RNG, no driver-side loops; a 100× tier generates at
+scan speed on any cluster.
+
+Because the official generator isn't public, ratio measurements must
+compare THIS generator's sf0.1 against THIS generator's sf1 (same
+distribution family at both scales); scripts/scale_ratio.py does
+that and sanity-checks gen-sf0.1 times against the official sf0.1.
+
+Usage: python scripts/gen_scale_tier.py <sf> <outdir>
+   e.g. python scripts/gen_scale_tier.py 1 /tmp/sfgen/sf1
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+SEED = 42
+SLOTS = 1024  # weighted-vocab sampling resolution
+
+
+def _h(seed: str, *cols):
+    """Deterministic nonneg 63-bit hash of (seed, cols...)."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols))
+
+
+def gen_documents(spark, n_docs: int, calib_dir: str):
+    """Word-salad docs from the official fixture's per-lang unigram
+    distribution (weighted alias arrays broadcast as plan literals)."""
+    calib = spark.read.parquet(f"{calib_dir}/documents.parquet")
+    rows = (
+        calib.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .count()
+        .collect()
+    )
+    by_lang: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["w"], r["count"]))
+    lang_tot = {lg: sum(c for _, c in ws) for lg, ws in by_lang.items()}
+    # lang mix from the fixture (share of docs per lang)
+    lang_docs = {
+        r["lang"]: r["cnt"]
+        for r in calib.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_cal = sum(lang_docs.values())
+    langs = sorted(lang_docs)
+    lang_slots: list[str] = []
+    for lg in langs:
+        k = max(1, round(SLOTS * lang_docs[lg] / n_cal))
+        lang_slots += [lg] * k
+    lang_slots = lang_slots[:SLOTS] or langs
+
+    word_slots: dict[str, list[str]] = {}
+    for lg, ws in by_lang.items():
+        slots: list[str] = []
+        for w, c in sorted(ws):
+            k = max(1, round(SLOTS * c / lang_tot[lg]))
+            slots += [w] * k
+        word_slots[lg] = slots[:SLOTS] or [ws[0][0]]
+
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    lang = F.element_at(
+        F.array(*[F.lit(s) for s in lang_slots]),
+        (_h("lang", F.col("doc_id")) % len(lang_slots) + 1).cast("int"),
+    )
+    df = df.withColumn("lang", lang)
+    n_tok = (_h("ntok", F.col("doc_id")) % 91 + 10).cast("int")
+
+    # per-lang word sampling: one chained when per lang (small, codegen'd)
+    def tok_expr(i):
+        e = None
+        for lg in langs:
+            arr = F.array(*[F.lit(w) for w in word_slots[lg]])
+            m = len(word_slots[lg])
+            v = F.element_at(arr, (_h("w", F.col("doc_id"), i) % m + 1).cast("int"))
+            e = F.when(F.col("lang") == lg, v) if e is None else e.when(
+                F.col("lang") == lg, v
+            )
+        return e
+
+    toks = F.transform(F.sequence(F.lit(1), n_tok), lambda i: tok_expr(i))
+    out = df.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        "lang",
+        F.concat(F.lit("src"), (_h("src", F.col("doc_id")) % 20).cast("string")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    return out.repartition(max(8, n_docs // 50_000))
+
+
+def gen_events(spark, n_events: int, n_users: int):
+    start_us = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
+    span_us = 30 * 86_400 * 1_000_000
+    step = span_us // max(n_events, 1)
+    df = spark.range(n_events).withColumnRenamed("id", "event_id")
+    ts_us = (
+        F.lit(start_us)
+        + F.col("event_id") * F.lit(step)
+        + (_h("jit", F.col("event_id")) % F.lit(step * 2 + 1))
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_micros(ts_us.cast("long")).alias("ts"),
+        (_h("usr", F.col("event_id")) % n_users).cast("long").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")]),
+            (_h("ety", F.col("event_id")) % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.round((_h("val", F.col("event_id")) % 56022).cast("double") / 100.0, 2).alias(
+            "value"
+        ),
+        F.concat(
+            F.lit('{"k": '), (_h("prp", F.col("event_id")) % 100).cast("string"), F.lit("}")
+        ).alias("props"),
+    ).repartition(max(8, n_events // 500_000))
+
+
+def gen_embeddings(spark, n_vecs: int, dim: int = 64, n_labels: int = 10):
+    df = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    df = df.withColumn("label", (_h("lbl", F.col("vec_id")) % n_labels).cast("int"))
+
+    def val(i):
+        center = ((_h("ctr", F.col("label"), i) % 2001) - 1000) / 1000.0 * 0.15
+        noise = ((_h("nz", F.col("vec_id"), i) % 2001) - 1000) / 1000.0 * 0.25
+        return (center + noise).cast("float")
+
+    emb = F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda i: val(i))
+    return df.select("vec_id", emb.alias("embedding"), "label").repartition(
+        max(8, n_vecs // 100_000)
+    )
+
+
+def main() -> int:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfgen/sf{sf:g}"
+    calib = "/root/testdata/sf0.1"
+
+    from strava_etl_public_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-scale-tier")
+    scale = sf / 0.1  # counts below are the sf0.1 fixture counts
+    n_docs = int(5000 * scale)
+    n_events = int(100_000 * scale)
+    n_users = int(1500 * scale)
+    n_vecs = int(2000 * scale)
+
+    gen_documents(spark, n_docs, calib).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    gen_events(spark, n_events, n_users).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    gen_embeddings(spark, n_vecs).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    print(f"wrote sf{sf:g}: {n_docs} docs, {n_events} events, {n_vecs} vecs → {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

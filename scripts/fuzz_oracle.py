@@ -114,7 +114,16 @@ UNIQUE: dict[str, tuple[str, ...]] = {
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
     "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
+    # NOT (l_orderkey, l_linenumber): the synthetic fixture, unlike real
+    # TPC-H, repeats that pair (6000 rows → 4599 distinct at sf0.001).
+    # The first harness run with the 2-col "key" produced a
+    # nondeterministic lead() and flagged it — the verified-unique
+    # 6-tuple below restores a total order for position-dependent
+    # window shapes.
+    "lineitem": (
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice",
+    ),
     "documents": ("doc_id",),
     "events": ("event_id",),
 }
@@ -474,6 +483,83 @@ def shape_order_limit(rng, pools):
     )
 
 
+def shape_topk_per_group(rng, pools):
+    """The top-k-per-group idiom: row_number in a subquery, filtered
+    outside — the single most common analytic pattern."""
+    t = rng.choice(["orders", "lineitem", "customer", "events", "part"])
+    parts = _cols_of(t, ("int", "cat"))
+    pref, _, _ = rng.choice(parts)
+    total_order = ", ".join(UNIQUE[t])
+    desc = " DESC" if rng.random() < 0.5 else ""
+    order = ", ".join(f"{k}{desc}" for k in UNIQUE[t])
+    k = rng.randint(1, 4)
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    key = ", ".join(f"rid{j}" for j in range(len(UNIQUE[t])))
+    inner_key = ", ".join(
+        f"{c} AS rid{j}" for j, c in enumerate(UNIQUE[t])
+    )
+    return (
+        "topk_per_group",
+        f"SELECT {key}, g0, CAST(rn AS BIGINT) AS rn FROM ("
+        f"SELECT {inner_key}, {pref} AS g0, "
+        f"row_number() OVER (PARTITION BY {pref} ORDER BY {order}) AS rn "
+        f"FROM {t} WHERE {pred}) sub WHERE rn <= {k}",
+    )
+
+
+def shape_rollup(rng, pools):
+    t = rng.choice(["lineitem", "orders", "customer", "documents"])
+    groupable = _cols_of(t, ("int", "cat"))
+    keys = rng.sample(groupable, min(2, len(groupable)))
+    krefs = [ref for ref, _, _ in keys]
+    op = rng.choice(["ROLLUP", "CUBE"])
+    aggs = ", ".join(gen_agg(rng, t, f"a{i}") for i in range(rng.randint(1, 2)))
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    gsel = ", ".join(f"{r} AS g{i}" for i, r in enumerate(krefs))
+    return (
+        "rollup",
+        f"SELECT {gsel}, {aggs} FROM {t} WHERE {pred} "
+        f"GROUP BY {op} ({', '.join(krefs)})",
+    )
+
+
+def shape_cond_agg(rng, pools):
+    """Conditional (pivot-style) aggregation: SUM(CASE WHEN …)."""
+    t = rng.choice(list(COLS))
+    groupable = _cols_of(t, ("int", "cat"))
+    gref, _, _ = rng.choice(groupable)
+    conds = [gen_pred(rng, t, pools) for _ in range(rng.randint(1, 3))]
+    aggs = ", ".join(
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS a{i}"
+        for i, c in enumerate(conds)
+    )
+    return (
+        "cond_agg",
+        f"SELECT {gref} AS g0, {aggs} FROM {t} GROUP BY {gref}",
+    )
+
+
+def shape_three_join(rng, pools):
+    """lineitem ⋈ orders ⋈ customer — the classic 3-table star path."""
+    pred = gen_pred(rng, "lineitem", pools, "l")
+    pc = gen_pred(rng, "customer", pools, "c") if rng.random() < 0.5 else "1 = 1"
+    side = rng.choice(
+        ["c.c_nationkey", "c.c_mktsegment", "o.o_orderstatus", "o.o_orderpriority"]
+    )
+    agg2 = (
+        "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
+        if rng.random() < 0.5
+        else "CAST(count(DISTINCT o.o_orderkey) AS BIGINT)"
+    )
+    return (
+        "three_join",
+        f"SELECT {side} AS g0, CAST(count(*) AS BIGINT) AS a0, {agg2} AS a1 "
+        f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"JOIN customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE {pred} AND {pc} GROUP BY {side}",
+    )
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -482,6 +568,10 @@ SHAPES = [
     (shape_setop, 2),
     (shape_subquery, 3),
     (shape_order_limit, 2),
+    (shape_topk_per_group, 3),
+    (shape_rollup, 2),
+    (shape_cond_agg, 2),
+    (shape_three_join, 2),
 ]
 
 
@@ -520,6 +610,24 @@ def _norm(df: pd.DataFrame, float_cols: set) -> list[tuple]:
         rows.append(tuple(out))
     rows.sort(key=repr)
     return rows
+
+
+def is_known_divergence(shape: str, s_df: pd.DataFrame, d_df: pd.DataFrame) -> str | None:
+    """Documented engine-semantics differences (found BY this harness,
+    seed 9413 @ sf0.01 — its second catch): Spark's Expand-based
+    ROLLUP/CUBE yields ZERO rows over an empty input, while the SQL
+    standard (and DuckDB/PostgreSQL) emit the grand-total grouping
+    set () as one row with count 0 / NULL aggregates. Accepted as a
+    divergence, not a failure — the engine's rollup/cube queries
+    document Spark semantics."""
+    if (
+        shape == "rollup"
+        and len(s_df) == 0
+        and len(d_df) == 1
+        and d_df.iloc[0].isna().sum() >= len(d_df.columns) - 1
+    ):
+        return "spark: empty-input CUBE/ROLLUP emits no grand-total row"
+    return None
 
 
 def compare(s_df: pd.DataFrame, d_df: pd.DataFrame) -> str | None:
@@ -587,8 +695,12 @@ def main() -> int:
             continue
         diff = compare(s_df, d_df)
         if diff:
-            failures.append({"i": i, "shape": shape, "sql": sql, "err": diff})
-            print(f"FAIL {tag} {diff}\n  SQL: {sql}", flush=True)
+            known = is_known_divergence(shape, s_df, d_df)
+            if known:
+                print(f"ok   {tag} known divergence: {known}", flush=True)
+            else:
+                failures.append({"i": i, "shape": shape, "sql": sql, "err": diff})
+                print(f"FAIL {tag} {diff}\n  SQL: {sql}", flush=True)
         elif i % 40 == 0:
             print(f"ok   {tag} {len(d_df)} rows", flush=True)
 

@@ -592,6 +592,86 @@ def sample_domain_mix(
     )
 
 
+def token_budget_allocate(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    ntok_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    salt: str = "tb",
+) -> DataFrame:
+    """Token-budget curriculum manifest: split an overall training
+    TOKEN budget across domains by α-power temperature (the same
+    flattening move as :func:`domain_mix_plan`, but budgeted in
+    tokens, which is what a pretraining run actually spends), then
+    fill each domain's budget with hash-ordered documents until the
+    next doc would START past the budget. Emits, per kept doc,
+    ``(id, domain, tok_start)`` — tok_start is the doc's token offset
+    inside its domain's allocation, so the manifest doubles as a
+    deterministic pack order.
+
+    Determinism/portability: domain token totals are exact integer
+    sums; weights quantize to BIGINT (floor(T_d^α·10⁶), α=0.5 → sqrt
+    is IEEE-exact); each domain budget is one double expression over
+    exact ints + floor (products must stay < 2⁵³ — same documented
+    bound as domain_mix_plan); doc order inside a domain is the
+    (salt, id) md5 hash with an id tie-break; the keep rule is an
+    EXCLUSIVE running sum (window: rows unbounded preceding to 1
+    preceding) compared to the budget — so every domain except
+    possibly the last kept doc's tail fits, order is never broken,
+    and the whole manifest is a pure function of
+    (corpus, budget, α, salt).
+
+    Scale shape: one P-row domain agg (bounded model state,
+    broadcast), then ONE per-domain window sort — the same shuffle
+    any per-domain ordering pays; no driver-side loops, no
+    SinglePartition funnel."""
+    from pyspark.sql import Window
+
+    t_of = F.sum(F.col(ntok_col)).cast("long")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        t_of.alias("_t")
+    )
+    w_of = (
+        F.sqrt(F.col("_t").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_t").cast("double"), F.lit(float(alpha)))
+    )
+    counts = counts.withColumn(
+        "_wq", F.floor(w_of * F.lit(1000000.0)).cast("long")
+    )
+    totals = counts.agg(F.sum("_wq").cast("long").alias("_sumwq"))
+    budget_d = F.floor(
+        F.lit(float(budget_tokens))
+        * counts["_wq"].cast("double")
+        / totals["_sumwq"].cast("double")
+    ).cast("long")
+    plan = counts.crossJoin(F.broadcast(totals)).select(
+        "domain", budget_d.alias("tok_budget")
+    )
+    h = _hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    ordered = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.col(ntok_col).cast("long").alias("_nt"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ordered.withColumn(
+            "tok_start", F.coalesce(F.sum("_nt").over(w), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(plan), "domain")
+        .filter(F.col("tok_start") < F.col("tok_budget"))
+        .select(id_col, "domain", "tok_start")
+    )
+
+
 def sample_fixed_k(
     df: DataFrame,
     id_col: str,

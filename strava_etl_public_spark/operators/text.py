@@ -609,6 +609,121 @@ def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 1000) -> Data
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (hashed n-gram
+    features, after Xie et al. 2023 "Data Selection for Language
+    Models via Importance Resampling"), linear-proxy variant: score
+    each document by how much its token distribution resembles a
+    TARGET domain relative to the whole corpus.
+
+    Features are unigram tokens hashed into ``n_buckets`` buckets
+    (md5-based 60-bit hash — engine-portable, the repo's shared
+    oracle convention). Per document: ``num = Σ_tok p[bucket(tok)]``
+    and ``den = Σ_tok q[bucket(tok)]`` where p counts target-domain
+    tokens and q counts corpus tokens per bucket — exact integers, so
+    ``imp = round(num/den, 6)`` is one IEEE-exact division per doc
+    and any engine reproduces it bit-for-bit. (The published method
+    scores ``Σ log p̂_f/q̂_f``; the linear num/den proxy keeps the
+    oracle exact — log's last ulp is libm-dependent — and preserves
+    the ranking property the resampling step needs: documents heavy
+    in target-typical buckets score high.) ``den ≥ n_tokens > 0``
+    whenever the doc has tokens; token-free docs keep a row with
+    imp = 0.
+
+    Scale shape: one explode + hash agg builds the two bucket tables
+    (``n_buckets`` rows each — bounded model state), broadcast back
+    onto the token stream for a map-side lookup, then one per-doc
+    hash agg. No shuffle grows with corpus size except the per-doc
+    agg itself; at 100 TB the bucket tables are still 256 rows.
+    Integer-sum bound: per-doc ``den ≤ n_tokens·max_bucket_count``
+    must stay < 2⁵³ for the final double division to be exact —
+    holds to ~10⁴-token docs against ~10⁹-count buckets.
+    """
+    from .sketch import _hash60
+
+    toks = df.select(
+        F.col(id_col),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_t"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).withColumn(
+        "_bk",
+        (_hash60(F.concat(F.lit(f"{salt}:"), F.col("_tok"))) % n_buckets).cast(
+            "int"
+        ),
+    )
+    buckets = toks.groupBy("_bk").agg(
+        F.count(F.lit(1)).cast("long").alias("_q"),
+        F.sum("_is_t").cast("long").alias("_p"),
+    )
+    scored = (
+        toks.join(F.broadcast(buckets), "_bk")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_p").cast("long").alias("_num"),
+            F.sum("_q").cast("long").alias("_den"),
+        )
+    )
+    imp = F.round(
+        F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+    ) + F.lit(0.0)
+    # token-free docs: keep the row, score 0 (left join from the base)
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_num"), F.lit(0).cast("long")).alias("n_target_hits"),
+            F.coalesce(F.col("_den"), F.lit(0).cast("long")).alias("n_corpus_hits"),
+            F.when(F.col("_den").isNull(), F.lit(0.0)).otherwise(imp).alias("imp"),
+        )
+    )
+
+
+#: Control characters that signal a broken decode (C0 minus \t\n\r).
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+#: ASCII printable range (space..tilde).
+_PRINTABLE_RE = "[\\x20-\\x7e]"
+
+
+def encoding_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Encoding-sanity features: U+FFFD replacement characters (the
+    fingerprint of a wrong-charset decode), stray C0 control bytes,
+    and the ASCII-printable ratio. The standard mojibake pre-filter
+    in a web-scraped corpus pipeline — a doc with replacement chars
+    was decoded with the wrong charset and poisons downstream token
+    statistics. Pure codegen'd regexp counts (RE2-safe classes,
+    identical in DuckDB), shuffle-free, scan speed.
+
+    Emits per doc: n_chars, n_replacement, n_ctrl, printable ratio
+    (6dp — exact: integer counts, one IEEE division), and the keep
+    verdict (no replacement chars, no control bytes)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("long")
+    n_repl = F.regexp_count(c, F.lit("\\x{FFFD}")).cast("long")
+    n_ctrl = F.regexp_count(c, F.lit(_CTRL_RE)).cast("long")
+    n_print = F.regexp_count(c, F.lit(_PRINTABLE_RE)).cast("long")
+    ratio = F.round(
+        n_print.cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        ratio.alias("printable_ratio"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("clean"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -1226,3 +1226,160 @@ def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curriculum manifest (r7: curation batch)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_curation_token_budget",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS nt
+  FROM documents
+),
+c AS (
+  SELECT source AS domain, CAST(sum(nt) AS BIGINT) AS t,
+         CAST(floor(sqrt(CAST(sum(nt) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+  FROM tk GROUP BY source
+),
+tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sumwq FROM c),
+b AS (SELECT CAST(floor(0.4 * CAST(sum(nt) AS DOUBLE)) AS BIGINT) AS btot FROM tk),
+pl AS (
+  SELECT domain,
+         CAST(floor(CAST(btot AS DOUBLE) * CAST(wq AS DOUBLE)
+                    / CAST(sumwq AS DOUBLE)) AS BIGINT) AS tok_budget
+  FROM c, tot, b
+),
+o AS (
+  SELECT doc_id, source AS domain, nt,
+         CAST(concat('0x', substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM tk
+),
+s AS (
+  SELECT doc_id, domain,
+         CAST(coalesce(sum(nt) OVER (
+           PARTITION BY domain ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM o
+)
+SELECT s.doc_id, s.domain, s.tok_start
+FROM s JOIN pl USING (domain) WHERE s.tok_start < pl.tok_budget
+""",
+)
+def x_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum: 40% of the corpus's tokens allocated
+    across sources by α=0.5 temperature, each source's budget filled
+    with hash-ordered docs (operators/sketch.token_budget_allocate).
+    The one driver action is the corpus token total (a single exact
+    integer — bounded model state); everything else is the P-row plan
+    broadcast + one per-domain window. The manifest (kept doc ids +
+    in-domain token offsets) is a pure function of (corpus, α, salt),
+    reproduced from scratch by the oracle."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import tokens as _tokens
+    from .operators.sketch import token_budget_allocate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    total = docs.agg(F.sum("nt").cast("long").alias("t")).collect()[0]["t"]
+    budget = int(0.4 * float(total))  # floor of an exact-int product
+    return token_budget_allocate(
+        docs, "doc_id", "source", "nt", budget_tokens=budget, alpha=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_curation_dsir",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+b AS (
+  SELECT tk.doc_id,
+         CAST(concat('0x', substr(md5('dsir:' || t), 1, 15)) AS BIGINT) % 256 AS bk,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS ist
+  FROM tk JOIN documents d USING (doc_id)
+),
+bt AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS q, CAST(sum(ist) AS BIGINT) AS p
+  FROM b GROUP BY bk
+),
+s AS (
+  SELECT b.doc_id, CAST(sum(bt.p) AS BIGINT) AS num,
+         CAST(sum(bt.q) AS BIGINT) AS den
+  FROM b JOIN bt USING (bk) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.num, 0) AS n_target_hits,
+       coalesce(s.den, 0) AS n_corpus_hits,
+       CASE WHEN s.den IS NULL THEN 0.0
+            ELSE round(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6) + 0.0
+       END AS imp
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+)
+def x_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance score of every document against the
+    English subcorpus as target (operators/text.dsir_importance —
+    hashed unigram features, 256 buckets, exact linear num/den proxy
+    so the oracle matches bit-for-bit; see the operator docstring for
+    the log-ratio deviation note). The two 256-row bucket tables are
+    the only model state; at any corpus size the plan is explode →
+    two broadcasts → per-doc agg."""
+    ensure_harness_conf(spark)
+    from .operators.text import dsir_importance
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, "doc_id", "text", target_pred=F.col("lang") == "en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding sanity / mojibake pre-filter
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_encoding_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT)
+         AS n_replacement,
+       CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
+            AS BIGINT) AS n_ctrl,
+       round(CAST(len(regexp_extract_all(text, '[\\x20-\\x7e]')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) + 0.0
+         AS printable_ratio,
+       (len(regexp_extract_all(text, '\\x{FFFD}')) = 0
+        AND len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0)
+         AS clean
+FROM documents
+""",
+)
+def x_text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding-sanity pre-filter over the corpus
+    (operators/text.encoding_quality): replacement-char and control-
+    byte counts plus ASCII-printable ratio, shuffle-free codegen'd
+    regexp counts. The fixture corpus is clean (all rows pass), which
+    the oracle confirms; the non-trivial cases are pinned in
+    tests/test_text.py with synthetic mojibake."""
+    ensure_harness_conf(spark)
+    from .operators.text import encoding_quality
+
+    docs = load(spark, sf_dir, "documents")
+    return encoding_quality(docs, "doc_id", "text")

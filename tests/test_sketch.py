@@ -366,3 +366,39 @@ def test_quantile_hist_accuracy_and_merge(spark):
         u.sort_values("_bin").reset_index(drop=True)[["_bin", "_n"]],
         full[["_bin", "_n"]],
     )
+
+
+def test_token_budget_allocate_invariants(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import token_budget_allocate
+
+    rows = pd.DataFrame(
+        {
+            "id": range(40),
+            "dom": ["a"] * 20 + ["b"] * 15 + ["c"] * 5,
+            "nt": [(i * 7) % 13 + 1 for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = token_budget_allocate(df, "id", "dom", "nt", budget_tokens=100)
+    pdf = out.toPandas()
+    # every kept doc STARTS inside its domain budget; offsets are an
+    # exclusive prefix sum, so per domain they are unique and start at 0
+    for dom, g in pdf.groupby("domain"):
+        starts = sorted(g["tok_start"])
+        assert starts[0] == 0
+        assert len(set(starts)) == len(starts)
+    # deterministic under repartition
+    pdf2 = (
+        token_budget_allocate(df.repartition(7), "id", "dom", "nt", 100)
+        .toPandas()
+    )
+    key = lambda p: sorted(map(tuple, p[["id", "domain", "tok_start"]].values))  # noqa: E731
+    assert key(pdf) == key(pdf2)
+    # a domain's kept token mass never exceeds budget + one doc's tail
+    tok = dict(zip(rows["id"], rows["nt"]))
+    bmax = max(tok.values())
+    for dom, g in pdf.groupby("domain"):
+        kept = sum(tok[i] for i in g["id"])
+        assert kept <= 100 + bmax

@@ -702,3 +702,70 @@ def test_nb_classifier_separable_corpus(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_encoding_quality_mojibake(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import encoding_quality
+
+    rows = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3],
+            "text": [
+                "clean ascii text.",
+                "bad � decode � here",
+                "ctrl\x01char\x1f and tab\tok",
+                "",
+            ],
+        }
+    )
+    out = (
+        encoding_quality(spark.createDataFrame(rows), "id", "text")
+        .toPandas()
+        .set_index("id")
+    )
+    assert bool(out.loc[0, "clean"]) and out.loc[0, "printable_ratio"] == 1.0
+    assert out.loc[1, "n_replacement"] == 2 and not bool(out.loc[1, "clean"])
+    assert out.loc[2, "n_ctrl"] == 2 and not bool(out.loc[2, "clean"])
+    # tab/newline are NOT control noise; empty doc divides by max(n,1)
+    assert out.loc[3, "n_chars"] == 0 and out.loc[3, "printable_ratio"] == 0.0
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.text import dsir_importance
+
+    rows = pd.DataFrame(
+        {
+            "id": range(6),
+            "text": [
+                "alpha beta alpha beta",      # target-style
+                "alpha beta gamma",           # target-style
+                "zeta eta theta zeta",        # off-target
+                "eta theta eta theta",        # off-target
+                "alpha zeta",                 # mixed
+                "",                           # token-free
+            ],
+            "grp": ["t", "t", "s", "s", "s", "s"],
+        }
+    )
+    out = (
+        dsir_importance(
+            spark.createDataFrame(rows), "id", "text", F.col("grp") == "t"
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # target-vocab docs score strictly above off-target docs
+    assert min(out.loc[0, "imp"], out.loc[1, "imp"]) > max(
+        out.loc[2, "imp"], out.loc[3, "imp"]
+    )
+    # mixed doc lands strictly between
+    assert out.loc[3, "imp"] < out.loc[4, "imp"] < out.loc[0, "imp"]
+    # token-free doc keeps its row, score 0
+    assert out.loc[5, "n_corpus_hits"] == 0 and out.loc[5, "imp"] == 0.0

@@ -76,6 +76,10 @@ def main() -> int:
         "x_bootstrap_ci",
         "x_ab_mannwhitney",
         "x_fuzzy_join_names",
+        # fifteenth batch (r7 curation)
+        "x_curation_token_budget",
+        "x_curation_dsir",
+        "x_text_encoding_quality",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

@@ -560,6 +560,85 @@ def shape_three_join(rng, pools):
     )
 
 
+def shape_null_semantics(rng, pools):
+    """Three-valued-logic coverage: the fixtures ship no NULLs, so
+    derive them with nullif() and exercise the classic traps — null
+    group keys, count(*) vs count(col), null join keys never matching,
+    aggregates over all-null groups, and the NOT IN + NULL rule
+    (a NULL in the subquery empties the result)."""
+    variant = rng.randrange(4)
+    if variant == 0:
+        # null group key + count(*) vs count(col) vs sum over nulls
+        t = rng.choice(["orders", "customer", "lineitem", "events"])
+        ints = _cols_of(t, ("int",))
+        ref, c, _ = rng.choice(ints)
+        lo, hi = pools[(t, c)]
+        k = rng.randint(2, 5)
+        nc = f"nullif({ref} % {k}, {rng.randint(0, k - 1)})"
+        return (
+            "null_semantics",
+            f"SELECT {nc} AS g0, CAST(count(*) AS BIGINT) AS a0, "
+            f"CAST(count({nc}) AS BIGINT) AS a1, "
+            f"CAST(sum({nc}) AS BIGINT) AS a2 "
+            f"FROM {t} GROUP BY {nc}",
+        )
+    if variant == 1:
+        # null join keys never match (inner) / survive as null rows (left)
+        jtype = rng.choice(["JOIN", "LEFT JOIN"])
+        k = rng.randint(2, 6)
+        v = rng.randint(0, k - 1)
+        return (
+            "null_semantics",
+            f"SELECT CAST(count(*) AS BIGINT) AS a0, "
+            f"CAST(count(b.n_nationkey) AS BIGINT) AS a1 "
+            f"FROM customer a {jtype} nation b "
+            f"ON nullif(a.c_nationkey % {k}, {v}) = nullif(b.n_nationkey % {k}, {v})",
+        )
+    if variant == 2:
+        # NOT IN with a NULL in the subquery → empty result (standard);
+        # the IS NOT NULL variant restores the intuitive semantics
+        guard = rng.random() < 0.5
+        g = " WHERE nk IS NOT NULL" if guard else ""
+        k = rng.randint(3, 8)
+        v = rng.randint(0, k - 1)
+        return (
+            "null_semantics",
+            f"SELECT CAST(count(*) AS BIGINT) AS a0 FROM customer "
+            f"WHERE c_nationkey NOT IN "
+            f"(SELECT nk FROM (SELECT nullif(n_nationkey % {k}, {v}) AS nk "
+            f"FROM nation) s{g})",
+        )
+    # aggregates over an all-null column: sum/min/max → NULL, count → 0
+    t = rng.choice(["supplier", "region", "documents"])
+    ints = _cols_of(t, ("int", "key"))
+    ref, _, _ = rng.choice(ints)
+    return (
+        "null_semantics",
+        f"SELECT CAST(count(nullif({ref}, {ref})) AS BIGINT) AS a0, "
+        f"CAST(sum(nullif({ref}, {ref})) AS BIGINT) AS a1, "
+        f"CAST(max(nullif({ref}, {ref})) AS BIGINT) AS a2 FROM {t}",
+    )
+
+
+def shape_filter_clause(rng, pools):
+    """Aggregate FILTER (WHERE …) clauses — the modern conditional-agg
+    syntax, parsed and planned differently from CASE WHEN."""
+    t = rng.choice(list(COLS))
+    groupable = _cols_of(t, ("int", "cat"))
+    gref, _, _ = rng.choice(groupable)
+    conds = [gen_pred(rng, t, pools) for _ in range(rng.randint(1, 2))]
+    ints = _cols_of(t, ("key", "int"))
+    iref, _, _ = rng.choice(ints)
+    aggs = ", ".join(
+        f"CAST(count(*) FILTER (WHERE {c}) AS BIGINT) AS a{i}"
+        for i, c in enumerate(conds)
+    ) + f", CAST(sum({iref}) FILTER (WHERE {conds[0]}) AS BIGINT) AS asum"
+    return (
+        "filter_clause",
+        f"SELECT {gref} AS g0, {aggs} FROM {t} GROUP BY {gref}",
+    )
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -572,6 +651,8 @@ SHAPES = [
     (shape_rollup, 2),
     (shape_cond_agg, 2),
     (shape_three_join, 2),
+    (shape_null_semantics, 3),
+    (shape_filter_clause, 2),
 ]
 
 

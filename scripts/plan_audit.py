@@ -77,6 +77,7 @@ def main() -> int:
         "x_ab_mannwhitney",
         "x_fuzzy_join_names",
         # fifteenth batch (r7 curation)
+        "x_sim_knn_join",
         "x_curation_token_budget",
         "x_curation_dsir",
         "x_text_encoding_quality",

@@ -1007,6 +1007,99 @@ def pq_adc_topk(
     )
 
 
+def knn_join_blocked(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    k: int,
+    max_block: int = 4096,
+) -> DataFrame:
+    """kNN JOIN: the k nearest neighbors (cosine) for EVERY point —
+    the all-points face of the similarity family, next to the bounded
+    query-set top-k (:func:`cosine_topk_brute`) and the threshold
+    near-dup (dedup.embedding_near_dup). The workhorse of
+    hard-negative mining, graph building for label propagation, and
+    kNN classification over a full corpus.
+
+    Candidates are DIRECTED pairs within a blocking key (LSH bucket
+    from :func:`lsh_bucket`, a cluster id, or a label): per point the
+    candidate set is its block, so pairwise work is Σ n_b² — bounded
+    by ``max_block``·N, never corpus-wide N². Blocks above
+    ``max_block`` degrade to a star around the block's minimum-id
+    representative (members score only the rep; the rep scores all
+    members) — same output schema, documented recall loss, no O(n²)
+    cliff; re-block with a sharper key instead of raising the cap.
+    Cosines round to 6dp BEFORE ranking (engine-portable); rank ties
+    break on neighbor id, so the result is a pure function of the
+    data and an exact SQL oracle reproduces it. Points in singleton
+    blocks emit no rows (no neighbor evidence ≠ a wrong neighbor).
+
+    Scale shape: one self-join keyed on the block (both sides prune
+    to ≤ max_block rows per key), one per-point window for the top-k
+    (shuffle keyed on id). At 10⁹ vectors with 2¹⁶ LSH buckets the
+    per-block join is ~15k² cosines per bucket worst-case under the
+    cap — embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    from .dedup import cosine
+
+    sizes = emb.groupBy(block_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
+    )
+    small = sizes.filter(F.col("_n") <= max_block).select(block_col)
+    hot = sizes.filter(F.col("_n") > max_block).select(block_col, "_min_id")
+
+    a = emb.join(small, block_col).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    b = emb.join(small, block_col).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("q_id") != F.col("n_id"))
+
+    # star tier for hot blocks: members ↔ representative, both directions
+    hm = emb.join(hot, block_col)
+    rep = hm.filter(F.col(id_col) == F.col("_min_id")).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("r_id"),
+        F.col(vec_col).alias("rv"),
+    )
+    mem = hm.filter(F.col(id_col) != F.col("_min_id")).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("m_id"),
+        F.col(vec_col).alias("mv"),
+    )
+    star = rep.join(mem, "_blk")
+    star_pairs = star.select(
+        "_blk",
+        F.col("m_id").alias("q_id"), F.col("mv").alias("qv"),
+        F.col("r_id").alias("n_id"), F.col("rv").alias("nv"),
+    ).unionByName(
+        star.select(
+            "_blk",
+            F.col("r_id").alias("q_id"), F.col("rv").alias("qv"),
+            F.col("m_id").alias("n_id"), F.col("mv").alias("nv"),
+        )
+    )
+
+    scored = pairs.unionByName(star_pairs).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label mean embedding (class centroids): one posexplode +
     hash agg per (label, dim) with 6dp-quantized DECIMAL sums — the

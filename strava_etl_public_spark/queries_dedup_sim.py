@@ -948,3 +948,48 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.unpersist()
 
 
+
+
+# ---------------------------------------------------------------------------
+# kNN join: top-k neighbors for EVERY point (r7, fifteenth batch)
+# ---------------------------------------------------------------------------
+
+
+def _knn_join_oracle(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql('embedding', 'lsh', j, dim)} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    cos = _cos_sql("a.embedding", "x.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS blk FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS q_id, x.vec_id AS n_id, round({cos}, 6) AS cos
+  FROM b a JOIN b x ON a.blk = x.blk AND a.vec_id != x.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+"""
+
+
+@register_extra("x_sim_knn_join", oracle=_knn_join_oracle())
+def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN (top-5 cosine neighbors for EVERY vector), blocked on
+    the same 6-plane hyperplane-LSH buckets as x_dedup_embedding_lsh —
+    the all-points face of the similarity family (hard-negative
+    mining, kNN-graph construction). Single-table blocking; the
+    4096-member star guard is pinned far above fixture bucket sizes so
+    the oracle-checked config is pure in-block all-pairs (the SemDeDup
+    lesson); ranks tie-break on neighbor id, so the result is exact.
+    Singleton-bucket vectors emit no rows (no neighbor evidence)."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplane_weights(6, 64)
+    blocked = emb.withColumn(
+        "_blk", similarity.lsh_bucket(F.col("embedding"), planes)
+    )
+    return similarity.knn_join_blocked(
+        blocked, "vec_id", "embedding", "_blk", k=5
+    )

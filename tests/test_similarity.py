@@ -324,3 +324,48 @@ def test_random_projection_preserves_distances(spark):
     ).toPandas()
     P2 = np.stack([np.array(p) for p in proj2.sort_values("id").proj])
     assert np.array_equal(P, P2)
+
+
+def test_knn_join_blocked_star_guard_and_exactness(spark):
+    """Small-block exactness vs a per-block brute force, plus the
+    hot-block star degradation contract (members pair only with the
+    min-id representative, both directions, schema unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.similarity import knn_join_blocked
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # two small blocks (5 + 4) and one hot block (9 members, cap 6)
+    for i in range(5):
+        rows.append((i, "a", rng.randn(8).round(3).tolist()))
+    for i in range(5, 9):
+        rows.append((i, "b", rng.randn(8).round(3).tolist()))
+    for i in range(9, 18):
+        rows.append((i, "hot", rng.randn(8).round(3).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "blk", "v"])
+    )
+    out = knn_join_blocked(df, "id", "v", "blk", k=3, max_block=6).toPandas()
+
+    # exact per-block reference for the small blocks
+    vecs = {i: np.array(v) for i, _, v in rows}
+    blocks = {"a": range(5), "b": range(5, 9)}
+    for blk, ids in blocks.items():
+        for q in ids:
+            cands = [
+                (round(float(
+                    vecs[q] @ vecs[n]
+                    / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[n]))
+                ), 6), n)
+                for n in ids if n != q
+            ]
+            want = sorted(cands, key=lambda t: (-t[0], t[1]))[:3]
+            got = out[out.q_id == q].sort_values("rk")
+            assert [(c, n) for c, n in zip(got.cos, got.n_id)] == want
+    # hot block: min-id rep is 9; members only ever see 9 as neighbor
+    hot = out[(out.q_id >= 9) & (out.q_id != 9)]
+    assert set(hot.n_id) == {9}
+    # the rep ranks its members normally (up to k)
+    assert len(out[out.q_id == 9]) == 3

@@ -48,7 +48,8 @@ def main() -> int:
     pairs = chain_pairs.unionByName(star_pairs)
 
     t0 = time.perf_counter()
-    cc = duplicate_clusters(pairs, max_iters=12).persist()
+    # small_graph_edges=0: this smoke stresses the DISTRIBUTED path
+    cc = duplicate_clusters(pairs, max_iters=12, small_graph_edges=0).persist()
     n_rows = cc.count()
     wall = time.perf_counter() - t0
 

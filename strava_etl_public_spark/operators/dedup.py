@@ -693,6 +693,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    small_graph_edges: int = 1 << 20,
 ) -> DataFrame:
     """Connected components over a near-dup PAIR table → per-doc
     canonical representative — the step that turns pairwise dedup
@@ -742,6 +743,47 @@ def duplicate_clusters(
     # try/finally so the non-convergence RuntimeError releases the
     # persisted edge/pair tables too (ADVICE r5)
     try:
+        # SMALL-GRAPH FAST PATH (r7): near-dup pair tables are usually
+        # tiny relative to the corpus (pairs ≪ docs). Below
+        # ``small_graph_edges`` the edge list is bounded driver model
+        # state (≤ ~32 MB at the 2²⁰ default) and a local union-find
+        # replaces the per-round join+agg+count job train — identical
+        # output (min-id representative is order-independent), but
+        # 2·rounds Spark jobs collapse into one collect. Above the
+        # bound the distributed label propagation below runs unchanged
+        # — that IS the 100 TB path; the threshold only short-circuits
+        # graphs that fit comfortably on the driver.
+        n_edges = edges.count()  # also materializes the persist
+        if n_edges <= small_graph_edges:
+            ew = [(r[0], r[1]) for r in pairs.collect()]
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in ew:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            comp: dict = {}
+            nodes = {u for e in ew for u in e}
+            for u in nodes:
+                comp.setdefault(find(u), []).append(u)
+            rows = []
+            for members in comp.values():
+                rep = min(members)
+                size = len(members)
+                rows.extend((m, rep, size) for m in sorted(members))
+            id_t = pairs.schema["_pa"].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                rows, f"doc_id {id_t}, rep_id {id_t}, cluster_size long"
+            )
+
         labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
             "lab", F.col("id")
         ).localCheckpoint()

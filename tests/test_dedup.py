@@ -276,10 +276,19 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame({"doc_a": list(range(8)), "doc_b": list(range(1, 9))})
     )
+    # force the DISTRIBUTED path (small_graph_edges=0): the default
+    # small-graph union-find never iterates, so the convergence
+    # contract under test belongs to label propagation
     with _pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, max_iters=2)
-    out = duplicate_clusters(pairs, max_iters=10).toPandas()
+        duplicate_clusters(pairs, max_iters=2, small_graph_edges=0)
+    out = duplicate_clusters(
+        pairs, max_iters=10, small_graph_edges=0
+    ).toPandas()
     assert set(out.rep_id) == {0} and set(out.cluster_size) == {9}
+    # fast path (default) produces the identical cluster map
+    fast = duplicate_clusters(pairs, max_iters=10).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "rep_id", "cluster_size"]].values))  # noqa: E731
+    assert key(fast) == key(out)
 
 
 def test_jaccard_join_prefix_complete_vs_bruteforce(spark):

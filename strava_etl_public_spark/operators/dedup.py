@@ -745,17 +745,20 @@ def duplicate_clusters(
     try:
         # SMALL-GRAPH FAST PATH (r7): near-dup pair tables are usually
         # tiny relative to the corpus (pairs ≪ docs). Below
-        # ``small_graph_edges`` the edge list is bounded driver model
-        # state (≤ ~32 MB at the 2²⁰ default) and a local union-find
-        # replaces the per-round join+agg+count job train — identical
-        # output (min-id representative is order-independent), but
-        # 2·rounds Spark jobs collapse into one collect. Above the
-        # bound the distributed label propagation below runs unchanged
-        # — that IS the 100 TB path; the threshold only short-circuits
-        # graphs that fit comfortably on the driver.
+        # ``small_graph_edges`` the DEDUPLICATED edge list is bounded
+        # driver model state (2²⁰ Rows ≈ low hundreds of MB worst
+        # case) and a local union-find replaces the per-round
+        # join+agg+count job train — identical output (min-id
+        # representative is order-independent), but 2·rounds Spark
+        # jobs collapse into one collect. Above the bound the
+        # distributed label propagation below runs unchanged — that IS
+        # the 100 TB path. The collect reads ``edges`` — the same
+        # distinct table the guard counted — NEVER the raw pair table,
+        # whose duplicate rows (LSH multi-band emits, unioned reruns)
+        # can dwarf the distinct count (r7 code-review catch).
         n_edges = edges.count()  # also materializes the persist
         if n_edges <= small_graph_edges:
-            ew = [(r[0], r[1]) for r in pairs.collect()]
+            ew = [(r[0], r[1]) for r in edges.collect()]
             parent: dict = {}
 
             def find(x):
@@ -779,7 +782,11 @@ def duplicate_clusters(
                 rep = min(members)
                 size = len(members)
                 rows.extend((m, rep, size) for m in sorted(members))
-            id_t = pairs.schema["_pa"].dataType.simpleString()
+            # id type from the UNION-widened edge table, not _pa alone:
+            # mixed-width pair columns (doc_a INT ⋈ doc_b BIGINT) widen
+            # through unionByName on the distributed path, and the fast
+            # path must emit the same schema (r7 code-review catch)
+            id_t = edges.schema["src"].dataType.simpleString()
             return pairs.sparkSession.createDataFrame(
                 rows, f"doc_id {id_t}, rep_id {id_t}, cluster_size long"
             )

@@ -319,20 +319,34 @@ def write_with_stats(
     import json
     import os
 
-    from pyspark.sql.types import NumericType, StringType
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        NumericType,
+        StringType,
+    )
 
     # Fail FAST on stat columns whose min/max don't survive the JSON
     # round-trip (ADVICE r6: json.dump(default=str) silently turned
     # date/timestamp stats into strings, and the failure only surfaced
     # at query time in read_with_skipping, after the write succeeded).
+    # DecimalType is numeric but collects as decimal.Decimal, which
+    # default=str ALSO stringifies — the exact failure the guard
+    # exists to prevent (r7 code-review catch) — while BooleanType
+    # round-trips JSON losslessly and is allowed.
     for c in stat_cols:
         dt = df.schema[c].dataType
-        if not isinstance(dt, (NumericType, StringType)):
+        json_safe = (
+            isinstance(dt, (NumericType, StringType, BooleanType))
+            and not isinstance(dt, DecimalType)
+        )
+        if not json_safe:
             raise ValueError(
                 f"write_with_stats: stat column {c!r} has type "
-                f"{dt.simpleString()} — only numeric/string stats "
-                "round-trip through the JSON manifest; cast the column "
-                "(e.g. date→epoch days) before writing"
+                f"{dt.simpleString()} — only int/float/string/boolean "
+                "stats round-trip through the JSON manifest; cast the "
+                "column (e.g. date→epoch days, decimal→double) before "
+                "writing"
             )
 
     df.write.mode("overwrite").parquet(path)

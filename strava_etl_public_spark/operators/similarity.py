@@ -1039,11 +1039,17 @@ def knn_join_blocked(
     to ≤ max_block rows per key), one per-point window for the top-k
     (shuffle keyed on id). At 10⁹ vectors with 2¹⁶ LSH buckets the
     per-block join is ~15k² cosines per bucket worst-case under the
-    cap — embarrassingly parallel."""
+    cap — embarrassingly parallel. ``emb`` feeds FOUR consumers (the
+    size agg, both small-tier join legs, the hot-member scan) and
+    Spark never dedupes common subtrees, so it is persisted here —
+    like jaccard_join_prefix's ``sets``, the caller unpersists after
+    its last action if the input pipeline was expensive."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from .dedup import cosine
 
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = emb.groupBy(block_col).agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
     )

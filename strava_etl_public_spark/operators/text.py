@@ -641,11 +641,17 @@ def dsir_importance(
     (``n_buckets`` rows each — bounded model state), broadcast back
     onto the token stream for a map-side lookup, then one per-doc
     hash agg. No shuffle grows with corpus size except the per-doc
-    agg itself; at 100 TB the bucket tables are still 256 rows.
+    agg itself; at 100 TB the bucket tables are still 256 rows. The
+    exploded token table feeds BOTH the bucket agg and the per-doc
+    score (Spark never dedupes common subtrees), so it is persisted
+    — caller unpersists after its last action if the corpus scan was
+    expensive (the jaccard_join_prefix convention).
     Integer-sum bound: per-doc ``den ≤ n_tokens·max_bucket_count``
     must stay < 2⁵³ for the final double division to be exact —
     holds to ~10⁴-token docs against ~10⁹-count buckets.
     """
+    from pyspark import StorageLevel
+
     from .sketch import _hash60
 
     toks = df.select(
@@ -657,7 +663,7 @@ def dsir_importance(
         (_hash60(F.concat(F.lit(f"{salt}:"), F.col("_tok"))) % n_buckets).cast(
             "int"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = toks.groupBy("_bk").agg(
         F.count(F.lit(1)).cast("long").alias("_q"),
         F.sum("_is_t").cast("long").alias("_p"),
@@ -1015,12 +1021,21 @@ def _bpe_batch_prefix(
       prefix, so every unaccepted old pair stays ranked below rows[j];
     - the only counts that can APPEAR are pairs touching a new symbol
       a_i||b_i, and count(x, a_i b_i) ≤ count(x, a_i) pre-merge
-      (resp. (a_i b_i, x) ≤ (b_i, x)) — so if every visible pair
-      touching an accepted symbol has count < rows[j].pc, no new pair
-      can reach rows[j].pc; invisible pairs (below the table) have
-      count ≤ the K-th count, handled by requiring pc strictly above
-      it when the table is full (ties could win on lexicographic
-      order, so ≥ is not enough).
+      (resp. (a_i b_i, x) ≤ (b_i, x)) — so if every visible CARRIER
+      pair (one touching an accepted symbol) has count < rows[j].pc,
+      no new pair can reach rows[j].pc; invisible pairs (below the
+      table) have count ≤ the K-th count, handled by requiring pc
+      strictly above it when the table is full (ties could win on
+      lexicographic order, so ≥ is not enough).
+    An accepted pair (a_i, b_i) with a_i ≠ b_i is NOT a carrier —
+    greedy leftmost application leaves zero (a_i, b_i) adjacencies,
+    and the new-pair bounds route through (x, a_i) / (b_i, x) with
+    x outside the pair — so it is excluded from the conflict scan.
+    A SELF-pair (a, a) IS its own carrier: merging an odd run 'aaa'
+    leaves (aa, a) whose bound count(b_i, x) = count(a, a) is the
+    accepted pair itself (r7 code-review catch: {aaa:3, bb:5, baaa:4}
+    spawned (aa, a)=7 > (b, b)=5 and the batch reordered the
+    sequential schedule), so self-pairs stay in the scan.
     The first pair that cannot be proven stops the batch (order must
     be preserved, so no skipping).
     """
@@ -1029,7 +1044,11 @@ def _bpe_batch_prefix(
     ck = rows[-1][2]
     accepted = [rows[0]]
     used = {rows[0][0], rows[0][1], rows[0][0] + rows[0][1]}
-    acc_pairs = {(rows[0][0], rows[0][1])}
+    # only DISTINCT-symbol accepted pairs are exempt from the carrier
+    # scan; self-pairs (a, a) can carry their own new (aa, a) pairs
+    acc_pairs = (
+        {(rows[0][0], rows[0][1])} if rows[0][0] != rows[0][1] else set()
+    )
     for a, b, pc in rows[1:]:
         if len(accepted) >= budget or pc < min_pair_count:
             break
@@ -1047,7 +1066,8 @@ def _bpe_batch_prefix(
             break
         accepted.append((a, b, pc))
         used |= {a, b, a + b}
-        acc_pairs.add((a, b))
+        if a != b:
+            acc_pairs.add((a, b))
     return accepted
 
 

@@ -651,6 +651,26 @@ def test_bpe_batched_identical_to_sequential(spark, sf_dir):
     assert len(m_bat) == 15
 
 
+def test_bpe_batched_self_pair_runs(spark):
+    """r7 code-review regression: a SELF-pair merge (a,a) over an odd
+    run ('aaa') spawns (aa,a) whose count carrier is the accepted pair
+    ITSELF — excluding accepted pairs from the conflict scan reordered
+    the schedule ({aaa:3, bb:5, baaa:4} emitted (b,b) before (aa,a)).
+    Repeated-character runs ('www', '000') exist in any real corpus."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import bpe_train
+
+    texts = ["aaa baaa " * 1, "bb " * 5, "aaa baaa aaa baaa baaa"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    m_seq, _ = bpe_train(df, "text", num_merges=6, batch_k=1)
+    m_bat, _ = bpe_train(df, "text", num_merges=6, batch_k=16)
+    assert m_bat == m_seq
+    # the schedule must include a self-pair and its spawned successor
+    assert ("a", "a") in [(a, b) for a, b, _ in m_seq]
+    assert ("aa", "a") in [(a, b) for a, b, _ in m_seq]
+
+
 def test_bpe_batch_prefix_guards():
     """Unit cases for the batch-acceptance proof conditions."""
     from strava_etl_public_spark.operators.text import _bpe_batch_prefix
@@ -667,6 +687,10 @@ def test_bpe_batch_prefix_guards():
     # a visible neighbor pair touching an accepted symbol with count
     # >= candidate's can spawn a new-symbol pair that overtakes it
     rows = [("a", "b", 10), ("b", "x", 9), ("c", "d", 8)]
+    assert _bpe_batch_prefix(rows, False, 99, 2) == rows[:1]
+    # a SELF-pair is its own carrier ((aa, a) from odd runs): it must
+    # block later candidates even though it is the accepted pair
+    rows = [("a", "a", 10), ("c", "d", 8)]
     assert _bpe_batch_prefix(rows, False, 99, 2) == rows[:1]
     # full table: a candidate tying the K-th count may lose to an
     # unseen pair on the lexicographic tie-break → stop

@@ -140,7 +140,11 @@ JOINS = [
     ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
 ]
 
-MAX_ROWS = 200_000  # safety: a shape that explodes past this is a bug
+# Safety cap: a shape producing more rows than this is treated as a
+# generator bug (a runaway join), not compared. 2M clears every
+# whole-table projection at sf0.1 (lineitem = 600k rows) while still
+# catching true cross-join explosions.
+MAX_ROWS = 2_000_000
 
 
 def _q(v: str) -> str:

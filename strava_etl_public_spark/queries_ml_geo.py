@@ -1509,3 +1509,60 @@ def x_sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "user_id").select(
         F.col("user_id").cast("long").alias("user_id"), "n_true", "cms_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup keep policy: keep the LONGEST cluster member (r7)
+# ---------------------------------------------------------------------------
+
+
+def _keep_longest_oracle() -> str:
+    """Same recursive-closure clusters; the kept member per cluster is
+    the argmax by (n_chars desc, doc_id asc) — the policy production
+    pipelines prefer over keep-min-id, because near-dup clusters often
+    contain truncated variants of one document."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL},
+m AS (
+  SELECT cc.rep_id, cc.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.rep_id
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rk,
+         count(*) OVER (PARTITION BY cc.rep_id) AS sz
+  FROM cc JOIN documents d USING (doc_id)
+)
+SELECT rep_id AS cluster_id, doc_id AS kept_doc_id,
+       CAST(n_chars AS BIGINT) AS kept_n_chars,
+       CAST(sz AS BIGINT) AS cluster_size
+FROM m WHERE rk = 1
+"""
+
+
+@register_extra("x_dedup_keep_longest", oracle=_keep_longest_oracle())
+def x_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical member per near-dup cluster: instead of
+    the min-id representative, keep the LONGEST member (ties → min
+    doc_id) — truncated variants lose to their fuller original, the
+    keep policy production curation actually uses. One broadcast-sized
+    join of the bounded cluster map onto doc lengths + one per-cluster
+    window; the cluster map itself is the already-certified CC output,
+    so this adds an argmax policy layer, not new graph machinery."""
+    ensure_harness_conf(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b")
+    m = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("rep_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("rep_id").alias("cluster_id"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").cast("long").alias("kept_n_chars"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

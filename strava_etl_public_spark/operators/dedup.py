@@ -103,6 +103,46 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
 DEFAULT_MAX_BUCKET = 1024
 
 
+def _stack_bands(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band_idx, h): the k-row MinHash signature banded into
+    ``bands`` concatenated band hashes, one row per (doc, band) —
+    the LSH bucket key table shared by batch candidate generation and
+    the streaming near-dup filter."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, *band_cols).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.h")
+
+
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Text → LSH band-bucket table ``(id, band_idx, h)`` in one call
+    (shingles → MinHash signature → banding): the per-document bucket
+    keys the streaming near-dup ingest filter maintains state over."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    return _stack_bands(minhash_signatures(sh, id_col, k), id_col, k, bands)
+
+
 def _lsh_candidates_raw(
     sig: DataFrame,
     id_col: str,
@@ -139,24 +179,7 @@ def _lsh_candidates_raw(
     the downstream clustering needs while bounding every task; only
     redundant within-cluster cross edges are skipped. Verification
     still computes exact Jaccard on every emitted pair."""
-    rows = k // bands
-    band_cols = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    stacked = sig.select(id_col, *band_cols).select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("h"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band_idx", "b.h")
+    stacked = _stack_bands(sig, id_col, k, bands)
 
     # Bucket occupancy + min id come from a window over the SAME
     # (band_idx, h) partitioning the collect needs — one shuffle total,

@@ -19,7 +19,7 @@ from .io import load  # noqa: F401
 from .session import ensure_harness_conf  # noqa: F401
 from .queries import register, register_extra, streams  # noqa: F401
 from .operators import dedup, multimodal, similarity, text  # noqa: F401
-from .queries_common import _TK_SQL  # noqa: F401
+from .queries_common import _SH_SQL, _TK_SQL  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -706,3 +706,88 @@ def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest filter (r7, sixteenth batch)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_stream_oracle(k: int = 8, bands: int = 4) -> str:
+    """Batch twin of the streaming filter's verdict rule: a doc is a
+    duplicate iff it shares any LSH band bucket with a smaller doc id
+    (the same signature/banding construction as _minhash_oracle)."""
+    rows = k // bands
+    sig_cols = ",\n         ".join(
+        f"min(shingle + {j} * sh2) AS mh{j}" for j in range(k)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN concat_ws('_', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SH_SQL},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_idx, CASE band_idx {band_cases} END AS h
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx)
+),
+own AS (SELECT band_idx, h, min(doc_id) AS owner FROM banded GROUP BY band_idx, h),
+v AS (
+  SELECT b.doc_id, min(o.owner) AS mo
+  FROM banded b JOIN own o ON b.band_idx = o.band_idx AND b.h = o.h
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(v.mo < d.doc_id, FALSE) AS is_dup
+FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+"""
+
+
+@register_extra("x_stream_neardup_filter", oracle=_neardup_stream_oracle())
+def x_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup filtering as a REAL streaming query: the
+    documents corpus staged to a file source, a checkpointed
+    foreachBatch sink maintaining min-merged bucket-owner state
+    (streaming/ingest.neardup_merge_batch — replay-idempotent, so
+    at-least-once delivery gives exactly-once verdicts), and the
+    per-doc keep/duplicate verdict read back from the filter's state.
+    The oracle recomputes the verdict rule ("shares a band bucket
+    with a smaller doc id") from scratch in batch SQL; multi-batch
+    boundary independence is pinned in tests/test_streaming.py."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.ingest import (
+        neardup_stream_sink,
+        read_neardup_verdicts,
+    )
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    state = tempfile.mkdtemp(prefix="neardup_state_")
+    ckpt = tempfile.mkdtemp(prefix="neardup_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.write.mode("overwrite").parquet(stage)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(stage)
+        q = neardup_stream_sink(stream, state, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize before the state dirs are removed
+        return read_neardup_verdicts(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

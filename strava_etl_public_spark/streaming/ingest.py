@@ -183,14 +183,22 @@ def merge_batch_lww(
     table format, this whole function is a MERGE INTO; see module
     header.)
     """
-    import os
-    import shutil
-
     from ..operators.upsert import upsert_last_writer_wins
 
     spark = updates.sparkSession
     current = _read_state(spark, state_path)
     merged = upsert_last_writer_wins(current, updates, key, order_col)
+    _swap_in(state_path, merged)
+
+
+def _swap_in(state_path: str, merged: DataFrame) -> None:
+    """Crash-safe publication of a merged state table: write to a
+    staging dir FIRST, then swap via renames (current → _old, staging
+    → current) so a reader never sees a half-written table; see
+    :func:`merge_batch_lww`'s docstring for the recovery argument."""
+    import os
+    import shutil
+
     cur = os.path.join(state_path, "current")
     stg = os.path.join(state_path, "_staging")
     old = os.path.join(state_path, "_old")
@@ -264,3 +272,143 @@ def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "appen
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest filter (r7): MinHash-LSH dedup as a
+# checkpointed foreachBatch sink over min-merged bucket state
+# ---------------------------------------------------------------------------
+
+
+def _merge_min_state(updates: DataFrame, state_path: str, key_cols, val_col) -> None:
+    """Merge a keyed MIN-value table into the parquet state at
+    ``state_path`` via the crash-safe swap. Min-merge is associative,
+    commutative, and idempotent, so replaying a failed batch from the
+    checkpoint converges to the same state — at-least-once delivery
+    plus this merge equals exactly-once state (the LWW sink argument,
+    with min instead of last-writer)."""
+    spark = updates.sparkSession
+    current = _read_state(spark, state_path)
+    if current is None:
+        merged = updates
+    else:
+        merged = (
+            current.unionByName(updates)
+            .groupBy(*key_cols)
+            .agg(F.min(val_col).alias(val_col))
+        )
+    _swap_in(state_path, merged)
+
+
+def neardup_merge_batch(
+    bdf: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of the streaming near-dup filter.
+
+    Semantics: an arriving doc is a DUPLICATE iff it shares any LSH
+    band bucket with a smaller-id doc among everything seen so far
+    (prior batches' state plus this batch). Per doc we store the MIN
+    bucket owner over its buckets (its own id when it owns all of
+    them, or it has no buckets — short docs), so ``is_dup`` is just
+    ``owner < id``. Both state tables are min-merges → replay-
+    idempotent (exactly-once effect); with id-ordered arrival the
+    verdict set equals the batch rule "shares a bucket with any
+    smaller id", which is what the oracle and the batch-equivalence
+    test pin. Out-of-order arrival keeps per-stream determinism but a
+    later smaller id cannot retract an earlier keep — the honest
+    streaming contract, documented.
+
+    State scale: buckets table is one row per DISTINCT (band, h) ever
+    seen — the corpus's bucket cardinality, compacted on every merge
+    by the swap write; verdicts are one row per doc. At 100 TB both
+    become a real table format's MERGE INTO (same argument as the LWW
+    sink)."""
+    import os
+
+    from ..operators.dedup import band_buckets
+
+    bdf = bdf.select(id_col, text_col).localCheckpoint(eager=True)
+    bk = band_buckets(bdf, id_col, text_col, n=n, k=k, bands=bands)
+    bk = bk.localCheckpoint(eager=True)  # consumed 3x (mins, join, merge)
+
+    spark = bdf.sparkSession
+    bstate = os.path.join(state_path, "buckets")
+    vstate = os.path.join(state_path, "verdicts")
+
+    batch_min = bk.groupBy("band_idx", "h").agg(F.min(id_col).alias("owner"))
+    prior = _read_state(spark, bstate)
+    owners = (
+        batch_min
+        if prior is None
+        else batch_min.unionByName(prior)
+        .groupBy("band_idx", "h")
+        .agg(F.min("owner").alias("owner"))
+    )
+    per_doc = (
+        bk.join(owners, ["band_idx", "h"])
+        .groupBy(id_col)
+        .agg(F.min("owner").alias("_mo"))
+    )
+    verdicts = (
+        bdf.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col("_mo"), F.col(id_col)).cast("long").alias("owner"),
+        )
+    )
+    # verdict merge first: if we crash between the two merges, replay
+    # recomputes verdicts against a bucket state that may already
+    # contain this batch — same min-semantics, same verdicts
+    _merge_min_state(verdicts, vstate, ["doc_id"], "owner")
+    _merge_min_state(batch_min, bstate, ["band_idx", "h"], "owner")
+
+
+def neardup_stream_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+):
+    """MinHash-LSH near-duplicate filtering as a REAL streaming
+    operator: documents arrive on a stream, every micro-batch updates
+    the bucket-owner state and records a keep/duplicate verdict per
+    doc (foreachBatch over :func:`neardup_merge_batch`, checkpointed).
+    The streaming face of the batch minhash_lsh_dedup family — what a
+    continuously-ingesting training-data pipeline runs instead of
+    re-deduplicating the full corpus per drop. Returns the started
+    StreamingQuery."""
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        neardup_merge_batch(
+            bdf, state_path, id_col, text_col, n=n, k=k, bands=bands
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
+def read_neardup_verdicts(spark: SparkSession, state_path: str) -> DataFrame:
+    """(doc_id, is_dup) from the filter's verdict state."""
+    import os
+
+    v = _read_state(spark, os.path.join(state_path, "verdicts"))
+    if v is None:
+        return spark.createDataFrame([], "doc_id long, is_dup boolean")
+    return v.select(
+        "doc_id", (F.col("owner") < F.col("doc_id")).alias("is_dup")
+    )

@@ -342,3 +342,92 @@ def test_merge_batch_lww_mid_swap_recovery(spark, tmp_path):
     assert got.loc[2, "v"] == "b2"
     assert got.loc[3, "v"] == "c"
     assert 9 not in got.index
+
+
+def test_neardup_filter_batch_boundary_independent(spark, sf_dir, tmp_path):
+    """The streaming near-dup filter's verdicts must not depend on
+    micro-batch slicing when docs arrive in id order: 4 ordered chunk
+    files at maxFilesPerTrigger=1 (4 batches) vs one batch, both
+    equal to the batch rule 'dup iff shares a band bucket with a
+    smaller doc id'. Also exercises the min-merge state across
+    batches."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from strava_etl_public_spark.operators.dedup import band_buckets
+    from strava_etl_public_spark.streaming.ingest import (
+        neardup_stream_sink,
+        read_neardup_verdicts,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    pdf = docs.toPandas()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run(chunks, per_trigger):
+        stage = tmp_path / f"stage_{chunks}_{per_trigger}"
+        stage.mkdir()
+        n = len(pdf)
+        step = (n + chunks - 1) // chunks
+        for i in range(chunks):
+            part = pdf.iloc[i * step : (i + 1) * step]
+            f = stage / f"chunk_{i:03d}.parquet"
+            spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(f))
+            t = time.time() + i  # ascending mtimes → in-order batches
+            for root, _, files in os.walk(f):
+                for name in files:
+                    os.utime(os.path.join(root, name), (t, t))
+        state = str(tmp_path / f"state_{chunks}_{per_trigger}")
+        ckpt = str(tmp_path / f"ckpt_{chunks}_{per_trigger}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(str(stage) + "/*")
+        )
+        q = neardup_stream_sink(stream, state, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = read_neardup_verdicts(spark, state).toPandas()
+        return sorted(map(tuple, out[["doc_id", "is_dup"]].values))
+
+    multi = run(4, 1)
+    single = run(1, 99)
+
+    # batch reference: owner per bucket = min doc id; dup iff any of a
+    # doc's buckets is owned by a smaller id
+    bk = band_buckets(docs, "doc_id", "text")
+    own = bk.groupBy("band_idx", "h").agg(F.min("doc_id").alias("owner"))
+    mo = (
+        bk.join(own, ["band_idx", "h"])
+        .groupBy("doc_id")
+        .agg(F.min("owner").alias("mo"))
+    )
+    ref_df = (
+        docs.select("doc_id")
+        .join(mo, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("mo", F.col("doc_id")) < F.col("doc_id")).alias("is_dup"),
+        )
+        .toPandas()
+    )
+    ref = sorted(map(tuple, ref_df[["doc_id", "is_dup"]].values))
+    assert multi == ref
+    assert single == ref
+    assert any(d for _, d in ref)  # the fixture contains real dups

@@ -791,3 +791,72 @@ def x_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF frame sampling on a REAL codec (r7, sixteenth batch)
+# ---------------------------------------------------------------------------
+
+
+def _gif_frames_oracle(every: int = 2) -> str:
+    """Closed-form prediction of the REAL GIF decode+sample: payloads
+    are deterministic GIFs synthesized from sha256(text)
+    (gifcodec.deterministic_gif documents the layout), so the oracle
+    derives frame count/geometry/delays from digest bytes and each
+    sampled frame's mean gray from the row-constant index recipe."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             2 + {byte(0)} % 3 AS nf,
+             4 + {byte(1)} % 13 AS w,
+             4 + {byte(2)} % 13 AS ht,
+             {byte(3)} AS s,
+             {byte(4)} AS d4
+      FROM hh),
+fr AS (
+  SELECT doc_id, w, ht, s, d4, u.f AS f
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) u
+  WHERE u.f % {every} = 0
+),
+m AS (
+  SELECT doc_id, f, w, ht, d4, s,
+         SUM(((s + 7 * f + y) % 4) * 85) AS rowsum
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, ht - 1)) AS y) u
+  GROUP BY doc_id, f, w, ht, d4, s
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(ht AS INTEGER) AS height,
+       CAST((d4 + f) % 100 AS INTEGER) AS delay_cs,
+       round(CAST(w * rowsum AS DOUBLE) / (w * ht) / 255.0, 6) + 0.0
+         AS mean_gray
+FROM m
+"""
+
+
+@register_extra("x_mm_gif_frames", oracle=_gif_frames_oracle())
+def x_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling on a REAL animated codec: synthesize a
+    deterministic multi-frame GIF per document (executor-side), decode
+    it with the pure-stdlib GIF decoder (gifcodec — LZW with
+    dictionary growth/width escalation/clear resets, sub-block walk,
+    graphic-control delays), keep every 2nd frame, and emit per-frame
+    geometry, delay, and mean gray. The oracle predicts everything in
+    closed form from the digest recipe; an LZW or sub-block bug breaks
+    the hash match. Upgrades the previously shape-faked video
+    frame-sampling path to real bytes (PNG/WAV convention)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_gif(docs, "doc_id", "text")
+    out = multimodal.sample_gif_frames(payload, "doc_id", every=2)
+    return out.withColumn(
+        "mean_gray", F.round("mean_gray", 6) + F.lit(0.0)
+    )

@@ -153,10 +153,11 @@ def main() -> int:
         "x_text_boilerplate",
         "x_mm_audio_stats",
         "x_geo_radius_join",
-        # fifteenth batch (r7)
+        # fifteenth-sixteenth batch (r7)
         "x_sim_knn_join",
         "x_curation_token_budget",
         "x_curation_dsir",
+        "x_mm_gif_frames",
     ):
         fn = qs.get(n)  # merged extras+driver registry (built above)
         if fn is None:

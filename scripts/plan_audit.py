@@ -81,6 +81,8 @@ def main() -> int:
         "x_curation_token_budget",
         "x_curation_dsir",
         "x_text_encoding_quality",
+        "x_mm_gif_frames",
+        "x_dedup_keep_longest",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

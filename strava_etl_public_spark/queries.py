@@ -1331,7 +1331,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "q_pivot_event_counts",
     oracle="""
 SELECT user_id,
@@ -1545,9 +1545,10 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_sim_topk_lsh_arrow",
     "x_sim_topk_ivf_arrow",
     # text analysis (x_text_fingerprint demoted r7: shingle identity
-    # is certified by the dedup family; slot freed for MERGE INTO)
+    # is certified by the dedup family, slot freed for MERGE INTO;
+    # x_text_token_counts demoted late-r7: token counting is certified
+    # by chunk_windows/BPE/quality paths, slot freed for the kNN join)
     "x_text_lang_id",
-    "x_text_token_counts",
     "x_text_quality",
     "x_text_tfidf",
     "x_text_pii_redact",
@@ -1555,15 +1556,19 @@ QUERY_ORDER: tuple[str, ...] = (
     # sketches / deterministic sampling
     "x_sketch_hll_users",
     "x_sample_hash_split",
-    # structured streaming
+    # structured streaming (x_stream_session_window demoted late-r7:
+    # session semantics are certified by the official q_sessionize
+    # batch row + the extra; slot freed for the streaming near-dup
+    # ingest filter — the operator a training pipeline actually runs)
     "x_stream_tumbling_counts",
-    "x_stream_session_window",
     "x_stream_stateful_user_stats",
+    "x_stream_neardup_filter",
     # multimodal plumbing (x_mm_extract_meta demoted to extras r6,
     # x_mm_frame_sample demoted r7 — the mapInPandas plumbing is
     # certified by x_mm_decode_stats, which runs a REAL stdlib PNG
     # decode; slot freed for the triangle-counting graph row)
     "x_mm_decode_stats",
+    "x_mm_gif_frames",
     # deduplication (+ r5 flagship promoted r6: cluster
     # canonicalization; r7: the exact Jaccard similarity join —
     # Bayardo prefix filtering, the completeness-guaranteed exact
@@ -1579,6 +1584,9 @@ QUERY_ORDER: tuple[str, ...] = (
     # strongest round-6 operator families get official rows)
     "x_merge_into",
     "x_graph_triangles",
+    # late-r7 promotions: kNN join (all-points similarity) and frame
+    # sampling on the REAL animated GIF codec
+    "x_sim_knn_join",
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
     # binned range join (new r6 operator family)
@@ -1618,7 +1626,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_revenue_join",
     "q_sessionize",
-    "q_pivot_event_counts",
+    # q_pivot_event_counts demoted late-r7: the pivot family is
+    # certified by the x_pivot_event_counts extra (FILTER-clause
+    # twin); slot freed for the GIF frame-sampling row above.
     # q_rollup_distinct demoted to extras (continuation batch): not a
     # SURVEY §2 id, and the grouping-sets family is certified by the
     # x_rollup_revenue / x_cube_revenue extras — the freed slot gives

@@ -974,7 +974,7 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
 """
 
 
-@register_extra("x_sim_knn_join", oracle=_knn_join_oracle())
+@register("x_sim_knn_join", oracle=_knn_join_oracle())
 def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN JOIN (top-5 cosine neighbors for EVERY vector), blocked on
     the same 6-plane hyperplane-LSH buckets as x_dedup_embedding_lsh —

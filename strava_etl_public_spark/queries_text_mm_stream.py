@@ -56,7 +56,7 @@ def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "x_text_token_counts",
     oracle=r"""
 SELECT doc_id,
@@ -607,7 +607,7 @@ def x_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_stream_session_window",
     oracle="""
 WITH e AS (
@@ -745,7 +745,7 @@ FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
 """
 
 
-@register_extra("x_stream_neardup_filter", oracle=_neardup_stream_oracle())
+@register("x_stream_neardup_filter", oracle=_neardup_stream_oracle())
 def x_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup filtering as a REAL streaming query: the
     documents corpus staged to a file source, a checkpointed
@@ -842,7 +842,7 @@ FROM m
 """
 
 
-@register_extra("x_mm_gif_frames", oracle=_gif_frames_oracle())
+@register("x_mm_gif_frames", oracle=_gif_frames_oracle())
 def x_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling on a REAL animated codec: synthesize a
     deterministic multi-frame GIF per document (executor-side), decode

@@ -979,6 +979,104 @@ def dup_span_stats(
         sp.unpersist()
 
 
+def dup_span_remove(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (the rewrite step of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — :func:`dup_span_stats` is the scoring twin): drop every
+    token covered by ANY n-token span whose shingle occurs in more
+    than one document, and reassemble the survivors. Every input doc
+    appears in the output (a rewrite, not a filter) — docs with no
+    duplicated spans pass through byte-identical modulo tokenization.
+
+    Scale shape: one positional shingle explode, one distinct + hash
+    agg for span document-frequency, one equi-join against the >1-df
+    tail, one per-doc collect of DUP START POSITIONS ONLY (bounded by
+    the doc's own span count — per-doc state, never corpus state),
+    then a pure higher-order-function rewrite (sequence/flatten/
+    filter — JVM codegen, no UDF). Same 60-bit md5 shingle identity
+    as the dedup family → the rewritten text oracle-matches exactly.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import shingles, tokens
+    from ..io import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
+    # _toks feeds the span table AND the final rewrite; the span table
+    # feeds the df-agg AND the dup-start join (minhash cache lifecycle)
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    sp = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(shingles(F.col("_toks"), n)).alias("_p0", "_s"),
+        )
+        .select(
+            id_col,
+            (F.col("_p0") + 1).alias("_p"),  # 1-based span start
+            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        dup_set = (
+            sp.select(id_col, "_sh")
+            .distinct()
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_ndocs"))
+            .filter(F.col("_ndocs") > 1)
+            .select("_sh")
+        )
+        starts = (
+            sp.join(dup_set, "_sh")
+            .groupBy(id_col)
+            .agg(F.collect_list("_p").alias("_starts"))
+        )
+        j = toks.join(starts, id_col, "left").withColumn(
+            "_cov",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.coalesce("_starts", F.array().cast("array<int>")),
+                        lambda s: F.sequence(s, s + (n - 1)),
+                    )
+                )
+            ),
+        )
+        kept = F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),
+        )
+        out = j.select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.when(
+                F.size("_toks") > 0,
+                F.round(
+                    (F.size("_toks") - F.size(kept)).cast("double")
+                    / F.size("_toks").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removed_frac"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sp.unpersist()
+        toks.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # BPE vocabulary induction
 # ---------------------------------------------------------------------------

@@ -1551,11 +1551,19 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_text_lang_id",
     "x_text_quality",
     "x_text_tfidf",
-    "x_text_pii_redact",
+    # x_text_pii_redact demoted (second-wave r7 rotation): the regex
+    # projection family is certified by x_text_encoding_quality +
+    # x_text_lang_id rows and the extra stays oracle-gated; slot freed
+    # for the curation batch below.
     "x_text_chunk_windows",
-    # sketches / deterministic sampling
-    "x_sketch_hll_users",
-    "x_sample_hash_split",
+    "x_text_encoding_quality",
+    # sketches / deterministic sampling — x_sketch_hll_users and
+    # x_sample_hash_split demoted (second-wave r7 rotation): the HLL
+    # family is certified by the merge/streaming extras, hash sampling
+    # by the fixed-k/stratified/weighted/domain-mix extras; slots
+    # freed for the curation operators a training pipeline runs first.
+    "x_curation_token_budget",
+    "x_curation_dsir",
     # structured streaming (x_stream_session_window demoted late-r7:
     # session semantics are certified by the official q_sessionize
     # batch row + the extra; slot freed for the streaming near-dup
@@ -1576,10 +1584,15 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash_neardup",
-    "x_dedup_ngram_jaccard",
+    # x_dedup_ngram_jaccard demoted (second-wave r7 rotation): the
+    # shingle-Jaccard semantics now have the completeness-guaranteed
+    # exact join (x_dedup_jaccard_exact) as their official row; the
+    # blocked approximation stays oracle-gated as an extra. Slot freed
+    # for the keep-longest cluster policy layer.
     "x_dedup_embedding_cosine",
     "x_dedup_clusters",
     "x_dedup_jaccard_exact",
+    "x_dedup_keep_longest",
     # general MERGE INTO + graph triangles (r7 promotions — the two
     # strongest round-6 operator families get official rows)
     "x_merge_into",

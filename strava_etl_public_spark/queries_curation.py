@@ -238,6 +238,76 @@ def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document duplicated-span REMOVAL (rewrite twin of the scorer)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_span_removal",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         coalesce(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                  CAST([] AS VARCHAR[])) AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 15)) AS BIGINT) AS sh
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+dfq AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+  GROUP BY sh HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT sp.doc_id, u2.p
+  FROM sp JOIN dfq ON sp.sh = dfq.sh,
+       unnest(generate_series(sp.i, sp.i + 2)) AS u2(p)
+),
+pos AS (
+  SELECT doc_id, i AS p, t[i] AS tok
+  FROM tk, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       CASE WHEN len(tk.t) > 0
+            THEN round(CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS DOUBLE)
+                       / CAST(len(tk.t) AS DOUBLE), 6)
+            ELSE 0.0 END AS removed_frac,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+""",
+)
+def x_text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (Lee et al. 2022's rewrite step — the
+    scorer twin is x_text_dup_spans): drop every token covered by a
+    3-token span occurring in >1 document, reassemble survivors.
+    Every doc appears in the output (rewrite, not filter); the
+    rewritten text itself hash-matches the oracle, not just counts.
+    Per-doc state is dup START positions only — never corpus state —
+    and the rewrite is a pure higher-order-function plan (sequence/
+    flatten/filter), JVM codegen end to end."""
+    ensure_harness_conf(spark)
+    from .operators.text import dup_span_remove
+
+    return dup_span_remove(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
 # BPE vocabulary induction (rows-only: iterative merge state is not
 # SQL-expressible; pinned instead against a single-process reference
 # implementation in tests/test_text.py)
@@ -1233,7 +1303,7 @@ def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_curation_token_budget",
     oracle="""
 WITH tk AS (
@@ -1300,7 +1370,7 @@ def x_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_curation_dsir",
     oracle="""
 WITH tk AS (
@@ -1353,7 +1423,7 @@ def x_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_text_encoding_quality",
     oracle="""
 SELECT doc_id,

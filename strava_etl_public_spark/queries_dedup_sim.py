@@ -278,7 +278,7 @@ WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= {threshold}
 """
 
 
-@register("x_dedup_ngram_jaccard", oracle=_ngram_oracle())
+@register_extra("x_dedup_ngram_jaccard", oracle=_ngram_oracle())
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup with rare-shingle blocking (df<=10) —
     the candidate set is bounded by shingle document-frequency, not

@@ -72,7 +72,7 @@ FROM est
 """
 
 
-@register("x_sketch_hll_users", oracle=_hll_oracle())
+@register_extra("x_sketch_hll_users", oracle=_hll_oracle())
 def x_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog: distinct users per event_type from a
     512-register sketch — md5-derived hashing and an integer-exact
@@ -236,7 +236,7 @@ FROM assigned GROUP BY split
 """
 
 
-@register("x_sample_hash_split", oracle=_split_oracle())
+@register_extra("x_sample_hash_split", oracle=_split_oracle())
 def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling + split assignment: 80/10/10
     train/val/test by hash bucket, crossed with a 10% stable sample —

@@ -159,7 +159,7 @@ FROM seeded
 """
 
 
-@register("x_text_pii_redact", oracle=_pii_oracle())
+@register_extra("x_text_pii_redact", oracle=_pii_oracle())
 def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email/SSN/phone/IPv4/card): per-doc hit counts per
     kind + the redacted text, one scan-speed projection. The fixture

@@ -564,6 +564,37 @@ def test_dup_span_stats_known_corpus(spark):
     assert out.loc[2, "n_dup_spans"] == 0 and out.loc[2, "dup_frac"] == 0.0
 
 
+def test_dup_span_remove_rewrite(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import dup_span_remove
+
+    docs = [
+        (0, "alpha beta gamma delta"),    # span 'a b g' dup with doc 1 → drops toks 1-3
+        (1, "alpha beta gamma epsilon"),  # same → keeps only 'epsilon'
+        (2, "zeta eta theta iota"),       # unique spans → untouched
+        (3, "xy"),                        # < n tokens → no spans, untouched
+        (4, ""),                          # empty → present with 0 tokens
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = dup_span_remove(df, "doc_id", "text", n=3).toPandas().set_index("doc_id")
+    assert len(out) == 5  # rewrite keeps every doc
+    assert out.loc[0, "clean_text"] == "delta" and out.loc[0, "n_removed"] == 3
+    assert out.loc[1, "clean_text"] == "epsilon"
+    assert out.loc[2, "clean_text"] == "zeta eta theta iota"
+    assert out.loc[2, "n_removed"] == 0 and out.loc[2, "removed_frac"] == 0.0
+    assert out.loc[3, "clean_text"] == "xy"
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "removed_frac"] == 0.0
+    # partition-invariant: same rewrite regardless of input layout
+    out7 = (
+        dup_span_remove(df.repartition(7), "doc_id", "text", n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .loc[out.index]
+    )
+    assert (out7["clean_text"] == out["clean_text"]).all()
+
+
 def _ref_bpe(word_counts, num_merges, min_pair_count=2):
     """Single-process Sennrich BPE reference."""
     from strava_etl_public_spark.operators.text import _bpe_merge_word

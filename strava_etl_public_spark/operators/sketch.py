@@ -823,3 +823,92 @@ def quantile_hist_estimate(
         )
         qdf = row if qdf is None else qdf.unionByName(row)
     return qdf
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via a Misra-Gries candidate screen
+# ---------------------------------------------------------------------------
+
+
+def frequent_items_exact(
+    df: DataFrame, value_col: str, phi: float, k: int | None = None
+) -> DataFrame:
+    """EXACT phi-heavy hitters — every value whose frequency is
+    >= ceil(phi*N) with its exact count — WITHOUT a full-cardinality
+    groupBy shuffle.
+
+    Two passes. Pass 1 runs a Misra-Gries summary (k = ceil(1/phi)
+    counters by default) per partition inside mapInPandas: each Arrow
+    batch's exact value_counts (vectorized — never a per-row Python
+    loop) is itself an error-0 MG summary, merged into the running
+    one by add-then-prune (subtract the (k+1)-th largest weight,
+    drop <= 0 — the combine step of Agarwal et al., "Mergeable
+    Summaries", PODS'12, which keeps per-partition error <=
+    N_p/(k+1)). An item absent from EVERY partition summary therefore
+    has total frequency <= sum N_p/(k+1) = N/(k+1) < phi*N, so the
+    union of summary keys (<= k rows per partition, the only shuffle)
+    is a complete candidate set. Pass 2 broadcast-semi-joins the scan
+    against the candidates and counts exactly — the final output is a
+    pure function of the input multiset (partition-invariant even
+    though the intermediate summaries are not), so it oracle-matches
+    a plain GROUP BY ... HAVING run on any engine.
+
+    Scale shape: the full-agg alternative shuffles every distinct
+    value (billions of keys for token streams); this shuffles
+    <= k*partitions candidate rows + a broadcast, and the recount
+    aggregates only candidate rows surviving a map-side filter.
+    NULL values are ignored (they are never heavy-hitter candidates).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if k is None:
+        k = math.ceil(1.0 / phi)
+    proj = df.select(F.col(value_col).alias("_v"))
+    out_schema = StructType(
+        [proj.schema["_v"], StructField("_wt", LongType(), False)]
+    )
+
+    def _summarize(batches):
+        run = None  # pandas Series: value -> MG weight
+        n_p = 0
+        for pdf in batches:
+            vc = pdf["_v"].value_counts()  # exact per-batch summary
+            n_p += int(vc.sum())
+            run = vc if run is None else run.add(vc, fill_value=0)
+            if len(run) > k:
+                cut = run.nlargest(k + 1).iloc[-1]
+                run = run - cut
+                run = run[run > 0]
+        out = pd.DataFrame(
+            {"_v": [] if run is None else run.index, "_wt": [] if run is None else run.astype("int64").values}
+        )
+        # one NULL-keyed row carries this partition's element count so
+        # N never needs a second scan
+        marker = pd.DataFrame({"_v": [None], "_wt": [n_p]})
+        yield pd.concat([out, marker], ignore_index=True)
+
+    summ = proj.mapInPandas(_summarize, schema=out_schema)
+    from pyspark import StorageLevel
+
+    summ = summ.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        total = summ.filter(F.col("_v").isNull()).agg(
+            F.sum("_wt").alias("_n")
+        )
+        cand = summ.filter(F.col("_v").isNotNull()).select("_v").distinct()
+        counted = (
+            proj.join(F.broadcast(cand), "_v", "left_semi")
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        out = (
+            counted.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") >= F.ceil(F.lit(float(phi)) * F.col("_n")))
+            .select(F.col("_v").alias(value_col), "cnt")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        summ.unpersist()

@@ -1393,3 +1393,43 @@ def x_sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries candidate screen + exact recount)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_sketch_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok, n
+GROUP BY t, n.n
+HAVING count(*) >= CAST(ceil(0.002 * n.n) AS BIGINT)
+""",
+)
+def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=0.002 heavy-hitter tokens over the corpus token
+    stream via the two-pass Misra-Gries screen (operators/sketch.py
+    frequent_items_exact): per-partition k=500-counter summaries give
+    a provably complete candidate set (union error < N/(k+1) < phi*N),
+    then a broadcast-semi-joined exact recount — the output is the
+    same multiset a full GROUP BY ... HAVING would produce, without
+    shuffling the full distinct-token cardinality. The scale
+    counterpart of x_text_vocab_topk's exact full agg."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import tokens
+    from .operators.sketch import frequent_items_exact
+    from .io import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return frequent_items_exact(tok, "token", phi=0.002)

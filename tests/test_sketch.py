@@ -402,3 +402,50 @@ def test_token_budget_allocate_invariants(spark):
     for dom, g in pdf.groupby("domain"):
         kept = sum(tok[i] for i in g["id"])
         assert kept <= 100 + bmax
+
+
+def test_frequent_items_exact_matches_full_agg(spark):
+    import pandas as pd
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from strava_etl_public_spark.operators.sketch import frequent_items_exact
+
+    # Zipf-ish multiset: value i appears ~1000/i times, plus a long
+    # unique tail that would dominate a full distinct shuffle
+    rng = np.random.default_rng(7)
+    vals = []
+    for i in range(1, 40):
+        vals += [f"hot{i}"] * (1000 // i)
+    vals += [f"tail{j}" for j in range(5000)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+
+    exact = {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= F.ceil(F.lit(0.01) * F.lit(float(len(vals)))))
+        .collect()
+    }
+    for parts in (1, 7, 32):
+        got = {
+            (r["v"], r["cnt"])
+            for r in frequent_items_exact(
+                df.repartition(parts), "v", phi=0.01
+            ).collect()
+        }
+        assert got == exact, f"parts={parts}"
+
+
+def test_frequent_items_exact_empty_and_nulls(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import frequent_items_exact
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["a", "a", "a", None, "b"]})
+    )
+    out = frequent_items_exact(df, "v", phi=0.5).collect()
+    # N=4 non-null elements; threshold ceil(2)=2 -> only 'a' (3)
+    assert [(r["v"], r["cnt"]) for r in out] == [("a", 3)]

@@ -1298,3 +1298,56 @@ def random_projection(
             )
         )
     return emb.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def rrf_fuse(
+    lists: "list[DataFrame]",
+    q_col: str,
+    id_col: str,
+    rk_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    N ranked retrieval lists: score(q, d) = sum over lists of
+    1/(c + rank_i(q, d)), missing entries contribute 0. The standard
+    hybrid-retrieval combiner (keyword BM25 + dense cosine) — rank-
+    based, so the two systems' incomparable score scales never touch.
+
+    Each input carries (q_col, id_col, rk_col); the fold is a chain of
+    (q, d) full-outer equi-joins — every input is a bounded top-K list
+    (K rows per query), so the join state is queries*K rows per list,
+    never corpus-sized. Contributions are summed in fixed list order
+    (one expression tree -> bit-identical across engines) and rounded
+    6dp; final rank breaks rrf ties by id. Output: one row per fused
+    candidate with per-list ranks (NULL = not retrieved by that list),
+    the fused score, and the fused rank (top-k per query).
+    """
+    from pyspark.sql import Window
+
+    base = None
+    for i, df in enumerate(lists):
+        d = df.select(
+            F.col(q_col).alias("q"),
+            F.col(id_col).alias("d"),
+            F.col(rk_col).cast("long").alias(f"rk_{i}"),
+        )
+        base = d if base is None else base.join(d, ["q", "d"], "full_outer")
+    contrib = F.lit(0.0)
+    for i in range(len(lists)):
+        contrib = contrib + F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"rk_{i}")), F.lit(0.0)
+        )
+    scored = base.withColumn("rrf", F.round(contrib, 6))
+    w = Window.partitionBy("q").orderBy(F.col("rrf").desc(), F.col("d"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("q").alias(q_col),
+            F.col("d").alias(id_col),
+            "rrf",
+            *[F.col(f"rk_{i}") for i in range(len(lists))],
+            "rk",
+        )
+    )

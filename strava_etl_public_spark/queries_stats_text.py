@@ -19,7 +19,7 @@ from .io import load  # noqa: F401
 from .session import ensure_harness_conf  # noqa: F401
 from .queries import register, register_extra, streams  # noqa: F401
 from .operators import dedup, multimodal, similarity, text  # noqa: F401
-from .queries_common import _TK_SQL, _dot_sql  # noqa: F401
+from .queries_common import _TK_SQL, _cos_sql, _dot_sql  # noqa: F401
 from .queries_text_mm_stream import _QUALITY_ORACLE  # noqa: F401
 
 
@@ -991,3 +991,149 @@ def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_oracle(kq: int = 20, kf: int = 10, c: int = 60,
+                   k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH tk AS ({_TK_SQL}),
+tc AS (SELECT doc_id, unnest(t) AS term FROM tk),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_n
+  FROM tc GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf_n) AS doc_len FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(doc_len) AS BIGINT) AS sum_dl FROM dl),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t) AS term
+  FROM tk WHERE doc_id < 8
+),
+hits AS (SELECT q.query_id, p.doc_id, p.term, p.tf_n
+         FROM postings p JOIN (SELECT DISTINCT term FROM qterms) s USING (term)
+              JOIN qterms q USING (term)),
+dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_n
+        FROM hits GROUP BY term),
+contrib AS (
+  SELECT h.query_id, h.doc_id,
+         round(
+           round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df_n + 0.5)
+                          / (CAST(d.df_n AS DOUBLE) + 0.5)), 6)
+           * (CAST(h.tf_n AS DOUBLE) * {k1 + 1.0})
+             / (CAST(h.tf_n AS DOUBLE)
+                + {k1} * ({1.0 - b} + {b} * (CAST(l.doc_len AS DOUBLE)
+                                             * CAST(s.n_docs AS DOUBLE)
+                                             / CAST(s.sum_dl AS DOUBLE)))),
+           6) AS cbm
+  FROM hits h JOIN dft d USING (term) JOIN dl l USING (doc_id)
+       CROSS JOIN stats s
+),
+bscored AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(cbm AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+),
+bm21 AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rk1
+  FROM bscored
+),
+bm AS (
+  SELECT query_id, doc_id, rk_bm FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk_bm
+    FROM bm21 WHERE rk1 <= {kq + 1} AND doc_id != query_id
+  ) WHERE rk_bm <= {kq}
+),
+cq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+cc AS (SELECT vec_id AS doc_id, embedding AS nv FROM embeddings),
+cscored AS (
+  SELECT query_id, doc_id, round({_cos_sql('qv', 'nv')}, 6) AS cos
+  FROM cc JOIN cq ON query_id != doc_id
+),
+cr AS (
+  SELECT query_id, doc_id, rk_cos FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, doc_id) AS BIGINT) AS rk_cos
+    FROM cscored
+  ) WHERE rk_cos <= {kq}
+),
+f AS (
+  SELECT coalesce(bm.query_id, cr.query_id) AS query_id,
+         coalesce(bm.doc_id, cr.doc_id) AS doc_id,
+         bm.rk_bm, cr.rk_cos
+  FROM bm FULL OUTER JOIN cr
+       ON bm.query_id = cr.query_id AND bm.doc_id = cr.doc_id
+),
+sc AS (
+  SELECT query_id, doc_id, rk_bm, rk_cos,
+         round(coalesce(1.0 / ({c} + rk_bm), 0.0)
+               + coalesce(1.0 / ({c} + rk_cos), 0.0), 6) AS rrf
+  FROM f
+)
+SELECT query_id, doc_id, rrf, rk_bm, rk_cos, rk FROM (
+  SELECT query_id, doc_id, rrf, rk_bm, rk_cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+  FROM sc
+) WHERE rk <= {kf}
+"""
+
+
+@register_extra("x_text_hybrid_retrieval", oracle=_hybrid_oracle())
+def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-20 and dense-cosine top-20
+    per query, fused by reciprocal-rank fusion (rrf_fuse — Cormack et
+    al. SIGIR'09) into a final top-10. Queries are the 8 docs with
+    doc_id < 8, used on BOTH sides (their text as the keyword query,
+    their embedding as the dense query — the documents/embeddings
+    fixtures share the id space), so the whole RAG-style retrieval
+    stack composes in-engine: inverted-index scoring, broadcast-query
+    brute cosine, and a bounded full-outer fuse whose state is
+    queries*K rows, never corpus-sized. BM25's list excludes the
+    query doc itself by ranking top-21 then re-ranking the non-self
+    survivors (exact: self occupies at most one slot); the cosine
+    operator already excludes self-matches. Both ranks, the fused
+    score, and the fused ranking hash-match the oracle."""
+    ensure_harness_conf(spark)
+    from .operators import similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    # bounded query set (8 rows of model state — the cosine-query convention)
+    qlist = [
+        (int(r["doc_id"]), r["text"])
+        for r in docs.filter(F.col("doc_id") < 8).select("doc_id", "text").collect()
+    ]
+    bm_raw = text.bm25_topk(docs, "doc_id", "text", qlist, k=21)
+    wbm = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm = (
+        bm_raw.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(wbm).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("query_id", "doc_id", "rk")
+    )
+    cs = similarity.cosine_topk_brute(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=20
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        F.col("rk"),
+    )
+    fused = similarity.rrf_fuse([bm, cs], "query_id", "doc_id", "rk", k=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf",
+        F.col("rk_0").alias("rk_bm"),
+        F.col("rk_1").alias("rk_cos"),
+        "rk",
+    )

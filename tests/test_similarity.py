@@ -369,3 +369,31 @@ def test_knn_join_blocked_star_guard_and_exactness(spark):
     assert set(hot.n_id) == {9}
     # the rep ranks its members normally (up to k)
     assert len(out[out.q_id == 9]) == 3
+
+
+def test_rrf_fuse_semantics(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {"q": [1, 1, 1], "d": [10, 11, 12], "rk": [1, 2, 3]}
+        )
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"q": [1, 1], "d": [12, 13], "rk": [1, 2]})
+    )
+    out = {
+        r["d"]: (r["rrf"], r["rk_0"], r["rk_1"], r["rk"])
+        for r in rrf_fuse([a, b], "q", "d", "rk", k=10).collect()
+    }
+    # d=12 appears in both lists: 1/63 + 1/61
+    assert out[12][0] == round(1 / 63 + 1 / 61, 6) and out[12][3] == 1
+    # one-list docs contribute only their own term; NULL for the other
+    assert out[10] == (round(1 / 61, 6), 1, None, 2)
+    assert out[13][1] is None and out[13][2] == 2
+    # tie between d=11 (1/62) vs nothing else; d=13 (1/62) — equal rrf
+    # scores break by doc id: 11 before 13
+    assert out[11][0] == out[13][0] == round(1 / 62, 6)
+    assert out[11][3] == 3 and out[13][3] == 4

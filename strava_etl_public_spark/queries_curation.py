@@ -1453,3 +1453,156 @@ def x_text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return encoding_quality(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Interval UNION (gaps-and-islands): merge_intervals consumers
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_interval_islands",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(epoch_ns(l_shipdate) // 1000000000 AS BIGINT) // 86400 AS s,
+         CAST(epoch_ns(l_shipdate) // 1000000000 AS BIGINT) // 86400
+           + CAST(l_quantity AS BIGINT) AS e
+  FROM lineitem
+),
+fl AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS f
+  FROM iv
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT l_suppkey, s, e,
+         sum(f) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+)
+SELECT l_suppkey, CAST(g AS BIGINT) AS island_id,
+       CAST(min(s) AS BIGINT) AS island_start,
+       CAST(max(e) AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM isl GROUP BY l_suppkey, g
+""",
+)
+def x_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier busy periods: union the [ship, ship+quantity-days]
+    interval of every lineitem per supplier into maximal islands —
+    the interval-UNION relational shape (gaps-and-islands on true
+    spans, where an interval can be swallowed entirely by an earlier
+    longer one; running-max, not lag, is the correctness hinge).
+    One shuffle total: both windows and the island agg share the
+    l_suppkey partitioning. Epoch-day arithmetic goes through the
+    encoding-dispatch helpers so either physical l_shipdate type
+    works; l_quantity is integral-valued so the BIGINT cast is
+    engine-safe."""
+    ensure_harness_conf(spark)
+    from .operators.rangejoin import merge_intervals
+
+    li = load(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.floor(ep.epoch_s(li, "l_shipdate") / 86400).cast("long").alias("s"),
+        (
+            F.floor(ep.epoch_s(li, "l_shipdate") / 86400)
+            + F.col("l_quantity").cast("long")
+        ).cast("long").alias("e"),
+    )
+    return merge_intervals(iv, ["l_suppkey"], "s", "e", gap=0)
+
+
+@register_extra(
+    "x_text_dup_extents",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+),
+sp AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 15)) AS BIGINT) AS sh
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+dfq AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+  GROUP BY sh HAVING count(*) > 1
+),
+iv AS (
+  SELECT sp.doc_id, sp.i AS s, sp.i + 2 AS e
+  FROM sp JOIN dfq ON sp.sh = dfq.sh
+),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS f
+  FROM iv
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+)
+SELECT doc_id, CAST(g AS BIGINT) AS island_id,
+       CAST(min(s) AS BIGINT) AS island_start,
+       CAST(max(e) AS BIGINT) AS island_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS extent_len,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM isl GROUP BY doc_id, g
+""",
+)
+def x_text_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-text extents: the [p, p+2] interval of every
+    corpus-duplicated 3-token span, unioned per doc into contiguous
+    extents (doc_id, start, end, token length, span count) — the
+    audit view behind x_text_span_removal (WHICH passages are
+    duplicated, not just how much), and the closest n-gram-seeded
+    analogue of Lee et al.'s suffix-array duplicate extents. Same
+    shingle identity as the dedup family; merge_intervals does the
+    union in one doc_id-partitioned shuffle."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import shingles, tokens
+    from .operators.rangejoin import merge_intervals
+    from .io import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        F.col("doc_id"), tokens(F.col("text")).alias("_toks")
+    )
+    sp = toks.select(
+        "doc_id", F.posexplode(shingles(F.col("_toks"), 3)).alias("_p0", "_s")
+    ).select(
+        "doc_id",
+        (F.col("_p0") + 1).alias("s"),
+        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_sh"),
+    )
+    dup_set = (
+        sp.select("doc_id", "_sh")
+        .distinct()
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") > 1)
+        .select("_sh")
+    )
+    iv = sp.join(dup_set, "_sh").select(
+        "doc_id", "s", (F.col("s") + 2).alias("e")
+    )
+    out = merge_intervals(iv, ["doc_id"], "s", "e", gap=0)
+    return out.select(
+        "doc_id",
+        "island_id",
+        "island_start",
+        "island_end",
+        (F.col("island_end") - F.col("island_start") + 1).alias("extent_len"),
+        F.col("n_intervals").alias("n_spans"),
+    )

@@ -158,6 +158,12 @@ def main() -> int:
         "x_curation_token_budget",
         "x_curation_dsir",
         "x_mm_gif_frames",
+        # seventeenth batch (late r7)
+        "x_text_span_removal",
+        "x_sketch_heavy_hitters",
+        "x_text_hybrid_retrieval",
+        "x_text_dup_extents",
+        "x_interval_islands",
     ):
         fn = qs.get(n)  # merged extras+driver registry (built above)
         if fn is None:

@@ -643,6 +643,73 @@ def shape_filter_clause(rng, pools):
     )
 
 
+def shape_distinct_agg(rng, pools):
+    """Multiple DISTINCT aggregates (Spark plans these via Expand —
+    a distinct physical path the plain group-agg shape never hits)."""
+    t = rng.choice(["customer", "orders", "lineitem", "part", "events"])
+    cats = _cols_of(t, ("cat", "int"))
+    g = rng.choice(cats)[0]
+    ints = [c for c in _cols_of(t, ("key", "int")) if c[0] != g]
+    x = rng.choice(ints)[0]
+    others = [c for c in ints if c[0] != x]
+    y = rng.choice(others)[0] if others else x
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    return (
+        "distinct_agg",
+        f"SELECT {g} AS k, "
+        f"CAST(count(DISTINCT {x}) AS BIGINT) AS d0, "
+        f"CAST(count(DISTINCT {y}) AS BIGINT) AS d1, "
+        f"CAST(sum(DISTINCT {x}) AS BIGINT) AS s0, "
+        f"CAST(count({x}) AS BIGINT) AS c0 "
+        f"FROM {t} WHERE {pred} GROUP BY {g}",
+    )
+
+
+def shape_islands(rng, pools):
+    """Gaps-and-islands: boundary flag from a running max over the
+    PRECEDING frame, cumulative island id, island agg — two stacked
+    windows + agg sharing one partitioning (the merge_intervals /
+    sessionize pattern). Flag depends only on the ordered value, so
+    ties in the total order cannot change the output. NULL values are
+    filtered (Spark orders NULLS FIRST, DuckDB NULLS LAST)."""
+    t = rng.choice(["customer", "orders", "lineitem", "events"])
+    uniq = list(UNIQUE[t])
+    parts = _cols_of(t, ("int", "cat"))
+    pref = rng.choice(parts)[0]
+    ints = [c for c in _cols_of(t, ("key", "int")) if c[0] != pref]
+    v = rng.choice(ints)[0]
+    gap = rng.choice([0, 1, 7, 1000])
+    base_pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    return (
+        "islands",
+        f"""
+WITH b AS (
+  SELECT {pref} AS k, {v} AS v, {", ".join(f"{u} AS rid{j}" for j, u in enumerate(uniq))}
+  FROM {t} WHERE ({base_pred}) AND {v} IS NOT NULL AND {pref} IS NOT NULL
+),
+fl AS (
+  SELECT k, v, {", ".join(f"rid{j}" for j in range(len(uniq)))},
+         CASE WHEN max(v) OVER (PARTITION BY k ORDER BY v, {", ".join(f"rid{j}" for j in range(len(uniq)))}
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR v > max(v) OVER (PARTITION BY k ORDER BY v, {", ".join(f"rid{j}" for j in range(len(uniq)))}
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {gap}
+              THEN 1 ELSE 0 END AS f
+  FROM b
+),
+isl AS (
+  SELECT k, v,
+         sum(f) OVER (PARTITION BY k ORDER BY v, {", ".join(f"rid{j}" for j in range(len(uniq)))}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+)
+SELECT k, CAST(g AS BIGINT) AS island,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM isl GROUP BY k, g
+""",
+    )
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -657,6 +724,8 @@ SHAPES = [
     (shape_three_join, 2),
     (shape_null_semantics, 3),
     (shape_filter_clause, 2),
+    (shape_distinct_agg, 2),
+    (shape_islands, 2),
 ]
 
 

@@ -1433,3 +1433,67 @@ def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("token")
     )
     return frequent_items_exact(tok, "token", phi=0.002)
+
+
+@register_extra(
+    "x_pit_join_state",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_id, event_type
+  FROM events
+),
+c AS (
+  SELECT user_id, us, event_id, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+v0 AS (
+  SELECT user_id, event_type, us AS valid_from, event_id
+  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+v AS (
+  SELECT user_id, valid_from, max(event_type) AS state
+  FROM v0 GROUP BY user_id, valid_from
+),
+f AS (
+  SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.us, v.state AS state_asof
+FROM f ASOF LEFT JOIN v
+     ON f.user_id = v.user_id AND f.us > v.valid_from
+""",
+)
+def x_pit_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: each purchase event gets
+    the user's SCD2 state STRICTLY before its timestamp — the
+    training-data discipline that prevents feature leakage (a feature
+    computed from the event being predicted must not see itself).
+    Composes two existing operators end-to-end: scd2_history collapses
+    the event stream into validity intervals, versions at an equal
+    instant collapse to the last writer (max_by event_id — both
+    engines agree on the unique tie key), and asof_join_backward
+    (strict=True) carries the prior version to each fact row with ONE
+    union+sort, no range explode, no join. Oracle: DuckDB native
+    strict ASOF LEFT JOIN over the identical version table."""
+    ensure_harness_conf(spark)
+    from .operators import upsert as U
+    from .operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", ep.epoch_us(ev).alias("us"), "event_id", "event_type"
+    )
+    hist = U.scd2_history(e, "user_id", "us", "event_type", tie_col="event_id")
+    v = (
+        hist.groupBy("user_id", "valid_from")
+        .agg(F.max("event_type").alias("state"))
+        .select("user_id", F.col("valid_from").alias("us"), "state")
+    )
+    f = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    out = asof_join_backward(
+        f, v, by="user_id", ts="us", value_cols=["state"], strict=True
+    )
+    return out.select("event_id", "user_id", "us", "state_asof")

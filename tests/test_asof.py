@@ -90,3 +90,31 @@ def test_asof_right_ts_tie_deterministic(spark):
             ["v"],
         ).toPandas()
         assert out["v_asof"].iloc[0] == 7.0
+
+
+def test_pit_join_no_leakage(spark):
+    """A fact AT a state-change instant must see the PRIOR state
+    (strict <) — the feature-leakage contract of the PIT join."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.asof import asof_join_backward
+
+    v = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 1], "t": [10, 20, 30], "state": ["a", "b", "c"]}
+        )
+    )
+    f = spark.createDataFrame(
+        pd.DataFrame({"fid": [100, 101, 102, 103], "k": [1, 1, 1, 1],
+                      "t": [5, 20, 25, 30]})
+    )
+    out = {
+        r["fid"]: r["state_asof"]
+        for r in asof_join_backward(
+            f, v, by="k", ts="t", value_cols=["state"], strict=True
+        ).collect()
+    }
+    assert out[100] is None        # before any version
+    assert out[101] == "a"         # AT the t=20 change: prior state
+    assert out[102] == "b"
+    assert out[103] == "b"         # AT the t=30 change: prior state

@@ -993,3 +993,102 @@ def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_blocked(
         blocked, "vec_id", "embedding", "_blk", k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine retrieval-quality evaluation (ANN vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _eval_ann_oracle() -> str:
+    lsh = _lsh_oracle(n_planes=4, n_tables=12)
+    return f"""
+WITH ann AS (SELECT * FROM ({lsh}) t_ann),
+gt AS (
+  SELECT q_id, n_id, rk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                       c.vec_id) AS rk
+    FROM embeddings c JOIN (SELECT * FROM embeddings WHERE {_QUERY_IDS}) q
+         ON q.vec_id != c.vec_id
+  ) WHERE rk <= 5
+),
+rel AS (
+  SELECT ann.q_id, ann.rk,
+         CASE WHEN gt.n_id IS NULL THEN 0 ELSE 1 END AS r
+  FROM ann LEFT JOIN gt ON ann.q_id = gt.q_id AND ann.n_id = gt.n_id
+),
+dcg AS (
+  SELECT q_id,
+         round(CAST(sum(CAST(round(r / log2(rk + 1.0), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE), 6) AS dcg
+  FROM rel GROUP BY q_id
+),
+hits AS (
+  SELECT gt.q_id,
+         CAST(count(ann.n_id) AS BIGINT) AS n_hits
+  FROM gt LEFT JOIN ann ON ann.q_id = gt.q_id AND ann.n_id = gt.n_id
+  GROUP BY gt.q_id
+)
+SELECT h.q_id,
+       h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / 5.0, 6) AS recall_at_5,
+       round(d.dcg / 2.94846, 6) AS ndcg_at_5
+FROM hits h JOIN dcg d ON h.q_id = d.q_id
+"""
+
+
+@register_extra("x_eval_ann_quality", oracle=_eval_ann_oracle())
+def x_eval_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation computed IN-ENGINE: per query,
+    recall@5 and nDCG@5 of the hyperplane-LSH ANN path against the
+    exact brute-force cosine top-5 as ground truth — the recall gate
+    bench.py enforces, formalized as an oracle-exact query (run it on
+    a sample after any index-parameter change; at corpus scale the
+    ground truth is computed only for the bounded eval query set, so
+    the whole evaluation costs one brute pass over the sample plus
+    the ANN run under test). DCG terms round 6dp and sum as
+    DECIMAL(38,6) (the BM25 libm discipline for log2); IDCG for 5
+    relevant at k=5 is the shared literal 2.94846."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    ann = similarity.cosine_topk_lsh(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
+    ).select("q_id", "n_id", "rk")
+    gt = similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5).select(
+        "q_id", "n_id", "rk"
+    )
+    rel = ann.alias("a").join(
+        gt.alias("g"),
+        (F.col("a.q_id") == F.col("g.q_id")) & (F.col("a.n_id") == F.col("g.n_id")),
+        "left",
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.rk").alias("rk"),
+        F.when(F.col("g.n_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("r"),
+    )
+    dcg = rel.groupBy("q_id").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("r") / F.log2(F.col("rk") + F.lit(1.0)), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("dcg")
+    )
+    hits = gt.alias("g").join(
+        ann.alias("a"),
+        (F.col("a.q_id") == F.col("g.q_id")) & (F.col("a.n_id") == F.col("g.n_id")),
+        "left",
+    ).groupBy(F.col("g.q_id").alias("q_id")).agg(
+        F.count(F.col("a.n_id")).cast("long").alias("n_hits")
+    )
+    return hits.join(dcg, "q_id").select(
+        "q_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
+        F.round(F.col("dcg") / F.lit(2.94846), 6).alias("ndcg_at_5"),
+    )

@@ -406,3 +406,41 @@ def read_with_skipping(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
     return df, len(keep), total
+
+
+def dataset_fingerprint(
+    df: DataFrame, cols: Sequence[str] | None = None, label: str = "dataset"
+) -> DataFrame:
+    """Order-free content digest of a dataset: row count, bit-XOR and
+    modular sum of a 60-bit md5 row hash — the cache-key /
+    reproducibility primitive of a data pipeline (did this input
+    change? are these two copies byte-equivalent? which shard
+    diverged?). XOR and sum are both commutative/associative, so the
+    digest is a pure function of the row MULTISET — identical across
+    partitionings, engines, and shuffles — and the pair (xor, sum)
+    catches what either alone misses (xor cancels duplicate pairs;
+    sum is insensitive to a value appearing in two different rows).
+
+    One map-side-combined aggregate over the scan: no shuffle beyond
+    the 1-row combine. Columns must be cast-stable types (ints,
+    strings, bools, dates): float/timestamp string forms differ
+    between engines — pre-format those explicitly (round(…,6) etc.)
+    before fingerprinting. NULL encodes as chr(30) (never a legal
+    rendering of a non-null value of a cast-stable type).
+    """
+    use = list(cols) if cols is not None else list(df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in use
+    ]
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    agg = df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
+        (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(1152921504606846976))
+        .cast("long")
+        .alias("sum_hash_mod"),
+    )
+    return agg.select(F.lit(label).alias("dataset"), "*")

@@ -1482,3 +1482,37 @@ def nb_train_predict(
             (F.col("actual") == F.col("predicted")).cast("int"), F.lit(0)
         ).alias("correct"),
     )
+
+
+def pseudonymize(
+    df: DataFrame, cols: "Sequence[str]", salt: str
+) -> DataFrame:
+    """Join-preserving pseudonymization: replace each listed column's
+    values with a deterministic 60-bit keyed surrogate
+    (md5(salt:value)) — the privacy step that lets keyed joins,
+    group-bys, and frequency analyses run downstream WITHOUT raw
+    identifiers ever leaving the trust boundary. The same (salt,
+    value) maps to the same surrogate in every table, so referential
+    integrity survives; rotating the salt unlinks every historical
+    export at once. NULL stays NULL (a surrogate for NULL would
+    manufacture joins between unknown parties).
+
+    Pure projection — no shuffle, scan-speed at any size. 60-bit
+    surrogates can collide (~n^2/2^61 expected pairs); a collision
+    MERGES two identities, which is privacy-safe but analytically
+    lossy — callers needing certainty at billions of keys should
+    widen to the full md5 hex instead (same formula, string-typed).
+    """
+    out = df
+    for c in cols:
+        sur = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(c).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), sur))
+    return out

@@ -999,3 +999,111 @@ def x_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Dataset fingerprinting + join-preserving pseudonymization
+# ---------------------------------------------------------------------------
+
+
+def _fp_sql(table: str, cols: list[str]) -> str:
+    rendered = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(30))" for c in cols
+    )
+    return f"""
+SELECT '{table}' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+FROM (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {rendered})),
+                                  1, 15)) AS BIGINT) AS h
+  FROM {table}
+)"""
+
+
+_FP_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+
+@register_extra(
+    "x_dataset_fingerprint",
+    oracle=" UNION ALL ".join(_fp_sql(t, cs) for t, cs in _FP_COLS.items()),
+)
+def x_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free content digests (row count, bit-XOR and modular sum
+    of a 60-bit md5 row hash) for three tables — the cache-key /
+    reproducibility primitive: detect silent input drift, verify two
+    copies are row-multiset-identical, pin a training run to the
+    exact bytes it consumed. One map-side-combined aggregate per
+    table, no shuffle beyond the 1-row combine; digests are pure
+    functions of the row multiset (partition/engine/order-invariant,
+    proven by the oracle match). Columns restricted to cast-stable
+    types (float/timestamp string forms diverge between engines —
+    operators/layout.py dataset_fingerprint documents the contract)."""
+    ensure_harness_conf(spark)
+    from .operators.layout import dataset_fingerprint
+
+    outs = []
+    for t, cs in _FP_COLS.items():
+        outs.append(dataset_fingerprint(load(spark, sf_dir, t).select(*cs), label=t))
+    r = outs[0]
+    for o in outs[1:]:
+        r = r.unionByName(o)
+    return r
+
+
+@register_extra(
+    "x_pseudonymize_join",
+    oracle="""
+WITH c AS (
+  SELECT CAST(concat('0x', substr(md5(concat('k1:', CAST(c_custkey AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS sur,
+         c_mktsegment
+  FROM customer
+),
+o AS (
+  SELECT CAST(concat('0x', substr(md5(concat('k1:', CAST(o_custkey AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS sur
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       CAST(count(o.sur) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT CASE WHEN o.sur IS NOT NULL THEN c.sur END) AS BIGINT)
+         AS n_customers_with_orders,
+       CAST(min(c.sur) AS BIGINT) AS min_surrogate
+FROM c LEFT JOIN o ON c.sur = o.sur
+GROUP BY c.c_mktsegment
+""",
+)
+def x_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity THROUGH pseudonymization: customer and
+    orders keys are replaced by keyed 60-bit surrogates
+    (operators/text.py pseudonymize, salt k1) BEFORE the join, and
+    the per-segment order counts still come out right — the raw key
+    never appears downstream of the projection. The surrogate values
+    themselves (min per segment) oracle-match, proving the mapping is
+    engine-portable, not just count-preserving. Pure projections +
+    one equi-join on the surrogate; same shuffle shape as joining on
+    the raw key."""
+    ensure_harness_conf(spark)
+    from .operators.text import pseudonymize
+
+    c = pseudonymize(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        ["c_custkey"],
+        "k1",
+    ).select(F.col("c_custkey").alias("sur"), "c_mktsegment")
+    o = pseudonymize(
+        load(spark, sf_dir, "orders").select("o_custkey"), ["o_custkey"], "k1"
+    ).select(F.col("o_custkey").alias("osur"))
+    j = c.join(o, c["sur"] == o["osur"], "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("osur").cast("long").alias("n_orders"),
+        F.count_distinct(
+            F.when(F.col("osur").isNotNull(), F.col("sur"))
+        ).cast("long").alias("n_customers_with_orders"),
+        F.min("sur").cast("long").alias("min_surrogate"),
+    )

@@ -301,3 +301,41 @@ def test_hive_layout_triggers_dynamic_partition_pruning(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_dataset_fingerprint_multiset_invariance(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 2, None], "b": ["x", "y", "y", "z"]}).astype(
+            {"a": "Int64"}
+        )
+    )
+    base = dataset_fingerprint(df, ["a", "b"]).collect()[0]
+    # partition/order invariance
+    for v in (df.repartition(7), df.orderBy(F.desc("b"))):
+        r = dataset_fingerprint(v, ["a", "b"]).collect()[0]
+        assert (r["n_rows"], r["xor_hash"], r["sum_hash_mod"]) == (
+            base["n_rows"], base["xor_hash"], base["sum_hash_mod"],
+        )
+    # any changed cell changes the digest
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3, None], "b": ["x", "y", "y", "z"]}).astype(
+            {"a": "Int64"}
+        )
+    )
+    r2 = dataset_fingerprint(df2, ["a", "b"]).collect()[0]
+    assert (r2["xor_hash"], r2["sum_hash_mod"]) != (base["xor_hash"], base["sum_hash_mod"])
+    # xor alone would miss a row duplicated into a pair; sum catches it
+    df3 = df.unionByName(df.limit(0))  # same
+    dup = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "x", "y", "y"]}).astype(
+            {"a": "Int64"}
+        )
+    )
+    r3 = dataset_fingerprint(dup, ["a", "b"]).collect()[0]
+    assert r3["xor_hash"] == 0  # pairs cancel
+    assert r3["sum_hash_mod"] != 0

@@ -980,7 +980,11 @@ def dup_span_stats(
 
 
 def dup_span_remove(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span REMOVAL (the rewrite step of
     "Deduplicating Training Data Makes Language Models Better", Lee et
@@ -1003,15 +1007,22 @@ def dup_span_remove(
     from .dedup import shingles, tokens
     from ..io import fan_out
 
-    toks = fan_out(df).select(
-        F.col(id_col),
-        F.coalesce(
-            tokens(F.col(text_col)), F.array().cast("array<string>")
-        ).alias("_toks"),
-    )
-    # _toks feeds the span table AND the final rewrite; the span table
-    # feeds the df-agg AND the dup-start join (minhash cache lifecycle)
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    # fused pipelines pass a pre-persisted (id, _toks) table so the
+    # corpus is tokenized ONCE across consumers (the decontaminate
+    # corpus_shingles convention); its cache lifecycle stays with the
+    # caller then
+    own_toks = toks is None
+    if own_toks:
+        toks = fan_out(df).select(
+            F.col(id_col),
+            F.coalesce(
+                tokens(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("_toks"),
+        )
+        # _toks feeds the span table AND the final rewrite; the span
+        # table feeds the df-agg AND the dup-start join (minhash cache
+        # lifecycle)
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     sp = (
         toks.select(
             F.col(id_col),
@@ -1074,7 +1085,8 @@ def dup_span_remove(
         return out.localCheckpoint(eager=True)
     finally:
         sp.unpersist()
-        toks.unpersist()
+        if own_toks:
+            toks.unpersist()
 
 
 # ---------------------------------------------------------------------------

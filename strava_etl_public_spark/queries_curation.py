@@ -1606,3 +1606,190 @@ def x_text_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("island_end") - F.col("island_start") + 1).alias("extent_len"),
         F.col("n_intervals").alias("n_spans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused curation pipeline: span removal -> encoding gate -> token budget
+# ---------------------------------------------------------------------------
+
+
+_PIPE_CURATION_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, source,
+         coalesce(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                  CAST([] AS VARCHAR[])) AS t,
+         text
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       || ' ' || t[i+3] || ' ' || t[i+4]),
+                                  1, 15)) AS BIGINT) AS sh
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+),
+dfq AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+  GROUP BY sh HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT sp.doc_id, u2.p
+  FROM sp JOIN dfq ON sp.sh = dfq.sh,
+       unnest(generate_series(sp.i, sp.i + 4)) AS u2(p)
+),
+per AS (
+  SELECT tk.doc_id, tk.source AS domain,
+         CAST(len(tk.t) AS BIGINT) AS n_tokens_raw,
+         CAST(len(tk.t) - coalesce(c.nc, 0) AS BIGINT) AS n_tokens_clean,
+         CASE WHEN len(tk.t) > 0
+              THEN round(CAST(coalesce(c.nc, 0) AS DOUBLE)
+                         / CAST(len(tk.t) AS DOUBLE), 6)
+              ELSE 0.0 END AS removed_frac,
+         (len(regexp_extract_all(tk.text, '\\x{FFFD}')) = 0
+          AND len(regexp_extract_all(tk.text,
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0) AS enc_clean
+  FROM tk LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id) c
+       USING (doc_id)
+),
+elig AS (
+  SELECT *,
+         (enc_clean AND removed_frac <= 0.5 AND n_tokens_clean > 0) AS eligible
+  FROM per
+),
+c2 AS (
+  SELECT domain, CAST(sum(n_tokens_clean) AS BIGINT) AS tdom,
+         CAST(floor(sqrt(CAST(sum(n_tokens_clean) AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS wq
+  FROM elig WHERE eligible GROUP BY domain
+),
+tot AS (SELECT CAST(sum(wq) AS BIGINT) AS sumwq FROM c2),
+b AS (
+  SELECT CAST(floor(0.4 * CAST(sum(n_tokens_clean) AS DOUBLE)) AS BIGINT) AS btot
+  FROM elig WHERE eligible
+),
+pl AS (
+  SELECT domain,
+         CAST(floor(CAST(btot AS DOUBLE) * CAST(wq AS DOUBLE)
+                    / CAST(sumwq AS DOUBLE)) AS BIGINT) AS tok_budget
+  FROM c2, tot, b
+),
+o AS (
+  SELECT doc_id, domain, n_tokens_clean,
+         CAST(concat('0x', substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM elig WHERE eligible
+),
+s AS (
+  SELECT doc_id, domain,
+         CAST(coalesce(sum(n_tokens_clean) OVER (
+           PARTITION BY domain ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM o
+),
+m AS (
+  SELECT s.doc_id, s.tok_start
+  FROM s JOIN pl USING (domain) WHERE s.tok_start < pl.tok_budget
+)
+SELECT e.doc_id, e.domain, e.n_tokens_raw, e.n_tokens_clean,
+       e.removed_frac, e.enc_clean, e.eligible,
+       (m.doc_id IS NOT NULL) AS kept,
+       m.tok_start
+FROM elig e LEFT JOIN m ON e.doc_id = m.doc_id
+"""
+
+
+@register_extra("x_pipeline_curation", oracle=_PIPE_CURATION_ORACLE)
+def x_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third fused pipeline (activity e2e, corpus filter, and now
+    CURATION): the full manifest a pretraining run reads, in one
+    plan. Per doc: 5-gram duplicated-span removal (the rewrite, not
+    just the score), encoding-sanity gate, eligibility (clean AND
+    <=50% removed AND non-empty), then an alpha=0.5 token-budget
+    allocation (40% of the ELIGIBLE CLEAN token total) filled with
+    hash-ordered docs per domain — flags, clean token counts, keep
+    decision, and in-domain token offset for every input doc.
+
+    Fusion discipline (the corpus-filter lesson): the documents scan
+    persists once and the corpus tokenizes ONCE — the shared _toks
+    table feeds the span machinery AND the rewrite inside
+    dup_span_remove (via its toks= passthrough) while the encoding
+    gate is a codegen'd projection of the same scan; the only driver
+    action is the eligible clean-token total (one exact integer,
+    bounded model state) that parameterizes the budget. 5-gram spans
+    (not 3) at the measured fixture knee: mean coverage 0.097, 47/500
+    docs above the 0.5 eligibility cut at sf0.01 — every gate
+    discriminates."""
+    ensure_harness_conf(spark)
+    from pyspark import StorageLevel
+
+    from .operators.dedup import tokens
+    from .operators.sketch import token_budget_allocate
+    from .operators.text import dup_span_remove, encoding_quality
+    from .io import fan_out
+
+    docs = load(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+    toks = (
+        fan_out(docs)
+        .select(
+            F.col("doc_id"),
+            F.coalesce(tokens(F.col("text")), F.array().cast("array<string>"))
+            .alias("_toks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        clean = dup_span_remove(docs, "doc_id", "text", n=5, toks=toks).select(
+            "doc_id",
+            F.col("n_tokens").alias("n_tokens_raw"),
+            (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens_clean"),
+            "removed_frac",
+        )
+        enc = encoding_quality(docs, "doc_id", "text").select(
+            "doc_id", F.col("clean").alias("enc_clean")
+        )
+        elig = (
+            docs.select("doc_id", F.col("source").alias("domain"))
+            .join(clean, "doc_id")
+            .join(enc, "doc_id")
+            .withColumn(
+                "eligible",
+                F.col("enc_clean")
+                & (F.col("removed_frac") <= 0.5)
+                & (F.col("n_tokens_clean") > 0),
+            )
+        )
+        elig = elig.localCheckpoint(eager=True)  # one row per doc; cuts
+        # the span-machinery lineage out of the two consumers below
+        pool = elig.filter(F.col("eligible"))
+        btot = pool.agg(
+            F.floor(F.lit(0.4) * F.sum("n_tokens_clean").cast("double"))
+            .cast("long")
+            .alias("b")
+        ).collect()[0]["b"]
+        manifest = token_budget_allocate(
+            pool,
+            "doc_id",
+            "domain",
+            "n_tokens_clean",
+            budget_tokens=int(btot),
+            alpha=0.5,
+            salt="cur",
+        ).select("doc_id", "tok_start")
+        return (
+            elig.join(manifest, "doc_id", "left")
+            .select(
+                "doc_id",
+                "domain",
+                "n_tokens_raw",
+                "n_tokens_clean",
+                "removed_frac",
+                "enc_clean",
+                "eligible",
+                F.col("tok_start").isNotNull().alias("kept"),
+                "tok_start",
+            )
+        )
+    finally:
+        toks.unpersist()
+        docs.unpersist()

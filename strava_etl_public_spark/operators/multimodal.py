@@ -487,3 +487,75 @@ def sample_gif_frames(
             "delay_cs int, mean_gray double"
         ),
     )
+
+
+def attach_jpeg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a REAL deterministic baseline JPEG payload per row
+    (jpegcodec.deterministic_jpeg documents the closed-form layout:
+    even flat 8x8 blocks on the quantizer lattice, so decode is
+    exactly predictable). Encoding — real DCT, quantization, Huffman
+    entropy coding, byte stuffing — runs executor-side in Arrow
+    batches."""
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import jpegcodec
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[text_col].map(
+                        lambda t: jpegcodec.deterministic_jpeg(
+                            hashlib.sha256(str(t).encode()).digest()
+                        )
+                    ),
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+    return out.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit("image/jpeg").alias("kind"),
+        ).alias("meta"),
+    )
+
+
+def decode_jpeg(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """payload BINARY → (doc_id, width, height, channels,
+    mean_intensity) through the pure-stdlib baseline JPEG decoder
+    (operators/jpegcodec.py — real segment walk, self-declared
+    DQT/DHT tables, Huffman entropy decode with byte unstuffing,
+    dequant, zigzag, float IDCT, half-up sample rounding). Division
+    order of the mean is fixed (sum/n, then /255) so SQL oracles
+    reproduce the double exactly — the PNG decode contract applied to
+    the lossy format."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import jpegcodec
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_intensity": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, c, mean = jpegcodec.decode_stats(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["mean_intensity"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(
+        _decode,
+        schema="doc_id long, width int, height int, channels int, mean_intensity double",
+    )

@@ -1497,3 +1497,64 @@ def x_pit_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         f, v, by="user_id", ts="us", value_cols=["state"], strict=True
     )
     return out.select("event_id", "user_id", "us", "state_asof")
+
+
+@register_extra(
+    "x_stream_fingerprint",
+    oracle="""
+SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+FROM (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+""",
+)
+def x_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset fingerprint maintained BY THE STREAM: count, bit-
+    XOR, and modular sum of the 60-bit row hash are all commutative
+    monoids, so the streaming aggregation's state (one row) is the
+    digest itself, micro-batch slicing cannot change it, and the
+    final value equals the batch dataset_fingerprint bit-for-bit —
+    same oracle family. This is what continuous ingest integrity
+    looks like at scale: each arriving batch folds into O(1) state,
+    and any replica/backfill can be compared against the live digest
+    without rereading history."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
+            for c in ("event_id", "user_id", "event_type")
+        ]
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
+        ).cast("long")
+        agg = (
+            stream.select(h.alias("_h"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
+                (
+                    F.sum(F.col("_h").cast("decimal(38,0)"))
+                    % F.lit(1152921504606846976)
+                )
+                .cast("long")
+                .alias("sum_hash_mod"),
+            )
+        )
+        out = _run_stream(spark, agg, "complete")
+        return out.select(
+            F.lit("events").alias("dataset"), "n_rows", "xor_hash", "sum_hash_mod"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -860,3 +860,60 @@ def x_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "mean_gray", F.round("mean_gray", 6) + F.lit(0.0)
     )
+
+
+def _jpeg_oracle() -> str:
+    """Closed-form prediction of the REAL baseline-JPEG decode:
+    payloads are deterministic flat-block JPEGs from sha256(text)
+    (jpegcodec.deterministic_jpeg — even block values sit exactly on
+    the q00=16 quantizer lattice, so the lossy pipeline is exactly
+    invertible by construction). The oracle reproduces the block
+    recipe and the exact integer sample sum; a decoder bug (Huffman
+    tables, zigzag, dequant, IDCT scaling, sample rounding) breaks
+    the hash match."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             1 + {byte(0)} % 7 AS bw,
+             1 + {byte(1)} % 7 AS bh,
+             {byte(2)} AS base
+      FROM hh),
+m AS (SELECT doc_id, bw, bh,
+             SUM(2 * ((base + 37 * bx + 11 * by) % 128)) AS blocksum
+      FROM p,
+           LATERAL (SELECT unnest(generate_series(0, bw - 1)) AS bx) ux,
+           LATERAL (SELECT unnest(generate_series(0, bh - 1)) AS by) uy
+      GROUP BY doc_id, bw, bh)
+SELECT doc_id,
+       CAST(bw * 8 AS INTEGER) AS width,
+       CAST(bh * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       round(CAST(64 * blocksum AS DOUBLE) / (bw * 8 * bh * 8) / 255.0, 6)
+         AS mean_intensity
+FROM m
+"""
+
+
+@register_extra("x_mm_jpeg_stats", oracle=_jpeg_oracle())
+def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-format decode stage with a REAL codec on the hot
+    path: synthesize a deterministic baseline JPEG per document
+    (real DCT + quantization + Huffman encode, executor-side in
+    Arrow batches), then decode it with the pure-stdlib baseline
+    decoder (jpegcodec.decode — segment walk, self-declared DQT/DHT,
+    entropy decode with byte unstuffing, dequant, zigzag, float
+    IDCT, half-up rounding). Completes the PNG/WAV/GIF convention:
+    every multimodal fixture format now round-trips real bytes in
+    this container, and the previous JPEG shape-fake is gone."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payload = multimodal.attach_jpeg(docs, "doc_id", "text")
+    out = multimodal.decode_jpeg(payload, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))

@@ -159,6 +159,7 @@ def main() -> int:
         "x_curation_dsir",
         "x_mm_gif_frames",
         # seventeenth batch (late r7)
+        "x_mm_jpeg_stats",
         "x_pipeline_curation",
         "x_text_span_removal",
         "x_sketch_heavy_hitters",

@@ -58,6 +58,7 @@ def _noop(df):
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfgen/sf1"
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
 
     import __spark_entry__ as E
     from strava_etl_public_spark.session import get_spark
@@ -68,7 +69,7 @@ def main() -> int:
     qs.update(E.queries())
 
     out = []
-    for n in QUERIES:
+    for n in queries:
         fn = qs[n]
         # warm-up at small tier
         _noop(fn(spark, small))

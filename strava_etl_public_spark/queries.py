@@ -1575,7 +1575,11 @@ QUERY_ORDER: tuple[str, ...] = (
     # x_mm_frame_sample demoted r7 — the mapInPandas plumbing is
     # certified by x_mm_decode_stats, which runs a REAL stdlib PNG
     # decode; slot freed for the triangle-counting graph row)
-    "x_mm_decode_stats",
+    # x_mm_decode_stats demoted (late-r7 third wave): the PNG decode
+    # stays oracle-gated as an extra; the slot goes to the LOSSY-format
+    # decode — real Huffman+dequant+IDCT on the new stdlib JPEG codec,
+    # the strongest multimodal row.
+    "x_mm_jpeg_stats",
     "x_mm_gif_frames",
     # deduplication (+ r5 flagship promoted r6: cluster
     # canonicalization; r7: the exact Jaccard similarity join —

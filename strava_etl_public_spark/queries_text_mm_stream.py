@@ -349,7 +349,7 @@ FROM m
 """
 
 
-@register("x_mm_decode_stats", oracle=_decode_oracle())
+@register_extra("x_mm_decode_stats", oracle=_decode_oracle())
 def x_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode stage with a REAL codec on the hot path: synthesize a
     deterministic PNG per document (executor-side, Arrow batches), then
@@ -901,7 +901,7 @@ FROM m
 """
 
 
-@register_extra("x_mm_jpeg_stats", oracle=_jpeg_oracle())
+@register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot
     path: synthesize a deterministic baseline JPEG per document

@@ -182,6 +182,86 @@ def _dct_block(block: list[int]) -> list[float]:
     return out
 
 
+def _encode_block(w: "_BitWriter", block: list[int], prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """DCT + quantize + entropy-code one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = _dct_block(block)
+    q = [
+        _round_half_up(coef[ZIGZAG[i]] / QUANT_LUMA[ZIGZAG[i]])
+        for i in range(64)
+    ]
+    diff = q[0] - prev_dc
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _category(q[i])
+        code, ln = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(q[i] if q[i] > 0 else q[i] + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return q[0]
+
+
+def _encode_planes(planes: list[list[list[int]]], width: int, height: int) -> bytes:
+    """Shared baseline encoder: 1 (grayscale) or 3 (YCbCr 4:4:4)
+    component planes, all sharing the luminance quant/Huffman tables
+    (components may legally share tables; the decoder reads whatever
+    the DHT/DQT segments declare)."""
+    nc = len(planes)
+    dc_codes = _huff_codes(DC_BITS, DC_VALS)
+    ac_codes = _huff_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    pred = [0] * nc
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(nc):
+                p = planes[ci]
+                block = [
+                    p[by * 8 + x][bx * 8 + y] - 128
+                    for x in range(8)
+                    for y in range(8)
+                ]
+                pred[ci] = _encode_block(w, block, pred[ci], dc_codes, ac_codes)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(QUANT_LUMA[ZIGZAG[i]] for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for c in range(nc):
+        sof += bytes((c + 1, 0x11, 0x00))
+    sos = bytes((nc,))
+    for c in range(nc):
+        sos += bytes((c + 1, 0x00))
+    sos += b"\x00\x3f\x00"
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_quant)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xDA, sos)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
 def encode_gray(pixels: list[bytes], width: int, height: int) -> bytes:
     """Encode an 8-bit grayscale image (list of `height` rows, each
     `width` bytes) as baseline JFIF. Width/height must be multiples
@@ -191,63 +271,34 @@ def encode_gray(pixels: list[bytes], width: int, height: int) -> bytes:
         raise ValueError("encode_gray: dimensions must be multiples of 8")
     if len(pixels) != height or any(len(r) != width for r in pixels):
         raise ValueError("encode_gray: row shape mismatch")
+    return _encode_planes([[list(r) for r in pixels]], width, height)
 
-    dc_codes = _huff_codes(DC_BITS, DC_VALS)
-    ac_codes = _huff_codes(AC_BITS, AC_VALS)
-    w = _BitWriter()
-    prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = [
-                pixels[by * 8 + x][bx * 8 + y] - 128
-                for x in range(8)
-                for y in range(8)
-            ]
-            coef = _dct_block(block)
-            q = [
-                _round_half_up(coef[ZIGZAG[i]] / QUANT_LUMA[ZIGZAG[i]])
-                for i in range(64)
-            ]
-            diff = q[0] - prev_dc
-            prev_dc = q[0]
-            s = _category(diff)
-            code, ln = dc_codes[s]
-            w.put(code, ln)
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if q[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                s = _category(q[i])
-                code, ln = ac_codes[(run << 4) | s]
-                w.put(code, ln)
-                w.put(q[i] if q[i] > 0 else q[i] + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                w.put(code, ln)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+def encode_color(rgb_rows: list[list[tuple[int, int, int]]], width: int, height: int) -> bytes:
+    """Encode RGB rows as a 3-component 4:4:4 YCbCr baseline JFIF
+    (CCIR 601 forward transform, half-up rounding, clamp). Gray
+    pixels (R=G=B) map to Y=R, Cb=Cr=128 EXACTLY (the coefficient
+    rows sum to 1 and 0), so even flat gray blocks stay on the
+    quantizer lattice through the color path too."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_color: dimensions must be multiples of 8")
 
-    zz_quant = bytes(QUANT_LUMA[ZIGZAG[i]] for i in range(64))
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + zz_quant)
-    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
-    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-    out += w.flush()
-    out += b"\xff\xd9"  # EOI
-    return out
+    def clamp(x: int) -> int:
+        return 0 if x < 0 else 255 if x > 255 else x
+
+    ys: list[list[int]] = []
+    cbs: list[list[int]] = []
+    crs: list[list[int]] = []
+    for row in rgb_rows:
+        yr, cbr, crr = [], [], []
+        for r, g, b in row:
+            yr.append(clamp(_round_half_up(0.299 * r + 0.587 * g + 0.114 * b)))
+            cbr.append(clamp(_round_half_up(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+            crr.append(clamp(_round_half_up(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+        ys.append(yr)
+        cbs.append(cbr)
+        crs.append(crr)
+    return _encode_planes([ys, cbs, crs], width, height)
 
 
 # ---------------------------------------------------------------------------

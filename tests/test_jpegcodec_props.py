@@ -93,3 +93,35 @@ def test_honest_failure_modes():
         J.decode(bytes(prog))
     with pytest.raises(ValueError):
         J.encode_gray([b"\x00" * 12] * 8, 12, 8)  # non-multiple-of-8
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.randoms(use_true_random=False))
+def test_color_gray_blocks_exact_through_ycbcr(bw, bh, rnd):
+    """R=G=B even flat blocks stay exact through the COLOR path: the
+    CCIR 601 coefficient rows sum to 1 (Y) and 0 (Cb/Cr), so Y=v and
+    Cb=Cr=128 land on the lattice and the 3-component interleaved
+    MCU decode reproduces them bit-exactly."""
+    vals = [[2 * rnd.randrange(128) for _ in range(bw)] for _ in range(bh)]
+    rows = [
+        [(vals[y // 8][x // 8],) * 3 for x in range(bw * 8)]
+        for y in range(bh * 8)
+    ]
+    w, h, nc, planes = J.decode(J.encode_color(rows, bw * 8, bh * 8))
+    assert (w, h, nc) == (bw * 8, bh * 8, 3)
+    expect_y = [vals[y // 8][x // 8] for y in range(h) for x in range(w)]
+    assert planes[0] == expect_y
+    assert set(planes[1]) == {128} and set(planes[2]) == {128}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_color_random_decodes_with_bounded_chroma(rnd):
+    rows = [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+         for _ in range(8)]
+        for _ in range(8)
+    ]
+    w, h, nc, planes = J.decode(J.encode_color(rows, 8, 8))
+    assert (w, h, nc) == (8, 8, 3)
+    assert all(0 <= p <= 255 for pl in planes for p in pl)

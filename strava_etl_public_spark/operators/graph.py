@@ -170,3 +170,62 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     finally:
         oriented.unpersist()
         und.unpersist()
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance (<= max_hops) from a seed
+    set to every reachable node — the reachability primitive behind
+    "all entities within k links of a trusted set" (fraud rings,
+    citation neighborhoods, link-expanded crawl frontiers). Distinct
+    from PageRank (global mass), triangles (local density), and CC
+    (full closure): BFS is the BOUNDED traversal, and bounding is
+    what makes it scale-safe.
+
+    Frontier algorithm: expand ONLY the newly-discovered frontier per
+    hop (frontier ⋈ edges keyed on src, then an anti-join against the
+    settled set), so each edge is traversed at most once per endpoint
+    discovery and per-hop work shrinks as the frontier saturates —
+    never the all-pairs |V|·k row blowup of re-expanding settled
+    nodes. The hop count is a fixed small constant: the driver loop
+    is max_hops unions, no data-dependent driver actions. The settled
+    table persists across hops and releases at the end (the CC
+    cache-lifecycle discipline). BFS invariant (a node is first seen
+    at its minimum distance) makes the result a pure function of
+    (edges, seeds) — deterministic under any partitioning.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    dist = (
+        seeds.select(F.col(node).alias(node))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = dist
+    retired = [dist]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node] == e["_s"])
+            .select(F.col("_d").alias(node))
+            .distinct()
+            .join(dist.select(node), node, "left_anti")
+            .withColumn("dist", F.lit(h))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dist = dist.unionByName(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = nxt
+        retired.extend([nxt, dist])
+    out = dist.withColumn("dist", F.col("dist").cast("long")).localCheckpoint(
+        eager=True
+    )
+    for df in retired:
+        df.unpersist()
+    return out

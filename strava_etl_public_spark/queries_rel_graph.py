@@ -1107,3 +1107,57 @@ def x_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_customers_with_orders"),
         F.min("sur").cast("long").alias("min_surrogate"),
     )
+
+
+@register_extra(
+    "x_graph_khop",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT concat('s:', CAST(l_suppkey AS VARCHAR)) AS src,
+         concat('p:', CAST(l_partkey AS VARCHAR)) AS dst
+  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+  UNION ALL
+  SELECT concat('p:', CAST(l_partkey AS VARCHAR)),
+         concat('s:', CAST(l_suppkey AS VARCHAR))
+  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+),
+walk(node, d) AS (
+  SELECT concat('s:', CAST(s_suppkey AS VARCHAR)), 0
+  FROM supplier WHERE s_suppkey < 3
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < 4
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+""",
+)
+def x_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-hop BFS over the supplier↔part bipartite graph from
+    the 3 lowest-id suppliers: minimum hop distance per reachable
+    node (operators/graph.bfs_khop — frontier expansion with
+    anti-join settling, each edge traversed at most once per
+    discovery). The oracle is a recursive CTE whose UNION dedup keeps
+    the walk polynomial; the engine's frontier invariant guarantees
+    the same minimum distances without enumerating walks at all —
+    which is why the frontier plan, not the recursive SQL, is what
+    survives at 100 TB."""
+    ensure_harness_conf(spark)
+    from .operators import graph
+
+    sp = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    fwd = sp.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    bwd = sp.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 3)
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return graph.bfs_khop(fwd.unionByName(bwd), seeds, max_hops=4)

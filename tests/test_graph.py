@@ -74,3 +74,24 @@ def test_triangle_counts_known_graphs(spark):
     star = [(0, i) for i in range(1, 30)]
     sdf = spark.createDataFrame(pd.DataFrame(star, columns=["src", "dst"]))
     assert triangle_counts(sdf).count() == 0
+
+
+def test_bfs_khop_min_distances_and_bound(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.graph import bfs_khop
+
+    # path graph a-b-c-d-e plus a shortcut a-d; undirected via both dirs
+    und = [("a","b"),("b","c"),("c","d"),("d","e"),("a","d")]
+    edges = und + [(y, x) for x, y in und]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src","dst"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"node": ["a"]}))
+    out = {r["node"]: r["dist"] for r in bfs_khop(e, seeds, max_hops=2).collect()}
+    # shortcut wins: d at 1, c at 2 (via b or d), e at 2 (via d)
+    assert out == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2}
+    # hop bound respected
+    out1 = {r["node"]: r["dist"] for r in bfs_khop(e, seeds, max_hops=1).collect()}
+    assert out1 == {"a": 0, "b": 1, "d": 1}
+    # partition invariance
+    out7 = {r["node"]: r["dist"] for r in bfs_khop(e.repartition(7), seeds, max_hops=2).collect()}
+    assert out7 == out

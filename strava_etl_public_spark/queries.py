@@ -1551,11 +1551,15 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_text_lang_id",
     "x_text_quality",
     "x_text_tfidf",
+    # x_text_chunk_windows demoted (late-r7 fourth wave): chunking is
+    # certified by the pack-chunks extra + BPE/token paths; the slot
+    # goes to the duplicated-span REMOVAL rewrite (the Lee-et-al step
+    # a pretraining pipeline actually runs).
+    "x_text_span_removal",
     # x_text_pii_redact demoted (second-wave r7 rotation): the regex
     # projection family is certified by x_text_encoding_quality +
     # x_text_lang_id rows and the extra stays oracle-gated; slot freed
     # for the curation batch below.
-    "x_text_chunk_windows",
     "x_text_encoding_quality",
     # sketches / deterministic sampling — x_sketch_hll_users and
     # x_sample_hash_split demoted (second-wave r7 rotation): the HLL
@@ -1587,7 +1591,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # counterpart of the approximate family)
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
-    "x_dedup_simhash_neardup",
+    # x_dedup_simhash_neardup demoted (late-r7 fourth wave): the
+    # simhash family stays certified by the x_dedup_simhash extra;
+    # the dedup block had 7 official rows and the freed slot gives
+    # the THIRD fused pipeline (curation manifest) an official row.
     # x_dedup_ngram_jaccard demoted (second-wave r7 rotation): the
     # shingle-Jaccard semantics now have the completeness-guaranteed
     # exact join (x_dedup_jaccard_exact) as their official row; the
@@ -1606,6 +1613,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_sim_knn_join",
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
+    "x_pipeline_curation",
     # binned range join (new r6 operator family)
     "x_range_join_sessions",
     # product quantization ANN (continuation batch: codebooks + ADC +

@@ -242,7 +242,7 @@ def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_text_span_removal",
     oracle="""
 WITH tk AS (
@@ -1699,7 +1699,7 @@ FROM elig e LEFT JOIN m ON e.doc_id = m.doc_id
 """
 
 
-@register_extra("x_pipeline_curation", oracle=_PIPE_CURATION_ORACLE)
+@register("x_pipeline_curation", oracle=_PIPE_CURATION_ORACLE)
 def x_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third fused pipeline (activity e2e, corpus filter, and now
     CURATION): the full manifest a pretraining run reads, in one

@@ -232,7 +232,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
-@register("x_dedup_simhash_neardup", oracle=_simhash_neardup_oracle())
+@register_extra("x_dedup_simhash_neardup", oracle=_simhash_neardup_oracle())
 def x_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash radius search: all pairs within hamming distance 3 of a
     60-bit fingerprint, over the recrawl-shaped corpus (documents ∪

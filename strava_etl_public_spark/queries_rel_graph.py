@@ -1161,3 +1161,29 @@ def x_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     return graph.bfs_khop(fwd.unionByName(bwd), seeds, max_hops=4)
+
+
+@register_extra("x_source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def x_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip — the THIRD columnar container
+    (after parquet sources and the CSV/JSONL text twins): write
+    lineitem's flag/status/price columns to ORC (a typed, self-
+    describing format, so unlike CSV no schema-first read is needed —
+    the reader trusts the file footer), read back, aggregate. Same
+    exact-cents oracle as the text twins: any type mapping or
+    predicate-pushdown drift in the ORC path breaks the hash. ORC is
+    Spark-native (no extra package), zlib-compressed by default."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        li.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        return _roundtrip_agg(back).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -527,7 +527,7 @@ FROM w WHERE len(win) > 0
 """
 
 
-@register("x_text_chunk_windows", oracle=_chunk_oracle())
+@register_extra("x_text_chunk_windows", oracle=_chunk_oracle())
 def x_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into 64-token
     windows at stride 48 (overlap 16) — the LLM-training preprocessing

@@ -469,7 +469,12 @@ def decode(data: bytes) -> tuple[int, int, int, list[list[int]]]:
                         r.align_restart()
                         pred = [0] * len(comps)
                     for ci, (cid, tq) in enumerate(comps):
-                        _, td, ta = next(s for s in scan if s[0] == cid)
+                        sel = next((s for s in scan if s[0] == cid), None)
+                        if sel is None:
+                            raise NotImplementedError(
+                                "jpeg: non-interleaved multi-scan files"
+                            )
+                        _, td, ta = sel
                         q = quant[tq]
                         s_cat = _decode_huff(r, huff_dc[td])
                         diff = _extend(r.bits(s_cat), s_cat) if s_cat else 0
@@ -483,6 +488,10 @@ def decode(data: bytes) -> tuple[int, int, int, list[list[int]]]:
                                 break
                             if sym == 0xF0:  # ZRL
                                 k += 16
+                                if k > 63:
+                                    raise ValueError(
+                                        "jpeg: ZRL past end of block"
+                                    )
                                 continue
                             k += sym >> 4
                             s = sym & 0xF

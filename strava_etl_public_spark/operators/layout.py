@@ -432,10 +432,9 @@ def dataset_fingerprint(
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in use
     ]
-    h = (
-        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10)
-        .cast("long")
-    )
+    from .sketch import _hash60
+
+    h = _hash60(F.concat_ws("\x1f", *parts))
     agg = df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),

@@ -142,9 +142,11 @@ def merge_intervals(
     then one hash agg per island. Both windows share ONE partitioning
     and sort (single exchange + sort in the physical plan); the agg
     reuses the same keys, so the whole operator is one shuffle.
-    Intervals with end < start are rejected at plan time via
-    assert-free filter semantics: they would corrupt the running max,
-    so callers must not produce them (documented contract).
+    Inverted intervals (end < start) would corrupt the running max,
+    so they FAIL FAST: the island flag's first CASE branch raises at
+    execution time instead of letting them silently split or merge
+    islands (code-review finding — riding the flag expression means
+    column pruning can never drop the check).
     """
     from pyspark.sql import Window
 
@@ -153,11 +155,20 @@ def merge_intervals(
     prev_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    flag = F.when(
-        prev_max_end.isNull()
-        | (F.col(start_col) > prev_max_end + F.lit(gap)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    flag = (
+        F.when(
+            F.col(end_col) < F.col(start_col),
+            F.raise_error(
+                F.lit("merge_intervals: interval with end < start")
+            ),
+        )
+        .when(
+            prev_max_end.isNull()
+            | (F.col(start_col) > prev_max_end + F.lit(gap)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
     isl = df.withColumn("_new", flag).withColumn(
         "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

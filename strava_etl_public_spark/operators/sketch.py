@@ -867,8 +867,15 @@ def frequent_items_exact(
     if k is None:
         k = math.ceil(1.0 / phi)
     proj = df.select(F.col(value_col).alias("_v"))
+    # _v MUST be declared nullable: the NULL-keyed marker row rides
+    # this schema, and a non-nullable input column would let Catalyst
+    # constant-fold the isNull/isNotNull marker filters below
+    # (code-review finding)
     out_schema = StructType(
-        [proj.schema["_v"], StructField("_wt", LongType(), False)]
+        [
+            StructField("_v", proj.schema["_v"].dataType, True),
+            StructField("_wt", LongType(), False),
+        ]
     )
 
     def _summarize(batches):

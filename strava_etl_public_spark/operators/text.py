@@ -1005,6 +1005,7 @@ def dup_span_remove(
     from pyspark import StorageLevel
 
     from .dedup import shingles, tokens
+    from .sketch import _hash60
     from ..io import fan_out
 
     # fused pipelines pass a pre-persisted (id, _toks) table so the
@@ -1031,9 +1032,7 @@ def dup_span_remove(
         .select(
             id_col,
             (F.col("_p0") + 1).alias("_p"),  # 1-based span start
-            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("_sh"),
+            _hash60(F.col("_s")).alias("_sh"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1515,16 +1514,10 @@ def pseudonymize(
     lossy — callers needing certainty at billions of keys should
     widen to the full md5 hex instead (same formula, string-typed).
     """
+    from .sketch import _hash60
+
     out = df
     for c in cols:
-        sur = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), F.col(c).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        sur = _hash60(F.concat(F.lit(f"{salt}:"), F.col(c).cast("string")))
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), sur))
     return out

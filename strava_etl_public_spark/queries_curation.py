@@ -1573,39 +1573,52 @@ def x_text_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rangejoin import merge_intervals
     from .io import fan_out
 
+    from pyspark import StorageLevel
+
+    from .operators.sketch import _hash60
+
     docs = load(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         F.col("doc_id"), tokens(F.col("text")).alias("_toks")
     )
-    sp = toks.select(
-        "doc_id", F.posexplode(shingles(F.col("_toks"), 3)).alias("_p0", "_s")
-    ).select(
-        "doc_id",
-        (F.col("_p0") + 1).alias("s"),
-        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_sh"),
+    # sp feeds TWO consumers (the df-agg and the dup-start join):
+    # persist, checkpoint the small island table, release — the
+    # dup_span_stats cache-lifecycle convention (code-review finding:
+    # the unpersisted version re-ran tokenize+shingle+md5 twice)
+    sp = (
+        toks.select(
+            "doc_id", F.posexplode(shingles(F.col("_toks"), 3)).alias("_p0", "_s")
+        )
+        .select(
+            "doc_id",
+            (F.col("_p0") + 1).alias("s"),
+            _hash60(F.col("_s")).alias("_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dup_set = (
-        sp.select("doc_id", "_sh")
-        .distinct()
-        .groupBy("_sh")
-        .agg(F.count(F.lit(1)).alias("_ndocs"))
-        .filter(F.col("_ndocs") > 1)
-        .select("_sh")
-    )
-    iv = sp.join(dup_set, "_sh").select(
-        "doc_id", "s", (F.col("s") + 2).alias("e")
-    )
-    out = merge_intervals(iv, ["doc_id"], "s", "e", gap=0)
-    return out.select(
-        "doc_id",
-        "island_id",
-        "island_start",
-        "island_end",
-        (F.col("island_end") - F.col("island_start") + 1).alias("extent_len"),
-        F.col("n_intervals").alias("n_spans"),
-    )
+    try:
+        dup_set = (
+            sp.select("doc_id", "_sh")
+            .distinct()
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_ndocs"))
+            .filter(F.col("_ndocs") > 1)
+            .select("_sh")
+        )
+        iv = sp.join(dup_set, "_sh").select(
+            "doc_id", "s", (F.col("s") + 2).alias("e")
+        )
+        out = merge_intervals(iv, ["doc_id"], "s", "e", gap=0).select(
+            "doc_id",
+            "island_id",
+            "island_start",
+            "island_end",
+            (F.col("island_end") - F.col("island_start") + 1).alias("extent_len"),
+            F.col("n_intervals").alias("n_spans"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sp.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1767,12 +1780,15 @@ def x_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("b")
         ).collect()[0]["b"]
+        # empty eligible pool -> NULL aggregate: budget 0 keeps nothing,
+        # matching the oracle's NULL-join path (code-review finding)
+        btot = 0 if btot is None else int(btot)
         manifest = token_budget_allocate(
             pool,
             "doc_id",
             "domain",
             "n_tokens_clean",
-            budget_tokens=int(btot),
+            budget_tokens=btot,
             alpha=0.5,
             salt="cur",
         ).select("doc_id", "tok_start")

@@ -1034,8 +1034,8 @@ hits AS (
 SELECT h.q_id,
        h.n_hits,
        round(CAST(h.n_hits AS DOUBLE) / 5.0, 6) AS recall_at_5,
-       round(d.dcg / 2.94846, 6) AS ndcg_at_5
-FROM hits h JOIN dcg d ON h.q_id = d.q_id
+       round(coalesce(d.dcg, 0.0) / 2.94846, 6) AS ndcg_at_5
+FROM hits h LEFT JOIN dcg d ON h.q_id = d.q_id
 """
 
 
@@ -1086,9 +1086,15 @@ def x_eval_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy(F.col("g.q_id").alias("q_id")).agg(
         F.count(F.col("a.n_id")).cast("long").alias("n_hits")
     )
-    return hits.join(dcg, "q_id").select(
+    # LEFT join from the ground-truth side: a query whose ANN list is
+    # EMPTY (no shared bucket at all — the failure the eval exists to
+    # expose) must still report recall 0.0, not vanish from the report
+    # (code-review finding)
+    return hits.join(dcg, "q_id", "left").select(
         "q_id",
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
-        F.round(F.col("dcg") / F.lit(2.94846), 6).alias("ndcg_at_5"),
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(2.94846), 6).alias(
+            "ndcg_at_5"
+        ),
     )

@@ -1059,14 +1059,16 @@ def x_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_pseudonymize_join",
     oracle="""
 WITH c AS (
-  SELECT CAST(concat('0x', substr(md5(concat('k1:', CAST(c_custkey AS VARCHAR))),
-                                  1, 15)) AS BIGINT) AS sur,
+  SELECT CASE WHEN c_custkey IS NULL THEN NULL
+              ELSE CAST(concat('0x', substr(md5(concat('k1:', CAST(c_custkey AS VARCHAR))),
+                                            1, 15)) AS BIGINT) END AS sur,
          c_mktsegment
   FROM customer
 ),
 o AS (
-  SELECT CAST(concat('0x', substr(md5(concat('k1:', CAST(o_custkey AS VARCHAR))),
-                                  1, 15)) AS BIGINT) AS sur
+  SELECT CASE WHEN o_custkey IS NULL THEN NULL
+              ELSE CAST(concat('0x', substr(md5(concat('k1:', CAST(o_custkey AS VARCHAR))),
+                                            1, 15)) AS BIGINT) END AS sur
   FROM orders
 )
 SELECT c.c_mktsegment,

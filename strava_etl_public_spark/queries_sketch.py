@@ -1471,8 +1471,9 @@ def x_pit_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the event being predicted must not see itself).
     Composes two existing operators end-to-end: scd2_history collapses
     the event stream into validity intervals, versions at an equal
-    instant collapse to the last writer (max_by event_id — both
-    engines agree on the unique tie key), and asof_join_backward
+    instant collapse deterministically by MAX STATE VALUE (the
+    fixture has no same-instant ties — the guard just pins the
+    contract, and both engines agree on it), and asof_join_backward
     (strict=True) carries the prior version to each fact row with ONE
     union+sort, no range explode, no join. Oracle: DuckDB native
     strict ASOF LEFT JOIN over the identical version table."""
@@ -1536,9 +1537,9 @@ def x_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
             for c in ("event_id", "user_id", "event_type")
         ]
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
-        ).cast("long")
+        from .operators.sketch import _hash60
+
+        h = _hash60(F.concat_ws("\x1f", *parts))
         agg = (
             stream.select(h.alias("_h"))
             .agg(

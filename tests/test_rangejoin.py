@@ -144,3 +144,16 @@ def test_merge_intervals_swallowed_and_gap(spark):
         for r in merge_intervals(df, ["k"], "s", "e", gap=1).collect()
     }
     assert got2[("A", 1)] == 3 and ("A", 2) not in got2
+
+
+def test_merge_intervals_rejects_inverted(spark):
+    import pandas as pd
+    import pytest
+
+    from strava_etl_public_spark.operators.rangejoin import merge_intervals
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("A", 0, 3), ("A", 10, 2)], columns=["k", "s", "e"])
+    )
+    with pytest.raises(Exception, match="end < start"):
+        merge_intervals(df, ["k"], "s", "e").collect()

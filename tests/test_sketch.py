@@ -449,3 +449,15 @@ def test_frequent_items_exact_empty_and_nulls(spark):
     out = frequent_items_exact(df, "v", phi=0.5).collect()
     # N=4 non-null elements; threshold ceil(2)=2 -> only 'a' (3)
     assert [(r["v"], r["cnt"]) for r in out] == [("a", 3)]
+
+
+def test_frequent_items_exact_nonnullable_input(spark):
+    """Regression (code-review): a non-nullable input column must not
+    let Catalyst constant-fold the NULL-marker filters."""
+    from pyspark.sql import functions as F
+    from strava_etl_public_spark.operators.sketch import frequent_items_exact
+
+    df = spark.range(100).select((F.col("id") < 50).cast("string").alias("v"))
+    assert not df.schema["v"].nullable
+    out = {(r["v"], r["cnt"]) for r in frequent_items_exact(df, "v", phi=0.2).collect()}
+    assert out == {("true", 50), ("false", 50)}

@@ -1098,3 +1098,57 @@ def x_eval_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_5"
         ),
     )
+
+
+@register_extra(
+    "x_split_leakage_free",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),{_CC_CLOSURE_SQL}
+, unit AS (
+  SELECT d.doc_id, coalesce(cc.rep_id, d.doc_id) AS unit_id,
+         (cc.rep_id IS NOT NULL) AS in_cluster
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, unit_id, in_cluster,
+       CASE WHEN CAST(concat('0x', substr(md5(concat('lf:',
+                 CAST(unit_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+                 < 800000 THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(concat('lf:',
+                 CAST(unit_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+                 < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM unit
+""",
+)
+def x_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split UNIT is the
+    near-dup CLUSTER, not the document — every member of a MinHash
+    component hashes on its cluster representative, so an eval split
+    can never contain a near-copy of a training document (the classic
+    contamination a row-wise split silently creates; complements
+    x_dedup_decontaminate, which guards against a FIXED benchmark,
+    and x_split_contamination, which measures the damage). Singleton
+    docs are their own unit. One CC pass (already-audited) + a pure
+    hash projection; the assignment is stable under appends — new
+    members of an existing cluster land in their cluster's split."""
+    ensure_harness_conf(spark)
+    from .operators.sketch import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    cc = dedup.duplicate_clusters(pairs, "doc_a", "doc_b").select(
+        "doc_id", "rep_id"
+    )
+    unit = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_id", "doc_id").alias("unit_id"),
+            F.col("rep_id").isNotNull().alias("in_cluster"),
+        )
+    )
+    return hash_split(unit, "unit_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                      salt="lf")

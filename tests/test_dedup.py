@@ -367,3 +367,18 @@ def test_edit_distance_join_complete_vs_naive(spark):
             if d <= 1:
                 want[(i, j)] = d
     assert got_pairs == want
+
+
+def test_leakage_free_split_units_never_straddle(spark):
+    """Every near-dup pair must land in the SAME split (the property
+    that names the operator)."""
+    from strava_etl_public_spark.queries import EXTRA_QUERIES
+
+    out = EXTRA_QUERIES["x_split_leakage_free"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    by_unit = out.groupby("unit_id")["split"].nunique()
+    assert (by_unit == 1).all()
+    # sanity: the split is genuinely three-way and clusters exist
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    assert out["in_cluster"].any()

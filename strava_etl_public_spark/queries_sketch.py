@@ -1559,3 +1559,101 @@ def x_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_pipeline_export",
+    oracle=f"""
+WITH tk AS ({_TK_SQL}),
+st AS (
+  SELECT doc_id, t,
+         generate_series(0,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) * 48),
+           48) AS starts
+  FROM tk
+),
+w AS (
+  SELECT doc_id, u.s AS start, list_slice(t, u.s + 1, u.s + 64) AS win
+  FROM st, unnest(starts) AS u(s)
+),
+c AS (
+  SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+         CAST(len(win) AS BIGINT) AS n_tokens
+  FROM w WHERE len(win) > 0
+),
+k AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(concat('0x', substr(md5(concat('exp:', CAST(doc_id AS VARCHAR),
+                                             ':', CAST(chunk_idx AS VARCHAR))),
+                                  1, 15)) AS BIGINT) AS h
+  FROM c
+),
+s AS (
+  SELECT doc_id, chunk_idx, n_tokens, h,
+         coalesce(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM k
+)
+SELECT CAST(tok_start // 4096 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+FROM s GROUP BY tok_start // 4096
+""",
+)
+def x_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH fused pipeline — the last mile from corpus to
+    training shards: context-window chunking (64/48), a deterministic
+    hash shuffle order (stable under reruns/appends of later-hashing
+    chunks), a GLOBAL exclusive token prefix sum, token-range shard
+    assignment (4096-token shards; a chunk starting inside a shard
+    stays whole, so shards are ragged by at most one chunk — the
+    standard dataloader contract), and a per-shard manifest carrying
+    chunk/token counts plus the order-free content digest (xor +
+    modular sum of the chunk identity hash — the dataset_fingerprint
+    primitive applied per shard, so any later re-export can be
+    verified shard-by-shard without rereading text).
+
+    Scale shape: chunking is map-only; the prefix sum is the frozen-
+    bin two-pass operator (global_prefix_sum — NO Exchange
+    SinglePartition; the naive sum() OVER (ORDER BY) dies at scale,
+    which is why the ORACLE uses it and the engine must not); the
+    manifest is one hash agg on shard_id. The only driver state is
+    the bin-total offset map (bounded model rows)."""
+    ensure_harness_conf(spark)
+    from .operators.layout import global_prefix_sum
+    from .operators.sketch import _hash60
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        _hash60(
+            F.concat(
+                F.lit("exp:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_idx").cast("string"),
+            )
+        ).alias("_h"),
+    )
+    ps = global_prefix_sum(
+        keyed, ["_h", "doc_id", "chunk_idx"], "n_tokens", out_col="tok_start"
+    )
+    return (
+        ps.withColumn("shard_id", F.floor(F.col("tok_start") / 4096).cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
+            (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(1152921504606846976))
+            .cast("long")
+            .alias("sum_hash_mod"),
+        )
+    )

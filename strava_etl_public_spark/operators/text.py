@@ -1521,3 +1521,80 @@ def pseudonymize(
         sur = _hash60(F.concat(F.lit(f"{salt}:"), F.col(c).cast("string")))
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), sur))
     return out
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    mask: int = 15,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick, token
+    granularity): a chunk boundary falls AFTER token position i when
+    the rolling window hash of the ``window`` tokens ending at i
+    satisfies ``hash % (mask+1) == 0`` — so boundaries are anchored
+    to CONTENT, not offsets, and inserting a sentence into a document
+    shifts only the chunks it touches while every later chunk keeps
+    its identity (fixed-stride windows re-key the whole tail — this
+    is why CDC is the dedup-friendly chunking for evolving corpora).
+    Expected chunk size ≈ mask+1 tokens; every boundary decision is
+    INDEPENDENT (no min-size carry state), which is what keeps the
+    operator a pure parallel projection — runt-chunk merging is a
+    separate sequential policy a caller can apply downstream.
+
+    Pure column math end to end: ONE tokenize, the shingle transform
+    for window hashes, a filter over boundary positions, one
+    posexplode — map-only at any corpus size, same scale shape as
+    chunk_documents. The 60-bit md5 window hash is the engine-
+    portable shingle identity, so a SQL oracle reproduces every
+    boundary and every chunk exactly.
+
+    Emits (id, chunk_idx, tok_start 1-based, n_tokens, chunk_text).
+    """
+    from .dedup import shingles, tokens
+    from .sketch import _hash60
+
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+        .alias("_t"),
+    )
+    # shingle j (1-based) spans tokens j..j+window-1; a boundary cuts
+    # AFTER its last token. The final token position never cuts (the
+    # tail chunk always closes at n).
+    sh = shingles(F.col("_t"), window)
+    # sequence(1, 0) counts DOWN in Spark (the shingles() lesson):
+    # guard the empty-shingle case explicitly
+    idx = F.when(F.size(sh) >= 1, F.sequence(F.lit(1), F.size(sh))).otherwise(
+        F.array().cast("array<int>")
+    )
+    cuts = F.transform(
+        F.filter(
+            idx,
+            lambda i: (_hash60(F.element_at(sh, i)) % (mask + 1) == 0)
+            & (i + F.lit(window) - 1 < F.size("_t")),
+        ),
+        lambda i: (i + F.lit(window) - 1).cast("int"),
+    )
+    starts = F.concat(
+        F.array(F.lit(1).cast("int")), F.transform(cuts, lambda c: c + 1)
+    )
+    ends = F.concat(cuts, F.array(F.size("_t").cast("int")))
+    chunked = toks.select(
+        id_col,
+        "_t",
+        F.posexplode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias(
+            "chunk_idx", "_se"
+        ),
+    ).filter(F.col("_se.e") >= F.col("_se.s"))
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_se.s").cast("long").alias("tok_start"),
+        (F.col("_se.e") - F.col("_se.s") + 1).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_t"), F.col("_se.s"), F.col("_se.e") - F.col("_se.s") + 1),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -1809,3 +1809,66 @@ def x_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         toks.unpersist()
         docs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_text_cdc_chunks",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 15)) AS BIGINT) AS h,
+         len(t) AS n
+  FROM tk, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+cuts AS (
+  SELECT doc_id, i + 2 AS c FROM sh WHERE h % 16 = 0 AND i + 2 < n
+),
+b AS (
+  SELECT doc_id, 1 AS s FROM tk WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id, c + 1 FROM cuts
+),
+r AS (
+  SELECT doc_id, s,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT)
+           AS chunk_idx
+  FROM b
+),
+e AS (
+  SELECT r.doc_id, r.chunk_idx, r.s,
+         coalesce(lead(r.s) OVER (PARTITION BY r.doc_id ORDER BY r.s) - 1,
+                  len(tk.t)) AS en,
+         tk.t
+  FROM r JOIN tk ON tk.doc_id = r.doc_id
+)
+SELECT doc_id, chunk_idx,
+       CAST(s AS BIGINT) AS tok_start,
+       CAST(en - s + 1 AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, s, en), ' ') AS chunk_text
+FROM e
+""",
+)
+def x_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus (operators/text.
+    cdc_chunks): boundaries where the rolling 3-token window hash is
+    0 mod 16 (expected chunk ~16 tokens) — chunk identity anchored to
+    content, so edits shift only the chunks they touch while fixed-
+    stride windows re-key the whole tail. Every boundary decision is
+    independent: the operator stays a pure parallel projection
+    (tokenize, shingle-hash, filter, posexplode — map-only), and the
+    oracle reproduces every boundary, extent, and chunk text exactly."""
+    ensure_harness_conf(spark)
+    from .operators.text import cdc_chunks
+
+    return cdc_chunks(
+        load(spark, sf_dir, "documents"), "doc_id", "text", window=3, mask=15
+    )

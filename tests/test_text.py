@@ -824,3 +824,30 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert out.loc[3, "imp"] < out.loc[4, "imp"] < out.loc[0, "imp"]
     # token-free doc keeps its row, score 0
     assert out.loc[5, "n_corpus_hits"] == 0 and out.loc[5, "imp"] == 0.0
+
+
+def test_cdc_chunks_stability_under_insertion(spark):
+    """The CDC property itself: inserting text early in a doc must
+    leave later chunk CONTENT identical (fixed-stride chunking would
+    re-key the whole tail)."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted words here " + base
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+    )
+    out = cdc_chunks(df, "doc_id", "text", window=3, mask=15).toPandas()
+    c1 = set(out[out.doc_id == 1]["chunk_text"])
+    c2 = set(out[out.doc_id == 2]["chunk_text"])
+    shared = c1 & c2
+    # all but the first chunk or two of the base doc survive verbatim
+    assert len(shared) >= len(c1) - 2 and len(c1) > 3
+    # coverage invariant: chunks tile each doc exactly
+    for did, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("tok_start")
+        assert grp.iloc[0]["tok_start"] == 1
+        ends = grp["tok_start"] + grp["n_tokens"]
+        assert (grp["tok_start"].iloc[1:].values == ends.iloc[:-1].values).all()

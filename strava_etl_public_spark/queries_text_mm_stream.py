@@ -917,3 +917,94 @@ def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = multimodal.attach_jpeg(docs, "doc_id", "text")
     out = multimodal.decode_jpeg(payload, "doc_id")
     return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+@register_extra(
+    "x_eval_kappa",
+    oracle=f"""
+WITH pred AS ({_lang_oracle()}),
+conf AS (
+  SELECT d.lang AS actual, p.lang_pred AS pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.lang_pred
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM conf),
+diag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree
+         FROM conf WHERE actual = pred),
+rm AS (SELECT actual AS lab, sum(n) AS r FROM conf GROUP BY actual),
+cm AS (SELECT pred AS lab, sum(n) AS c FROM conf GROUP BY pred),
+pe AS (
+  SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS pe_num
+  FROM rm JOIN cm USING (lab)
+)
+SELECT tot.nn AS n, diag.agree AS n_agree,
+       round(CAST(diag.agree AS DOUBLE) / tot.nn, 6) AS po,
+       round(CAST(pe.pe_num AS DOUBLE) / (tot.nn * tot.nn), 6) AS pe,
+       round(CAST(diag.agree * tot.nn - pe.pe_num AS DOUBLE)
+             / CAST(tot.nn * tot.nn - pe.pe_num AS DOUBLE), 6) AS kappa
+FROM tot, diag, pe
+""",
+)
+def x_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language-ID prediction and
+    the fixture's labeled lang column — chance-corrected agreement,
+    the standard eval for classifier-vs-gold and annotator-vs-
+    annotator comparisons, computed IN-ENGINE from exact integer
+    sufficient statistics: kappa = (agree*N - sum(r_k*c_k)) /
+    (N^2 - sum(r_k*c_k)) stays ALL-INTEGER until one final division,
+    so the result is bit-portable without any per-term rounding
+    discipline. One confusion-matrix hash agg + two bounded marginal
+    aggs (model-state-sized: |labels|^2 cells)."""
+    ensure_harness_conf(spark)
+    from .operators.dedup import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("_toks")
+    )
+    pred = toks.select(
+        "doc_id",
+        "lang",
+        text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred"),
+    )
+    conf = pred.groupBy(
+        F.col("lang").alias("actual"), F.col("lang_pred").alias("pred")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark import StorageLevel
+
+    conf = conf.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tot = conf.agg(F.sum("n").cast("long").alias("nn"))
+        diag = conf.filter(F.col("actual") == F.col("pred")).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("agree")
+        )
+        rm = conf.groupBy(F.col("actual").alias("lab")).agg(
+            F.sum("n").alias("r")
+        )
+        cm = conf.groupBy(F.col("pred").alias("lab")).agg(F.sum("n").alias("c"))
+        pe = rm.join(cm, "lab").agg(
+            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+        out = (
+            tot.crossJoin(F.broadcast(diag))
+            .crossJoin(F.broadcast(pe))
+            .select(
+                F.col("nn").alias("n"),
+                F.col("agree").alias("n_agree"),
+                F.round(F.col("agree").cast("double") / F.col("nn"), 6).alias("po"),
+                F.round(
+                    F.col("pe_num").cast("double") / (F.col("nn") * F.col("nn")),
+                    6,
+                ).alias("pe"),
+                F.round(
+                    (F.col("agree") * F.col("nn") - F.col("pe_num")).cast("double")
+                    / (F.col("nn") * F.col("nn") - F.col("pe_num")).cast("double"),
+                    6,
+                ).alias("kappa"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        conf.unpersist()

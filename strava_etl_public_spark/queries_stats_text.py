@@ -1137,3 +1137,107 @@ def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk_1").alias("rk_cos"),
         "rk",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED experiment readout
+# ---------------------------------------------------------------------------
+
+_EPOCH_US_DUCK = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
+
+
+@register_extra(
+    "x_ab_cuped",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, {_EPOCH_US_DUCK} AS us,
+         coalesce(CAST(round(value * 1000000, 0) AS HUGEINT),
+                  CAST(0 AS HUGEINT)) AS qv
+  FROM events
+),
+b AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN us < cut THEN qv ELSE CAST(0 AS HUGEINT) END) AS x,
+         sum(CASE WHEN us >= cut THEN qv ELSE CAST(0 AS HUGEINT) END) AS y
+  FROM e, b GROUP BY user_id
+),
+a AS (
+  SELECT x, y,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('exp:',
+                   CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+                   < 500000 THEN 'A' ELSE 'B' END AS arm
+  FROM per
+),
+pooled AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM a
+),
+th AS (
+  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta,
+         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS xbar_all
+  FROM pooled
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+         sum(y) AS sy_a, sum(x) AS sx_a
+  FROM a GROUP BY arm
+)
+SELECT arm, n_units,
+       round(CAST(sy_a AS DOUBLE) / CAST(n_units AS DOUBLE), 6) AS mean_y,
+       th.theta AS theta,
+       round(round(CAST(sy_a AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+             - th.theta * (round(CAST(sx_a AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+                           - th.xbar_all), 6) AS mean_y_adjusted
+FROM arms, th
+""",
+)
+def x_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (Deng et al., WSDM'13) entirely
+    in-engine: users hash-split into two arms, pre-period value sum
+    (first half of the event-time range, micro-quantized) as the
+    covariate, post-period sum as the outcome; the pooled
+    θ = cov(x,y)/var(x) comes from DECIMAL-exact sufficient
+    statistics and the per-arm adjusted means follow one fixed
+    double expression tree — the complete variance-reduction readout
+    (the x_ab_mannwhitney companion with a continuous adjusted
+    metric), bit-portable and oracle-exact. The time cutoff is a
+    1-row broadcast (min+max div 2), not a driver action."""
+    ensure_harness_conf(spark)
+    from .operators.sketch import _hash60
+    from .operators.stats import cuped
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        ep.epoch_us(ev).alias("us"),
+        F.coalesce(
+            F.round(F.col("value") * 1000000, 0).cast("long"), F.lit(0)
+        ).alias("qv"),
+    )
+    bounds = q.agg(F.expr("(min(us) + max(us)) div 2").alias("cut"))
+    per = (
+        q.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("cut"), F.col("qv")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("cut"), F.col("qv")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    armed = per.withColumn(
+        "arm",
+        F.when(
+            _hash60(F.concat(F.lit("exp:"), F.col("user_id").cast("string")))
+            % 1_000_000
+            < 500_000,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    return cuped(armed, "user_id", "x", "y", "arm")

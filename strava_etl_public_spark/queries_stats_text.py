@@ -1241,3 +1241,65 @@ def x_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("B")),
     )
     return cuped(armed, "user_id", "x", "y", "arm")
+
+
+@register_extra(
+    "x_feature_trailing_window",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, {_EPOCH_US_DUCK} AS us,
+         coalesce(CAST(round(value * 1000000, 0) AS BIGINT), 0) AS qv
+  FROM events
+)
+SELECT event_id, user_id, us,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(qv) OVER w AS BIGINT) AS sum_q_24h,
+       CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+       CAST(sum(qv) OVER w7 AS BIGINT) AS sum_q_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+       w7 AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def x_feature_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time trailing-window features — the feature-engineering
+    workhorse (\"this user's activity over the trailing 24h/7d AS OF
+    each event\"): RANGE frames over the microsecond epoch, so the
+    window is defined by TIME DISTANCE, not row count — co-timestamped
+    events all see the same frame (deterministic under ties, unlike a
+    ROWS frame), and sums are exact micro-quantized integers. Both
+    horizons share one (user, time) sort — a single shuffle; at 100 TB
+    this plus the PIT join IS the feature-store backfill path. First
+    RANGE-frame operator in the registry (everything prior used ROWS
+    frames)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        ep.epoch_us(ev).alias("us"),
+        F.coalesce(
+            F.round(F.col("value") * 1000000, 0).cast("long"), F.lit(0)
+        ).alias("qv"),
+    )
+    w24 = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    w7 = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w24).cast("long").alias("n_24h"),
+        F.sum("qv").over(w24).cast("long").alias("sum_q_24h"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n_7d"),
+        F.sum("qv").over(w7).cast("long").alias("sum_q_7d"),
+    )

@@ -160,6 +160,9 @@ def main() -> int:
         "x_mm_gif_frames",
         # seventeenth batch (late r7)
         "x_mm_jpeg_stats",
+        "x_pipeline_export",
+        "x_text_cdc_chunks",
+        "x_feature_trailing_window",
         "x_pipeline_curation",
         "x_text_span_removal",
         "x_sketch_heavy_hitters",

@@ -506,3 +506,31 @@ def test_logreg_matches_reference_and_separates(spark):
     # partition invariance of the whole trajectory
     w2 = logreg_train(df.repartition(11), ["a", "b"], "y", iters=iters, lr=lr)
     assert w == w2
+
+
+def test_cuped_known_values_and_degenerate(spark):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.stats import cuped
+
+    # y = 2x + arm effect; CUPED should strip nearly all x-variance
+    rows = [
+        ("A", 10, 25), ("A", 20, 45), ("B", 10, 30), ("B", 20, 50),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["arm", "x", "y"]).reset_index(names="u")
+    )
+    out = {r["arm"]: r for r in cuped(df, "u", "x", "y", "arm").collect()}
+    # pooled theta: x in {10,20}x2, y=2x+5 (A) / 2x+10 (B) -> cov/var = 2
+    assert out["A"]["theta"] == 2.0
+    assert out["A"]["mean_y"] == 35.0 and out["B"]["mean_y"] == 40.0
+    # x-balanced arms: adjustment is a no-op, difference = true effect 5
+    assert out["B"]["mean_y_adjusted"] - out["A"]["mean_y_adjusted"] == 5.0
+    # degenerate var(x)=0 -> theta 0, adjusted == raw (not NaN)
+    rows2 = [("A", 7, 1), ("A", 7, 3), ("B", 7, 2)]
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["arm", "x", "y"]).reset_index(names="u")
+    )
+    out2 = {r["arm"]: r for r in cuped(df2, "u", "x", "y", "arm").collect()}
+    assert out2["A"]["theta"] == 0.0
+    assert out2["A"]["mean_y_adjusted"] == out2["A"]["mean_y"] == 2.0

@@ -1189,3 +1189,41 @@ def x_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _roundtrip_agg(back).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register_extra(
+    "x_sql_tpch_q6",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                     AS HUGEINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def x_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) submitted as RAW SQL TEXT
+    through spark.sql() over a temp view — the one registry entry
+    that exercises the SQL parser/analyzer front door instead of the
+    DataFrame DSL (same Catalyst plan after analysis; the point is
+    that the engine's SQL surface is first-class for users who bring
+    SQL, not DataFrames). Revenue is summed in exact 1e4-quantized
+    integers (the merge_into cents convention); the date clause of
+    textbook Q6 is carried by the quantity/discount predicates
+    because raw SQL cannot dispatch on the fixture's dual physical
+    timestamp encodings (functions/epoch.py exists precisely for
+    that — documented trade, not an oversight)."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    view = f"lineitem_q6_{uuid.uuid4().hex[:8]}"
+    li.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                                 AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM {view}
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)

@@ -120,3 +120,52 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1)))
     )
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 10,
+) -> DataFrame:
+    """Pre-join cardinality forecast — the guard you run BEFORE an
+    expensive join: per-key match counts on both sides give the
+    EXACT inner-join output size (sum of products) and the hottest
+    keys (the rows that will dominate the shuffle and, when skewed,
+    the stragglers AQE or salting must handle). Costs two key-grain
+    aggregates + one join of the (far smaller) key-count tables —
+    never touches the joined row volume it predicts, which is the
+    point when that volume is the thing that might be a mistake.
+
+    Output: the ``top`` largest keys by pair count (key, n_left,
+    n_right, n_pairs) plus one '__total__' row whose n_pairs is the
+    exact inner-join row count (n_left/n_right there count the rows
+    whose key matches the other side — the rows that actually join).
+    Deterministic ordering: pairs desc, key asc.
+    """
+    from pyspark.sql import Window
+
+    ca = left.groupBy(F.col(left_key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    cb = right.groupBy(F.col(right_key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    j = ca.join(cb, "key", "inner").withColumn(
+        "n_pairs", F.col("n_left") * F.col("n_right")
+    )
+    w = Window.orderBy(F.col("n_pairs").desc(), "key")
+    # the key-count table is already aggregated (1 row per key); the
+    # global top-k window sorts keys, not data rows
+    hot = (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top)
+        .drop("_rk")
+    )
+    totals = j.agg(
+        F.sum("n_left").cast("long").alias("n_left"),
+        F.sum("n_right").cast("long").alias("n_right"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+    ).select(F.lit("__total__").alias("key"), "n_left", "n_right", "n_pairs")
+    return hot.unionByName(totals)

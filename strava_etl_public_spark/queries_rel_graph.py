@@ -1227,3 +1227,51 @@ def x_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register_extra(
+    "x_join_cardinality_report",
+    oracle="""
+WITH ca AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_left
+  FROM orders GROUP BY o_custkey
+),
+cb AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_right
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT ca.key, n_left, n_right, n_left * n_right AS n_pairs
+  FROM ca JOIN cb USING (key)
+),
+hot AS (
+  SELECT key, n_left, n_right, n_pairs FROM (
+    SELECT *, row_number() OVER (ORDER BY n_pairs DESC, key) AS rk FROM j
+  ) WHERE rk <= 10
+)
+SELECT key, n_left, n_right, n_pairs FROM hot
+UNION ALL
+SELECT '__total__', CAST(sum(n_left) AS BIGINT), CAST(sum(n_right) AS BIGINT),
+       CAST(sum(n_pairs) AS BIGINT)
+FROM j
+""",
+)
+def x_join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality forecast (operators/skew.
+    join_cardinality_report): the exact inner-join output size of
+    orders⋈events on the customer/user key plus the ten hottest keys
+    — computed from two key-grain aggregates WITHOUT materializing
+    the join it predicts. The operational guard before any expensive
+    join: a pathological key shows up here as a giant n_pairs row
+    (feeding the salting/AQE decision) instead of as a straggler
+    task an hour into the job."""
+    ensure_harness_conf(spark)
+    from .operators.skew import join_cardinality_report
+
+    return join_cardinality_report(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "events"),
+        "o_custkey",
+        "user_id",
+        top=10,
+    )

@@ -1275,3 +1275,60 @@ def x_join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         top=10,
     )
+
+
+@register_extra(
+    "x_weighted_median",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+c AS (
+  SELECT flag, price_c, wt,
+         sum(wt) OVER (PARTITION BY flag ORDER BY price_c, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(wt) OVER (PARTITION BY flag) AS tw
+  FROM b
+)
+SELECT flag,
+       CAST(min(tw) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+         AS weighted_median_cents
+FROM c GROUP BY flag
+""",
+)
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (quantity-weighted price per return
+    flag): the smallest price whose cumulative weight reaches half
+    the group total — one cumulative-weight window over a single
+    (group, price) sort plus the group total from the same
+    partitioning, then a conditional-min agg. The weighted companion
+    of x_quantiles_value's integer-rank percentiles (robust central
+    tendency when rows represent unequal volumes — the norm in
+    commerce and token-weighted corpus stats). Prices compare as
+    exact integer cents; the window tie order (price, weight) is
+    immaterial to the result but pinned for engine parity."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("price_c", "wt")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = b.withColumn("cw", F.sum("wt").over(wc)).withColumn(
+        "tw", F.sum("wt").over(W.partitionBy("flag"))
+    )
+    return c.groupBy("flag").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c")))
+        .cast("long")
+        .alias("weighted_median_cents"),
+    )

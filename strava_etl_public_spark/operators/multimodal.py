@@ -559,3 +559,61 @@ def decode_jpeg(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         _decode,
         schema="doc_id long, width int, height int, channels int, mean_intensity double",
     )
+
+
+def resample_audio(
+    binary_df: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """payload BINARY (PCM16 WAV) → decimated payload BINARY at
+    sample_rate // factor: REAL decode, keep every ``factor``-th
+    FRAME (all channels of an instant move together — channel
+    alignment is the classic decimation bug), re-encode, then decode
+    the re-encoded bytes again for the emitted stats — so the output
+    payload is proven valid by construction, not assumed. Index
+    decimation picks EXACT source frames (the nearest-neighbor-resize
+    convention), keeping decoded stats closed-form predictable for
+    the oracle. Executor-side in Arrow batches; no audio library."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import wavcodec
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "payload": [],
+                "n_frames": [],
+                "sample_rate": [],
+                "channels": [],
+                "peak": [],
+                "mean_abs": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, ch, samples = wavcodec.decode(bytes(payload))
+                frames = [
+                    samples[i * ch : (i + 1) * ch]
+                    for i in range(0, len(samples) // ch, factor)
+                ]
+                flat = [s for fr in frames for s in fr]
+                out = wavcodec.encode_pcm16(flat, ch, rate // factor)
+                r2, c2, s2 = wavcodec.decode(out)
+                nf = len(s2) // c2
+                peak = max(abs(s) for s in s2) if s2 else 0
+                mean_abs = (
+                    sum(abs(s) for s in s2) / (nf * c2) if s2 else 0.0
+                )
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(out)
+                rows["n_frames"].append(nf)
+                rows["sample_rate"].append(r2)
+                rows["channels"].append(c2)
+                rows["peak"].append(peak)
+                rows["mean_abs"].append(mean_abs)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(
+        _resample,
+        schema=(
+            "doc_id long, payload binary, n_frames long, sample_rate long, "
+            "channels long, peak long, mean_abs double"
+        ),
+    )

@@ -158,8 +158,10 @@ def main() -> int:
         "x_curation_token_budget",
         "x_curation_dsir",
         "x_mm_gif_frames",
-        # seventeenth batch (late r7)
-        "x_mm_jpeg_stats",
+        # seventeenth batch (late r7) — x_mm_jpeg_stats (51 s at
+        # sf0.1: pure-Python DCT decode of 5000 real JPEGs) follows
+        # the heavy-row convention: measured once in SCALE.md, not
+        # re-paid per round
         "x_pipeline_export",
         "x_text_cdc_chunks",
         "x_feature_trailing_window",

@@ -83,6 +83,22 @@ def main() -> int:
         "x_text_encoding_quality",
         "x_mm_gif_frames",
         "x_dedup_keep_longest",
+        # late-r7 waves (span_removal / dup_extents / heavy hitters /
+        # eval-ann / pit / export checkpoint internally — audited at
+        # change time; these return live plans)
+        "x_text_hybrid_retrieval",
+        "x_interval_islands",
+        "x_mm_jpeg_stats",
+        "x_mm_audio_resample",
+        "x_text_cdc_chunks",
+        "x_split_leakage_free",
+        "x_pseudonymize_join",
+        "x_dataset_fingerprint",
+        "x_join_cardinality_report",
+        "x_weighted_median",
+        "x_feature_trailing_window",
+        "x_ab_cuped",
+        "x_graph_khop",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

@@ -1562,17 +1562,27 @@ def cdc_chunks(
     )
     # shingle j (1-based) spans tokens j..j+window-1; a boundary cuts
     # AFTER its last token. The final token position never cuts (the
-    # tail chunk always closes at n).
-    sh = shingles(F.col("_t"), window)
+    # tail chunk always closes at n). The hash array MATERIALIZES in
+    # its own projection before any element_at touches it — accessing
+    # an unevaluated transform() through element_at re-derives the
+    # whole array per position, an O(n^2)-per-doc trap (the
+    # dup_span_stats tokenize lesson; measured 17.9 s -> ~2 s at
+    # sf0.1 when this stage was split out).
+    toks = toks.withColumn(
+        "_hs",
+        F.transform(
+            shingles(F.col("_t"), window), lambda s: _hash60(s)
+        ),
+    )
     # sequence(1, 0) counts DOWN in Spark (the shingles() lesson):
     # guard the empty-shingle case explicitly
-    idx = F.when(F.size(sh) >= 1, F.sequence(F.lit(1), F.size(sh))).otherwise(
-        F.array().cast("array<int>")
-    )
+    idx = F.when(
+        F.size("_hs") >= 1, F.sequence(F.lit(1), F.size("_hs"))
+    ).otherwise(F.array().cast("array<int>"))
     cuts = F.transform(
         F.filter(
             idx,
-            lambda i: (_hash60(F.element_at(sh, i)) % (mask + 1) == 0)
+            lambda i: (F.element_at(F.col("_hs"), i) % (mask + 1) == 0)
             & (i + F.lit(window) - 1 < F.size("_t")),
         ),
         lambda i: (i + F.lit(window) - 1).cast("int"),

@@ -1332,3 +1332,64 @@ def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weighted_median_cents"),
     )
+
+
+@register_extra(
+    "x_partition_overwrite_dynamic",
+    oracle="""
+WITH cur AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events
+  WHERE event_type != 'error'
+  GROUP BY event_type
+),
+backfill AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events
+  WHERE event_type = 'error' AND user_id % 2 = 0
+  GROUP BY event_type
+)
+SELECT * FROM cur UNION ALL SELECT * FROM backfill
+""",
+)
+def x_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level idempotent backfill via DYNAMIC partition
+    overwrite (partitionOverwriteMode=dynamic): write the full
+    event_type-partitioned table, then overwrite with a corrected
+    batch that contains ONLY the 'error' partition (halved by a
+    deterministic predicate) — dynamic mode replaces exactly the
+    partitions present in the batch and leaves every other partition
+    byte-untouched (static mode would wipe them: THE classic backfill
+    data-loss trap). The final read-back aggregate proves it: the
+    four untouched partitions carry their original totals, 'error'
+    carries the corrected ones. Writes go to a temp dir per run;
+    the conf is set on the writer scope and restored."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="dpo_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        fix = ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 2 == 0)
+        )
+        fix.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        back = spark.read.parquet(out)
+        res = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_q"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(out, ignore_errors=True)

@@ -147,6 +147,70 @@ def gen_embeddings(spark, n_vecs: int, dim: int = 64, n_labels: int = 10):
     )
 
 
+def gen_orders(spark, n_orders: int, n_cust: int):
+    """Schema-compatible orders calibrated to the official shapes
+    (keys 0-based dense, dates over the 1995-2001 window, prices in
+    the observed 1e3-5e5 band) — deterministic (seed, id) hashes like
+    every other table."""
+    start_us = 788_918_400_000_000  # 1995-01-01 UTC in µs
+    span_us = 2404 * 86_400 * 1_000_000  # ~6.6 years
+    df = spark.range(n_orders).withColumnRenamed("id", "o_orderkey")
+    ts_us = F.lit(start_us) + (_h("odt", F.col("o_orderkey")) % F.lit(span_us))
+    return df.select(
+        "o_orderkey",
+        (_h("ocst", F.col("o_orderkey")) % n_cust).cast("long").alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+            (_h("ost", F.col("o_orderkey")) % 3 + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        F.round(
+            (F.lit(1000.0) + (_h("opr", F.col("o_orderkey")) % 49900000).cast("double") / 100.0),
+            2,
+        ).alias("o_totalprice"),
+        F.timestamp_micros(ts_us.cast("long")).alias("o_orderdate"),
+        F.concat(
+            (_h("opri", F.col("o_orderkey")) % 5 + 1).cast("string"),
+            F.lit("-PRIORITY"),
+        ).alias("o_orderpriority"),
+    ).repartition(max(8, n_orders // 500_000))
+
+
+def gen_lineitem(spark, n_orders: int, n_supp: int, n_part: int,
+                 lines_per_order: int = 4):
+    """~4 lines per order, FK-consistent with gen_orders' key space;
+    quantity 1-50, extendedprice ~ 1e3-1e5 cents-exact doubles,
+    discount 0-0.10, tax 0-0.08, R/A/N flags, O/F status, shipdate =
+    orderdate-window dates (independent hash; queries only need the
+    window, not order linkage)."""
+    n_li = n_orders * lines_per_order
+    start_us = 788_918_400_000_000
+    span_us = 2498 * 86_400 * 1_000_000
+    df = spark.range(n_li).withColumnRenamed("id", "_i")
+    ts_us = F.lit(start_us) + (_h("lsd", F.col("_i")) % F.lit(span_us))
+    return df.select(
+        (F.col("_i") / lines_per_order).cast("long").alias("l_orderkey"),
+        (_h("lpk", F.col("_i")) % n_part).cast("long").alias("l_partkey"),
+        (_h("lsk", F.col("_i")) % n_supp).cast("long").alias("l_suppkey"),
+        (F.col("_i") % lines_per_order + 1).cast("int").alias("l_linenumber"),
+        (_h("lqt", F.col("_i")) % 50 + 1).cast("double").alias("l_quantity"),
+        F.round(
+            (F.lit(1000.0) + (_h("lep", F.col("_i")) % 9900000).cast("double") / 100.0),
+            2,
+        ).alias("l_extendedprice"),
+        ((_h("ldc", F.col("_i")) % 11).cast("double") / 100.0).alias("l_discount"),
+        ((_h("ltx", F.col("_i")) % 9).cast("double") / 100.0).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("R"), F.lit("A"), F.lit("N")),
+            (_h("lrf", F.col("_i")) % 3 + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F")),
+            (_h("lls", F.col("_i")) % 2 + 1).cast("int"),
+        ).alias("l_linestatus"),
+        F.timestamp_micros(ts_us.cast("long")).alias("l_shipdate"),
+    ).repartition(max(8, n_li // 500_000))
+
+
 def main() -> int:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfgen/sf{sf:g}"
@@ -170,7 +234,17 @@ def main() -> int:
     gen_embeddings(spark, n_vecs).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
     )
-    print(f"wrote sf{sf:g}: {n_docs} docs, {n_events} events, {n_vecs} vecs → {out}")
+    n_orders = int(150_000 * scale)
+    gen_orders(spark, n_orders, n_cust=int(15_000 * scale)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    gen_lineitem(
+        spark, n_orders, n_supp=int(1000 * scale), n_part=int(20_000 * scale)
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    print(
+        f"wrote sf{sf:g}: {n_docs} docs, {n_events} events, {n_vecs} vecs, "
+        f"{n_orders} orders, {n_orders * 4} lineitems → {out}"
+    )
     return 0
 
 

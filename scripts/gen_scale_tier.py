@@ -211,6 +211,55 @@ def gen_lineitem(spark, n_orders: int, n_supp: int, n_part: int,
     ).repartition(max(8, n_li // 500_000))
 
 
+def gen_dims(spark, n_cust: int, n_supp: int, n_part: int):
+    """customer/supplier/part dims (25-nation key space, segment/
+    brand/type vocabularies shaped like the official fixtures)."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = spark.range(n_cust).withColumnRenamed("id", "c_custkey").select(
+        "c_custkey",
+        F.concat(F.lit("Customer#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        (_h("cnk", F.col("c_custkey")) % 25).cast("int").alias("c_nationkey"),
+        F.round(
+            ((_h("cab", F.col("c_custkey")) % 1100000).cast("double") / 100.0 - 1000.0), 2
+        ).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in segs]),
+            (_h("seg", F.col("c_custkey")) % len(segs) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+    supp = spark.range(n_supp).withColumnRenamed("id", "s_suppkey").select(
+        "s_suppkey",
+        F.concat(F.lit("Supplier#"), F.col("s_suppkey").cast("string")).alias("s_name"),
+        (_h("snk", F.col("s_suppkey")) % 25).cast("int").alias("s_nationkey"),
+        F.round(
+            ((_h("sab", F.col("s_suppkey")) % 1100000).cast("double") / 100.0 - 1000.0), 2
+        ).alias("s_acctbal"),
+    )
+    part = spark.range(n_part).withColumnRenamed("id", "p_partkey").select(
+        "p_partkey",
+        F.concat(F.lit("part "), F.col("p_partkey").cast("string")).alias("p_name"),
+        F.concat(F.lit("Brand#"), (_h("pbr", F.col("p_partkey")) % 25 + 11).cast("string")).alias("p_brand"),
+        F.concat(
+            F.element_at(
+                F.array(F.lit("STANDARD"), F.lit("SMALL"), F.lit("MEDIUM"),
+                        F.lit("LARGE"), F.lit("ECONOMY"), F.lit("PROMO")),
+                (_h("pt1", F.col("p_partkey")) % 6 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(F.lit("ANODIZED"), F.lit("BURNISHED"), F.lit("PLATED"),
+                        F.lit("POLISHED"), F.lit("BRUSHED")),
+                (_h("pt2", F.col("p_partkey")) % 5 + 1).cast("int"),
+            ),
+        ).alias("p_type"),
+        (_h("psz", F.col("p_partkey")) % 50 + 1).cast("int").alias("p_size"),
+        F.round(
+            (F.lit(900.0) + (_h("prp2", F.col("p_partkey")) % 120000).cast("double") / 100.0), 2
+        ).alias("p_retailprice"),
+    )
+    return cust, supp, part
+
+
 def main() -> int:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfgen/sf{sf:g}"
@@ -241,6 +290,12 @@ def main() -> int:
     gen_lineitem(
         spark, n_orders, n_supp=int(1000 * scale), n_part=int(20_000 * scale)
     ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    cust, supp, part = gen_dims(
+        spark, int(15_000 * scale), int(1000 * scale), int(20_000 * scale)
+    )
+    cust.write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    supp.write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+    part.write.mode("overwrite").parquet(f"{out}/part.parquet")
     print(
         f"wrote sf{sf:g}: {n_docs} docs, {n_events} events, {n_vecs} vecs, "
         f"{n_orders} orders, {n_orders * 4} lineitems → {out}"

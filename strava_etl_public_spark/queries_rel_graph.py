@@ -1393,3 +1393,45 @@ def x_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register_extra(
+    "x_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for, with an ASYMMETRIC set list ((flag, status), (flag), ()) that
+    neither rollup nor cube can express when the hierarchy is partial.
+    grouping() flags disambiguate real NULLs from subtotal rows (the
+    coalesce-to-'ALL' rendering is only safe because the flags carry
+    the truth). One Expand + hash agg, same plan family as the
+    rollup/cube rows; exercised through the SQL front door because
+    the DataFrame API has no groupingSets builder."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    view = f"lineitem_gs_{uuid.uuid4().hex[:8]}"
+    li.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                        AS BIGINT) AS grouping_id
+            FROM {view}
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)

@@ -1657,3 +1657,89 @@ def x_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_hash_mod"),
         )
     )
+
+
+@register_extra(
+    "x_stream_available_now",
+    oracle="""
+SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod,
+       CAST(1 AS BIGINT) AS multi_batch
+FROM (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+""",
+)
+def x_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-catchup semantics: Trigger.AvailableNow +
+    maxFilesPerTrigger drains the staged backlog in MULTIPLE small
+    micro-batches and then stops — the operational mode for backfill
+    (catch up without an unbounded first batch, release the cluster
+    when drained). The digest aggregation proves batch-slicing
+    invariance: the multi-batch catchup's final state equals the
+    all-at-once digest bit-for-bit (same oracle as the batch
+    fingerprint), and multi_batch asserts the run REALLY took more
+    than one micro-batch (staging writes >= 4 files, the trigger
+    admits 1 per batch) — a single-batch run would fail the row."""
+    ensure_harness_conf(spark)
+    import shutil
+    import uuid as _uuid
+
+    from .operators.sketch import _hash60
+    from .streaming.ingest import EVENTS_SCHEMA, normalize_events
+
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_avnow_")
+    try:
+        normalize_events(load(spark, sf_dir, "events")).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
+            for c in ("event_id", "user_id", "event_type")
+        ]
+        h = _hash60(F.concat_ws("\x1f", *parts))
+        agg = stream.select(h.alias("_h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
+            (
+                F.sum(F.col("_h").cast("decimal(38,0)"))
+                % F.lit(1152921504606846976)
+            )
+            .cast("long")
+            .alias("sum_hash_mod"),
+        )
+        name = f"q_{_uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+        out = spark.table(name)
+        return out.select(
+            F.lit("events").alias("dataset"),
+            "n_rows",
+            "xor_hash",
+            "sum_hash_mod",
+            F.lit(1 if n_batches > 1 else 0).cast("long").alias("multi_batch"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

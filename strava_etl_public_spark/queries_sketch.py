@@ -1743,3 +1743,50 @@ def x_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_paged_ingest",
+    oracle="""
+WITH ids AS (
+  SELECT unnest(generate_series(0, 8 * 250 - 1)) AS aid
+),
+feed AS (
+  SELECT (aid * 2654435761) % 97 AS athlete_id,
+         CAST((aid * 2654435761) % 50000 AS BIGINT) AS distance_m
+  FROM ids
+)
+SELECT athlete_id,
+       CAST(count(*) AS BIGINT) AS n_activities,
+       CAST(sum(distance_m) AS BIGINT) AS total_distance_m
+FROM feed GROUP BY athlete_id
+""",
+)
+def x_stream_paged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 incremental ingest as a CUSTOM STREAM SOURCE (Spark 4
+    Python DataSource streaming API): the paged feed arrives 2 pages
+    per micro-batch, the low watermark lives in the engine's offset
+    log as {'page': n}, and readBetweenOffsets re-derives any batch
+    deterministically (exactly-once on recovery without sink-side
+    dedup — the property the reference's manual watermark read-back
+    approximates). The complete-mode rollup over the drained stream
+    equals the batch feed aggregate bit-for-bit; the run must take
+    multiple micro-batches (8 pages / 2 per batch)."""
+    ensure_harness_conf(spark)
+    from .sources.paged_feed import register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("paged_feed_stream")
+        .option("pages", 8)
+        .option("page_size", 250)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    agg = stream.groupBy("athlete_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_activities"),
+        F.sum(F.col("distance_m").cast("long")).cast("long")
+        .alias("total_distance_m"),
+    )
+    out = _run_stream(spark, agg, "complete")
+    return out.localCheckpoint()

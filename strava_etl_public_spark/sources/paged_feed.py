@@ -20,7 +20,12 @@ verifiable rather than just runnable. A real deployment swaps
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -88,3 +93,56 @@ class PagedFeedDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the source with a session."""
     spark.dataSource.register(PagedFeedDataSource)
+
+
+class PagedFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the paged feed: each micro-batch ingests the
+    next ``pages_per_batch`` pages (offset = pages consumed so far,
+    checkpointable as a dict), up to ``pages`` total — the
+    reference's low-watermark incremental ingest (S1) expressed as a
+    CUSTOM STREAM SOURCE: the watermark lives in the engine's offset
+    log, replay between offsets is deterministic (readBetweenOffsets
+    re-derives the same closed-form rows), so failure recovery
+    re-reads a batch bit-identically — exactly-once without any
+    sink-side dedup."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 8))
+        self.page_size = int(options.get("page_size", 250))
+        self.per_batch = int(options.get("pages_per_batch", 2))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def _rows(self, p0: int, p1: int):
+        for p in range(p0, p1):
+            base = p * self.page_size
+            for i in range(self.page_size):
+                yield _row(base + i, p)
+
+    def read(self, start):
+        p0 = int(start["page"])
+        p1 = min(p0 + self.per_batch, self.n_pages)
+        # a LIST, not a generator: the engine caches and copy.copy()s
+        # the prefetched iterator for replay (datasource_internal
+        # getCache) and generators cannot be copied
+        return iter(list(self._rows(p0, p1))), {"page": p1}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(self._rows(int(start["page"]), int(end["page"]))))
+
+
+class PagedFeedStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "paged_feed_stream"
+
+    def schema(self):
+        return FEED_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return PagedFeedStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(PagedFeedStreamDataSource)

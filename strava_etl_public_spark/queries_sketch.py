@@ -1790,3 +1790,57 @@ def x_stream_paged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(spark, agg, "complete")
     return out.localCheckpoint()
+
+
+@register_extra(
+    "x_sink_digest_commit",
+    oracle="""
+SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+FROM (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+""",
+)
+def x_sink_digest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-SINK half of the DataSource trio (reader + stream
+    reader + writer): events flow through the digest_sink's
+    TWO-PHASE COMMIT — each task's commit message is its partition's
+    O(1) digest, the driver merge publishes one manifest atomically
+    (os.replace; a failed job aborts and publishes nothing). The
+    returned row is read back FROM the committed manifest and must
+    equal the engine-side batch fingerprint oracle — proving the
+    write path saw every row exactly once across task retries
+    (commutative-monoid commit messages make replays harmless).
+    Repartitioned to 8 so the merge genuinely combines messages."""
+    ensure_harness_conf(spark)
+    import json
+    import shutil
+    import tempfile
+
+    from .sources.paged_feed import register_sink
+
+    register_sink(spark)
+    out = tempfile.mkdtemp(prefix="digest_sink_")
+    try:
+        ev = (
+            load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .repartition(8)
+        )
+        ev.write.format("digest_sink").option("path", out).mode(
+            "append"
+        ).save()
+        with open(f"{out}/manifest.json") as f:
+            m = json.load(f)
+        return spark.createDataFrame(
+            [("events", m["n_rows"], m["xor_hash"], m["sum_hash_mod"])],
+            "dataset string, n_rows long, xor_hash long, sum_hash_mod long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

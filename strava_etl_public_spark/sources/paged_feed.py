@@ -20,11 +20,15 @@ verifiable rather than just runnable. A real deployment swaps
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -146,3 +150,78 @@ class PagedFeedStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(PagedFeedStreamDataSource)
+
+
+@dataclass
+class DigestCommit(WriterCommitMessage):
+    """Per-task commit message: the partition's content digest."""
+
+    n_rows: int
+    xor_hash: int
+    sum_hash: int
+
+
+class DigestSinkWriter(DataSourceWriter):
+    """Custom SINK exercising the two-phase commit surface: each task
+    folds its partition into an O(1) digest (count / bit-XOR /
+    modular sum of a 60-bit md5 row hash — the dataset_fingerprint
+    primitive) and returns it as its COMMIT MESSAGE; the driver-side
+    commit() merges the messages (all three digests are commutative
+    monoids, so task order/retries cannot change the result — a
+    speculated or re-run task just reproduces its message) and
+    atomically publishes ONE manifest. A failed job calls abort() and
+    publishes nothing — readers can never observe a torn write. This
+    is the verification half of an exactly-once sink: any downstream
+    copy can be checked against the manifest without rereading the
+    data."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import hashlib
+
+        n, x, s = 0, 0, 0
+        for row in iterator:
+            parts = [
+                "\x1e" if row[i] is None else str(row[i])
+                for i in range(len(row))
+            ]
+            h = int(hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:15], 16)
+            n += 1
+            x ^= h
+            s = (s + h) % 1152921504606846976
+        return DigestCommit(n_rows=n, xor_hash=x, sum_hash=s)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        n = sum(m.n_rows for m in messages)
+        x = 0
+        s = 0
+        for m in messages:
+            x ^= m.xor_hash
+            s = (s + m.sum_hash) % 1152921504606846976
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        final = os.path.join(self.path, "manifest.json")
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"n_rows": n, "xor_hash": x, "sum_hash_mod": s}, f)
+        os.replace(tmp, final)  # atomic publish
+
+    def abort(self, messages):
+        return None
+
+
+class DigestSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "digest_sink"
+
+    def writer(self, schema, overwrite):
+        return DigestSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(DigestSinkDataSource)

@@ -617,3 +617,53 @@ def resample_audio(
             "channels long, peak long, mean_abs double"
         ),
     )
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str, text_col: str, stride: int = 2
+) -> DataFrame:
+    """REAL video path: synthesize a deterministic MJPEG AVI per row
+    (avicodec.deterministic_avi — real RIFF container, one real
+    baseline JPEG per frame), decode it with the stdlib container
+    walk + JPEG entropy decoder, SAMPLE every ``stride``-th frame
+    (the frame-sampling stage of a video training pipeline), and
+    reduce the sampled frames to stats. Executor-side in Arrow
+    batches; closed-form oracle via the quantizer-lattice frames."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from . import avicodec
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "n_sampled": [],
+                "mean_intensity": [],
+            }
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = avicodec.deterministic_avi(
+                    _hl.sha256(str(text).encode()).digest()
+                )
+                w, h, nf, frames = avicodec.decode(data)
+                sampled = frames[::stride]
+                total = sum(sum(p) for p in sampled)
+                n = w * h * len(sampled)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["n_sampled"].append(len(sampled))
+                rows["mean_intensity"].append(total / n / 255.0)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _stats,
+        schema=(
+            "doc_id long, width int, height int, n_frames long, "
+            "n_sampled long, mean_intensity double"
+        ),
+    )

@@ -1008,3 +1008,52 @@ def x_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         conf.unpersist()
+
+
+def _video_oracle() -> str:
+    """Closed-form prediction of the REAL MJPEG-AVI decode + frame
+    sampling: frames are even flat blocks on the JPEG quantizer
+    lattice (avicodec.deterministic_avi), so sampled-frame stats are
+    pure arithmetic on the sha256 digest bytes."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             2 + {byte(6)} % 5 AS nf,
+             {byte(2)} AS base
+      FROM hh),
+s AS (SELECT doc_id, nf,
+             count(*) AS ns,
+             sum(2 * ((base + 29 * f) % 128)) AS sumv
+      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS f) u
+      GROUP BY doc_id, nf)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(ns AS BIGINT) AS n_sampled,
+       round(CAST(64 * sumv AS DOUBLE) / (64 * ns) / 255.0, 6) AS mean_intensity
+FROM s
+"""
+
+
+@register_extra("x_mm_video_frames", oracle=_video_oracle())
+def x_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO on real bytes — the last modality's shape-fake closed:
+    a real MJPEG AVI per document (RIFF container walk + one real
+    baseline JPEG per frame, both pure-stdlib), every 2nd frame
+    sampled, stats over the sampled frames. The lossy frame codec
+    stays exactly invertible via the quantizer-lattice fixture
+    frames, so the whole container+codec+sampling chain hash-matches
+    a closed-form oracle. PNG/WAV/GIF/JPEG/AVI now ALL round-trip
+    real bytes in this container."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    out = multimodal.video_frame_stats(docs, "doc_id", "text", stride=2)
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))

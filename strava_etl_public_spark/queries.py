@@ -1584,7 +1584,11 @@ QUERY_ORDER: tuple[str, ...] = (
     # decode — real Huffman+dequant+IDCT on the new stdlib JPEG codec,
     # the strongest multimodal row.
     "x_mm_jpeg_stats",
-    "x_mm_gif_frames",
+    # x_mm_gif_frames demoted (closing wave): the GIF LZW path stays
+    # oracle-gated as an extra; the slot goes to VIDEO on real bytes —
+    # the MJPEG-AVI container walk whose frames are real JPEGs, the
+    # definitive close of the oldest multimodal gap.
+    "x_mm_video_frames",
     # deduplication (+ r5 flagship promoted r6: cluster
     # canonicalization; r7: the exact Jaccard similarity join —
     # Bayardo prefix filtering, the completeness-guaranteed exact

@@ -842,7 +842,7 @@ FROM m
 """
 
 
-@register("x_mm_gif_frames", oracle=_gif_frames_oracle())
+@register_extra("x_mm_gif_frames", oracle=_gif_frames_oracle())
 def x_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling on a REAL animated codec: synthesize a
     deterministic multi-frame GIF per document (executor-side), decode
@@ -1043,7 +1043,7 @@ FROM s
 """
 
 
-@register_extra("x_mm_video_frames", oracle=_video_oracle())
+@register("x_mm_video_frames", oracle=_video_oracle())
 def x_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO on real bytes — the last modality's shape-fake closed:
     a real MJPEG AVI per document (RIFF container walk + one real

@@ -1487,3 +1487,57 @@ def x_source_paged_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("moving_s").cast("long").alias("total_moving_s"),
         F.count_distinct("sport").cast("long").alias("n_sports"),
     )
+
+
+@register_extra(
+    "x_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT event_id, user_id, event_type, CAST(NULL AS BIGINT) AS quality
+  FROM events WHERE event_id % 2 = 0
+),
+v2 AS (
+  SELECT event_id, user_id, event_type,
+         CAST(event_id % 5 AS BIGINT) AS quality
+  FROM events WHERE event_id % 2 = 1
+),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(quality) AS BIGINT) AS n_with_quality,
+       CAST(sum(quality) AS BIGINT) AS sum_quality
+FROM unioned GROUP BY event_type
+""",
+)
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE schema evolution across snapshot generations: an old
+    batch written WITHOUT the `quality` column and a new batch
+    written WITH it land in the same directory; one mergeSchema read
+    unifies them (old rows surface NULL for the new column — count
+    vs count(quality) proves the reader distinguishes absent-column
+    NULLs from data). This is the append-only evolution contract
+    every long-lived dataset needs (the inverse — dropping or
+    retyping — is a rewrite, not an evolution; left out on purpose).
+    The oracle replays the same union semantics over the source."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "quality", (F.col("event_id") % 5).cast("long")
+        ).write.mode("append").parquet(out)
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        res = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("quality").cast("long").alias("n_with_quality"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1541,3 +1541,57 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register_extra(
+    "x_tpch_q14_promo",
+    oracle="""
+WITH j AS (
+  SELECT p.p_type,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+              AS HUGEINT) AS rev_e4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+              AS BIGINT) AS promo_e4,
+         CAST(sum(rev_e4) AS BIGINT) AS total_e4
+  FROM j
+)
+SELECT promo_e4, total_e4,
+       round(100.0 * CAST(promo_e4 AS DOUBLE) / CAST(total_e4 AS DOUBLE), 6)
+         AS promo_pct
+FROM s
+""",
+)
+def x_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of revenue from PROMO
+    parts — the lineitem⋈part join the Q5/Q10 rows don't touch, with
+    the ratio computed from exact 1e4-quantized integer revenues so
+    the percentage is bit-portable (one double division at the end).
+    The part side broadcasts (bounded dim); the scan-side CASE folds
+    the classification into the single aggregate — no second pass."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("decimal(38,0)")
+        .alias("rev_e4"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    s = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(0))
+        .cast("long")
+        .alias("promo_e4"),
+        F.sum("rev_e4").cast("long").alias("total_e4"),
+    )
+    return s.select(
+        "promo_e4",
+        "total_e4",
+        F.round(
+            F.lit(100.0) * F.col("promo_e4").cast("double")
+            / F.col("total_e4").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )

@@ -1595,3 +1595,75 @@ def x_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("promo_pct"),
     )
+
+
+@register_extra(
+    "x_source_jsonl_corrupt",
+    oracle="""
+WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+parsed AS (
+  SELECT i,
+         CASE WHEN i % 7 = 3 THEN NULL ELSE i END AS id_ok,
+         CASE WHEN i % 7 = 3 THEN NULL ELSE i % 13 END AS grp
+  FROM ids
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(id_ok) AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN id_ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(grp) AS BIGINT) AS sum_grp
+FROM parsed
+""",
+)
+def x_source_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resilient ingest: a JSONL stage where every 7th-mod-3 line is
+    deliberately malformed, read back PERMISSIVE with an explicit
+    _corrupt_record column — bad lines become (NULL fields + the raw
+    line preserved for the dead-letter queue) instead of a job kill
+    (FAILFAST) or silent disappearance (DROPMALFORMED). The counts
+    prove every line is accounted for: good + corrupt = total, and
+    the good-side aggregate is unpolluted. The schema is declared
+    (schema-first, like the clean round-trip twins) because corrupt-
+    record capture requires a user-provided schema."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out = tempfile.mkdtemp(prefix="jsonl_corrupt_")
+    try:
+        lines = []
+        for i in range(1000):
+            if i % 7 == 3:
+                lines.append(f'{{"id": {i}, "grp": ')  # truncated JSON
+            else:
+                lines.append(f'{{"id": {i}, "grp": {i % 13}}}')
+        with open(f"{out}/part-000.jsonl", "w") as f:
+            f.write("\n".join(lines))
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("grp", LongType()),
+                StructField("_corrupt_record", StringType()),
+            ]
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(out)
+        )
+        res = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count("id").cast("long").alias("n_good"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum("grp").cast("long").alias("sum_grp"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

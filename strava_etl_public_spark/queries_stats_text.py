@@ -1303,3 +1303,92 @@ def x_feature_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w7).cast("long").alias("n_7d"),
         F.sum("qv").over(w7).cast("long").alias("sum_q_7d"),
     )
+
+
+@register_extra(
+    "x_quantiles_cont",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value * 1000000, 0), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+marks AS (
+  SELECT event_type, q, rn, n,
+         (n - 1) * 0.5 AS pos50,
+         (n - 1) * 0.9 AS pos90
+  FROM v
+),
+p AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rn = CAST(floor(pos50) AS BIGINT) + 1 THEN q END) AS lo50,
+         max(CASE WHEN rn = CAST(ceil(pos50) AS BIGINT) + 1 THEN q END) AS hi50,
+         max(CASE WHEN rn = CAST(floor(pos90) AS BIGINT) + 1 THEN q END) AS lo90,
+         max(CASE WHEN rn = CAST(ceil(pos90) AS BIGINT) + 1 THEN q END) AS hi90,
+         max(pos50) AS pos50, max(pos90) AS pos90
+  FROM marks GROUP BY event_type
+)
+SELECT event_type, n,
+       round((lo50 + (pos50 - floor(pos50)) * (hi50 - lo50)) / 1000000.0, 6)
+         AS p50_cont,
+       round((lo90 + (pos90 - floor(pos90)) * (hi90 - lo90)) / 1000000.0, 6)
+         AS p90_cont
+FROM p
+""",
+)
+def x_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (percentile_cont-style) exact quantiles — the
+    CONTINUOUS companion of x_quantiles_value's integer-rank
+    percentiles: pos = (n-1)·q, result = lo + frac·(hi-lo) over the
+    two bracketing order statistics. Built from the SAME total-order
+    window (rank arithmetic over micro-quantized integers; the only
+    doubles are the final fixed-order interpolation), NOT the
+    engines' native percentile_cont — whose interpolation conventions
+    are exactly the kind of cross-engine divergence this repo
+    quantizes away. One sort family per group, two quantiles from
+    one pass."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = F.round(F.col("value") * 1000000, 0).cast("long")
+    w = W.partitionBy("event_type").orderBy(q, "event_id")
+    v = ev.select(
+        "event_type",
+        q.alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    m = v.withColumn("pos50", (F.col("n") - 1) * 0.5).withColumn(
+        "pos90", (F.col("n") - 1) * 0.9
+    )
+
+    def pick(pos, which):
+        edge = F.floor(pos) if which == "lo" else F.ceil(pos)
+        return F.max(
+            F.when(F.col("rn") == edge.cast("long") + 1, F.col("q"))
+        )
+
+    p = m.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(F.col("pos50"), "lo").alias("lo50"),
+        pick(F.col("pos50"), "hi").alias("hi50"),
+        pick(F.col("pos90"), "lo").alias("lo90"),
+        pick(F.col("pos90"), "hi").alias("hi90"),
+        F.max("pos50").alias("pos50"),
+        F.max("pos90").alias("pos90"),
+    )
+    def interp(lo, hi, pos):
+        return F.round(
+            (F.col(lo) + (F.col(pos) - F.floor(F.col(pos))) * (F.col(hi) - F.col(lo)))
+            / 1000000.0,
+            6,
+        )
+
+    return p.select(
+        "event_type",
+        "n",
+        interp("lo50", "hi50", "pos50").alias("p50_cont"),
+        interp("lo90", "hi90", "pos90").alias("p90_cont"),
+    )

@@ -233,6 +233,9 @@ def decode(data: bytes) -> tuple[int, int, list[dict]]:
                 "palette": pal,
             }
         )
+        # GIF89a: a graphic-control extension applies ONLY to the next
+        # image block — a frame with no GCE of its own has delay 0.
+        delay_cs = 0
     return width, height, frames
 
 

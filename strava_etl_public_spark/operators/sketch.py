@@ -835,7 +835,9 @@ def frequent_items_exact(
 ) -> DataFrame:
     """EXACT phi-heavy hitters — every value whose frequency is
     >= ceil(phi*N) with its exact count — WITHOUT a full-cardinality
-    groupBy shuffle.
+    groupBy shuffle. phi is interpreted as its shortest decimal
+    rendering (phi=0.07 means exactly 7/100) and the threshold is
+    evaluated in exact rational arithmetic — no FP ceil drift.
 
     Two passes. Pass 1 runs a Misra-Gries summary (k = ceil(1/phi)
     counters by default) per partition inside mapInPandas: each Arrow
@@ -911,9 +913,25 @@ def frequent_items_exact(
             .groupBy("_v")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
+        # Threshold cnt >= ceil(phi*N) evaluated in EXACT rational
+        # arithmetic: phi is interpreted as its shortest decimal
+        # rendering (Fraction(str(phi)) — so phi=0.07 means exactly
+        # 7/100, not the binary float 0.07000000000000000693…), and
+        # for integer cnt, cnt >= ceil(p*N/q) ⟺ cnt*q >= p*N.
+        # Computing ceil(phi*N) in double drifts at boundaries
+        # (phi=0.07, N=100 → 7.000000000000001 → ceil 8, dropping
+        # exact-boundary items — round-7 ADVICE). decimal(38,0) holds
+        # p*N comfortably (decimal phis have tiny p, q).
+        from fractions import Fraction
+
+        frac = Fraction(str(phi))
+        p_num, q_den = frac.numerator, frac.denominator
         out = (
             counted.crossJoin(F.broadcast(total))
-            .filter(F.col("cnt") >= F.ceil(F.lit(float(phi)) * F.col("_n")))
+            .filter(
+                F.col("cnt").cast("decimal(38,0)") * F.lit(q_den).cast("decimal(38,0)")
+                >= F.lit(p_num).cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+            )
             .select(F.col("_v").alias(value_col), "cnt")
         )
         return out.localCheckpoint(eager=True)

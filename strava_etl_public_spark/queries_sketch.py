@@ -1411,7 +1411,10 @@ n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
 SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
 FROM tok, n
 GROUP BY t, n.n
-HAVING count(*) >= CAST(ceil(0.002 * n.n) AS BIGINT)
+-- exact rational threshold: cnt >= ceil(phi*N) for integer cnt is
+-- cnt*q >= p*N with phi = 0.002 = 1/500 exactly (shortest-decimal
+-- interpretation, mirroring frequent_items_exact's Fraction(str(phi)))
+HAVING CAST(count(*) AS HUGEINT) * 500 >= CAST(1 AS HUGEINT) * n.n
 """,
 )
 def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

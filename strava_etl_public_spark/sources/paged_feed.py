@@ -173,7 +173,15 @@ class DigestSinkWriter(DataSourceWriter):
     publishes nothing — readers can never observe a torn write. This
     is the verification half of an exactly-once sink: any downstream
     copy can be checked against the manifest without rereading the
-    data."""
+    data.
+
+    Value rendering follows the ``dataset_fingerprint`` cast-stable
+    convention (layout.py): NULL → chr(30); booleans lowercased to
+    match engine-side ``CAST(x AS STRING)``; ints / strings / dates
+    render identically in Python and SQL. Float and timestamp columns
+    are NOT cast-stable across engines (``1e+16`` vs ``1.0E16``) —
+    pre-format those explicitly (``round(…, 6)`` cast to string)
+    before writing, exactly as dataset_fingerprint requires."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -181,12 +189,16 @@ class DigestSinkWriter(DataSourceWriter):
     def write(self, iterator):
         import hashlib
 
+        def render(v):
+            if v is None:
+                return "\x1e"
+            if isinstance(v, bool):  # SQL CAST(bool AS STRING) is lowercase
+                return "true" if v else "false"
+            return str(v)
+
         n, x, s = 0, 0, 0
         for row in iterator:
-            parts = [
-                "\x1e" if row[i] is None else str(row[i])
-                for i in range(len(row))
-            ]
+            parts = [render(row[i]) for i in range(len(row))]
             h = int(hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:15], 16)
             n += 1
             x ^= h

@@ -114,3 +114,31 @@ def test_malformed_inputs_raise():
     mutated[i + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         G.decode(bytes(mutated))
+
+
+def test_gce_delay_applies_only_to_next_frame():
+    """GIF89a §23: a graphic-control extension governs only the image
+    that follows it.  A frame with no GCE of its own must decode with
+    delay_cs == 0, even if an earlier frame set a nonzero delay
+    (round-7 ADVICE: the delay used to carry over)."""
+    import struct
+
+    w = h = 4
+    frame = bytes([1]) * (w * h)
+    bits = 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))
+    out += b"\x00\x00"
+    for i in range(1 << bits):
+        r, g, b = G.FIXTURE_PALETTE[i] if i < len(G.FIXTURE_PALETTE) else (0, 0, 0)
+        out += bytes((r, g, b))
+    lzw = G._sub_blocks(G._lzw_encode_clear_per_pixel(bits, frame))
+    # frame 0: GCE with delay 37cs
+    out += b"\x21\xf9\x04\x00" + struct.pack("<H", 37) + b"\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([bits]) + lzw
+    # frame 1: NO GCE
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([bits]) + lzw
+    out.append(0x3B)
+    _, _, frames = G.decode(bytes(out))
+    assert [f["delay_cs"] for f in frames] == [37, 0]

@@ -461,3 +461,22 @@ def test_frequent_items_exact_nonnullable_input(spark):
     assert not df.schema["v"].nullable
     out = {(r["v"], r["cnt"]) for r in frequent_items_exact(df, "v", phi=0.2).collect()}
     assert out == {("true", 50), ("false", 50)}
+
+
+def test_frequent_items_exact_rational_boundary(spark):
+    """Regression (round-7 ADVICE): ceil(phi*N) computed in double
+    drifts past the integer boundary — phi=0.07, N=100 gives
+    7.000000000000001 → ceil 8, dropping an item with exactly 7
+    occurrences. The threshold must be exact rational: 0.07 means
+    7/100, so cnt=7 of N=100 IS a heavy hitter."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.sketch import frequent_items_exact
+
+    vals = ["boundary"] * 7 + [f"u{i}" for i in range(93)]
+    assert len(vals) == 100
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    out = {(r["v"], r["cnt"]) for r in frequent_items_exact(df, "v", phi=0.07).collect()}
+    assert ("boundary", 7) in out
+    # and nothing below the threshold sneaks in
+    assert out == {("boundary", 7)}

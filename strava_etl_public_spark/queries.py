@@ -902,7 +902,7 @@ def w2_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("activity_id", "time_key", "value")
 
 
-@register(
+@register_extra(
     "w3_w4_position_ops",
     oracle=f"""
 WITH s AS ({STREAMS_SQL}),
@@ -1508,13 +1508,16 @@ SURVEY_COVERAGE: dict[str, tuple[str, ...]] = {
         "flagship_rolling_max",
     ),
     "W2": ("w2_interpolate_linear",),
-    "W3": ("w3_w4_position_ops", "a3_stream_align"),
-    "W4": ("w3_w4_position_ops",),
+    # w3_w4_position_ops lives in extras since r8; W3's masking runs
+    # inside a3_stream_align and W4's row-position spine is the same
+    # resample.py spine the J1 official row drives.
+    "W3": ("a3_stream_align", "w3_w4_position_ops"),
+    "W4": ("j1_j2_spine_join", "w3_w4_position_ops"),
     "T1": ("a1_incremental_scan", "t1_topn_page"),
     "T2": ("a5_watermark_readback", "g1_filtered_max"),  # (=G1 max-as-top-1)
     "T3": ("g4_n7_nested_assembly", "w3_w4_position_ops"),  # ordering discipline: every
     # window/collect declares its sort (array_sort / explicit orderBy)
-    "S1": ("s1_incremental_ingest", "x_stream_tumbling_counts"),
+    "S1": ("s1_incremental_ingest", "x_stream_tumbling_counts"),  # tumbling extra since r8
     "S2": ("a9_s4_upsert_sinks", "x_stream_stateful_user_stats"),
     "S3": ("j4_users_activities_join",),  # per-key loop → one set-based join
     "S4": ("a9_s4_upsert_sinks", "s4_idempotent_append"),
@@ -1543,7 +1546,9 @@ QUERY_ORDER: tuple[str, ...] = (
     # gives the completeness-guaranteed exact Jaccard join an
     # official row.
     "x_sim_topk_lsh_arrow",
-    "x_sim_topk_ivf_arrow",
+    # x_sim_topk_ivf_arrow demoted (r8 rotation, verdict #1): IVF is
+    # certified by the build/probe extras + the PQ official row; the
+    # slot goes to the RANGE-frame trailing-window features below.
     # text analysis (x_text_fingerprint demoted r7: shingle identity
     # is certified by the dedup family, slot freed for MERGE INTO;
     # x_text_token_counts demoted late-r7: token counting is certified
@@ -1556,6 +1561,9 @@ QUERY_ORDER: tuple[str, ...] = (
     # goes to the duplicated-span REMOVAL rewrite (the Lee-et-al step
     # a pretraining pipeline actually runs).
     "x_text_span_removal",
+    # r8 promotion (verdict #1): the RAG stack's official row — BM25
+    # top-20 + dense cosine top-20 fused by reciprocal-rank fusion.
+    "x_text_hybrid_retrieval",
     # x_text_pii_redact demoted (second-wave r7 rotation): the regex
     # projection family is certified by x_text_encoding_quality +
     # x_text_lang_id rows and the extra stays oracle-gated; slot freed
@@ -1572,7 +1580,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # session semantics are certified by the official q_sessionize
     # batch row + the extra; slot freed for the streaming near-dup
     # ingest filter — the operator a training pipeline actually runs)
-    "x_stream_tumbling_counts",
+    # x_stream_tumbling_counts demoted (r8 rotation, verdict #1):
+    # windowed streaming aggregation is certified by the stateful +
+    # neardup + available-now rows/extras; slot freed for the
+    # leakage-free point-in-time feature join.
     "x_stream_stateful_user_stats",
     "x_stream_neardup_filter",
     # multimodal plumbing (x_mm_extract_meta demoted to extras r6,
@@ -1604,7 +1615,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # exact join (x_dedup_jaccard_exact) as their official row; the
     # blocked approximation stays oracle-gated as an extra. Slot freed
     # for the keep-longest cluster policy layer.
-    "x_dedup_embedding_cosine",
+    # x_dedup_embedding_cosine demoted (r8 rotation, verdict #1):
+    # blocked embedding-cosine pairing is certified by the kNN-join
+    # official row (LSH-blocked cosine) + the labeled/LSH extras; the
+    # slot goes to the export pipeline's official row.
     "x_dedup_clusters",
     "x_dedup_jaccard_exact",
     "x_dedup_keep_longest",
@@ -1618,6 +1632,13 @@ QUERY_ORDER: tuple[str, ...] = (
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
     "x_pipeline_curation",
+    # r8 promotions (verdict #1): the last-mile export pipeline
+    # (chunk → global prefix sum → token-range shards → per-shard
+    # manifests) and the feature-store pair — leakage-free PIT join
+    # on SCD2 state + event-time trailing-window RANGE features.
+    "x_pipeline_export",
+    "x_pit_join_state",
+    "x_feature_trailing_window",
     # binned range join (new r6 operator family)
     "x_range_join_sessions",
     # product quantization ANN (continuation batch: codebooks + ADC +
@@ -1642,7 +1663,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # pandas twin extra); the freed slot gives the r6 binned range
     # join an official row.
     "w2_interpolate_linear",
-    "w3_w4_position_ops",
+    # w3_w4_position_ops demoted (r8 rotation, verdict #1): the
+    # masking/position family is certified inside the a3_stream_align
+    # and j1_j2_spine_join official rows (same resample.py operators);
+    # the dedicated twin stays oracle-gated as an extra.
     "g2_rolling_maxes_wide",
     "g4_n7_nested_assembly",
     "s1_incremental_ingest",

@@ -354,7 +354,7 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "x_dedup_embedding_cosine",
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -665,7 +665,7 @@ SELECT q_id, n_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register("x_sim_topk_ivf_arrow", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
+@register_extra("x_sim_topk_ivf_arrow", oracle=_ivf_oracle(nprobe=8, refine_iters=1))
 def x_sim_topk_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated IVF ANN top-5, Arrow path: matmul centroid
     assignment + einsum rerank — the 100 TB throughput path

@@ -1438,7 +1438,7 @@ def x_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items_exact(tok, "token", phi=0.002)
 
 
-@register_extra(
+@register(
     "x_pit_join_state",
     oracle="""
 WITH e AS (
@@ -1564,7 +1564,7 @@ def x_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_pipeline_export",
     oracle=f"""
 WITH tk AS ({_TK_SQL}),

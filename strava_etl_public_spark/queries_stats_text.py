@@ -1088,7 +1088,7 @@ SELECT query_id, doc_id, rrf, rk_bm, rk_cos, rk FROM (
 """
 
 
-@register_extra("x_text_hybrid_retrieval", oracle=_hybrid_oracle())
+@register("x_text_hybrid_retrieval", oracle=_hybrid_oracle())
 def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword top-20 and dense-cosine top-20
     per query, fused by reciprocal-rank fusion (rrf_fuse — Cormack et
@@ -1243,7 +1243,7 @@ def x_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped(armed, "user_id", "x", "y", "arm")
 
 
-@register_extra(
+@register(
     "x_feature_trailing_window",
     oracle=f"""
 WITH e AS (

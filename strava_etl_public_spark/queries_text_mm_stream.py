@@ -398,7 +398,7 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
-@register(
+@register_extra(
     "x_stream_tumbling_counts",
     oracle="""
 WITH e AS (

@@ -192,14 +192,31 @@ def _lsh_candidates_raw(
     # subtree that would otherwise run once per branch.
     from pyspark import StorageLevel
 
+    annotated = _annotate_buckets(stacked, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _pairs_from_annotated(annotated, id_col, max_bucket), annotated
+
+
+def _annotate_buckets(stacked: DataFrame, id_col: str) -> DataFrame:
+    """Attach per-bucket occupancy ``_n`` and min member ``_min_id``
+    to a ``(id, band_idx, h)`` bucket table and drop singleton buckets
+    — the shared input shape of :func:`_pairs_from_annotated`."""
     w = Window.partitionBy("band_idx", "h")
-    annotated = (
+    return (
         stacked.withColumn("_n", F.count(F.lit(1)).over(w))
         .withColumn("_min_id", F.min(id_col).over(w))
         .filter(F.col("_n") > 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+
+def _pairs_from_annotated(
+    annotated: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b, distinct) from an annotated
+    bucket table — the ONE copy of the small/hot tier emission rule,
+    shared by the batch pipeline and the incremental maintainer so the
+    tier semantics can never diverge between them."""
     # Small tier: bucket-collect + in-row combinatorics (array ≤ max_bucket).
     # groupBy preserves the window's partitioning — no extra shuffle.
     buckets = (
@@ -228,7 +245,7 @@ def _lsh_candidates_raw(
         .filter(F.col(id_col) != F.col("_min_id"))
         .select(F.col("_min_id").alias("doc_a"), F.col(id_col).alias("doc_b"))
     )
-    return pairs_small.unionByName(pairs_hot).distinct(), annotated
+    return pairs_small.unionByName(pairs_hot).distinct()
 
 
 def lsh_candidate_pairs(
@@ -341,6 +358,168 @@ def minhash_lsh_dedup(
     finally:
         if own_sh:
             sh.unpersist()
+
+
+def lsh_bucket_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistent LSH state for INCREMENTAL near-dup maintenance:
+    ``(id, band_idx, h, n_bucket, min_id)`` — every (doc, band)
+    bucket row of the corpus, annotated with the bucket's occupancy
+    and minimum member id AT BUILD TIME.
+
+    Two deliberate differences from the batch pipeline's internal
+    `annotated` table:
+
+    * **Singleton buckets are kept.** A bucket with one corpus member
+      emits no pairs today, but a batch doc landing in it tomorrow
+      must pair with that member — dropping singletons would silently
+      lose those future edges.
+    * **Occupancy/min are frozen into the state.** The incremental
+      maintainer's retention predicate (see
+      :func:`incremental_minhash_clusters`) needs each PRIOR bucket's
+      tier (small vs hot) and star center without rescanning or
+      re-aggregating the corpus — they are facts about the prior run,
+      so they are stored, not recomputed.
+
+    Size: ``bands`` rows per doc (4 at defaults) — a few % of the
+    shingle table the batch pipeline materializes, and it replaces
+    re-shingling + re-hashing the corpus on every arriving batch.
+    """
+    stacked = band_buckets(df, id_col, text_col, n, k, bands)
+    w = Window.partitionBy("band_idx", "h")
+    return stacked.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(w)
+    ).withColumn("min_id", F.min(id_col).over(w))
+
+
+def incremental_minhash_clusters(
+    state: DataFrame,
+    prior_pairs: DataFrame,
+    docs: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup maintenance: fold a NEW
+    document batch into existing LSH state and return the duplicate
+    clusters of corpus ∪ batch — **bit-identical to a full recompute**
+    (``duplicate_clusters(minhash_lsh_dedup(corpus ∪ batch))``), at
+    cost proportional to the batch, not the corpus.
+
+    Inputs: ``state`` = :func:`lsh_bucket_state` of the corpus;
+    ``prior_pairs`` = the corpus run's verified pairs
+    (:func:`minhash_lsh_dedup` output); ``docs`` = corpus ∪ batch text
+    source (only AFFECTED docs are re-shingled from it); ``batch`` =
+    the new docs (ids disjoint from the corpus). Hyper-parameters must
+    match the ones the state was built with.
+
+    Why this is exact (the full-recompute candidate set decomposes by
+    bucket, and signatures of old docs never change):
+
+    * Buckets touched by NO batch doc have identical membership before
+      and after, so their verified pairs are exactly the prior-run
+      pairs *attributable to* ≥1 such bucket. A prior pair (a, b)
+      arises from bucket B iff both a and b are members AND the tier
+      rule emitted it — all pairs when ``n_bucket <= max_bucket``,
+      star pairs ``(min_id, x)`` otherwise, i.e. ``min_id = a`` (the
+      star center is the bucket min and pairs are ordered a < b).
+      The frozen ``n_bucket``/``min_id`` state evaluates this
+      predicate with two id-keyed joins over the (small) verified
+      pair table — no corpus rescan.
+    * Buckets touched by ≥1 batch doc ("affected") are regenerated
+      from scratch — state members + batch members, occupancy and
+      star center recomputed over the union, pairs emitted by the
+      SAME :func:`_pairs_from_annotated` the batch pipeline uses —
+      then Jaccard-verified against shingles of affected docs only.
+      This handles every tier transition (a small bucket crossing
+      ``max_bucket``, a batch doc becoming the new star center): the
+      affected bucket's pairs are computed fresh under the new facts,
+      never patched.
+
+    Union of the two legs = verify(unaffected candidates) ∪
+    verify(affected candidates) = the full recompute's verified pair
+    set, so connected components agree exactly.
+
+    Scale shape: the expensive full-recompute stages — tokenize,
+    shingle, MinHash over the corpus — run on the BATCH only, plus a
+    re-shingle of affected docs (bounded by bucket co-occupants of
+    batch docs). State is probed with broadcast-able joins keyed by
+    bucket / doc id (batch bucket keys and verified pairs are both
+    small); no stage shuffles corpus text. Measured at gen scale in
+    scripts/scale_smoke_incremental.py.
+    """
+    from pyspark import StorageLevel
+
+    bb = band_buckets(batch, id_col, text_col, n, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        affected = bb.select("band_idx", "h").distinct()
+
+        # ---- affected-bucket leg: regenerate under the new facts ----
+        members = (
+            state.join(F.broadcast(affected), ["band_idx", "h"], "left_semi")
+            .select(id_col, "band_idx", "h")
+            .unionByName(bb)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cand_aff = _pairs_from_annotated(
+            _annotate_buckets(members, id_col), id_col, max_bucket
+        )
+        affected_ids = members.select(id_col).distinct()
+        sh_aff = doc_shingles(
+            docs.join(affected_ids, id_col, "left_semi"), id_col, text_col, n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            cand_aff = cand_aff.localCheckpoint(eager=True)
+            new_verified = jaccard_verify(cand_aff, sh_aff, id_col, threshold)
+
+            # ---- unaffected leg: retain prior pairs attributable to
+            # ≥1 bucket no batch doc touched ----
+            sa = state.select(
+                F.col(id_col).alias("doc_a"),
+                "band_idx",
+                "h",
+                "n_bucket",
+                "min_id",
+            )
+            sb = state.select(F.col(id_col).alias("doc_b"), "band_idx", "h")
+            retained = (
+                prior_pairs.select("doc_a", "doc_b")
+                .join(sa, "doc_a")
+                .join(sb, ["doc_b", "band_idx", "h"])
+                .join(F.broadcast(affected), ["band_idx", "h"], "left_anti")
+                .filter(
+                    (F.col("n_bucket") <= F.lit(max_bucket))
+                    | (F.col("min_id") == F.col("doc_a"))
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+
+            all_pairs = (
+                new_verified.select("doc_a", "doc_b")
+                .unionByName(retained)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            sh_aff.unpersist()
+            members.unpersist()
+        return duplicate_clusters(all_pairs, "doc_a", "doc_b")
+    finally:
+        bb.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -1403,7 +1403,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
-@register(
+@register_extra(
     "q_asof_join",
     oracle="""
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -1622,6 +1622,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_dedup_clusters",
     "x_dedup_jaccard_exact",
     "x_dedup_keep_longest",
+    # r8 (verdict #5): incremental dedup maintenance — fold a new
+    # batch into persisted LSH state, clusters == full recompute.
+    "x_dedup_incremental",
     # general MERGE INTO + graph triangles (r7 promotions — the two
     # strongest round-6 operator families get official rows)
     "x_merge_into",
@@ -1691,7 +1694,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # the freed slot gives contiguous global row IDs (the operator
     # whose naive plan dies at scale) an official CORRECTNESS row.
     "x_global_row_ids",
-    "q_asof_join",
+    # q_asof_join demoted (r8): the as-of family's official row is now
+    # x_pit_join_state (strict as-of carry on SCD2 state, DuckDB-native
+    # ASOF oracle); the event-join twin stays oracle-gated as an extra.
+    # Freed slot → incremental dedup maintenance (verdict #5).
 )
 
 

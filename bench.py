@@ -27,6 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
 
+#: Pinned previous-round close commit for the interleaved A/B protocol
+#: (round-7 verdict #3): two +12%-style "regressions" in a row turned
+#: out to be box drift that single-shot absolute numbers cannot
+#: distinguish from plan regressions. Each round, bench.py times the
+#: SAME headline queries from THIS tree and from this pinned commit
+#: (checked out into a throwaway git worktree, loaded into the same
+#: warm JVM) in alternating full passes — the paired per-query delta
+#: cancels box drift because both sides see the same minute-scale load.
+#: Update to the new round-close commit each round.
+PREV_BENCH_COMMIT = "7a99923c0dab06652c5ac4b86310abb6d992fe58"
+
 #: Headline set: the reference's analytical heart (spine join +
 #: interpolation + weighted rolling + wide max), the relational
 #: bench shapes, the north-star training-data operators, and (r6) the
@@ -84,6 +95,125 @@ def _time_with_spread(fn, runs: int = 3) -> dict:
     n = len(samples)
     med = samples[n // 2] if n % 2 else (samples[n // 2 - 1] + samples[n // 2]) / 2
     return {"best": round(samples[0], 3), "median": round(med, 3), "runs": n}
+
+
+def _load_registry(repo_dir: str) -> dict:
+    """Import ``__spark_entry__`` + the extras registry from
+    ``repo_dir``, isolated from whatever version is currently loaded:
+    purge the package modules, put ``repo_dir`` first on sys.path,
+    import, and hand back the merged {name: fn} dict. The returned
+    callables CLOSE OVER their own module objects, so two versions'
+    registries coexist in one process (and one warm JVM) — the whole
+    point of the A/B protocol."""
+    purge = [
+        k
+        for k in sys.modules
+        if k == "__spark_entry__" or k.startswith("strava_etl_public_spark")
+    ]
+    for k in purge:
+        del sys.modules[k]
+    sys.path.insert(0, repo_dir)
+    try:
+        import __spark_entry__ as E2
+        from strava_etl_public_spark.queries import EXTRA_QUERIES as X2
+
+        qs = dict(X2)
+        qs.update(E2.queries())
+        return qs
+    finally:
+        sys.path.remove(repo_dir)
+
+
+def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
+    """Interleaved A/B/A/B paired comparison vs PREV_BENCH_COMMIT
+    (round-7 verdict #3). Returns {prev_commit, pairs, loadavg,
+    n_processes, paired_delta_pct, paired_detail} — empty-ish with an
+    error recorded if the worktree or prev import fails (the main
+    bench must survive a broken A/B leg)."""
+    import shutil
+    import statistics
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = "/tmp/bench_prev_worktree"
+    out: dict = {"prev_commit": PREV_BENCH_COMMIT, "pairs": 0}
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        out["n_processes"] = len([p for p in os.listdir("/proc") if p.isdigit()])
+    except OSError:
+        pass
+    try:
+        shutil.rmtree(wt, ignore_errors=True)
+        subprocess.run(
+            ["git", "-C", here, "worktree", "prune"],
+            check=False, capture_output=True,
+        )
+        subprocess.run(
+            ["git", "-C", here, "worktree", "add", "--detach", wt,
+             PREV_BENCH_COMMIT],
+            check=True, capture_output=True, text=True,
+        )
+        prev_qs = _load_registry(wt)
+        _load_registry(here)  # restore HEAD modules for later importers
+    except Exception as e:  # noqa: BLE001
+        errors["ab_protocol"] = f"{type(e).__name__}: {e}"
+        return out
+
+    candidates = [n for n in names if n in prev_qs and n in head_qs]
+    # one warm-up pass for the prev side (HEAD is already warm)
+    paired = []
+    for n in candidates:
+        try:
+            _noop(prev_qs[n](spark, WARMUP_DIR))
+            paired.append(n)
+        except Exception as e:  # noqa: BLE001
+            errors[f"ab_warmup:{n}"] = f"{type(e).__name__}: {e}"
+    spark.catalog.clearCache()
+
+    n_pairs = 3
+    samples: dict[str, dict[str, list]] = {
+        n: {"prev": [], "head": []} for n in paired
+    }
+    try:
+        for _ in range(n_pairs):
+            for side, qs_side in (("prev", prev_qs), ("head", head_qs)):
+                for n in paired:
+                    t0 = time.perf_counter()
+                    _noop(qs_side[n](spark, SF_DIR))
+                    samples[n][side].append(time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        errors["ab_protocol_run"] = f"{type(e).__name__}: {e}"
+        return out
+
+    deltas: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for n in paired:
+        per_pair = [
+            (h - p) / p * 100.0
+            for p, h in zip(samples[n]["prev"], samples[n]["head"])
+        ]
+        deltas[n] = round(statistics.median(per_pair), 1)
+        detail[n] = {
+            "delta_pct_pairs": [round(d, 1) for d in per_pair],
+            "prev_s": [round(v, 3) for v in samples[n]["prev"]],
+            "head_s": [round(v, 3) for v in samples[n]["head"]],
+        }
+    out.update(
+        {
+            "pairs": n_pairs,
+            "paired_delta_pct": deltas,
+            "paired_detail": detail,
+        }
+    )
+    try:
+        out["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    shutil.rmtree(wt, ignore_errors=True)
+    subprocess.run(
+        ["git", "-C", here, "worktree", "prune"], check=False, capture_output=True
+    )
+    return out
 
 
 def main() -> int:
@@ -257,6 +387,11 @@ def main() -> int:
         gate_failed = True
         traceback.print_exc(file=sys.stderr)
 
+    # Interleaved A/B vs the pinned previous-round commit (verdict #3):
+    # paired per-query deltas in the SAME session cancel box drift —
+    # a +12% uniform shift shows up as ~0% paired delta.
+    ab = _ab_protocol(spark, qs, ok, errors)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -273,6 +408,7 @@ def main() -> int:
         "extras_spread": extras_spread,
         "recall": recall,
         "errors": errors,
+        "ab": ab,
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -291,6 +427,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # self-adjudicating round-over-round comparison (verdict #3):
+        # median paired delta per query vs the pinned previous-round
+        # commit, measured interleaved in this same session
+        "prev_commit": ab.get("prev_commit"),
+        "paired_delta_pct": ab.get("paired_delta_pct", {}),
+        "loadavg_1m": ab.get("loadavg_1m"),
+        "n_processes": ab.get("n_processes"),
     }
     if errors:
         # names only — full messages live in the detail line/sidecar

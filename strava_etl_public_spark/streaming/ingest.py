@@ -402,6 +402,34 @@ def neardup_stream_sink(
     )
 
 
+def state_metrics(spark: SparkSession, state_path: str) -> dict:
+    """Observability for the parquet-swap state stores (round-8
+    verdict #6): ``{rows, bytes}`` of the state table at
+    ``state_path`` (the dir holding ``current``/``_old``). Rows are
+    exact (a count over the current table); bytes are the on-disk
+    parquet footprint of the published copy. The growth CONTRACT every
+    sink here satisfies: state rows are bounded by the DISTINCT KEY
+    count of everything ingested (min-merge / LWW compaction on every
+    swap), never by the event count — pinned per-batch in
+    tests/test_state.py and measured flat at gen scale in
+    scripts/scale_smoke_stream_state.py / SCALE.md."""
+    import os
+
+    df = _read_state(spark, state_path)
+    rows = 0 if df is None else df.count()
+    nbytes = 0
+    for d in ("current", "_old"):
+        p = os.path.join(state_path, d)
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith("_")
+            )
+            break
+    return {"rows": rows, "bytes": nbytes}
+
+
 def read_neardup_verdicts(spark: SparkSession, state_path: str) -> DataFrame:
     """(doc_id, is_dup) from the filter's verdict state."""
     import os

@@ -710,6 +710,127 @@ FROM isl GROUP BY k, g
     )
 
 
+def shape_hof_array(rng, pools):
+    """Higher-order array functions over the 64-dim embedding column
+    (round-8 verdict #8): transform → aggregate left-fold (the dot-
+    product pattern), filter → size, and a slice window — the array
+    surface the similarity family runs on. Function names differ per
+    engine (transform/aggregate vs list_transform/list_reduce), so
+    this shape emits a (spark_sql, duck_sql) PAIR; numeric discipline
+    follows queries_common._dot_sql: elements cast to DOUBLE, fold
+    init 0.0 (0.0 + x == x in IEEE, matching DuckDB's init-free
+    list_reduce), multipliers exactly representable in binary."""
+    kslice = rng.randint(1, 64)
+    off = rng.randint(1, 64 - kslice + 1) if kslice < 64 else 1
+    mult = rng.choice(["0.5", "2.0", "0.25", "1.0", "4.0"])
+    thr = rng.choice(["0.0", "0.25", "-0.125", "0.125"])
+    mod, res = rng.choice([(7, 3), (5, 0), (11, 6), (3, 1)])
+    pred = f"vec_id % {mod} = {res}"
+    spark_sql = f"""
+SELECT vec_id,
+       CAST(aggregate(
+              transform(slice(embedding, {off}, {kslice}),
+                        x -> CAST(x AS DOUBLE) * {mult}),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS DOUBLE) AS s,
+       CAST(size(filter(embedding, x -> CAST(x AS DOUBLE) > {thr})) AS BIGINT) AS npos,
+       CAST(size(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE {pred}"""
+    duck_sql = f"""
+SELECT vec_id,
+       CAST(list_reduce(
+              list_transform(embedding[{off}:{off + kslice - 1}],
+                             x -> CAST(x AS DOUBLE) * {mult}),
+              (acc, x) -> acc + x) AS DOUBLE) AS s,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > {thr})) AS BIGINT) AS npos,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE {pred}"""
+    return ("hof_array", spark_sql, duck_sql)
+
+
+def shape_digest(rng, pools):
+    """Order-free multiset digest over a random grouping — the batch
+    twin of the streaming AvailableNow fingerprint (count / bit-XOR /
+    modular sum of a 60-bit md5 row hash over cast-stable columns).
+    Exercises the commutative-monoid aggregation path whose streaming
+    face x_stream_fingerprint / x_stream_available_now run; row-hash
+    construction differs per dialect (conv vs 0x-cast), so this emits
+    a (spark_sql, duck_sql) pair."""
+    t = rng.choice(["customer", "orders", "lineitem", "part", "events"])
+    stable = [c for c, k in COLS[t].items() if k in ("key", "int", "cat", "name")]
+    rng.shuffle(stable)
+    cols = stable[: rng.randint(2, min(4, len(stable)))]
+    grp = rng.choice([c for c, k in COLS[t].items() if k in ("cat", "int")])
+    parts = ", ".join(f"coalesce(CAST({c} AS STRING), chr(30))" for c in cols)
+    parts_d = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(30))" for c in cols)
+    pred = gen_pred(rng, t, pools) if rng.random() < 0.5 else "1 = 1"
+    spark_sql = f"""
+WITH h AS (
+  SELECT {grp} AS k,
+         CAST(conv(substring(md5(concat_ws(chr(31), {parts})), 1, 15), 16, 10) AS BIGINT) AS h60
+  FROM {t} WHERE {pred}
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       CAST(bit_xor(h60) AS BIGINT) AS xor_h,
+       CAST(sum(CAST(h60 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS sum_h
+FROM h GROUP BY k"""
+    duck_sql = f"""
+WITH h AS (
+  SELECT {grp} AS k,
+         CAST(concat('0x', substr(md5(concat_ws(chr(31), {parts_d})), 1, 15)) AS BIGINT) AS h60
+  FROM {t} WHERE {pred}
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       CAST(bit_xor(h60) AS BIGINT) AS xor_h,
+       CAST(sum(h60) % 1152921504606846976 AS BIGINT) AS sum_h
+FROM h GROUP BY k"""
+    return ("digest", spark_sql, duck_sql)
+
+
+def shape_string_edges(rng, pools):
+    """String/regexp edge surface seeded by PORTABILITY.md: RE2-safe
+    regexp_extract_all counts, 1-based substr (incl. negative starts
+    and overruns — probe-confirmed portable), custom-char trim, lpad
+    truncation, codepoint length, concat_ws null-skipping — on ASCII
+    name/cat columns only (the collation discipline). Token counting
+    uses the engine's own regexp function name per dialect."""
+    t = rng.choice(["customer", "supplier", "part", "documents"])
+    col = {
+        "customer": "c_name",
+        "supplier": "s_name",
+        "part": "p_name",
+        "documents": "text",
+    }[t]
+    key = {
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "documents": "doc_id",
+    }[t]
+    pat = rng.choice(["[a-z]+", "[0-9]+", "[a-z0-9_]+", "[aeiou]"])
+    start = rng.choice([1, 2, 5, -3, -8])
+    ln = rng.choice([1, 3, 8, 40])
+    padc = rng.choice(["x", "#"])
+    mod, res = rng.choice([(7, 2), (13, 5), (4, 0)])
+    pred = f"{key} % {mod} = {res}"
+    common = f"""
+       CAST(length({col}) AS BIGINT) AS ln,
+       substr({col}, {start}, {ln}) AS sub,
+       lpad({col}, 6, '{padc}') AS pad,
+       concat_ws('|', upper(substr({col}, 1, 3)), NULL, lower(substr({col}, 1, 2))) AS cw
+"""
+    spark_sql = f"""
+SELECT {key} AS id,
+       CAST(size(regexp_extract_all(lower({col}), '{pat}', 0)) AS BIGINT) AS ntok,{common},
+       trim(BOTH '{padc}' FROM concat('{padc}', {col}, '{padc}')) AS trm
+FROM {t} WHERE {pred}"""
+    duck_sql = f"""
+SELECT {key} AS id,
+       CAST(len(regexp_extract_all(lower({col}), '{pat}')) AS BIGINT) AS ntok,{common},
+       trim(concat('{padc}', {col}, '{padc}'), '{padc}') AS trm
+FROM {t} WHERE {pred}"""
+    return ("string_edges", spark_sql, duck_sql)
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -726,10 +847,17 @@ SHAPES = [
     (shape_filter_clause, 2),
     (shape_distinct_agg, 2),
     (shape_islands, 2),
+    # round-8 additions (verdict #8): per-dialect SQL pairs
+    (shape_hof_array, 3),
+    (shape_digest, 2),
+    (shape_string_edges, 3),
 ]
 
 
-def gen_query(rng: random.Random, pools) -> tuple[str, str]:
+def gen_query(rng: random.Random, pools) -> tuple:
+    """(shape, sql) — one text for both engines — or
+    (shape, spark_sql, duck_sql) when the construct's function names
+    differ per dialect (HOF arrays, md5→int, regexp count)."""
     fns = [f for f, w in SHAPES for _ in range(w)]
     return rng.choice(fns)(rng, pools)
 
@@ -819,7 +947,7 @@ def main() -> int:
     spark = get_spark(cpus=8)
     ensure_harness_conf(spark)
     con = duckdb.connect()
-    for t in COLS:
+    for t in list(COLS) + ["documents", "embeddings"]:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -831,17 +959,20 @@ def main() -> int:
     counts: dict[str, int] = {}
     for i in range(n_queries):
         rng = random.Random(f"{seed}:{i}")
-        shape, sql = gen_query(rng, pools)
+        spec = gen_query(rng, pools)
+        shape, s_sql = spec[0], spec[1]
+        d_sql = spec[2] if len(spec) > 2 else spec[1]
+        sql = s_sql if s_sql == d_sql else f"-- spark:\n{s_sql}\n-- duckdb:\n{d_sql}"
         counts[shape] = counts.get(shape, 0) + 1
         tag = f"[{i:03d} {shape}]"
         try:
-            d_df = con.execute(sql).df()
+            d_df = con.execute(d_sql).df()
             if len(d_df) > MAX_ROWS:
                 failures.append({"i": i, "shape": shape, "sql": sql,
                                  "err": f"oracle produced {len(d_df)} rows (> cap)"})
                 print(f"FAIL {tag} row-cap", flush=True)
                 continue
-            s_df = spark.sql(sql).toPandas()
+            s_df = spark.sql(s_sql).toPandas()
         except Exception as e:  # noqa: BLE001 — a dialect crash IS a finding
             failures.append({"i": i, "shape": shape, "sql": sql,
                              "err": f"{type(e).__name__}: {e}"})

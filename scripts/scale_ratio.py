@@ -7,13 +7,18 @@ better, and an IDENTICAL plan shape at both tiers — no new exchanges
 appearing at the larger sf. Any super-linear query gets named with a
 cause in SCALE.md.
 
-Usage: python scripts/scale_ratio.py [small_dir] [big_dir]
+Usage: python scripts/scale_ratio.py [small_dir] [big_dir] [queries] [out.json]
 Prints one JSON line per query: name, t_small, t_big, ratio,
 plan_small/plan_big node histograms and whether they are identical.
+With a 4th arg, also writes a committed artifact (round 8, verdict
+#9): {query → times, ratio, plan-histogram md5 per tier} — a plan
+change at either tier flips that query's hash, so scale regressions
+diff round-over-round the way CORRECTNESS_r{N}.json already does.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import sys
@@ -28,6 +33,13 @@ QUERIES = [
     "x_dedup_minhash_lsh",
     "x_sim_topk_ivf_arrow",
     "x_text_tfidf",
+    # round-8 promotions + the incremental maintainer
+    "x_pipeline_export",
+    "x_text_hybrid_retrieval",
+    "x_pit_join_state",
+    "x_feature_trailing_window",
+    "x_dedup_incremental",
+    "x_sim_knn_join",
 ]
 
 NODE_RE = re.compile(r"^\s*[+:*-]*\s*\(?\d*\)?\s*([A-Za-z][A-Za-z0-9]+)", re.M)
@@ -58,7 +70,11 @@ def _noop(df):
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfgen/sf1"
-    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
+    queries = (
+        sys.argv[3].split(",")
+        if len(sys.argv) > 3 and sys.argv[3] != "-"
+        else QUERIES
+    )
 
     import __spark_entry__ as E
     from strava_etl_public_spark.session import get_spark
@@ -96,6 +112,33 @@ def main() -> int:
         "worst_ratio": worst["ratio"],
         "all_plans_identical": all(r["plan_identical"] for r in out),
     }))
+
+    if len(sys.argv) > 4:
+        def phash(h: dict) -> str:
+            return hashlib.md5(
+                json.dumps(h, sort_keys=True).encode()
+            ).hexdigest()[:12]
+
+        artifact = {
+            "metric": "scale_ratio_artifact",
+            "small_dir": small,
+            "big_dir": big,
+            "queries": {
+                r["q"]: {
+                    "t_small": r["t_small"],
+                    "t_big": r["t_big"],
+                    "ratio": r["ratio"],
+                    "plan_hash_small": phash(r["plan_small"]),
+                    "plan_hash_big": phash(r["plan_big"]),
+                    "plan_identical": r["plan_identical"],
+                    "plan_big": r["plan_big"],
+                }
+                for r in out
+            },
+        }
+        with open(sys.argv[4], "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"artifact -> {sys.argv[4]}")
     return 0
 
 

@@ -1186,6 +1186,7 @@ def bpe_train(
     num_merges: int = 20,
     min_pair_count: int = 2,
     batch_k: int = 16,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
     over a corpus, distributed: returns the ordered merge list
@@ -1213,6 +1214,9 @@ def bpe_train(
     lexicographic order, so the merge sequence is a pure function of
     the corpus. Stops early when no pair reaches ``min_pair_count``.
     ``batch_k=1`` reproduces the old strictly-sequential schedule.
+    ``stats``: optional dict the trainer fills with ``rounds`` (driver
+    round-trips) and ``accepted_per_round`` — the observability the
+    merges/minute scale measurement reads (round 8, verdict #7).
     """
     from pyspark.sql import types as T
 
@@ -1243,6 +1247,9 @@ def bpe_train(
         ]
     )
     merges: list[tuple[str, str, int]] = []
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["accepted_per_round"] = []
     while len(merges) < num_merges:
         top = (
             vocab.select("cnt", F.explode(pair_expr).alias("p"))
@@ -1263,6 +1270,9 @@ def bpe_train(
         if not accepted:
             break
         merges.extend(accepted)
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["accepted_per_round"].append(len(accepted))
         batch = [(a, b) for a, b, _ in accepted]
 
         def _rewrite(batches, batch=batch):

@@ -620,6 +620,7 @@ def _ivf_oracle(
     dim: int = 64,
     train_fraction: float = 1.0,
     train_salt: str = "ivf-train",
+    centroid_src: str = "embeddings",
 ) -> str:
     span = n_cent * stride
     cos_ec = _cos_sql("e.embedding", "c.cent_vec")
@@ -648,7 +649,7 @@ def _ivf_oracle(
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_cos_sql("e.embedding", "c.cent_vec")}, 6) DESC,
                                        c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents{i} c{train_where}
+    FROM {centroid_src} e CROSS JOIN cents{i} c{train_where}
   ) WHERE rn = 1
 ),
 means{i} AS (
@@ -675,7 +676,7 @@ WITH cents0 AS (
     SELECT vec_id, embedding,
            row_number() OVER (PARTITION BY floor((vec_id % {span}) / {stride})
                               ORDER BY vec_id) AS rn
-    FROM embeddings WHERE vec_id % {stride} = 0
+    FROM {centroid_src} WHERE vec_id % {stride} = 0
   ) WHERE rn = 1
 ){refine_sql},
 assign AS (
@@ -742,6 +743,50 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.orderBy("vec_id").limit(8).select("vec_id")
     return similarity.cosine_topk_ivf(
         emb, q, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8, refine_iters=1
+    )
+
+
+@register_extra(
+    "x_sim_ivf_incremental",
+    oracle=_ivf_oracle(
+        nprobe=8,
+        refine_iters=1,
+        centroid_src="(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)",
+    ),
+)
+def x_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance — the vector-side twin of
+    x_dedup_incremental (round-8 theme): a new embedding batch
+    (vec_id % 5 == 0, ~20%) arrives after the IVF index was built;
+    instead of re-seeding + re-running Lloyd + re-assigning the
+    corpus, the batch is assigned to the FROZEN corpus-trained
+    centroids (one broadcast matmul over the batch — map-only,
+    batch-proportional) and appended to the inverted lists. Because
+    assignment is a pure per-vector function of the centroids, the
+    merged index is bit-identical to a full assignment of
+    corpus ∪ batch under the same centroids — so the probe results
+    equal the full-build oracle with centroid TRAINING restricted to
+    the corpus (the honest production semantics: centroids drift is
+    handled by periodic retrain, not per-batch). This is the faiss
+    add-after-train contract, oracle-exact."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents, corpus_idx = similarity.build_ivf_index_arrow(
+        corpus, "vec_id", "embedding", n_centroids=16, refine_iters=1
+    )
+    batch_idx = similarity.ivf_assign_arrow(
+        batch, cents, "vec_id", "embedding", nprobe=1
+    ).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        "cent_id",
+    )
+    merged = corpus_idx.unionByName(batch_idx)
+    q = emb.orderBy("vec_id").limit(8).select("vec_id")
+    return similarity.cosine_topk_ivf_arrow(
+        emb, q, "vec_id", "embedding", k=5, nprobe=8, index=(cents, merged)
     )
 
 
@@ -1078,6 +1123,97 @@ SELECT h.q_id,
        round(coalesce(d.dcg, 0.0) / 2.94846, 6) AS ndcg_at_5
 FROM hits h LEFT JOIN dcg d ON h.q_id = d.q_id
 """
+
+
+def _eval_mrr_map_oracle() -> str:
+    lsh = _lsh_oracle(n_planes=4, n_tables=12)
+    return f"""
+WITH ann AS (SELECT * FROM ({lsh}) t_ann),
+gt AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                       c.vec_id) AS rk
+    FROM embeddings c JOIN (SELECT * FROM embeddings WHERE {_QUERY_IDS}) q
+         ON q.vec_id != c.vec_id
+  ) WHERE rk <= 5
+),
+rel AS (
+  SELECT ann.q_id, ann.rk,
+         CASE WHEN gt.n_id IS NULL THEN 0 ELSE 1 END AS r
+  FROM ann LEFT JOIN gt ON ann.q_id = gt.q_id AND ann.n_id = gt.n_id
+),
+cum AS (
+  SELECT q_id, rk, r,
+         sum(r) OVER (PARTITION BY q_id ORDER BY rk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rel
+)
+SELECT q_id,
+       round(CAST(max(r * 1.0 / rk) AS DOUBLE), 6) AS mrr_at_5,
+       round(CAST(sum(CASE WHEN r = 1
+                           THEN CAST(round(c * 1.0 / rk, 6) AS DECIMAL(38,6))
+                           ELSE CAST(0 AS DECIMAL(38,6)) END)
+                  AS DOUBLE) / 5.0, 6) AS map_at_5
+FROM cum GROUP BY q_id
+"""
+
+
+@register_extra("x_eval_retrieval_mrr_map", oracle=_eval_mrr_map_oracle())
+def x_eval_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 and MAP@5 of the LSH ANN ranking against the exact brute
+    top-5 ground truth — completing the in-engine retrieval-eval
+    family (recall/nDCG live in x_eval_ann_quality). MRR is
+    max(r/rk) = 1/first-relevant-rank; AP sums precision-at-hit
+    (cumulative-hits window / rank, rounded 6dp, DECIMAL-summed)
+    over the 5 ground-truth relevants. Same bounded-eval-panel scale
+    argument as the sibling: ground truth costs one brute pass over
+    the query panel only."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_IDS))
+    ann = similarity.cosine_topk_lsh(
+        emb, q, "vec_id", "embedding", k=5, n_planes=4, dim=64, n_tables=12
+    ).select("q_id", "n_id", "rk")
+    gt = similarity.cosine_topk_brute(emb, q, "vec_id", "embedding", k=5).select(
+        "q_id", "n_id"
+    )
+    rel = (
+        ann.alias("a")
+        .join(
+            gt.alias("g"),
+            (F.col("a.q_id") == F.col("g.q_id"))
+            & (F.col("a.n_id") == F.col("g.n_id")),
+            "left",
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.rk").alias("rk"),
+            F.when(F.col("g.n_id").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("r"),
+        )
+    )
+    wc = (
+        W.partitionBy("q_id")
+        .orderBy("rk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rel.withColumn("c", F.sum("r").over(wc))
+    return cum.groupBy("q_id").agg(
+        F.round(F.max(F.col("r") * F.lit(1.0) / F.col("rk")), 6).alias("mrr_at_5"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("r") == 1,
+                    F.round(F.col("c") * F.lit(1.0) / F.col("rk"), 6).cast(
+                        "decimal(38,6)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).cast("double")
+            / F.lit(5.0),
+            6,
+        ).alias("map_at_5"),
+    )
 
 
 @register_extra("x_eval_ann_quality", oracle=_eval_ann_oracle())

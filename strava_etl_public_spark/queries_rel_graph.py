@@ -1544,6 +1544,68 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_state_time_travel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, event_id % 4 AS b FROM events
+),
+v AS (SELECT unnest(generate_series(1, 4)) AS version),
+ranked AS (
+  SELECT v.version, e.user_id, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY v.version, e.user_id
+                            ORDER BY e.event_id DESC) AS rn
+  FROM e JOIN v ON e.b <= v.version - 1
+)
+SELECT CAST(version AS BIGINT) AS version, user_id,
+       event_id AS last_event_id, event_type AS last_event_type
+FROM ranked WHERE rn = 1
+""",
+)
+def x_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshots + TIME TRAVEL (round 8): four deterministic
+    event batches (event_id % 4, replayed in order) merge into a
+    keyed LWW state table through layout.snapshot_commit — an
+    immutable v{n} per merge, an O(1) atomic pointer publish, and a
+    commit log carrying each snapshot's content digest (the minimal
+    Delta/Iceberg contract on plain parquet). The query reads EVERY
+    version back via snapshot_read(version) and returns the union of
+    the four historical states; the oracle recomputes "state as of
+    batch v" straight from the source events, so a wrong snapshot
+    boundary, a leaked later batch, or a torn publish all hash-
+    mismatch. Rollback/history are pinned in tests/test_layout.py."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .operators.layout import snapshot_commit, snapshot_read
+    from .operators.upsert import upsert_last_writer_wins
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    table = tempfile.mkdtemp(prefix="state_tt_")
+    try:
+        state = None
+        for b in range(4):
+            batch = ev.filter(F.col("event_id") % 4 == b)
+            state = upsert_last_writer_wins(state, batch, "user_id", "event_id")
+            v = snapshot_commit(state, table)
+            state = snapshot_read(spark, table, v)  # next merge reads published
+        out = None
+        for v in range(1, 5):
+            s = snapshot_read(spark, table, v).select(
+                F.lit(v).cast("long").alias("version"),
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+            )
+            out = s if out is None else out.unionByName(s)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register_extra(
     "x_tpch_q14_promo",
     oracle="""
 WITH j AS (

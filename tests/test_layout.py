@@ -339,3 +339,56 @@ def test_dataset_fingerprint_multiset_invariance(spark):
     r3 = dataset_fingerprint(dup, ["a", "b"]).collect()[0]
     assert r3["xor_hash"] == 0  # pairs cancel
     assert r3["sum_hash_mod"] != 0
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: commit log + time travel + rollback (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_commit_read_rollback_history(spark, tmp_path):
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_history,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_commit(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), t
+    )
+    v2 = snapshot_commit(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "B", "c"]})), t
+    )
+    assert (v1, v2) == (1, 2)
+    assert snapshot_version(t) == 2
+    # latest read = v2; time travel = v1 unchanged
+    assert snapshot_read(spark, t).count() == 3
+    old = snapshot_read(spark, t, 1).toPandas().sort_values("k")
+    assert old["v"].tolist() == ["a", "b"]
+
+    # rollback is an O(1) pointer move; history stays readable
+    snapshot_rollback(t, 1)
+    assert snapshot_version(t) == 1
+    assert snapshot_read(spark, t).count() == 2
+    assert snapshot_read(spark, t, 2).count() == 3  # still time-travelable
+
+    # a commit AFTER rollback must NOT overwrite the published v2
+    v3 = snapshot_commit(
+        spark.createDataFrame(pd.DataFrame({"k": [9], "v": ["z"]})), t
+    )
+    assert v3 == 3
+    assert snapshot_read(spark, t, 2).count() == 3  # v2 untouched
+    hist = snapshot_history(spark, t).toPandas()
+    assert hist["version"].tolist() == [1, 2, 3]
+    assert hist["n_rows"].tolist() == [2, 3, 1]
+
+    # reading a never-published version fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(spark, t, 7)

@@ -402,6 +402,172 @@ def neardup_stream_sink(
     )
 
 
+def incremental_clusters_merge_batch(
+    bdf: DataFrame,
+    batch_id: int,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> None:
+    """One micro-batch of streaming DUPLICATE-CLUSTER maintenance —
+    the streaming face of dedup.incremental_minhash_clusters (round-8
+    verdict #5's parenthetical): per batch, update
+
+    * ``<state>/docs/b{batch_id}``  — the seen-document texts (one
+      overwrite-idempotent dir per batch; verification re-shingles
+      affected docs from here),
+    * ``<state>/buckets`` — lsh_bucket_state shape (id, band_idx, h,
+      n_bucket, min_id), singletons kept, occupancy/min refreshed for
+      AFFECTED buckets only,
+    * ``<state>/pairs``   — the verified near-dup pair set of
+      everything seen so far,
+
+    such that after every batch, ``duplicate_clusters(pairs state)``
+    equals a full batch recompute over all docs seen — the same
+    decomposition proof as the batch operator (unaffected buckets
+    retain exactly their prior pairs; affected buckets regenerate
+    through the shared `_pairs_from_annotated` core).
+
+    Replay-idempotent (at-least-once ⇒ exactly-once state): bucket
+    keys are pure functions of text, membership is DISTINCT-merged,
+    and a replayed batch regenerates byte-identical affected-bucket
+    facts — every state table is a fixpoint under re-merge. Crash
+    windows converge for the same reason the batch proof holds: a
+    (corpus, batch)-pair is either attributable to an unaffected
+    bucket (retained) or regenerated fresh, regardless of which state
+    table a crash left ahead. Write order: docs, pairs, buckets."""
+    import os
+
+    from ..operators.dedup import (
+        _annotate_buckets,
+        _pairs_from_annotated,
+        DEFAULT_MAX_BUCKET,
+        band_buckets,
+        doc_shingles,
+        jaccard_verify,
+    )
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    spark = bdf.sparkSession
+    bdf = bdf.select(id_col, text_col).localCheckpoint(eager=True)
+    bdf.write.mode("overwrite").parquet(
+        os.path.join(state_path, "docs", f"b{batch_id}")
+    )
+
+    bstate = os.path.join(state_path, "buckets")
+    pstate = os.path.join(state_path, "pairs")
+    prior_b = _read_state(spark, bstate)
+    prior_p = _read_state(spark, pstate)
+
+    bk = band_buckets(bdf, id_col, text_col, n=n, k=k, bands=bands)
+    bk = bk.localCheckpoint(eager=True)
+    affected = bk.select("band_idx", "h").distinct()
+
+    members = bk
+    if prior_b is not None:
+        members = members.unionByName(
+            prior_b.join(F.broadcast(affected), ["band_idx", "h"], "left_semi")
+            .select(id_col, "band_idx", "h")
+        )
+    members = members.distinct().localCheckpoint(eager=True)  # replay-safe
+
+    # affected-bucket facts: occupancy/min over the merged membership
+    # (keep singletons for the STATE; pair gen filters them)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "h")
+    annotated_all = members.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(w)
+    ).withColumn("min_id", F.min(id_col).over(w))
+    pairs_aff = _pairs_from_annotated(
+        _annotate_buckets(members, id_col), id_col, max_bucket
+    ).localCheckpoint(eager=True)
+
+    docs_seen = spark.read.parquet(os.path.join(state_path, "docs", "*"))
+    affected_ids = members.select(id_col).distinct()
+    sh_aff = doc_shingles(
+        docs_seen.join(affected_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    new_verified = jaccard_verify(pairs_aff, sh_aff, id_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+
+    if prior_p is not None and prior_b is not None:
+        sa = prior_b.select(
+            F.col(id_col).alias("doc_a"), "band_idx", "h", "n_bucket", "min_id"
+        )
+        sb = prior_b.select(F.col(id_col).alias("doc_b"), "band_idx", "h")
+        retained = (
+            prior_p.select("doc_a", "doc_b")
+            .join(sa, "doc_a")
+            .join(sb, ["doc_b", "band_idx", "h"])
+            .join(F.broadcast(affected), ["band_idx", "h"], "left_anti")
+            .filter(
+                (F.col("n_bucket") <= F.lit(max_bucket))
+                | (F.col("min_id") == F.col("doc_a"))
+            )
+            .select("doc_a", "doc_b")
+        )
+        all_pairs = new_verified.unionByName(retained).distinct()
+    else:
+        all_pairs = new_verified.distinct()
+    all_pairs = all_pairs.localCheckpoint(eager=True)
+
+    new_buckets = annotated_all
+    if prior_b is not None:
+        new_buckets = (
+            prior_b.join(F.broadcast(affected), ["band_idx", "h"], "left_anti")
+            .unionByName(annotated_all)
+        )
+    new_buckets = new_buckets.localCheckpoint(eager=True)
+
+    _swap_in(pstate, all_pairs)
+    _swap_in(bstate, new_buckets)
+
+
+def incremental_clusters_stream_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Checkpointed foreachBatch sink over
+    :func:`incremental_clusters_merge_batch`; read the maintained
+    clusters back with :func:`read_incremental_clusters`."""
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        incremental_clusters_merge_batch(bdf, batch_id, state_path, id_col, text_col)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
+def read_incremental_clusters(spark: SparkSession, state_path: str) -> DataFrame:
+    """Duplicate clusters of everything the stream has seen — CC over
+    the maintained verified-pair state."""
+    import os
+
+    from ..operators.dedup import duplicate_clusters
+
+    p = _read_state(spark, os.path.join(state_path, "pairs"))
+    if p is None:
+        return spark.createDataFrame(
+            [], "doc_id long, rep_id long, cluster_size long"
+        )
+    return duplicate_clusters(p, "doc_a", "doc_b")
+
+
 def state_metrics(spark: SparkSession, state_path: str) -> dict:
     """Observability for the parquet-swap state stores (round-8
     verdict #6): ``{rows, bytes}`` of the state table at

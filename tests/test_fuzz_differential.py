@@ -30,7 +30,7 @@ N = 40
 @pytest.fixture(scope="module")
 def harness(spark, sf_dir):
     con = duckdb.connect()
-    for t in FZ.COLS:
+    for t in list(FZ.COLS) + ["documents", "embeddings"]:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -45,9 +45,12 @@ def test_fuzz_slice_matches(spark, harness):
     failures = []
     for i in range(N):
         rng = random.Random(f"{SEED}:{i}")
-        shape, sql = FZ.gen_query(rng, pools)
-        d_df = con.execute(sql).df()
-        s_df = spark.sql(sql).toPandas()
+        spec = FZ.gen_query(rng, pools)
+        shape, s_sql = spec[0], spec[1]
+        d_sql = spec[2] if len(spec) > 2 else spec[1]
+        sql = s_sql if s_sql == d_sql else f"spark: {s_sql}\nduckdb: {d_sql}"
+        d_df = con.execute(d_sql).df()
+        s_df = spark.sql(s_sql).toPandas()
         diff = FZ.compare(s_df, d_df)
         if diff and not FZ.is_known_divergence(shape, s_df, d_df):
             failures.append(f"[{i} {shape}] {diff}\n  SQL: {sql}")

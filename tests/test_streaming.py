@@ -431,3 +431,84 @@ def test_neardup_filter_batch_boundary_independent(spark, sf_dir, tmp_path):
     assert multi == ref
     assert single == ref
     assert any(d for _, d in ref)  # the fixture contains real dups
+
+
+def test_incremental_clusters_stream_equals_batch_and_replays(spark, tmp_path):
+    """Streaming incremental-cluster maintenance (round 8): after
+    every micro-batch the maintained state's clusters equal a full
+    batch recompute over everything seen; replaying a batch (at-least-
+    once delivery) is a state fixpoint."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from strava_etl_public_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_dedup,
+    )
+    from strava_etl_public_spark.streaming.ingest import (
+        _read_state,
+        incremental_clusters_merge_batch,
+        read_incremental_clusters,
+    )
+
+    state = str(tmp_path / "ic")
+    groups = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen fine liquor jugs today",
+        "how vexingly quick daft zebras jump over fences now",
+    ]
+    # 3 batches; each near-dup group has copies spread across batches
+    batches = []
+    did = 0
+    rows_all = []
+    for b in range(3):
+        rows = []
+        for g, base in enumerate(groups):
+            words = base.split()
+            words[(b + g) % len(words)] = f"mut{b}{g}"
+            rows.append((did, " ".join(words)))
+            did += 1
+        batches.append(rows)
+        rows_all += rows
+
+    seen = []
+    for b, rows in enumerate(batches):
+        bdf = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        incremental_clusters_merge_batch(bdf, b, state, threshold=0.3)
+        seen += rows
+        sdf = spark.createDataFrame(pd.DataFrame(seen, columns=["doc_id", "text"]))
+        want = sorted(
+            (r["doc_id"], r["rep_id"], r["cluster_size"])
+            for r in duplicate_clusters(
+                minhash_lsh_dedup(sdf, "doc_id", "text", threshold=0.3)
+            ).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["rep_id"], r["cluster_size"])
+            for r in read_incremental_clusters(spark, state).collect()
+        )
+        assert got == want, f"after batch {b}"
+    assert want, "fixture must produce non-empty clusters"
+
+    # replay the LAST batch: every state table is a fixpoint
+    import os
+
+    pairs_before = sorted(
+        map(tuple, _read_state(spark, os.path.join(state, "pairs")).collect())
+    )
+    buckets_before = sorted(
+        map(tuple, _read_state(spark, os.path.join(state, "buckets")).collect())
+    )
+    bdf = spark.createDataFrame(pd.DataFrame(batches[-1], columns=["doc_id", "text"]))
+    incremental_clusters_merge_batch(bdf, 2, state, threshold=0.3)
+    assert sorted(
+        map(tuple, _read_state(spark, os.path.join(state, "pairs")).collect())
+    ) == pairs_before
+    assert sorted(
+        map(tuple, _read_state(spark, os.path.join(state, "buckets")).collect())
+    ) == buckets_before
+    got2 = sorted(
+        (r["doc_id"], r["rep_id"], r["cluster_size"])
+        for r in read_incremental_clusters(spark, state).collect()
+    )
+    assert got2 == want

@@ -489,7 +489,12 @@ def snapshot_commit(df: DataFrame, table_path: str) -> int:
         .collect()[0]
         .asDict()
     )
-    with open(os.path.join(table_path, "_commits", f"{n}.json"), "w") as f:
+    # OPTIMISTIC CONCURRENCY: the commit record is created with
+    # O_EXCL — if another writer allocated the same version between
+    # our scan and here, this raises FileExistsError instead of
+    # silently double-publishing (the Delta/Iceberg commit-conflict
+    # contract; the loser retries on the next version).
+    with open(os.path.join(cdir, f"{n}.json"), "x") as f:
         json.dump({"version": n, **digest}, f)
     tmp = os.path.join(table_path, "_latest.tmp")
     with open(tmp, "w") as f:
@@ -535,6 +540,39 @@ def snapshot_rollback(table_path: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(table_path, "_latest"))
+
+
+def snapshot_vacuum(table_path: str, keep_last: int = 2) -> list[int]:
+    """Retention — the explicitly DESTRUCTIVE step commit/rollback
+    never perform: delete snapshot data older than the last
+    ``keep_last`` versions, never touching (a) the currently published
+    version, (b) anything newer than it (a rollback target must stay
+    rollback-able forward), or (c) the commit log (history metadata
+    survives vacuum; time-traveling into a vacuumed version raises
+    the loud snapshot_read error, not an empty read). Returns the
+    versions actually removed."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cdir = os.path.join(table_path, "_commits")
+    if not os.path.isdir(cdir):
+        return []
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
+    )
+    current = snapshot_version(table_path)
+    protect = set(versions[-keep_last:]) | {v for v in versions if v >= current}
+    removed = []
+    for v in versions:
+        if v in protect:
+            continue
+        data = os.path.join(table_path, f"v{v}")
+        if os.path.isdir(data):
+            shutil.rmtree(data)
+            removed.append(v)
+    return removed
 
 
 def snapshot_history(spark, table_path: str) -> DataFrame:

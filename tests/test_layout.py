@@ -392,3 +392,67 @@ def test_snapshot_commit_read_rollback_history(spark, tmp_path):
 
     with pytest.raises(ValueError, match="does not exist"):
         snapshot_read(spark, t, 7)
+
+
+def test_snapshot_occ_and_vacuum(spark, tmp_path):
+    """Commit-conflict detection (O_EXCL on the commit record) and
+    retention: vacuum deletes only data older than keep_last, never
+    the published version or anything newer, and history metadata
+    survives (time travel into a vacuumed version raises loudly)."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from strava_etl_public_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_history,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_commit(
+            spark.createDataFrame(pd.DataFrame({"k": list(range(i + 1))})), t
+        )
+
+    # concurrency: a record published by another writer is (a) never
+    # overwritten — allocation scans the commit LOG, so the next
+    # commit skips past it — and (b) the O_EXCL guard refuses the
+    # true mid-flight race (two writers that both allocated 5)
+    os.makedirs(os.path.join(t, "_commits"), exist_ok=True)
+    rogue = os.path.join(t, "_commits", "5.json")
+    with open(rogue, "w") as f:
+        json.dump({"version": 5, "n_rows": 99}, f)
+    v6 = snapshot_commit(spark.createDataFrame(pd.DataFrame({"k": [0]})), t)
+    assert v6 == 6  # skipped past the foreign commit
+    assert json.load(open(rogue))["n_rows"] == 99  # untouched
+    with pytest.raises(FileExistsError):
+        open(rogue, "x")  # the loser of a same-version race
+    # scrub the rogue version + v6 so the vacuum assertions below see
+    # the original 4-commit table
+    os.remove(rogue)
+    os.remove(os.path.join(t, "_commits", "6.json"))
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(t, "v6"), ignore_errors=True)
+    from strava_etl_public_spark.operators.layout import snapshot_version
+
+    assert snapshot_version(t) == 6  # pointer moved by the v6 commit
+    snapshot_rollback(t, 4)
+
+    # vacuum keeps the last 2 (v3, v4); v1, v2 data gone, log intact
+    removed = snapshot_vacuum(t, keep_last=2)
+    assert removed == [1, 2]
+    assert snapshot_read(spark, t, 3).count() == 3
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(spark, t, 1)
+    assert snapshot_history(spark, t).count() == 4  # metadata survives
+
+    # after rollback to v3, vacuum must not delete v4 (>= current)
+    snapshot_rollback(t, 3)
+    assert snapshot_vacuum(t, keep_last=1) == []
+    assert snapshot_read(spark, t, 4).count() == 4

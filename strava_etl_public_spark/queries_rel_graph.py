@@ -1056,6 +1056,46 @@ def x_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_fingerprint_incremental",
+    oracle=f"""
+WITH whole AS ({_fp_sql("documents", _FP_COLS["documents"])})
+SELECT 'documents' AS dataset, n_rows, xor_hash, sum_hash_mod FROM whole
+""",
+)
+def x_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dataset fingerprint (the round-8 maintenance theme
+    applied to the cache-key primitive): when a batch lands, the
+    union's digest is computed by MERGING the corpus digest with the
+    batch digest — count adds, xor xors, sums add mod 2^60 — without
+    rescanning the corpus (the same commutative-monoid argument the
+    streaming twin x_stream_fingerprint proves batch-by-batch). The
+    oracle fingerprints the whole table from scratch; the engine side
+    must reproduce it from the two partial digests exactly."""
+    ensure_harness_conf(spark)
+    from .operators.layout import dataset_fingerprint
+
+    cols = _FP_COLS["documents"]
+    docs = load(spark, sf_dir, "documents").select(*cols)
+    corpus_d = dataset_fingerprint(
+        docs.filter(F.col("doc_id") % 5 != 0), label="documents"
+    )
+    batch_d = dataset_fingerprint(
+        docs.filter(F.col("doc_id") % 5 == 0), label="documents"
+    )
+    both = corpus_d.unionByName(batch_d)
+    return both.groupBy("dataset").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.expr("bit_xor(xor_hash)").cast("long").alias("xor_hash"),
+        (
+            F.sum(F.col("sum_hash_mod").cast("decimal(38,0)"))
+            % F.lit(1152921504606846976)
+        )
+        .cast("long")
+        .alias("sum_hash_mod"),
+    )
+
+
+@register_extra(
     "x_pseudonymize_join",
     oracle="""
 WITH c AS (

@@ -99,6 +99,12 @@ def main() -> int:
         "x_feature_trailing_window",
         "x_ab_cuped",
         "x_graph_khop",
+        # round-8 live-plan additions (x_dedup_incremental /
+        # x_state_time_travel / x_stream_incremental_clusters
+        # checkpoint internally — audited at change time)
+        "x_sim_ivf_incremental",
+        "x_eval_retrieval_mrr_map",
+        "x_fingerprint_incremental",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

@@ -128,6 +128,51 @@ def x_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.filter(F.col("event_id") % 97 == 0)
 
 
+@register_extra(
+    "x_ids_incremental",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS row_id
+  FROM documents WHERE doc_id % 5 <> 0
+),
+n AS (SELECT count(*) AS nc FROM documents WHERE doc_id % 5 <> 0),
+b AS (
+  SELECT doc_id,
+         (SELECT nc FROM n) + row_number() OVER (ORDER BY doc_id) AS row_id
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, CAST(row_id AS BIGINT) AS row_id FROM c
+UNION ALL
+SELECT doc_id, CAST(row_id AS BIGINT) AS row_id FROM b
+""",
+)
+def x_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY global row IDs (the incremental face of
+    x_global_row_ids, round-8 maintenance family): when a batch lands,
+    re-running the global numbering would RENUMBER the corpus —
+    breaking every shard manifest, cache key, and sample that
+    references the old ids. Instead the corpus keeps its frozen
+    numbering and the batch is numbered 1..|batch| in its own order,
+    offset by the corpus row count (one O(1) scalar from the corpus
+    manifest — the only state). The oracle numbers corpus and batch
+    independently and offsets the batch, so a hash match proves BOTH
+    contiguity of the union 1..N AND that corpus ids are bit-identical
+    to the standalone corpus numbering (the append-only property
+    itself)."""
+    ensure_harness_conf(spark)
+    from .operators.layout import assign_global_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_ids = assign_global_ids(corpus, ["doc_id"], num_partitions=8)
+    n_corpus = corpus.count()  # production: the corpus manifest's row count
+    batch_ids = assign_global_ids(batch, ["doc_id"], num_partitions=4).withColumn(
+        "row_id", F.col("row_id") + F.lit(n_corpus)
+    )
+    return corpus_ids.unionByName(batch_ids).select("doc_id", "row_id")
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate line removal (CCNet-style line-level dedup)
 # ---------------------------------------------------------------------------

@@ -1646,6 +1646,122 @@ def x_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_tpch_q7_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+       CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def x_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: the 6-way join with a
+    SYMMETRIC two-nation disjunction and a year rollup — the deepest
+    join tree in the relational suite. Both nation legs and supplier/
+    customer broadcast (bounded dims); lineitem⋈orders is the only
+    big-big join and shares the orderkey shuffle with Q3. Year comes
+    from the encoding-dispatch helper (l_shipdate flips physical
+    types between fixture generations); revenue is decimal-exact."""
+    ensure_harness_conf(spark)
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_18")
+                & (F.col("cust_nation") == "NATION_19")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_18")
+            )
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.withColumn("l_year", F.year(ep.as_timestamp(li, "l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"))
+    )
+
+
+@register_extra(
+    "x_tpch_q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+)
+def x_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join predicate: three OR-branches
+    mixing join-side (brand/size) and probe-side (quantity)
+    conditions — the planner shape where a naive engine evaluates the
+    whole disjunction post-join while a good one pushes the
+    brand/size union down to the part scan and the quantity envelope
+    (1..50) down to lineitem. Part broadcasts; the residual
+    disjunction runs on the joined rows; revenue decimal-exact."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#16")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register_extra(
     "x_tpch_q14_promo",
     oracle="""
 WITH j AS (

@@ -1147,6 +1147,130 @@ _EPOCH_US_DUCK = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
 
 
 @register_extra(
+    "x_ab_srm",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(concat('exp:',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+              < 500000 THEN 'A' ELSE 'B' END AS arm
+  FROM u
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a
+)
+SELECT n_a, n_b,
+       round((CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0)
+             + (CAST(n_b AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             * (CAST(n_b AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+             / (CAST(n AS DOUBLE) / 2.0), 6) AS chi2,
+       CAST(1 AS BIGINT) AS dof
+FROM c
+""",
+)
+def x_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch (SRM) check — the experiment-health gate
+    every A/B platform runs before reading any metric: chi-square
+    goodness-of-fit of the observed arm counts against the designed
+    50/50 split (the same 'exp:' hash assignment the CUPED/
+    Mann-Whitney readouts use, so a broken assignment would surface
+    here first). The statistic is one fixed double expression over
+    two BIGINT counts (dof=1; the p-value threshold lives in the
+    caller — chi2 > 3.84 ≈ p < 0.05); bit-portable, oracle-exact."""
+    ensure_harness_conf(spark)
+    from .operators.sketch import _hash60
+
+    ev = load(spark, sf_dir, "events")
+    armed = ev.select("user_id").distinct().select(
+        F.when(
+            _hash60(F.concat(F.lit("exp:"), F.col("user_id").cast("string")))
+            % 1_000_000
+            < 500_000,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm")
+    )
+    c = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    half = F.col("n").cast("double") / F.lit(2.0)
+    da = F.col("n_a").cast("double") - half
+    db = F.col("n_b").cast("double") - half
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(da * da / half + db * db / half, 6).alias("chi2"),
+        F.lit(1).cast("long").alias("dof"),
+    )
+
+
+@register_extra(
+    "x_eval_calibration",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 100.0)), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin, score, y FROM s
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate
+FROM b GROUP BY bin
+""",
+)
+def x_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) bins for a probabilistic
+    score — the eval every quality/toxicity/language classifier needs
+    before its threshold means anything: deciles of the predicted
+    probability vs the observed positive rate per bin. The score here
+    is a fixed length-logistic (sigmoid of standardized n_chars)
+    predicting lang='en' — a deliberately simple, fully deterministic
+    model so the METRIC path is what the oracle certifies. libm exp
+    follows the BM25 log2 discipline (round 6dp before any grouping
+    decision); bin = floor(10·rounded score) capped at 9, per-bin
+    averages DECIMAL-summed. ECE = Σ (n_b/N)·|avg_score−obs_rate|
+    is one more agg the caller runs over these rows."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(300.0)) / F.lit(100.0))
+        ),
+        6,
+    )
+    s = docs.select(
+        score.alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).withColumn(
+        "bin", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("obs_rate"),
+    )
+
+
+@register_extra(
     "x_ab_cuped",
     oracle=f"""
 WITH e AS (

@@ -170,14 +170,19 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
             errors[f"ab_warmup:{n}"] = f"{type(e).__name__}: {e}"
     spark.catalog.clearCache()
 
-    n_pairs = 3
+    n_pairs = 4
     samples: dict[str, dict[str, list]] = {
         n: {"prev": [], "head": []} for n in paired
     }
     try:
+        # query-level adjacency: prev and head legs of the SAME query
+        # run back-to-back, so a transient load burst lands on (at
+        # most) one pair of one query instead of poisoning an entire
+        # side's leg for every query (the failure mode the r8 clean
+        # run exposed: one multi-second burst inflated 15/18 medians)
         for _ in range(n_pairs):
-            for side, qs_side in (("prev", prev_qs), ("head", head_qs)):
-                for n in paired:
+            for n in paired:
+                for side, qs_side in (("prev", prev_qs), ("head", head_qs)):
                     t0 = time.perf_counter()
                     _noop(qs_side[n](spark, SF_DIR))
                     samples[n][side].append(time.perf_counter() - t0)
@@ -186,6 +191,7 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
         return out
 
     deltas: dict[str, float] = {}
+    min_deltas: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for n in paired:
         per_pair = [
@@ -193,6 +199,15 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
             for p, h in zip(samples[n]["prev"], samples[n]["head"])
         ]
         deltas[n] = round(statistics.median(per_pair), 1)
+        # min-vs-min: contention only ever ADDS time, so the minimum
+        # over pairs is each side's least-contaminated sample — the
+        # robust estimator when any single pair may be poisoned
+        min_deltas[n] = round(
+            (min(samples[n]["head"]) - min(samples[n]["prev"]))
+            / min(samples[n]["prev"])
+            * 100.0,
+            1,
+        )
         detail[n] = {
             "delta_pct_pairs": [round(d, 1) for d in per_pair],
             "prev_s": [round(v, 3) for v in samples[n]["prev"]],
@@ -202,6 +217,7 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
         {
             "pairs": n_pairs,
             "paired_delta_pct": deltas,
+            "min_delta_pct": min_deltas,
             "paired_detail": detail,
         }
     )

@@ -658,9 +658,33 @@ def simhash_near_dup(
     still connecting the near-identical cluster. One shuffle for the
     fingerprints, one for the chunk buckets.
     """
+    sig = simhash(df, id_col, text_col, bits)
+    return hamming_near_dup_pairs(
+        sig, id_col, "simhash", bits=bits, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def hamming_near_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Radius-``max_hamming`` Hamming self-join over PRECOMPUTED integer
+    fingerprints — the pigeonhole blocking + popcount-verify core of
+    :func:`simhash_near_dup`, exposed separately so any ≤63-bit
+    signature reuses the same discipline (SimHash over tokens, image
+    pHash, audio fingerprints). Split into ``max_hamming + 1`` chunks:
+    two prints within the radius must agree exactly on ≥1 chunk, so
+    candidates come from (chunk_idx, chunk_value) equi-joins — never an
+    all-pairs scan; hot chunks degrade to hub spokes above
+    ``max_bucket``. Returns (doc_a, doc_b, hamming) with doc_a < doc_b
+    for in-bucket pairs (hub pairs anchor at the bucket min id)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    sig = simhash(df, id_col, text_col, bits)
+    sig = sig_df.select(F.col(id_col), F.col(sig_col).alias("simhash"))
 
     chunk_cols = F.array(
         *[

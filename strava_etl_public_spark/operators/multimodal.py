@@ -667,3 +667,138 @@ def video_frame_stats(
             "n_sampled long, mean_intensity double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup — the multimodal face of dedup)
+# ---------------------------------------------------------------------------
+
+
+def attach_png_textured(
+    df: DataFrame,
+    id_col: str,
+    twin_every: int = 7,
+    brightness: int = 25,
+) -> DataFrame:
+    """Materialize a real TEXTURED grayscale PNG per row (pngcodec.
+    deterministic_png_textured — full-rank 2-D texture, so a DCT-based
+    perceptual hash has 63 informative bits, unlike the row-constant
+    gradient of attach_png), with PLANTED perceptual near-duplicates:
+    every ``twin_every``-th doc renders the texture of doc_id−1 shifted
+    by a wrap-free constant ``brightness`` — perceptually the same
+    image (constant shifts move only the DC coefficient), so a correct
+    pHash must pair (doc_id−1, doc_id) while all other ids render
+    distinct seeds. Payload seeds derive from doc_id (not text) so the
+    plant needs no self-join to fetch the partner's content."""
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def render(doc_id: int) -> bytes:
+            planted = doc_id % twin_every == 0 and doc_id != 0
+            seed = doc_id - 1 if planted else doc_id
+            digest = hashlib.sha256(f"phash:{seed}".encode()).digest()
+            return pngcodec.deterministic_png_textured(
+                digest, brightness=brightness if planted else 0
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[id_col].map(lambda i: render(int(i))),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (type-II, norm='ortho') as an n×n
+    float64 matrix — T @ x applies the 1-D DCT; T @ A @ T.T the 2-D."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    T = np.sqrt(2.0 / n) * np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    T[0] /= np.sqrt(2.0)
+    return T
+
+
+def _box_weights(m: int, n: int):
+    """Exact area-average resampling weights from m source bins to n
+    target bins: W[j, k] = |[j·m/n, (j+1)·m/n) ∩ [k, k+1)| · n/m.
+    Rows sum to 1, so a constant brightness shift of the source maps
+    to the same constant shift of every resized cell — the linearity
+    the pHash invariance argument rests on."""
+    import math
+
+    import numpy as np
+
+    W = np.zeros((n, m), dtype=np.float64)
+    for j in range(n):
+        lo, hi = j * m / n, (j + 1) * m / n
+        for k in range(int(math.floor(lo)), min(int(math.ceil(hi)), m)):
+            W[j, k] = min(hi, k + 1.0) - max(lo, float(k))
+        W[j] /= hi - lo
+    return W
+
+
+def phash64(payload: bytes) -> int:
+    """Classic DCT perceptual hash of a PNG payload, on REAL decoded
+    pixels (pngcodec.decode — chunk walk, CRC verify, inflate, filter
+    reconstruction): integer Rec.601 luma → exact 32×32 area-average
+    resize → orthonormal 2-D DCT → top-left 8×8 block → drop DC →
+    median-threshold the 63 AC coefficients → 63-bit signature (bit i
+    set iff coefficient i exceeds the median; always non-negative, so
+    it survives a signed BIGINT column). Invariances by construction:
+    constant brightness shift (moves only the dropped DC), exact
+    integer upscaling (area-average is scale-exact), and any metadata
+    or encoding-level change (filters, chunk layout) that preserves
+    pixels."""
+    import numpy as np
+
+    w, h, c, rows = pngcodec.decode(payload)
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(np.int64)
+    if c == 1:
+        luma = flat.reshape(h, w).astype(np.float64)
+    else:
+        px = flat.reshape(h, w, c)
+        # integer Rec.601 on the first three channels (alpha ignored)
+        luma = (
+            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+        ).astype(np.float64) / 1000.0
+    g = _box_weights(h, 32) @ luma @ _box_weights(w, 32).T
+    T = _dct_matrix(32)
+    d = T @ g @ T.T
+    # round to 6dp before the median compare (the repo-wide FP
+    # discipline): a constant brightness shift reaches the AC
+    # coefficients only as ~1e-13 float noise (W rows sum to 1 up to
+    # rounding), far below the quantum, so ties at the median resolve
+    # identically for an image and its shifted twin instead of
+    # reordering under the noise
+    ac = np.round(d[:8, :8].flatten()[1:], 6)
+    med = float(np.median(ac))
+    sig = 0
+    for i, v in enumerate(ac):
+        if v > med:
+            sig |= 1 << i
+    return sig
+
+
+def phash_signatures(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """payload BINARY → (id, phash BIGINT) through Arrow mapInPandas —
+    the signature stage of image near-dup. At 100 TB this is the
+    map-only heavy step (decode + two 32-point matmuls per image);
+    everything after it operates on 8-byte signatures, so the
+    pair-finding shuffle moves ~0.001% of the input bytes."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [phash64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(_hash, schema=f"{id_col} long, phash long")

@@ -203,6 +203,44 @@ def decode_stats(data: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, total / n / 255.0
 
 
+def deterministic_png_textured(digest: bytes, brightness: int = 0) -> bytes:
+    """Synthesize a real grayscale PNG with a full-rank 2-D texture —
+    the fixture generator for perceptual-hash work, where the
+    row-constant :func:`deterministic_png` gradient is too low-entropy
+    (its 2-D DCT has only one nonzero column, so a pHash over it
+    carries ~7 informative bits).
+
+    Layout (all digest-derived, closed-form):
+      width  = 16 + digest[0] % 48
+      height = 16 + digest[1] % 48
+      pixel(x, y) = 20 + (a·x + b·y + c·x·y + d·(x² mod 31)
+                          + e·(y² mod 29)) mod 180 + brightness
+      with a = 1+digest[4]%7, b = 1+digest[5]%7, c = digest[6]%3,
+           d = 1+digest[7]%5, e = 1+digest[8]%5.
+
+    Pixels stay in [20, 199], so any ``brightness`` shift up to 56 is
+    WRAP-FREE: the shifted image differs from the unshifted one by an
+    exact constant, which moves only the DC coefficient of any linear
+    transform — the invariance a perceptual hash is built on, here by
+    construction rather than approximation."""
+    if not 0 <= brightness <= 56:
+        raise ValueError(f"brightness {brightness} would wrap (0..56 allowed)")
+    width = 16 + digest[0] % 48
+    height = 16 + digest[1] % 48
+    a, b = 1 + digest[4] % 7, 1 + digest[5] % 7
+    c, d, e = digest[6] % 3, 1 + digest[7] % 5, 1 + digest[8] % 5
+    rows = []
+    for y in range(height):
+        ey = e * ((y * y) % 29) + b * y
+        rows.append(
+            bytes(
+                20 + (a * x + c * x * y + d * ((x * x) % 31) + ey) % 180 + brightness
+                for x in range(width)
+            )
+        )
+    return encode_rows(rows, width, 0)
+
+
 def deterministic_png(digest: bytes) -> bytes:
     """Synthesize a real PNG deterministically from a 32-byte digest —
     the fixture payload generator for the multimodal decode stage.

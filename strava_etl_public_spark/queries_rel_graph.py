@@ -1885,3 +1885,165 @@ def x_source_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance: small-file compaction + manifest data skipping
+# (round 8 — promote the test-only layout operators to oracle-gated rows)
+# ---------------------------------------------------------------------------
+
+_EV_FP_COLS = ["event_id", "user_id", "event_type"]
+
+
+@register_extra(
+    "x_maintenance_compact",
+    oracle=f"""
+WITH fp AS ({_fp_sql("events", _EV_FP_COLS)})
+SELECT dataset, n_rows, xor_hash, sum_hash_mod, TRUE AS files_reduced
+FROM (SELECT 'events_compacted' AS dataset, n_rows, xor_hash, sum_hash_mod FROM fp)
+""",
+)
+def x_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION as an end-to-end verified maintenance op
+    (the classic fix for streaming sinks that accrete thousands of
+    tiny files — at 100 TB each file costs a task, a footer read, and
+    an object-store request): stage events as 64 deliberately tiny
+    parquet files, rewrite with layout.compact_parquet to
+    ceil(total/target) bin-packed files, then prove the rewrite is
+    content-lossless with the order-free multiset digest of the
+    COMPACTED copy against the oracle's digest of the source table
+    (count + bit-XOR + modular sum of the 60-bit row hash — any
+    dropped, duplicated, or mutated row mismatches). `files_reduced`
+    is measured from the real file listings, so a rewrite that
+    failed to consolidate fails the gate too; the exact output-count
+    arithmetic is pinned in tests/test_layout.py."""
+    ensure_harness_conf(spark)
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.layout import compact_parquet, dataset_fingerprint
+
+    ev = load(spark, sf_dir, "events").select(*_EV_FP_COLS)
+    root = tempfile.mkdtemp(prefix="compact_")
+    src, dst = f"{root}/src", f"{root}/dst"
+    try:
+        ev.repartition(64).write.parquet(src)
+        n_before = len(glob.glob(f"{src}/part-*.parquet"))
+        total = sum(
+            __import__("os").path.getsize(p) for p in glob.glob(f"{src}/part-*.parquet")
+        )
+        compact_parquet(spark, src, dst, target_bytes=total // 4 + 1)
+        n_after = len(glob.glob(f"{dst}/part-*.parquet"))
+        fp = dataset_fingerprint(
+            spark.read.parquet(dst), _EV_FP_COLS, label="events_compacted"
+        )
+        return fp.withColumn(
+            "files_reduced", F.lit(bool(n_after < n_before))
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_scan_zonemap_skip",
+    oracle=f"""
+WITH filt AS (
+  SELECT event_id, user_id, event_type FROM events
+  WHERE event_id BETWEEN 100 AND 299
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (
+    SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+               coalesce(CAST(event_id AS VARCHAR), chr(30)),
+               coalesce(CAST(user_id AS VARCHAR), chr(30)),
+               coalesce(CAST(event_type AS VARCHAR), chr(30)))),
+               1, 15)) AS BIGINT) AS h
+    FROM filt
+  )
+)
+SELECT 'zonemap_scan' AS dataset, n_rows, xor_hash, sum_hash_mod,
+       TRUE AS files_skipped
+FROM fp
+""",
+)
+def x_scan_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level DATA SKIPPING end-to-end (the Iceberg/Delta
+    zone-map layer, verified): range-cluster events on event_id into
+    16 files, write with a per-file min/max manifest
+    (layout.write_with_stats), then serve `event_id BETWEEN 100 AND
+    299` through layout.read_with_skipping — files whose zones miss
+    the range are never opened; survivors get the exact residual
+    filter. The digest of the skipping scan's result must equal the
+    oracle's digest of the plain filtered table (pruning must be
+    conservative AND the residual exact); `files_skipped` is measured
+    from the real manifest prune count, so a layout that fails to
+    prune (or a manifest that lies) fails the gate. At 100 TB this is
+    the difference between opening 3 files and opening 40,000."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .operators.layout import (
+        dataset_fingerprint,
+        read_with_skipping,
+        write_with_stats,
+    )
+
+    ev = load(spark, sf_dir, "events").select(*_EV_FP_COLS)
+    path = tempfile.mkdtemp(prefix="zonemap_")
+    try:
+        clustered = ev.repartitionByRange(16, "event_id").sortWithinPartitions(
+            "event_id"
+        )
+        write_with_stats(clustered, path, ["event_id"])
+        out, files_read, files_total = read_with_skipping(
+            spark, path, "event_id", 100, 299
+        )
+        fp = dataset_fingerprint(out, _EV_FP_COLS, label="zonemap_scan")
+        return fp.withColumn(
+            "files_skipped", F.lit(bool(files_read < files_total))
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register_extra(
+    "x_tpch_q12_priority",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+GROUP BY l_returnflag
+""",
+)
+def x_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional-count join (shipping-mode audit
+    re-expressed on the fixture's columns): lineitem⋈orders on
+    orderkey with a cross-table date predicate, then per-flag
+    HIGH/LOW priority counts as CASE-sums — the classic
+    one-pass-two-metrics pattern that replaces two filtered joins
+    with one. The orderkey equi-join shares Q3/Q5/Q7's shuffle key;
+    the CASE-sums are map-side-combined BIGINTs."""
+    ensure_harness_conf(spark)
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    # epoch dispatch on BOTH sides: the fixture's timestamp columns flip
+    # physical encodings between generations (see functions/epoch.py)
+    l = l.withColumn("_ship_s", ep.epoch_s(l, "l_shipdate")).drop("l_shipdate")
+    o = o.withColumn("_ord_s", ep.epoch_s(o, "o_orderdate")).drop("o_orderdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("_ship_s") >= F.col("_ord_s")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_priority_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_priority_count"),
+    )

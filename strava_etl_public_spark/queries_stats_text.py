@@ -1516,3 +1516,86 @@ def x_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp("lo50", "hi50", "pos50").alias("p50_cont"),
         interp("lo90", "hi90", "pos90").alias("p90_cont"),
     )
+
+
+@register_extra(
+    "x_eval_auc",
+    oracle="""
+WITH s AS (
+  SELECT round(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 100.0)), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM s GROUP BY score
+),
+w AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(p * (2 * cum + n + 1)) AS BIGINT) AS r2,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(n) - sum(p) AS BIGINT) AS n_neg
+  FROM w
+)
+SELECT n_pos, n_neg,
+       round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM t
+""",
+)
+def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by the tie-corrected rank-sum (Mann-Whitney U)
+    identity — the threshold-free companion to x_eval_calibration for
+    any probabilistic quality/toxicity/language gate: AUC =
+    (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with ties taking their
+    AVERAGE rank. Same fixed length-logistic score predicting
+    lang='en', rounded 6dp BEFORE grouping (the FP discipline), then
+    pure BIGINT arithmetic: per-score (n, positives), a cumulative
+    window over the bounded distinct-score table, and doubled rank
+    sums (×2 keeps average ranks integer) — no per-row sort at scale,
+    one hash-agg shuffle plus a window over |distinct scores| rows."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(300.0)) / F.lit(100.0))
+        ),
+        6,
+    )
+    g = (
+        docs.select(
+            score.alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    win = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    w = g.withColumn("cum", F.coalesce(F.sum("n").over(win), F.lit(0)))
+    t = w.agg(
+        F.sum(F.col("p") * (2 * F.col("cum") + F.col("n") + 1))
+        .cast("long")
+        .alias("r2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

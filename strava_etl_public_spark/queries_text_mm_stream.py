@@ -970,6 +970,50 @@ FROM m
 """
 
 
+@register_extra("x_mm_phash_neardup")
+def x_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by DCT perceptual hash — the
+    multimodal face of the dedup family: render a real textured
+    grayscale PNG per document (pngcodec.deterministic_png_textured;
+    every 7th doc is a PLANTED twin — the previous doc's texture under
+    a wrap-free +25 brightness shift), decode the actual bytes, hash
+    each image (multimodal.phash64: integer luma → exact 32×32
+    area-average → orthonormal 2-D DCT → median-thresholded 8×8 AC
+    block → 63-bit signature), then find all pairs within Hamming
+    radius 2 via the same pigeonhole blocking SimHash uses
+    (dedup.hamming_near_dup_pairs — chunk equi-joins + popcount
+    verify, never all-pairs). `planted` marks the seeded twins; other
+    emitted pairs are genuine 63-bit near-collisions the radius search
+    is honest about.
+
+    Rows-only gate (a PNG decode + 2-D DCT is past what a SQL oracle
+    can express); the exactness claims are pinned in
+    tests/test_multimodal.py instead: blocked pairs EQUAL brute-force
+    all-pairs Hamming≤2 (pigeonhole completeness), planted-twin recall
+    is 100%, and phash64 is bit-invariant under the brightness shift.
+
+    At 100 TB: signature stage is map-only Arrow batches over the
+    binary column (the only pass that touches image bytes); the
+    radius join shuffles 8-byte signatures, three rows each —
+    ~0.001% of the input."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_textured(docs, "doc_id", twin_every=7, brightness=25)
+    sig = multimodal.phash_signatures(payloads)
+    pairs = dedup.hamming_near_dup_pairs(
+        sig, "doc_id", "phash", bits=63, max_hamming=2
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (
+            (F.col("doc_b") - F.col("doc_a") == 1)
+            & (F.col("doc_b") % 7 == 0)
+        ).alias("planted"),
+    )
+
+
 @register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot

@@ -202,3 +202,93 @@ def test_resize_nn_stdlib_roundtrip(spark):
     assert (w, h) == (8, 4)
     assert list(out_rows[0]) == [10, 10, 20, 20, 30, 30, 40, 40]  # upsample dup
     assert list(out_rows[3]) == [50, 50, 60, 60, 70, 70, 80, 80]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _tex_digest(seed: int) -> bytes:
+    return hashlib.sha256(f"phash:{seed}".encode()).digest()
+
+
+def test_phash_brightness_invariant_bitexact():
+    """A wrap-free constant brightness shift moves only the dropped DC
+    coefficient — the hash must be IDENTICAL, not merely close."""
+    from strava_etl_public_spark.operators.multimodal import phash64
+    from strava_etl_public_spark.operators.pngcodec import deterministic_png_textured
+
+    for seed in range(64):
+        d = _tex_digest(seed)
+        assert phash64(deterministic_png_textured(d, 0)) == phash64(
+            deterministic_png_textured(d, 25)
+        ), f"seed {seed} hash moved under brightness shift"
+
+
+def test_phash_upscale_exact_for_integer_multiples():
+    """Area-average resize is exact under integer upsampling: an image
+    with every row and column duplicated k times resizes to the same
+    32x32 grid, so the hash is scale-invariant by construction."""
+    import numpy as np
+
+    from strava_etl_public_spark.operators.multimodal import phash64
+    from strava_etl_public_spark.operators.pngcodec import (
+        decode,
+        deterministic_png_textured,
+        encode_rows,
+    )
+
+    d = _tex_digest(7)
+    base = deterministic_png_textured(d, 0)
+    w, h, c, rows = decode(base)
+    arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    up = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    up_png = encode_rows([bytes(r.tobytes()) for r in up], 2 * w, 0)
+    assert phash64(base) == phash64(up_png)
+
+
+def test_phash_distinct_across_seeds():
+    """Texture entropy sanity: distinct seeds should nearly always
+    produce distinct hashes (the row-constant gradient recipe fails
+    this — its hash carries ~7 informative bits)."""
+    from strava_etl_public_spark.operators.multimodal import phash64
+    from strava_etl_public_spark.operators.pngcodec import deterministic_png_textured
+
+    sigs = {phash64(deterministic_png_textured(_tex_digest(s), 0)) for s in range(200)}
+    assert len(sigs) >= 195
+
+
+def test_phash_neardup_blocked_equals_bruteforce(spark):
+    """Pigeonhole completeness on the real payload path: the blocked
+    radius-2 join emits EXACTLY the brute-force all-pairs result, and
+    every planted twin (doc_id-1, doc_id) is recovered at hamming 0."""
+    import itertools
+
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import hamming_near_dup_pairs
+    from strava_etl_public_spark.operators.multimodal import (
+        attach_png_textured,
+        phash_signatures,
+    )
+
+    ids = list(range(1, 120))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    payloads = attach_png_textured(docs, "doc_id", twin_every=7, brightness=25)
+    sig = phash_signatures(payloads)
+    sig_map = {r.doc_id: r.phash for r in sig.collect()}
+
+    pairs = hamming_near_dup_pairs(sig, "doc_id", "phash", bits=63, max_hamming=2)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+
+    brute = {
+        (a, b, bin(sig_map[a] ^ sig_map[b]).count("1"))
+        for a, b in itertools.combinations(ids, 2)
+        if bin(sig_map[a] ^ sig_map[b]).count("1") <= 2
+    }
+    assert got == brute
+
+    planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
+    for a, b in planted:
+        assert (a, b, 0) in got, f"planted twin ({a},{b}) not recovered"

@@ -448,6 +448,9 @@ def main() -> int:
         # commit, measured interleaved in this same session
         "prev_commit": ab.get("prev_commit"),
         "paired_delta_pct": ab.get("paired_delta_pct", {}),
+        # min-vs-min: the noise-robust companion (contention only adds
+        # time, so per-side minima are the least-contaminated samples)
+        "min_delta_pct": ab.get("min_delta_pct", {}),
         "loadavg_1m": ab.get("loadavg_1m"),
         "n_processes": ab.get("n_processes"),
     }

@@ -802,3 +802,109 @@ def phash_signatures(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return payloads.mapInPandas(_hash, schema=f"{id_col} long, phash long")
+
+
+def attach_wav_textured(
+    df: DataFrame,
+    id_col: str,
+    twin_every: int = 7,
+    gain_shift: int = 1,
+) -> DataFrame:
+    """Materialize a real spectrally-rich PCM16 WAV per row (wavcodec.
+    deterministic_wav_textured — four digest-derived sinusoidal
+    partials; the mod-ramp recipe has only 256 distinct spectra), with
+    PLANTED gain-changed twins: every ``twin_every``-th doc renders
+    the PREVIOUS doc's waveform right-shifted by ``gain_shift`` bits
+    (half volume per step) — same spectral shape, so a correct
+    fingerprint must pair them. Seeds derive from doc_id, keeping the
+    plant join-free (the image twin discipline of
+    attach_png_textured)."""
+    from . import wavcodec
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def render(doc_id: int) -> bytes:
+            planted = doc_id % twin_every == 0 and doc_id != 0
+            seed = doc_id - 1 if planted else doc_id
+            digest = hashlib.sha256(f"audiofp:{seed}".encode()).digest()
+            return wavcodec.deterministic_wav_textured(
+                digest, gain_shift=gain_shift if planted else 0
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[id_col].map(lambda i: render(int(i))),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+
+
+def audio_fingerprint63(payload: bytes) -> int:
+    """Spectral-shape audio fingerprint on REAL decoded PCM (wavcodec.
+    decode — RIFF chunk walk, format validation, frame unpack): split
+    the first channel into 8 non-overlapping frames, take per-frame
+    band energies (rFFT magnitude² summed over 8 equal bands, DC
+    dropped), and emit sign bits of the energy DELTAS — 56 temporal
+    bits (E[t][b] > E[t−1][b]) + 7 spectral-profile bits from frame 0
+    (E[0][b] > E[0][b−1]) = 63 bits, signed-BIGINT safe.
+
+    Gain invariance by construction: a power-of-two volume change
+    scales every sample, FFT bin, and band-energy sum EXACTLY in IEEE
+    arithmetic (power-of-two multiplies commute with rounding), so
+    every energy comparison — both sides scaled alike — is bit-stable;
+    the int16 re-quantization of a real gain change adds ±0.5/sample
+    of noise against band energies many orders larger, absorbed by
+    the Hamming radius."""
+    import numpy as np
+
+    from . import wavcodec
+
+    rate, channels, samples = wavcodec.decode(payload)
+    x = np.asarray(samples[::channels], dtype=np.float64)
+    n_frames = 8
+    frame_len = len(x) // n_frames
+    if frame_len < 16:
+        raise ValueError(f"payload too short for fingerprint: {len(x)} samples")
+    E = np.empty((n_frames, 8), dtype=np.float64)
+    for t in range(n_frames):
+        spec = np.fft.rfft(x[t * frame_len : (t + 1) * frame_len])
+        mag2 = spec.real * spec.real + spec.imag * spec.imag
+        bins = mag2[1:]
+        band = len(bins) // 8
+        for b in range(8):
+            E[t, b] = bins[b * band : (b + 1) * band].sum()
+    sig = 0
+    bit = 0
+    for t in range(1, n_frames):
+        for b in range(8):
+            if E[t, b] > E[t - 1, b]:
+                sig |= 1 << bit
+            bit += 1
+    for b in range(1, 8):
+        if E[0, b] > E[0, b - 1]:
+            sig |= 1 << bit
+        bit += 1
+    return sig
+
+
+def audio_fingerprint_signatures(
+    payloads: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """payload BINARY → (id, afp BIGINT) through Arrow mapInPandas —
+    the audio twin of phash_signatures; the pair-finding stage then
+    shuffles 8-byte signatures only."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": [audio_fingerprint63(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(_hash, schema=f"{id_col} long, afp long")

@@ -126,3 +126,46 @@ def deterministic_wav(digest: bytes) -> bytes:
         if channels == 2:
             samples.append(32767 - v)
     return encode_pcm16(samples, channels, rate)
+
+
+def deterministic_wav_textured(digest: bytes, gain_shift: int = 0) -> bytes:
+    """Synthesize a real PCM16 WAV with a spectrally RICH waveform —
+    the fixture generator for audio-fingerprint work, where the
+    mod-ramp of :func:`deterministic_wav` is too low-entropy (its
+    magnitude spectrum is one of only 256 sawtooth families, so a
+    spectral fingerprint collides corpus-wide).
+
+    Closed form: 2048 mono frames at 8 kHz; the signal is a sum of
+    four sinusoidal partials whose cycle counts, amplitudes, and
+    phases all derive from digest bytes:
+
+      f_k   = 3 + digest[2k]   % 248         (cycles per 2048 frames)
+      A_k   = 1500 + digest[2k+1] * 18       (peak ≈ 4·6090 < 32767)
+      φ_k   = 2π · digest[8+k] / 256
+      s_i   = Σ_k A_k · sin(2π f_k i / 2048 + φ_k), rounded to int,
+              then arithmetic right-shift by ``gain_shift``
+
+    ``gain_shift`` models a GAIN change (each doubling step halves the
+    integer samples) — the transform a spectral-shape fingerprint must
+    be invariant to, here near-exactly: a true power-of-two scale
+    commutes exactly with IEEE band-energy sums, and the integer
+    truncation adds at most ±0.5/sample of noise against band energies
+    orders of magnitude larger."""
+    import math
+
+    if not 0 <= gain_shift <= 4:
+        raise ValueError(f"gain_shift {gain_shift} out of range (0..4)")
+    n = 2048
+    parts = [
+        (
+            3 + digest[2 * k] % 248,
+            1500 + digest[2 * k + 1] * 18,
+            2.0 * math.pi * digest[8 + k] / 256.0,
+        )
+        for k in range(4)
+    ]
+    samples = []
+    for i in range(n):
+        v = sum(A * math.sin(2.0 * math.pi * f * i / n + ph) for f, A, ph in parts)
+        samples.append(int(round(v)) >> gain_shift)
+    return encode_pcm16(samples, 1, 8000)

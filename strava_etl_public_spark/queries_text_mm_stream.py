@@ -1014,6 +1014,39 @@ def x_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("x_mm_audio_fp_neardup")
+def x_mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by spectral fingerprint — the
+    AUDIO face of the dedup family, completing the modality set
+    (text shingles → image pHash → audio spectra): render a real
+    spectrally-rich PCM16 WAV per document (wavcodec.
+    deterministic_wav_textured, four digest-derived partials; every
+    7th doc is a PLANTED twin — the previous doc's waveform at half
+    volume), decode the actual RIFF bytes, fingerprint each waveform
+    (multimodal.audio_fingerprint63: 8 frames × 8 rFFT band energies
+    → sign bits of temporal + spectral deltas, gain-invariant by the
+    power-of-two/IEEE commutation argument), then pair within Hamming
+    radius 2 through the shared pigeonhole blocking
+    (dedup.hamming_near_dup_pairs). Rows-only gate (FFT over decoded
+    PCM is past SQL); pinned in tests/test_multimodal.py: blocked
+    pairs == brute-force all-pairs, planted recall 100%, gain-shift
+    fingerprint drift ≤1 bit across seeds."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_textured(docs, "doc_id", twin_every=7, gain_shift=1)
+    sig = multimodal.audio_fingerprint_signatures(payloads)
+    pairs = dedup.hamming_near_dup_pairs(sig, "doc_id", "afp", bits=63, max_hamming=2)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (
+            (F.col("doc_b") - F.col("doc_a") == 1)
+            & (F.col("doc_b") % 7 == 0)
+        ).alias("planted"),
+    )
+
+
 @register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot

@@ -292,3 +292,91 @@ def test_phash_neardup_blocked_equals_bruteforce(spark):
     planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
     for a, b in planted:
         assert (a, b, 0) in got, f"planted twin ({a},{b}) not recovered"
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprint (audio near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _afp_digest(seed: int) -> bytes:
+    return hashlib.sha256(f"audiofp:{seed}".encode()).digest()
+
+
+def test_audio_fingerprint_gain_invariant():
+    """Half-volume (gain_shift=1) must drift the fingerprint by at
+    most 1 bit — the int16 truncation noise bound the radius-2 search
+    absorbs (true power-of-two float scaling would be 0 bits by the
+    IEEE commutation argument)."""
+    from strava_etl_public_spark.operators.multimodal import audio_fingerprint63
+    from strava_etl_public_spark.operators.wavcodec import deterministic_wav_textured
+
+    for seed in range(64):
+        d = _afp_digest(seed)
+        h0 = audio_fingerprint63(deterministic_wav_textured(d, 0))
+        h1 = audio_fingerprint63(deterministic_wav_textured(d, 1))
+        assert bin(h0 ^ h1).count("1") <= 1, f"seed {seed} drifted >1 bit"
+
+
+def test_audio_fingerprint_exact_under_float_gain():
+    """The invariance argument itself: scaling the decoded samples by
+    an exact power of two before the FFT produces the IDENTICAL
+    fingerprint (power-of-two multiplies commute with IEEE rounding),
+    checked by re-encoding pre-scaled float->int-exact samples."""
+    from strava_etl_public_spark.operators.multimodal import audio_fingerprint63
+    from strava_etl_public_spark.operators.wavcodec import (
+        decode,
+        deterministic_wav_textured,
+        encode_pcm16,
+    )
+
+    d = _afp_digest(3)
+    base = deterministic_wav_textured(d, 0)
+    rate, ch, samples = decode(base)
+    # choose samples already even so >>1 IS an exact power-of-two scale
+    evened = [s & ~1 for s in samples]
+    a = encode_pcm16(evened, ch, rate)
+    b = encode_pcm16([s >> 1 for s in evened], ch, rate)
+    assert audio_fingerprint63(a) == audio_fingerprint63(b)
+
+
+def test_audio_fingerprint_distinct_across_seeds():
+    from strava_etl_public_spark.operators.multimodal import audio_fingerprint63
+    from strava_etl_public_spark.operators.wavcodec import deterministic_wav_textured
+
+    sigs = {
+        audio_fingerprint63(deterministic_wav_textured(_afp_digest(s), 0))
+        for s in range(200)
+    }
+    assert len(sigs) >= 190
+
+
+def test_audio_neardup_blocked_equals_bruteforce(spark):
+    import itertools
+
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import hamming_near_dup_pairs
+    from strava_etl_public_spark.operators.multimodal import (
+        attach_wav_textured,
+        audio_fingerprint_signatures,
+    )
+
+    ids = list(range(1, 120))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    payloads = attach_wav_textured(docs, "doc_id", twin_every=7, gain_shift=1)
+    sig = audio_fingerprint_signatures(payloads)
+    sig_map = {r.doc_id: r.afp for r in sig.collect()}
+
+    pairs = hamming_near_dup_pairs(sig, "doc_id", "afp", bits=63, max_hamming=2)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    brute = {
+        (a, b, bin(sig_map[a] ^ sig_map[b]).count("1"))
+        for a, b in itertools.combinations(ids, 2)
+        if bin(sig_map[a] ^ sig_map[b]).count("1") <= 2
+    }
+    assert got == brute
+    planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
+    for a, b in planted:
+        found = [(x, y, h) for (x, y, h) in got if (x, y) == (a, b)]
+        assert found, f"planted twin ({a},{b}) not recovered"

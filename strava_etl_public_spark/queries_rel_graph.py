@@ -2047,3 +2047,66 @@ def x_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_priority_count"),
         F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_priority_count"),
     )
+
+
+@register_extra(
+    "x_scan_dpp_prune",
+    oracle="""
+WITH top2 AS (
+  SELECT event_type
+  FROM (SELECT event_type, count(*) AS c FROM events GROUP BY event_type)
+  QUALIFY row_number() OVER (ORDER BY c DESC, event_type) <= 2
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(e.user_id) AS BIGINT) AS sum_users
+FROM events e JOIN top2 USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def x_scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning end-to-end — the third scan-skipping
+    layer, completing the family (hive static pruning → zone-map
+    manifest skipping → DPP): stage events hive-partitioned by
+    event_type, then join against a dim whose filter (top-2 types by
+    count) is NOT statically derivable — Spark must broadcast the dim
+    result into the fact scan as a runtime partition filter, so
+    non-matching partition DIRECTORIES are never listed or opened.
+    tests/test_layout.py pins `dynamicpruningexpression` inside the
+    scan's PartitionFilters (the plan-shape proof); this gate proves
+    the pruned read returns exactly the oracle's join. At 100 TB with
+    date-partitioned facts this is the difference between scanning 3
+    days and 5 years when the date set comes out of a subquery."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .operators.layout import hive_partitioned_write
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    path = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        hive_partitioned_write(ev, path, ["event_type"])
+        part = spark.read.parquet(path)
+        dim = (
+            ev.groupBy("event_type")
+            .count()
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.orderBy(F.desc("count"), F.asc("event_type"))
+                ),
+            )
+            .filter(F.col("rk") <= 2)
+            .select("event_type")
+        )
+        out = (
+            part.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("user_id").cast("long").alias("sum_users"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

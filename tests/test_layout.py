@@ -456,3 +456,44 @@ def test_snapshot_occ_and_vacuum(spark, tmp_path):
     snapshot_rollback(t, 3)
     assert snapshot_vacuum(t, keep_last=1) == []
     assert snapshot_read(spark, t, 4).count() == 4
+
+
+def test_dpp_prunes_hive_partitions(spark, tmp_path):
+    """Dynamic partition pruning must appear in the partitioned scan's
+    PartitionFilters when the probe side's filter is only known at
+    runtime (top-k by count) — the plan-shape half of the
+    x_scan_dpp_prune driver gate."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import hive_partitioned_write
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": list(range(3000)),
+                "part": [f"p{i % 10}" for i in range(3000)],
+            }
+        )
+    )
+    path = str(tmp_path / "dpp")
+    hive_partitioned_write(df, path, ["part"])
+    fact = spark.read.parquet(path)
+    dim = (
+        df.groupBy("part")
+        .count()
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("count"), F.asc("part"))))
+        .filter(F.col("rk") <= 2)
+        .select("part")
+    )
+    j = fact.join(dim, "part").groupBy("part").count()
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower(), "DPP did not engage"
+    rows = {r.part: r["count"] for r in j.collect()}
+    assert rows == {"p0": 300, "p1": 300}

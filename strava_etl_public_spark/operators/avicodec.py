@@ -131,3 +131,64 @@ def deterministic_avi(digest: bytes) -> bytes:
         rows = [bytes((v,)) * 8 for _ in range(8)]
         frames.append(jpegcodec.encode_gray(rows, 8, 8))
     return encode_mjpeg(frames, 8, 8, fps=10)
+
+
+def deterministic_avi_textured(
+    digest: bytes, reverse: bool = False, drop_first: bool = False
+) -> bytes:
+    """Synthesize a real MJPEG AVI with BLOCK-TEXTURED frames — the
+    fixture generator for video-fingerprint work (the flat-frame
+    recipe of :func:`deterministic_avi` gives a perceptual hash no
+    entropy). Every 32×32 frame is a 4×4 grid of flat 8×8 blocks
+    whose EVEN values stay on the JPEG quantizer lattice, so the
+    lossy encode→decode round-trip is pixel-exact (flat blocks have
+    zero AC energy; even DC values quantize losslessly — the r7
+    invertibility argument, now per block):
+
+      n_frames        = 6 + digest[7] % 5
+      block (bx, by) of frame f =
+          2 · ((a + b_f·bx + c_f·by + d_f·bx·by
+                + digest[8 + (4·by + bx + 7·f) mod 24]) mod 128)
+      with PER-FRAME gradient coefficients b_f, c_f, d_f (frames must
+      differ STRUCTURALLY — a per-frame constant offset would be a
+      brightness shift, which a correct perceptual hash ignores) and
+      a per-block digest term that breaks the low-rank gradient
+      structure (without it, distinct videos collapse onto a few
+      dozen DCT sign patterns).
+
+    ``reverse`` / ``drop_first`` derive a near-duplicate EDIT of the
+    same content: frame order reversed and/or the first frame cut —
+    the transforms an order-free frame-fingerprint SET comparison
+    must be robust to (and a sequence-sensitive one is not)."""
+    nf = 6 + digest[7] % 5
+    a = digest[2]
+    frame_ids = list(range(nf))
+    if drop_first:
+        frame_ids = frame_ids[1:]
+    if reverse:
+        frame_ids = frame_ids[::-1]
+    frames = []
+    for f in frame_ids:
+        b = 1 + 2 * ((digest[3] + f) % 8)
+        c = 1 + 2 * ((digest[4] + 3 * f) % 8)
+        d = (digest[5] + f) % 4
+        rows = []
+        for y in range(32):
+            by = y // 8
+            row = bytes(
+                2
+                * (
+                    (
+                        a
+                        + b * (x // 8)
+                        + c * by
+                        + d * (x // 8) * by
+                        + digest[8 + (4 * by + (x // 8) + 7 * f) % 24]
+                    )
+                    % 128
+                )
+                for x in range(32)
+            )
+            rows.append(row)
+        frames.append(jpegcodec.encode_gray(rows, 32, 32))
+    return encode_mjpeg(frames, 32, 32, fps=10)

@@ -767,6 +767,16 @@ def phash64(payload: bytes) -> int:
         luma = (
             299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
         ).astype(np.float64) / 1000.0
+    return phash64_luma(luma)
+
+
+def phash64_luma(luma) -> int:
+    """The codec-independent core of :func:`phash64`: 63-bit DCT
+    perceptual hash of a 2-D float64 luma array (any decoder — PNG,
+    JPEG, an AVI frame plane — feeds this same kernel)."""
+    import numpy as np
+
+    h, w = luma.shape
     g = _box_weights(h, 32) @ luma @ _box_weights(w, 32).T
     T = _dct_matrix(32)
     d = T @ g @ T.T
@@ -908,3 +918,73 @@ def audio_fingerprint_signatures(
             )
 
     return payloads.mapInPandas(_hash, schema=f"{id_col} long, afp long")
+
+
+def attach_avi_textured(
+    df: DataFrame,
+    id_col: str,
+    twin_every: int = 7,
+) -> DataFrame:
+    """Materialize a real block-textured MJPEG AVI per row (avicodec.
+    deterministic_avi_textured — quantizer-lattice frames, so the
+    lossy codec round-trips pixel-exactly), with PLANTED edited
+    twins: every ``twin_every``-th doc renders the PREVIOUS doc's
+    video with the frame order REVERSED and the first frame CUT —
+    the classic re-upload edit an order-free frame-fingerprint set
+    comparison must catch (Jaccard (n−1)/n) and a sequence hash
+    would miss. Seeds derive from doc_id (join-free plant)."""
+    from . import avicodec
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def render(doc_id: int) -> bytes:
+            planted = doc_id % twin_every == 0 and doc_id != 0
+            seed = doc_id - 1 if planted else doc_id
+            digest = hashlib.sha256(f"videofp:{seed}".encode()).digest()
+            return avicodec.deterministic_avi_textured(
+                digest, reverse=planted, drop_first=planted
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[id_col].map(lambda i: render(int(i))),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+
+
+def video_phash_tokens(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """payload BINARY → exploded (id, frame_hash) token table: decode
+    every MJPEG frame (real RIFF walk + baseline-JPEG entropy decode)
+    and perceptually hash each luma plane through the SAME
+    phash64_luma kernel the image path uses. One row per DISTINCT
+    frame hash per video — the input shape of the exact set-similarity
+    join, which turns video near-dup into Jaccard over frame-
+    fingerprint sets (order-free: robust to re-ordering, trimming,
+    and per-frame brightness edits by construction). Map-only Arrow;
+    the join stage then never touches video bytes."""
+    import numpy as np
+
+    from . import avicodec
+
+    def _toks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, nf, frames = avicodec.decode(bytes(payload))
+                seen = set()
+                for plane in frames:
+                    sig = phash64_luma(
+                        np.asarray(plane, dtype=np.float64).reshape(h, w)
+                    )
+                    if sig not in seen:
+                        seen.add(sig)
+                        ids.append(doc_id)
+                        hashes.append(sig)
+            yield pd.DataFrame({id_col: ids, "frame_hash": hashes})
+
+    return payloads.mapInPandas(_toks, schema=f"{id_col} long, frame_hash long")

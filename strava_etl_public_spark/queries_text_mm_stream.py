@@ -1047,6 +1047,43 @@ def x_mm_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("x_mm_video_phash_neardup")
+def x_mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection — the fourth and final modality
+    face of the dedup family (text shingles → image pHash → audio
+    spectra → video): render a real block-textured MJPEG AVI per
+    document (avicodec.deterministic_avi_textured — quantizer-lattice
+    frames decode pixel-exactly; every 7th doc is a PLANTED edit of
+    its predecessor: frames reversed + first frame cut), decode every
+    frame through the real RIFF walk + baseline-JPEG entropy decoder,
+    perceptually hash each luma plane with the SAME phash64_luma
+    kernel images use, and join videos on EXACT Jaccard ≥ 1/2 over
+    their frame-fingerprint SETS via the Bayardo prefix-filtered
+    set-similarity join (dedup.jaccard_join_prefix — completeness-
+    guaranteed, integer cross-multiplied τ). A video is literally a
+    document whose tokens are frame fingerprints, so re-ordering,
+    trimming, and per-frame brightness edits are free invariances —
+    a sequence hash catches none of them. Planted twins surface at
+    jaccard (n−1)/n ∈ [5/6, 10/11]; measured cross-video Jaccard is
+    0.0 (SURVEY round-8 log). Rows-only gate (MJPEG decode + DCT is
+    past SQL); blocked==bruteforce Jaccard, planted recall, and the
+    codec exactness are pinned in tests."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_avi_textured(docs, "doc_id", twin_every=7)
+    toks = multimodal.video_phash_tokens(payloads)
+    pairs = dedup.jaccard_join_prefix(toks, "doc_id", "frame_hash", 1, 2)
+    return pairs.select(
+        F.col("id1").alias("doc_a"),
+        F.col("id2").alias("doc_b"),
+        "inter_size",
+        "jaccard",
+        (
+            (F.col("id2") - F.col("id1") == 1) & (F.col("id2") % 7 == 0)
+        ).alias("planted"),
+    )
+
+
 @register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot

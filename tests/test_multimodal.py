@@ -380,3 +380,88 @@ def test_audio_neardup_blocked_equals_bruteforce(spark):
     for a, b in planted:
         found = [(x, y, h) for (x, y, h) in got if (x, y) == (a, b)]
         assert found, f"planted twin ({a},{b}) not recovered"
+
+
+# ---------------------------------------------------------------------------
+# Video frame-fingerprint near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_avi_textured_roundtrip_exact():
+    """Quantizer-lattice block frames must decode pixel-exactly
+    through the real MJPEG encode→container→decode path."""
+    from strava_etl_public_spark.operators import avicodec
+
+    d = hashlib.sha256(b"videofp:5").digest()
+    w, h, nf, frames = avicodec.decode(avicodec.deterministic_avi_textured(d))
+    assert (w, h) == (32, 32) and nf == 6 + d[7] % 5
+    a = d[2]
+    f = 0
+    b, c, e = 1 + 2 * ((d[3] + f) % 8), 1 + 2 * ((d[4] + 3 * f) % 8), (d[5] + f) % 4
+    expect = [
+        2 * ((a + b * (x // 8) + c * (y // 8) + e * (x // 8) * (y // 8)
+              + d[8 + (4 * (y // 8) + (x // 8) + 7 * f) % 24]) % 128)
+        for y in range(32)
+        for x in range(32)
+    ]
+    assert frames[0] == expect
+
+
+def test_video_edit_twin_jaccard():
+    """A reversed, first-frame-cut edit must share exactly n−1 of n
+    frame fingerprints with its source (order-free set semantics)."""
+    import numpy as np
+
+    from strava_etl_public_spark.operators import avicodec
+    from strava_etl_public_spark.operators.multimodal import phash64_luma
+
+    def toks(data):
+        w, h, nf, frames = avicodec.decode(data)
+        return {
+            phash64_luma(np.asarray(p, dtype=np.float64).reshape(h, w))
+            for p in frames
+        }
+
+    for seed in range(24):
+        d = hashlib.sha256(f"videofp:{seed}".encode()).digest()
+        t0 = toks(avicodec.deterministic_avi_textured(d))
+        t1 = toks(avicodec.deterministic_avi_textured(d, reverse=True, drop_first=True))
+        n = 6 + d[7] % 5
+        assert len(t0) == n, f"seed {seed}: frame hashes collide within video"
+        assert t1 < t0 and len(t1) == n - 1
+
+
+def test_video_neardup_blocked_equals_bruteforce(spark):
+    """The prefix-filtered Jaccard join over frame-fingerprint sets
+    must equal brute-force all-pairs Jaccard >= 1/2, and recover every
+    planted edit twin."""
+    import itertools
+
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import jaccard_join_prefix
+    from strava_etl_public_spark.operators.multimodal import (
+        attach_avi_textured,
+        video_phash_tokens,
+    )
+
+    ids = list(range(1, 64))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    toks = video_phash_tokens(attach_avi_textured(docs, "doc_id", twin_every=7))
+    tok_map: dict[int, set] = {}
+    for r in toks.collect():
+        tok_map.setdefault(r.doc_id, set()).add(r.frame_hash)
+
+    pairs = jaccard_join_prefix(toks, "doc_id", "frame_hash", 1, 2)
+    got = {(r.doc_a if hasattr(r, "doc_a") else r.id1,
+            r.doc_b if hasattr(r, "doc_b") else r.id2) for r in pairs.collect()}
+
+    brute = set()
+    for a, b in itertools.combinations(ids, 2):
+        ta, tb = tok_map[a], tok_map[b]
+        if 2 * len(ta & tb) >= len(ta | tb):
+            brute.add((a, b))
+    assert got == brute
+
+    planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
+    assert planted <= got

@@ -2110,3 +2110,93 @@ def x_scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register_extra(
+    "x_tpch_q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey
+""",
+)
+def x_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: the HAVING-driven
+    semi-join (orders whose total line quantity exceeds a threshold)
+    feeding a customer join and a re-aggregation. The big-order key
+    set comes from ONE hash-agg over lineitem reused as a semi-join
+    filter — at scale the agg output is tiny (high threshold), so AQE
+    broadcasts it into both the orders and lineitem probes; the
+    orderkey shuffle is shared with Q3/Q7/Q12. Quantities sum in
+    DECIMAL (exact) with one cast at the edge."""
+    ensure_harness_conf(spark)
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select(F.col("l_orderkey").alias("_big_key"))
+    )
+    j = (
+        o.join(big, o.o_orderkey == F.col("_big_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+    )
+    return j.groupBy("c_name", "o_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register_extra(
+    "x_tpch_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev.r AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
+""",
+)
+def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top-supplier query: the equal-to-global-max
+    subquery over an aggregated view (ties INCLUDED — the shape that
+    row_number() = 1 gets wrong). The revenue agg is computed once and
+    self-joined against its own 1-row max via a broadcast; revenue in
+    DECIMAL so the max comparison is exact, not an FP near-tie."""
+    ensure_harness_conf(spark)
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    top = rev.join(F.broadcast(mx), rev.r == mx.mr).select("l_suppkey", "r")
+    return (
+        s.join(top, s.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )

@@ -44,6 +44,13 @@ ORACLE_EXEMPT_EXTRAS = {
     # sigmoid/exp is libm-bound; weight trajectory pinned against a
     # single-process reference in tests/test_stats.py::test_logreg_*
     "x_quality_logreg",
+    # perceptual fingerprints run real codecs + DCT/FFT kernels — past
+    # what a SQL oracle can express; blocked==bruteforce pair
+    # exactness, planted-twin recall, and the invariance arguments are
+    # pinned in tests/test_multimodal.py instead
+    "x_mm_phash_neardup",
+    "x_mm_audio_fp_neardup",
+    "x_mm_video_phash_neardup",
 }
 
 

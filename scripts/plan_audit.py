@@ -105,6 +105,20 @@ def main() -> int:
         "x_sim_ivf_incremental",
         "x_eval_retrieval_mrr_map",
         "x_fingerprint_incremental",
+        # round-8 third/fourth waves (the fingerprint near-dups and
+        # the staging queries — compact/zonemap/dpp — checkpoint
+        # internally; audited at change time + scale_ratio entries)
+        "x_tpch_q7_volume",
+        "x_tpch_q12_priority",
+        "x_tpch_q14_promo",
+        "x_tpch_q15_top_supplier",
+        "x_tpch_q18_large_orders",
+        "x_tpch_q19_disjunctive",
+        "x_ab_srm",
+        "x_eval_calibration",
+        "x_eval_auc",
+        "x_global_row_ids",
+        "x_ids_incremental",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

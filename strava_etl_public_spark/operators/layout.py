@@ -591,3 +591,99 @@ def snapshot_history(spark, table_path: str) -> DataFrame:
         rows or [],
         "version long, dataset string, n_rows long, xor_hash long, sum_hash_mod long",
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level bloom manifests: point-lookup skipping on UNSORTED data
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """Driver-side replica of sketch._bloom_position_cols — ONE
+    definition of the Kirsch-Mitzenmacher positions per engine side,
+    and the two must agree bit-for-bit (same md5 rendering, same
+    hex-split, same odd-forced stride). Valid for the cast-stable
+    types whose Spark CAST(x AS STRING) equals Python str (ints,
+    strings)."""
+    import hashlib as _hl
+
+    hx = _hl.md5(f"bloom:{value}".encode()).hexdigest()
+    h1 = int(hx[0:15], 16)
+    h2 = int(hx[16:31], 16) | 1
+    return [(h1 + r * h2) % m for r in range(k)]
+
+
+def write_with_bloom(
+    df: DataFrame, path: str, col: str, m: int = 131072, k: int = 5
+) -> dict:
+    """Write parquet plus a PER-FILE bloom manifest over ``col`` —
+    the point-lookup data-skipping layer for columns the layout is
+    NOT sorted or clustered on (where min/max zone maps span the
+    whole domain and prune nothing — the gap write_with_stats leaves
+    open). Per output file: the distinct set bit positions of every
+    value, collected in one pass grouped by input_file_name, stored
+    as position lists in ``<path>/_bloom.json``.
+
+    Sizing: FP rate ≈ (1 − e^(−k·n/m))^k per file with n distinct
+    values — keep m ≳ 16·n (k=5 → ~5e-4). JSON position lists are the
+    fixture-scale representation; a production manifest packs the
+    same bits into m/8 bytes per file (Parquet's own BloomFilter
+    header layout), which this layer would adopt unchanged."""
+    import json
+    import os
+
+    from .sketch import _bloom_positions
+
+    df.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    rows = (
+        back.select(
+            F.input_file_name().alias("file"),
+            F.explode(_bloom_positions(col, m, k)).alias("pos"),
+        )
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+        .collect()
+    )
+    manifest = {
+        "col": col,
+        "m": m,
+        "k": k,
+        "files": {r["file"]: list(r["positions"]) for r in rows},
+    }
+    with open(os.path.join(path, "_bloom.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_with_bloom_skipping(
+    spark, path: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Bloom-pruned point lookup: open only files whose per-file bloom
+    contains ALL k positions of ``value``, then apply the exact
+    equality filter to the survivors. No false negatives ever (a
+    containing file always has all k bits set); false positives cost
+    one extra file read, never a wrong row — pruning is conservative
+    and the residual is exact, the same contract as
+    read_with_skipping."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_bloom.json")) as f:
+        manifest = json.load(f)
+    if manifest["col"] != col:
+        raise ValueError(
+            f"bloom manifest covers {manifest['col']!r}, not {col!r}"
+        )
+    want = set(_bloom_positions_py(value, manifest["m"], manifest["k"]))
+    keep = [
+        fname
+        for fname, positions in manifest["files"].items()
+        if want <= set(positions)
+    ]
+    total = len(manifest["files"])
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col) == value)
+    return df, len(keep), total

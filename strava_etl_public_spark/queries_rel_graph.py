@@ -2200,3 +2200,68 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(top, s.s_suppkey == top.l_suppkey)
         .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
     )
+
+
+@register_extra(
+    "x_scan_bloom_skip",
+    oracle="""
+WITH filt AS (
+  SELECT event_id, user_id, event_type FROM events WHERE event_id = 100
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS xor_hash,
+         CAST(coalesce(sum(h) % 1152921504606846976, 0) AS BIGINT) AS sum_hash_mod
+  FROM (
+    SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+               coalesce(CAST(event_id AS VARCHAR), chr(30)),
+               coalesce(CAST(user_id AS VARCHAR), chr(30)),
+               coalesce(CAST(event_type AS VARCHAR), chr(30)))),
+               1, 15)) AS BIGINT) AS h
+    FROM filt
+  )
+)
+SELECT 'bloom_scan' AS dataset, n_rows, xor_hash, sum_hash_mod,
+       TRUE AS files_skipped
+FROM fp
+""",
+)
+def x_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-manifest point-lookup skipping — the data-skipping layer
+    for columns the layout is NOT clustered on, where zone maps prune
+    nothing (every file's [min,max] spans the whole domain): stage
+    events in 16 hash-distributed files (deliberately unsorted on
+    event_id), write the per-file bloom manifest
+    (layout.write_with_bloom), then serve `event_id = 100` through
+    layout.read_with_bloom_skipping — only files whose bloom contains
+    all k positions are opened (no false negatives; a false positive
+    costs one extra read, never a wrong row). The digest of the
+    skipping lookup must equal the oracle's digest of the plain
+    filter; `files_skipped` is measured from the real prune count.
+    Together with x_scan_zonemap_skip (range predicates on clustered
+    layouts) and x_scan_dpp_prune (runtime partition filters) this
+    completes the three-layer skipping story a 100 TB table needs."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .operators.layout import (
+        dataset_fingerprint,
+        read_with_bloom_skipping,
+        write_with_bloom,
+    )
+
+    ev = load(spark, sf_dir, "events").select(*_EV_FP_COLS)
+    path = tempfile.mkdtemp(prefix="bloomskip_")
+    try:
+        staged = ev.repartition(16, "user_id")  # unsorted in event_id
+        write_with_bloom(staged, path, "event_id")
+        out, files_read, files_total = read_with_bloom_skipping(
+            spark, path, "event_id", 100
+        )
+        fp = dataset_fingerprint(out, _EV_FP_COLS, label="bloom_scan")
+        return fp.withColumn(
+            "files_skipped", F.lit(bool(files_read < files_total))
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -497,3 +497,37 @@ def test_dpp_prunes_hive_partitions(spark, tmp_path):
     assert "dynamicpruning" in buf.getvalue().lower(), "DPP did not engage"
     rows = {r.part: r["count"] for r in j.collect()}
     assert rows == {"p0": 300, "p1": 300}
+
+
+def test_bloom_manifest_skipping(spark, tmp_path):
+    """Per-file bloom manifests must never false-negative (the
+    containing file is always read), must prune on unsorted layouts
+    where zone maps cannot, and must reject a column mismatch."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.layout import (
+        read_with_bloom_skipping,
+        write_with_bloom,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(5000)), "v": [i % 97 for i in range(5000)]})
+    )
+    path = str(tmp_path / "bloom")
+    # hash-distributed on v → every file spans k's whole domain
+    write_with_bloom(df.repartition(8, "v"), path, "k", m=65536, k=5)
+
+    for probe in (0, 1234, 4999):
+        out, read, total = read_with_bloom_skipping(spark, path, "k", probe)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["k"] == probe  # no false negative
+        assert read < total, f"no pruning for {probe} ({read}/{total})"
+
+    # absent value: prunes everything or reads only false positives
+    out, read, total = read_with_bloom_skipping(spark, path, "k", 10**9)
+    assert out.count() == 0 and read <= total
+
+    with pytest.raises(ValueError, match="covers"):
+        read_with_bloom_skipping(spark, path, "wrong_col", 1)

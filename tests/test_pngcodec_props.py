@@ -73,3 +73,32 @@ def test_filter_unfilter_inverse(bpp, row_vals, prev_vals, ftype):
     filtered = bytearray(P._filter_row(ftype, row, prev, bpp))
     P._unfilter_row(ftype, filtered, prev, bpp)
     assert bytes(filtered) == row
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=32, max_size=32), st.integers(0, 56))
+def test_textured_png_decodes_to_formula(digest, brightness):
+    """deterministic_png_textured must decode (through the real chunk
+    walk + inflate + unfilter path) to exactly its documented pixel
+    formula, for any digest and any wrap-free brightness."""
+    data = P.deterministic_png_textured(digest, brightness)
+    w, h, c, rows = P.decode(data)
+    assert (w, h, c) == (16 + digest[0] % 48, 16 + digest[1] % 48, 1)
+    a, b = 1 + digest[4] % 7, 1 + digest[5] % 7
+    cc, d, e = digest[6] % 3, 1 + digest[7] % 5, 1 + digest[8] % 5
+    for y in (0, h // 2, h - 1):
+        ey = e * ((y * y) % 29) + b * y
+        expect = bytes(
+            20 + (a * x + cc * x * y + d * ((x * x) % 31) + ey) % 180 + brightness
+            for x in range(w)
+        )
+        assert rows[y] == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=32, max_size=32))
+def test_textured_png_brightness_rejects_wrap(digest):
+    import pytest
+
+    with pytest.raises(ValueError, match="wrap"):
+        P.deterministic_png_textured(digest, 57)

@@ -73,3 +73,25 @@ def test_deterministic_wav_matches_recipe():
     assert peak == max(abs(x) for x in ref)
     assert mean_abs == sum(abs(x) for x in ref) / len(ref)
     assert rms == math.sqrt(sum(x * x for x in ref) / len(ref))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=32, max_size=32), st.integers(0, 4))
+def test_textured_wav_decodes_to_formula(digest, gain_shift):
+    """deterministic_wav_textured must decode (real RIFF walk) to
+    exactly its documented four-partial formula at any gain shift."""
+    import math
+
+    from strava_etl_public_spark.operators import wavcodec as W
+
+    data = W.deterministic_wav_textured(digest, gain_shift)
+    rate, ch, samples = W.decode(data)
+    assert (rate, ch, len(samples)) == (8000, 1, 2048)
+    parts = [
+        (3 + digest[2 * k] % 248, 1500 + digest[2 * k + 1] * 18,
+         2.0 * math.pi * digest[8 + k] / 256.0)
+        for k in range(4)
+    ]
+    for i in (0, 777, 2047):
+        v = sum(A * math.sin(2.0 * math.pi * f * i / 2048 + ph) for f, A, ph in parts)
+        assert samples[i] == int(round(v)) >> gain_shift

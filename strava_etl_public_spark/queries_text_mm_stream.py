@@ -1084,6 +1084,79 @@ def x_mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("x_pipeline_media_dedup")
+def x_pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused CROSS-MODAL dedup pipeline — the e2e row for the
+    multimodal family, shaped like the corpus/activity pipelines:
+    render all three media payloads per document (textured PNG / WAV
+    / MJPEG-AVI, each planting its twin at doc_id % 7 == 0 against
+    the predecessor), fingerprint each modality on real decoded bytes
+    (pHash radius-2, audio-FP radius-2, video frame-set Jaccard ≥
+    1/2), UNION the pair evidence with a per-pair modality count,
+    then min-label connected components over the union and the
+    keep-smallest policy. A pair backed by ≥2 independent modalities
+    is the high-precision tier a production pipeline auto-applies;
+    1-modality pairs go to review — the output carries the evidence
+    count so the caller can split exactly there.
+
+    Scale shape: three map-only Arrow fingerprint stages (the ONLY
+    passes that touch media bytes), three signature-sized pair joins,
+    one CC over the union (bounded rounds, state = one row/doc).
+    Rows-only gate; pinned invariants: every planted (7k−1, 7k) pair
+    carries evidence 3 (all modalities agree on the same twins by
+    construction) and lands in one cluster with rep = min id."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    img = dedup.hamming_near_dup_pairs(
+        multimodal.phash_signatures(
+            multimodal.attach_png_textured(docs, "doc_id", twin_every=7, brightness=25)
+        ),
+        "doc_id",
+        "phash",
+        bits=63,
+        max_hamming=2,
+    )
+    aud = dedup.hamming_near_dup_pairs(
+        multimodal.audio_fingerprint_signatures(
+            multimodal.attach_wav_textured(docs, "doc_id", twin_every=7, gain_shift=1)
+        ),
+        "doc_id",
+        "afp",
+        bits=63,
+        max_hamming=2,
+    )
+    vid = dedup.jaccard_join_prefix(
+        multimodal.video_phash_tokens(
+            multimodal.attach_avi_textured(docs, "doc_id", twin_every=7)
+        ),
+        "doc_id",
+        "frame_hash",
+        1,
+        2,
+    ).select(F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"))
+    evidence = (
+        img.select("doc_a", "doc_b", F.lit("image").alias("m"))
+        .unionByName(aud.select("doc_a", "doc_b", F.lit("audio").alias("m")))
+        .unionByName(vid.select("doc_a", "doc_b", F.lit("video").alias("m")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_modalities"))
+    )
+    clusters = dedup.duplicate_clusters(evidence, "doc_a", "doc_b")
+    out = (
+        evidence.join(
+            clusters.select(F.col("doc_id").alias("doc_a"), "rep_id"), "doc_a"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_modalities",
+            F.col("rep_id").cast("long").alias("cluster_rep"),
+            (F.col("doc_b") % 7 == 0).alias("planted"),
+        )
+    )
+    return out.localCheckpoint(eager=True)
+
+
 @register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot

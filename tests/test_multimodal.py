@@ -465,3 +465,62 @@ def test_video_neardup_blocked_equals_bruteforce(spark):
 
     planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
     assert planted <= got
+
+
+def test_media_dedup_pipeline_cross_modal_evidence(spark):
+    """Every planted twin must be found by ALL THREE modality
+    fingerprints (evidence 3) and cluster at the min id; no pair may
+    claim more modalities than exist."""
+    import pandas as pd
+
+    from strava_etl_public_spark.queries import EXTRA_QUERIES  # noqa: F401
+    import strava_etl_public_spark.queries_text_mm_stream as MM
+
+    # small synthetic corpus through the same pipeline body
+    ids = list(range(1, 50))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+
+    from strava_etl_public_spark.operators import dedup, multimodal
+
+    img = dedup.hamming_near_dup_pairs(
+        multimodal.phash_signatures(
+            multimodal.attach_png_textured(docs, "doc_id", twin_every=7, brightness=25)
+        ),
+        "doc_id", "phash", bits=63, max_hamming=2,
+    )
+    aud = dedup.hamming_near_dup_pairs(
+        multimodal.audio_fingerprint_signatures(
+            multimodal.attach_wav_textured(docs, "doc_id", twin_every=7, gain_shift=1)
+        ),
+        "doc_id", "afp", bits=63, max_hamming=2,
+    )
+    vid = dedup.jaccard_join_prefix(
+        multimodal.video_phash_tokens(
+            multimodal.attach_avi_textured(docs, "doc_id", twin_every=7)
+        ),
+        "doc_id", "frame_hash", 1, 2,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        img.select("doc_a", "doc_b", F.lit("i").alias("m"))
+        .unionByName(aud.select("doc_a", "doc_b", F.lit("a").alias("m")))
+        .unionByName(
+            vid.select(
+                F.col("id1").alias("doc_a"), F.col("id2").alias("doc_b"),
+                F.lit("v").alias("m"),
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.doc_a, r.doc_b): r.n for r in ev.collect()}
+    assert all(1 <= n <= 3 for n in got.values())
+    planted = {(k - 1, k) for k in ids if k % 7 == 0 and (k - 1) in ids}
+    for p in planted:
+        assert got.get(p) == 3, f"planted {p} evidence {got.get(p)} != 3"
+
+    clusters = {r.doc_id: r.rep_id for r in
+                dedup.duplicate_clusters(ev, "doc_a", "doc_b").collect()}
+    for a, b in planted:
+        assert clusters[b] <= a and clusters[a] == clusters[b]

@@ -1556,10 +1556,13 @@ def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with ties taking their
     AVERAGE rank. Same fixed length-logistic score predicting
     lang='en', rounded 6dp BEFORE grouping (the FP discipline), then
-    pure BIGINT arithmetic: per-score (n, positives), a cumulative
-    window over the bounded distinct-score table, and doubled rank
-    sums (×2 keeps average ranks integer) — no per-row sort at scale,
-    one hash-agg shuffle plus a window over |distinct scores| rows."""
+    pure BIGINT arithmetic: per-score (n, positives), an EXCLUSIVE
+    global prefix sum over the distinct-score order via the
+    frozen-bin two-pass operator (layout.global_prefix_sum — no
+    Exchange SinglePartition, the discipline the export pipeline's
+    shard offsets use; scores are distinct post-group, so binning has
+    no tie hazard), and doubled rank sums (×2 keeps average ranks
+    integer)."""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     score = F.round(
@@ -1581,8 +1584,9 @@ def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("p"),
         )
     )
-    win = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
-    w = g.withColumn("cum", F.coalesce(F.sum("n").over(win), F.lit(0)))
+    from .operators.layout import global_prefix_sum
+
+    w = global_prefix_sum(g, ["score"], "n", out_col="cum", exclusive=True)
     t = w.agg(
         F.sum(F.col("p") * (2 * F.col("cum") + F.col("n") + 1))
         .cast("long")

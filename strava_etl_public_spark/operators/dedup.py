@@ -1205,3 +1205,104 @@ def edit_distance_join(
         .filter(F.col("distance") <= max_d)
         .select("id1", "id2", "distance")
     )
+
+
+def hamming_incremental_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    prior_pairs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 63,
+    max_hamming: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """INCREMENTAL maintenance of the Hamming radius self-join (the
+    round-8 maintenance theme applied to fingerprint dedup): given the
+    corpus signature table, a NEW batch's signatures, and the
+    already-verified corpus pairs, produce the pair set of
+    (corpus ∪ batch) at cost proportional to the BATCH.
+
+    Exactness argument — simpler than the MinHash-LSH case because
+    pigeonhole blocking is stateless: pairs(C ∪ B) partitions exactly
+    into pairs(C) (given: ``prior_pairs``) ∪ pairs touching B. Every
+    pair within the radius shares ≥1 chunk value, so pairs touching B
+    are found COMPLETELY by equi-joining B's chunk table against the
+    union's chunk table — one bucket join keyed by the batch, never a
+    corpus×corpus regeneration. The hub guard applies only to the new
+    candidates (prior pairs are already verified output). Dedup at
+    the end removes the batch-batch pair double-count and any prior
+    pair rediscovered through a batch doc's bucket (impossible by
+    construction — batch ids are new — but cheap insurance against a
+    caller passing overlapping ids)."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+
+    def chunk_table(sigs: DataFrame) -> DataFrame:
+        cols = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("band_idx"),
+                    F.shiftright(F.col("_sig"), c * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .cast("long")
+                    .alias("h"),
+                )
+                for c in range(chunks)
+            ]
+        )
+        return (
+            sigs.select(F.col(id_col), F.col(sig_col).alias("_sig"))
+            .select(id_col, "_sig", F.explode(cols).alias("b"))
+            .select(id_col, "_sig", "b.band_idx", "b.h")
+        )
+
+    from pyspark import StorageLevel
+
+    union_chunks = chunk_table(
+        corpus_sigs.unionByName(batch_sigs)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    batch_chunks = chunk_table(batch_sigs)
+
+    try:
+        # bucket occupancy guard computed on the union (same hub
+        # semantics as the full path: oversized buckets emit spokes
+        # against the bucket min only)
+        w = Window.partitionBy("band_idx", "h")
+        ann = union_chunks.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_min_id", F.min(id_col).over(w)
+        )
+        probe = batch_chunks.select(
+            "band_idx", "h", F.col(id_col).alias("_bid"), F.col("_sig").alias("_bsig")
+        )
+        cand = (
+            ann.join(probe, ["band_idx", "h"])
+            .filter(F.col(id_col) != F.col("_bid"))
+            .filter((F.col("_n") <= max_bucket) | (F.col("_min_id") == F.col(id_col)) | (F.col("_min_id") == F.col("_bid")))
+            .select(
+                F.least(F.col(id_col), F.col("_bid")).alias("doc_a"),
+                F.greatest(F.col(id_col), F.col("_bid")).alias("doc_b"),
+                F.when(F.col(id_col) < F.col("_bid"), F.col("_sig"))
+                .otherwise(F.col("_bsig"))
+                .alias("sa"),
+                F.when(F.col(id_col) < F.col("_bid"), F.col("_bsig"))
+                .otherwise(F.col("_sig"))
+                .alias("sb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        new_pairs = (
+            cand.withColumn(
+                "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+        return (
+            prior_pairs.select("doc_a", "doc_b", "hamming")
+            .unionByName(new_pairs)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        union_chunks.unpersist()

@@ -1157,6 +1157,43 @@ def x_pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
+@register_extra("x_mm_phash_incremental")
+def x_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image-dedup maintenance — the multimodal face of
+    the round-8 maintenance theme (x_dedup_incremental for MinHash,
+    x_sim_ivf_incremental for ANN, x_fingerprint_incremental for
+    digests): when a new image batch lands (doc_id % 10 == 0 plays
+    the batch), fold its pHash signatures into the corpus pair state
+    at batch-proportional cost — prior verified pairs are reused
+    verbatim, and only buckets a batch doc touches generate
+    candidates (dedup.hamming_incremental_pairs; pigeonhole blocking
+    is stateless, so pairs(C∪B) = pairs(C) ∪ pairs-touching-B exactly
+    — the equality is pinned against full recompute in
+    tests/test_multimodal.py, not just asserted). Signature stage
+    decodes ONLY the batch's images. Rows-only gate (real codec +
+    DCT)."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    sig_c = multimodal.phash_signatures(
+        multimodal.attach_png_textured(corpus, "doc_id", twin_every=7, brightness=25)
+    )
+    sig_b = multimodal.phash_signatures(
+        multimodal.attach_png_textured(batch, "doc_id", twin_every=7, brightness=25)
+    )
+    prior = dedup.hamming_near_dup_pairs(sig_c, "doc_id", "phash", bits=63, max_hamming=2)
+    merged = dedup.hamming_incremental_pairs(
+        sig_c, sig_b, prior, "doc_id", "phash", bits=63, max_hamming=2
+    )
+    return merged.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        (F.col("doc_b") % 10 == 0).alias("batch_side"),
+    )
+
+
 @register("x_mm_jpeg_stats", oracle=_jpeg_oracle())
 def x_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSY-format decode stage with a REAL codec on the hot

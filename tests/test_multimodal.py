@@ -524,3 +524,66 @@ def test_media_dedup_pipeline_cross_modal_evidence(spark):
                 dedup.duplicate_clusters(ev, "doc_a", "doc_b").collect()}
     for a, b in planted:
         assert clusters[b] <= a and clusters[a] == clusters[b]
+
+
+def test_hamming_incremental_equals_full_recompute(spark):
+    """pairs(corpus ∪ batch) built incrementally (prior pairs + batch
+    bucket probes) must EQUAL the full recompute — on hot-bucket-free
+    data this is exact set equality, not an approximation."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import (
+        hamming_incremental_pairs,
+        hamming_near_dup_pairs,
+    )
+    from strava_etl_public_spark.operators.multimodal import (
+        attach_png_textured,
+        phash_signatures,
+    )
+
+    ids = list(range(1, 140))
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    sig_all = phash_signatures(
+        attach_png_textured(docs, "doc_id", twin_every=7, brightness=25)
+    ).localCheckpoint(eager=True)
+    sig_c = sig_all.filter("doc_id % 10 != 0")
+    sig_b = sig_all.filter("doc_id % 10 == 0")
+
+    prior = hamming_near_dup_pairs(sig_c, "doc_id", "phash", bits=63, max_hamming=2)
+    inc = hamming_incremental_pairs(
+        sig_c, sig_b, prior, "doc_id", "phash", bits=63, max_hamming=2
+    )
+    full = hamming_near_dup_pairs(sig_all, "doc_id", "phash", bits=63, max_hamming=2)
+
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in inc.collect()}
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in full.collect()}
+    assert got == want
+    # and the batch genuinely contributed (70 is a planted twin of 69)
+    assert any(b % 10 == 0 or a % 10 == 0 for a, b, _ in got)
+
+
+def test_hamming_incremental_hub_guard_keeps_connectivity(spark):
+    """With an artificially tiny max_bucket the incremental path must
+    still connect every batch doc in a hot bucket to the bucket hub
+    (star semantics), never drop it silently."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.dedup import hamming_incremental_pairs
+
+    # 30 identical signatures → every chunk bucket is hot at max_bucket=4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(1, 21)), "phash": [12345] * 20})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(21, 31)), "phash": [12345] * 10})
+    )
+    prior = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1] * 19, "doc_b": list(range(2, 21)), "hamming": [0] * 19})
+    )
+    inc = hamming_incremental_pairs(
+        corpus, batch, prior, "doc_id", "phash", bits=63, max_hamming=2, max_bucket=4
+    )
+    rows = {(r.doc_a, r.doc_b) for r in inc.collect()}
+    covered = {b for a, c in rows for b in (a, c)}
+    for bid in range(21, 31):
+        assert bid in covered, f"batch doc {bid} dropped by hub guard"

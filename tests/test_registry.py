@@ -52,6 +52,7 @@ ORACLE_EXEMPT_EXTRAS = {
     "x_mm_audio_fp_neardup",
     "x_mm_video_phash_neardup",
     "x_pipeline_media_dedup",
+    "x_mm_phash_incremental",
 }
 
 

@@ -988,3 +988,82 @@ def video_phash_tokens(payloads: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame({id_col: ids, "frame_hash": hashes})
 
     return payloads.mapInPandas(_toks, schema=f"{id_col} long, frame_hash long")
+
+
+def attach_png_corrupt(
+    df: DataFrame, id_col: str, text_col: str, every: int = 13
+) -> DataFrame:
+    """attach_png with PLANTED corruption: every ``every``-th doc's
+    payload is truncated to its first 20 bytes (valid signature, torn
+    IHDR) — the poisoned-shard fixture for the decode-quarantine
+    pattern. Deterministic, so a SQL oracle knows exactly which rows
+    must quarantine."""
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def render(doc_id: int, text) -> bytes:
+            payload = pngcodec.deterministic_png(
+                hashlib.sha256(str(text).encode()).digest()
+            )
+            if doc_id % every == 0:
+                return payload[:20]
+            return payload
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        render(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _attach, schema=f"{id_col} long, payload binary"
+    )
+
+
+def decode_image_quarantine(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The decode stage with PER-ROW fault isolation — the media twin
+    of the JSONL corrupt-record capture (badRecordsPath semantics): a
+    payload the codec rejects becomes a quarantine row (status
+    'quarantined', NULL stats) instead of killing the task, the batch,
+    and the job with it; good rows decode exactly as decode_image. At
+    100 TB a poisoned shard is a certainty, and one torn byte range
+    must never cost a 10-hour pipeline. Statuses are fixed constants
+    (not exception text) so the output is engine-portable and
+    oracle-checkable."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "status": [], "width": [], "height": [],
+                "channels": [], "mean_intensity": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    w, h, c, mean = pngcodec.decode_stats(bytes(payload))
+                    rows["status"].append("ok")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["mean_intensity"].append(mean)
+                except (ValueError, NotImplementedError):
+                    rows["status"].append("quarantined")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["channels"].append(None)
+                    rows["mean_intensity"].append(None)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, status string, width int, height int, "
+            "channels int, mean_intensity double"
+        ),
+    )

@@ -349,6 +349,63 @@ FROM m
 """
 
 
+def _decode_quarantine_oracle(every: int = 13) -> str:
+    """Closed-form oracle for the quarantine decode: rows whose
+    doc_id % every == 0 carry truncated payloads and MUST quarantine
+    with NULL stats; every other row decodes to the digest-predicted
+    stats (same math as _decode_oracle)."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             8 + {byte(0)} % 56 AS w,
+             8 + {byte(1)} % 56 AS ht,
+             CASE WHEN {byte(2)} % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             {byte(3)} AS s
+      FROM hh),
+m AS (SELECT doc_id, w, ht, ch,
+             SUM(CASE WHEN ch = 1 THEN (s + y) % 256
+                      ELSE (s + y) % 256 + (s + y + 85) % 256 + (s + y + 170) % 256
+                 END) AS rowsum
+      FROM p, LATERAL (SELECT unnest(generate_series(0, ht - 1)) AS y) u
+      GROUP BY doc_id, w, ht, ch)
+SELECT doc_id,
+       CASE WHEN doc_id % {every} = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % {every} = 0 THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+       CASE WHEN doc_id % {every} = 0 THEN NULL ELSE CAST(ht AS INTEGER) END AS height,
+       CASE WHEN doc_id % {every} = 0 THEN NULL ELSE CAST(ch AS INTEGER) END AS channels,
+       CASE WHEN doc_id % {every} = 0 THEN NULL
+            ELSE round(CAST(w * rowsum AS DOUBLE) / (w * ht * ch) / 255.0, 6)
+       END AS mean_intensity
+FROM m
+"""
+
+
+@register_extra("x_mm_decode_quarantine", oracle=_decode_quarantine_oracle())
+def x_mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stage FAULT ISOLATION, oracle-exact end-to-end — the
+    media twin of the resilient JSONL ingest (x_source_jsonl_corrupt):
+    every 13th payload is planted torn (valid signature, truncated
+    IHDR), the Arrow decode kernel quarantines exactly those rows
+    with NULL stats and a fixed status constant (never exception
+    text), and every healthy row still decodes through the REAL PNG
+    path to its digest-predicted stats. One bad byte range must never
+    kill a 10-hour scan — and the oracle proves the quarantine
+    boundary lands on exactly the planted rows, with zero collateral
+    damage to neighbors in the same Arrow batch."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_png_corrupt(docs, "doc_id", "text", every=13)
+    out = multimodal.decode_image_quarantine(payloads, "doc_id")
+    return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
 @register_extra("x_mm_decode_stats", oracle=_decode_oracle())
 def x_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode stage with a REAL codec on the hot path: synthesize a

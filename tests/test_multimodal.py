@@ -587,3 +587,25 @@ def test_hamming_incremental_hub_guard_keeps_connectivity(spark):
     covered = {b for a, c in rows for b in (a, c)}
     for bid in range(21, 31):
         assert bid in covered, f"batch doc {bid} dropped by hub guard"
+
+
+def test_decode_quarantine_isolates_bad_rows(spark):
+    """A torn payload quarantines its OWN row only — neighbors in the
+    same Arrow batch decode normally; a fully bogus payload (bad
+    signature) quarantines too rather than raising."""
+    import pandas as pd
+
+    from strava_etl_public_spark.operators.multimodal import (
+        attach_png_corrupt,
+        decode_image_quarantine,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(26)), "text": [f"t{i}" for i in range(26)]})
+    )
+    out = decode_image_quarantine(
+        attach_png_corrupt(docs, "doc_id", "text", every=13)
+    ).toPandas().set_index("doc_id")
+    assert set(out[out.status == "quarantined"].index) == {0, 13}
+    good = out[out.status == "ok"]
+    assert len(good) == 24 and good.width.notna().all()

@@ -2265,3 +2265,347 @@ def x_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape battery completion: the semi/anti/correlated-subquery planners
+# (Q4 EXISTS, Q13 outer-join distribution, Q16 NOT-IN anti + COUNT DISTINCT,
+#  Q17 correlated scalar aggregate, Q21 EXISTS + NOT EXISTS self-join,
+#  Q22 anti join against a global scalar).  Together with Q1/Q3/Q5/Q6/Q7/
+#  Q10/Q12/Q14/Q15/Q18/Q19 these close the relational-shape inventory a
+#  reference user would expect from a warehouse front door.
+# ---------------------------------------------------------------------------
+
+
+@register_extra(
+    "x_tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE epoch_ns(o.o_orderdate) // 1000000000 >= 820454400
+  AND epoch_ns(o.o_orderdate) // 1000000000 < 852076800
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_ns(l.l_shipdate) // 1000000000
+          > epoch_ns(o.o_orderdate) // 1000000000 + 30 * 86400
+  )
+GROUP BY o_orderpriority
+""",
+)
+def x_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: a correlated EXISTS whose
+    inner predicate crosses tables (any line item shipped >30 days
+    after the order date) — the canonical semi-join planning shape.
+    Expressed as LEFT SEMI with a compound (equi + inequality)
+    condition: the equi key keeps it a hash/sort-merge semi join, the
+    inequality rides along as a post-probe filter, and each qualifying
+    order is counted ONCE no matter how many late lines it has —
+    exactly what a rewrite through an inner join + distinct would need
+    an extra shuffle to guarantee. The 1-year date window is pushed to
+    the orders scan. At 100 TB the semi join's build side is the
+    filtered orders year, not all of lineitem."""
+    ensure_harness_conf(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    o = (
+        o.withColumn("_d", ep.epoch_s(o, "o_orderdate"))
+        .drop("o_orderdate")
+        .filter((F.col("_d") >= 820454400) & (F.col("_d") < 852076800))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    l = l.withColumn("_s", ep.epoch_s(l, "l_shipdate")).drop("l_shipdate")
+    sel = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l["_s"] > o["_d"] + F.lit(30 * 86400)),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register_extra(
+    "x_tpch_q13_custdist",
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def x_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order distribution: LEFT OUTER join
+    with the filter INSIDE the join condition (a WHERE would silently
+    turn it into an inner join and drop zero-order customers — the
+    classic outer-join bug), COUNT of the nullable right key so
+    unmatched customers count 0, then a second aggregation over the
+    first's output. Two shuffles by construction (custkey, then
+    c_count); the second input is one row per customer, so the second
+    exchange is tiny at any scale."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register_extra(
+    "x_tpch_q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def x_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier count: NOT IN against a key subquery
+    (an anti join — safe here because s_suppkey is non-null; the
+    NULL-poisoned NOT IN variant is covered by the fuzzer's dialect
+    battery), a selective dimension filter, and COUNT(DISTINCT) per
+    group. The complaint-supplier set is tiny → broadcast anti join;
+    part is a broadcast dim; the only real shuffle is the distinct
+    aggregation on (brand, type, size, suppkey)."""
+    ensure_harness_conf(spark)
+    comp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2500)
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(comp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@register_extra(
+    "x_tpch_q17_small_qty",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(38,6)) * 2 * pa.cnt < pa.sq
+""",
+)
+def x_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: the correlated scalar
+    aggregate (l_quantity < 0.5 * per-part average) decorrelated into
+    one per-part aggregate joined back to the fact — the rewrite every
+    modern planner performs, made explicit. The threshold compare is
+    exact integer/DECIMAL arithmetic (qty*2*cnt < sum) instead of a
+    floating 0.5*avg, so the boundary can never drift between engines
+    or partial-agg orders. Per-part stats are tiny relative to
+    lineitem; at 100 TB the agg output still fans back in on the same
+    partkey shuffle key the join uses, so AQE coalesces the two."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "_pk"), F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(38,6)") * 2 * F.col("cnt")
+            < F.col("sq")
+        )
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register_extra(
+    "x_tpch_q21_waiting_supplier",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         epoch_ns(l_shipdate) // 1000000000 AS s
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, o_orderstatus,
+         epoch_ns(o_orderdate) // 1000000000 AS d
+  FROM orders
+),
+lt AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.s > o.d + 300 * 86400) AS late, o.o_orderstatus
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+)
+SELECT sup.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lt l1
+JOIN supplier sup ON sup.s_suppkey = l1.l_suppkey
+WHERE l1.late AND l1.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lt l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lt l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY sup.s_name
+""",
+)
+def x_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier audit: the hardest planning
+    shape in the suite — EXISTS plus NOT EXISTS against the SAME
+    derived relation (another supplier participated in the order /
+    no other supplier was also late). 'Late' is a cross-table
+    property (ship > order date + 300 days), so the derived lt
+    relation joins lineitem to orders once and BOTH quantified
+    subqueries reuse it: the EXISTS becomes a LEFT SEMI and the NOT
+    EXISTS a LEFT ANTI, each on the orderkey equi key with the
+    supplier inequality as the residual — no correlated re-execution,
+    no cartesian. At scale all three passes share one orderkey
+    shuffle and AQE handles the skewed multi-line orders."""
+    ensure_harness_conf(spark)
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l = l.withColumn("_s", ep.epoch_s(l, "l_shipdate")).drop("l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    o = o.withColumn("_d", ep.epoch_s(o, "o_orderdate")).drop("o_orderdate")
+    lt = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("late", F.col("_s") > F.col("_d") + F.lit(300 * 86400))
+        .select("l_orderkey", "l_suppkey", "late", "o_orderstatus")
+    )
+    pairs = lt.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"), "late"
+    )
+    base = lt.filter(F.col("late") & (F.col("o_orderstatus") == "F"))
+    base = base.join(
+        pairs.select("_ok", "_sk"),
+        (base.l_orderkey == F.col("_ok")) & (base.l_suppkey != F.col("_sk")),
+        "left_semi",
+    )
+    base = base.join(
+        pairs.filter(F.col("late")).select("_ok", "_sk"),
+        (base.l_orderkey == F.col("_ok")) & (base.l_suppkey != F.col("_sk")),
+        "left_anti",
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        base.join(F.broadcast(sup), base.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register_extra(
+    "x_tpch_q22_dormant_customers",
+    oracle="""
+WITH tot AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+urgent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND epoch_ns(o_orderdate) // 1000000000 >= 915148800
+)
+SELECT CAST(c.c_nationkey % 5 AS INTEGER) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer c CROSS JOIN tot
+WHERE CAST(c.c_acctbal AS DECIMAL(38,6)) * tot.n > tot.s
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM urgent)
+GROUP BY cntrycode
+""",
+)
+def x_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-customer report: an anti join against
+    a filtered activity set (customers with NO urgent order since
+    1999) gated by a global scalar aggregate (balance above the
+    average positive balance). The scalar is a 1-row broadcast; the
+    above-average compare is exact cross-multiplied DECIMAL
+    (bal * n > sum) so no engine-specific AVG rounding can flip a
+    boundary row; the anti join's build side is the small distinct
+    urgent-customer key set. Country code stands in for the
+    reference's phone prefix (the fixture has no phone column) —
+    same grouping shape."""
+    ensure_harness_conf(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    tot = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_orderdate")
+    o = o.withColumn("_d", ep.epoch_s(o, "o_orderdate"))
+    urgent = (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("_d") >= 915148800))
+        .select("o_custkey")
+        .distinct()
+    )
+    sel = (
+        c.join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_acctbal").cast("decimal(38,6)") * F.col("n") > F.col("s"))
+    )
+    return (
+        sel.withColumn("cntrycode", (F.col("c_nationkey") % 5).cast("int"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -2609,3 +2609,77 @@ def x_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: native recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_KHOP_RECURSIVE_SQL = """
+WITH RECURSIVE reach(node, level) AS (
+  SELECT {seed}, 0
+  UNION ALL
+  SELECT DISTINCT e.dst, t.level + 1
+  FROM reach t JOIN {edges} e ON e.src = t.node
+  WHERE t.level < {max_level}
+)
+SELECT node, CAST(min(level) AS INT) AS level
+FROM reach GROUP BY node
+"""
+
+
+@register_extra(
+    "x_sql_recursive_khop",
+    oracle="""
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+e AS (
+  SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM sp
+  UNION ALL
+  SELECT 'p:' || CAST(l_partkey AS VARCHAR),
+         's:' || CAST(l_suppkey AS VARCHAR) FROM sp
+)
+SELECT node, CAST(min(level) AS INT) AS level FROM (
+  WITH RECURSIVE reach(node, level) AS (
+    SELECT 's:0', 0
+    UNION ALL
+    SELECT DISTINCT e.dst, t.level + 1
+    FROM reach t JOIN e ON e.src = t.node
+    WHERE t.level < 3
+  )
+  SELECT * FROM reach
+) GROUP BY node
+""",
+)
+def x_sql_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front door: WITH RECURSIVE runs
+    NATIVELY in Spark 4 (iterative union-loop execution inside the
+    engine), here computing 3-hop BFS distances over the supplier⇄part
+    bipartite graph from seed 's:0' — the same traversal
+    operators/graph.khop_bfs builds imperatively with a driver loop.
+    The recursive step is a pure equi join (the OR-disjunction
+    formulation would degrade to a nested loop; the edge relation is
+    pre-oriented as src→dst instead), the per-iteration DISTINCT
+    bounds each frontier by the node count, and level < 3 terminates
+    the fixpoint. min(level) per node turns path enumeration into BFS
+    distance. The oracle is DuckDB's own recursive CTE over the
+    identical edge relation — engine-to-engine recursion parity."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).union(
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    view = f"khop_edges_{uuid.uuid4().hex[:8]}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            _KHOP_RECURSIVE_SQL.format(seed="'s:0'", edges=view, max_level=3)
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)

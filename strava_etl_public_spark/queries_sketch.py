@@ -538,6 +538,35 @@ def x_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
 
 
+@register_extra("x_udtf_chunk_windows", oracle=_chunk_oracle())
+def x_udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunking operator re-expressed through Spark 4's Python
+    UDTF extension point (operators/udtfs.ChunkWindowsUDTF): an
+    Arrow-batched table function invoked as a LATERAL generator from
+    SQL, oracle-gated to the SAME answer as the declarative HOF twin
+    (x_text_chunk_windows shares this oracle verbatim). This is the
+    sanctioned imperative escape hatch — per-row Python that EMITS
+    ROWS — and the gate proves the extension point preserves every
+    row, not just the API shape. The hot path remains the codegen'd
+    twin; tests/test_udtf.py pins row-identity between the two."""
+    ensure_harness_conf(spark)
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+            FROM {view} d, LATERAL chunk_windows_udtf(d.text, 64, 48) c
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 @register_extra("x_text_pack_chunks")  # no SQL oracle: sequential
 # first-fit bin state is not SQL-expressible; invariants (exactly-one
 # pack per chunk, fill <= budget, determinism under repartitioning,

@@ -779,6 +779,64 @@ def x_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "x_variant_shred",
+    oracle="""
+SELECT event_type AS t,
+       CAST(user_id % 3 AS VARCHAR) AS tag1,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n_missing_null
+FROM events GROUP BY 1, 2
+""",
+)
+def x_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT round-trip shred (Spark 4's semi-structured type): each
+    event is rendered to a NESTED JSON document (scalar + object +
+    array fields), parsed into a VARIANT with parse_json, then shredded
+    back with typed path extraction — object path ($.m.t), array index
+    ($.tags[1]), typed double ($.m.v), and a missing path whose
+    try_variant_get must be NULL on every row (n_missing_null == n is
+    the null-semantics proof). The oracle computes the same aggregate
+    straight from the source columns, so the gate proves the VARIANT
+    encode→parse→extract cycle is exactly value-preserving — the
+    contract a schemaless ingest path needs before you trust it at
+    100 TB (VARIANT's binary encoding scans without re-parsing text
+    JSON per query, and Catalyst pushes the typed extractions into the
+    scan)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    j = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.struct(
+                    F.col("event_type").alias("t"), F.round("value", 6).alias("v")
+                ).alias("m"),
+                F.array(
+                    F.col("event_type"), (F.col("user_id") % 3).cast("string")
+                ).alias("tags"),
+            )
+        ).alias("js")
+    )
+    v = j.select(F.parse_json(F.col("js")).alias("v"))
+    out = v.select(
+        F.try_variant_get(F.col("v"), "$.m.t", "string").alias("t"),
+        F.try_variant_get(F.col("v"), "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(F.col("v"), "$.m.v", "double").alias("val"),
+        F.try_variant_get(F.col("v"), "$.missing", "string").alias("miss"),
+    )
+    return out.groupBy("t", "tag1").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("val").cast("decimal(38,6)")).cast("double").alias("sum_v"),
+        F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_null"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product analytics: LOCF fill, running distinct, cohorts, funnel
 # ---------------------------------------------------------------------------

@@ -765,6 +765,119 @@ def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register_extra(
+    "x_stream_stream_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+c AS (SELECT user_id, event_id AS click_id, value AS click_value, es AS c_es
+      FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS view_id, es AS v_es
+      FROM e WHERE event_type = 'view')
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(count(DISTINCT c.click_id) AS BIGINT) AS n_clicks,
+       CAST(SUM(CAST(c.click_value AS DECIMAL(38,6))) AS DOUBLE) AS sum_click_value
+FROM c JOIN v
+  ON c.user_id = v.user_id AND c.c_es >= v.v_es AND c.c_es <= v.v_es + 21600
+GROUP BY c.user_id
+""",
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (click→view attribution)
+    as a real Structured Streaming query: clicks and views are two
+    watermarked stateful inputs, joined on user with a 6-hour
+    attribution range (streaming/ingest.attribution_join). The range
+    condition + watermarks are what BOUND the buffered join state (a
+    view evicts once the click watermark passes view_time + 6 h) —
+    the missing streaming face next to the windowed/stateful/dedup
+    rows. The emitted pair set must equal the batch interval join
+    exactly (inner join + finite source ⇒ every qualifying pair emits
+    once); the memory-sink rows are aggregated per user for a compact
+    oracle-exact gate."""
+    ensure_harness_conf(spark)
+    import shutil
+
+    from .streaming.ingest import EVENTS_SCHEMA, attribution_join
+
+    stage = _stage_events_dir(spark, sf_dir)
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        joined = attribution_join(stream, window_s=21600)
+        out = _run_stream(spark, joined, "append")
+        return (
+            out.groupBy(F.col("l_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_attributed"),
+                F.countDistinct("l_id").cast("long").alias("n_clicks"),
+                F.sum(F.col("l_value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_click_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_dedup_watermark",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def x_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup with bounded state: the fixture is
+    staged TWICE as separate files and streamed one file per
+    micro-batch, so every event's duplicate arrives in a LATER batch —
+    dropDuplicatesWithinWatermark must suppress it from the state
+    store across batches, not within one (the single-batch run would
+    be vacuous; maxFilesPerTrigger=1 forces the cross-batch case).
+    The deduped stream must aggregate to EXACTLY the original table
+    (n == n_distinct per type is the exactly-once proof inside the
+    result itself). Unlike plain dropDuplicates, state evicts at the
+    watermark horizon — O(keys in the horizon), the only version that
+    survives an unbounded stream."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import EVENTS_SCHEMA, dedup_within_watermark, normalize_events
+
+    stage = tempfile.mkdtemp(prefix="dup_stream_")
+    try:
+        ev = normalize_events(load(spark, sf_dir, "events")).coalesce(1)
+        ev.write.mode("overwrite").parquet(stage)
+        ev.write.mode("append").parquet(stage)  # duplicate copy, new file
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        deduped = dedup_within_watermark(stream, ["event_id"], watermark="2 hours")
+        out = _run_stream(spark, deduped, "append")
+        return (
+            out.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.countDistinct("event_id").cast("long").alias("n_distinct"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Streaming near-dup ingest filter (r7, sixteenth batch)
 # ---------------------------------------------------------------------------

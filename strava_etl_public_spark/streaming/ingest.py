@@ -606,3 +606,72 @@ def read_neardup_verdicts(spark: SparkSession, state_path: str) -> DataFrame:
     return v.select(
         "doc_id", (F.col("owner") < F.col("doc_id")).alias("is_dup")
     )
+
+
+def attribution_join(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    window_s: int = 21600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the attribution
+    pattern (every click joined to the views it could credit, within
+    a trailing window). Both sides carry their own watermark, and the
+    time-range condition is what lets the engine BOUND the join state:
+    a buffered view can be evicted as soon as the click-side watermark
+    passes ``view_time + window``, so state is O(events inside the
+    window), not O(stream history) — the property that makes a
+    stream-stream join survivable at 100 TB/day. Inner join: rows emit
+    as soon as both sides have arrived, and with a finite source every
+    qualifying pair emits exactly once, which is what the batch-join
+    oracle checks.
+
+    The two sides are carved out of one normalized event stream (the
+    engine plans them as two independent stateful inputs); joining two
+    physically distinct sources is the same code with two readStreams.
+    """
+    s = with_event_time(stream)
+    left = (
+        s.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_id"),
+            F.col("value").alias("l_value"),
+            F.col("event_time").alias("l_time"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    right = (
+        s.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("event_time").alias("r_time"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_time") >= F.col("r_time"))
+        & (F.col("l_time") <= F.col("r_time") + F.expr(f"INTERVAL {window_s} SECONDS")),
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and — the
+    scale contract plain ``dropDuplicates`` cannot make — EVICTS a
+    key's dedup state once the watermark passes its event time, so
+    state is O(keys inside the watermark horizon), not O(all keys
+    ever). The trade is explicit: duplicates separated by more than
+    the watermark delay are NOT collapsed; an at-least-once upstream
+    (Kafka redelivery, file-source replay) re-emits within seconds, so
+    a horizon of hours bounds state while holding exactly-once for
+    every real redelivery mode."""
+    return with_event_time(stream).withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(keys)

@@ -512,3 +512,43 @@ def test_incremental_clusters_stream_equals_batch_and_replays(spark, tmp_path):
         for r in read_incremental_clusters(spark, state).collect()
     )
     assert got2 == want
+
+
+def test_stream_stream_join_matches_batch_across_batches(spark, staged_events, tmp_path):
+    """The watermarked interval join must emit EXACTLY the batch join's
+    pair set even when the two sides of a pair arrive in different
+    micro-batches (one file per trigger): a click buffered before its
+    view — or after — still matches from the join state store."""
+    from strava_etl_public_spark.functions import epoch as ep
+    from strava_etl_public_spark.streaming.ingest import attribution_join
+
+    src = str(tmp_path / "ssj_src")
+    base = spark.read.parquet(staged_events)
+    base.repartition(5).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = attribution_join(stream, window_s=21600, watermark="3650 days")
+    out = _run(spark, joined.select("l_id", "r_id"), "append")
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+
+    e = base.withColumn("es", ep.epoch_s(base, "ts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("es").alias("ces")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("vid"), F.col("es").alias("ves")
+    )
+    want = {
+        (r["cid"], r["vid"])
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("ces") >= F.col("ves"))
+            & (F.col("ces") <= F.col("ves") + 21600),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

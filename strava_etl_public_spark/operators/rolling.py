@@ -301,3 +301,55 @@ def rolling_triang_pandas_oracle(
         # convolution exactly like pandas' win_type rolling (no skipping)
         out[w - 1 :] = np.convolve(x, wts[::-1], mode="valid") / norm
     return pd.Series(out, index=values.index)
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the smoothing
+    recursion s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ (pandas ewm
+    adjust=False semantics; the reference's rolling means are the
+    finite-window cousins, reference main.py:83-106 — EWMA is the
+    unbounded-memory smoother a sensor pipeline reaches for next).
+
+    The recursion is inherently SEQUENTIAL in event order, so this is
+    a textbook case for the sanctioned imperative path: applyInPandas
+    per key (one shuffle on the key, Arrow batches, each series
+    smoothed in one linear pass). The closed-form window rewrite
+    (sₜ = (1−α)ᵗ·Σ xᵢ·α/(1−α)ⁱ) is NOT used: (1−α)⁻ⁱ overflows
+    double by i≈700 at α=0.3, so the "pure SQL" version is a numerical
+    trap at exactly the series lengths where scale matters.
+
+    Determinism: the Python loop performs literally s = α·x + (1−α)·s
+    in IEEE double, the same arithmetic an engine-side recursion
+    (e.g. a recursive CTE) performs — results are bit-equal given the
+    same (order_cols) total order, so callers must pass a tie-free
+    ordering. State is one double per key; series length is unbounded.
+    """
+    import pandas as pd
+
+    keep = list(dict.fromkeys(key_cols + order_cols + [value_col]))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} double"
+    a = float(alpha)
+    b = 1.0 - a
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf[value_col]:
+            x = float(x)
+            s = x if s is None else a * x + b * s
+            out.append(s)
+        pdf[out_col] = out
+        return pdf
+
+    return df.select(*keep).groupBy(*key_cols).applyInPandas(_smooth, schema)

@@ -2683,3 +2683,316 @@ def x_sql_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register_extra(
+    "x_tpch_q2_min_cost_supplier",
+    oracle="""
+WITH rs AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name IN ('ASIA', 'EUROPE')
+),
+cost AS (
+  SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS best
+  FROM lineitem l JOIN rs ON rs.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+pm AS (SELECT l_partkey, min(best) AS mn FROM cost GROUP BY 1)
+SELECT pt.p_partkey, pt.p_type, rs.s_name, rs.s_acctbal, rs.n_name,
+       c.best AS min_price
+FROM cost c
+JOIN pm ON pm.l_partkey = c.l_partkey AND c.best = pm.mn
+JOIN part pt ON pt.p_partkey = c.l_partkey
+JOIN rs ON rs.s_suppkey = c.l_suppkey
+WHERE pt.p_size <= 10
+""",
+)
+def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: the correlated
+    equal-to-groupwise-MIN subquery (cheapest offer per part among
+    suppliers of a region, TIES INCLUDED) over a region→nation→
+    supplier snowflake. Decorrelated the planner's way: one per-(part,
+    supplier) aggregate, a per-part min over it, and an equality join
+    back — dims broadcast, and the min comparison is on the raw double
+    (same value both engines, no arithmetic). The region filter
+    prunes the supplier side BEFORE any lineitem work, the order the
+    correlated form obscures but a 100 TB plan needs."""
+    ensure_harness_conf(spark)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("r_regionkey")
+    )
+    rs = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    cost = (
+        li.join(F.broadcast(rs.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("best"))
+    )
+    pm = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(F.min("best").alias("mn"))
+    pt = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        cost.join(pm, (cost.l_partkey == F.col("_pk")) & (cost.best == F.col("mn")))
+        .join(F.broadcast(pt), cost.l_partkey == pt.p_partkey)
+        .join(F.broadcast(rs), cost.l_suppkey == rs.s_suppkey)
+        .select(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            F.col("best").alias("min_price"),
+        )
+    )
+
+
+@register_extra(
+    "x_tpch_q11_important_parts",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey % 3 = 0
+  GROUP BY l_partkey
+),
+t AS (SELECT SUM(val) AS tot, CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT v.l_partkey, CAST(v.val AS DOUBLE) AS part_value
+FROM v, t
+WHERE v.val * t.n * 10 > t.tot * 12
+""",
+)
+def x_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock report: groups whose aggregate
+    exceeds a scalar aggregate over the SAME relation (here 1.2× the
+    mean part value, a scale-free threshold; textbook Q11's fixed
+    fraction of the total breaks the moment row counts change). The
+    HAVING compare is exact cross-multiplied DECIMAL
+    (val·n·10 > tot·12) — no division, no FP boundary; the global
+    (tot, n) is a 1-row broadcast against the already-aggregated
+    per-part table, so the second pass is free at any scale."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 3 == 0)
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("val")
+        )
+    )
+    t = v.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val") * F.col("n") * 10 > F.col("tot") * 12)
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register_extra(
+    "x_tpch_q20_part_promotion",
+    oracle="""
+WITH wp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+hv AS (
+  SELECT l_suppkey
+  FROM lineitem l JOIN wp ON wp.p_partkey = l.l_partkey
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM hv)
+""",
+)
+def x_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped promotion-candidate suppliers: the NESTED
+    IN-subquery chain — suppliers IN (heavy shippers of parts IN
+    (name-filtered part set)). Planned as two stacked semi joins: the
+    part name filter broadcasts into lineitem, a (suppkey, partkey)
+    aggregate applies the HAVING volume threshold, and the surviving
+    supplier keys semi-join the supplier dim (IN = LEFT SEMI, so a
+    supplier qualifying via many parts still emits once). Each layer
+    shrinks the next layer's input — the nesting ORDER is the plan."""
+    ensure_harness_conf(spark)
+    wp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    hv = (
+        li.join(F.broadcast(wp), li.l_partkey == wp.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(hv, s.s_suppkey == hv.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register_extra(
+    "x_tpch_q8_market_share",
+    oracle="""
+WITH mkt AS (
+  SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS val,
+         year(make_timestamp((epoch_ns(o.o_orderdate) // 1000000000) * 1000000))
+           AS yr,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+)
+SELECT yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN val
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(val) AS DOUBLE) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM mkt WHERE yr IN (1996, 1997) GROUP BY yr
+""",
+)
+def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: the CASE-numerator /
+    total-denominator ratio per group over a 6-table snowflake (two
+    ROLES of the nation dim — customer side filters the market region,
+    supplier side labels the numerator — joined twice under different
+    aliases). Both sums accumulate in DECIMAL and the share is ONE
+    double division of two exact sums at the edge, so partial-agg
+    order can't move the ratio. The only big join is
+    lineitem⋈orders on the shared orderkey shuffle; every dim
+    broadcasts."""
+    ensure_harness_conf(spark)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    o = o.withColumn(
+        "yr", F.year(F.timestamp_seconds(ep.epoch_s(o, "o_orderdate")))
+    ).drop("o_orderdate")
+    o = o.filter(F.col("yr").isin(1996, 1997))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    mkt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select("yr", "supp_nation", val.alias("val"))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return mkt.groupBy("yr").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("val")).otherwise(zero)).cast("double")
+            / F.sum("val").cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register_extra(
+    "x_tpch_q9_nation_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       year(make_timestamp((epoch_ns(o.o_orderdate) // 1000000000) * 1000000))
+         AS yr,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - pt.p_retailprice * 0.5 * l.l_quantity
+                     AS DECIMAL(38,6))) AS DOUBLE) AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part pt ON pt.p_partkey = l.l_partkey AND pt.p_name LIKE '%bolt%'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY nation, yr
+""",
+)
+def x_tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by (supplier nation, order
+    year): a LIKE-filtered part dim broadcast into lineitem FIRST (the
+    most selective edge prunes the fact before the orderkey shuffle),
+    then orders for the year and supplier→nation for the label.
+    Profit per line (revenue − cost, cost standing on p_retailprice
+    since the fixture has no partsupp) is computed in one DECIMAL
+    expression per row and summed exactly — the multi-term arithmetic
+    never rides double partial sums."""
+    ensure_harness_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    pt = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = o.withColumn(
+        "yr", F.year(F.timestamp_seconds(ep.epoch_s(o, "o_orderdate")))
+    ).drop("o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "nation"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    j = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return j.groupBy("nation", "yr").agg(
+        F.sum(profit).cast("double").alias("profit"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )

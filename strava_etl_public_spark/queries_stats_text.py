@@ -837,6 +837,51 @@ def x_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "x_ts_ewma",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) AS rn
+  FROM events
+),
+r(user_id, event_id, rn, s) AS (
+  SELECT user_id, event_id, rn, value FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, 0.3 * b.value + 0.7 * r.s
+  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, round(s, 6) AS ewma
+FROM r
+""",
+)
+def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (α=0.3) of the event value series — the
+    inherently-sequential recursion sₜ = α·xₜ + (1−α)·sₜ₋₁ run through
+    the sanctioned imperative path (operators/rolling.ewma_by_key:
+    applyInPandas per key, one shuffle, one linear Arrow pass per
+    series, one double of state). The oracle is DuckDB's RECURSIVE CTE
+    computing the SAME recursion step-by-step — both engines execute
+    literally s = 0.3·x + 0.7·s in IEEE double over the identical
+    tie-free (epoch_ns, event_id) order, so the match is bit-exact
+    before the single edge rounding. The closed-form window rewrite is
+    deliberately rejected: its (1−α)⁻ⁱ factor overflows double at
+    series length ~700 — precisely the scale where it would matter."""
+    ensure_harness_conf(spark)
+    from .operators.rolling import ewma_by_key
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ev = ev.withColumn("_ns", ep.epoch_ns(ev, "ts")).drop("ts")
+    out = ewma_by_key(
+        ev, ["user_id"], ["_ns", "event_id"], "value", alpha=0.3, out_col="_s"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("_s", 6).alias("ewma")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product analytics: LOCF fill, running distinct, cohorts, funnel
 # ---------------------------------------------------------------------------

@@ -211,3 +211,25 @@ def test_triang_quantized_matches_oracle_on_quantized_input(spark, seed):
                 atol=1e-9,
                 err_msg=f"key={k} w={w}",
             )
+
+
+def test_ewma_by_key_hand_case_and_partition_invariance(spark):
+    from strava_etl_public_spark.operators.rolling import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k long, t long, v double",
+    )
+    out = ewma_by_key(df, ["k"], ["t"], "v", alpha=0.5, out_col="s")
+    got = {(r["k"], r["t"]): r["s"] for r in out.collect()}
+    # s1=10, s2=.5*20+.5*10=15, s3=.5*30+.5*15=22.5; singleton seeds at x1
+    assert got == {(1, 1): 10.0, (1, 2): 15.0, (1, 3): 22.5, (2, 1): 5.0}
+
+    # the recursion is a pure function of (key, order) — physical
+    # partitioning must not change a single bit
+    shuffled = df.repartition(7)
+    got2 = {
+        (r["k"], r["t"]): r["s"]
+        for r in ewma_by_key(shuffled, ["k"], ["t"], "v", 0.5, "s").collect()
+    }
+    assert got2 == got

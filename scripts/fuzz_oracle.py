@@ -831,6 +831,106 @@ FROM {t} WHERE {pred}"""
     return ("string_edges", spark_sql, duck_sql)
 
 
+def shape_recursive(rng, pools):
+    """Recursive CTE fixpoints (round-8 fourth wave: the surface
+    x_sql_recursive_khop just enabled): bounded integer recursions run
+    identically through Spark 4's and DuckDB's WITH RECURSIVE — an
+    arithmetic series fold, a modular key walk, and a multi-row-anchor
+    walk seeded FROM a table. All-integer arithmetic, depth bounded
+    well under Spark's default recursion limit; the aggregate edge
+    casts keep dtypes aligned."""
+    variant = rng.randrange(3)
+    if variant == 0:
+        s = rng.randint(0, 9)
+        st = rng.randint(1, 4)
+        steps = rng.randint(5, 60)
+        lim = s + st * steps
+        sql = (
+            f"WITH RECURSIVE t(n, acc) AS ("
+            f"SELECT {s}, CAST({s} AS BIGINT) UNION ALL "
+            f"SELECT n + {st}, acc + n + {st} FROM t WHERE n < {lim}) "
+            f"SELECT CAST(count(*) AS BIGINT) AS a0, "
+            f"CAST(max(acc) AS BIGINT) AS a1, "
+            f"CAST(sum(n) AS BIGINT) AS a2 FROM t"
+        )
+        return ("recursive", sql)
+    if variant == 1:
+        k0 = rng.randint(0, 24)
+        a = rng.choice([3, 7, 11, 17])
+        b = rng.randint(0, 24)
+        d = rng.randint(3, 9)
+        sql = (
+            f"WITH RECURSIVE w(k, level) AS ("
+            f"SELECT {k0}, 0 UNION ALL "
+            f"SELECT CAST((w.k * {a} + {b}) % 25 AS INT), w.level + 1 "
+            f"FROM w WHERE w.level < {d}) "
+            f"SELECT CAST(count(*) AS BIGINT) AS a0, "
+            f"CAST(count(DISTINCT k) AS BIGINT) AS a1, "
+            f"CAST(sum(k * level) AS BIGINT) AS a2 FROM w"
+        )
+        return ("recursive", sql)
+    # multi-row anchor seeded from a real table: every seed walks the
+    # same modular successor function in lockstep
+    a = rng.choice([3, 7, 9])
+    b = rng.randint(0, 24)
+    d = rng.randint(2, 6)
+    hi = rng.randint(2, 6)
+    sql = (
+        f"WITH RECURSIVE w(k, level) AS ("
+        f"SELECT CAST(n_nationkey AS INT), 0 FROM nation "
+        f"WHERE n_nationkey < {hi} UNION ALL "
+        f"SELECT CAST((w.k * {a} + {b}) % 25 AS INT), w.level + 1 "
+        f"FROM w WHERE w.level < {d}) "
+        f"SELECT level, CAST(count(*) AS BIGINT) AS a0, "
+        f"CAST(count(DISTINCT k) AS BIGINT) AS a1, "
+        f"CAST(min(k) AS BIGINT) AS a2, CAST(max(k) AS BIGINT) AS a3 "
+        f"FROM w GROUP BY level"
+    )
+    return ("recursive", sql)
+
+
+def shape_variant_path(rng, pools):
+    """VARIANT / JSON path extraction (the surface x_variant_shred
+    enabled): a nested JSON document is constructed from real columns,
+    parsed, and shredded back with typed paths — object field, string
+    field, and array index. Spark goes through parse_json → VARIANT →
+    variant_get; DuckDB through to_json(struct_pack) → json extraction
+    operators — a per-dialect pair whose VALUES must round-trip to the
+    source columns on both engines. Only non-null columns are used
+    (Spark's to_json drops null fields by default while DuckDB renders
+    them — a documented serialization divergence, sidestepped here)."""
+    t = rng.choice(["orders", "customer", "events"])
+    ints = _cols_of(t, ("int", "key"))
+    cats = _cols_of(t, ("cat", "name"))
+    (iref, _, _), (cref, _, _) = rng.choice(ints), rng.choice(cats)
+    key = UNIQUE[t][0]
+    m = rng.randint(3, 97)
+    idx = rng.randrange(2)
+    mod, res = rng.choice([(7, 3), (5, 0), (11, 6)])
+    pred = f"{key} % {mod} = {res}"
+    spark_sql = f"""
+SELECT {key} AS id,
+       CAST(variant_get(v, '$.a', 'bigint') AS BIGINT) AS a0,
+       variant_get(v, '$.s', 'string') AS a1,
+       CAST(variant_get(v, '$.arr[{idx}]', 'bigint') AS BIGINT) AS a2
+FROM (SELECT {key},
+             parse_json(to_json(named_struct(
+               'a', {iref} % {m}, 's', {cref},
+               'arr', array({iref} % 13, {iref} % 29)))) AS v
+      FROM {t} WHERE {pred})"""
+    duck_sql = f"""
+SELECT {key} AS id,
+       CAST(j->>'$.a' AS BIGINT) AS a0,
+       j->>'$.s' AS a1,
+       CAST(j->>'$.arr[{idx}]' AS BIGINT) AS a2
+FROM (SELECT {key},
+             to_json(struct_pack(
+               a := {iref} % {m}, s := {cref},
+               arr := [{iref} % 13, {iref} % 29])) AS j
+      FROM {t} WHERE {pred})"""
+    return ("variant_path", spark_sql, duck_sql)
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -851,6 +951,10 @@ SHAPES = [
     (shape_hof_array, 3),
     (shape_digest, 2),
     (shape_string_edges, 3),
+    # round-8 fourth wave: the surfaces the recursive-CTE and VARIANT
+    # queries just enabled
+    (shape_recursive, 2),
+    (shape_variant_path, 2),
 ]
 
 

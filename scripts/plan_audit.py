@@ -119,6 +119,25 @@ def main() -> int:
         "x_eval_auc",
         "x_global_row_ids",
         "x_ids_incremental",
+        # round-8 fourth wave: the TPC-H shape-battery closure (live
+        # plans; x_sql_recursive_khop / x_udtf_chunk_windows and the
+        # streaming rows checkpoint or sink internally — audited at
+        # change time). x_ts_ewma is EXCLUDED by design: its
+        # FlatMapGroupsInPandas is the sanctioned imperative path and
+        # would false-positive a python-eval check meant for scalar
+        # row-at-a-time UDFs.
+        "x_tpch_q2_min_cost_supplier",
+        "x_tpch_q4_order_priority",
+        "x_tpch_q8_market_share",
+        "x_tpch_q9_nation_profit",
+        "x_tpch_q11_important_parts",
+        "x_tpch_q13_custdist",
+        "x_tpch_q16_supplier_cnt",
+        "x_tpch_q17_small_qty",
+        "x_tpch_q20_part_promotion",
+        "x_tpch_q21_waiting_supplier",
+        "x_tpch_q22_dormant_customers",
+        "x_variant_shred",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

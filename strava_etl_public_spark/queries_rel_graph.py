@@ -2996,3 +2996,47 @@ def x_tpch_q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(profit).cast("double").alias("profit"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
+
+
+@register_extra(
+    "x_sql_lateral_topk",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+WHERE o.o_orderpriority = '1-URGENT'
+""",
+)
+def x_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT through the
+    SQL front door — top-2 line items per urgent order, the
+    top-k-per-group pattern written the way an analyst writes it.
+    Catalyst DECORRELATES the per-row subquery into a set-based plan
+    (window/rank over a single join) rather than re-executing it per
+    outer row — the property that separates a lateral join from a
+    driver loop at 100 TB. Ties broken by l_linenumber so the LIMIT
+    frontier is deterministic; the oracle is the identical SQL text in
+    DuckDB (both engines implement standard LATERAL)."""
+    ensure_harness_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ov = f"orders_lat_{uuid.uuid4().hex[:8]}"
+    lv = f"lineitem_lat_{uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(ov)
+    li.createOrReplaceTempView(lv)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+            FROM {ov} o, LATERAL (
+              SELECT l_linenumber, l_extendedprice FROM {lv}
+              WHERE l_orderkey = o.o_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+            WHERE o.o_orderpriority = '1-URGENT'
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(ov)
+        spark.catalog.dropTempView(lv)

@@ -882,6 +882,64 @@ def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "x_observe_metrics",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(user_id) AS BIGINT) AS sum_uid
+  FROM events WHERE value > 10 GROUP BY event_type
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS obs_rows_scanned,
+         CAST(sum(user_id) AS BIGINT) AS obs_sum_uid
+  FROM events
+)
+SELECT g.event_type, g.n, g.sum_uid, t.obs_rows_scanned, t.obs_sum_uid
+FROM g CROSS JOIN t
+""",
+)
+def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline observability (the Observation API): scan-
+    level metrics (rows scanned, exact BIGINT checksum) are collected
+    by `df.observe` DURING the same job that computes a filtered
+    aggregate — zero extra passes, zero extra shuffles. At 100 TB the
+    alternative is a second full scan per monitored metric; observe
+    rides the existing one (accumulator semantics, exact for the
+    integer aggregates used here — double sums would be partial-order
+    dependent, which is why the checksum is BIGINT). The oracle
+    recomputes both the result AND the observed metrics from the
+    table, so the gate proves the observation measured the true
+    pre-filter input, not the filtered stream."""
+    ensure_harness_conf(spark)
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    obs = Observation(f"metrics_{uuid.uuid4().hex[:8]}")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum("user_id").alias("sum_uid"),
+    )
+    agg = (
+        observed.filter(F.col("value") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .localCheckpoint(eager=True)  # runs the job; fills the observation
+    )
+    m = obs.get
+    return agg.withColumns(
+        {
+            "obs_rows_scanned": F.lit(int(m["n_scanned"])).cast("long"),
+            "obs_sum_uid": F.lit(int(m["sum_uid"])).cast("long"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product analytics: LOCF fill, running distinct, cohorts, funnel
 # ---------------------------------------------------------------------------

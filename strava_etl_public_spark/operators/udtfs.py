@@ -55,3 +55,34 @@ class ChunkWindowsUDTF:
 def register_udtfs(spark) -> None:
     """Idempotently register the UDTF inventory on a session."""
     spark.udtf.register("chunk_windows_udtf", ChunkWindowsUDTF)
+    spark.udtf.register("ewma_final_udtf", EwmaFinalUDTF)
+
+
+@udtf(returnType="user_id bigint, n bigint, ewma double")
+class EwmaFinalUDTF:
+    """TABLE-argument UDTF — the second Python table-function
+    invocation form: `ewma_final_udtf(TABLE(v) PARTITION BY user_id
+    ORDER BY (_ns, event_id))`. The engine shuffles rows by the
+    PARTITION BY key, sorts each partition by the ORDER BY, and feeds
+    one UDTF INSTANCE per partition row-by-row — per-partition
+    imperative state via the SQL front door (the shape
+    applyInPandasWithState covers in streaming, here for batch SQL
+    users). Computes the FINAL per-key EWMA state (α=0.3), running
+    literally the same s = 0.3·x + 0.7·s recursion as
+    rolling.ewma_by_key — tests pin bit-identity between the two and
+    the oracle is the recursive-CTE last-value query."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._s = None
+
+    def eval(self, row):
+        self._key = row["user_id"]
+        self._n += 1
+        x = float(row["value"])
+        self._s = x if self._s is None else 0.3 * x + 0.7 * self._s
+
+    def terminate(self):
+        if self._key is not None:
+            yield (self._key, self._n, self._s)

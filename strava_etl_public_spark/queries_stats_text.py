@@ -883,6 +883,59 @@ def x_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_udtf_table_ewma",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) AS rn
+  FROM events
+),
+r(user_id, event_id, rn, s) AS (
+  SELECT user_id, event_id, rn, value FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, 0.3 * b.value + 0.7 * r.s
+  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+),
+mx AS (SELECT user_id, max(rn) AS m FROM b GROUP BY user_id)
+SELECT r.user_id, CAST(mx.m AS BIGINT) AS n, round(r.s, 6) AS ewma
+FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.m
+""",
+)
+def x_udtf_table_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-argument Python UDTF: `ewma_final_udtf(TABLE(v)
+    PARTITION BY user_id ORDER BY (_ns, event_id))` — the engine
+    shuffles by the key, sorts each partition, and runs one UDTF
+    instance per partition with terminate() emitting the final state:
+    per-partition imperative logic THROUGH THE SQL FRONT DOOR, the
+    batch twin of the streaming stateful processor. Computes each
+    user's final EWMA (α=0.3) with the identical IEEE recursion as
+    x_ts_ewma, so the recursive-CTE oracle's last-value row matches
+    bit-for-bit; tests also pin identity against rolling.ewma_by_key
+    (three independent implementations, one answer)."""
+    ensure_harness_conf(spark)
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ev = ev.withColumn("_ns", ep.epoch_ns(ev, "ts")).drop("ts")
+    view = f"ev_udtf_{uuid.uuid4().hex[:8]}"
+    ev.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT user_id, n, round(ewma, 6) AS ewma
+            FROM ewma_final_udtf(TABLE({view})
+                                 PARTITION BY user_id
+                                 ORDER BY (_ns, event_id))
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register_extra(
     "x_observe_metrics",
     oracle="""
 WITH g AS (

@@ -66,3 +66,42 @@ def test_udtf_overlap_and_tail_rule(spark):
     assert rows == twin
     assert [r[1] for r in rows] == [0, 1, 2]
     assert rows[-1][3] == 4 and rows[-1][2] == "w6 w7 w8 w9"
+
+
+def test_table_arg_udtf_matches_ewma_operator(spark, sf_dir):
+    """Three implementations, one answer: the TABLE-argument UDTF's
+    final per-key EWMA must be bit-identical to the last row of
+    rolling.ewma_by_key (the oracle gate pins the third — the
+    recursive-CTE — against the query)."""
+    from pyspark.sql import Window as W
+
+    from strava_etl_public_spark.functions import epoch as ep
+    from strava_etl_public_spark.operators.rolling import ewma_by_key
+
+    register_udtfs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    ev = ev.withColumn("_ns", ep.epoch_ns(ev, "ts")).drop("ts")
+    ev.createOrReplaceTempView("t_udtf_ev")
+    got = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in spark.sql(
+            """
+            SELECT * FROM ewma_final_udtf(TABLE(t_udtf_ev)
+                                          PARTITION BY user_id
+                                          ORDER BY (_ns, event_id))
+            """
+        ).collect()
+    }
+    op = ewma_by_key(ev, ["user_id"], ["_ns", "event_id"], "value", 0.3, "s")
+    w = W.partitionBy("user_id").orderBy(F.desc("_ns"), F.desc("event_id"))
+    last = op.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    counts = {
+        r["user_id"]: r["c"]
+        for r in op.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    want = {
+        r["user_id"]: (counts[r["user_id"]], r["s"]) for r in last.collect()
+    }
+    assert got == want and len(got) > 0

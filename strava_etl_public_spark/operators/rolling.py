@@ -310,12 +310,22 @@ def ewma_by_key(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    init_state: DataFrame | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average per key — the smoothing
     recursion s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ (pandas ewm
     adjust=False semantics; the reference's rolling means are the
     finite-window cousins, reference main.py:83-106 — EWMA is the
     unbounded-memory smoother a sensor pipeline reaches for next).
+
+    ``init_state`` (key_cols + ``s0`` double) makes the fold
+    RESUMABLE: keys present in the state seed their recursion at s₀
+    instead of the first value — the incremental-maintenance contract.
+    Because the recursion is associative-over-prefix (the state after
+    a prefix is all a suffix needs), folding a strictly-later batch
+    from the stored state is EXACTLY equal to recomputing the full
+    series; state is one double per key, cost is one broadcast join +
+    the batch's rows, never the corpus.
 
     The recursion is inherently SEQUENTIAL in event order, so this is
     a textbook case for the sanctioned imperative path: applyInPandas
@@ -341,9 +351,22 @@ def ewma_by_key(
     a = float(alpha)
     b = 1.0 - a
 
+    has_state = init_state is not None
+    src = df.select(*keep)
+    if has_state:
+        st = init_state.select(
+            *[F.col(k) for k in key_cols], F.col("s0").alias("_s0")
+        )
+        src = src.join(F.broadcast(st), key_cols, "left")
+
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        s = None
+        if has_state:
+            s0 = pdf["_s0"].iloc[0]
+            s = None if pd.isna(s0) else float(s0)
+            pdf = pdf.drop(columns=["_s0"])
+        else:
+            s = None
         out = []
         for x in pdf[value_col]:
             x = float(x)
@@ -352,4 +375,4 @@ def ewma_by_key(
         pdf[out_col] = out
         return pdf
 
-    return df.select(*keep).groupBy(*key_cols).applyInPandas(_smooth, schema)
+    return src.groupBy(*key_cols).applyInPandas(_smooth, schema)

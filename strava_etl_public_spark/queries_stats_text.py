@@ -936,6 +936,68 @@ def x_udtf_table_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_ts_ewma_incremental",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) AS rn
+  FROM events
+),
+r(user_id, event_id, es, rn, s) AS (
+  SELECT user_id, event_id, es, rn, value FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.es, b.rn, 0.3 * b.value + 0.7 * r.s
+  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, round(s, 6) AS ewma
+FROM r WHERE es >= 1705400000
+""",
+)
+def x_ts_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EWMA maintenance — the round-8 maintenance theme
+    applied to the time-series family: the corpus BEFORE the cutoff is
+    folded once into one double of state per key
+    (rolling.ewma_by_key's last row), then ONLY the arriving batch is
+    folded from that state (init_state seeding). The EWMA recursion is
+    associative-over-prefix — the state after a prefix is everything a
+    suffix needs — so the resumed fold is EXACTLY equal to the full
+    recompute: the oracle runs the recursion over the WHOLE series and
+    filters to the batch rows, and the gate demands bit-equality. Cost
+    scales with the batch (one broadcast of P doubles + batch rows),
+    never the corpus — the same contract as incremental MinHash/pHash/
+    IVF/fingerprint maintenance."""
+    ensure_harness_conf(spark)
+    from .operators.rolling import ewma_by_key
+
+    cut = 1705400000
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ev = (
+        ev.withColumn("_ns", ep.epoch_ns(ev, "ts"))
+        .withColumn("_es", ep.epoch_s(ev, "ts"))
+        .drop("ts")
+    )
+    past = ev.filter(F.col("_es") < cut).drop("_es")
+    batch = ev.filter(F.col("_es") >= cut).drop("_es")
+    folded = ewma_by_key(past, ["user_id"], ["_ns", "event_id"], "value", 0.3, "_s")
+    w = W.partitionBy("user_id").orderBy(F.desc("_ns"), F.desc("event_id"))
+    state = (
+        folded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("_s").alias("s0"))
+    )
+    resumed = ewma_by_key(
+        batch, ["user_id"], ["_ns", "event_id"], "value", 0.3, "_s",
+        init_state=state,
+    )
+    return resumed.select(
+        "user_id", "event_id", F.round("_s", 6).alias("ewma")
+    )
+
+
+@register_extra(
     "x_observe_metrics",
     oracle="""
 WITH g AS (

@@ -233,3 +233,31 @@ def test_ewma_by_key_hand_case_and_partition_invariance(spark):
         for r in ewma_by_key(shuffled, ["k"], ["t"], "v", 0.5, "s").collect()
     }
     assert got2 == got
+
+
+def test_ewma_resume_equals_full_fold(spark):
+    """Prefix-fold + resumed suffix == one full fold, bit for bit —
+    incl. a key absent from the prefix (state None -> suffix seeds at
+    its own first value) and a key absent from the suffix."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from strava_etl_public_spark.operators.rolling import ewma_by_key
+
+    rows = [(k, t, float((k * 7 + t * 3) % 11) + 0.25) for k in (1, 2) for t in range(6)]
+    rows.append((3, 5, 9.5))  # key 3 exists ONLY in the suffix
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    full = ewma_by_key(df, ["k"], ["t"], "v", 0.3, "s")
+
+    past = df.filter("t < 3")
+    batch = df.filter("t >= 3")
+    folded = ewma_by_key(past, ["k"], ["t"], "v", 0.3, "s")
+    w = W.partitionBy("k").orderBy(F.desc("t"))
+    state = (
+        folded.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("k", F.col("s").alias("s0"))
+    )
+    resumed = ewma_by_key(batch, ["k"], ["t"], "v", 0.3, "s", init_state=state)
+    want = {(r["k"], r["t"]): r["s"] for r in full.filter("t >= 3").collect()}
+    got = {(r["k"], r["t"]): r["s"] for r in resumed.collect()}
+    assert got == want and (3, 5) in got

@@ -936,6 +936,94 @@ def x_udtf_table_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_session_window_builtin",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events
+),
+o AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+s AS (
+  SELECT user_id, es,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY es
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(min(es) AS BIGINT) AS s_start,
+       CAST(max(es) + 1800 AS BIGINT) AS s_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+""",
+)
+def x_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's BUILT-IN session_window in a BATCH aggregation —
+    the declarative twin of q_sessionize's gaps-and-islands rewrite
+    (and of the streaming x_stream_session_window). Spark merges
+    events whose gap is STRICTLY under the 30-minute timeout (a new
+    session starts when diff >= gap — the [start, start+gap) window
+    extension rule), so the islands oracle uses >= on the break
+    condition and reconstructs end = last_event + gap. The gate pins
+    the two formulations' session boundaries, counts, and extents
+    equal row-for-row — the boundary semantics a hand-rolled
+    sessionizer most often gets wrong."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    ev = ev.withColumn("et", F.timestamp_seconds(ep.epoch_s(ev, "ts"))).drop("ts")
+    return (
+        ev.groupBy("user_id", F.session_window("et", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("s_start"),
+            F.col("session_window.end").cast("long").alias("s_end"),
+            "n",
+        )
+    )
+
+
+@register_extra(
+    "x_ansi_try_functions",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(event_type AS INT) AS bad_cast,
+       TRY_CAST(CAST(event_id AS VARCHAR) AS INT) AS good_cast,
+       round(value / nullif(user_id % 5, 0), 6) AS safe_div,
+       CASE WHEN event_id > 0 THEN NULL
+            ELSE 9223372036854775807 + event_id END AS safe_add
+FROM events
+""",
+)
+def x_ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ANSI arithmetic: try_cast / try_divide / try_add
+    turn per-row failures (unparseable cast, division by zero, BIGINT
+    overflow) into NULLs instead of job-killing exceptions — at 100 TB
+    one malformed row must NOT fail a 1000-executor stage, and these
+    are the row-level counterpart of the dead-letter patterns
+    (JSONL corrupt capture, media decode quarantine). The oracle
+    mirrors each neutralization explicitly: TRY_CAST both sides,
+    x / nullif(y, 0) for the zero divisor, and a CASE reproducing the
+    overflow boundary (max_bigint + id overflows for every positive
+    id) — so the gate proves WHICH rows neutralize, not just that the
+    query survives."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.col("event_id").cast("string").try_cast("int").alias("good_cast"),
+        F.round(F.try_divide(F.col("value"), F.col("user_id") % 5), 6).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id")).alias("safe_add"),
+    )
+
+
+@register_extra(
     "x_ts_ewma_incremental",
     oracle="""
 WITH RECURSIVE b AS (

@@ -590,7 +590,7 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_sim_topk_lsh_arrow", oracle=_lsh_oracle(n_planes=4, n_tables=12))
+@register_extra("x_sim_topk_lsh_arrow", oracle=_lsh_oracle(n_planes=4, n_tables=12))
 def x_sim_topk_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated ANN top-5 via multi-table hyperplane LSH, Arrow
     path: all 48 bucket codes per vector from one matmul per Arrow

@@ -354,7 +354,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
 
 
-@register_extra(
+@register(
     "x_stream_stream_join",
     oracle="""
 WITH e AS (
@@ -2628,7 +2628,7 @@ FROM reach GROUP BY node
 """
 
 
-@register_extra(
+@register(
     "x_sql_recursive_khop",
     oracle="""
 WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),

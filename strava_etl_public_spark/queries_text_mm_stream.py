@@ -766,64 +766,6 @@ def x_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
-    "x_stream_stream_join",
-    oracle="""
-WITH e AS (
-  SELECT event_id, user_id, event_type, value,
-         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
-  FROM events
-),
-c AS (SELECT user_id, event_id AS click_id, value AS click_value, es AS c_es
-      FROM e WHERE event_type = 'click'),
-v AS (SELECT user_id, event_id AS view_id, es AS v_es
-      FROM e WHERE event_type = 'view')
-SELECT c.user_id,
-       CAST(count(*) AS BIGINT) AS n_attributed,
-       CAST(count(DISTINCT c.click_id) AS BIGINT) AS n_clicks,
-       CAST(SUM(CAST(c.click_value AS DECIMAL(38,6))) AS DOUBLE) AS sum_click_value
-FROM c JOIN v
-  ON c.user_id = v.user_id AND c.c_es >= v.v_es AND c.c_es <= v.v_es + 21600
-GROUP BY c.user_id
-""",
-)
-def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked STREAM-STREAM interval join (click→view attribution)
-    as a real Structured Streaming query: clicks and views are two
-    watermarked stateful inputs, joined on user with a 6-hour
-    attribution range (streaming/ingest.attribution_join). The range
-    condition + watermarks are what BOUND the buffered join state (a
-    view evicts once the click watermark passes view_time + 6 h) —
-    the missing streaming face next to the windowed/stateful/dedup
-    rows. The emitted pair set must equal the batch interval join
-    exactly (inner join + finite source ⇒ every qualifying pair emits
-    once); the memory-sink rows are aggregated per user for a compact
-    oracle-exact gate."""
-    ensure_harness_conf(spark)
-    import shutil
-
-    from .streaming.ingest import EVENTS_SCHEMA, attribution_join
-
-    stage = _stage_events_dir(spark, sf_dir)
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-        joined = attribution_join(stream, window_s=21600)
-        out = _run_stream(spark, joined, "append")
-        return (
-            out.groupBy(F.col("l_user").alias("user_id"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_attributed"),
-                F.countDistinct("l_id").cast("long").alias("n_clicks"),
-                F.sum(F.col("l_value").cast("decimal(38,6)"))
-                .cast("double")
-                .alias("sum_click_value"),
-            )
-            .localCheckpoint()
-        )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
-@register_extra(
     "x_stream_dedup_watermark",
     oracle="""
 SELECT event_type,

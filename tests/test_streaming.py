@@ -552,3 +552,84 @@ def test_stream_stream_join_matches_batch_across_batches(spark, staged_events, t
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
+    """The scale contract of the watermarked interval join: buffered
+    state is bounded by the watermark horizon, NOT by stream history.
+    A time-ordered stream (one file per micro-batch, each a later
+    hour) with a 1-hour watermark and a 10-minute join range must
+    finish with far fewer buffered rows than the total fed through —
+    and still emit exactly the batch join's pairs (time-ordered input
+    means nothing is late, so eviction can't drop a real match)."""
+    from strava_etl_public_spark.functions import epoch as ep
+    from strava_etl_public_spark.streaming.ingest import attribution_join
+
+    import pandas as pd
+
+    base = 1704067200  # epoch seconds, hour-aligned
+    rows = []
+    eid = 0
+    for hour in range(24):
+        for k in range(20):
+            eid += 1
+            typ = "click" if k % 2 == 0 else "view"
+            # views at :00+k min, clicks k*37s later — some pairs in range
+            ts_s = base + hour * 3600 + (k * 60 if typ == "view" else k * 60 + 37)
+            rows.append((eid, ts_s * 1_000_000_000, eid % 5, typ, float(k)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    src = str(tmp_path / "ss_state_src")
+    df = spark.createDataFrame(pdf)
+    # one file per hour, written in time order so file order == event order
+    for hour in range(24):
+        lo = (base + hour * 3600) * 1_000_000_000
+        hi = (base + (hour + 1) * 3600) * 1_000_000_000
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    joined = attribution_join(stream, window_s=600, watermark="1 hour")
+    name = "t_ss_state"
+    q = (
+        joined.select("l_id", "r_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        state_rows = sum(op["numRowsTotal"] for op in prog["stateOperators"])
+    finally:
+        q.stop()
+    total_events = len(rows)
+    # horizon = 1 h watermark + 10 min range over a 24 h stream: final
+    # state must hold only the tail hours, not the whole day
+    assert state_rows < total_events / 3, (state_rows, total_events)
+
+    got = {(r["l_id"], r["r_id"]) for r in spark.table(name).collect()}
+    e = df.withColumn("es", ep.epoch_s(df, "ts"))
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("es").alias("ces")
+    )
+    v = e.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("vid"), F.col("es").alias("ves")
+    )
+    want = {
+        (r["cid"], r["vid"])
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("ces") >= F.col("ves"))
+            & (F.col("ces") <= F.col("ves") + 600),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1006,13 +1006,21 @@ def is_known_divergence(shape: str, s_df: pd.DataFrame, d_df: pd.DataFrame) -> s
     set () as one row with count 0 / NULL aggregates. Accepted as a
     divergence, not a failure — the engine's rollup/cube queries
     document Spark semantics."""
-    if (
-        shape == "rollup"
-        and len(s_df) == 0
-        and len(d_df) == 1
-        and d_df.iloc[0].isna().sum() >= len(d_df.columns) - 1
-    ):
-        return "spark: empty-input CUBE/ROLLUP emits no grand-total row"
+    if shape == "rollup" and len(s_df) == 0 and len(d_df) == 1:
+        # the grand-total row over an EMPTY input: every group key is
+        # NULL and every aggregate is NULL or a zero count. The first
+        # predicate (r7) demanded all-but-one column NaN, which broke
+        # the moment a query carried TWO count aggregates (both 0,
+        # neither NaN) — seed 88023's catch is the same divergence.
+        row = d_df.iloc[0]
+        gcols = [c for c in d_df.columns if c.lower().startswith("g")]
+        acols = [c for c in d_df.columns if c not in gcols]
+        import pandas as _pd
+
+        if gcols and all(_pd.isna(row[c]) for c in gcols) and all(
+            _pd.isna(row[c]) or row[c] == 0 for c in acols
+        ):
+            return "spark: empty-input CUBE/ROLLUP emits no grand-total row"
     return None
 
 

@@ -936,6 +936,101 @@ def x_udtf_table_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_stream_ewma",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) AS rn
+  FROM events
+),
+r(user_id, rn, s) AS (
+  SELECT user_id, rn, value FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, 0.3 * b.value + 0.7 * r.s
+  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+),
+mx AS (SELECT user_id, max(rn) AS m FROM b GROUP BY user_id),
+days AS (SELECT CAST(count(DISTINCT es // 86400) AS BIGINT) AS n_batches FROM b)
+SELECT r.user_id, round(r.s, 6) AS ewma, days.n_batches
+FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.m
+CROSS JOIN days
+""",
+)
+def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA — the time-series face of incremental
+    maintenance run as a real checkpointed stream: events staged one
+    FILE PER CALENDAR DAY (written in day order, so one-file-per-
+    trigger delivers batches key-time-ordered), a foreachBatch sink
+    (streaming/ingest.ewma_merge_batch) folding each day from ONE
+    DOUBLE of persisted state per user, replay-idempotent via
+    per-batch markers. The final state must equal the batch
+    recursion over the WHOLE series bit-for-bit (associative-over-
+    prefix), and the oracle carries `n_batches` = distinct days so a
+    vacuous single-batch run FAILS the row — the same anti-vacuity
+    discipline as x_stream_incremental_clusters."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import (
+        EVENTS_SCHEMA,
+        ewma_stream_sink,
+        normalize_events,
+        _read_state,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    norm = normalize_events(ev)
+    day = (ep.epoch_s(norm, "ts") / 86400).cast("long")
+    norm = norm.withColumn("_day", day)
+    days = [r["_day"] for r in norm.select("_day").distinct().orderBy("_day").collect()]
+
+    stage = tempfile.mkdtemp(prefix="ewma_stream_")
+    state = tempfile.mkdtemp(prefix="ewma_state_")
+    ckpt = tempfile.mkdtemp(prefix="ewma_ckpt_")
+    try:
+        for d in days:  # one file per day, written in day order
+            norm.filter(F.col("_day") == d).drop("_day").coalesce(1).write.mode(
+                "append"
+            ).parquet(stage)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+        stream = stream.withColumn("_ns", ep.epoch_ns(stream, "ts")).drop("ts")
+        q = ewma_stream_sink(
+            stream, state, ckpt,
+            ["user_id"], ["_ns", "event_id"], "value", 0.3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = len(
+            [f for f in os.listdir(state) if f.startswith("_done_")]
+        )
+        final = _read_state(spark, state)
+        return (
+            final.select(
+                "user_id",
+                F.round("s0", 6).alias("ewma"),
+                F.lit(n_batches).cast("long").alias("n_batches"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register_extra(
     "x_session_window_builtin",
     oracle="""
 WITH e AS (
@@ -984,6 +1079,52 @@ def x_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register_extra(
+    "x_variant_explode",
+    oracle="""
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_v
+FROM (
+  SELECT 'ka' AS k, user_id % 7 AS v FROM events
+  UNION ALL
+  SELECT 'kb' AS k, event_id % 13 AS v FROM events
+)
+GROUP BY k
+""",
+)
+def x_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT object traversal via the variant_explode TABLE function
+    (the lateral companion to x_variant_shred's path extraction):
+    each event renders a 2-field JSON object, parse_json lifts it to
+    VARIANT, and LATERAL variant_explode walks its fields as
+    (pos, key, value) rows — schema-on-read iteration over
+    semi-structured data without knowing the keys at plan time. The
+    typed values are re-aggregated per key and must equal computing
+    the same quantities straight from the source columns, proving the
+    explode walked every field exactly once with values intact."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    view = f"ev_vexp_{uuid.uuid4().hex[:8]}"
+    ev.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT f.key AS k,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(variant_get(f.value, '$', 'bigint')) AS BIGINT)
+                     AS sum_v
+            FROM (SELECT parse_json(to_json(named_struct(
+                    'ka', user_id % 7, 'kb', event_id % 13))) AS v
+                  FROM {view}) t,
+                 LATERAL variant_explode(t.v) f
+            GROUP BY f.key
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register_extra(

@@ -675,3 +675,99 @@ def dedup_within_watermark(
     return with_event_time(stream).withWatermark(
         "event_time", watermark
     ).dropDuplicatesWithinWatermark(keys)
+
+
+def ewma_merge_batch(
+    bdf: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    batch_id: int | None = None,
+) -> None:
+    """One micro-batch of the STREAMING EWMA: fold the batch from the
+    persisted per-key state (rolling.ewma_by_key's init_state seeding
+    — exact, because the recursion is associative-over-prefix), keep
+    untouched keys' state verbatim, and publish crash-safely via the
+    LWW sink's staging swap.
+
+    The fold is NOT naturally idempotent (re-folding a batch from the
+    updated state double-applies it — unlike the min-merge and LWW
+    sinks), so replay safety comes from a per-batch marker: a
+    replayed ``batch_id`` whose marker exists is skipped, the
+    standard transactional-foreachBatch discipline. Marker is written
+    AFTER the swap, so a crash between swap and marker replays the
+    batch against the OLD state ("current" → "_old" recovery reads
+    the pre-batch table only if the swap itself did not complete;
+    once it completed, the replay re-folds from the new state — which
+    is exactly why the marker write must be the LAST step and the
+    recovery path below re-checks it).
+
+    CONTRACT (the caller's staging discipline, asserted by the gate):
+    batches must arrive key-time-ordered — every event in batch k
+    sorts after every batch < k for its key (time-partitioned staged
+    files with one file per trigger give this for free).
+    """
+    import os
+
+    spark = bdf.sparkSession
+    if batch_id is not None:
+        marker = os.path.join(state_path, f"_done_{batch_id}")
+        if os.path.exists(marker):
+            return
+    from pyspark.sql import Window
+
+    from ..operators.rolling import ewma_by_key
+
+    state = _read_state(spark, state_path)
+    init = state.select(*key_cols, "s0") if state is not None else None
+    folded = ewma_by_key(
+        bdf, key_cols, order_cols, value_col, alpha, "_s", init_state=init
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    new = (
+        folded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, F.col("_s").alias("s0"))
+    )
+    if state is not None:
+        untouched = state.select(*key_cols, "s0").join(
+            new.select(*key_cols), key_cols, "left_anti"
+        )
+        merged = untouched.unionByName(new)
+    else:
+        merged = new
+    merged = merged.localCheckpoint(eager=True)  # sever the read of `current`
+    _swap_in(state_path, merged)
+    if batch_id is not None:
+        with open(os.path.join(state_path, f"_done_{batch_id}"), "w") as f:
+            f.write("1")
+
+
+def ewma_stream_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+):
+    """Checkpointed foreachBatch wrapper over :func:`ewma_merge_batch`
+    — the streaming face of the time-series family's incremental
+    maintenance. Returns the started StreamingQuery."""
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        ewma_merge_batch(
+            bdf, state_path, key_cols, order_cols, value_col, alpha, batch_id
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )

@@ -633,3 +633,38 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ewma_merge_batch_replay_idempotent(spark, tmp_path):
+    """A replayed batch_id must be a no-op (the fold is NOT naturally
+    idempotent — re-folding would double-apply the batch), and two
+    ordered batches must equal one full fold."""
+    from strava_etl_public_spark.operators.rolling import ewma_by_key
+    from strava_etl_public_spark.streaming.ingest import (
+        _read_state,
+        ewma_merge_batch,
+    )
+
+    state = str(tmp_path / "ewma_state")
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 1, 4.0)], "k long, t long, v double"
+    )
+    b2 = spark.createDataFrame([(1, 3, 30.0)], "k long, t long, v double")
+    ewma_merge_batch(b1, state, ["k"], ["t"], "v", 0.5, batch_id=0)
+    ewma_merge_batch(b2, state, ["k"], ["t"], "v", 0.5, batch_id=1)
+    # replay both: markers must short-circuit
+    ewma_merge_batch(b1, state, ["k"], ["t"], "v", 0.5, batch_id=0)
+    ewma_merge_batch(b2, state, ["k"], ["t"], "v", 0.5, batch_id=1)
+    got = {r["k"]: r["s0"] for r in _read_state(spark, state).collect()}
+
+    full = ewma_by_key(b1.union(b2), ["k"], ["t"], "v", 0.5, "s")
+    want = {
+        r["k"]: r["s"]
+        for r in full.groupBy("k")
+        .agg(F.max_by("s", "t").alias("s"))
+        .collect()
+    }
+    assert got == want == {1: 22.5, 2: 4.0}

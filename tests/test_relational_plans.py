@@ -89,3 +89,31 @@ def test_q13_shape_filter_in_join_condition_not_where(spark):
     )
     got = {r["c_custkey"]: r["c_count"] for r in co.collect()}
     assert got == {1: 1, 2: 0}
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Planner-control surface: per-join strategy hints must override
+    the cost-based choice — BROADCAST forces a BroadcastHashJoin on a
+    side AQE would otherwise shuffle, MERGE forces SortMergeJoin on a
+    side small enough to broadcast, SHUFFLE_HASH forces a
+    ShuffledHashJoin. At 100 TB these hints are the escape hatch when
+    statistics mislead the optimizer (stale stats, exploding joins)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o.createOrReplaceTempView("t_hint_orders")
+    li.createOrReplaceTempView("t_hint_lineitem")
+
+    def plan(hint):
+        return spark.sql(
+            f"""
+            SELECT /*+ {hint}(o) */ count(*) AS n
+            FROM t_hint_lineitem l JOIN t_hint_orders o
+              ON l.l_orderkey = o.o_orderkey
+            """
+        )._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan("BROADCAST")
+    merge_plan = plan("MERGE")
+    assert "SortMergeJoin" in merge_plan and "BroadcastHashJoin" not in merge_plan
+    sh_plan = plan("SHUFFLE_HASH")
+    assert "ShuffledHashJoin" in sh_plan and "BroadcastHashJoin" not in sh_plan

@@ -1082,6 +1082,74 @@ def x_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_attribution_multi_touch",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es
+  FROM events
+),
+pur AS (SELECT event_id AS p_id, user_id, es AS p_es
+        FROM e WHERE event_type = 'purchase'),
+clk AS (SELECT event_id AS c_id, user_id, es AS c_es
+        FROM e WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.p_id, c.c_id, p.user_id
+  FROM pur p JOIN clk c
+    ON c.user_id = p.user_id
+   AND c.c_es <= p.p_es AND c.c_es >= p.p_es - 86400
+),
+credit AS (
+  SELECT user_id, c_id,
+         round(1.0 / count(*) OVER (PARTITION BY p_id), 6) AS w
+  FROM pairs
+)
+SELECT user_id,
+       CAST(count(DISTINCT c_id) AS BIGINT) AS n_touch_clicks,
+       CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS credit
+FROM credit GROUP BY user_id
+""",
+)
+def x_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase distributes one
+    unit of credit equally across the same user's clicks in the
+    trailing 24 h (the product-analytics op downstream of the
+    stream-stream attribution JOIN, which finds the pairs; this adds
+    the CREDIT model). Per-pair weight is round(1/n, 6) where n =
+    clicks in the purchase's window (one count window over pairs);
+    weights then sum per user in DECIMAL, so cross-engine FP can only
+    enter through the single rounded division — identical doubles on
+    both sides. The interval join is user-keyed with a bounded range;
+    every dim of the plan reuses the q_asof/range-join family's
+    discipline."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ev = ev.withColumn("es", ep.epoch_s(ev, "ts")).drop("ts")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("es").alias("p_es")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("es").alias("c_es"),
+    )
+    pairs = pur.join(
+        clk,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_es") <= F.col("p_es"))
+        & (F.col("c_es") >= F.col("p_es") - 86400),
+    ).select("p_id", "c_id", "user_id")
+    w = F.round(
+        F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("p_id")), 6
+    )
+    credit = pairs.select("user_id", "c_id", w.alias("w"))
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("c_id").cast("long").alias("n_touch_clicks"),
+        F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("credit"),
+    )
+
+
+@register_extra(
     "x_variant_explode",
     oracle="""
 SELECT k,

@@ -1082,6 +1082,75 @@ def x_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_path_trigrams",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) AS BIGINT) AS ns, event_id
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY ns, event_id) AS path
+  FROM o GROUP BY user_id
+),
+tri AS (
+  SELECT user_id,
+         path[i] || '>' || path[i+1] || '>' || path[i+2] AS trigram
+  FROM seq, LATERAL (
+    SELECT unnest(generate_series(1, len(path) - 2)) AS i) u
+)
+SELECT trigram,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri GROUP BY trigram
+""",
+)
+def x_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining: each user's time-ordered event-type sequence
+    decomposed into sliding TRIGRAMS (the path-analysis primitive
+    behind 'what do users do right before purchasing'). One
+    collect-sort per user (the G4/T3 ordered-assembly discipline:
+    sort_array over (ns, event_id, type) structs makes the order a
+    pure function of the data, not the partitioning), then trigram
+    extraction is a higher-order transform over index sequences —
+    codegen'd, no UDF, no second shuffle; counts per trigram are the
+    only downstream exchange. The same shape at 100 TB: paths are
+    per-user bounded, the heavy key (trigram) is low-cardinality
+    (|types|³)."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    ev = ev.withColumn("ns", ep.epoch_ns(ev, "ts")).drop("ts")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ns", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("path")
+    )
+    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a sub-3
+    # path must short-circuit to an empty array, not a bogus range
+    grams = F.when(
+        F.size("path") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("path") - 2),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at("path", i),
+                F.element_at("path", i + 1),
+                F.element_at("path", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = seq.select("user_id", F.explode(grams).alias("trigram"))
+    return tri.groupBy("trigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register_extra(
     "x_attribution_multi_touch",
     oracle="""
 WITH e AS (

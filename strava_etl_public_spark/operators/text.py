@@ -176,9 +176,20 @@ def bm25_topk(
     engines and partitionings. Top-k per query by (score desc,
     doc_id) row_number — per-query k rows out.
     """
-    from pyspark.sql import Window
+    tc, dl = build_postings(df, id_col, text_col)
+    return bm25_from_index(
+        df.sparkSession, tc, dl, id_col, queries, k=k, k1=k1, b=b
+    )
 
-    spark = df.sparkSession
+
+def build_postings(df: DataFrame, id_col: str, text_col: str):
+    """The BM25 index state: postings ``(id, term, tf_n)`` + doc
+    lengths ``(id, doc_len)`` from one tokenize pass. Split out of
+    bm25_topk (r8) so the index can be PERSISTED and maintained
+    incrementally: doc-id-disjoint batches compose by pure UNION
+    (each doc's postings and length depend only on its own text), so
+    index(C ∪ B) = index(C) ∪ index(B) exactly — tokenization cost is
+    batch-proportional, the corpus postings are never re-derived."""
     tok_long = df.select(F.col(id_col), tokens(text_col).alias("_t")).select(
         F.col(id_col), F.explode("_t").alias("term")
     )
@@ -186,6 +197,25 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("tf_n")
     )
     dl = tc.groupBy(id_col).agg(F.sum("tf_n").alias("doc_len"))
+    return tc, dl
+
+
+def bm25_from_index(
+    spark,
+    tc: DataFrame,
+    dl: DataFrame,
+    id_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring over a PREBUILT index (see bm25_topk for the
+    scoring discipline and bounds) — corpus stats (N, Σdl) are derived
+    from the index itself, so a stale sidecar can never disagree with
+    the postings it scores."""
+    from pyspark.sql import Window
+
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_len").cast("long").alias("sum_dl"),

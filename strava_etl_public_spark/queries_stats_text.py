@@ -731,6 +731,41 @@ def x_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra("x_text_index_incremental", oracle=_bm25_oracle())
+def x_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INVERTED-INDEX maintenance — the retrieval face of
+    the round-8 maintenance theme: the corpus partition's postings +
+    doc lengths are built once and PERSISTED (the stored index), the
+    arriving batch (every 10th doc) is tokenized ALONE, and the two
+    compose by pure union — a doc's postings depend only on its own
+    text, so index(C ∪ B) = index(C) ∪ index(B) exactly, with
+    tokenization cost proportional to the batch. BM25 then scores
+    THROUGH the merged index (text.bm25_from_index derives N and Σdl
+    from the index itself, so stale sidecar stats are impossible) and
+    the full ranking must equal the from-scratch oracle over the
+    whole corpus — the same oracle text x_text_bm25_topk passes."""
+    ensure_harness_conf(spark)
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    state = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        tc_c, dl_c = text.build_postings(corpus, "doc_id", "text")
+        tc_c.write.mode("overwrite").parquet(f"{state}/postings")
+        dl_c.write.mode("overwrite").parquet(f"{state}/doclen")
+        tc_b, dl_b = text.build_postings(batch, "doc_id", "text")
+        tc = spark.read.parquet(f"{state}/postings").unionByName(tc_b)
+        dl = spark.read.parquet(f"{state}/doclen").unionByName(dl_b)
+        return text.bm25_from_index(
+            spark, tc, dl, "doc_id", _BM25_QUERIES, k=10
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured extraction (JSON props)
 # ---------------------------------------------------------------------------

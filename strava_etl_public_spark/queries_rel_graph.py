@@ -3040,3 +3040,75 @@ def x_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(ov)
         spark.catalog.dropTempView(lv)
+
+
+@register_extra(
+    "x_maintenance_optimize_snapshot",
+    oracle=f"""
+WITH fp AS ({_fp_sql("events", _EV_FP_COLS)})
+SELECT dataset, n_rows, xor_hash, sum_hash_mod,
+       TRUE AS files_reduced, CAST(2 AS BIGINT) AS history_len,
+       TRUE AS time_travel_intact
+FROM (SELECT 'events_optimized' AS dataset, n_rows, xor_hash,
+             sum_hash_mod FROM fp)
+""",
+)
+def x_maintenance_optimize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on a versioned table — compaction composed with the
+    snapshot contract (Delta/Iceberg's OPTIMIZE in miniature): v1
+    commits the events table deliberately fragmented (64 files), the
+    maintenance pass reads v1 THROUGH the snapshot layer, compacts it
+    (layout.compact_parquet), and commits the rewrite as v2 — data
+    files of v1 are never touched (immutability), the _latest pointer
+    moves atomically, and TIME TRAVEL to v1 still serves the
+    pre-optimize file layout. The gate packs three proofs into one
+    row: the v2 digest equals the oracle's digest of the source
+    (rewrite is content-lossless), `files_reduced` is measured from
+    the real v1-vs-v2 listings, and `time_travel_intact` re-reads v1
+    and digest-compares it against v2 — an optimize that mutated
+    history in place would flip it."""
+    ensure_harness_conf(spark)
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.layout import (
+        compact_parquet,
+        dataset_fingerprint,
+        snapshot_commit,
+        snapshot_history,
+        snapshot_read,
+    )
+
+    ev = load(spark, sf_dir, "events").select(*_EV_FP_COLS)
+    root = tempfile.mkdtemp(prefix="optimize_")
+    table, scratch = f"{root}/table", f"{root}/scratch"
+    try:
+        v1 = snapshot_commit(ev.repartition(64), table)
+        files_v1 = glob.glob(f"{table}/v{v1}/part-*.parquet")
+        total = sum(__import__("os").path.getsize(p) for p in files_v1)
+        compact_parquet(
+            spark, f"{table}/v{v1}", scratch, target_bytes=total // 4 + 1
+        )
+        v2 = snapshot_commit(spark.read.parquet(scratch), table)
+        files_v2 = glob.glob(f"{table}/v{v2}/part-*.parquet")
+
+        fp2 = dataset_fingerprint(
+            snapshot_read(spark, table), _EV_FP_COLS, label="events_optimized"
+        )
+        fp1 = dataset_fingerprint(
+            snapshot_read(spark, table, version=v1),
+            _EV_FP_COLS,
+            label="events_optimized",
+        )
+        tt_ok = fp1.collect() == fp2.collect()
+        hist = snapshot_history(spark, table).count()
+        return fp2.withColumns(
+            {
+                "files_reduced": F.lit(bool(len(files_v2) < len(files_v1))),
+                "history_len": F.lit(int(hist)).cast("long"),
+                "time_travel_intact": F.lit(bool(tt_ok)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -349,6 +349,11 @@ def shape_group_agg(rng, pools):
         if rng.random() < 0.3
         else ""
     )
+    # GROUP BY ALL (supported by both engines): every non-aggregate
+    # select item becomes a group key — semantics must match the
+    # explicit list exactly
+    if rng.random() < 0.2:
+        gby = "ALL"
     return (
         "group_agg",
         f"SELECT {gsel}, {aggs} FROM {t} WHERE {pred} GROUP BY {gby}{having}",

@@ -124,3 +124,44 @@ def test_salted_join_rejects_right_outer(spark):
     sdf, _ = _skewed(spark, n=10)
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(sdf, sdf, "k", how="right")
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """The OTHER skew defense (salting is ours; this one is the
+    engine's): AQE must detect a planted hot key at runtime and split
+    the skewed partition — the final adaptive plan carries
+    SortMergeJoin(skew=true) — while the result stays exact. Pinning
+    it proves our conf (AQE on, byte-sized advisories) actually
+    arms the feature; a silently disabled skew join only shows up at
+    100 TB as a straggler task."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 5 < 3, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 7).alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 2_000_000  # every row matches once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

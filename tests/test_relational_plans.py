@@ -11,7 +11,10 @@ correctness gate.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from pyspark.sql import functions as F
 
 from strava_etl_public_spark.queries import EXTRA_QUERIES
 
@@ -117,3 +120,24 @@ def test_join_strategy_hints_honored(spark, sf_dir):
     assert "SortMergeJoin" in merge_plan and "BroadcastHashJoin" not in merge_plan
     sh_plan = plan("SHUFFLE_HASH")
     assert "ShuffledHashJoin" in sh_plan and "BroadcastHashJoin" not in sh_plan
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
+    """The brief's literal contract: a 2-column projection must reach
+    the parquet scan as a 2-column ReadSchema (a scan reading all 11
+    lineitem columns for it is wrong at any scale), and a comparison
+    filter must appear in PushedFilters so row groups can be skipped
+    on statistics."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity,5\.0\)", plan), plan

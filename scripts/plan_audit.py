@@ -138,6 +138,13 @@ def main() -> int:
         "x_tpch_q21_waiting_supplier",
         "x_tpch_q22_dormant_customers",
         "x_variant_shred",
+        # round-8 fifth/sixth waves (live plans; lateral/udtf/observe/
+        # optimize/variant-explode/index-incremental/stream queries
+        # checkpoint or sink internally — audited at change time)
+        "x_session_window_builtin",
+        "x_ansi_try_functions",
+        "x_attribution_multi_touch",
+        "x_path_trigrams",
     ]
     flagged = 0
     # the fused pipelines execute eagerly (localCheckpoint) and return

@@ -766,6 +766,67 @@ def x_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+@register_extra(
+    "x_stream_index_bm25",
+    oracle=f"""
+SELECT b.*, CAST(4 AS BIGINT) AS n_batches
+FROM ({_bm25_oracle()}) b
+""",
+)
+def x_stream_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING inverted-index maintenance — retrieval's third face
+    (batch build → incremental union → streaming): documents arrive
+    over a 4-batch file stream, each micro-batch tokenizes ONLY its
+    own docs and lands postings under a per-batch directory
+    (streaming/ingest.bm25_index_merge_batch — append-only state, no
+    merge job, replay idempotent because a replayed batch overwrites
+    its own directory with identical content). BM25 through the
+    accumulated index must reproduce the from-scratch oracle's full
+    ranking, and `n_batches` (= real batch-directory count) fails a
+    vacuous single-batch run."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.ingest import bm25_index_stream_sink, read_bm25_index
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_idx_")
+    state = tempfile.mkdtemp(prefix="idx_state_")
+    ckpt = tempfile.mkdtemp(prefix="idx_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = bm25_index_stream_sink(stream, state, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_batches = len(os.listdir(f"{state}/postings"))
+        tc, dl = read_bm25_index(spark, state)
+        out = text.bm25_from_index(spark, tc, dl, "doc_id", _BM25_QUERIES, k=10)
+        return out.withColumn(
+            "n_batches", F.lit(n_batches).cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured extraction (JSON props)
 # ---------------------------------------------------------------------------

@@ -771,3 +771,45 @@ def ewma_stream_sink(
         .foreachBatch(_sink)
         .start()
     )
+
+
+def bm25_index_merge_batch(bdf: DataFrame, state_path: str, batch_id: int) -> None:
+    """One micro-batch of STREAMING inverted-index maintenance: build
+    the batch's postings + doc lengths (text.build_postings — one
+    tokenize of the batch only) and land them under a per-batch
+    subdirectory. Because doc-disjoint postings compose by pure UNION,
+    the state is APPEND-ONLY — no read-modify-write, no merge job —
+    and replay idempotence is free: a replayed batch overwrites ITS
+    OWN subdirectory with identical content. The accumulated index is
+    simply the union of all batch directories at read time."""
+    from ..operators.text import build_postings
+
+    tc, dl = build_postings(bdf, "doc_id", "text")
+    tc.write.mode("overwrite").parquet(f"{state_path}/postings/b{batch_id}")
+    dl.write.mode("overwrite").parquet(f"{state_path}/doclen/b{batch_id}")
+
+
+def bm25_index_stream_sink(stream: DataFrame, state_path: str, checkpoint_dir: str):
+    """Checkpointed foreachBatch wrapper over
+    :func:`bm25_index_merge_batch`; returns the started query."""
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bm25_index_merge_batch(bdf, state_path, batch_id)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
+def read_bm25_index(spark: SparkSession, state_path: str):
+    """(postings, doclen) accumulated across all batch directories."""
+    tc = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{state_path}/postings"
+    )
+    dl = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{state_path}/doclen"
+    )
+    return tc, dl

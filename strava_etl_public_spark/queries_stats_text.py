@@ -1127,6 +1127,89 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_drift_ks",
+    oracle="""
+WITH e AS (
+  SELECT value,
+         CASE WHEN epoch_ns(ts) // 1000000000 < 1705400000
+              THEN 'a' ELSE 'b' END AS g
+  FROM events
+),
+n AS (SELECT CAST(count(*) FILTER (g = 'a') AS BIGINT) AS na,
+             CAST(count(*) FILTER (g = 'b') AS BIGINT) AS nb FROM e),
+byv AS (
+  SELECT value,
+         CAST(count(*) FILTER (g = 'a') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (g = 'b') AS BIGINT) AS cb
+  FROM e GROUP BY value
+),
+cum AS (
+  SELECT value,
+         sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ia,
+         sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ib
+  FROM byv
+)
+SELECT CAST(max(abs(ia * n.nb - ib * n.na)) AS BIGINT) AS ks_num,
+       CAST(n.na * n.nb AS BIGINT) AS ks_den,
+       round(CAST(max(abs(ia * n.nb - ib * n.na)) AS DOUBLE)
+             / CAST(n.na * n.nb AS DOUBLE), 6) AS ks_stat
+FROM cum, n GROUP BY n.na, n.nb
+""",
+)
+def x_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the early
+    and late halves of the value distribution — the distribution-free
+    companion to x_drift_psi (PSI needs bins; KS is the sup-norm of
+    the ECDF gap, binless). Computed EXACTLY in integers: at every
+    distinct value, D's numerator is |ia·nb − ib·na| over the common
+    denominator na·nb — cross-multiplied BIGINTs, so no FP enters
+    before the final reported ratio. The ECDF cumsums route through
+    layout.global_prefix_sum (frozen-bin two-pass) instead of an
+    Exchange SinglePartition window — the AUC hardening applied on
+    day one; per-value counts are one hash agg, so the whole statistic
+    is two shuffles at any scale."""
+    ensure_harness_conf(spark)
+    from .operators.layout import global_prefix_sum
+
+    ev = load(spark, sf_dir, "events").select("value", "ts")
+    ev = ev.withColumn(
+        "g", F.when(ep.epoch_s(ev, "ts") < 1705400000, "a").otherwise("b")
+    ).drop("ts")
+    n = ev.agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    byv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    ia = global_prefix_sum(byv, ["value"], "ca", out_col="ia_ex", exclusive=True)
+    cum = global_prefix_sum(
+        ia, ["value"], "cb", out_col="ib_ex", exclusive=True
+    ).select(
+        "value",
+        (F.col("ia_ex") + F.col("ca")).alias("ia"),
+        (F.col("ib_ex") + F.col("cb")).alias("ib"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(F.abs(F.col("ia") * F.col("nb") - F.col("ib") * F.col("na")))
+            .cast("long")
+            .alias("ks_num"),
+            F.first(F.col("na") * F.col("nb")).cast("long").alias("ks_den"),
+        )
+        .select(
+            "ks_num",
+            "ks_den",
+            F.round(
+                F.col("ks_num").cast("double") / F.col("ks_den").cast("double"), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@register_extra(
     "x_session_window_builtin",
     oracle="""
 WITH e AS (

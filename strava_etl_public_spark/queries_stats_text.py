@@ -1127,6 +1127,69 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "x_keyset_pagination",
+    oracle="""
+WITH o AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         row_number() OVER (
+           ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id) AS rn
+  FROM events
+)
+SELECT CAST((rn - 1) // 50 AS INT) AS page_idx,
+       event_id, user_id, event_type, es
+FROM o WHERE rn <= 150
+""",
+)
+def x_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the scale-correct re-expression of the
+    reference's page-number walk (strava_sdk.py:100, params
+    {'page': 1, 'per_page': …}): each page is fetched with
+    WHERE (es, event_id) > (last key of the previous page)
+    ORDER BY (es, event_id) LIMIT 50 — a row-value predicate the scan
+    can push and an index/sort can serve in O(page), where OFFSET-
+    based pagination re-scans and re-sorts everything it skips (page
+    N costs O(N·page), and rows shifting underneath repeat or drop
+    entries; the keyset predicate is also a natural resume token —
+    exactly the role of the reference's max_time watermark). Three
+    successive pages are fetched with real per-page boundary
+    carryover (the last key COLLECTED from each page — bounded driver
+    state, the pagination client's own behavior) and their union must
+    equal rows 1..150 of the global (es, event_id) order, each row on
+    the page the oracle's row_number assigns it."""
+    ensure_harness_conf(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ev = ev.withColumn("es", ep.epoch_s(ev, "ts")).drop("ts")
+    key = F.struct(F.col("es"), F.col("event_id"))
+    pages = []
+    last = None
+    for idx in range(3):
+        page = ev
+        if last is not None:
+            page = page.filter(
+                key
+                > F.struct(
+                    F.lit(last[0]).cast("long").alias("es"),
+                    F.lit(last[1]).cast("long").alias("event_id"),
+                )
+            )
+        page = page.orderBy("es", "event_id").limit(50)
+        rows = page.collect()  # the pagination CLIENT consumes pages
+        if not rows:
+            break
+        last = (rows[-1]["es"], rows[-1]["event_id"])
+        pages.append(
+            page.withColumn("page_idx", F.lit(idx).cast("int"))
+        )
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "page_idx", "event_id", "user_id", "event_type", "es"
+    ).localCheckpoint(eager=True)
+
+
+@register_extra(
     "x_drift_ks",
     oracle="""
 WITH e AS (

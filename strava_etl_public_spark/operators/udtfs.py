@@ -80,9 +80,17 @@ class EwmaFinalUDTF:
     def eval(self, row):
         self._key = row["user_id"]
         self._n += 1
-        x = float(row["value"])
+        v = row["value"]
+        # NULL → NaN, matching the pandas-path twin: ewma_by_key reads
+        # the value column through pandas (NULL becomes NaN) and lets
+        # NaN propagate through the recursion; float(None) would
+        # instead raise and fail the whole query (code-review r8 low).
+        x = float("nan") if v is None else float(v)
         self._s = x if self._s is None else 0.3 * x + 0.7 * self._s
 
     def terminate(self):
         if self._key is not None:
-            yield (self._key, self._n, self._s)
+            s = self._s
+            # the twin surfaces the poisoned state as NULL (Spark's
+            # Arrow serializer maps pandas NaN → null on the way back)
+            yield (self._key, self._n, None if s != s else s)

@@ -57,10 +57,11 @@ def _assert_fresh(name: str) -> None:
     # dict registration silently overwrites on a duplicate name — the
     # rotation that promoted x_stream_stream_join (r8) collided with a
     # same-named draft in another family module and only the
-    # structural tests caught it. Fail at import instead.
-    assert name not in QUERIES and name not in EXTRA_QUERIES, (
-        f"duplicate query registration: {name}"
-    )
+    # structural tests caught it. Fail at import instead. Must be a
+    # real raise, not assert: under `python -O` asserts are stripped
+    # and the silent overwrite comes back (code-review r8 low).
+    if name in QUERIES or name in EXTRA_QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
 
 
 def register(name: str, oracle: str | None = None):

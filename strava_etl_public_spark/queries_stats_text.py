@@ -1068,7 +1068,6 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous single-batch run FAILS the row — the same anti-vacuity
     discipline as x_stream_incremental_clusters."""
     ensure_harness_conf(spark)
-    import os
     import shutil
     import tempfile
 
@@ -1076,6 +1075,7 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENTS_SCHEMA,
         ewma_stream_sink,
         normalize_events,
+        _applied_info,
         _read_state,
     )
 
@@ -1089,10 +1089,27 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = tempfile.mkdtemp(prefix="ewma_state_")
     ckpt = tempfile.mkdtemp(prefix="ewma_ckpt_")
     try:
-        for d in days:  # one file per day, written in day order
+        # CONTRACT: ewma_merge_batch needs key-time-ordered batches,
+        # i.e. FileStreamSource must deliver the day files in day
+        # order. The source orders files by MODIFICATION TIME, and
+        # rapid appends on a coarse-mtime filesystem can tie and be
+        # delivered out of order (code-review r8 low) — so after each
+        # day's write we pin an explicit, strictly-ascending mtime on
+        # that day's data file, making the trigger order deterministic.
+        import os
+        import time
+
+        seen: set[str] = set()
+        base = time.time() - 86400  # past-dated: never racing "now"
+        for i, d in enumerate(days):  # one file per day, in day order
             norm.filter(F.col("_day") == d).drop("_day").coalesce(1).write.mode(
                 "append"
             ).parquet(stage)
+            for f in os.listdir(stage):
+                if f.startswith(("_", ".")) or f in seen:
+                    continue
+                seen.add(f)
+                os.utime(os.path.join(stage, f), (base + i, base + i))
         stream = (
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -1108,9 +1125,8 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        n_batches = len(
-            [f for f in os.listdir(state) if f.startswith("_done_")]
-        )
+        info = _applied_info(state)  # atomic _applied record in current/
+        n_batches = info["count"] if info is not None else 0
         final = _read_state(spark, state)
         return (
             final.select(

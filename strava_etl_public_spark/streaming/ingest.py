@@ -191,11 +191,22 @@ def merge_batch_lww(
     _swap_in(state_path, merged)
 
 
-def _swap_in(state_path: str, merged: DataFrame) -> None:
+def _swap_in(
+    state_path: str, merged: DataFrame, applied: dict | None = None
+) -> None:
     """Crash-safe publication of a merged state table: write to a
     staging dir FIRST, then swap via renames (current → _old, staging
     → current) so a reader never sees a half-written table; see
-    :func:`merge_batch_lww`'s docstring for the recovery argument."""
+    :func:`merge_batch_lww`'s docstring for the recovery argument.
+
+    ``applied`` (optional, for NON-idempotent folds like the EWMA
+    sink): a ``{"last": batch_id, "count": n}`` record written as
+    ``_staging/_applied`` BEFORE the rename, so the replay marker and
+    the state it certifies publish in the SAME atomic rename and can
+    never disagree — there is no crash window in which the state is
+    updated but the marker is missing (underscore-prefixed files are
+    ignored by the parquet reader, like ``_SUCCESS``)."""
+    import json
     import os
     import shutil
 
@@ -203,6 +214,9 @@ def _swap_in(state_path: str, merged: DataFrame) -> None:
     stg = os.path.join(state_path, "_staging")
     old = os.path.join(state_path, "_old")
     merged.write.mode("overwrite").parquet(stg)
+    if applied is not None:
+        with open(os.path.join(stg, "_applied"), "w") as f:
+            json.dump(applied, f)
     # _old may only be deleted while `current` exists: on the recovery
     # path (crash between the two renames left state ONLY in _old) an
     # early rmtree would destroy the last copy if we then crashed
@@ -223,6 +237,26 @@ def _read_state(spark: SparkSession, state_path: str):
         p = os.path.join(state_path, d)
         if os.path.isdir(p) and os.listdir(p):
             return spark.read.parquet(p)
+    return None
+
+
+def _applied_info(state_path: str) -> dict | None:
+    """The ``_applied`` replay record of the SAME state directory
+    :func:`_read_state` would read (current, falling back to _old) —
+    the marker travels with the table it certifies, so the pair is
+    consistent in every crash window. None before the first marked
+    merge (or for sinks that never pass ``applied``)."""
+    import json
+    import os
+
+    for d in ("current", "_old"):
+        p = os.path.join(state_path, d)
+        if os.path.isdir(p) and os.listdir(p):
+            m = os.path.join(p, "_applied")
+            if os.path.isfile(m):
+                with open(m) as f:
+                    return json.load(f)
+            return None
     return None
 
 
@@ -694,28 +728,28 @@ def ewma_merge_batch(
 
     The fold is NOT naturally idempotent (re-folding a batch from the
     updated state double-applies it — unlike the min-merge and LWW
-    sinks), so replay safety comes from a per-batch marker: a
-    replayed ``batch_id`` whose marker exists is skipped, the
-    standard transactional-foreachBatch discipline. Marker is written
-    AFTER the swap, so a crash between swap and marker replays the
-    batch against the OLD state ("current" → "_old" recovery reads
-    the pre-batch table only if the swap itself did not complete;
-    once it completed, the replay re-folds from the new state — which
-    is exactly why the marker write must be the LAST step and the
-    recovery path below re-checks it).
+    sinks), so replay safety comes from a per-batch marker published
+    ATOMICALLY with the state: ``_swap_in`` writes an ``_applied``
+    record ({"last": batch_id, "count": n}) into the staging
+    directory BEFORE the rename, so the marker and the state it
+    certifies land in one atomic rename and can never disagree. A
+    replayed ``batch_id <= last`` is skipped (foreachBatch ids are
+    monotonically increasing — the standard transactional discipline);
+    every crash window replays the batch against exactly the state
+    whose marker it reads: pre-swap crashes leave the pre-batch table
+    without this batch's marker (re-fold — correct), post-swap
+    crashes leave the post-batch table WITH it (skip — correct).
+    There is no window with updated state and missing marker.
 
     CONTRACT (the caller's staging discipline, asserted by the gate):
     batches must arrive key-time-ordered — every event in batch k
     sorts after every batch < k for its key (time-partitioned staged
     files with one file per trigger give this for free).
     """
-    import os
-
     spark = bdf.sparkSession
-    if batch_id is not None:
-        marker = os.path.join(state_path, f"_done_{batch_id}")
-        if os.path.exists(marker):
-            return
+    info = _applied_info(state_path) if batch_id is not None else None
+    if info is not None and batch_id <= info["last"]:
+        return
     from pyspark.sql import Window
 
     from ..operators.rolling import ewma_by_key
@@ -741,10 +775,13 @@ def ewma_merge_batch(
     else:
         merged = new
     merged = merged.localCheckpoint(eager=True)  # sever the read of `current`
-    _swap_in(state_path, merged)
+    applied = None
     if batch_id is not None:
-        with open(os.path.join(state_path, f"_done_{batch_id}"), "w") as f:
-            f.write("1")
+        applied = {
+            "last": batch_id,
+            "count": (info["count"] if info is not None else 0) + 1,
+        }
+    _swap_in(state_path, merged, applied=applied)
 
 
 def ewma_stream_sink(

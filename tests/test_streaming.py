@@ -668,3 +668,54 @@ def test_ewma_merge_batch_replay_idempotent(spark, tmp_path):
         .collect()
     }
     assert got == want == {1: 22.5, 2: 4.0}
+
+
+def test_ewma_replay_marker_atomic_with_state(spark, tmp_path):
+    """The replay marker must publish ATOMICALLY with the state it
+    certifies (code-review r8 medium): the `_applied` record lives
+    INSIDE the swapped directory, so no crash window can leave an
+    updated state without its marker (which would double-apply the
+    non-idempotent fold on replay). Pins (a) marker-in-current after
+    every merge, (b) no legacy top-level `_done_*` files, and (c) the
+    mid-swap recovery window reads a marker consistent with the
+    pre-batch state it falls back to."""
+    import os
+    import shutil
+
+    from strava_etl_public_spark.streaming.ingest import (
+        _applied_info,
+        _read_state,
+        ewma_merge_batch,
+    )
+
+    state = str(tmp_path / "ewma_state")
+    os.makedirs(state, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 4.0)], "k long, t long, v double"
+    )
+    b2 = spark.createDataFrame([(1, 2, 30.0)], "k long, t long, v double")
+    ewma_merge_batch(b1, state, ["k"], ["t"], "v", 0.5, batch_id=0)
+    # (a) marker and state are in the SAME directory
+    assert os.path.isfile(os.path.join(state, "current", "_applied"))
+    assert _applied_info(state) == {"last": 0, "count": 1}
+    # (b) nothing at the top level that could drift from the state
+    assert not [f for f in os.listdir(state) if f.startswith("_done_")]
+
+    ewma_merge_batch(b2, state, ["k"], ["t"], "v", 0.5, batch_id=1)
+    assert _applied_info(state) == {"last": 1, "count": 2}
+    post = {r["k"]: r["s0"] for r in _read_state(spark, state).collect()}
+
+    # (c) simulate the mid-swap crash of a NEXT batch: current was
+    # renamed to _old, staging never landed. Recovery reads _old —
+    # and the marker it finds there is _old's own, so a replay of
+    # batch 2 re-folds against exactly the state whose marker it saw.
+    shutil.rmtree(os.path.join(state, "_old"), ignore_errors=True)
+    os.rename(os.path.join(state, "current"), os.path.join(state, "_old"))
+    assert _applied_info(state) == {"last": 1, "count": 2}
+    rec = {r["k"]: r["s0"] for r in _read_state(spark, state).collect()}
+    assert rec == post
+    b3 = spark.createDataFrame([(2, 3, 8.0)], "k long, t long, v double")
+    ewma_merge_batch(b3, state, ["k"], ["t"], "v", 0.5, batch_id=2)
+    assert _applied_info(state) == {"last": 2, "count": 3}
+    got = {r["k"]: r["s0"] for r in _read_state(spark, state).collect()}
+    assert got == {1: 22.5, 2: 6.0}

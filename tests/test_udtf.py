@@ -105,3 +105,41 @@ def test_table_arg_udtf_matches_ewma_operator(spark, sf_dir):
         r["user_id"]: (counts[r["user_id"]], r["s"]) for r in last.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_table_arg_udtf_null_value_matches_operator(spark):
+    """NULL-value parity (code-review r8 low): ewma_by_key reads the
+    value column through pandas (NULL → NaN inside the recursion,
+    surfaced as NULL by the Arrow serializer on the way back); the
+    UDTF must do the same instead of raising TypeError on
+    float(None) and failing the whole query."""
+    from strava_etl_public_spark.operators.rolling import ewma_by_key
+
+    register_udtfs(spark)
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, None), (1, 30, 4.0), (2, 10, 8.0)],
+        "user_id long, event_id long, value double",
+    ).withColumn("_ns", F.col("event_id") * 1000)
+    ev.createOrReplaceTempView("t_udtf_null_ev")
+    got = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in spark.sql(
+            """
+            SELECT * FROM ewma_final_udtf(TABLE(t_udtf_null_ev)
+                                          PARTITION BY user_id
+                                          ORDER BY (_ns, event_id))
+            """
+        ).collect()
+    }
+    op = ewma_by_key(ev, ["user_id"], ["_ns", "event_id"], "value", 0.3, "s")
+    want = {
+        r["user_id"]: (r["c"], r["s"])
+        for r in op.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.max_by("s", "_ns").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want) == {1, 2}
+    assert got[2] == want[2] == (1, 8.0)
+    # key 1 hit the NULL: both paths must surface the poisoned state
+    # as NULL (not raise, not diverge NaN-vs-NULL)
+    assert got[1] == want[1] == (3, None)

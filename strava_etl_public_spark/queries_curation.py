@@ -1415,7 +1415,7 @@ def x_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_curation_dsir",
     oracle="""
 WITH tk AS (

@@ -1537,7 +1537,7 @@ FROM m WHERE rk = 1
 """
 
 
-@register("x_dedup_keep_longest", oracle=_keep_longest_oracle())
+@register_extra("x_dedup_keep_longest", oracle=_keep_longest_oracle())
 def x_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical member per near-dup cluster: instead of
     the min-id representative, keep the LONGEST member (ties → min

@@ -2472,7 +2472,7 @@ def x_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "x_tpch_q21_waiting_supplier",
     oracle="""
 WITH l AS (
@@ -3042,7 +3042,7 @@ def x_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(lv)
 
 
-@register_extra(
+@register(
     "x_maintenance_optimize_snapshot",
     oracle=f"""
 WITH fp AS ({_fp_sql("events", _EV_FP_COLS)})

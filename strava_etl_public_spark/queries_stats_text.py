@@ -1559,7 +1559,7 @@ def x_ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "x_ts_ewma_incremental",
     oracle="""
 WITH RECURSIVE b AS (
@@ -2418,7 +2418,7 @@ def x_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "x_eval_auc",
     oracle="""
 WITH s AS (

@@ -225,7 +225,7 @@ def w1_rolling_triang_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "x_text_tfidf",
     oracle=f"""
 WITH tk AS ({_TK_SQL}),
@@ -857,7 +857,7 @@ FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
 """
 
 
-@register("x_stream_neardup_filter", oracle=_neardup_stream_oracle())
+@register_extra("x_stream_neardup_filter", oracle=_neardup_stream_oracle())
 def x_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup filtering as a REAL streaming query: the
     documents corpus staged to a file source, a checkpointed

@@ -36,7 +36,39 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 #: warm JVM) in alternating full passes — the paired per-query delta
 #: cancels box drift because both sides see the same minute-scale load.
 #: Update to the new round-close commit each round.
-PREV_BENCH_COMMIT = "7a99923c0dab06652c5ac4b86310abb6d992fe58"
+PREV_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"
+
+#: Idle-box gate for the OFFICIAL headline number (round-8 verdict
+#: #2): the absolute series went 26.04 → 29.07 → 33.86 s across three
+#: rounds while the paired A/B showed the code getting FASTER — the
+#: headline was recorded under loadavg 9.6 and stopped being a usable
+#: record. Refuse to start the timed section while the 1-minute
+#: loadavg exceeds the threshold, retrying with a backoff; if the box
+#: never goes idle within the budget, still run (the driver needs a
+#: number) but mark the headline "official": false so nobody reads a
+#: contended number as a regression. Both knobs are env-overridable.
+LOADAVG_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+LOADAVG_WAIT_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _wait_for_idle_box() -> dict:
+    """Block until loadavg_1m <= LOADAVG_THRESHOLD or the wait budget
+    runs out. Returns {"loadavg_1m_start", "waited_s", "official"}."""
+    waited = 0.0
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return {"loadavg_1m_start": None, "waited_s": 0.0, "official": False}
+    while load > LOADAVG_THRESHOLD and waited < LOADAVG_WAIT_BUDGET_S:
+        step = min(30.0, LOADAVG_WAIT_BUDGET_S - waited)
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+    return {
+        "loadavg_1m_start": round(load, 2),
+        "waited_s": round(waited, 1),
+        "official": load <= LOADAVG_THRESHOLD,
+    }
 
 #: Headline set: the reference's analytical heart (spine join +
 #: interpolation + weighted rolling + wide max), the relational
@@ -260,6 +292,11 @@ def main() -> int:
         finally:
             spark.catalog.clearCache()
 
+    # Idle-box gate (r8 verdict #2): the official headline number is
+    # only recorded on a quiet box; a contended run is annotated
+    # official=false instead of silently poisoning the absolute series.
+    idle = _wait_for_idle_box()
+
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for n in ok:
@@ -453,6 +490,13 @@ def main() -> int:
         "min_delta_pct": ab.get("min_delta_pct", {}),
         "loadavg_1m": ab.get("loadavg_1m"),
         "n_processes": ab.get("n_processes"),
+        # idle-box gate evidence (r8 verdict #2): loadavg at the start
+        # of the timed section, how long the gate waited for quiet, and
+        # whether the absolute headline is an OFFICIAL (idle-box)
+        # record — false means "read the paired deltas, not the total".
+        "loadavg_1m_start": idle["loadavg_1m_start"],
+        "idle_waited_s": idle["waited_s"],
+        "official": idle["official"],
     }
     if errors:
         # names only — full messages live in the detail line/sidecar

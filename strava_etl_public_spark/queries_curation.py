@@ -24,7 +24,7 @@ from .queries_dedup_sim import _CC_CLOSURE_SQL, x_dedup_ngram_jaccard  # noqa: F
 from .queries_text_mm_stream import _run_stream, _stage_events_dir  # noqa: F401
 from .queries_sketch import x_dedup_decontaminate  # noqa: F401
 from .queries_stats_text import x_hist_value  # noqa: F401
-from .queries_rel_graph import x_snapshot_diff  # noqa: F401
+from .queries_tables import x_snapshot_diff  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

@@ -14,5 +14,7 @@ from . import queries_text_mm_stream  # noqa: F401  (registration side-effect)
 from . import queries_sketch  # noqa: F401  (registration side-effect)
 from . import queries_stats_text  # noqa: F401  (registration side-effect)
 from . import queries_rel_graph  # noqa: F401  (registration side-effect)
+from . import queries_tpch  # noqa: F401  (registration side-effect)
+from . import queries_tables  # noqa: F401  (registration side-effect)
 from . import queries_curation  # noqa: F401  (registration side-effect)
 from . import queries_ml_geo  # noqa: F401  (registration side-effect)

@@ -16,11 +16,14 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from strava_etl_public_spark.queries import EXTRA_QUERIES
+from strava_etl_public_spark.queries import EXTRA_QUERIES, QUERIES
 
 
 def _plan(spark, name: str, sf_dir: str) -> str:
-    df = EXTRA_QUERIES[name](spark, sf_dir)
+    # rotation moves names between the driver and extras registries
+    # (Q21 promoted r9) — the plan contract follows the query either way
+    fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -955,13 +955,56 @@ def pq_adc_topk(
     recall@5 measured only 0.225 on the clustered fixture; with the
     r=50 exact rerank the same codes reach high recall while query
     scans still touch codes + r raw rows, never the corpus."""
-    d = dim // n_sub
     emb = _l2_normalize(emb, vec_col)
     cb = pq_codebooks(emb, id_col, vec_col, n_sub, dim, n_cent, stride, refine_iters)
-    sl = _pq_slices(emb, id_col, vec_col, n_sub, d)
-    codes = _pq_assign(sl, cb, id_col).select(
+    codes = pq_encode(emb, id_col, vec_col, cb, n_sub=n_sub, dim=dim)
+    return pq_adc_topk_from_index(
+        emb, id_col, vec_col, cb, codes,
+        k=k, n_queries=n_queries, n_sub=n_sub, dim=dim, rerank_r=rerank_r,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: DataFrame,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors to PQ codes ``(n_id, sub_id, cent_id)`` under a
+    FROZEN codebook — a pure per-vector function of ``cb`` (broadcast
+    argmin over n_cent entries per subspace), so encoding a batch
+    costs the batch, never the corpus, and codes of disjoint vector
+    sets compose by plain UNION (the faiss add-after-train contract;
+    x_sim_pq_incremental pins merged == full re-encode). ``emb`` must
+    already be L2-normalized (:func:`_l2_normalize`)."""
+    sl = _pq_slices(emb, id_col, vec_col, n_sub, dim // n_sub)
+    return _pq_assign(sl, cb, id_col).select(
         F.col(id_col).alias("n_id"), "sub_id", "cent_id"
     )
+
+
+def pq_adc_topk_from_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    rerank_r: int = 50,
+) -> DataFrame:
+    """The PQ SERVING path over a prebuilt index (codebooks + codes):
+    per-query dot-product LUT (broadcast), decimal-summed ADC over
+    codes, exact cosine rerank of the top ``rerank_r`` — split from
+    :func:`pq_adc_topk` so an incrementally-maintained index (corpus
+    codes persisted, batch encoded alone via :func:`pq_encode`)
+    serves through literally the same plan as a from-scratch build.
+    ``emb`` must already be L2-normalized."""
+    d = dim // n_sub
     qids = emb.orderBy(id_col).limit(n_queries).select(F.col(id_col))
     qsl = _pq_slices(
         emb.join(qids, id_col, "left_semi"), id_col, vec_col, n_sub, d

@@ -612,6 +612,7 @@ def _pq_oracle(
     stride: int = 37,
     rerank_r: int = 100,
     refine_iters: int = 2,
+    train_cond: str | None = None,
 ) -> str:
     d = dim // n_sub
     span = n_cent * stride
@@ -619,14 +620,18 @@ def _pq_oracle(
         f"({_dot_sql('t.sv', 't.sv')} - 2.0 * {_dot_sql('t.sv', 'c.cv')}"
         f" + {_dot_sql('c.cv', 'c.cv')})"
     )
+    # train_cond restricts codebook TRAINING (init + Lloyd) to a slice
+    # of the corpus — the add-after-train oracle: the final encode
+    # still runs over every vector (x_sim_pq_incremental)
+    trows = f"(SELECT * FROM sl WHERE {train_cond})" if train_cond else "sl"
 
-    def assign(src_cb: str) -> str:
+    def assign(src_cb: str, rows: str = "sl") -> str:
         return f"""
   SELECT vec_id, sub_id, sv, cent_id FROM (
     SELECT t.vec_id, t.sub_id, t.sv, c.cent_id,
            row_number() OVER (PARTITION BY t.vec_id, t.sub_id
                               ORDER BY round({l2}, 6), c.cent_id) AS rn
-    FROM sl t JOIN {src_cb} c USING (sub_id)
+    FROM {rows} t JOIN {src_cb} c USING (sub_id)
   ) WHERE rn = 1"""
 
     return f"""
@@ -650,10 +655,10 @@ cb0 AS (
     SELECT sub_id, floor((vec_id % {span}) / {stride}) AS grp, sv,
            row_number() OVER (PARTITION BY sub_id, floor((vec_id % {span}) / {stride})
                               ORDER BY vec_id) AS rn
-    FROM sl WHERE vec_id % {stride} = 0
+    FROM {trows} WHERE vec_id % {stride} = 0
   ) WHERE rn = 1
 ),
-{",".join(f'''assign{i} AS ({assign(f"cb{i}")}),
+{",".join(f'''assign{i} AS ({assign(f"cb{i}", trows)}),
 means{i} AS (
   SELECT sub_id, cent_id, g.i AS pos,
          round(CAST(SUM(CAST(CAST(sv[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
@@ -728,6 +733,53 @@ def x_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         emb, "vec_id", "embedding", k=5, n_queries=8, n_sub=8, dim=64,
         n_cent=16, stride=37, refine_iters=2, rerank_r=100,
+    )
+
+
+@register_extra(
+    "x_sim_pq_incremental",
+    oracle=_pq_oracle(train_cond="vec_id % 5 <> 0"),
+)
+def x_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PQ index maintenance (round 9, verdict #4) — the
+    last index family without an add-after-train path gets one, in the
+    x_sim_ivf_incremental proof shape: a new embedding batch
+    (vec_id % 5 == 0, ~20%) arrives after the codebooks were trained;
+    instead of retraining (strided init + Lloyd over the union), the
+    batch is ENCODED under the FROZEN corpus-trained codebooks
+    (similarity.pq_encode — one broadcast argmin over 16 entries per
+    subspace, map-only, cost ∝ batch) and its codes UNION into the
+    persisted corpus codes. Because encoding is a pure per-vector
+    function of the codebooks, merged codes are bit-identical to a
+    full re-encode of corpus ∪ batch under the same codebooks — so
+    ADC + exact-rerank serving over the merged index equals the
+    from-scratch oracle with TRAINING restricted to the corpus (the
+    faiss add-after-train contract; centroid drift is periodic
+    retrain's job, not per-batch). At 100 TB this is the difference
+    between re-touching 10⁹ vectors per arriving batch and touching
+    only the batch: the serving plan is literally the same
+    (pq_adc_topk_from_index), only the code provenance differs."""
+    ensure_harness_conf(spark)
+    from .operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    embn = similarity._l2_normalize(emb, "embedding")
+    corpus = embn.filter(F.col("vec_id") % 5 != 0)
+    batch = embn.filter(F.col("vec_id") % 5 == 0)
+    cb = similarity.pq_codebooks(
+        corpus, "vec_id", "embedding", n_sub=8, dim=64, n_cent=16,
+        stride=37, refine_iters=2,
+    )
+    corpus_codes = similarity.pq_encode(  # persisted in production
+        corpus, "vec_id", "embedding", cb, n_sub=8, dim=64
+    )
+    batch_codes = similarity.pq_encode(  # the per-batch cost
+        batch, "vec_id", "embedding", cb, n_sub=8, dim=64
+    )
+    merged = corpus_codes.unionByName(batch_codes)
+    return similarity.pq_adc_topk_from_index(
+        embn, "vec_id", "embedding", cb, merged,
+        k=5, n_queries=8, n_sub=8, dim=64, rerank_r=100,
     )
 
 

@@ -397,3 +397,29 @@ def test_rrf_fuse_semantics(spark):
     # scores break by doc id: 11 before 13
     assert out[11][0] == out[13][0] == round(1 / 62, 6)
     assert out[11][3] == 3 and out[13][3] == 4
+
+
+def test_pq_incremental_encode_equals_full_reencode(spark, sf_dir):
+    """The add-after-train proof (round 9): encoding is a pure
+    per-vector function of the frozen codebooks, so corpus codes ∪
+    batch codes must be ROW-IDENTICAL to one encode pass over the
+    union — the property that makes per-batch PQ maintenance cost the
+    batch instead of the corpus."""
+    from strava_etl_public_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    embn = S._l2_normalize(emb, "embedding")
+    corpus = embn.filter(F.col("vec_id") % 5 != 0)
+    batch = embn.filter(F.col("vec_id") % 5 == 0)
+    cb = S.pq_codebooks(
+        corpus, "vec_id", "embedding", n_sub=8, dim=64, n_cent=16,
+        stride=37, refine_iters=1,
+    )
+    merged = (
+        S.pq_encode(corpus, "vec_id", "embedding", cb)
+        .unionByName(S.pq_encode(batch, "vec_id", "embedding", cb))
+    )
+    full = S.pq_encode(embn, "vec_id", "embedding", cb)
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b and len(a) == 400 * 8

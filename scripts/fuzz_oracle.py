@@ -936,6 +936,153 @@ FROM (SELECT {key},
     return ("variant_path", spark_sql, duck_sql)
 
 
+def shape_range_frame(rng, pools):
+    """RANGE frames over event-time seconds (round-9 verdict #7: a
+    window-frame surface the ROWS-frame shape never generates). The
+    frame is defined by VALUE distance on the epoch-seconds column —
+    tie rows are peers, so count/int-sum/min-max aggregates are
+    deterministic without a total order. Same text both engines; the
+    es column comes from the per-engine events_es view (Spark's
+    epoch dispatch vs DuckDB's epoch_ns — FIXTURES.md)."""
+    g = rng.choice([60, 300, 1800, 3600, 86400])
+    part = rng.choice(["user_id", "event_type"])
+    frame = rng.choice(
+        [
+            f"RANGE BETWEEN {g} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {g} FOLLOWING",
+            f"RANGE BETWEEN {g} PRECEDING AND {g} FOLLOWING",
+        ]
+    )
+    mod, res = rng.choice([(7, 3), (5, 0), (3, 1), (11, 6)])
+    m2 = rng.choice([53, 97, 193])
+    sql = (
+        f"SELECT event_id, {part}, es, "
+        f"CAST(count(*) OVER w AS BIGINT) AS a0, "
+        f"CAST(sum(event_id % {m2}) OVER w AS BIGINT) AS a1, "
+        f"CAST(min(es) OVER w AS BIGINT) AS a2, "
+        f"CAST(max(es) OVER w AS BIGINT) AS a3 "
+        f"FROM events_es WHERE event_id % {mod} = {res} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY es {frame})"
+    )
+    return ("range_frame", sql)
+
+
+def shape_session_window(rng, pools):
+    """Built-in session_window aggregation vs the gaps-and-islands
+    rewrite (the x_session_window_builtin pair, randomized): Spark
+    merges events whose gap is STRICTLY under the timeout, so the
+    islands side breaks on diff >= gap and reconstructs
+    end = last + gap. Tie rows (same user, same second) are safe:
+    whichever tie order the engines pick, the tie's diff is 0 and
+    session membership/extent/count are unchanged."""
+    gap = rng.choice([600, 1800, 3600, 7200])
+    mod, res = rng.choice([(2, 0), (2, 1), (3, 2), (5, 1)])
+    pred = f"user_id % {mod} = {res}"
+    spark_sql = f"""
+SELECT user_id,
+       CAST(session_window.start AS BIGINT) AS s_start,
+       CAST(session_window.end AS BIGINT) AS s_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT user_id, timestamp_seconds(es) AS et FROM events_es
+      WHERE {pred})
+GROUP BY user_id, session_window(et, '{gap} seconds')"""
+    duck_sql = f"""
+WITH e AS (SELECT user_id, es FROM events_es WHERE {pred}),
+o AS (
+  SELECT user_id, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w >= {gap} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+s AS (
+  SELECT user_id, es,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY es
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(min(es) AS BIGINT) AS s_start,
+       CAST(max(es) + {gap} AS BIGINT) AS s_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid"""
+    return ("session_window", spark_sql, duck_sql)
+
+
+def shape_udtf_table_ewma(rng, pools):
+    """TABLE-argument Python UDTF calls (round-9 verdict #7: the
+    invocation form no shape generated): Spark shuffles the table
+    argument by PARTITION BY, sorts each partition by ORDER BY, and
+    feeds one UDTF instance per partition — here the per-key EWMA
+    recursion (alpha pinned at 0.3 inside the UDTF), checked against
+    DuckDB's recursive-CTE fold of literally the same IEEE-double
+    arithmetic over the same (es, event_id) total order."""
+    mod, res = rng.choice([(3, 0), (4, 1), (5, 2), (7, 3), (6, 5)])
+    pred = f"user_id % {mod} = {res}"
+    spark_sql = f"""
+SELECT user_id, CAST(n AS BIGINT) AS n, round(ewma, 6) AS ewma
+FROM ewma_final_udtf(
+  TABLE(SELECT user_id, event_id, value,
+               es * 1000000000 AS _ns
+        FROM events_es WHERE {pred})
+  PARTITION BY user_id ORDER BY (_ns, event_id))"""
+    duck_sql = f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS rn
+  FROM events_es WHERE {pred}
+),
+r(user_id, rn, s) AS (
+  SELECT user_id, rn, value FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, 0.3 * b.value + 0.7 * r.s
+  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+),
+mx AS (SELECT user_id, max(rn) AS m FROM b GROUP BY user_id)
+SELECT r.user_id, CAST(mx.m AS BIGINT) AS n, round(r.s, 6) AS ewma
+FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.m"""
+    return ("udtf_table_ewma", spark_sql, duck_sql)
+
+
+def shape_variant_explode(rng, pools):
+    """LATERAL variant_explode over a constructed VARIANT object
+    (round-9 verdict #7: schema-on-read field ITERATION, vs
+    shape_variant_path's known-path extraction): each row renders a
+    2-3-field JSON object from real integer columns, Spark walks its
+    fields laterally and re-aggregates per key; DuckDB computes the
+    same per-key aggregates straight from the source expressions. A
+    field walked twice, skipped, or value-corrupted breaks equality."""
+    t = rng.choice(["orders", "customer", "events", "documents"])
+    ints = _cols_of(t, ("int", "key"))
+    key = UNIQUE[t][0]
+    nfields = rng.choice([2, 3])
+    fields = []
+    for i in range(nfields):
+        (iref, _, _) = rng.choice(ints)
+        m = rng.choice([7, 13, 29, 53, 97])
+        fields.append((f"k{chr(97 + i)}", f"{iref} % {m}"))
+    mod, res = rng.choice([(3, 0), (5, 2), (7, 4), (2, 1)])
+    pred = f"{key} % {mod} = {res}"
+    named = ", ".join(f"'{k}', {e}" for k, e in fields)
+    spark_sql = f"""
+SELECT f.key AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(variant_get(f.value, '$', 'bigint')) AS BIGINT) AS sum_v
+FROM (SELECT parse_json(to_json(named_struct({named}))) AS v
+      FROM {t} WHERE {pred}) t0,
+     LATERAL variant_explode(t0.v) f
+GROUP BY f.key"""
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{k}' AS k, {e} AS v FROM {t} WHERE {pred}"
+        for k, e in fields
+    )
+    duck_sql = f"""
+SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+FROM (
+{unions}
+)
+GROUP BY k"""
+    return ("variant_explode", spark_sql, duck_sql)
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -960,6 +1107,12 @@ SHAPES = [
     # queries just enabled
     (shape_recursive, 2),
     (shape_variant_path, 2),
+    # round-9 additions (verdict #7): the four round-8 engine surfaces
+    # the 21 prior shapes never generated
+    (shape_range_frame, 3),
+    (shape_session_window, 2),
+    (shape_udtf_table_ewma, 2),
+    (shape_variant_explode, 2),
 ]
 
 
@@ -1070,6 +1223,23 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    # per-engine event-time view (epoch dispatch — FIXTURES.md): the
+    # round-9 shapes (RANGE frames, session_window, table-arg UDTF)
+    # need event-time seconds, which each engine derives its own way
+    from strava_etl_public_spark.functions import epoch as ep
+    from strava_etl_public_spark.operators.udtfs import register_udtfs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.withColumn("es", ep.epoch_s(ev, "ts").cast("long")).drop(
+        "ts"
+    ).createOrReplaceTempView("events_es")
+    con.execute(
+        "CREATE OR REPLACE VIEW events_es AS "
+        "SELECT * EXCLUDE (ts), CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    register_udtfs(spark)
 
     pools = build_pools(con)
     failures: list[dict] = []

@@ -47,16 +47,17 @@ def partition_of(rows):
     return {frozenset(v) for v in comp.values()}
 
 
-def run_once(spark, docs, batch_pct: int, stage_dir: str):
-    pred = (F.col("doc_id") % 100) < batch_pct
+def run_once(spark, docs, batch_pm: int, stage_dir: str):
+    # batch share in PER-MILLE so 0.1% is expressible (r8 verdict #5)
+    pred = (F.col("doc_id") % 1000) < batch_pm
     corpus = docs.filter(~pred)
     batch = docs.filter(pred)
     n_corpus, n_batch = corpus.count(), batch.count()
 
     # -- state build (prior run's cost, amortized across batches) --
     t0 = time.perf_counter()
-    state_path = f"{stage_dir}/state_{batch_pct}"
-    pairs_path = f"{stage_dir}/pairs_{batch_pct}"
+    state_path = f"{stage_dir}/state_{batch_pm}"
+    pairs_path = f"{stage_dir}/pairs_{batch_pm}"
     lsh_bucket_state(corpus, "doc_id", "text").write.mode("overwrite").parquet(
         state_path
     )
@@ -88,8 +89,10 @@ def run_once(spark, docs, batch_pct: int, stage_dir: str):
     assert sorted((r["doc_id"], r["rep_id"]) for r in inc) == sorted(
         (r["doc_id"], r["rep_id"]) for r in full
     ), "cluster labels differ!"
+    state_rows = spark.read.parquet(state_path).count()
     return {
-        "batch_pct": batch_pct,
+        "batch_pct": batch_pm / 10.0,
+        "state_rows": state_rows,
         "n_corpus": n_corpus,
         "n_batch": n_batch,
         "t_state_build_s": round(t_state, 2),
@@ -118,13 +121,14 @@ def main() -> int:
     docs = base.unionByName(planted)
     print(f"docs={docs.count()} from {sf_dir} (incl. planted near-dups)")
     with tempfile.TemporaryDirectory() as stage:
-        for pct in (1, 5):
-            r = run_once(spark, docs, pct, stage)
+        for pm in (1, 10, 100):  # 0.1% / 1% / 10% batch shares
+            r = run_once(spark, docs, pm, stage)
             print(
                 f"batch {r['batch_pct']}% ({r['n_batch']} docs vs corpus "
                 f"{r['n_corpus']}): state-build {r['t_state_build_s']}s; "
                 f"FULL {r['t_full_recompute_s']}s vs INCREMENTAL "
                 f"{r['t_incremental_s']}s  (speedup {r['speedup']}x, "
+                f"state {r['state_rows']} bucket rows, "
                 f"{r['clusters']} clusters, partitions identical)"
             )
     spark.stop()

@@ -22,8 +22,6 @@ from .operators import dedup, multimodal, similarity, text  # noqa: F401
 from .queries_common import _SH_SQL, _cos_sql, _dot_sql  # noqa: F401
 from .queries_dedup_sim import _CC_CLOSURE_SQL, x_dedup_ngram_jaccard  # noqa: F401
 from .queries_text_mm_stream import _run_stream, _stage_events_dir  # noqa: F401
-from .queries_sketch import x_dedup_decontaminate  # noqa: F401
-from .queries_stats_text import x_hist_value  # noqa: F401
 from .queries_tables import x_snapshot_diff  # noqa: F401
 
 
@@ -481,143 +479,9 @@ def x_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
-    "x_embed_centroids",
-    oracle=f"""
-WITH ex AS (
-  SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
-),
-per AS (
-  SELECT label, dim,
-         sum(CAST(round(x * 1000000, 0) AS HUGEINT)) AS s,
-         count(*) AS c
-  FROM ex GROUP BY label, dim
-),
-comp AS (
-  SELECT label, dim, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 AS cc
-  FROM per
-),
-cent AS (SELECT label, list(cc ORDER BY dim) AS cv FROM comp GROUP BY label),
-j AS (
-  SELECT e.label, e.vec_id,
-         {_cos_sql('e.embedding', 'cent.cv')} AS cos,
-         sqrt({_dot_sql('cent.cv', 'cent.cv')}) AS cn
-  FROM embeddings e JOIN cent ON e.label = cent.label
-),
-q AS (
-  SELECT label, cn, CAST(round(cos * 1000000, 0) AS BIGINT) AS cq FROM j
-)
-SELECT label,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       round(max(cn), 6) AS centroid_norm,
-       round(CAST(sum(cq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
-         AS avg_cos,
-       CAST(min(cq) AS DOUBLE) / 1000000.0 AS min_cos,
-       CAST(max(cq) AS DOUBLE) / 1000000.0 AS max_cos
-FROM q GROUP BY label
-""",
-)
-def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label class centroids + cluster-tightness report: exact
-    decimal-summed mean vectors (bounded |labels|·dim model state),
-    broadcast back onto the corpus for per-vector cosine-to-centroid,
-    then 6dp-quantized exact averaging. centroid_norm ≪ 1 or low
-    avg_cos flags an incoherent label — the SemDeDup-style health
-    check before semantic curation trusts a clustering. One explode +
-    two hash aggs + one broadcast join."""
-    ensure_harness_conf(spark)
-    from .operators import dedup
-    from .operators.similarity import label_centroids
-
-    emb = load(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb, "label", "embedding")
-    j = emb.join(F.broadcast(cents), "label").select(
-        "label",
-        dedup.cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
-        F.sqrt(dedup.dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
-    )
-    q = j.select(
-        "label", "cn", F.round(F.col("cos") * 1000000, 0).cast("long").alias("cq")
-    )
-    return q.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(F.max("cn"), 6).alias("centroid_norm"),
-        F.round(
-            F.sum("cq").cast("double")
-            / F.count(F.lit(1)).cast("double")
-            / F.lit(1000000.0),
-            6,
-        ).alias("avg_cos"),
-        (F.min("cq").cast("double") / F.lit(1000000.0)).alias("min_cos"),
-        (F.max("cq").cast("double") / F.lit(1000000.0)).alias("max_cos"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Multimodal audio: REAL WAV decode on the hot path
 # ---------------------------------------------------------------------------
-
-
-def _audio_oracle() -> str:
-    """Closed-form prediction of the REAL WAV decode (wavcodec.
-    deterministic_wav documents the waveform recipe): the oracle
-    regenerates every sample from the sha256 digest bytes and sums the
-    same exact integers — no audio library on the DuckDB side."""
-
-    def nib(i: int) -> str:
-        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
-
-    def byte(k: int) -> str:
-        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
-
-    return f"""
-WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
-p AS (SELECT doc_id,
-             64 + {byte(0)} * 4 AS nf,
-             8000 + {byte(1)} * 125 AS rate,
-             1 + {byte(5)} % 2 AS ch,
-             {byte(2)} * 256 + {byte(3)} AS a,
-             257 + {byte(4)} AS b
-      FROM hh),
-t AS (SELECT doc_id, nf, rate, ch,
-             (a + b * i) % 65536 AS v
-      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) u),
-m AS (SELECT doc_id, nf, rate, ch,
-             max(greatest(abs(v - 32768),
-                          CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END)) AS peak,
-             sum(abs(v - 32768)
-                 + CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END) AS sum_abs,
-             sum(CAST((v - 32768) AS BIGINT) * (v - 32768)
-                 + CASE WHEN ch = 2
-                        THEN CAST((32767 - v) AS BIGINT) * (32767 - v)
-                        ELSE 0 END) AS sum_sq
-      FROM t GROUP BY doc_id, nf, rate, ch)
-SELECT doc_id,
-       CAST(nf AS BIGINT) AS n_frames,
-       CAST(rate AS BIGINT) AS sample_rate,
-       CAST(ch AS BIGINT) AS channels,
-       CAST(peak AS BIGINT) AS peak,
-       round(CAST(sum_abs AS DOUBLE) / CAST(nf * ch AS DOUBLE), 6) AS mean_abs,
-       round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(nf * ch AS DOUBLE)), 6) AS rms
-FROM m
-"""
-
-
-@register_extra("x_mm_audio_stats", oracle=_audio_oracle())
-def x_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio decode stage with a REAL codec on the hot path:
-    synthesize a deterministic PCM16 WAV per document (executor-side),
-    then parse the RIFF chunk structure, unpack interleaved frames and
-    reduce to waveform features with the pure-stdlib decoder
-    (wavcodec.decode_stats). Second real modality next to the PNG
-    image path — the oracle regenerates every sample from the digest
-    recipe, so any decoder bug (chunk offsets, endianness, interleave)
-    breaks the hash match."""
-    ensure_harness_conf(spark)
-    docs = load(spark, sf_dir, "documents")
-    wav = multimodal.attach_wav(docs, "doc_id", "text")
-    return multimodal.decode_audio(wav, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -742,88 +606,6 @@ def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming-maintained count-min sketch
 # ---------------------------------------------------------------------------
-
-
-def _cms_users_oracle(d: int = 4, w: int = 1024, k: int = 20) -> str:
-    def h(term: str, row: str) -> str:
-        return (
-            f"CAST(concat('0x', substr(md5('cms' || {row} || ':' || {term}), 1, 15)) "
-            f"AS BIGINT) % {w}"
-        )
-
-    return f"""
-WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
-exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_true FROM ev GROUP BY term),
-top AS (
-  SELECT term, n_true
-  FROM (SELECT term, n_true,
-               row_number() OVER (ORDER BY n_true DESC, CAST(term AS BIGINT)) AS rn
-        FROM exact)
-  WHERE rn <= {k}
-),
-rows_ AS (SELECT unnest(generate_series(0, {d - 1})) AS i),
-cms AS (
-  SELECT r.i AS r, {h('term', 'r.i')} AS c, CAST(count(*) AS BIGINT) AS n
-  FROM ev CROSS JOIN rows_ r
-  GROUP BY 1, 2
-)
-SELECT CAST(t.term AS BIGINT) AS user_id, t.n_true,
-       CAST(min(m.n) AS BIGINT) AS cms_count
-FROM top t CROSS JOIN rows_ r
-JOIN cms m ON m.r = r.i AND m.c = {h('t.term', 'r.i')}
-GROUP BY t.term, t.n_true
-"""
-
-
-@register_extra("x_stream_cms_users", oracle=_cms_users_oracle())
-def x_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The count-min sketch maintained BY THE STREAM: the d×w cell
-    table is the streaming aggregation's state (cells are SUMS —
-    order-free and micro-batch-slicing-invariant, the same mergeable-
-    state argument as the streaming HLL), heavy-hitter lookups happen
-    at read time against the final cell table (the sketch-serving
-    split). Estimates equal the batch sketch bit-for-bit under the
-    same oracle; at 100 TB/day this is the bounded-memory way to track
-    hot keys on an unbounded stream."""
-    ensure_harness_conf(spark)
-    import shutil
-
-    from .operators import sketch
-    from .operators.sketch import _cms_cells
-    from .streaming.ingest import EVENTS_SCHEMA
-
-    stage = _stage_events_dir(spark, sf_dir)
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-        cells = (
-            stream.select(F.explode(_cms_cells("user_id", 4, 1024)).alias("_e"))
-            .select(F.col("_e.r").alias("r"), F.col("_e.c").alias("c"))
-            .groupBy("r", "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        cms = _run_stream(spark, cells, "complete")
-        ev = load(spark, sf_dir, "events")
-        exact = ev.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_true")
-        )
-        wr = W.orderBy(F.col("n_true").desc(), "user_id")
-        top = (
-            exact.withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= 20)
-            .select(F.col("user_id").cast("string").alias("user_id"), "n_true")
-        )
-        est = sketch.cms_lookup(cms, top, "user_id", d=4, w=1024)
-        return (
-            top.join(est, "user_id")
-            .select(
-                F.col("user_id").cast("long").alias("user_id"),
-                "n_true",
-                "cms_count",
-            )
-            .localCheckpoint()
-        )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1065,125 +847,6 @@ def x_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
-    "x_drift_psi",
-    oracle="""
-WITH e AS (
-  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
-  WHERE value IS NOT NULL
-),
-mm AS (
-  SELECT event_type, min(v) AS mn, max(v) AS mx FROM e GROUP BY event_type
-),
-b AS (
-  SELECT e.event_type, e.event_id % 2 AS snap,
-         CASE WHEN mm.mx = mm.mn THEN 0
-              ELSE least(CAST(floor((e.v - mm.mn) * 10 / (mm.mx - mm.mn))
-                              AS BIGINT), 9) END AS bin
-  FROM e JOIN mm ON e.event_type = mm.event_type
-),
-grid AS (
-  SELECT DISTINCT event_type, u.b AS bin
-  FROM mm, unnest(generate_series(0, 9)) AS u(b)
-),
-cnt AS (
-  SELECT g.event_type, g.bin,
-         CAST(coalesce(sum(CASE WHEN b.snap = 0 THEN 1 END), 0) AS BIGINT) AS n1,
-         CAST(coalesce(sum(CASE WHEN b.snap = 1 THEN 1 END), 0) AS BIGINT) AS n2
-  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bin = g.bin
-  GROUP BY g.event_type, g.bin
-),
-tot AS (
-  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2 FROM cnt GROUP BY event_type
-),
-term AS (
-  SELECT c.event_type,
-         (CAST(c.n1 + 1 AS DOUBLE) / CAST(t.t1 + 10 AS DOUBLE)
-          - CAST(c.n2 + 1 AS DOUBLE) / CAST(t.t2 + 10 AS DOUBLE))
-         * round(ln(CAST((c.n1 + 1) * (t.t2 + 10) AS DOUBLE)
-                    / CAST((c.n2 + 1) * (t.t1 + 10) AS DOUBLE)), 6) AS trm
-  FROM cnt c JOIN tot t ON c.event_type = t.event_type
-),
-q AS (
-  SELECT event_type, CAST(round(trm * 1000000, 0) AS BIGINT) AS tq FROM term
-)
-SELECT event_type,
-       round(CAST(sum(tq) AS DOUBLE) / 1000000.0, 6) AS psi
-FROM q GROUP BY event_type
-""",
-)
-def x_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population stability index between two event snapshots (even vs
-    odd event ids — the deterministic stand-in for last-week vs
-    this-week): 10 shared equi-width bins per event type, Laplace
-    smoothing so empty bins don't blow up the log, PSI = Σ(p−q)·ln(p/q)
-    with each ln taken over a RATIO OF EXACT INTEGERS and 6dp-rounded
-    (the bigram-LM recipe), per-bin terms quantized before the sum so
-    summation order can't move a bit. PSI > 0.2 is the standard
-    retrain/investigate alarm — the monitoring face of the profiler
-    and histogram rows. Three hash aggs, one broadcast of the P-row
-    bin-edge table."""
-    ensure_harness_conf(spark)
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    e = ev.select(
-        "event_type", "event_id", F.col("value").cast("double").alias("v")
-    )
-    mm = e.groupBy("event_type").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    j = e.join(F.broadcast(mm), "event_type")
-    bin_col = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
-        F.least(
-            F.floor((F.col("v") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))).cast(
-                "long"
-            ),
-            F.lit(9).cast("long"),
-        )
-    )
-    b = j.select(
-        "event_type", (F.col("event_id") % 2).alias("snap"), bin_col.alias("bin")
-    )
-    grid = mm.select("event_type").crossJoin(
-        spark.range(10).select(F.col("id").alias("bin"))
-    )
-    # aggregate the corpus FIRST, then left-join the tiny grid onto the
-    # tiny counts — joining grid⋈corpus forces a SortMergeJoin because a
-    # left join cannot broadcast its preserved side (plan-audit finding)
-    raw = b.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("_c1"),
-        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("_c2"),
-    )
-    cnt = (
-        grid.join(F.broadcast(raw), ["event_type", "bin"], "left")
-        .select(
-            "event_type",
-            "bin",
-            F.coalesce("_c1", F.lit(0)).cast("long").alias("n1"),
-            F.coalesce("_c2", F.lit(0)).cast("long").alias("n2"),
-        )
-    )
-    tot = cnt.groupBy("event_type").agg(
-        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
-    )
-    c = cnt.join(tot, "event_type")
-    p = (F.col("n1") + 1).cast("double") / (F.col("t1") + 10).cast("double")
-    q = (F.col("n2") + 1).cast("double") / (F.col("t2") + 10).cast("double")
-    lnr = F.round(
-        F.log(
-            ((F.col("n1") + 1) * (F.col("t2") + 10)).cast("double")
-            / ((F.col("n2") + 1) * (F.col("t1") + 10)).cast("double")
-        ),
-        6,
-    )
-    term = c.select(
-        "event_type",
-        F.round((p - q) * lnr * 1000000, 0).cast("long").alias("tq"),
-    )
-    return term.groupBy("event_type").agg(
-        F.round(F.sum("tq").cast("double") / F.lit(1000000.0), 6).alias("psi")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Triangle counting (market-basket co-occurrence graph)
 # ---------------------------------------------------------------------------
@@ -1241,44 +904,6 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding covariance matrix (Arrow outer-product partials)
 # ---------------------------------------------------------------------------
-
-
-@register_extra(
-    "x_embed_covariance",
-    oracle="""
-WITH x AS (
-  SELECT vec_id, u.i AS i,
-         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
-),
-p AS (
-  SELECT a.i AS i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS sij
-  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-  GROUP BY a.i, b.i
-),
-m AS (SELECT i, sum(CAST(q AS HUGEINT)) AS si, CAST(count(*) AS BIGINT) AS n
-      FROM x GROUP BY i)
-SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-       round((CAST(p.sij AS DOUBLE) / CAST(ma.n AS DOUBLE)
-              - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE))
-                * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE)))
-             / 1000000000000.0, 6) + 0.0 AS cov
-FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
-""",
-)
-def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 64×64 covariance of the embedding corpus via Arrow
-    outer-product partials: each batch ships ONE d×d cell block
-    (data motion independent of row count — the naive pair explode
-    the oracle runs ships n·d² rows), cells sum exactly in
-    DECIMAL(38,0), and the finish is fixed-order double math. The
-    statistic PCA/whitening and the covariance-shift drift monitors
-    start from; pairs with x_embed_centroids (first moment) as the
-    second-moment face."""
-    ensure_harness_conf(spark)
-    from .operators.similarity import covariance_matrix
-
-    return covariance_matrix(load(spark, sf_dir, "embeddings"), "embedding")
 
 
 # ---------------------------------------------------------------------------
@@ -1919,68 +1544,3 @@ def x_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audio_resample_oracle() -> str:
-    """Closed-form prediction of decimation-by-2 over the REAL WAV
-    round-trip: even-indexed frames of the deterministic waveform
-    (wavcodec.deterministic_wav), stats over exactly those samples;
-    n_frames halves (nf is always even: 64 + 4k), the rate floors."""
-
-    def nib(i: int) -> str:
-        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
-
-    def byte(k: int) -> str:
-        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
-
-    return f"""
-WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
-p AS (SELECT doc_id,
-             64 + {byte(0)} * 4 AS nf,
-             8000 + {byte(1)} * 125 AS rate,
-             1 + {byte(5)} % 2 AS ch,
-             {byte(2)} * 256 + {byte(3)} AS a,
-             257 + {byte(4)} AS b
-      FROM hh),
-t AS (SELECT doc_id, nf, rate, ch,
-             (a + b * i) % 65536 AS v
-      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) u),
-m AS (SELECT doc_id, nf, rate, ch,
-             count(*) AS nf2,
-             max(greatest(abs(v - 32768),
-                          CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END)) AS peak,
-             sum(abs(v - 32768)
-                 + CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END) AS sum_abs
-      FROM t GROUP BY doc_id, nf, rate, ch)
-SELECT doc_id,
-       CAST(nf2 AS BIGINT) AS n_frames,
-       CAST(rate // 2 AS BIGINT) AS sample_rate,
-       CAST(ch AS BIGINT) AS channels,
-       CAST(peak AS BIGINT) AS peak,
-       round(CAST(sum_abs AS DOUBLE) / CAST(nf2 * ch AS DOUBLE), 6) AS mean_abs
-FROM m
-"""
-
-
-@register_extra("x_mm_audio_resample", oracle=_audio_resample_oracle())
-def x_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decimation on REAL bytes: synthesize the deterministic
-    PCM16 WAV per doc, decode, keep every 2nd frame (channel-aligned
-    — the classic decimation bug is slicing samples, not frames),
-    re-encode at half rate, decode the re-encoded payload AGAIN and
-    report its stats — the output container is proven valid by
-    construction. The audio counterpart of the nearest-neighbor PNG
-    resize: index decimation picks exact source frames, so the oracle
-    predicts every stat in closed form from the waveform recipe."""
-    ensure_harness_conf(spark)
-    from .operators import multimodal as mm
-
-    docs = load(spark, sf_dir, "documents")
-    payload = mm.attach_wav(docs, "doc_id", "text")
-    out = mm.resample_audio(payload, factor=2)
-    return out.select(
-        "doc_id",
-        "n_frames",
-        "sample_rate",
-        "channels",
-        "peak",
-        F.round("mean_abs", 6).alias("mean_abs"),
-    )

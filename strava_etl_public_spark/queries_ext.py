@@ -17,4 +17,6 @@ from . import queries_rel_graph  # noqa: F401  (registration side-effect)
 from . import queries_tpch  # noqa: F401  (registration side-effect)
 from . import queries_tables  # noqa: F401  (registration side-effect)
 from . import queries_curation  # noqa: F401  (registration side-effect)
+from . import queries_eval  # noqa: F401  (registration side-effect)
+from . import queries_stream_state  # noqa: F401  (registration side-effect)
 from . import queries_ml_geo  # noqa: F401  (registration side-effect)

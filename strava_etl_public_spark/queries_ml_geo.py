@@ -23,7 +23,7 @@ from .queries_common import _cos_sql  # noqa: F401
 from .queries_dedup_sim import _CC_CLOSURE_SQL, _ivf_oracle, _minhash_oracle  # noqa: F401
 from .queries_sketch import _hll_oracle  # noqa: F401
 from .queries_stats_text import x_incremental_agg_merge  # noqa: F401
-from .queries_curation import _cms_users_oracle, x_drift_psi, x_embed_centroids  # noqa: F401
+from .queries_stream_state import _cms_users_oracle  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

@@ -184,39 +184,6 @@ def x_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "term").select("term", "n_true", "cms_count")
 
 
-@register_extra("x_stream_hll_users", oracle=_hll_oracle())
-def x_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL sketch maintained BY THE STREAM: the register table
-    (max rank per (event_type, bucket)) is the streaming aggregation's
-    state — one stateful agg, the only kind streaming allows — and the
-    harmonic estimate is finished at read time over the 512-register
-    table (sketch.finish_hll_registers; the sketch-serving split).
-    Register maxima are order-free, so micro-batch slicing cannot
-    change a single register and the estimate equals the batch
-    x_sketch_hll_users bit-for-bit — same oracle."""
-    ensure_harness_conf(spark)
-    import shutil
-
-    from .operators import sketch
-    from .streaming.ingest import EVENTS_SCHEMA
-
-    stage = _stage_events_dir(spark, sf_dir)
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-        bucket, rank = sketch.hll_terms(F.col("user_id"), b=9)
-        regs = (
-            stream.select("event_type", bucket.alias("_bkt"), rank.alias("_rk"))
-            .groupBy("event_type", "_bkt")
-            .agg(F.max("_rk").alias("_mj"))
-        )
-        reg_table = _run_stream(spark, regs, "complete")
-        return sketch.finish_hll_registers(
-            reg_table, ["event_type"], b=9
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
 def _split_oracle() -> str:
     h = "CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
     s = "CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -1207,66 +1174,6 @@ def x_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(docs, "doc_id", "text")
 
 
-@register_extra(
-    "x_stream_dedup",
-    oracle="""
-WITH m AS (SELECT event_id, min(event_type) AS event_type
-           FROM events GROUP BY event_id)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n
-FROM m GROUP BY event_type
-""",
-)
-def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exactly-once ingest dedup: the staged corpus is
-    written TWICE (the at-least-once-delivery shape — replayed files,
-    retried producers), and ``dropDuplicatesWithinWatermark`` on the
-    event id must emit each event exactly once. The emitted ID SET is
-    what the gate checks: ids join to a deterministic id→type map
-    (min event_type per id, same rule both engines — ADVICE r4: WHICH
-    replica survives dedup is micro-batch-order dependent, so the
-    surviving row's own type column must not feed the compare), then
-    count per type. A leaked duplicate id inflates its type's count, a
-    dropped id deflates it.
-
-    Scale: dedup state is keyed by event_id in the state store,
-    EXPIRED by the watermark bound — unlike plain ``dropDuplicates``,
-    state does not grow with the full history, only with the late-data
-    horizon; the fixture run uses a horizon wider than the data span
-    so every replay is inside it."""
-    ensure_harness_conf(spark)
-    import shutil
-
-    from .streaming.ingest import EVENTS_SCHEMA, normalize_events, with_event_time
-
-    stage = _stage_events_dir(spark, sf_dir)
-    try:
-        # replay: the same normalized corpus appended again (same
-        # event_ids, new files — the redelivery case)
-        normalize_events(load(spark, sf_dir, "events")).write.mode("append").parquet(stage)
-
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-        deduped = (
-            with_event_time(stream)
-            .withWatermark("event_time", "3650 days")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id")
-        )
-        out = _run_stream(spark, deduped, "append")
-        id_type = (
-            load(spark, sf_dir, "events")
-            .groupBy("event_id")
-            .agg(F.min("event_type").alias("event_type"))
-        )
-        return (
-            out.join(id_type, "event_id")
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .localCheckpoint()
-        )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
 # ---------------------------------------------------------------------------
 # Bloom filter sketches (join pruning)
 # ---------------------------------------------------------------------------
@@ -1532,67 +1439,6 @@ def x_pit_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "us", "state_asof")
 
 
-@register_extra(
-    "x_stream_fingerprint",
-    oracle="""
-SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
-FROM (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
-           coalesce(CAST(event_id AS VARCHAR), chr(30)),
-           coalesce(CAST(user_id AS VARCHAR), chr(30)),
-           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
-  FROM events
-)
-""",
-)
-def x_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dataset fingerprint maintained BY THE STREAM: count, bit-
-    XOR, and modular sum of the 60-bit row hash are all commutative
-    monoids, so the streaming aggregation's state (one row) is the
-    digest itself, micro-batch slicing cannot change it, and the
-    final value equals the batch dataset_fingerprint bit-for-bit —
-    same oracle family. This is what continuous ingest integrity
-    looks like at scale: each arriving batch folds into O(1) state,
-    and any replica/backfill can be compared against the live digest
-    without rereading history."""
-    ensure_harness_conf(spark)
-    import shutil
-
-    from .streaming.ingest import EVENTS_SCHEMA
-
-    stage = _stage_events_dir(spark, sf_dir)
-    try:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
-            for c in ("event_id", "user_id", "event_type")
-        ]
-        from .operators.sketch import _hash60
-
-        h = _hash60(F.concat_ws("\x1f", *parts))
-        agg = (
-            stream.select(h.alias("_h"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
-                (
-                    F.sum(F.col("_h").cast("decimal(38,0)"))
-                    % F.lit(1152921504606846976)
-                )
-                .cast("long")
-                .alias("sum_hash_mod"),
-            )
-        )
-        out = _run_stream(spark, agg, "complete")
-        return out.select(
-            F.lit("events").alias("dataset"), "n_rows", "xor_hash", "sum_hash_mod"
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
 @register(
     "x_pipeline_export",
     oracle=f"""
@@ -1691,188 +1537,3 @@ def x_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
-    "x_stream_available_now",
-    oracle="""
-SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod,
-       CAST(1 AS BIGINT) AS multi_batch
-FROM (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
-           coalesce(CAST(event_id AS VARCHAR), chr(30)),
-           coalesce(CAST(user_id AS VARCHAR), chr(30)),
-           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
-  FROM events
-)
-""",
-)
-def x_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-catchup semantics: Trigger.AvailableNow +
-    maxFilesPerTrigger drains the staged backlog in MULTIPLE small
-    micro-batches and then stops — the operational mode for backfill
-    (catch up without an unbounded first batch, release the cluster
-    when drained). The digest aggregation proves batch-slicing
-    invariance: the multi-batch catchup's final state equals the
-    all-at-once digest bit-for-bit (same oracle as the batch
-    fingerprint), and multi_batch asserts the run REALLY took more
-    than one micro-batch (staging writes >= 4 files, the trigger
-    admits 1 per batch) — a single-batch run would fail the row."""
-    ensure_harness_conf(spark)
-    import shutil
-    import uuid as _uuid
-
-    from .operators.sketch import _hash60
-    from .streaming.ingest import EVENTS_SCHEMA, normalize_events
-
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="events_avnow_")
-    try:
-        normalize_events(load(spark, sf_dir, "events")).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-        )
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
-            for c in ("event_id", "user_id", "event_type")
-        ]
-        h = _hash60(F.concat_ws("\x1f", *parts))
-        agg = stream.select(h.alias("_h")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.expr("bit_xor(_h)").cast("long").alias("xor_hash"),
-            (
-                F.sum(F.col("_h").cast("decimal(38,0)"))
-                % F.lit(1152921504606846976)
-            )
-            .cast("long")
-            .alias("sum_hash_mod"),
-        )
-        name = f"q_{_uuid.uuid4().hex[:12]}"
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-            n_batches = len(q.recentProgress)
-        finally:
-            q.stop()
-        out = spark.table(name)
-        return out.select(
-            F.lit("events").alias("dataset"),
-            "n_rows",
-            "xor_hash",
-            "sum_hash_mod",
-            F.lit(1 if n_batches > 1 else 0).cast("long").alias("multi_batch"),
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-
-
-@register_extra(
-    "x_stream_paged_ingest",
-    oracle="""
-WITH ids AS (
-  SELECT unnest(generate_series(0, 8 * 250 - 1)) AS aid
-),
-feed AS (
-  SELECT (aid * 2654435761) % 97 AS athlete_id,
-         CAST((aid * 2654435761) % 50000 AS BIGINT) AS distance_m
-  FROM ids
-)
-SELECT athlete_id,
-       CAST(count(*) AS BIGINT) AS n_activities,
-       CAST(sum(distance_m) AS BIGINT) AS total_distance_m
-FROM feed GROUP BY athlete_id
-""",
-)
-def x_stream_paged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 incremental ingest as a CUSTOM STREAM SOURCE (Spark 4
-    Python DataSource streaming API): the paged feed arrives 2 pages
-    per micro-batch, the low watermark lives in the engine's offset
-    log as {'page': n}, and readBetweenOffsets re-derives any batch
-    deterministically (exactly-once on recovery without sink-side
-    dedup — the property the reference's manual watermark read-back
-    approximates). The complete-mode rollup over the drained stream
-    equals the batch feed aggregate bit-for-bit; the run must take
-    multiple micro-batches (8 pages / 2 per batch)."""
-    ensure_harness_conf(spark)
-    from .sources.paged_feed import register_stream
-
-    register_stream(spark)
-    stream = (
-        spark.readStream.format("paged_feed_stream")
-        .option("pages", 8)
-        .option("page_size", 250)
-        .option("pages_per_batch", 2)
-        .load()
-    )
-    agg = stream.groupBy("athlete_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_activities"),
-        F.sum(F.col("distance_m").cast("long")).cast("long")
-        .alias("total_distance_m"),
-    )
-    out = _run_stream(spark, agg, "complete")
-    return out.localCheckpoint()
-
-
-@register_extra(
-    "x_sink_digest_commit",
-    oracle="""
-SELECT 'events' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
-FROM (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
-           coalesce(CAST(event_id AS VARCHAR), chr(30)),
-           coalesce(CAST(user_id AS VARCHAR), chr(30)),
-           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
-  FROM events
-)
-""",
-)
-def x_sink_digest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom-SINK half of the DataSource trio (reader + stream
-    reader + writer): events flow through the digest_sink's
-    TWO-PHASE COMMIT — each task's commit message is its partition's
-    O(1) digest, the driver merge publishes one manifest atomically
-    (os.replace; a failed job aborts and publishes nothing). The
-    returned row is read back FROM the committed manifest and must
-    equal the engine-side batch fingerprint oracle — proving the
-    write path saw every row exactly once across task retries
-    (commutative-monoid commit messages make replays harmless).
-    Repartitioned to 8 so the merge genuinely combines messages."""
-    ensure_harness_conf(spark)
-    import json
-    import shutil
-    import tempfile
-
-    from .sources.paged_feed import register_sink
-
-    register_sink(spark)
-    out = tempfile.mkdtemp(prefix="digest_sink_")
-    try:
-        ev = (
-            load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type")
-            .repartition(8)
-        )
-        ev.write.format("digest_sink").option("path", out).mode(
-            "append"
-        ).save()
-        with open(f"{out}/manifest.json") as f:
-            m = json.load(f)
-        return spark.createDataFrame(
-            [("events", m["n_rows"], m["xor_hash"], m["sum_hash_mod"])],
-            "dataset string, n_rows long, xor_hash long, sum_hash_mod long",
-        )
-    finally:
-        shutil.rmtree(out, ignore_errors=True)

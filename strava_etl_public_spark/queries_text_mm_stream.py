@@ -1462,3 +1462,135 @@ def x_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = multimodal.video_frame_stats(docs, "doc_id", "text", stride=2)
     return out.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+# -- audio analysis rows (moved from queries_curation.py, round 9
+# verdict #6 — multimodal family co-location; unchanged) --
+
+
+def _audio_oracle() -> str:
+    """Closed-form prediction of the REAL WAV decode (wavcodec.
+    deterministic_wav documents the waveform recipe): the oracle
+    regenerates every sample from the sha256 digest bytes and sums the
+    same exact integers — no audio library on the DuckDB side."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             64 + {byte(0)} * 4 AS nf,
+             8000 + {byte(1)} * 125 AS rate,
+             1 + {byte(5)} % 2 AS ch,
+             {byte(2)} * 256 + {byte(3)} AS a,
+             257 + {byte(4)} AS b
+      FROM hh),
+t AS (SELECT doc_id, nf, rate, ch,
+             (a + b * i) % 65536 AS v
+      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) u),
+m AS (SELECT doc_id, nf, rate, ch,
+             max(greatest(abs(v - 32768),
+                          CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END)) AS peak,
+             sum(abs(v - 32768)
+                 + CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END) AS sum_abs,
+             sum(CAST((v - 32768) AS BIGINT) * (v - 32768)
+                 + CASE WHEN ch = 2
+                        THEN CAST((32767 - v) AS BIGINT) * (32767 - v)
+                        ELSE 0 END) AS sum_sq
+      FROM t GROUP BY doc_id, nf, rate, ch)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(peak AS BIGINT) AS peak,
+       round(CAST(sum_abs AS DOUBLE) / CAST(nf * ch AS DOUBLE), 6) AS mean_abs,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(nf * ch AS DOUBLE)), 6) AS rms
+FROM m
+"""
+
+
+@register_extra("x_mm_audio_stats", oracle=_audio_oracle())
+def x_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio decode stage with a REAL codec on the hot path:
+    synthesize a deterministic PCM16 WAV per document (executor-side),
+    then parse the RIFF chunk structure, unpack interleaved frames and
+    reduce to waveform features with the pure-stdlib decoder
+    (wavcodec.decode_stats). Second real modality next to the PNG
+    image path — the oracle regenerates every sample from the digest
+    recipe, so any decoder bug (chunk offsets, endianness, interleave)
+    breaks the hash match."""
+    ensure_harness_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.attach_wav(docs, "doc_id", "text")
+    return multimodal.decode_audio(wav, "doc_id")
+
+
+def _audio_resample_oracle() -> str:
+    """Closed-form prediction of decimation-by-2 over the REAL WAV
+    round-trip: even-indexed frames of the deterministic waveform
+    (wavcodec.deterministic_wav), stats over exactly those samples;
+    n_frames halves (nf is always even: 64 + 4k), the rate floors."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+
+    return f"""
+WITH hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+p AS (SELECT doc_id,
+             64 + {byte(0)} * 4 AS nf,
+             8000 + {byte(1)} * 125 AS rate,
+             1 + {byte(5)} % 2 AS ch,
+             {byte(2)} * 256 + {byte(3)} AS a,
+             257 + {byte(4)} AS b
+      FROM hh),
+t AS (SELECT doc_id, nf, rate, ch,
+             (a + b * i) % 65536 AS v
+      FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) u),
+m AS (SELECT doc_id, nf, rate, ch,
+             count(*) AS nf2,
+             max(greatest(abs(v - 32768),
+                          CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END)) AS peak,
+             sum(abs(v - 32768)
+                 + CASE WHEN ch = 2 THEN abs(32767 - v) ELSE 0 END) AS sum_abs
+      FROM t GROUP BY doc_id, nf, rate, ch)
+SELECT doc_id,
+       CAST(nf2 AS BIGINT) AS n_frames,
+       CAST(rate // 2 AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(peak AS BIGINT) AS peak,
+       round(CAST(sum_abs AS DOUBLE) / CAST(nf2 * ch AS DOUBLE), 6) AS mean_abs
+FROM m
+"""
+
+
+@register_extra("x_mm_audio_resample", oracle=_audio_resample_oracle())
+def x_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation on REAL bytes: synthesize the deterministic
+    PCM16 WAV per doc, decode, keep every 2nd frame (channel-aligned
+    — the classic decimation bug is slicing samples, not frames),
+    re-encode at half rate, decode the re-encoded payload AGAIN and
+    report its stats — the output container is proven valid by
+    construction. The audio counterpart of the nearest-neighbor PNG
+    resize: index decimation picks exact source frames, so the oracle
+    predicts every stat in closed form from the waveform recipe."""
+    ensure_harness_conf(spark)
+    from .operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    payload = mm.attach_wav(docs, "doc_id", "text")
+    out = mm.resample_audio(payload, factor=2)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "sample_rate",
+        "channels",
+        "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+    )

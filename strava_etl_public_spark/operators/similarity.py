@@ -996,6 +996,7 @@ def pq_adc_topk_from_index(
     n_sub: int = 8,
     dim: int = 64,
     rerank_r: int = 50,
+    routes: DataFrame | None = None,
 ) -> DataFrame:
     """The PQ SERVING path over a prebuilt index (codebooks + codes):
     per-query dot-product LUT (broadcast), decimal-summed ADC over
@@ -1003,7 +1004,13 @@ def pq_adc_topk_from_index(
     :func:`pq_adc_topk` so an incrementally-maintained index (corpus
     codes persisted, batch encoded alone via :func:`pq_encode`)
     serves through literally the same plan as a from-scratch build.
-    ``emb`` must already be L2-normalized."""
+    ``emb`` must already be L2-normalized.
+
+    ``routes`` (optional, the IVF-PQ composition — :func:`ivfpq_topk`):
+    a ``(q_id, n_id)`` allow-list of candidate pairs; when given, ADC
+    scores only those pairs — the coarse quantizer's probe-list
+    restriction, which at scale is the difference between scoring
+    nprobe/n_lists of the corpus per query and scoring all of it."""
     d = dim // n_sub
     qids = emb.orderBy(id_col).limit(n_queries).select(F.col(id_col))
     qsl = _pq_slices(
@@ -1015,10 +1022,13 @@ def pq_adc_topk_from_index(
         "cent_id",
         F.round(dot(F.col("qv"), F.col("cv")), 6).alias("part"),
     )
+    pairs = codes.join(F.broadcast(lut), ["sub_id", "cent_id"]).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    if routes is not None:
+        pairs = pairs.join(routes, ["q_id", "n_id"])
     scored = (
-        codes.join(F.broadcast(lut), ["sub_id", "cent_id"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .groupBy("q_id", "n_id")
+        pairs.groupBy("q_id", "n_id")
         .agg(
             F.round(
                 F.sum(F.col("part").cast("decimal(38,6)")).cast("double"), 6
@@ -1047,6 +1057,62 @@ def pq_adc_topk_from_index(
         exact.withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "adc", "cos", "rk")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters_ivf: int = 1,
+    n_sub: int = 8,
+    dim: int = 64,
+    n_cent: int = 16,
+    stride: int = 37,
+    refine_iters_pq: int = 1,
+    rerank_r: int = 50,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (faiss IndexIVFPQ) as a
+    composition of the two separately-proven index families — the IVF
+    coarse quantizer ROUTES each query to its ``nprobe`` nearest
+    inverted lists, PQ codes SCORE the candidates by ADC without
+    touching raw vectors, and the top ``rerank_r`` get the exact
+    cosine rerank. At 10⁹ vectors this is the serving geometry that
+    works: per query the scan touches nprobe/n_lists of the code
+    table (codes are n_sub bytes/vector — 32× less data motion than
+    float32), and raw vectors are read only for the r reranked rows.
+
+    Composition contract: coarse assignment runs on RAW vectors
+    (cosine normalizes internally — same lists as the plain IVF
+    index), PQ trains/encodes on L2-NORMALIZED vectors (so the
+    decomposed dot IS cosine) — each half is bit-identical to its
+    standalone oracle-gated operator, and the joint ranking
+    hash-matches the fused SQL oracle (x_sim_topk_ivfpq)."""
+    cents, corpus_idx = build_ivf_index_arrow(
+        emb, id_col, vec_col,
+        n_centroids=n_centroids, refine_iters=refine_iters_ivf,
+    )
+    qids = emb.orderBy(id_col).limit(n_queries).select(id_col)
+    probes = ivf_assign_arrow(
+        emb.join(qids, id_col, "left_semi"), cents, id_col, vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("q_id"), F.col("cent_id").alias("_ivf"))
+    lists = corpus_idx.select("n_id", F.col("cent_id").alias("_ivf"))
+    routes = probes.join(lists, "_ivf").select("q_id", "n_id")
+
+    embn = _l2_normalize(emb, vec_col)
+    cb = pq_codebooks(
+        embn, id_col, vec_col, n_sub, dim, n_cent, stride, refine_iters_pq
+    )
+    codes = pq_encode(embn, id_col, vec_col, cb, n_sub=n_sub, dim=dim)
+    return pq_adc_topk_from_index(
+        embn, id_col, vec_col, cb, codes,
+        k=k, n_queries=n_queries, n_sub=n_sub, dim=dim,
+        rerank_r=rerank_r, routes=routes,
     )
 
 

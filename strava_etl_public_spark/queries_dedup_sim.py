@@ -1329,3 +1329,201 @@ def x_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hash_split(unit, "unit_id", {"train": 0.8, "val": 0.1, "test": 0.1},
                       salt="lf")
+
+
+def _ivfpq_oracle(
+    k: int = 5,
+    n_queries: int = 8,
+    ivf_cents: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    dim: int = 64,
+    pq_cents: int = 16,
+    stride: int = 37,
+    rerank_r: int = 50,
+) -> str:
+    """Fused IVF-PQ oracle: the coarse-quantizer CTEs of _ivf_oracle
+    (one Lloyd pass on RAW vectors, cosine assignment) composed with
+    the codebook/codes/LUT CTEs of queries_stats_text._pq_oracle (one
+    Lloyd pass per subspace on NORMALIZED vectors), ADC restricted to
+    the probe-routed (query, neighbor) pairs, exact rerank on top.
+    Each fragment is byte-equivalent to its standalone oracle, so a
+    divergence isolates to the composition itself."""
+    ispan = ivf_cents * stride
+    pspan = pq_cents * stride
+    d = dim // n_sub
+    from .queries_common import _dot_sql
+
+    cos_ec = _cos_sql("e.embedding", "c.cent_vec")
+    # the shared _dot_sql fragment — pinned to the engine fold's exact
+    # FP operation order (an inline variant without the element casts
+    # measured a 1e-6 rounding-boundary flip on 2/40 ADC sums)
+    dot = _dot_sql
+    dotq = _dot_sql
+    l2 = f"({dot('t.sv','t.sv')} - 2.0 * {dot('t.sv','c.cv')} + {dot('c.cv','c.cv')})"
+    return f"""
+WITH icents0 AS (
+  SELECT CAST(floor((vec_id % {ispan}) / {stride}) AS BIGINT) AS ivf_cent,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_vec
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (PARTITION BY floor((vec_id % {ispan}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM embeddings WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+),
+iassign0 AS (
+  SELECT vec_id, embedding, ivf_cent FROM (
+    SELECT e.vec_id, e.embedding, c.ivf_cent,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec.replace('c.cent_vec','c.cent_vec')}, 6) DESC,
+                                       c.ivf_cent) AS rn
+    FROM embeddings e CROSS JOIN icents0 c
+  ) WHERE rn = 1
+),
+imeans0 AS (
+  SELECT ivf_cent, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM iassign0 CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY ivf_cent, g.i
+),
+icents1 AS (
+  SELECT c.ivf_cent, COALESCE(n.v, c.cent_vec) AS cent_vec
+  FROM icents0 c LEFT JOIN (
+    SELECT ivf_cent, list(m ORDER BY pos) AS v FROM imeans0 GROUP BY ivf_cent
+  ) n USING (ivf_cent)
+),
+lists AS (
+  SELECT vec_id AS n_id, ivf_cent FROM (
+    SELECT e.vec_id, c.ivf_cent,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.ivf_cent) AS rn
+    FROM embeddings e CROSS JOIN icents1 c
+  ) WHERE rn = 1
+),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+probes AS (
+  SELECT vec_id AS q_id, ivf_cent FROM (
+    SELECT e.vec_id, c.ivf_cent,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.ivf_cent) AS rn
+    FROM embeddings e CROSS JOIN icents1 c
+    WHERE e.vec_id IN (SELECT vec_id FROM qids)
+  ) WHERE rn <= {nprobe}
+),
+routes AS (SELECT p.q_id, l.n_id FROM probes p JOIN lists l USING (ivf_cent)),
+subs AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS sub_id),
+nemb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE)
+                             / sqrt({dotq("embedding", "embedding")})) AS embedding
+  FROM embeddings
+),
+sl AS (
+  SELECT e.vec_id, s.sub_id,
+         e.embedding[(s.sub_id * {d} + 1):(s.sub_id * {d} + {d})] AS sv
+  FROM nemb e CROSS JOIN subs s
+),
+cb0 AS (
+  SELECT sub_id, CAST(grp AS BIGINT) AS cent_id,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (
+    SELECT sub_id, floor((vec_id % {pspan}) / {stride}) AS grp, sv,
+           row_number() OVER (PARTITION BY sub_id, floor((vec_id % {pspan}) / {stride})
+                              ORDER BY vec_id) AS rn
+    FROM sl WHERE vec_id % {stride} = 0
+  ) WHERE rn = 1
+),
+passign0 AS (
+  SELECT vec_id, sub_id, sv, cent_id FROM (
+    SELECT t.vec_id, t.sub_id, t.sv, c.cent_id,
+           row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                              ORDER BY round({l2}, 6), c.cent_id) AS rn
+    FROM sl t JOIN cb0 c USING (sub_id)
+  ) WHERE rn = 1
+),
+pmeans0 AS (
+  SELECT sub_id, cent_id, g.i AS pos,
+         round(CAST(SUM(CAST(CAST(sv[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM passign0 CROSS JOIN generate_series(1, {d}) AS g(i)
+  GROUP BY sub_id, cent_id, g.i
+),
+cb1 AS (
+  SELECT c.sub_id, c.cent_id, COALESCE(n.v, c.cv) AS cv
+  FROM cb0 c LEFT JOIN (
+    SELECT sub_id, cent_id, list(m ORDER BY pos) AS v
+    FROM pmeans0 GROUP BY sub_id, cent_id
+  ) n USING (sub_id, cent_id)
+),
+codes AS (
+  SELECT vec_id AS n_id, sub_id, cent_id FROM (
+    SELECT t.vec_id, t.sub_id, c.cent_id,
+           row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                              ORDER BY round({l2}, 6), c.cent_id) AS rn
+    FROM sl t JOIN cb1 c USING (sub_id)
+  ) WHERE rn = 1
+),
+qsl AS (
+  SELECT vec_id AS q_id, sub_id, sv AS qv FROM sl
+  WHERE vec_id IN (SELECT vec_id FROM qids)
+),
+lut AS (
+  SELECT q.q_id, q.sub_id, c.cent_id,
+         round({dot("q.qv", "c.cv")}, 6) AS part
+  FROM qsl q JOIN cb1 c USING (sub_id)
+),
+scored AS (
+  SELECT l.q_id, cd.n_id,
+         round(CAST(sum(CAST(l.part AS DECIMAL(38,6))) AS DOUBLE), 6) AS adc
+  FROM codes cd
+  JOIN lut l ON l.sub_id = cd.sub_id AND l.cent_id = cd.cent_id
+  JOIN routes r ON r.q_id = l.q_id AND r.n_id = cd.n_id
+  WHERE l.q_id != cd.n_id
+  GROUP BY l.q_id, cd.n_id
+),
+cands AS (
+  SELECT q_id, n_id, adc FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS cr
+    FROM scored
+  ) WHERE cr <= {rerank_r}
+),
+exact AS (
+  SELECT c.q_id, c.n_id, c.adc,
+         round({dotq("q.embedding", "n.embedding")}, 6) AS cos
+  FROM cands c
+  JOIN nemb n ON n.vec_id = c.n_id
+  JOIN nemb q ON q.vec_id = c.q_id
+)
+SELECT q_id, n_id, adc, cos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+  FROM exact
+) WHERE rk <= {k}
+"""
+
+
+@register_extra("x_sim_topk_ivfpq", oracle=_ivfpq_oracle())
+def x_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production index shape (faiss IndexIVFPQ) as
+    a COMPOSITION of the two oracle-proven index families: the IVF
+    coarse quantizer (raw-vector cosine assignment, one Lloyd pass)
+    routes each query to its 4 nearest inverted lists; PQ codes (8
+    subspaces x 16 centroids on normalized vectors, one Lloyd pass)
+    ADC-score only the routed candidates; the top 50 get the exact
+    cosine rerank. Serving cost per query: nprobe/n_lists of the CODE
+    table (8 bytes/vector) + 50 raw rows — at 10^9 vectors that is
+    ~1/4 of a 8 GB code table instead of a 256 GB float32 corpus,
+    the geometry that makes billion-scale ANN servable from a Spark
+    cluster. The fused oracle re-derives coarse lists, codebooks,
+    codes, LUT, routed ADC, and rerank in SQL — any composition slip
+    (wrong list routing, codes scored outside their lists, LUT/code
+    mismatch) hash-mismatches."""
+    ensure_harness_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", k=5, n_queries=8, n_centroids=16,
+        nprobe=4, refine_iters_ivf=1, n_sub=8, dim=64, n_cent=16,
+        stride=37, refine_iters_pq=1, rerank_r=50,
+    )

@@ -219,6 +219,23 @@ class ManagedTable:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """CDC between two published versions on the table key —
+        (key, change_type ∈ {insert, delete, update}, new values;
+        NULL for deletes) via the proven upsert.snapshot_diff. The
+        read-changes face of the table contract: a downstream
+        consumer replays ``changes(v, version())`` instead of
+        re-reading the table — change volume, not table volume. One
+        full-outer join between the two snapshots (co-partitioned on
+        the key at scale)."""
+        from .upsert import snapshot_diff
+
+        return snapshot_diff(
+            self.read(version=from_version),
+            self.read(version=to_version),
+            self.key,
+        )
+
     # -- reads through the skipping layer ----------------------------------
 
     def scan(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:

@@ -147,3 +147,30 @@ def test_double_create_conflicts_loudly(spark, base, tmp_path):
     ManagedTable.create(base, str(tmp_path / "t"), key="id")
     with pytest.raises(FileExistsError):
         ManagedTable.create(base, str(tmp_path / "t"), key="id")
+
+
+def test_changes_between_versions_roundtrips_through_merge(spark, base, tmp_path):
+    """CDC face: changes(v1, v2) must report exactly the merge's
+    effect — and applying those changes back to v1 via merge must
+    reproduce v2 (diff → MERGE round-trip, the forward application
+    snapshot_diff documents)."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    src = spark.createDataFrame(
+        [(1, 0, -1.0), (2, 2, 99.0), (100, 1, 5.0)],
+        "id long, part long, value double",
+    )
+    v2 = t.merge(src, delete_cond=F.col("_s_value") < 0)
+    ch = {r["id"]: r["change_type"] for r in t.changes(1, v2).collect()}
+    assert ch == {1: "delete", 2: "update", 100: "insert"}
+    # round-trip: v1 + changes == v2
+    delta = t.changes(1, v2)
+    from strava_etl_public_spark.operators.upsert import merge_into
+
+    applied = merge_into(
+        t.read(version=1),
+        delta,
+        "id",
+        update_cols=["part", "value"],
+        delete_cond=F.col("_s_change_type") == "delete",
+    )
+    assert _rows(applied.select("id", "part", "value")) == _rows(t.read(version=v2))

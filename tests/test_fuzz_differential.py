@@ -36,6 +36,23 @@ def harness(spark, sf_dir):
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    # mirror fuzz_oracle.main's full setup: the round-9 shapes (RANGE
+    # frames, session_window, table-arg UDTF, LATERAL variant_explode)
+    # draw from the per-engine events_es epoch view and the registered
+    # UDTFs — without them the pinned slice dies on setup, not semantics
+    from strava_etl_public_spark.functions import epoch as ep
+    from strava_etl_public_spark.operators.udtfs import register_udtfs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.withColumn("es", ep.epoch_s(ev, "ts").cast("long")).drop(
+        "ts"
+    ).createOrReplaceTempView("events_es")
+    con.execute(
+        "CREATE OR REPLACE VIEW events_es AS "
+        "SELECT * EXCLUDE (ts), CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    register_udtfs(spark)
     pools = FZ.build_pools(con)
     return con, pools
 

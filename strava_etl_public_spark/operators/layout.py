@@ -503,6 +503,37 @@ def snapshot_commit(df: DataFrame, table_path: str) -> int:
     return n
 
 
+def snapshot_commit_ref(table_path: str, populate, logical_df: DataFrame) -> int:
+    """Commit a version whose on-disk content is METADATA referencing
+    an earlier version's data files (a deletion-vector sidecar, a
+    shallow clone) instead of a data copy — ``snapshot_commit``'s
+    exact version-allocation / O_EXCL commit-conflict / atomic-pointer
+    discipline, with ``populate(version_dir)`` laying the version's
+    content and the commit digest computed from ``logical_df`` (the
+    version's LOGICAL rows), so `snapshot_history` and audits stay
+    uniform across copy commits and reference commits. This is what
+    lets a DELETE publish a new version of a 100 TB table by writing
+    O(deleted-rows) bytes instead of re-copying the table."""
+    import json
+    import os
+
+    cdir = os.path.join(table_path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    existing = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
+    n = (max(existing) if existing else 0) + 1
+    vdir = os.path.join(table_path, f"v{n}")
+    os.makedirs(vdir, exist_ok=True)
+    populate(vdir)
+    digest = dataset_fingerprint(logical_df, label=f"v{n}").collect()[0].asDict()
+    with open(os.path.join(cdir, f"{n}.json"), "x") as f:
+        json.dump({"version": n, **digest}, f)
+    tmp = os.path.join(table_path, "_latest.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+    return n
+
+
 def snapshot_version(table_path: str) -> int:
     """Current published version (0 = empty table)."""
     import os
@@ -542,15 +573,20 @@ def snapshot_rollback(table_path: str, version: int) -> None:
     os.replace(tmp, os.path.join(table_path, "_latest"))
 
 
-def snapshot_vacuum(table_path: str, keep_last: int = 2) -> list[int]:
+def snapshot_vacuum(
+    table_path: str, keep_last: int = 2, protect: set[int] | None = None
+) -> list[int]:
     """Retention — the explicitly DESTRUCTIVE step commit/rollback
     never perform: delete snapshot data older than the last
     ``keep_last`` versions, never touching (a) the currently published
     version, (b) anything newer than it (a rollback target must stay
-    rollback-able forward), or (c) the commit log (history metadata
+    rollback-able forward), (c) the commit log (history metadata
     survives vacuum; time-traveling into a vacuumed version raises
-    the loud snapshot_read error, not an empty read). Returns the
-    versions actually removed."""
+    the loud snapshot_read error, not an empty read), or (d) any
+    version in ``protect`` — the hook reference commits (deletion
+    vectors) use to pin the base snapshots their sidecars point into
+    (ManagedTable.vacuum computes that set). Returns the versions
+    actually removed."""
     import os
     import shutil
 
@@ -563,7 +599,12 @@ def snapshot_vacuum(table_path: str, keep_last: int = 2) -> list[int]:
         int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
     )
     current = snapshot_version(table_path)
-    protect = set(versions[-keep_last:]) | {v for v in versions if v >= current}
+    protect_set = set(protect or ())
+    protect = (
+        set(versions[-keep_last:])
+        | {v for v in versions if v >= current}
+        | protect_set
+    )
     removed = []
     for v in versions:
         if v in protect:

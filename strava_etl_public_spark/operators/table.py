@@ -49,6 +49,7 @@ from .layout import (
     dataset_fingerprint,
     read_with_skipping,
     snapshot_commit,
+    snapshot_commit_ref,
     snapshot_history,
     snapshot_read,
     snapshot_rollback,
@@ -102,8 +103,24 @@ class ManagedTable:
         return snapshot_version(self.path)
 
     def read(self, version: int | None = None) -> DataFrame:
-        """The table AS OF ``version`` (time travel), or latest."""
-        return snapshot_read(self.spark, self.path, version)
+        """The table AS OF ``version`` (time travel), or latest.
+        Deletion-vector versions resolve to their base snapshot's
+        files with the DV anti-joined out (merge-on-read): one scan
+        plus a left-anti hash join against O(deleted-rows) DV rows —
+        broadcast when the DV is small, the common case."""
+        v = snapshot_version(self.path) if version is None else version
+        data_dir, dv_dir = self._resolve(v)
+        if dv_dir is None:
+            return snapshot_read(self.spark, self.path, v)
+        base = self.spark.read.parquet(data_dir)
+        cols = base.columns
+        dv = self.spark.read.parquet(dv_dir)
+        return (
+            base.withColumn("_file", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(dv, ["_file", "_pos"], "left_anti")
+            .select(*cols)
+        )
 
     def history(self) -> DataFrame:
         return snapshot_history(self.spark, self.path)
@@ -112,7 +129,40 @@ class ManagedTable:
         snapshot_rollback(self.path, version)
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        return snapshot_vacuum(self.path, keep_last=keep_last)
+        """Retention, deletion-vector aware: a DV version's sidecar
+        points INTO its base snapshot's files, so every base version
+        referenced by a surviving DV version is pinned — vacuuming it
+        would turn a readable published version into a loud read
+        error. (Shallow CLONES of this table live in other table
+        directories and are NOT tracked here — vacuuming a clone
+        source invalidates the clone, Delta's documented shallow-clone
+        hazard; see :meth:`clone`.)"""
+        import json as _json
+
+        cdir = os.path.join(self.path, "_commits")
+        versions = (
+            sorted(
+                int(f.split(".")[0])
+                for f in os.listdir(cdir)
+                if f.endswith(".json")
+            )
+            if os.path.isdir(cdir)
+            else []
+        )
+        current = self.version()
+        survivors = set(versions[-keep_last:]) | {
+            v for v in versions if v >= current
+        }
+        pinned: set[int] = set()
+        for v in survivors:
+            meta = os.path.join(self.path, f"v{v}", "_dv.json")
+            if os.path.isfile(meta):
+                with open(meta) as f:
+                    m = _json.load(f)
+                base = m.get("base")
+                if base:  # relative in-table base, e.g. "v3"
+                    pinned.add(int(base[1:]))
+        return snapshot_vacuum(self.path, keep_last=keep_last, protect=pinned)
 
     # -- writes (each publishes a new immutable version) -------------------
 
@@ -123,6 +173,9 @@ class ManagedTable:
         delete_cond: Column | None = None,
         insert_unmatched: bool = True,
         evolve_schema: bool = False,
+        not_matched_by_source_delete_cond: Column | None = None,
+        not_matched_by_source_update: dict[str, Column] | None = None,
+        not_matched_by_source_update_cond: Column | None = None,
     ) -> int:
         """MERGE ``source`` into the current version on the table key
         and commit the result as a new version. ``evolve_schema=True``
@@ -145,8 +198,115 @@ class ManagedTable:
             update_cols=update_cols,
             delete_cond=delete_cond,
             insert_unmatched=insert_unmatched,
+            not_matched_by_source_delete_cond=not_matched_by_source_delete_cond,
+            not_matched_by_source_update=not_matched_by_source_update,
+            not_matched_by_source_update_cond=not_matched_by_source_update_cond,
         )
         return self._commit(merged)
+
+    def delete(self, cond: Column) -> int:
+        """DELETE WHERE ``cond`` — published as a DELETION-VECTOR
+        version (merge-on-read): the new version's directory holds
+        ONLY a parquet sidecar of (file, row-position) pairs for the
+        deleted rows plus a pointer at the base snapshot; not one data
+        file is rewritten. This is how a 100 TB table deletes 0.1% of
+        its rows without a 100 TB write: cost is one predicate scan
+        (manifest/row-group pruning applies) plus O(deleted) sidecar
+        bytes, written entirely by executors — the driver never holds
+        a row. Reads anti-join the DV back out (see :meth:`read`);
+        OPTIMIZE materializes survivors and drops the DV (DV
+        compaction — the standard pairing).
+
+        Rows where ``cond`` is NULL survive, SQL DELETE semantics —
+        enforced positionally (survivors = anti-join on the hit list),
+        not by negating the predicate. Chained deletes merge the
+        parent DV into the new sidecar, so resolution is always ONE
+        hop. Returns the new version number."""
+        v = self.version()
+        data_dir, dv_dir = self._resolve(v)
+        base = self.spark.read.parquet(data_dir)
+        cols = base.columns
+        tagged = base.withColumn(
+            "_file", F.col("_metadata.file_path")
+        ).withColumn("_pos", F.col("_metadata.row_index"))
+        if dv_dir is not None:
+            parent_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+            live = tagged.join(parent_dv, ["_file", "_pos"], "left_anti")
+        else:
+            parent_dv = None
+            live = tagged
+        hits = live.filter(cond).select("_file", "_pos")
+        new_dv = hits if parent_dv is None else parent_dv.unionByName(hits)
+        survivors = live.join(hits, ["_file", "_pos"], "left_anti")
+
+        # a delete on a CLONE chains from a base OUTSIDE this table's
+        # directory — keep the reference form the base arrived in
+        in_table = os.path.dirname(os.path.normpath(data_dir)) == os.path.normpath(
+            self.path
+        )
+        ref = (
+            {"base": os.path.basename(data_dir)}
+            if in_table
+            else {"base_abs": data_dir}
+        )
+
+        def populate(vdir: str) -> None:
+            new_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                json.dump(ref, f)
+
+        n = snapshot_commit_ref(
+            self.path, populate, survivors.select(*cols)
+        )
+        if self.stat_cols:
+            # per-BASE-file stats of the SURVIVING rows — the manifest
+            # tightens as deletes land, so pruning never consults a
+            # dead row's min/max
+            self._write_manifest(
+                os.path.join(self.path, f"v{n}"),
+                survivors,
+                F.col("_file"),
+            )
+        return n
+
+    def clone(self, dst_path: str) -> "ManagedTable":
+        """Shallow clone: a NEW managed table whose v1 references this
+        table's current data files through an empty deletion vector —
+        zero data bytes copied, history independent from the first
+        write. Delta's CLONE SHALLOW contract, with the same
+        documented hazard: vacuuming the SOURCE table can remove files
+        the clone still references (the clone's reads then raise
+        loudly — never return partial data)."""
+        v = self.version()
+        data_dir, dv_dir = self._resolve(v)
+        os.makedirs(dst_path, exist_ok=True)
+        with open(os.path.join(dst_path, "_table.json"), "x") as f:
+            json.dump({"key": self.key, "stat_cols": self.stat_cols}, f)
+        if dv_dir is not None:
+            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        else:
+            seed_dv = self.spark.createDataFrame(
+                [], "_file string, _pos long"
+            )
+
+        def populate(vdir: str) -> None:
+            seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                json.dump({"base_abs": data_dir}, f)
+
+        snapshot_commit_ref(dst_path, populate, self.read())
+        t = ManagedTable(self.spark, dst_path)
+        if self.stat_cols:
+            tagged = (
+                self.spark.read.parquet(data_dir)
+                .withColumn("_file", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(seed_dv, ["_file", "_pos"], "left_anti")
+            )
+            t._write_manifest(
+                os.path.join(dst_path, "v1"), tagged, F.col("_file")
+            )
+        return t
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
         """Dynamic partition overwrite: replace exactly the
@@ -184,29 +344,33 @@ class ManagedTable:
         import shutil
 
         v = self.version()
-        src = os.path.join(self.path, f"v{v}")
+        data_dir, dv_dir = self._resolve(v)
+        logical = self.read()
         scratch = os.path.join(self.path, "_optimize_tmp")
         shutil.rmtree(scratch, ignore_errors=True)
         try:
-            if cluster_by is None:
+            if cluster_by is None and dv_dir is None:
                 compact_parquet(
-                    self.spark, src, scratch, target_bytes=target_bytes
+                    self.spark, data_dir, scratch, target_bytes=target_bytes
                 )
             else:
+                # sized from the base files (an upper bound when a DV
+                # masks rows — OPTIMIZE after DELETE is DV compaction:
+                # the rewrite materializes survivors and drops the DV)
                 total = sum(
-                    os.path.getsize(os.path.join(src, f))
-                    for f in os.listdir(src)
+                    os.path.getsize(os.path.join(data_dir, f))
+                    for f in os.listdir(data_dir)
                     if f.startswith("part-")
                 )
                 n = max(1, math.ceil(total / target_bytes))
-                (
-                    self.spark.read.parquet(src)
-                    .repartitionByRange(n, *cluster_by)
+                shaped = (
+                    logical.repartitionByRange(n, *cluster_by)
                     .sortWithinPartitions(*cluster_by)
-                    .write.mode("overwrite")
-                    .parquet(scratch)
+                    if cluster_by is not None
+                    else logical.repartition(n)
                 )
-            before = dataset_fingerprint(self.spark.read.parquet(src)).collect()
+                shaped.write.mode("overwrite").parquet(scratch)
+            before = dataset_fingerprint(logical).collect()
             after = dataset_fingerprint(
                 self.spark.read.parquet(scratch)
             ).collect()
@@ -241,12 +405,41 @@ class ManagedTable:
     def scan(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Manifest-pruned range scan of the CURRENT version: files
         whose [min,max] of ``col`` miss [lo,hi] are never opened;
-        survivors get the exact residual filter. Returns
-        (df, files_read, files_total)."""
+        survivors get the exact residual filter. On a deletion-vector
+        version the manifest already describes only SURVIVING rows
+        per base file (rebuilt at delete time), so pruning stays
+        exact; the DV is anti-joined from the pruned survivors only.
+        Returns (df, files_read, files_total)."""
         v = self.version()
-        return read_with_skipping(
-            self.spark, os.path.join(self.path, f"v{v}"), col, lo, hi
+        vdir = os.path.join(self.path, f"v{v}")
+        data_dir, dv_dir = self._resolve(v)
+        if dv_dir is None:
+            return read_with_skipping(self.spark, vdir, col, lo, hi)
+        with open(os.path.join(vdir, "_manifest.json")) as f:
+            manifest = json.load(f)
+
+        def _keep(r) -> bool:
+            mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+            if mn is None or mx is None:
+                return True
+            return not (mx < lo or mn > hi)
+
+        keep = [r["file"] for r in manifest["files"] if _keep(r)]
+        total = len(manifest["files"])
+        cols = self.spark.read.parquet(data_dir).columns
+        if not keep:
+            empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
+            return empty.select(*cols), 0, total
+        dv = self.spark.read.parquet(dv_dir)
+        df = (
+            self.spark.read.parquet(*keep)
+            .withColumn("_file", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(dv, ["_file", "_pos"], "left_anti")
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .select(*cols)
         )
+        return df, len(keep), total
 
     # -- internals ---------------------------------------------------------
 
@@ -282,20 +475,54 @@ class ManagedTable:
         v = snapshot_commit(df, self.path)
         if self.stat_cols:
             vdir = os.path.join(self.path, f"v{v}")
-            back = self.spark.read.parquet(vdir)
-            aggs = []
-            for c in self.stat_cols:
-                aggs.append(F.min(c).alias(f"min_{c}"))
-                aggs.append(F.max(c).alias(f"max_{c}"))
-            rows = (
-                back.groupBy(F.input_file_name().alias("file"))
-                .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
-                .collect()
+            self._write_manifest(
+                vdir, self.spark.read.parquet(vdir), F.input_file_name()
             )
-            manifest = {
-                "stat_cols": list(self.stat_cols),
-                "files": [r.asDict() for r in rows],
-            }
-            with open(os.path.join(vdir, "_manifest.json"), "w") as f:
-                json.dump(manifest, f)
         return v
+
+    def _write_manifest(self, vdir: str, df: DataFrame, file_col: Column) -> None:
+        """Per-file [min,max] manifest over the stat columns, grouped
+        by ``file_col`` (the physical file for copy commits, the BASE
+        file for deletion-vector commits — ``df`` must then already
+        exclude deleted rows, so stats tighten as deletes land)."""
+        aggs = []
+        for c in self.stat_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            df.groupBy(file_col.alias("file"))
+            .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+        manifest = {
+            "stat_cols": list(self.stat_cols),
+            "files": [r.asDict() for r in rows],
+        }
+        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def _resolve(self, v: int) -> tuple[str, str | None]:
+        """(data_dir, dv_dir|None) for version ``v`` — data_dir holds
+        the parquet files (the version's own for a copy commit, the
+        referenced base snapshot's for a deletion-vector commit).
+        Raises loudly on versions that don't exist or whose base was
+        vacuumed away — never a silent empty read."""
+        vdir = os.path.join(self.path, f"v{v}")
+        if v < 1 or not os.path.isdir(vdir):
+            raise ValueError(f"snapshot v{v} does not exist at {self.path}")
+        meta = os.path.join(vdir, "_dv.json")
+        if not os.path.isfile(meta):
+            return vdir, None
+        with open(meta) as f:
+            m = json.load(f)
+        base = (
+            os.path.join(self.path, m["base"])
+            if "base" in m
+            else m["base_abs"]
+        )
+        if not os.path.isdir(base):
+            raise ValueError(
+                f"snapshot v{v} references base {base}, which no longer "
+                "exists (vacuumed source?) — refusing a partial read"
+            )
+        return base, os.path.join(vdir, "_dv")

@@ -181,6 +181,9 @@ def merge_into(
     update_cols: Sequence[str] | None = None,
     delete_cond: Column | None = None,
     insert_unmatched: bool = True,
+    not_matched_by_source_delete_cond: Column | None = None,
+    not_matched_by_source_update: dict[str, Column] | None = None,
+    not_matched_by_source_update_cond: Column | None = None,
 ) -> DataFrame:
     """General MERGE (the Delta/Iceberg `MERGE INTO` semantics as one
     relational expression): per target key matched by ``source`` —
@@ -200,7 +203,20 @@ def merge_into(
     from runtime sizes). ``source`` must have at most one row per key
     (the MERGE precondition; enforced upstream or via
     upsert_last_writer_wins first). ``delete_cond`` is evaluated over
-    the joined row: reference source columns as ``_s_<name>``."""
+    the joined row: reference source columns as ``_s_<name>``.
+
+    WHEN NOT MATCHED BY SOURCE (the Delta 2.3+/SQL:2023 MERGE arms
+    that act on TARGET rows the source does not touch — the
+    sync-to-snapshot shape where the source IS the full desired
+    state): ``not_matched_by_source_delete_cond`` deletes unmatched
+    target rows where the condition (over the target row; pass
+    ``F.lit(True)`` for all) holds; ``not_matched_by_source_update``
+    rewrites the given columns of unmatched target rows (optionally
+    gated by ``not_matched_by_source_update_cond``), e.g. marking
+    stale rows. Delete wins over update when both conditions hold,
+    matching Delta's first-matching-clause rule with delete listed
+    first. Same single full-outer join — the new arms are extra CASE
+    branches, not extra passes."""
     keys = [key] if isinstance(key, str) else list(key)
     cols = [c for c in target.columns if c not in keys]
     upd = list(update_cols) if update_cols is not None else cols
@@ -223,7 +239,16 @@ def merge_into(
         kill = matched & tgt_present & delete_cond
     else:
         kill = F.lit(False)
+    if not_matched_by_source_delete_cond is not None:
+        kill = kill | (
+            tgt_present & ~matched & not_matched_by_source_delete_cond
+        )
     keep = ~kill & (tgt_present | (F.lit(insert_unmatched) & matched))
+    nmbs_hit = F.lit(False)
+    if not_matched_by_source_update is not None:
+        nmbs_hit = tgt_present & ~matched
+        if not_matched_by_source_update_cond is not None:
+            nmbs_hit = nmbs_hit & not_matched_by_source_update_cond
     out_cols = []
     for k in keys:
         out_cols.append(F.coalesce(j[k], F.col(f"_s_{k}")).alias(k))
@@ -238,5 +263,9 @@ def merge_into(
             val = F.when(tgt_present, j[c]).otherwise(F.col(f"_s_{c}"))
         else:
             val = j[c]
+        if not_matched_by_source_update is not None and c in not_matched_by_source_update:
+            # delete wins over update (kill rows never reach output),
+            # so this arm only needs to outrank the pass-through case
+            val = F.when(nmbs_hit, not_matched_by_source_update[c]).otherwise(val)
         out_cols.append(val.alias(c))
     return j.filter(keep).select(*out_cols)

@@ -174,3 +174,149 @@ def test_changes_between_versions_roundtrips_through_merge(spark, base, tmp_path
         delete_cond=F.col("_s_change_type") == "delete",
     )
     assert _rows(applied.select("id", "part", "value")) == _rows(t.read(version=v2))
+
+
+# -- deletion vectors, shallow clone, not-matched-by-source MERGE (round 9) --
+
+
+def _part_files(path):
+    return sorted(
+        (f, os.path.getsize(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
+
+
+def test_delete_publishes_dv_without_rewriting_files(spark, base, tmp_path):
+    t = ManagedTable.create(
+        base.repartition(4), str(tmp_path / "t"), key="id", stat_cols=["id"]
+    )
+    v1_files = _part_files(str(tmp_path / "t" / "v1"))
+    v2 = t.delete(F.col("id") % 3 == 0)
+    assert v2 == 2
+    # the DV version's own dir holds NO data files, only the sidecar
+    assert _part_files(str(tmp_path / "t" / "v2")) == []
+    assert os.path.isdir(str(tmp_path / "t" / "v2" / "_dv"))
+    # base files untouched byte-for-byte (name+size)
+    assert _part_files(str(tmp_path / "t" / "v1")) == v1_files
+    # logical content is exactly the surviving rows
+    assert _rows(t.read()) == _rows(base.filter(F.col("id") % 3 != 0))
+    # time travel to the pre-delete version still serves everything
+    assert _rows(t.read(version=1)) == _rows(base)
+
+
+def test_delete_null_cond_rows_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id long, value double"
+    )
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.delete(F.col("value") < 0)
+    # NULL predicate rows survive (SQL DELETE semantics)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_chained_deletes_merge_dv_one_hop(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.delete(F.col("id") <= 2)
+    v3 = t.delete(F.col("id") >= 7)
+    assert _rows(t.read()) == _rows(base.filter((F.col("id") > 2) & (F.col("id") < 7)))
+    # one-hop resolution: v3's base is the materialized v1, not v2
+    import json as _json
+
+    with open(str(tmp_path / "t" / f"v{v3}" / "_dv.json")) as f:
+        assert _json.load(f)["base"] == "v1"
+    # intermediate version still time-travels correctly
+    assert _rows(t.read(version=2)) == _rows(base.filter(F.col("id") > 2))
+
+
+def test_scan_on_dv_version_prunes_and_excludes_deleted(spark, tmp_path):
+    df = spark.range(1, 401).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    t = ManagedTable.create(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        str(tmp_path / "t"),
+        key="id",
+        stat_cols=["id"],
+    )
+    t.delete(F.col("g") == 3)
+    got, files_read, files_total = t.scan("id", 10, 60)
+    assert files_read < files_total  # manifest still prunes
+    expect = df.filter(
+        (F.col("id") >= 10) & (F.col("id") <= 60) & (F.col("g") != 3)
+    )
+    assert _rows(got) == _rows(expect)
+
+
+def test_optimize_materializes_dv_and_keeps_digest(spark, base, tmp_path):
+    t = ManagedTable.create(
+        base.repartition(4), str(tmp_path / "t"), key="id", stat_cols=["id"]
+    )
+    t.delete(F.col("id") % 2 == 0)
+    before = _rows(t.read())
+    v3 = t.optimize()
+    # the optimized version is a plain copy commit: data files, no DV
+    assert _part_files(str(tmp_path / "t" / f"v{v3}")) != []
+    assert not os.path.isdir(str(tmp_path / "t" / f"v{v3}" / "_dv"))
+    assert _rows(t.read()) == before
+
+
+def test_vacuum_pins_dv_base_snapshot(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.merge(spark.createDataFrame([(50, 0, 1.0)], base.schema))  # v2 (copy)
+    t.delete(F.col("id") == 50)  # v3: DV over v2's files
+    removed = t.vacuum(keep_last=1)
+    # v2 is pinned by v3's sidecar even though keep_last=1 would drop it
+    assert 2 not in removed and 1 in removed
+    assert _rows(t.read()) == _rows(base)
+
+
+def test_merge_not_matched_by_source_delete_syncs_to_snapshot(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    snap = base.filter(F.col("id") <= 4).withColumn("value", F.col("value") + 1)
+    t.merge(snap, not_matched_by_source_delete_cond=F.lit(True))
+    # target now EQUALS the source snapshot: updates applied, absent keys gone
+    assert _rows(t.read()) == _rows(snap)
+
+
+def test_merge_not_matched_by_source_update_marks_stale(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "fresh"), (2, "fresh"), (3, "fresh")], "id long, status string"
+    )
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    src = spark.createDataFrame([(1, "fresh")], "id long, status string")
+    t.merge(
+        src,
+        not_matched_by_source_update={"status": F.lit("stale")},
+        not_matched_by_source_update_cond=F.col("id") != 3,
+    )
+    got = {r["id"]: r["status"] for r in t.read().collect()}
+    assert got == {1: "fresh", 2: "stale", 3: "fresh"}
+
+
+def test_clone_is_zero_copy_and_independent(spark, base, tmp_path):
+    t = ManagedTable.create(
+        base, str(tmp_path / "src"), key="id", stat_cols=["id"]
+    )
+    c = t.clone(str(tmp_path / "dst"))
+    # zero data bytes copied: clone v1 has no part files of its own
+    assert _part_files(str(tmp_path / "dst" / "v1")) == []
+    assert _rows(c.read()) == _rows(base)
+    # clone writes don't touch the source, and vice versa
+    c.delete(F.col("id") == 1)
+    t.merge(spark.createDataFrame([(99, 0, 9.0)], base.schema))
+    assert _rows(c.read()) == _rows(base.filter(F.col("id") != 1))
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(1, 9)) + [99]
+    # clone scan still prunes through its inherited manifest
+    got, files_read, files_total = c.scan("id", 1, 3)
+    assert _rows(got) == _rows(base.filter(F.col("id").between(2, 3)))
+
+
+def test_clone_read_raises_after_source_vacuum(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "src"), key="id")
+    c = t.clone(str(tmp_path / "dst"))
+    t.merge(spark.createDataFrame([(99, 0, 9.0)], base.schema))
+    t.merge(spark.createDataFrame([(98, 0, 8.0)], base.schema))
+    t.vacuum(keep_last=1)  # removes v1 — the clone's base
+    with pytest.raises(ValueError, match="no longer exists"):
+        c.read()

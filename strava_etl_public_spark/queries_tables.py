@@ -840,3 +840,299 @@ def x_pipeline_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_delete_vectors",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+alive AS (
+  SELECT * FROM base
+  WHERE user_id % 7 IS DISTINCT FROM 3
+    AND event_id % 5 IS DISTINCT FROM 0
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_MT_FP_RENDER})),
+                                        1, 15)) AS BIGINT) AS h
+        FROM alive)
+),
+bounds AS (SELECT min(es) AS lo FROM alive),
+scan AS (SELECT CAST(count(*) AS BIGINT) AS scan_rows
+         FROM alive, bounds WHERE es BETWEEN lo AND lo + 86400)
+SELECT 'dv_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS dv_no_datafiles, TRUE AS base_untouched,
+       TRUE AS time_travel_intact, TRUE AS one_hop_dv,
+       scan.scan_rows, TRUE AS scan_pruned, TRUE AS scan_exact,
+       TRUE AS optimize_lossless, TRUE AS optimize_dropped_dv
+FROM fp, scan
+""",
+)
+def x_table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE as deletion vectors — the merge-on-read delete path a
+    100 TB table needs (rewriting the table to drop 0.1% of its rows
+    is the single most expensive way to delete them). Two chained
+    DELETEs publish DV versions over one materialized base:
+
+      create(v1: all events, fragmented to 16 files, stats on es)
+      → DELETE user_id%7=3  (v2: sidecar only)
+      → DELETE event_id%5=0 (v3: sidecar only, parent DV merged —
+        one-hop resolution pinned via the sidecar's base pointer)
+      → invariants packed into the row: the DV versions' dirs hold NO
+        data files; v1's files are untouched (name+size listing
+        equality); time travel to v1 still serves every row; the
+        manifest-pruned day-window scan on the DV version opens fewer
+        files than the manifest lists AND equals the exact relational
+        filter; OPTIMIZE then materializes survivors (digest equal,
+        sidecar gone — DV compaction).
+
+    The oracle recomputes the surviving multiset relationally with
+    NULL-safe predicate complements (rows where the DELETE predicate
+    is NULL must SURVIVE — SQL DELETE semantics, enforced
+    positionally by the operator). Reference parity: the reference
+    deletes by full-table rewrite (firestore_sink.py upsert loop);
+    this is that contract at lakehouse scale."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+
+    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="dv_table_")
+    path = os.path.join(root, "t")
+
+    def _part_files(p: str):
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.startswith("part-")
+        )
+
+    try:
+        # range-clustered layout: disjoint per-file es ranges are what
+        # make the manifest prune (stats over a random layout span the
+        # whole domain and skip nothing — the zone-map precondition)
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+        )
+        v1_files = _part_files(os.path.join(path, "v1"))
+        v2 = t.delete(F.col("user_id") % 7 == 3)
+        v3 = t.delete(F.col("event_id") % 5 == 0)
+
+        dv_no_datafiles = (
+            _part_files(os.path.join(path, f"v{v2}")) == []
+            and _part_files(os.path.join(path, f"v{v3}")) == []
+        )
+        base_untouched = _part_files(os.path.join(path, "v1")) == v1_files
+        import json as _json
+
+        with open(os.path.join(path, f"v{v3}", "_dv.json")) as f:
+            one_hop = _json.load(f)["base"] == "v1"
+        tt_ok = (
+            dataset_fingerprint(t.read(version=1), cols).collect()
+            == dataset_fingerprint(base, cols).collect()
+        )
+
+        lo = t.read().agg(F.min("es")).collect()[0][0]
+        sdf, files_read, files_total = t.scan("es", lo, lo + 86400)
+        scan_rows = sdf.count()
+        exact = t.read().filter(F.col("es").between(lo, lo + 86400)).count()
+        scan_pruned = files_read < files_total
+        scan_exact = scan_rows == exact
+
+        pre_opt = dataset_fingerprint(t.read(), cols).collect()
+        v4 = t.optimize()
+        opt_lossless = (
+            dataset_fingerprint(t.read(version=v4), cols).collect() == pre_opt
+        )
+        opt_dropped_dv = not os.path.isdir(
+            os.path.join(path, f"v{v4}", "_dv")
+        ) and _part_files(os.path.join(path, f"v{v4}")) != []
+
+        fp = dataset_fingerprint(t.read(), cols, label="dv_events")
+        return fp.withColumns(
+            {
+                "dv_no_datafiles": F.lit(bool(dv_no_datafiles)),
+                "base_untouched": F.lit(bool(base_untouched)),
+                "time_travel_intact": F.lit(bool(tt_ok)),
+                "one_hop_dv": F.lit(bool(one_hop)),
+                "scan_rows": F.lit(int(scan_rows)).cast("long"),
+                "scan_pruned": F.lit(bool(scan_pruned)),
+                "scan_exact": F.lit(bool(scan_exact)),
+                "optimize_lossless": F.lit(bool(opt_lossless)),
+                "optimize_dropped_dv": F.lit(bool(opt_dropped_dv)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_merge_not_matched_by_source",
+    oracle="""
+WITH tgt AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q,
+         'fresh' AS status
+  FROM events GROUP BY user_id
+),
+src AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+),
+merged AS (
+  -- matched: source values win, status stays fresh
+  SELECT t.user_id, s.n_events, s.sum_q, 'fresh' AS status
+  FROM tgt t JOIN src s USING (user_id)
+  UNION ALL
+  -- not matched by source: user_id%5=0 deleted, others marked stale
+  SELECT t.user_id, t.n_events, t.sum_q,
+         CASE WHEN t.user_id % 2 = 0 THEN 'stale' ELSE t.status END AS status
+  FROM tgt t LEFT JOIN src s USING (user_id)
+  WHERE s.user_id IS NULL AND t.user_id % 5 != 0
+)
+SELECT user_id, n_events, sum_q, status FROM merged
+""",
+)
+def x_merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's WHEN NOT MATCHED BY SOURCE arms (SQL:2023 / Delta
+    2.3+) — the sync-to-snapshot shape: the source is the desired
+    state for the keys it carries, and target keys the source does
+    NOT touch get acted on (deleted when user_id%5=0, marked stale
+    when user_id%2=0, passed through otherwise; delete outranks
+    update, the first-matching-clause rule). Still ONE NULL-safe
+    full-outer join — the new arms are CASE branches, not extra
+    passes, so the plan shape is unchanged at any scale
+    (operators/upsert.py merge_into)."""
+    ensure_harness_conf(spark)
+    from .operators.upsert import merge_into
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_q"),
+    )
+    tgt = agg.withColumn("status", F.lit("fresh"))
+    src = agg.filter(F.col("user_id") % 3 == 0).select(
+        "user_id", "n_events", "sum_q"
+    )
+    return merge_into(
+        tgt,
+        src,
+        "user_id",
+        not_matched_by_source_delete_cond=F.col("user_id") % 5 == 0,
+        not_matched_by_source_update={"status": F.lit("stale")},
+        not_matched_by_source_update_cond=F.col("user_id") % 2 == 0,
+    )
+
+
+@register_extra(
+    "x_table_clone",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+alive AS (SELECT * FROM base WHERE user_id % 4 IS DISTINCT FROM 1),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_MT_FP_RENDER})),
+                                        1, 15)) AS BIGINT) AS h
+        FROM alive)
+)
+SELECT 'clone_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS zero_copy, TRUE AS source_isolated, TRUE AS clone_scan_prunes
+FROM fp
+""",
+)
+def x_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE: a zero-copy fork of a managed table — the
+    dev/test/experimentation primitive (Delta CLONE SHALLOW): clone a
+    100 TB production table in O(1) bytes, mutate the clone freely,
+    the source never notices. v1 of the clone is an empty deletion
+    vector over the source's current files; a DELETE on the clone
+    then behaves exactly as on any table (DV semantics), while the
+    SOURCE keeps serving its own content — isolation proven by
+    mutating both sides and fingerprinting the clone (oracle
+    recomputes it relationally) plus a boolean for the source's
+    digest staying put. The clone inherits the source's manifest, so
+    its scans prune from the first read."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+
+    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="clone_table_")
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(8, "es").sortWithinPartitions("es"),
+            os.path.join(root, "src"),
+            key="event_id",
+            stat_cols=["es"],
+        )
+        src_fp = dataset_fingerprint(t.read(), cols).collect()
+        c = t.clone(os.path.join(root, "dst"))
+        zero_copy = not any(
+            f.startswith("part-")
+            for f in os.listdir(os.path.join(root, "dst", "v1"))
+        )
+        # mutate the clone; the source must not move
+        c.delete(F.col("user_id") % 4 == 1)
+        source_isolated = (
+            dataset_fingerprint(t.read(), cols).collect() == src_fp
+        )
+        lo = c.read().agg(F.min("es")).collect()[0][0]
+        _, files_read, files_total = c.scan("es", lo, lo + 43200)
+        clone_scan_prunes = files_read < files_total
+        fp = dataset_fingerprint(c.read(), cols, label="clone_events")
+        return fp.withColumns(
+            {
+                "zero_copy": F.lit(bool(zero_copy)),
+                "source_isolated": F.lit(bool(source_isolated)),
+                "clone_scan_prunes": F.lit(bool(clone_scan_prunes)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -383,7 +383,9 @@ class ManagedTable:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def changes(self, from_version: int, to_version: int) -> DataFrame:
+    def changes(
+        self, from_version: int, to_version: int, include_before: bool = False
+    ) -> DataFrame:
         """CDC between two published versions on the table key —
         (key, change_type ∈ {insert, delete, update}, new values;
         NULL for deletes) via the proven upsert.snapshot_diff. The
@@ -391,10 +393,16 @@ class ManagedTable:
         consumer replays ``changes(v, version())`` instead of
         re-reading the table — change volume, not table volume. One
         full-outer join between the two snapshots (co-partitioned on
-        the key at scale)."""
-        from .upsert import snapshot_diff
+        the key at scale).
 
-        return snapshot_diff(
+        ``include_before=True`` switches to Delta CDF's row shape
+        (upsert.snapshot_cdf): updates emit an update_preimage AND an
+        update_postimage row, which is what an aggregate-maintaining
+        consumer needs for retraction arithmetic."""
+        from .upsert import snapshot_cdf, snapshot_diff
+
+        fn = snapshot_cdf if include_before else snapshot_diff
+        return fn(
             self.read(version=from_version),
             self.read(version=to_version),
             self.key,

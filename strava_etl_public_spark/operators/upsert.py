@@ -174,6 +174,58 @@ def snapshot_diff(
     )
 
 
+def snapshot_cdf(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two snapshots in Delta CDF's row
+    shape: ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} — an UPDATE emits TWO rows (the before-image
+    and the after-image), which is what lets a downstream consumer
+    maintain an AGGREGATE by pure retraction arithmetic (+postimage /
+    +insert, −preimage / −delete) without joining back to any state.
+    `snapshot_diff` is this feed with before-images folded away; this
+    is the form a streaming materialized view consumes.
+
+    Same single NULL-safe full-outer join on the key; the pre/post
+    pair comes from exploding a per-key change array (0 entries for
+    unchanged keys, 1 for insert/delete, 2 for update) — no second
+    pass, no union of re-scans."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c not in keys
+    ]
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in cols]).withColumn(
+        "_in_old", F.lit(1)
+    )
+    n = new.select(*keys, *cols).withColumn("_in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    any_change = F.lit(False)
+    for c in cols:
+        any_change = any_change | ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+
+    def entry(tag: str, prefix: str):
+        return F.struct(
+            F.lit(tag).alias("_change_type"),
+            F.struct(
+                *[F.col(f"{prefix}{c}").alias(c) for c in cols]
+            ).alias("vals"),
+        )
+
+    entries = (
+        F.when(F.col("_in_old").isNull(), F.array(entry("insert", "")))
+        .when(F.col("_in_new").isNull(), F.array(entry("delete", "_o_")))
+        .when(
+            any_change,
+            F.array(entry("update_preimage", "_o_"), entry("update_postimage", "")),
+        )
+    )  # unchanged keys: NULL array — explode emits no rows for them
+    e = j.select(*keys, F.explode(entries).alias("_e"))
+    return e.select(*keys, F.col("_e._change_type").alias("_change_type"), "_e.vals.*")
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,

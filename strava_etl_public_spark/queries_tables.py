@@ -1136,3 +1136,144 @@ def x_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_cdc_consume",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events GROUP BY user_id
+),
+final AS (
+  SELECT user_id, n_events,
+         sum_q + CASE WHEN user_id % 7 = 1 THEN 1000000 ELSE 0 END AS sum_q
+  FROM base
+  WHERE user_id % 5 IS DISTINCT FROM 3
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(sum(sum_q) AS BIGINT) AS total_q,
+       TRUE AS maintained_equals_recompute
+FROM final
+GROUP BY user_id % 10
+""",
+)
+def x_table_cdc_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC CONSUMPTION — the downstream half of the
+    change-feed contract: a consumer maintains a per-bucket AGGREGATE
+    of a managed table by folding `changes(..., include_before=True)`
+    (Delta CDF row shape) instead of re-aggregating the table. The
+    before-image rows are what make this pure retraction arithmetic:
+    sign = +1 for insert/update_postimage, −1 for
+    delete/update_preimage; each batch's delta aggregate merges into
+    the running state with one outer join on the bucket key — cost ∝
+    CHANGE volume, never table volume, the property a 100 TB
+    materialized view lives on.
+
+      v1 = per-user event aggregates, keys user_id%3!=0
+      → MERGE (all %3==0 users insert; %7==1 users bump sum_q) = v2
+      → MERGE (delete matched %5==3 users, no inserts)          = v3
+      consumer: agg(v1) + fold cdf(1→2) + fold cdf(2→3)
+
+    The maintained result is returned AS the query output (the oracle
+    recomputes the final table relationally and aggregates it), and
+    `maintained_equals_recompute` re-checks it Spark-side against a
+    direct aggregate of v3 — the provably-equal-to-recompute
+    discipline of every maintenance operator in this engine
+    (cf. x_ivm_join_view, x_dedup_incremental)."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_q"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_consume_")
+    path = os.path.join(root, "t")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy((F.col("user_id") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("n_events").cast("long").alias("total_events"),
+                F.sum("sum_q").cast("long").alias("total_q"),
+            )
+        )
+
+    def fold(state: DataFrame, cdf: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            cdf.groupBy((F.col("user_id") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.sum(sign).cast("long").alias("d_users"),
+                F.sum(sign * F.col("n_events")).cast("long").alias("d_events"),
+                F.sum(sign * F.col("sum_q")).cast("long").alias("d_q"),
+            )
+        )
+        merged = state.join(delta, "bucket", "full_outer").select(
+            "bucket",
+            (
+                F.coalesce(F.col("n_users"), F.lit(0))
+                + F.coalesce(F.col("d_users"), F.lit(0))
+            ).cast("long").alias("n_users"),
+            (
+                F.coalesce(F.col("total_events"), F.lit(0))
+                + F.coalesce(F.col("d_events"), F.lit(0))
+            ).cast("long").alias("total_events"),
+            (
+                F.coalesce(F.col("total_q"), F.lit(0))
+                + F.coalesce(F.col("d_q"), F.lit(0))
+            ).cast("long").alias("total_q"),
+        )
+        # buckets whose last key retracted vanish, as a recompute would
+        return merged.filter(F.col("n_users") > 0)
+
+    try:
+        v1_rows = base.filter(F.col("user_id") % 3 != 0)
+        t = ManagedTable.create(v1_rows, path, key="user_id")
+        src1 = base.filter(
+            (F.col("user_id") % 3 == 0) | (F.col("user_id") % 7 == 1)
+        ).withColumn(
+            "sum_q",
+            F.col("sum_q")
+            + F.when(F.col("user_id") % 7 == 1, F.lit(1000000)).otherwise(0),
+        )
+        t.merge(src1)  # v2: inserts + updates
+        src2 = base.filter(F.col("user_id") % 5 == 3).select("user_id")
+        t.merge(
+            src2.withColumn("n_events", F.lit(None).cast("long")).withColumn(
+                "sum_q", F.lit(None).cast("long")
+            ),
+            delete_cond=F.lit(True),
+            insert_unmatched=False,
+        )  # v3: deletes only
+
+        state = agg_of(t.read(version=1))
+        state = fold(state, t.changes(1, 2, include_before=True))
+        state = fold(state, t.changes(2, 3, include_before=True))
+        maintained = state.localCheckpoint(eager=True)
+
+        recompute = agg_of(t.read())
+        eq = (
+            maintained.exceptAll(recompute).count() == 0
+            and recompute.exceptAll(maintained).count() == 0
+        )
+        return maintained.withColumn(
+            "maintained_equals_recompute", F.lit(bool(eq))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

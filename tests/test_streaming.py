@@ -718,7 +718,9 @@ def test_ewma_replay_marker_atomic_with_state(spark, tmp_path):
     ewma_merge_batch(b3, state, ["k"], ["t"], "v", 0.5, batch_id=2)
     assert _applied_info(state) == {"last": 2, "count": 3}
     got = {r["k"]: r["s0"] for r in _read_state(spark, state).collect()}
-    assert got == {1: 22.5, 2: 6.0}
+    # k=1 series is (10@t1, 30@t2): 0.5*30 + 0.5*10 = 20 (b3 doesn't
+    # touch it); k=2 is (4@t1, 8@t3): 0.5*8 + 0.5*4 = 6
+    assert got == {1: 20.0, 2: 6.0}
 
 
 def test_transform_with_state_gate_is_honest(spark):

@@ -76,6 +76,7 @@ class ManagedTable:
             meta = json.load(f)
         self.key: list[str] = meta["key"]
         self.stat_cols: list[str] = meta.get("stat_cols", [])
+        self.constraints: dict[str, str] = meta.get("constraints", {})
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -163,6 +164,49 @@ class ManagedTable:
                 if base:  # relative in-table base, e.g. "v3"
                     pinned.add(int(base[1:]))
         return snapshot_vacuum(self.path, keep_last=keep_last, protect=pinned)
+
+    # -- constraints ---------------------------------------------------------
+
+    def add_constraint(self, name: str, expr_sql: str) -> None:
+        """ADD CONSTRAINT (Delta's CHECK contract): ``expr_sql`` must
+        hold for every row of every FUTURE commit — and, like Delta,
+        the EXISTING data is validated first (an unenforceable
+        constraint is refused, not recorded). SQL CHECK semantics: a
+        row violates only when the expression is FALSE; NULL passes.
+        Enforcement is a short-circuit existence probe (limit-k scan,
+        not a full count) on each commit's data — the few violating
+        rows are quoted in the error so the bad batch is debuggable."""
+        self._check_rows(self.read(), {name: expr_sql})
+        self.constraints[name] = expr_sql
+        self._save_config()
+
+    def drop_constraint(self, name: str) -> None:
+        self.constraints.pop(name, None)
+        self._save_config()
+
+    def _save_config(self) -> None:
+        with open(os.path.join(self.path, "_table.json"), "w") as f:
+            json.dump(
+                {
+                    "key": self.key,
+                    "stat_cols": self.stat_cols,
+                    "constraints": self.constraints,
+                },
+                f,
+            )
+
+    def _check_rows(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        for name, expr_sql in constraints.items():
+            violating = df.filter(
+                ~F.coalesce(F.expr(expr_sql), F.lit(True))
+            )
+            sample = violating.limit(3).collect()
+            if sample:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr_sql}) violated; "
+                    f"e.g. {[tuple(r) for r in sample]} — commit refused, "
+                    "table unchanged"
+                )
 
     # -- writes (each publishes a new immutable version) -------------------
 
@@ -457,7 +501,12 @@ class ManagedTable:
         configured stat columns, so the skipping layer is never stale
         — the manifest is derived from the version's own files AFTER
         they land (no sidecar can disagree with the data it
-        describes)."""
+        describes). CHECK constraints are enforced here, so every
+        copy-commit path (create/merge/overwrite/optimize) inherits
+        them; DV deletes skip the probe — removing rows cannot
+        introduce a violation."""
+        if self.constraints:
+            self._check_rows(df, self.constraints)
         if self.stat_cols:
             # same JSON-round-trip guard as layout.write_with_stats:
             # date/timestamp/decimal stats silently stringify and only

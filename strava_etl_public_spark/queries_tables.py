@@ -1277,3 +1277,96 @@ def x_table_cdc_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_constraints",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 1000000, 0) AS HUGEINT)) AS BIGINT) AS sum_q
+  FROM events GROUP BY user_id
+),
+final AS (
+  SELECT user_id, n_events,
+         CASE WHEN user_id % 9 = 2 THEN sum_q + 500000 ELSE sum_q END AS sum_q
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(sum(sum_q) AS BIGINT) AS total_q,
+       TRUE AS violating_commit_refused, TRUE AS version_unchanged_after_refusal,
+       TRUE AS unenforceable_constraint_rejected
+FROM final
+""",
+)
+def x_table_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the managed table (Delta's ADD CONSTRAINT
+    contract): declared once, enforced on every subsequent commit via
+    a short-circuit existence probe (limit-k, not a count — at 100 TB
+    the probe stops at the first violating partition). Pinned here:
+    a violating MERGE is REFUSED with the table version unchanged (the
+    failed batch never publishes — constraint enforcement and the
+    atomic-commit contract compose); a clean MERGE then lands; adding
+    a constraint the EXISTING data violates is itself rejected (the
+    Delta rule: unenforceable constraints are never recorded). The
+    final content is oracle-verified relationally; SQL CHECK NULL
+    semantics (violate only on FALSE) are pinned in tests."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_q"),
+    )
+    root = tempfile.mkdtemp(prefix="constraints_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(base, path, key="user_id")
+        t.add_constraint("events_positive", "n_events >= 1")
+        try:
+            t.add_constraint("impossible", "sum_q < 0")
+            unenforceable_rejected = False
+        except ValueError:
+            unenforceable_rejected = "impossible" not in t.constraints
+
+        v_before = t.version()
+        bad = base.filter(F.col("user_id") % 9 == 2).withColumn(
+            "n_events", F.lit(0).cast("long")
+        )
+        try:
+            t.merge(bad)
+            refused = False
+        except ValueError:
+            refused = True
+        unchanged = t.version() == v_before
+
+        good = base.filter(F.col("user_id") % 9 == 2).withColumn(
+            "sum_q", F.col("sum_q") + 500000
+        )
+        t.merge(good)
+
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.sum("sum_q").cast("long").alias("total_q"),
+        )
+        return out.withColumns(
+            {
+                "violating_commit_refused": F.lit(bool(refused)),
+                "version_unchanged_after_refusal": F.lit(bool(unchanged)),
+                "unenforceable_constraint_rejected": F.lit(
+                    bool(unenforceable_rejected)
+                ),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -320,3 +320,50 @@ def test_clone_read_raises_after_source_vacuum(spark, base, tmp_path):
     t.vacuum(keep_last=1)  # removes v1 — the clone's base
     with pytest.raises(ValueError, match="no longer exists"):
         c.read()
+
+
+def test_check_constraints_enforced_on_commit(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.add_constraint("positive_value", "value >= 0")
+    bad = spark.createDataFrame([(50, 0, -5.0)], base.schema)
+    v_before = t.version()
+    with pytest.raises(ValueError, match="positive_value"):
+        t.merge(bad)
+    assert t.version() == v_before  # commit refused, table unchanged
+    t.merge(spark.createDataFrame([(50, 0, 5.0)], base.schema))
+    assert t.version() == v_before + 1
+    # reopening by path restores constraints
+    assert ManagedTable(spark, str(tmp_path / "t")).constraints == {
+        "positive_value": "value >= 0"
+    }
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id long, value double")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    with pytest.raises(ValueError, match="violated"):
+        t.add_constraint("positive_value", "value >= 0")
+    assert t.constraints == {}  # unenforceable constraint not recorded
+
+
+def test_check_constraint_null_passes_sql_semantics(spark, tmp_path):
+    df = spark.createDataFrame([(1, 5.0)], "id long, value double")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.add_constraint("positive_value", "value >= 0")
+    t.merge(spark.createDataFrame([(2, None)], "id long, value double"))
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_drop_constraint_allows_write(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.add_constraint("positive_value", "value >= 0")
+    t.drop_constraint("positive_value")
+    t.merge(spark.createDataFrame([(50, 0, -5.0)], base.schema))
+    assert {r["value"] for r in t.read().filter("id = 50").collect()} == {-5.0}
+
+
+def test_dv_delete_bypasses_constraint_probe(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.add_constraint("positive_value", "value >= 0")
+    t.delete(F.col("id") % 2 == 0)  # must not re-probe survivors
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 5, 7]

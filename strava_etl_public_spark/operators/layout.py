@@ -503,7 +503,12 @@ def snapshot_commit(df: DataFrame, table_path: str) -> int:
     return n
 
 
-def snapshot_commit_ref(table_path: str, populate, logical_df: DataFrame) -> int:
+def snapshot_commit_ref(
+    table_path: str,
+    populate,
+    logical_df: DataFrame | None = None,
+    digest: dict | None = None,
+) -> int:
     """Commit a version whose on-disk content is METADATA referencing
     an earlier version's data files (a deletion-vector sidecar, a
     shallow clone) instead of a data copy — ``snapshot_commit``'s
@@ -513,7 +518,12 @@ def snapshot_commit_ref(table_path: str, populate, logical_df: DataFrame) -> int
     version's LOGICAL rows), so `snapshot_history` and audits stay
     uniform across copy commits and reference commits. This is what
     lets a DELETE publish a new version of a 100 TB table by writing
-    O(deleted-rows) bytes instead of re-copying the table."""
+    O(deleted-rows) bytes instead of re-copying the table.
+
+    The commit digest comes from ``digest`` (precomputed — e.g. the
+    parent record minus the deleted rows' digest, exact because
+    count/xor/modular-sum are group operations) or, failing that, a
+    fingerprint scan of ``logical_df``; pass one of the two."""
     import json
     import os
 
@@ -524,7 +534,12 @@ def snapshot_commit_ref(table_path: str, populate, logical_df: DataFrame) -> int
     vdir = os.path.join(table_path, f"v{n}")
     os.makedirs(vdir, exist_ok=True)
     populate(vdir)
-    digest = dataset_fingerprint(logical_df, label=f"v{n}").collect()[0].asDict()
+    if digest is None:
+        if logical_df is None:
+            raise ValueError("snapshot_commit_ref needs digest or logical_df")
+        digest = dataset_fingerprint(logical_df, label=f"v{n}").collect()[0].asDict()
+    else:
+        digest = {**digest, "dataset": f"v{n}"}
     with open(os.path.join(cdir, f"{n}.json"), "x") as f:
         json.dump({"version": n, **digest}, f)
     tmp = os.path.join(table_path, "_latest.tmp")

@@ -115,13 +115,25 @@ class ManagedTable:
             return snapshot_read(self.spark, self.path, v)
         base = self.spark.read.parquet(data_dir)
         cols = base.columns
-        dv = self.spark.read.parquet(dv_dir)
         return (
             base.withColumn("_file", F.col("_metadata.file_path"))
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(dv, ["_file", "_pos"], "left_anti")
+            .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             .select(*cols)
         )
+
+    def _dv_df(self, dv_dir: str) -> DataFrame:
+        """The deletion vector as (_file, _pos), broadcast-hinted when
+        its on-disk size is small (the common case — a DV is O(deleted
+        rows)): the anti-join then runs map-side against every base
+        partition instead of shuffling the whole table on (file, pos)."""
+        dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        size = sum(
+            os.path.getsize(os.path.join(dv_dir, f))
+            for f in os.listdir(dv_dir)
+            if f.startswith("part-")
+        )
+        return F.broadcast(dv) if size < 32 * 1024 * 1024 else dv
 
     def history(self) -> DataFrame:
         return snapshot_history(self.spark, self.path)
@@ -262,10 +274,20 @@ class ManagedTable:
         compaction — the standard pairing).
 
         Rows where ``cond`` is NULL survive, SQL DELETE semantics —
-        enforced positionally (survivors = anti-join on the hit list),
-        not by negating the predicate. Chained deletes merge the
-        parent DV into the new sidecar, so resolution is always ONE
-        hop. Returns the new version number."""
+        enforced positionally (the DV records rows where the predicate
+        was TRUE), not by negating the predicate. Chained deletes
+        merge the parent DV into the new sidecar, so resolution is
+        always ONE hop. Returns the new version number.
+
+        Cost: exactly ONE pass over the live table (the predicate
+        scan, which manifest/row-group pruning can cut) plus
+        O(deleted) sidecar bytes. The commit digest is DERIVED, not
+        rescanned — parent record minus the deleted rows' digest
+        (count/xor/modular-sum are group operations, so subtraction is
+        exact) — and the manifest is inherited from the parent version
+        (conservative: a superset range still prunes correctly; the
+        next OPTIMIZE tightens it — Delta's file-stats-under-DV
+        behavior)."""
         v = self.version()
         data_dir, dv_dir = self._resolve(v)
         base = self.spark.read.parquet(data_dir)
@@ -274,44 +296,74 @@ class ManagedTable:
             "_file", F.col("_metadata.file_path")
         ).withColumn("_pos", F.col("_metadata.row_index"))
         if dv_dir is not None:
-            parent_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+            parent_dv = self._dv_df(dv_dir)
             live = tagged.join(parent_dv, ["_file", "_pos"], "left_anti")
         else:
             parent_dv = None
             live = tagged
-        hits = live.filter(cond).select("_file", "_pos")
-        new_dv = hits if parent_dv is None else parent_dv.unionByName(hits)
-        survivors = live.join(hits, ["_file", "_pos"], "left_anti")
-
-        # a delete on a CLONE chains from a base OUTSIDE this table's
-        # directory — keep the reference form the base arrived in
-        in_table = os.path.dirname(os.path.normpath(data_dir)) == os.path.normpath(
-            self.path
-        )
-        ref = (
-            {"base": os.path.basename(data_dir)}
-            if in_table
-            else {"base_abs": data_dir}
-        )
-
-        def populate(vdir: str) -> None:
-            new_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
-            with open(os.path.join(vdir, "_dv.json"), "w") as f:
-                json.dump(ref, f)
-
-        n = snapshot_commit_ref(
-            self.path, populate, survivors.select(*cols)
-        )
-        if self.stat_cols:
-            # per-BASE-file stats of the SURVIVING rows — the manifest
-            # tightens as deletes land, so pruning never consults a
-            # dead row's min/max
-            self._write_manifest(
-                os.path.join(self.path, f"v{n}"),
-                survivors,
-                F.col("_file"),
+        hit_rows = live.filter(cond).persist()
+        try:
+            hits = hit_rows.select("_file", "_pos")
+            new_dv = (
+                hits
+                if parent_dv is None
+                else self.spark.read.parquet(dv_dir)
+                .select("_file", "_pos")
+                .unionByName(hits)
             )
-        return n
+
+            # derive the new digest from the parent commit record
+            from .layout import dataset_fingerprint
+
+            with open(
+                os.path.join(self.path, "_commits", f"{v}.json")
+            ) as f:
+                parent = json.load(f)
+            dd = (
+                dataset_fingerprint(hit_rows.select(*cols))
+                .collect()[0]
+                .asDict()
+            )
+            mod = 1152921504606846976
+            digest = {
+                "n_rows": parent["n_rows"] - dd["n_rows"],
+                "xor_hash": parent["xor_hash"] ^ dd["xor_hash"],
+                "sum_hash_mod": (parent["sum_hash_mod"] - dd["sum_hash_mod"])
+                % mod,
+            }
+
+            # a delete on a CLONE chains from a base OUTSIDE this
+            # table's directory — keep the reference form it arrived in
+            in_table = os.path.dirname(
+                os.path.normpath(data_dir)
+            ) == os.path.normpath(self.path)
+            ref = (
+                {"base": os.path.basename(data_dir)}
+                if in_table
+                else {"base_abs": data_dir}
+            )
+
+            def populate(vdir: str) -> None:
+                new_dv.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "_dv")
+                )
+                with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                    json.dump(ref, f)
+
+            n = snapshot_commit_ref(self.path, populate, digest=digest)
+            parent_manifest = os.path.join(
+                self.path, f"v{v}", "_manifest.json"
+            )
+            if os.path.isfile(parent_manifest):
+                import shutil
+
+                shutil.copyfile(
+                    parent_manifest,
+                    os.path.join(self.path, f"v{n}", "_manifest.json"),
+                )
+            return n
+        finally:
+            hit_rows.unpersist()
 
     def clone(self, dst_path: str) -> "ManagedTable":
         """Shallow clone: a NEW managed table whose v1 references this
@@ -338,17 +390,24 @@ class ManagedTable:
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump({"base_abs": data_dir}, f)
 
-        snapshot_commit_ref(dst_path, populate, self.read())
+        # digest inherited from the source's commit record — a clone's
+        # logical content IS the source's, no rescan needed
+        with open(os.path.join(self.path, "_commits", f"{v}.json")) as f:
+            parent = json.load(f)
+        snapshot_commit_ref(
+            dst_path,
+            populate,
+            digest={
+                k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+            },
+        )
         t = ManagedTable(self.spark, dst_path)
-        if self.stat_cols:
-            tagged = (
-                self.spark.read.parquet(data_dir)
-                .withColumn("_file", F.col("_metadata.file_path"))
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(seed_dv, ["_file", "_pos"], "left_anti")
-            )
-            t._write_manifest(
-                os.path.join(dst_path, "v1"), tagged, F.col("_file")
+        src_manifest = os.path.join(self.path, f"v{v}", "_manifest.json")
+        if os.path.isfile(src_manifest):
+            import shutil
+
+            shutil.copyfile(
+                src_manifest, os.path.join(dst_path, "v1", "_manifest.json")
             )
         return t
 
@@ -457,11 +516,11 @@ class ManagedTable:
     def scan(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Manifest-pruned range scan of the CURRENT version: files
         whose [min,max] of ``col`` miss [lo,hi] are never opened;
-        survivors get the exact residual filter. On a deletion-vector
-        version the manifest already describes only SURVIVING rows
-        per base file (rebuilt at delete time), so pruning stays
-        exact; the DV is anti-joined from the pruned survivors only.
-        Returns (df, files_read, files_total)."""
+        survivors get the exact residual filter. A deletion-vector
+        version inherits its parent's manifest — a superset range, so
+        the prune stays conservative-correct — and the DV is
+        anti-joined from the pruned survivors only, before the exact
+        residual. Returns (df, files_read, files_total)."""
         v = self.version()
         vdir = os.path.join(self.path, f"v{v}")
         data_dir, dv_dir = self._resolve(v)
@@ -482,12 +541,11 @@ class ManagedTable:
         if not keep:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
             return empty.select(*cols), 0, total
-        dv = self.spark.read.parquet(dv_dir)
         df = (
             self.spark.read.parquet(*keep)
             .withColumn("_file", F.col("_metadata.file_path"))
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(dv, ["_file", "_pos"], "left_anti")
+            .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             .filter((F.col(col) >= lo) & (F.col(col) <= hi))
             .select(*cols)
         )
@@ -539,9 +597,10 @@ class ManagedTable:
 
     def _write_manifest(self, vdir: str, df: DataFrame, file_col: Column) -> None:
         """Per-file [min,max] manifest over the stat columns, grouped
-        by ``file_col`` (the physical file for copy commits, the BASE
-        file for deletion-vector commits — ``df`` must then already
-        exclude deleted rows, so stats tighten as deletes land)."""
+        by ``file_col``. Copy commits rebuild it from their own files;
+        DV commits and clones INHERIT the parent's manifest instead
+        (a superset range is still a correct conservative prune, and
+        it saves a full scan per delete — OPTIMIZE tightens)."""
         aggs = []
         for c in self.stat_cols:
             aggs.append(F.min(c).alias(f"min_{c}"))

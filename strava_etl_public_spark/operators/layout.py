@@ -450,7 +450,7 @@ def dataset_fingerprint(
 # ---------------------------------------------------------------------------
 
 
-def snapshot_commit(df: DataFrame, table_path: str) -> int:
+def snapshot_commit(df: DataFrame, table_path: str, extra: dict | None = None) -> int:
     """Append one immutable SNAPSHOT of ``df`` to the versioned table
     at ``table_path`` and return its version number — the minimal
     table-format contract (Delta/Iceberg's core) on plain parquet:
@@ -494,8 +494,11 @@ def snapshot_commit(df: DataFrame, table_path: str) -> int:
     # our scan and here, this raises FileExistsError instead of
     # silently double-publishing (the Delta/Iceberg commit-conflict
     # contract; the loser retries on the next version).
+    # `extra` rides in the SAME record write (e.g. a streaming sink's
+    # batch-id txn marker) — the marker and the commit it certifies
+    # publish atomically; there is no window where one exists alone
     with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-        json.dump({"version": n, **digest}, f)
+        json.dump({"version": n, **digest, **(extra or {})}, f)
     tmp = os.path.join(table_path, "_latest.tmp")
     with open(tmp, "w") as f:
         f.write(str(n))
@@ -508,6 +511,7 @@ def snapshot_commit_ref(
     populate,
     logical_df: DataFrame | None = None,
     digest: dict | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Commit a version whose on-disk content is METADATA referencing
     an earlier version's data files (a deletion-vector sidecar, a
@@ -541,7 +545,7 @@ def snapshot_commit_ref(
     else:
         digest = {**digest, "dataset": f"v{n}"}
     with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-        json.dump({"version": n, **digest}, f)
+        json.dump({"version": n, **digest, **(extra or {})}, f)
     tmp = os.path.join(table_path, "_latest.tmp")
     with open(tmp, "w") as f:
         f.write(str(n))

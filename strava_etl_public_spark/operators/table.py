@@ -138,6 +138,33 @@ class ManagedTable:
     def history(self) -> DataFrame:
         return snapshot_history(self.spark, self.path)
 
+    def last_txn(self) -> int:
+        """High-water txn marker over the PUBLISHED chain (commit
+        records at or below the current pointer) — the streaming
+        sink's exactly-once cursor, Delta's txn/appId contract. An
+        orphaned commit (record written, pointer publish crashed) sits
+        ABOVE the pointer and is deliberately excluded: its batch
+        never entered the published lineage, so the replay must
+        re-apply it, and version allocation (max over ALL records)
+        already steps past the orphan. Returns -1 when no published
+        commit carries a marker."""
+        cdir = os.path.join(self.path, "_commits")
+        if not os.path.isdir(cdir):
+            return -1
+        current = self.version()
+        best = -1
+        for fn in os.listdir(cdir):
+            if not fn.endswith(".json"):
+                continue
+            v = int(fn.split(".")[0])
+            if v > current:
+                continue
+            with open(os.path.join(cdir, fn)) as f:
+                rec = json.load(f)
+            if "txn" in rec:
+                best = max(best, int(rec["txn"]))
+        return best
+
     def rollback(self, version: int) -> None:
         snapshot_rollback(self.path, version)
 
@@ -553,7 +580,7 @@ class ManagedTable:
 
     # -- internals ---------------------------------------------------------
 
-    def _commit(self, df: DataFrame) -> int:
+    def _commit(self, df: DataFrame, extra: dict | None = None) -> int:
         """snapshot_commit + manifest maintenance: every published
         version carries its own ``_manifest.json`` over the
         configured stat columns, so the skipping layer is never stale
@@ -562,7 +589,8 @@ class ManagedTable:
         describes). CHECK constraints are enforced here, so every
         copy-commit path (create/merge/overwrite/optimize) inherits
         them; DV deletes skip the probe — removing rows cannot
-        introduce a violation."""
+        introduce a violation. ``extra`` lands INSIDE the commit
+        record (atomic with it) — the streaming sink's txn marker."""
         if self.constraints:
             self._check_rows(df, self.constraints)
         if self.stat_cols:
@@ -587,7 +615,7 @@ class ManagedTable:
                         "only int/float/string/boolean stats round-trip "
                         "through the JSON manifest"
                     )
-        v = snapshot_commit(df, self.path)
+        v = snapshot_commit(df, self.path, extra=extra)
         if self.stat_cols:
             vdir = os.path.join(self.path, f"v{v}")
             self._write_manifest(

@@ -448,3 +448,100 @@ def x_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_table_merge",
+    oracle="""
+WITH latest AS (
+  SELECT user_id,
+         max(event_id) AS event_id
+  FROM events GROUP BY user_id
+)
+SELECT l.user_id,
+       CAST(l.event_id AS BIGINT) AS event_id,
+       e.event_type,
+       CAST(round(e.value * 1000000, 0) AS BIGINT) AS vmic,
+       TRUE AS replay_skipped, TRUE AS every_batch_versioned
+FROM latest l JOIN events e
+  ON e.user_id = l.user_id AND e.event_id = l.event_id
+""",
+)
+def x_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into the MANAGED TABLE — the Delta
+    streaming-sink contract closing the table layer's streaming face:
+    each micro-batch publishes one table version whose commit record
+    carries the batch id ATOMICALLY (the txn marker rides in the same
+    record write), so after the stream drains the table holds the
+    batch LWW state AND every micro-batch is a time-travelable
+    version. Exactly-once is then checkpoint-INDEPENDENT: a second run
+    of the same stream from a FRESH checkpoint replays every batch id
+    from 0, and the published chain's high-water txn skips them all —
+    proven in-row (version count unchanged after the replay run). The
+    oracle recomputes the LWW state relationally (arg-max per user);
+    event_id is a unique total order so the state is micro-batch-
+    slicing-invariant. Reference parity: the Firestore doc.set() store
+    (firebase_functions.py:50-60) upgraded to a versioned, replay-safe
+    table."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+    from .streaming.ingest import EVENTS_SCHEMA, table_merge_sink
+
+    stage = _stage_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_table_")
+    path = os.path.join(root, "t")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(stage)
+            .select(*cols)
+        )
+
+    try:
+        empty = spark.read.parquet(stage).select(*cols).filter(F.lit(False))
+        t = ManagedTable.create(empty, path, key="user_id")
+        q = table_merge_sink(
+            _stream(), path, "user_id", "event_id",
+            os.path.join(root, "ck1"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        v_drained = t.version()
+        every_batch_versioned = v_drained == t.last_txn() + 2  # v1 = create
+
+        # checkpoint-loss replay: fresh checkpoint, same files — every
+        # batch id repeats from 0 and must be skipped by the txn chain
+        q2 = table_merge_sink(
+            _stream(), path, "user_id", "event_id",
+            os.path.join(root, "ck2"),
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        replay_skipped = t.version() == v_drained
+
+        out = t.read().select(
+            "user_id",
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("vmic"),
+        )
+        return out.withColumns(
+            {
+                "replay_skipped": F.lit(bool(replay_skipped)),
+                "every_batch_versioned": F.lit(bool(every_batch_versioned)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)

@@ -369,6 +369,48 @@ def upsert_stream_sink(
     )
 
 
+def table_merge_sink(
+    stream: DataFrame,
+    table_path: str,
+    key: str,
+    order_col: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> "StreamingQuery":
+    """Streaming MERGE into a ManagedTable with exactly-once batch
+    markers — the Delta streaming-sink txn contract: each micro-batch
+    publishes ONE table version whose commit record carries the batch
+    id ATOMICALLY (the marker rides in the same commit-record write,
+    so no crash window can separate them), and on restart a batch at
+    or below the published chain's high-water txn is SKIPPED instead
+    of re-merged. The LWW fold itself is idempotent for a
+    deterministic source, but the marker is what makes the guarantee
+    hold for ANY fold and makes replays free (no re-shuffle of the
+    table). The table gains full time travel over the stream's
+    history: every micro-batch is a queryable version.
+
+    The table must exist (ManagedTable.create with the initial state,
+    possibly empty). Returns the started StreamingQuery."""
+    from ..operators.table import ManagedTable
+    from ..operators.upsert import upsert_last_writer_wins
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        t = ManagedTable(bdf.sparkSession, table_path)
+        if batch_id <= t.last_txn():
+            return  # replayed batch: already in the published lineage
+        merged = upsert_last_writer_wins(t.read(), bdf, key, order_col)
+        t._commit(merged, extra={"txn": int(batch_id)})
+
+    return (
+        stream.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
 def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over the (finite) file source to
     completion into a memory sink named `query_name`."""

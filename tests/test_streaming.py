@@ -779,3 +779,82 @@ def test_transform_with_state_matches_v1_and_batch(spark, staged_events):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_table_merge_sink_versions_and_lww(spark, staged_events, tmp_path):
+    """Streaming MERGE into a ManagedTable: final content equals the
+    batch arg_max per user, every non-empty micro-batch published one
+    version carrying its txn marker, and the whole stream history is
+    time-travelable."""
+    from strava_etl_public_spark.operators.table import ManagedTable
+    from strava_etl_public_spark.streaming.ingest import table_merge_sink
+
+    batch = spark.read.parquet(staged_events).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    t = ManagedTable.create(
+        batch.filter(F.lit(False)), str(tmp_path / "t"), key="user_id"
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged_events)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    q = table_merge_sink(
+        stream, str(tmp_path / "t"), "user_id", "event_id", str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .collect()
+    }
+    got = {r["user_id"]: r["event_id"] for r in t.read().collect()}
+    assert got == want
+    assert t.last_txn() >= 0
+    assert t.version() == t.last_txn() + 2  # v1 create + one per batch
+
+    # exactly-once across CHECKPOINT LOSS: a fresh checkpoint replays
+    # every batch from 0; the txn markers skip them all — zero new
+    # versions, content unchanged
+    v_before = t.version()
+    stream2 = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged_events)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    q2 = table_merge_sink(
+        stream2, str(tmp_path / "t"), "user_id", "event_id", str(tmp_path / "ck2")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert t.version() == v_before
+    assert {r["user_id"]: r["event_id"] for r in t.read().collect()} == want
+
+    # rollback drops the markers out of the published chain, so the
+    # same replay now RE-APPLIES (a skipped batch would lose data)
+    t.rollback(1)
+    assert t.last_txn() == -1
+    stream3 = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged_events)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    q3 = table_merge_sink(
+        stream3, str(tmp_path / "t"), "user_id", "event_id", str(tmp_path / "ck3")
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert {r["user_id"]: r["event_id"] for r in t.read().collect()} == want

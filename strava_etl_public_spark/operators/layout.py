@@ -695,7 +695,21 @@ def write_with_bloom(
     from .sketch import _bloom_positions
 
     df.write.mode("overwrite").parquet(path)
-    back = df.sparkSession.read.parquet(path)
+    return build_bloom_manifest(df.sparkSession, path, col, m, k)
+
+
+def build_bloom_manifest(spark, path: str, col: str, m: int, k: int) -> dict:
+    """Build ``<path>/_bloom.json`` over an ALREADY-WRITTEN parquet
+    directory (one pass grouped by input_file_name) — the manifest
+    half of :func:`write_with_bloom`, callable on its own so a
+    versioned-table commit can add bloom skipping to data it just
+    landed (ManagedTable's point-lookup layer)."""
+    import json
+    import os
+
+    from .sketch import _bloom_positions
+
+    back = spark.read.parquet(path)
     rows = (
         back.select(
             F.input_file_name().alias("file"),

@@ -77,6 +77,9 @@ class ManagedTable:
         self.key: list[str] = meta["key"]
         self.stat_cols: list[str] = meta.get("stat_cols", [])
         self.constraints: dict[str, str] = meta.get("constraints", {})
+        self.bloom_col: str | None = meta.get("bloom_col")
+        self.bloom_m: int = meta.get("bloom_m", 131072)
+        self.bloom_k: int = meta.get("bloom_k", 5)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -87,15 +90,27 @@ class ManagedTable:
         path: str,
         key: str | Sequence[str],
         stat_cols: Sequence[str] | None = None,
+        bloom_col: str | None = None,
     ) -> "ManagedTable":
         """Create the table: write the config record (O_EXCL — a
         second concurrent create loses loudly, the commit-conflict
         discipline of snapshot_commit applied to the table itself),
-        then commit ``df`` as v1 and build its manifest."""
+        then commit ``df`` as v1 and build its manifests.
+        ``bloom_col`` adds the point-lookup skipping layer: per-file
+        bloom manifests maintained on every copy commit (see
+        :meth:`lookup`) — the layer for columns the layout is NOT
+        clustered on, where zone maps prune nothing."""
         keys = [key] if isinstance(key, str) else list(key)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_table.json"), "x") as f:
-            json.dump({"key": keys, "stat_cols": list(stat_cols or [])}, f)
+            json.dump(
+                {
+                    "key": keys,
+                    "stat_cols": list(stat_cols or []),
+                    "bloom_col": bloom_col,
+                },
+                f,
+            )
         t = cls(df.sparkSession, path)
         t._commit(df)
         return t
@@ -230,6 +245,9 @@ class ManagedTable:
                     "key": self.key,
                     "stat_cols": self.stat_cols,
                     "constraints": self.constraints,
+                    "bloom_col": self.bloom_col,
+                    "bloom_m": self.bloom_m,
+                    "bloom_k": self.bloom_k,
                 },
                 f,
             )
@@ -378,16 +396,17 @@ class ManagedTable:
                     json.dump(ref, f)
 
             n = snapshot_commit_ref(self.path, populate, digest=digest)
-            parent_manifest = os.path.join(
-                self.path, f"v{v}", "_manifest.json"
-            )
-            if os.path.isfile(parent_manifest):
-                import shutil
+            # superset sidecars stay conservative-correct under DV:
+            # extra bloom/zone-map hits cost a file read, never a row
+            for sidecar in ("_manifest.json", "_bloom.json"):
+                parent_sc = os.path.join(self.path, f"v{v}", sidecar)
+                if os.path.isfile(parent_sc):
+                    import shutil
 
-                shutil.copyfile(
-                    parent_manifest,
-                    os.path.join(self.path, f"v{n}", "_manifest.json"),
-                )
+                    shutil.copyfile(
+                        parent_sc,
+                        os.path.join(self.path, f"v{n}", sidecar),
+                    )
             return n
         finally:
             hit_rows.unpersist()
@@ -404,7 +423,17 @@ class ManagedTable:
         data_dir, dv_dir = self._resolve(v)
         os.makedirs(dst_path, exist_ok=True)
         with open(os.path.join(dst_path, "_table.json"), "x") as f:
-            json.dump({"key": self.key, "stat_cols": self.stat_cols}, f)
+            json.dump(
+                {
+                    "key": self.key,
+                    "stat_cols": self.stat_cols,
+                    "constraints": self.constraints,
+                    "bloom_col": self.bloom_col,
+                    "bloom_m": self.bloom_m,
+                    "bloom_k": self.bloom_k,
+                },
+                f,
+            )
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
         else:
@@ -429,13 +458,14 @@ class ManagedTable:
             },
         )
         t = ManagedTable(self.spark, dst_path)
-        src_manifest = os.path.join(self.path, f"v{v}", "_manifest.json")
-        if os.path.isfile(src_manifest):
-            import shutil
+        for sidecar in ("_manifest.json", "_bloom.json"):
+            src_sc = os.path.join(self.path, f"v{v}", sidecar)
+            if os.path.isfile(src_sc):
+                import shutil
 
-            shutil.copyfile(
-                src_manifest, os.path.join(dst_path, "v1", "_manifest.json")
-            )
+                shutil.copyfile(
+                    src_sc, os.path.join(dst_path, "v1", sidecar)
+                )
         return t
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
@@ -578,6 +608,53 @@ class ManagedTable:
         )
         return df, len(keep), total
 
+    def lookup(self, value) -> tuple[DataFrame, int, int]:
+        """Bloom-pruned POINT LOOKUP on the configured ``bloom_col``
+        of the CURRENT version: open only files whose per-file bloom
+        may contain ``value`` (no false negatives; a false positive
+        costs one file read, never a wrong row), apply the exact
+        equality filter — and on a deletion-vector version anti-join
+        the DV, so a lookup of a DELETED key returns zero rows. This
+        is the 100 TB point-lookup path: on a well-sized manifest a
+        single-key probe opens ~1 file out of thousands, with the
+        whole prune decided driver-side from the manifest — no
+        cluster job touches the excluded files. Returns
+        (df, files_read, files_total)."""
+        if not self.bloom_col:
+            raise ValueError("table has no bloom_col configured")
+        from .layout import _bloom_positions_py
+
+        v = self.version()
+        vdir = os.path.join(self.path, f"v{v}")
+        data_dir, dv_dir = self._resolve(v)
+        with open(os.path.join(vdir, "_bloom.json")) as f:
+            manifest = json.load(f)
+        want = set(
+            _bloom_positions_py(value, manifest["m"], manifest["k"])
+        )
+        keep = [
+            fname
+            for fname, positions in manifest["files"].items()
+            if want <= set(positions)
+        ]
+        total = len(manifest["files"])
+        cols = self.spark.read.parquet(data_dir).columns
+        if not keep:
+            empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
+            return empty.select(*cols), 0, total
+        df = self.spark.read.parquet(*keep)
+        if dv_dir is not None:
+            df = (
+                df.withColumn("_file", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+            )
+        return (
+            df.filter(F.col(self.bloom_col) == value).select(*cols),
+            len(keep),
+            total,
+        )
+
     # -- internals ---------------------------------------------------------
 
     def _commit(self, df: DataFrame, extra: dict | None = None) -> int:
@@ -616,10 +693,16 @@ class ManagedTable:
                         "through the JSON manifest"
                     )
         v = snapshot_commit(df, self.path, extra=extra)
+        vdir = os.path.join(self.path, f"v{v}")
         if self.stat_cols:
-            vdir = os.path.join(self.path, f"v{v}")
             self._write_manifest(
                 vdir, self.spark.read.parquet(vdir), F.input_file_name()
+            )
+        if self.bloom_col:
+            from .layout import build_bloom_manifest
+
+            build_bloom_manifest(
+                self.spark, vdir, self.bloom_col, self.bloom_m, self.bloom_k
             )
         return v
 

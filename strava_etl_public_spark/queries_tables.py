@@ -1370,3 +1370,69 @@ def x_table_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_point_lookup",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 1000000, 0) AS BIGINT) AS vmic,
+       TRUE AS bloom_pruned, TRUE AS deleted_key_returns_zero
+FROM events
+WHERE event_id IN (100, 777)
+""",
+)
+def x_table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-manifest POINT LOOKUP through the managed table — the
+    100 TB single-key probe: the table is laid out RANDOMLY on the
+    lookup column (the shape where zone maps span the whole domain
+    and prune nothing — exactly the gap the bloom layer covers), and
+    a key probe opens only the files whose per-file bloom may contain
+    the key, decided entirely driver-side from the manifest. Composed
+    with deletion vectors: after DELETE event_id%500=321, a lookup of
+    key 321 routes to its file via the bloom (no false negatives) and
+    returns ZERO rows through the DV anti-join — the sidecar
+    composition a lakehouse point-read actually performs. Bloom
+    manifests are maintained on every copy commit and inherited
+    (conservatively) by DV versions; FP rate sizing documented at
+    layout.write_with_bloom."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="point_lookup_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.repartition(32), path, key="event_id", bloom_col="event_id"
+        )
+        t.delete(F.col("event_id") % 500 == 321)
+
+        outs = []
+        pruned = True
+        for key in (100, 777):
+            df, fr, tot = t.lookup(key)
+            pruned = pruned and fr < tot
+            outs.append(df.localCheckpoint(eager=True))
+        gone, fr_g, _ = t.lookup(321)
+        deleted_zero = gone.count() == 0 and fr_g >= 1
+
+        out = outs[0].unionByName(outs[1])
+        return out.withColumns(
+            {
+                "bloom_pruned": F.lit(bool(pruned)),
+                "deleted_key_returns_zero": F.lit(bool(deleted_zero)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

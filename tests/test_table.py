@@ -367,3 +367,37 @@ def test_dv_delete_bypasses_constraint_probe(spark, base, tmp_path):
     t.add_constraint("positive_value", "value >= 0")
     t.delete(F.col("id") % 2 == 0)  # must not re-probe survivors
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 5, 7]
+
+
+def test_bloom_lookup_prunes_and_sees_through_dv(spark, tmp_path):
+    df = spark.range(1, 1001).select(
+        F.col("id"), (F.col("id") % 10).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    t = ManagedTable.create(
+        df.repartition(16), str(tmp_path / "t"), key="id", bloom_col="id"
+    )
+    got, files_read, files_total = t.lookup(437)
+    assert files_read < files_total  # random layout, zone maps would not prune
+    assert [(r["id"], r["g"]) for r in got.collect()] == [(437, 7)]
+    # a lookup of a DELETED key must return zero rows (DV composition)
+    t.delete(F.col("id") == 437)
+    got2, fr2, _ = t.lookup(437)
+    assert got2.count() == 0 and fr2 >= 1  # bloom still routes to the file
+    # other keys unaffected, manifest maintained across the merge
+    # commit (AQE may coalesce the tiny merge output to 1 file, so
+    # only correctness + manifest-presence are asserted here)
+    t.merge(spark.createDataFrame([(2000, 0, 1.0)], "id long, g long, v double"))
+    got3, fr3, tot3 = t.lookup(2000)
+    assert [r["id"] for r in got3.collect()] == [2000] and fr3 <= tot3
+
+
+def test_bloom_config_survives_reopen_and_clone(spark, tmp_path):
+    df = spark.range(1, 101).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = ManagedTable.create(
+        df.repartition(4), str(tmp_path / "t"), key="id", bloom_col="id"
+    )
+    t2 = ManagedTable(spark, str(tmp_path / "t"))
+    assert t2.bloom_col == "id"
+    c = t.clone(str(tmp_path / "c"))
+    got, fr, tot = c.lookup(42)
+    assert [r["id"] for r in got.collect()] == [42] and fr < tot

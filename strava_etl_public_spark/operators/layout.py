@@ -527,30 +527,54 @@ def snapshot_commit_ref(
     The commit digest comes from ``digest`` (precomputed — e.g. the
     parent record minus the deleted rows' digest, exact because
     count/xor/modular-sum are group operations) or, failing that, a
-    fingerprint scan of ``logical_df``; pass one of the two."""
+    fingerprint scan of ``logical_df``; pass one of the two.
+
+    Concurrency (code-review r9): ``populate`` writes into a PRIVATE
+    staging directory; the O_EXCL commit record then decides the
+    version race, and only the winner renames its staging into
+    ``v{n}`` — a losing concurrent committer can never scribble over
+    the winner's already-populated directory (the window the
+    populate-into-vdir-first order left open). A crash between record
+    and rename leaves an unpublished, unreadable version — loud, and
+    version allocation steps past it."""
     import json
     import os
+    import shutil
+    import uuid
 
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
-    existing = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
-    n = (max(existing) if existing else 0) + 1
-    vdir = os.path.join(table_path, f"v{n}")
-    os.makedirs(vdir, exist_ok=True)
-    populate(vdir)
-    if digest is None:
-        if logical_df is None:
-            raise ValueError("snapshot_commit_ref needs digest or logical_df")
-        digest = dataset_fingerprint(logical_df, label=f"v{n}").collect()[0].asDict()
-    else:
-        digest = {**digest, "dataset": f"v{n}"}
-    with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-        json.dump({"version": n, **digest, **(extra or {})}, f)
-    tmp = os.path.join(table_path, "_latest.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
-    return n
+    staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
+    try:
+        populate(staging)
+        existing = [
+            int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
+        ]
+        n = (max(existing) if existing else 0) + 1
+        vdir = os.path.join(table_path, f"v{n}")
+        if digest is None:
+            if logical_df is None:
+                raise ValueError(
+                    "snapshot_commit_ref needs digest or logical_df"
+                )
+            digest = (
+                dataset_fingerprint(logical_df, label=f"v{n}")
+                .collect()[0]
+                .asDict()
+            )
+        else:
+            digest = {**digest, "dataset": f"v{n}"}
+        with open(os.path.join(cdir, f"{n}.json"), "x") as f:
+            json.dump({"version": n, **digest, **(extra or {})}, f)
+        os.rename(staging, vdir)
+        tmp = os.path.join(table_path, "_latest.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        return n
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def snapshot_version(table_path: str) -> int:

@@ -154,31 +154,35 @@ class ManagedTable:
         return snapshot_history(self.spark, self.path)
 
     def last_txn(self) -> int:
-        """High-water txn marker over the PUBLISHED chain (commit
-        records at or below the current pointer) — the streaming
-        sink's exactly-once cursor, Delta's txn/appId contract. An
-        orphaned commit (record written, pointer publish crashed) sits
-        ABOVE the pointer and is deliberately excluded: its batch
-        never entered the published lineage, so the replay must
-        re-apply it, and version allocation (max over ALL records)
-        already steps past the orphan. Returns -1 when no published
-        commit carries a marker."""
+        """High-water txn marker over the published LINEAGE — the
+        streaming sink's exactly-once cursor, Delta's txn/appId
+        contract. Walks parent pointers back from the current version
+        and returns the FIRST marker found (batch ids are monotone
+        along a chain, so the first is the high-water). Lineage, not
+        version arithmetic: an orphaned commit (pointer publish
+        crashed) and a rolled-back branch's commits are both
+        unreachable from the current chain, so their batches correctly
+        RE-apply on replay — counting every record at-or-below the
+        pointer would resurrect a stale marker after
+        rollback→recommit and silently skip (lose) a replayed batch.
+        O(1) record reads in the steady state (the previous stream
+        commit carries the previous marker). Returns -1 when no
+        lineage commit carries a marker."""
         cdir = os.path.join(self.path, "_commits")
-        if not os.path.isdir(cdir):
-            return -1
-        current = self.version()
-        best = -1
-        for fn in os.listdir(cdir):
-            if not fn.endswith(".json"):
-                continue
-            v = int(fn.split(".")[0])
-            if v > current:
-                continue
-            with open(os.path.join(cdir, fn)) as f:
+        cur = self.version()
+        while cur >= 1:
+            p = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
                 rec = json.load(f)
             if "txn" in rec:
-                best = max(best, int(rec["txn"]))
-        return best
+                return int(rec["txn"])
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                break  # malformed parent pointer — never loop
+            cur = nxt
+        return -1
 
     def rollback(self, version: int) -> None:
         snapshot_rollback(self.path, version)
@@ -357,9 +361,9 @@ class ManagedTable:
                 .unionByName(hits)
             )
 
-            # derive the new digest from the parent commit record
-            from .layout import dataset_fingerprint
-
+            # derive the new digest from the parent commit record;
+            # NULL xor/sum (empty parent or no-op delete — count
+            # aggregates over zero rows) are the group identity 0
             with open(
                 os.path.join(self.path, "_commits", f"{v}.json")
             ) as f:
@@ -372,8 +376,10 @@ class ManagedTable:
             mod = 1152921504606846976
             digest = {
                 "n_rows": parent["n_rows"] - dd["n_rows"],
-                "xor_hash": parent["xor_hash"] ^ dd["xor_hash"],
-                "sum_hash_mod": (parent["sum_hash_mod"] - dd["sum_hash_mod"])
+                "xor_hash": (parent["xor_hash"] or 0) ^ (dd["xor_hash"] or 0),
+                "sum_hash_mod": (
+                    (parent["sum_hash_mod"] or 0) - (dd["sum_hash_mod"] or 0)
+                )
                 % mod,
             }
 
@@ -394,20 +400,16 @@ class ManagedTable:
                 )
                 with open(os.path.join(vdir, "_dv.json"), "w") as f:
                     json.dump(ref, f)
+                # superset sidecars stay conservative-correct under DV
+                # (extra hits cost a file read, never a row); copied
+                # INSIDE populate so they publish atomically with the
+                # version — a crash can never strand a published
+                # version without its manifests (code-review r9)
+                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
-            n = snapshot_commit_ref(self.path, populate, digest=digest)
-            # superset sidecars stay conservative-correct under DV:
-            # extra bloom/zone-map hits cost a file read, never a row
-            for sidecar in ("_manifest.json", "_bloom.json"):
-                parent_sc = os.path.join(self.path, f"v{v}", sidecar)
-                if os.path.isfile(parent_sc):
-                    import shutil
-
-                    shutil.copyfile(
-                        parent_sc,
-                        os.path.join(self.path, f"v{n}", sidecar),
-                    )
-            return n
+            return snapshot_commit_ref(
+                self.path, populate, digest=digest, extra={"parent": v}
+            )
         finally:
             hit_rows.unpersist()
 
@@ -445,6 +447,7 @@ class ManagedTable:
             seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump({"base_abs": data_dir}, f)
+            self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
         # digest inherited from the source's commit record — a clone's
         # logical content IS the source's, no rescan needed
@@ -456,17 +459,18 @@ class ManagedTable:
             digest={
                 k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
             },
+            extra={"parent": 0},
         )
-        t = ManagedTable(self.spark, dst_path)
-        for sidecar in ("_manifest.json", "_bloom.json"):
-            src_sc = os.path.join(self.path, f"v{v}", sidecar)
-            if os.path.isfile(src_sc):
-                import shutil
+        return ManagedTable(self.spark, dst_path)
 
-                shutil.copyfile(
-                    src_sc, os.path.join(dst_path, "v1", sidecar)
-                )
-        return t
+    @staticmethod
+    def _inherit_sidecars(src_vdir: str, dst_vdir: str) -> None:
+        import shutil
+
+        for sidecar in ("_manifest.json", "_bloom.json"):
+            p = os.path.join(src_vdir, sidecar)
+            if os.path.isfile(p):
+                shutil.copyfile(p, os.path.join(dst_vdir, sidecar))
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
         """Dynamic partition overwrite: replace exactly the
@@ -670,6 +674,13 @@ class ManagedTable:
         record (atomic with it) — the streaming sink's txn marker."""
         if self.constraints:
             self._check_rows(df, self.constraints)
+        # every record carries its PARENT (the version current at
+        # commit time), so lineage — not version arithmetic — defines
+        # the published chain; after a rollback the abandoned branch's
+        # records are unreachable from the new chain (code-review r9:
+        # last_txn over "all records <= pointer" resurrected stale txn
+        # markers from rolled-back branches and lost replayed batches)
+        extra = {**(extra or {}), "parent": self.version()}
         if self.stat_cols:
             # same JSON-round-trip guard as layout.write_with_stats:
             # date/timestamp/decimal stats silently stringify and only

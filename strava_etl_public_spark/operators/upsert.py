@@ -287,13 +287,18 @@ def merge_into(
     j = target.join(src, cond, "full_outer")
     matched = F.col("_s_present").isNotNull()
     tgt_present = F.col("_t_present").isNotNull()
+    # SQL MERGE: a NULL action condition means the clause does NOT
+    # fire — coalesce to FALSE, else kill is NULL, keep = ~NULL is
+    # NULL, and filter() silently DROPS the row (deleting it)
     if delete_cond is not None:
-        kill = matched & tgt_present & delete_cond
+        kill = matched & tgt_present & F.coalesce(delete_cond, F.lit(False))
     else:
         kill = F.lit(False)
     if not_matched_by_source_delete_cond is not None:
         kill = kill | (
-            tgt_present & ~matched & not_matched_by_source_delete_cond
+            tgt_present
+            & ~matched
+            & F.coalesce(not_matched_by_source_delete_cond, F.lit(False))
         )
     keep = ~kill & (tgt_present | (F.lit(insert_unmatched) & matched))
     nmbs_hit = F.lit(False)

@@ -531,3 +531,51 @@ def test_bloom_manifest_skipping(spark, tmp_path):
 
     with pytest.raises(ValueError, match="covers"):
         read_with_bloom_skipping(spark, path, "wrong_col", 1)
+
+
+def test_snapshot_commit_ref_crash_publishes_nothing(spark, tmp_path):
+    """code-review r9: populate runs in a PRIVATE staging dir, and the
+    version directory appears only via the winner's atomic rename — a
+    populate that dies mid-write must leave no published version, no
+    half-populated v-dir, and no staging litter; the next commit then
+    succeeds cleanly."""
+    import os
+
+    import pytest
+
+    from strava_etl_public_spark.operators.layout import (
+        snapshot_commit,
+        snapshot_commit_ref,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(1, 4).selectExpr("id AS k"), t)
+    assert snapshot_version(t) == 1
+
+    def boom(vdir: str) -> None:
+        with open(os.path.join(vdir, "partial.bin"), "w") as f:
+            f.write("half-written")
+        raise RuntimeError("executor died mid-populate")
+
+    with pytest.raises(RuntimeError, match="mid-populate"):
+        snapshot_commit_ref(
+            t, boom, digest={"n_rows": 0, "xor_hash": 0, "sum_hash_mod": 0}
+        )
+    # pointer untouched, no v2 directory, staging cleaned up
+    assert snapshot_version(t) == 1
+    assert not os.path.isdir(os.path.join(t, "v2"))
+    assert not [d for d in os.listdir(t) if d.startswith("_stage_")]
+    assert snapshot_read(spark, t).count() == 3
+    # the table is not wedged: a later good commit takes the next slot
+    def ok(vdir: str) -> None:
+        spark.range(10, 12).selectExpr("id AS k").write.parquet(
+            vdir, mode="overwrite"
+        )
+
+    n = snapshot_commit_ref(
+        t, ok, digest={"n_rows": 2, "xor_hash": 0, "sum_hash_mod": 0}
+    )
+    assert snapshot_version(t) == n
+    assert snapshot_read(spark, t).count() == 2

@@ -401,3 +401,74 @@ def test_bloom_config_survives_reopen_and_clone(spark, tmp_path):
     c = t.clone(str(tmp_path / "c"))
     got, fr, tot = c.lookup(42)
     assert [r["id"] for r in got.collect()] == [42] and fr < tot
+
+
+def test_last_txn_walks_lineage_not_version_arithmetic(spark, base, tmp_path):
+    """code-review r9: after rollback→recommit, a rolled-back branch's
+    txn marker must NOT resurrect — `max(txn) over records <= pointer`
+    would return the abandoned batch's id and silently skip (lose) its
+    replay. last_txn walks parent pointers instead."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    src0 = spark.createDataFrame([(1, 0, 111.0)], "id long, part long, value double")
+    src1 = spark.createDataFrame([(2, 0, 222.0)], "id long, part long, value double")
+    t._commit(t.read().filter("id != 1").unionByName(src0), extra={"txn": 0})  # v2
+    t._commit(t.read().filter("id != 2").unionByName(src1), extra={"txn": 1})  # v3
+    assert t.last_txn() == 1
+    # operator decides batch 1 was bad: rollback past it, repair-commit
+    t.rollback(2)
+    assert t.last_txn() == 0
+    t._commit(t.read())  # v4, parent=2 — abandoned v3 not in lineage
+    assert t.version() == 4
+    # the stream's replay of batch 1 must NOT be skipped
+    assert t.last_txn() == 0
+    # and a fresh stream batch advances the marker along the new chain
+    t._commit(t.read(), extra={"txn": 1})  # v5
+    assert t.last_txn() == 1
+
+
+def test_delete_noop_predicate_null_digest_safe(spark, base, tmp_path):
+    """code-review r9: a delete matching ZERO rows fingerprints to
+    NULL xor/sum (aggregates over no rows) — the derived digest must
+    treat NULL as the group identity, not crash on int ^ None."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    v = t.delete(F.col("id") > 10**9)  # matches nothing
+    assert v == 2
+    assert _rows(t.read()) == _rows(base)
+    # digest stayed exactly the parent's (subtracting the identity)
+    import json as _json
+
+    with open(str(tmp_path / "t" / "_commits" / "1.json")) as f:
+        p = _json.load(f)
+    with open(str(tmp_path / "t" / "_commits" / "2.json")) as f:
+        c = _json.load(f)
+    assert (c["n_rows"], c["xor_hash"], c["sum_hash_mod"]) == (
+        p["n_rows"],
+        p["xor_hash"],
+        p["sum_hash_mod"],
+    )
+    # and a further real delete on the DV chain still works
+    t.delete(F.col("id") == 1)
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_dv_and_clone_sidecars_publish_with_the_version(spark, tmp_path):
+    """code-review r9: DV/clone manifests are copied INSIDE populate,
+    so a published version can never exist without its sidecars (the
+    after-commit copy left a crash window where the skipping layer
+    silently vanished)."""
+    df = spark.range(1, 201).select(
+        F.col("id"), (F.col("id") % 5).alias("part"), (F.col("id") * 1.0).alias("value")
+    )
+    t = ManagedTable.create(
+        df.repartition(4), str(tmp_path / "t"), key="id",
+        stat_cols=["id"], bloom_col="id",
+    )
+    v = t.delete(F.col("id") == 7)
+    vdir = str(tmp_path / "t" / f"v{v}")
+    assert os.path.isfile(os.path.join(vdir, "_manifest.json"))
+    assert os.path.isfile(os.path.join(vdir, "_bloom.json"))
+    c = t.clone(str(tmp_path / "c"))
+    assert os.path.isfile(str(tmp_path / "c" / "v1" / "_manifest.json"))
+    assert os.path.isfile(str(tmp_path / "c" / "v1" / "_bloom.json"))
+    got, fr, tot = c.lookup(42)
+    assert [r["id"] for r in got.collect()] == [42] and fr < tot

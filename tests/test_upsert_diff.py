@@ -212,3 +212,39 @@ def test_snapshot_cdf_supports_aggregate_retraction(spark):
     delta = cdf.agg(F.sum(sign * F.col("v"))).collect()[0][0]
     new_sum = new.agg(F.sum("v")).collect()[0][0]
     assert old_sum + delta == new_sum
+
+
+def test_merge_into_null_action_condition_does_not_fire(spark):
+    """code-review r9: SQL MERGE treats a NULL action condition as
+    the clause NOT firing. Un-coalesced, kill is NULL, keep = ~NULL
+    is NULL, and filter() silently DROPS the row — a delete that was
+    never requested."""
+    from strava_etl_public_spark.operators.upsert import merge_into
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    # matched arm: source flag NULL for id=1 → clause must not fire
+    source = spark.createDataFrame(
+        [(1, 11.0, None), (2, 22.0, True)],
+        "id long, v double, kill boolean",
+    )
+    out = merge_into(
+        target, source, "id", delete_cond=F.col("_s_kill")
+    ).collect()
+    got = {r["id"]: r["v"] for r in out}
+    assert got == {1: 11.0, 3: 30.0}  # 1 updated NOT deleted; 2 deleted
+    # not-matched-by-source arm: NULL target-side condition → survive
+    target2 = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, True), (3, 30.0, False)],
+        "id long, v double, stale boolean",
+    )
+    source2 = spark.createDataFrame([(3, 33.0, False)], "id long, v double, stale boolean")
+    out2 = merge_into(
+        target2,
+        source2,
+        "id",
+        not_matched_by_source_delete_cond=F.col("stale"),
+    ).collect()
+    got2 = sorted(r["id"] for r in out2)
+    assert got2 == [1, 3]  # id=1 (NULL cond) survives; id=2 deleted

@@ -498,12 +498,24 @@ def snapshot_commit(df: DataFrame, table_path: str, extra: dict | None = None) -
     # batch-id txn marker) — the marker and the commit it certifies
     # publish atomically; there is no window where one exists alone
     with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-        json.dump({"version": n, **digest, **(extra or {})}, f)
+        json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
     tmp = os.path.join(table_path, "_latest.tmp")
     with open(tmp, "w") as f:
         f.write(str(n))
     os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
     return n
+
+
+def _stamp_ts(extra: dict | None) -> dict:
+    """Every commit record carries a wall-clock ``ts`` (epoch seconds,
+    float) — the timestamp-time-travel anchor (Delta's `TIMESTAMP AS
+    OF`). Callers (tests) may inject an explicit ts for determinism;
+    production commits get the commit wall time."""
+    import time
+
+    e = dict(extra or {})
+    e.setdefault("ts", time.time())
+    return e
 
 
 def snapshot_commit_ref(
@@ -566,7 +578,7 @@ def snapshot_commit_ref(
         else:
             digest = {**digest, "dataset": f"v{n}"}
         with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-            json.dump({"version": n, **digest, **(extra or {})}, f)
+            json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
         os.rename(staging, vdir)
         tmp = os.path.join(table_path, "_latest.tmp")
         with open(tmp, "w") as f:

@@ -125,10 +125,10 @@ class ManagedTable:
         plus a left-anti hash join against O(deleted-rows) DV rows —
         broadcast when the DV is small, the common case."""
         v = snapshot_version(self.path) if version is None else version
-        data_dir, dv_dir = self._resolve(v)
+        data_dir, dv_dir, appends = self._resolve(v)
         if dv_dir is None:
             return snapshot_read(self.spark, self.path, v)
-        base = self.spark.read.parquet(data_dir)
+        base = self.spark.read.parquet(data_dir, *appends)
         cols = base.columns
         return (
             base.withColumn("_file", F.col("_metadata.file_path"))
@@ -221,6 +221,10 @@ class ManagedTable:
                 base = m.get("base")
                 if base:  # relative in-table base, e.g. "v3"
                     pinned.add(int(base[1:]))
+                for a in m.get("appends", []):
+                    # "v5/_upd" pins v5; "self" is the survivor itself
+                    if a != "self" and not os.path.isabs(a):
+                        pinned.add(int(a.split("/", 1)[0][1:]))
         return snapshot_vacuum(self.path, keep_last=keep_last, protect=pinned)
 
     # -- constraints ---------------------------------------------------------
@@ -338,8 +342,8 @@ class ManagedTable:
         next OPTIMIZE tightens it — Delta's file-stats-under-DV
         behavior)."""
         v = self.version()
-        data_dir, dv_dir = self._resolve(v)
-        base = self.spark.read.parquet(data_dir)
+        data_dir, dv_dir, appends = self._resolve(v)
+        base = self.spark.read.parquet(data_dir, *appends)
         cols = base.columns
         tagged = base.withColumn(
             "_file", F.col("_metadata.file_path")
@@ -393,6 +397,12 @@ class ManagedTable:
                 if in_table
                 else {"base_abs": data_dir}
             )
+            # inherited appended-row dirs (merge-on-read UPDATEs in
+            # the ancestry) stay part of the file universe — the DV
+            # addresses their rows by the same (file, pos) coordinates
+            parent_appends = self._rebase_appends(v)
+            if parent_appends:
+                ref["appends"] = parent_appends
 
             def populate(vdir: str) -> None:
                 new_dv.write.mode("overwrite").parquet(
@@ -422,7 +432,7 @@ class ManagedTable:
         the clone still references (the clone's reads then raise
         loudly — never return partial data)."""
         v = self.version()
-        data_dir, dv_dir = self._resolve(v)
+        data_dir, dv_dir, appends = self._resolve(v)
         os.makedirs(dst_path, exist_ok=True)
         with open(os.path.join(dst_path, "_table.json"), "x") as f:
             json.dump(
@@ -445,8 +455,14 @@ class ManagedTable:
 
         def populate(vdir: str) -> None:
             seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            # appended-row dirs (merge-on-read UPDATEs in the source's
+            # ancestry) are referenced ABSOLUTELY — zero-copy, same
+            # vacuum hazard as the base reference
+            ref = {"base_abs": data_dir}
+            if appends:
+                ref["appends"] = list(appends)
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
-                json.dump({"base_abs": data_dir}, f)
+                json.dump(ref, f)
             self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
         # digest inherited from the source's commit record — a clone's
@@ -471,6 +487,198 @@ class ManagedTable:
             p = os.path.join(src_vdir, sidecar)
             if os.path.isfile(p):
                 shutil.copyfile(p, os.path.join(dst_vdir, sidecar))
+
+    @staticmethod
+    def _append_files(append_dirs: Sequence[str]) -> list[str]:
+        return [
+            os.path.join(d, f)
+            for d in append_dirs
+            for f in sorted(os.listdir(d))
+            if f.startswith("part-")
+        ]
+
+    def update(self, cond: Column, set_exprs: dict[str, Column]) -> int:
+        """UPDATE WHERE ``cond`` SET col = expr — published MERGE-ON-
+        READ (Delta's DV-based UPDATE): the matched rows' (file, pos)
+        pairs join the deletion vector and their REWRITTEN images land
+        in the version's own ``_upd`` parquet dir; not one existing
+        data file is rewritten. The version's logical content is
+        base ∪ appends − DV, so reads stay one scan + one anti-join.
+        This is how a 100 TB table updates 0.1% of its rows without a
+        100 TB write: one predicate scan + O(updated) bytes, all
+        executor-side.
+
+        ``set_exprs`` values are evaluated over the OLD row (SQL
+        UPDATE semantics — ``{"v": F.col("v") * 2}`` doubles). Rows
+        where ``cond`` is NULL are NOT updated (SQL UPDATE). CHECK
+        constraints are probed on the REWRITTEN rows only — cost ∝
+        batch, and an update cannot create a violation anywhere else.
+        The commit digest is DERIVED: parent − old images + new images
+        (count/xor/mod-sum are group ops). Chained deletes/updates
+        inherit the append list, so resolution stays one hop; OPTIMIZE
+        materializes survivors and folds the appends away. Returns the
+        new version number."""
+        v = self.version()
+        data_dir, dv_dir, appends = self._resolve(v)
+        base = self.spark.read.parquet(data_dir, *appends)
+        cols = base.columns
+        unknown = [c for c in set_exprs if c not in cols]
+        if unknown:
+            raise ValueError(f"update sets unknown columns: {unknown}")
+        tagged = base.withColumn(
+            "_file", F.col("_metadata.file_path")
+        ).withColumn("_pos", F.col("_metadata.row_index"))
+        live = (
+            tagged.join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+            if dv_dir is not None
+            else tagged
+        )
+        hit_rows = live.filter(cond).persist()
+        try:
+            new_rows = hit_rows.select(
+                *[
+                    set_exprs[c].alias(c) if c in set_exprs else F.col(c)
+                    for c in cols
+                ]
+            )
+            if self.constraints:
+                self._check_rows(new_rows, self.constraints)
+            hits = hit_rows.select("_file", "_pos")
+            new_dv = (
+                hits
+                if dv_dir is None
+                else self.spark.read.parquet(dv_dir)
+                .select("_file", "_pos")
+                .unionByName(hits)
+            )
+
+            with open(
+                os.path.join(self.path, "_commits", f"{v}.json")
+            ) as f:
+                parent = json.load(f)
+            old_d = (
+                dataset_fingerprint(hit_rows.select(*cols))
+                .collect()[0]
+                .asDict()
+            )
+            new_d = dataset_fingerprint(new_rows).collect()[0].asDict()
+            mod = 1152921504606846976
+            digest = {
+                "n_rows": parent["n_rows"],
+                "xor_hash": (parent["xor_hash"] or 0)
+                ^ (old_d["xor_hash"] or 0)
+                ^ (new_d["xor_hash"] or 0),
+                "sum_hash_mod": (
+                    (parent["sum_hash_mod"] or 0)
+                    - (old_d["sum_hash_mod"] or 0)
+                    + (new_d["sum_hash_mod"] or 0)
+                )
+                % mod,
+            }
+
+            in_table = os.path.dirname(
+                os.path.normpath(data_dir)
+            ) == os.path.normpath(self.path)
+            ref = (
+                {"base": os.path.basename(data_dir)}
+                if in_table
+                else {"base_abs": data_dir}
+            )
+            ref["appends"] = self._rebase_appends(v) + ["self"]
+
+            def populate(vdir: str) -> None:
+                new_rows.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "_upd")
+                )
+                new_dv.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "_dv")
+                )
+                with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                    json.dump(ref, f)
+                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+
+            return snapshot_commit_ref(
+                self.path, populate, digest=digest, extra={"parent": v}
+            )
+        finally:
+            hit_rows.unpersist()
+
+    def restore(self, version: int) -> int:
+        """RESTORE VERSION AS OF — publish a NEW version whose logical
+        content is ``version``'s, as a FORWARD commit on the chain
+        (Delta's RESTORE): zero data bytes copied (the new version
+        references the old one's files through the DV layer), history
+        stays linear and append-only, and — unlike :meth:`rollback`,
+        which moves the pointer back and thereby re-opens streaming
+        replay of the rolled-past batches — the lineage keeps every
+        commit between ``version`` and now, so txn markers persist and
+        a streaming sink does NOT re-apply batches a restore undid
+        (Delta's documented RESTORE/appId interaction). Use rollback to
+        retract bad BATCHES, restore to retract bad DATA. Returns the
+        new version number."""
+        cur = self.version()
+        data_dir, dv_dir, appends = self._resolve(version)
+        if dv_dir is not None:
+            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        else:
+            seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
+        in_table = os.path.dirname(
+            os.path.normpath(data_dir)
+        ) == os.path.normpath(self.path)
+        ref = (
+            {"base": os.path.basename(data_dir)}
+            if in_table
+            else {"base_abs": data_dir}
+        )
+        old_appends = self._rebase_appends(version)
+        if old_appends:
+            ref["appends"] = old_appends
+
+        def populate(vdir: str) -> None:
+            seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                json.dump(ref, f)
+            self._inherit_sidecars(
+                os.path.join(self.path, f"v{version}"), vdir
+            )
+
+        with open(
+            os.path.join(self.path, "_commits", f"{version}.json")
+        ) as f:
+            old = json.load(f)
+        return snapshot_commit_ref(
+            self.path,
+            populate,
+            digest={
+                k: old[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+            },
+            extra={"parent": cur, "restored_from": version},
+        )
+
+    def as_of(self, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF: the table as of wall-clock ``ts`` (epoch
+        seconds) — the newest LINEAGE version whose commit time is ≤
+        ``ts`` (walking parent pointers, so abandoned rolled-back
+        branches never serve a timestamp read). Raises if ``ts``
+        predates the chain's first commit."""
+        cdir = os.path.join(self.path, "_commits")
+        cur = self.version()
+        while cur >= 1:
+            p = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
+                rec = json.load(f)
+            if float(rec.get("ts", float("inf"))) <= ts:
+                return self.read(version=cur)
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                break
+            cur = nxt
+        raise ValueError(
+            f"no published version at or before ts={ts} on the current "
+            f"lineage of {self.path}"
+        )
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
         """Dynamic partition overwrite: replace exactly the
@@ -508,7 +716,7 @@ class ManagedTable:
         import shutil
 
         v = self.version()
-        data_dir, dv_dir = self._resolve(v)
+        data_dir, dv_dir, appends = self._resolve(v)
         logical = self.read()
         scratch = os.path.join(self.path, "_optimize_tmp")
         shutil.rmtree(scratch, ignore_errors=True)
@@ -518,12 +726,14 @@ class ManagedTable:
                     self.spark, data_dir, scratch, target_bytes=target_bytes
                 )
             else:
-                # sized from the base files (an upper bound when a DV
-                # masks rows — OPTIMIZE after DELETE is DV compaction:
-                # the rewrite materializes survivors and drops the DV)
+                # sized from the base + appended files (an upper bound
+                # when a DV masks rows — OPTIMIZE after DELETE/UPDATE
+                # is DV compaction: the rewrite materializes survivors
+                # and drops the sidecar + append dirs)
                 total = sum(
-                    os.path.getsize(os.path.join(data_dir, f))
-                    for f in os.listdir(data_dir)
+                    os.path.getsize(os.path.join(d, f))
+                    for d in [data_dir, *appends]
+                    for f in os.listdir(d)
                     if f.startswith("part-")
                 )
                 n = max(1, math.ceil(total / target_bytes))
@@ -584,7 +794,7 @@ class ManagedTable:
         residual. Returns (df, files_read, files_total)."""
         v = self.version()
         vdir = os.path.join(self.path, f"v{v}")
-        data_dir, dv_dir = self._resolve(v)
+        data_dir, dv_dir, appends = self._resolve(v)
         if dv_dir is None:
             return read_with_skipping(self.spark, vdir, col, lo, hi)
         with open(os.path.join(vdir, "_manifest.json")) as f:
@@ -598,6 +808,12 @@ class ManagedTable:
 
         keep = [r["file"] for r in manifest["files"] if _keep(r)]
         total = len(manifest["files"])
+        # appended-row files (merge-on-read UPDATEs) are not in the
+        # inherited manifest — they are always read (conservative;
+        # they are O(updated) small until OPTIMIZE folds them in)
+        app_files = self._append_files(appends)
+        keep += app_files
+        total += len(app_files)
         cols = self.spark.read.parquet(data_dir).columns
         if not keep:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
@@ -630,7 +846,7 @@ class ManagedTable:
 
         v = self.version()
         vdir = os.path.join(self.path, f"v{v}")
-        data_dir, dv_dir = self._resolve(v)
+        data_dir, dv_dir, appends = self._resolve(v)
         with open(os.path.join(vdir, "_bloom.json")) as f:
             manifest = json.load(f)
         want = set(
@@ -642,6 +858,10 @@ class ManagedTable:
             if want <= set(positions)
         ]
         total = len(manifest["files"])
+        # appended-row files carry no bloom entries — always probed
+        app_files = self._append_files(appends)
+        keep += app_files
+        total += len(app_files)
         cols = self.spark.read.parquet(data_dir).columns
         if not keep:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
@@ -739,18 +959,25 @@ class ManagedTable:
         with open(os.path.join(vdir, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
 
-    def _resolve(self, v: int) -> tuple[str, str | None]:
-        """(data_dir, dv_dir|None) for version ``v`` — data_dir holds
-        the parquet files (the version's own for a copy commit, the
-        referenced base snapshot's for a deletion-vector commit).
-        Raises loudly on versions that don't exist or whose base was
-        vacuumed away — never a silent empty read."""
+    def _resolve(self, v: int) -> tuple[str, str | None, list[str]]:
+        """(data_dir, dv_dir|None, append_dirs) for version ``v`` —
+        data_dir holds the parquet files (the version's own for a copy
+        commit, the referenced base snapshot's for a reference commit);
+        ``append_dirs`` are extra parquet directories UNIONED into the
+        version's file universe (merge-on-read UPDATE writes its
+        rewritten rows there; the version's logical content is
+        base ∪ appends − DV). An ``appends`` entry is ``"self"`` (this
+        version's own ``_upd`` dir — the name is resolved only here,
+        because at populate time the final version number is unknown),
+        a table-relative path like ``"v5/_upd"``, or absolute (clones).
+        Raises loudly on versions that don't exist or whose referenced
+        dirs were vacuumed away — never a silent partial read."""
         vdir = os.path.join(self.path, f"v{v}")
         if v < 1 or not os.path.isdir(vdir):
             raise ValueError(f"snapshot v{v} does not exist at {self.path}")
         meta = os.path.join(vdir, "_dv.json")
         if not os.path.isfile(meta):
-            return vdir, None
+            return vdir, None, []
         with open(meta) as f:
             m = json.load(f)
         base = (
@@ -763,4 +990,28 @@ class ManagedTable:
                 f"snapshot v{v} references base {base}, which no longer "
                 "exists (vacuumed source?) — refusing a partial read"
             )
-        return base, os.path.join(vdir, "_dv")
+        appends = []
+        for a in m.get("appends", []):
+            p = (
+                os.path.join(vdir, "_upd")
+                if a == "self"
+                else (a if os.path.isabs(a) else os.path.join(self.path, a))
+            )
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"snapshot v{v} references appended rows at {p}, which "
+                    "no longer exist (vacuumed?) — refusing a partial read"
+                )
+            appends.append(p)
+        return base, os.path.join(vdir, "_dv"), appends
+
+    def _rebase_appends(self, v: int) -> list[str]:
+        """Version ``v``'s appends list as a CHILD version must record
+        it: ``"self"`` entries become the parent's concrete dir; other
+        entries carry through unchanged."""
+        meta = os.path.join(self.path, f"v{v}", "_dv.json")
+        if not os.path.isfile(meta):
+            return []
+        with open(meta) as f:
+            m = json.load(f)
+        return [f"v{v}/_upd" if a == "self" else a for a in m.get("appends", [])]

@@ -1436,3 +1436,180 @@ def x_table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_update_restore",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+upd1 AS (
+  SELECT event_id, user_id, event_type, es,
+         CASE WHEN user_id % 5 = 1 THEN vmic * 3 + es % 97 ELSE vmic END AS vmic
+  FROM base
+),
+alive AS (
+  SELECT * FROM upd1 WHERE event_id % 7 IS DISTINCT FROM 2
+),
+upd2 AS (
+  SELECT event_id, user_id, event_type, es,
+         CASE WHEN user_id % 6 = 4 THEN -vmic ELSE vmic END AS vmic
+  FROM alive
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_MT_FP_RENDER})),
+                                        1, 15)) AS BIGINT) AS h
+        FROM upd2)
+),
+bounds AS (SELECT min(es) AS lo FROM upd2),
+scan AS (SELECT CAST(count(*) AS BIGINT) AS scan_rows
+         FROM upd2, bounds WHERE es BETWEEN lo AND lo + 86400)
+SELECT 'upd_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS upd_no_datafiles, TRUE AS base_untouched,
+       TRUE AS time_travel_intact,
+       scan.scan_rows, TRUE AS scan_pruned, TRUE AS scan_exact,
+       TRUE AS restore_zero_copy, TRUE AS restore_intact,
+       TRUE AS restore_roundtrip,
+       TRUE AS optimize_lossless, TRUE AS optimize_folded
+FROM fp, scan
+""",
+)
+def x_table_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE as merge-on-read (DV + appended rewrite images) and
+    RESTORE as a zero-copy forward commit — the write path a 100 TB
+    table needs for in-place mutation (rewriting the table to touch
+    0.1% of its rows is the most expensive possible update). The
+    chain exercised, every hop published without rewriting a data
+    file:
+
+      create(v1: events, 16 range-clustered files, stats on es)
+      → UPDATE user_id%5=1 SET vmic = vmic*3 + es%97   (v2: DV + _upd)
+      → DELETE event_id%7=2                            (v3: DV only)
+      → UPDATE user_id%6=4 SET vmic = -vmic            (v4: DV + _upd —
+        rewrites rows that v2 itself appended, proving appended files
+        are first-class DV targets)
+      → RESTORE v1                                     (v5: zero-copy,
+        content == v1, txn lineage forward — unlike rollback)
+      → RESTORE v4                                     (v6: round-trips
+        a DV+appends version through a reference commit)
+      → OPTIMIZE                                       (v7: folds DV +
+        appends into clustered files, digest-lossless)
+
+    Invariants packed into the row: update versions hold NO top-level
+    data files; v1's files byte-identical after the whole chain; time
+    travel to v1 exact; the manifest-pruned day-window scan on the
+    DV+appends version opens fewer files than listed AND equals the
+    exact filter; both restores digest-exact; OPTIMIZE lossless and
+    sidecar-free. The oracle recomputes the final multiset relationally
+    (CASE WHEN for each UPDATE over OLD row values — set expressions
+    read the pre-update row, SQL UPDATE semantics — and the NULL-safe
+    delete complement). Reference parity: the reference mutates its
+    store via full-table rewrite upserts (firestore_sink.py); this is
+    that contract with lakehouse-scale economics."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+
+    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="upd_table_")
+    path = os.path.join(root, "t")
+
+    def _part_files(p: str):
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.startswith("part-")
+        )
+
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+        )
+        v1_files = _part_files(os.path.join(path, "v1"))
+        v2 = t.update(
+            F.col("user_id") % 5 == 1,
+            {"vmic": F.col("vmic") * 3 + F.col("es") % 97},
+        )
+        v3 = t.delete(F.col("event_id") % 7 == 2)
+        v4 = t.update(F.col("user_id") % 6 == 4, {"vmic": -F.col("vmic")})
+
+        upd_no_datafiles = (
+            _part_files(os.path.join(path, f"v{v2}")) == []
+            and _part_files(os.path.join(path, f"v{v4}")) == []
+            and os.path.isdir(os.path.join(path, f"v{v2}", "_upd"))
+        )
+        base_untouched = _part_files(os.path.join(path, "v1")) == v1_files
+        tt_ok = (
+            dataset_fingerprint(t.read(version=1), cols).collect()
+            == dataset_fingerprint(base, cols).collect()
+        )
+
+        lo = t.read().agg(F.min("es")).collect()[0][0]
+        sdf, files_read, files_total = t.scan("es", lo, lo + 86400)
+        scan_rows = sdf.count()
+        exact = t.read().filter(F.col("es").between(lo, lo + 86400)).count()
+        scan_pruned = files_read < files_total
+        scan_exact = scan_rows == exact
+
+        v4_digest = dataset_fingerprint(t.read(version=v4), cols).collect()
+        v5 = t.restore(1)
+        restore_zero_copy = _part_files(os.path.join(path, f"v{v5}")) == []
+        restore_intact = (
+            dataset_fingerprint(t.read(version=v5), cols).collect()
+            == dataset_fingerprint(base, cols).collect()
+        )
+        v6 = t.restore(v4)
+        restore_roundtrip = (
+            dataset_fingerprint(t.read(version=v6), cols).collect()
+            == v4_digest
+        )
+
+        v7 = t.optimize()
+        opt_lossless = (
+            dataset_fingerprint(t.read(version=v7), cols).collect()
+            == v4_digest
+        )
+        opt_folded = not os.path.isdir(
+            os.path.join(path, f"v{v7}", "_dv")
+        ) and not os.path.isdir(os.path.join(path, f"v{v7}", "_upd"))
+
+        fp = dataset_fingerprint(t.read(), cols, label="upd_events")
+        return fp.withColumns(
+            {
+                "upd_no_datafiles": F.lit(bool(upd_no_datafiles)),
+                "base_untouched": F.lit(bool(base_untouched)),
+                "time_travel_intact": F.lit(bool(tt_ok)),
+                "scan_rows": F.lit(int(scan_rows)).cast("long"),
+                "scan_pruned": F.lit(bool(scan_pruned)),
+                "scan_exact": F.lit(bool(scan_exact)),
+                "restore_zero_copy": F.lit(bool(restore_zero_copy)),
+                "restore_intact": F.lit(bool(restore_intact)),
+                "restore_roundtrip": F.lit(bool(restore_roundtrip)),
+                "optimize_lossless": F.lit(bool(opt_lossless)),
+                "optimize_folded": F.lit(bool(opt_folded)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

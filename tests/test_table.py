@@ -472,3 +472,184 @@ def test_dv_and_clone_sidecars_publish_with_the_version(spark, tmp_path):
     assert os.path.isfile(str(tmp_path / "c" / "v1" / "_bloom.json"))
     got, fr, tot = c.lookup(42)
     assert [r["id"] for r in got.collect()] == [42] and fr < tot
+
+
+def test_update_publishes_dv_plus_append_no_rewrite(spark, tmp_path):
+    """Merge-on-read UPDATE: old images join the DV, new images land
+    in the version's own _upd dir, base files untouched, reads exact,
+    derived digest equals a rescan."""
+    df = spark.range(1, 101).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 1.0).alias("value")
+    )
+    t = ManagedTable.create(df.repartition(4), str(tmp_path / "t"), key="id")
+    v1_files = sorted(
+        (f, os.path.getsize(str(tmp_path / "t" / "v1" / f)))
+        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        if f.startswith("part-")
+    )
+    v2 = t.update(F.col("id") % 10 == 3, {"value": F.col("value") * 2})
+    assert v2 == 2
+    # base untouched; v2 dir holds only _dv + _upd + metadata
+    assert sorted(
+        (f, os.path.getsize(str(tmp_path / "t" / "v1" / f)))
+        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        if f.startswith("part-")
+    ) == v1_files
+    assert not [
+        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+    ]
+    assert os.path.isdir(str(tmp_path / "t" / "v2" / "_upd"))
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert len(got) == 100
+    for i in range(1, 101):
+        assert got[i] == (i * 2.0 if i % 10 == 3 else i * 1.0)
+    # time travel intact
+    assert {r["id"]: r["value"] for r in t.read(version=1).collect()}[3] == 3.0
+    # derived digest equals a rescan of the logical content
+    import json as _json
+
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    with open(str(tmp_path / "t" / "_commits" / "2.json")) as f:
+        rec = _json.load(f)
+    fp = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert (rec["n_rows"], rec["xor_hash"], rec["sum_hash_mod"]) == (
+        fp["n_rows"],
+        fp["xor_hash"],
+        fp["sum_hash_mod"],
+    )
+
+
+def test_update_null_cond_rows_not_updated(spark, tmp_path):
+    """SQL UPDATE: rows where the predicate is NULL are left alone."""
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, True, 20.0), (3, False, 30.0)],
+        "id long, flag boolean, value double",
+    )
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.update(F.col("flag"), {"value": F.lit(-1.0)})
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: -1.0, 3: 30.0}
+
+
+def test_update_then_delete_then_optimize_chain(spark, tmp_path):
+    """Chained merge-on-read ops stay one-hop and OPTIMIZE folds the
+    DV + appends away losslessly."""
+    df = spark.range(1, 51).select(F.col("id"), (F.col("id") * 1.0).alias("value"))
+    t = ManagedTable.create(df.repartition(4), str(tmp_path / "t"), key="id")
+    t.update(F.col("id") <= 10, {"value": F.col("value") + 100})
+    t.delete(F.col("id").between(5, 15))
+    t.update(F.col("id") == 20, {"value": F.lit(0.0)})
+    expect = {}
+    for i in range(1, 51):
+        if 5 <= i <= 15:
+            continue
+        v = i * 1.0 + (100 if i <= 10 else 0)
+        expect[i] = 0.0 if i == 20 else v
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got == expect
+    # updating an APPENDED row works (id<=10 appended in v2; id=7 deleted;
+    # id=3 survives and was updated again below)
+    t.update(F.col("id") == 3, {"value": F.col("value") * 10})
+    expect[3] = 1030.0
+    assert {r["id"]: r["value"] for r in t.read().collect()} == expect
+    v_opt = t.optimize()
+    assert {r["id"]: r["value"] for r in t.read().collect()} == expect
+    assert not os.path.isdir(str(tmp_path / "t" / f"v{v_opt}" / "_dv"))
+    assert not os.path.isdir(str(tmp_path / "t" / f"v{v_opt}" / "_upd"))
+
+
+def test_update_scan_and_lookup_see_appended_rows(spark, tmp_path):
+    """The skipping layers stay exact under appends: appended files
+    are always read (no manifest/bloom entries), DV rows excluded."""
+    df = spark.range(1, 401).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    t = ManagedTable.create(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        str(tmp_path / "t"),
+        key="id",
+        stat_cols=["id"],
+        bloom_col="id",
+    )
+    # move id=42 to the top of the domain via update
+    t.update(F.col("id") == 42, {"id": F.lit(9999).cast("long")})
+    sdf, fr, tot = t.scan("id", 9000, 10000)
+    assert [r["id"] for r in sdf.collect()] == [9999]
+    assert fr < tot  # base files still pruned by the inherited manifest
+    got, fr2, _ = t.lookup(9999)
+    assert [r["id"] for r in got.collect()] == [9999]
+    # the OLD image is dead: neither scan nor lookup resurrects 42
+    assert t.lookup(42)[0].count() == 0
+    assert t.scan("id", 42, 42)[0].count() == 0
+
+
+def test_update_respects_check_constraints(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.add_constraint("v_pos", "v > 0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="v_pos"):
+        t.update(F.col("id") == 1, {"v": F.lit(-5.0)})
+    assert t.version() == 1  # refused, version unchanged
+    t.update(F.col("id") == 1, {"v": F.lit(5.0)})
+    assert {r["id"]: r["v"] for r in t.read().collect()} == {1: 5.0, 2: 20.0}
+
+
+def test_restore_is_forward_commit_preserving_txn(spark, base, tmp_path):
+    """RESTORE: new version, old content, zero copy — and unlike
+    rollback it does NOT re-open streaming replay (txn markers stay)."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t._commit(t.read().withColumn("value", F.col("value") + 1), extra={"txn": 0})
+    t._commit(t.read().withColumn("value", F.col("value") + 1), extra={"txn": 1})
+    v4 = t.restore(2)
+    assert v4 == 4 and t.version() == 4
+    assert _rows(t.read()) == _rows(t.read(version=2))
+    # zero copy: v4 holds no data files
+    assert not [
+        f for f in os.listdir(str(tmp_path / "t" / "v4")) if f.startswith("part-")
+    ]
+    # forward lineage: txn marker NOT reset (Delta RESTORE semantics)
+    assert t.last_txn() == 1
+    # restoring a DV version carries its DV + appends
+    t.update(F.col("id") == 1, {"value": F.lit(0.0)})  # v5
+    t.delete(F.col("id") == 2)  # v6
+    v7 = t.restore(5)
+    assert _rows(t.read(version=v7)) == _rows(t.read(version=5))
+
+
+def test_as_of_timestamp_walks_lineage(spark, base, tmp_path):
+    """TIMESTAMP AS OF resolves on the lineage chain with injected
+    deterministic commit times."""
+    import pytest as _pytest
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    # inject explicit commit timestamps (tests own determinism)
+    t._commit(t.read().filter("id != 1"), extra={"ts": 1000.0})  # v2
+    t._commit(t.read().filter("id != 2"), extra={"ts": 2000.0})  # v3
+    assert t.as_of(1500.0).count() == 7  # v2
+    assert t.as_of(2000.0).count() == 6  # v3 (inclusive)
+    assert t.as_of(10**12).count() == 6  # far future = latest
+    # rollback abandons v3; a recommit branches; as_of never serves v3
+    t.rollback(2)
+    t._commit(t.read().filter("id != 3"), extra={"ts": 3000.0})  # v4, parent 2
+    assert t.as_of(2500.0).count() == 7  # v2, NOT the abandoned v3
+    with _pytest.raises(ValueError, match="no published version"):
+        ManagedTable(spark, str(tmp_path / "t")).as_of(1.0)
+
+
+def test_vacuum_pins_update_append_dirs(spark, tmp_path):
+    """A surviving version whose appends reference an older version's
+    _upd dir pins that version against vacuum."""
+    df = spark.range(1, 31).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    t = ManagedTable.create(df.repartition(2), str(tmp_path / "t"), key="id")
+    t.update(F.col("id") == 5, {"v": F.lit(-5.0)})  # v2: appends [self]
+    t.delete(F.col("id") == 9)  # v3: appends [v2/_upd]
+    t.delete(F.col("id") == 10)  # v4
+    t.delete(F.col("id") == 11)  # v5
+    removed = t.vacuum(keep_last=2)
+    # v1 (base) and v2 (_upd referenced by survivors) must both be pinned
+    assert 1 not in removed and 2 not in removed
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[5] == -5.0 and 9 not in got and len(got) == 27

@@ -58,7 +58,17 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     next_id = 100
     for step in range(14):
         op = rng.choice(
-            ["merge", "merge_nmbs", "delete", "overwrite", "optimize", "rollback", "vacuum"]
+            [
+                "merge",
+                "merge_nmbs",
+                "delete",
+                "update",
+                "restore",
+                "overwrite",
+                "optimize",
+                "rollback",
+                "vacuum",
+            ]
         )
         if op == "merge":
             n_upd = rng.randint(0, 4)
@@ -120,6 +130,27 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             for k in list(model):
                 if k % m == r:
                     model.pop(k)
+            publish(v)
+        elif op == "update":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            d = rng.randint(1, 9)
+            log.append(f"update id%{m}=={r} val+={d}")
+            v = t.update(F.col("id") % m == r, {"val": F.col("val") + d})
+            for k in list(model):
+                if k % m == r:
+                    model[k] = (model[k][0], model[k][1] + d)
+            publish(v)
+        elif op == "restore":
+            live = [v for v, s in states.items() if s is not None]
+            tgt = rng.choice(live)
+            log.append(f"restore -> content of v{tgt}")
+            try:
+                v = t.restore(tgt)
+            except ValueError:
+                # the target references vacuumed data — loud, legal
+                continue
+            model = dict(states[tgt])
             publish(v)
         elif op == "overwrite":
             p = rng.randint(0, 3)

@@ -187,7 +187,9 @@ class ManagedTable:
     def rollback(self, version: int) -> None:
         snapshot_rollback(self.path, version)
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(
+        self, keep_last: int = 2, older_than_ts: float | None = None
+    ) -> list[int]:
         """Retention, deletion-vector aware: a DV version's sidecar
         points INTO its base snapshot's files, so every base version
         referenced by a surviving DV version is pinned — vacuuming it
@@ -195,7 +197,16 @@ class ManagedTable:
         error. (Shallow CLONES of this table live in other table
         directories and are NOT tracked here — vacuuming a clone
         source invalidates the clone, Delta's documented shallow-clone
-        hazard; see :meth:`clone`.)"""
+        hazard; see :meth:`clone`.)
+
+        ``older_than_ts`` adds Delta's ``RETAIN``-window semantics on
+        top: versions committed AT or AFTER the cutoff (epoch seconds;
+        commit records carry ``ts``) are protected regardless of how
+        many newer versions exist — so ``vacuum(keep_last=1,
+        older_than_ts=now-7*86400)`` is "retain 7 days", and
+        timestamp time travel (:meth:`as_of`) keeps working across
+        the whole retained window. A record without a ``ts`` (legacy)
+        is conservatively protected."""
         import json as _json
 
         cdir = os.path.join(self.path, "_commits")
@@ -213,6 +224,13 @@ class ManagedTable:
             v for v in versions if v >= current
         }
         pinned: set[int] = set()
+        if older_than_ts is not None:
+            for v in versions:
+                with open(os.path.join(cdir, f"{v}.json")) as f:
+                    rec = _json.load(f)
+                if "ts" not in rec or float(rec["ts"]) >= older_than_ts:
+                    pinned.add(v)
+            survivors = survivors | pinned
         for v in survivors:
             meta = os.path.join(self.path, f"v{v}", "_dv.json")
             if os.path.isfile(meta):
@@ -699,6 +717,7 @@ class ManagedTable:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         cluster_by: Sequence[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: compact the current version's files toward
         ``target_bytes`` and publish the rewrite as a new version —
@@ -706,15 +725,32 @@ class ManagedTable:
         against the current version). History is immutable: the
         pre-optimize version stays readable via time travel.
 
-        ``cluster_by`` (Delta's OPTIMIZE ZORDER BY in miniature):
-        range-partition + sort the rewrite on the given columns, so
-        each output file covers a disjoint value range and the
-        per-version manifest's [min,max] stats actually prune —
-        compaction without clustering leaves every file spanning the
-        whole domain and the skipping layer prunes nothing."""
+        ``cluster_by``: range-partition + sort the rewrite on the
+        given columns, so each output file covers a disjoint value
+        range and the per-version manifest's [min,max] stats actually
+        prune — compaction without clustering leaves every file
+        spanning the whole domain and the skipping layer prunes
+        nothing. Lexicographic range clustering prunes PERFECTLY on
+        the first column and barely on the rest.
+
+        ``zorder=True`` (Delta's OPTIMIZE ZORDER BY proper, ≥2
+        numeric ``cluster_by`` columns): each column is min/max-scaled
+        into a 2^bits grid and the grid coordinates bit-INTERLEAVED
+        into one Morton key (layout.z_value); range-partitioning on
+        the key gives every clustered column locality, so the manifest
+        prunes on ANY of them — at 100 TB the difference between a
+        two-predicate query opening 1/100 of the files and opening all
+        of them. The scaling stats are one cheap agg over the logical
+        rows; the key is pure JVM bit math and is dropped before
+        write."""
         import math
         import shutil
 
+        if zorder and (not cluster_by or len(cluster_by) < 2):
+            raise ValueError(
+                "zorder needs >= 2 cluster_by columns — for one column "
+                "plain range clustering is strictly better"
+            )
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         logical = self.read()
@@ -737,12 +773,60 @@ class ManagedTable:
                     if f.startswith("part-")
                 )
                 n = max(1, math.ceil(total / target_bytes))
-                shaped = (
-                    logical.repartitionByRange(n, *cluster_by)
-                    .sortWithinPartitions(*cluster_by)
-                    if cluster_by is not None
-                    else logical.repartition(n)
-                )
+                if zorder:
+                    from .layout import z_value
+
+                    bits = min(16, 63 // len(cluster_by))
+                    mask = (1 << bits) - 1
+                    aggs = []
+                    for c in cluster_by:
+                        aggs += [
+                            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+                        ]
+                    st = logical.agg(*aggs).collect()[0].asDict()
+                    grid = []
+                    for c in cluster_by:
+                        mn, mx = st[f"_mn_{c}"], st[f"_mx_{c}"]
+                        if mn is None or mx is None:
+                            raise ValueError(
+                                f"zorder column {c!r} is all-NULL or "
+                                "non-numeric — cannot scale"
+                            )
+                        span = (mx - mn) or 1.0
+                        # NULLs sort to cell 0 (a fixed cell, still
+                        # clustered); min/max-scale into [0, mask]
+                        grid.append(
+                            F.least(
+                                F.greatest(
+                                    F.floor(
+                                        (
+                                            F.coalesce(
+                                                F.col(c).cast("double"),
+                                                F.lit(mn),
+                                            )
+                                            - F.lit(mn)
+                                        )
+                                        / F.lit(span)
+                                        * F.lit(float(mask))
+                                    ).cast("long"),
+                                    F.lit(0),
+                                ),
+                                F.lit(mask),
+                            )
+                        )
+                    shaped = (
+                        logical.withColumn("_z", z_value(grid, bits))
+                        .repartitionByRange(n, "_z")
+                        .sortWithinPartitions("_z")
+                        .drop("_z")
+                    )
+                elif cluster_by is not None:
+                    shaped = logical.repartitionByRange(
+                        n, *cluster_by
+                    ).sortWithinPartitions(*cluster_by)
+                else:
+                    shaped = logical.repartition(n)
                 shaped.write.mode("overwrite").parquet(scratch)
             before = dataset_fingerprint(logical).collect()
             after = dataset_fingerprint(
@@ -753,7 +837,28 @@ class ManagedTable:
                     "optimize digest mismatch — compacted rewrite is not "
                     "content-identical; refusing to publish"
                 )
-            return self._commit(self.spark.read.parquet(scratch))
+            # publish the VERIFIED scratch files by RENAME — never by
+            # re-writing them through a second Spark job: the re-read's
+            # size-ordered split packing SCRAMBLES the clustered layout
+            # across output files (measured: post-rewrite manifests
+            # spanned the full domain on every file, zero pruning), and
+            # a 100 TB OPTIMIZE must not copy the data twice. The
+            # digest is already proven equal; constraints cannot be
+            # violated by a content-identical rewrite.
+            def populate(vdir: str) -> None:
+                for fn in os.listdir(scratch):
+                    shutil.move(
+                        os.path.join(scratch, fn), os.path.join(vdir, fn)
+                    )
+
+            n = snapshot_commit_ref(
+                self.path,
+                populate,
+                digest=after[0].asDict(),
+                extra={"parent": v},
+            )
+            self._build_sidecars(os.path.join(self.path, f"v{n}"))
+            return n
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
@@ -924,7 +1029,14 @@ class ManagedTable:
                         "through the JSON manifest"
                     )
         v = snapshot_commit(df, self.path, extra=extra)
-        vdir = os.path.join(self.path, f"v{v}")
+        self._build_sidecars(os.path.join(self.path, f"v{v}"))
+        return v
+
+    def _build_sidecars(self, vdir: str) -> None:
+        """Zone-map + bloom manifests derived from the version's OWN
+        files after they land — no sidecar can disagree with the data
+        it describes. Shared by copy commits and the rename-published
+        OPTIMIZE."""
         if self.stat_cols:
             self._write_manifest(
                 vdir, self.spark.read.parquet(vdir), F.input_file_name()
@@ -935,7 +1047,6 @@ class ManagedTable:
             build_bloom_manifest(
                 self.spark, vdir, self.bloom_col, self.bloom_m, self.bloom_k
             )
-        return v
 
     def _write_manifest(self, vdir: str, df: DataFrame, file_col: Column) -> None:
         """Per-file [min,max] manifest over the stat columns, grouped

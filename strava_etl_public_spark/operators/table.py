@@ -184,6 +184,36 @@ class ManagedTable:
             cur = nxt
         return -1
 
+    def transact(self, op, max_retries: int = 5):
+        """Optimistic-concurrency retry (Delta's commit-conflict loop):
+        run ``op(table)`` — ONE logical operation built from this
+        class's op surface (merge/delete/update/overwrite/optimize…).
+        Every commit path allocates its version under an O_EXCL commit
+        record, so two racing writers produce exactly one winner and
+        one ``FileExistsError`` loser; the loser here RE-APPLIES the
+        whole logical op against the new current version and retries.
+
+        Semantic re-application is the rebase: each op re-reads
+        ``version()`` at entry, so the retried op sees the winner's
+        rows — the serial schedule "winner then loser", i.e. full
+        serializability for logical ops (stronger than file-level
+        rebase rules, affordable because ops re-derive their write set
+        from the predicate instead of shipping fixed file lists).
+        ``op`` must therefore be a pure function of the table state —
+        no captured DataFrames read from a pinned version. Returns
+        ``op``'s result."""
+        last: FileExistsError | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return op(self)
+            except FileExistsError as e:
+                last = e
+                continue
+        raise RuntimeError(
+            f"transact: commit conflict persisted through "
+            f"{max_retries + 1} attempts on {self.path}"
+        ) from last
+
     def rollback(self, version: int) -> None:
         snapshot_rollback(self.path, version)
 

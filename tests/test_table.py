@@ -725,3 +725,43 @@ def test_optimize_zorder_validations(spark, base, tmp_path):
         t.optimize(cluster_by=["id"], zorder=True)
     with _pytest.raises(ValueError, match="zorder needs"):
         t.optimize(zorder=True)
+
+
+def test_transact_retries_commit_conflicts_and_reapplies(spark, base, tmp_path):
+    """OCC loop: the op's first attempt loses the O_EXCL record race
+    to a competing writer (the loser path every commit op raises as
+    FileExistsError); transact re-applies the logical op against the
+    post-winner state and both writers' effects land serially."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t2 = ManagedTable(spark, str(tmp_path / "t"))  # concurrent handle
+
+    attempts = {"n": 0}
+
+    def op(tab):
+        if attempts["n"] == 0:
+            attempts["n"] += 1
+            # the competing writer wins the slot our first attempt
+            # wanted; our commit's open(..., "x") raises — the exact
+            # loser behavior of snapshot_commit / snapshot_commit_ref
+            t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
+            raise FileExistsError("lost the O_EXCL commit-record race")
+        return tab.delete(F.col("id") == 1)
+
+    v = t.transact(op)
+    assert attempts["n"] == 1
+    got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
+    assert 1 not in got  # our delete applied on retry
+    assert got[2] == 222.0  # ON TOP of the winner's update (serial order)
+    assert t.version() == v
+
+
+def test_transact_gives_up_loudly_after_max_retries(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+
+    def always_conflicts(tab):
+        raise FileExistsError("synthetic permanent conflict")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="commit conflict persisted"):
+        t.transact(always_conflicts, max_retries=2)

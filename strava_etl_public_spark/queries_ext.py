@@ -20,3 +20,4 @@ from . import queries_curation  # noqa: F401  (registration side-effect)
 from . import queries_eval  # noqa: F401  (registration side-effect)
 from . import queries_stream_state  # noqa: F401  (registration side-effect)
 from . import queries_ml_geo  # noqa: F401  (registration side-effect)
+from . import queries_timeseries  # noqa: F401  (registration side-effect)

@@ -123,18 +123,207 @@ class ManagedTable:
         Deletion-vector versions resolve to their base snapshot's
         files with the DV anti-joined out (merge-on-read): one scan
         plus a left-anti hash join against O(deleted-rows) DV rows —
-        broadcast when the DV is small, the common case."""
+        broadcast when the DV is small, the common case. The version's
+        COLUMN MAP (rename/drop metadata, see :meth:`rename_column`)
+        is applied last, so time travel serves each version under the
+        schema it was published with."""
         v = snapshot_version(self.path) if version is None else version
         data_dir, dv_dir, appends = self._resolve(v)
         if dv_dir is None:
-            return snapshot_read(self.spark, self.path, v)
-        base = self.spark.read.parquet(data_dir, *appends)
-        cols = base.columns
-        return (
-            base.withColumn("_file", F.col("_metadata.file_path"))
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
-            .select(*cols)
+            out = snapshot_read(self.spark, self.path, v)
+        else:
+            base = self.spark.read.parquet(data_dir, *appends)
+            cols = base.columns
+            out = (
+                base.withColumn("_file", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+                .select(*cols)
+            )
+        return self._to_logical(out, self._version_map(v))
+
+    # -- column mapping (rename / drop without rewrite) ----------------------
+
+    def _version_map(self, v: int) -> list[list[str]] | None:
+        """The [logical, physical] column map RECORDED with version
+        ``v`` (None = identity, the pre-mapping default). Versioned in
+        the commit record itself, so time travel and CDC each see the
+        schema their version was published under."""
+        p = os.path.join(self.path, "_commits", f"{v}.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("columns")
+
+    def _current_map(self) -> list[list[str]] | None:
+        return self._version_map(self.version())
+
+    @staticmethod
+    def _to_logical(df: DataFrame, vmap) -> DataFrame:
+        """Physical file schema → the version's logical schema: rename
+        per the map and DROP physical columns the map omits. Identity
+        (no map) short-circuits — the common case costs nothing."""
+        if not vmap:
+            return df
+        return df.select(*[F.col(p).alias(l) for l, p in vmap])
+
+    @staticmethod
+    def _to_physical(df: DataFrame, vmap) -> DataFrame:
+        if not vmap:
+            return df
+        return df.select(*[F.col(l).alias(p) for l, p in vmap])
+
+    def _to_phys_name(self, col: str, vmap) -> str:
+        if not vmap:
+            return col
+        for l, p in vmap:
+            if l == col:
+                return p
+        raise ValueError(f"no column {col!r} in the current schema")
+
+    @staticmethod
+    def _to_log_name(col: str, vmap) -> str:
+        if not vmap:
+            return col
+        for l, p in vmap:
+            if p == col:
+                return l
+        raise ValueError(
+            f"physical column {col!r} is not in the current schema "
+            "(dropped?)"
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a METADATA-ONLY commit (Delta's column
+        mapping): the physical parquet names are fixed at write time
+        forever; the new version carries an updated logical→physical
+        map and references the parent's files through an empty DV —
+        zero data bytes moved, O(1) regardless of table size, and the
+        commit digest is INHERITED (a rename changes no value and no
+        column order, so the content fingerprint is unchanged).
+        Refused if ``new`` already names a column or ``old`` appears
+        in a CHECK constraint (constraint SQL is written against
+        logical names; rewriting it silently would change what the
+        constraint means)."""
+        vmap = self._effective_map()
+        logical = [l for l, _ in vmap]
+        if old not in logical:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        for cname, sql in self.constraints.items():
+            if old in sql:
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql!r}) — drop the constraint first"
+                )
+        new_map = [[new if l == old else l, p] for l, p in vmap]
+        return self._metadata_commit(new_map, rescan=False)
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as a METADATA-ONLY commit: the physical column
+        stays in the files (time travel still serves it at older
+        versions); the new version's map simply omits it, so every
+        read, scan, and CDC view excludes it. Zero data movement; the
+        commit digest is RESCANNED over the narrowed logical view (one
+        fingerprint aggregate — dropping a column changes the row
+        hashes, so inheritance would record a lie). Refused for key
+        columns and constraint-referenced columns."""
+        vmap = self._effective_map()
+        logical = [l for l, _ in vmap]
+        if name not in logical:
+            raise ValueError(f"no column {name!r} to drop")
+        phys = self._to_phys_name(name, vmap)
+        if phys in self.key or name in self.key:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if phys in self.stat_cols or phys == self.bloom_col:
+            raise ValueError(
+                f"cannot drop column {name!r}: the skipping layer is "
+                "configured on it (stat_cols/bloom_col)"
+            )
+        for cname, sql in self.constraints.items():
+            if name in sql:
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} — drop the constraint first"
+                )
+        new_map = [[l, p] for l, p in vmap if l != name]
+        return self._metadata_commit(new_map, rescan=True)
+
+    def _effective_map(self) -> list[list[str]]:
+        """The current map, materialized to an explicit identity list
+        when absent (first rename/drop on a legacy table)."""
+        vmap = self._current_map()
+        if vmap:
+            return [list(e) for e in vmap]
+        v = self.version()
+        data_dir, _, appends = self._resolve(v)
+        return [
+            [c, c]
+            for c in self.spark.read.parquet(data_dir, *appends).columns
+        ]
+
+    def _metadata_commit(self, new_map: list[list[str]], rescan: bool) -> int:
+        """Publish a schema-map change as a zero-copy reference commit
+        (the RESTORE populate shape aimed at the CURRENT version)."""
+        cur = self.version()
+        data_dir, dv_dir, _ = self._resolve(cur)
+        if dv_dir is not None:
+            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        else:
+            seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
+        in_table = os.path.dirname(
+            os.path.normpath(data_dir)
+        ) == os.path.normpath(self.path)
+        ref = (
+            {"base": os.path.basename(data_dir)}
+            if in_table
+            else {"base_abs": data_dir}
+        )
+        old_appends = self._rebase_appends(cur)
+        if old_appends:
+            ref["appends"] = old_appends
+
+        def populate(vdir: str) -> None:
+            seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                json.dump(ref, f)
+            self._inherit_sidecars(os.path.join(self.path, f"v{cur}"), vdir)
+
+        if rescan:
+            # a narrowed logical view hashes differently — one
+            # fingerprint aggregate over the new view, honest
+            base = self.spark.read.parquet(
+                data_dir, *self._resolve(cur)[2]
+            )
+            cols = base.columns
+            logical = (
+                base.withColumn("_file", F.col("_metadata.file_path"))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+                .select(*cols)
+                if dv_dir is not None
+                else base
+            )
+            digest = (
+                dataset_fingerprint(self._to_logical(logical, new_map))
+                .collect()[0]
+                .asDict()
+            )
+            digest.pop("dataset", None)
+        else:
+            with open(
+                os.path.join(self.path, "_commits", f"{cur}.json")
+            ) as f:
+                parent = json.load(f)
+            digest = {
+                k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+            }
+        return snapshot_commit_ref(
+            self.path,
+            populate,
+            digest=digest,
+            extra={"parent": cur, "columns": new_map},
         )
 
     def _dv_df(self, dv_dir: str) -> DataFrame:
@@ -348,10 +537,11 @@ class ManagedTable:
                     current = current.withColumn(
                         f_.name, F.lit(None).cast(f_.dataType)
                     )
+        vmap = self._current_map()
         merged = merge_into(
             current,
             source,
-            self.key,
+            [self._to_log_name(k, vmap) for k in self.key],
             update_cols=update_cols,
             delete_cond=delete_cond,
             insert_unmatched=insert_unmatched,
@@ -391,8 +581,9 @@ class ManagedTable:
         behavior)."""
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
+        vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
-        cols = base.columns
+        cols = [l for l, _ in vmap] if vmap else base.columns
         tagged = base.withColumn(
             "_file", F.col("_metadata.file_path")
         ).withColumn("_pos", F.col("_metadata.row_index"))
@@ -402,6 +593,12 @@ class ManagedTable:
         else:
             parent_dv = None
             live = tagged
+        if vmap:
+            # the predicate speaks the LOGICAL schema; rename (keeping
+            # the position tags) before evaluating it
+            live = live.select(
+                *[F.col(p).alias(l) for l, p in vmap], "_file", "_pos"
+            )
         hit_rows = live.filter(cond).persist()
         try:
             hits = hit_rows.select("_file", "_pos")
@@ -465,8 +662,11 @@ class ManagedTable:
                 # version without its manifests (code-review r9)
                 self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
+            extra = {"parent": v}
+            if vmap:
+                extra["columns"] = vmap
             return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra={"parent": v}
+                self.path, populate, digest=digest, extra=extra
             )
         finally:
             hit_rows.unpersist()
@@ -514,16 +714,20 @@ class ManagedTable:
             self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
         # digest inherited from the source's commit record — a clone's
-        # logical content IS the source's, no rescan needed
+        # logical content IS the source's, no rescan needed; the
+        # source's column map carries over the same way
         with open(os.path.join(self.path, "_commits", f"{v}.json")) as f:
             parent = json.load(f)
+        extra = {"parent": 0}
+        if parent.get("columns"):
+            extra["columns"] = parent["columns"]
         snapshot_commit_ref(
             dst_path,
             populate,
             digest={
                 k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
             },
-            extra={"parent": 0},
+            extra=extra,
         )
         return ManagedTable(self.spark, dst_path)
 
@@ -568,8 +772,10 @@ class ManagedTable:
         new version number."""
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
+        vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
-        cols = base.columns
+        phys_cols = base.columns
+        cols = [l for l, _ in vmap] if vmap else phys_cols
         unknown = [c for c in set_exprs if c not in cols]
         if unknown:
             raise ValueError(f"update sets unknown columns: {unknown}")
@@ -581,6 +787,11 @@ class ManagedTable:
             if dv_dir is not None
             else tagged
         )
+        if vmap:
+            # cond / set_exprs speak the LOGICAL schema
+            live = live.select(
+                *[F.col(p).alias(l) for l, p in vmap], "_file", "_pos"
+            )
         hit_rows = live.filter(cond).persist()
         try:
             new_rows = hit_rows.select(
@@ -591,6 +802,25 @@ class ManagedTable:
             )
             if self.constraints:
                 self._check_rows(new_rows, self.constraints)
+            # the _upd files join the base files' universe, so they
+            # carry the FULL PHYSICAL schema: mapped columns inverse-
+            # renamed, dropped physical columns NULL-backfilled (dead
+            # values — no live map can surface them, and time travel
+            # to pre-drop versions never includes post-drop appends)
+            if vmap:
+                log_of = {p: l for l, p in vmap}
+                upd_out = new_rows.select(
+                    *[
+                        F.col(log_of[pc]).alias(pc)
+                        if pc in log_of
+                        else F.lit(None)
+                        .cast(base.schema[pc].dataType)
+                        .alias(pc)
+                        for pc in phys_cols
+                    ]
+                )
+            else:
+                upd_out = new_rows
             hits = hit_rows.select("_file", "_pos")
             new_dv = (
                 hits
@@ -635,7 +865,7 @@ class ManagedTable:
             ref["appends"] = self._rebase_appends(v) + ["self"]
 
             def populate(vdir: str) -> None:
-                new_rows.write.mode("overwrite").parquet(
+                upd_out.write.mode("overwrite").parquet(
                     os.path.join(vdir, "_upd")
                 )
                 new_dv.write.mode("overwrite").parquet(
@@ -645,8 +875,11 @@ class ManagedTable:
                     json.dump(ref, f)
                 self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
+            extra = {"parent": v}
+            if vmap:
+                extra["columns"] = vmap
             return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra={"parent": v}
+                self.path, populate, digest=digest, extra=extra
             )
         finally:
             hit_rows.unpersist()
@@ -694,13 +927,18 @@ class ManagedTable:
             os.path.join(self.path, "_commits", f"{version}.json")
         ) as f:
             old = json.load(f)
+        extra = {"parent": cur, "restored_from": version}
+        if old.get("columns"):
+            # a restore is content AND schema: the restored version's
+            # column map comes back with its rows
+            extra["columns"] = old["columns"]
         return snapshot_commit_ref(
             self.path,
             populate,
             digest={
                 k: old[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
             },
-            extra={"parent": cur, "restored_from": version},
+            extra=extra,
         )
 
     def as_of(self, ts: float) -> DataFrame:
@@ -783,6 +1021,7 @@ class ManagedTable:
             )
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
+        vmap = self._version_map(v)
         logical = self.read()
         scratch = os.path.join(self.path, "_optimize_tmp")
         shutil.rmtree(scratch, ignore_errors=True)
@@ -857,7 +1096,14 @@ class ManagedTable:
                     ).sortWithinPartitions(*cluster_by)
                 else:
                     shaped = logical.repartition(n)
-                shaped.write.mode("overwrite").parquet(scratch)
+                # the scratch is the next version's PHYSICAL file set:
+                # under a column map, inverse-rename (a narrow select —
+                # partitioning and in-partition order survive); this
+                # also PURGES dropped columns from the rewrite, the
+                # REORG PURGE pairing
+                self._to_physical(shaped, vmap).write.mode(
+                    "overwrite"
+                ).parquet(scratch)
             before = dataset_fingerprint(logical).collect()
             after = dataset_fingerprint(
                 self.spark.read.parquet(scratch)
@@ -881,11 +1127,14 @@ class ManagedTable:
                         os.path.join(scratch, fn), os.path.join(vdir, fn)
                     )
 
+            extra = {"parent": v}
+            if vmap:
+                extra["columns"] = vmap
             n = snapshot_commit_ref(
                 self.path,
                 populate,
                 digest=after[0].asDict(),
-                extra={"parent": v},
+                extra=extra,
             )
             self._build_sidecars(os.path.join(self.path, f"v{n}"))
             return n
@@ -911,10 +1160,14 @@ class ManagedTable:
         from .upsert import snapshot_cdf, snapshot_diff
 
         fn = snapshot_cdf if include_before else snapshot_diff
+        # each side reads under its version's own schema; the key name
+        # resolves through the TO version's map (a key renamed WITHIN
+        # the range makes the join fail loudly, never silently wrong)
+        vmap = self._version_map(to_version)
         return fn(
             self.read(version=from_version),
             self.read(version=to_version),
-            self.key,
+            [self._to_log_name(k, vmap) for k in self.key],
         )
 
     # -- reads through the skipping layer ----------------------------------
@@ -926,17 +1179,24 @@ class ManagedTable:
         version inherits its parent's manifest — a superset range, so
         the prune stays conservative-correct — and the DV is
         anti-joined from the pruned survivors only, before the exact
-        residual. Returns (df, files_read, files_total)."""
+        residual. ``col`` is a LOGICAL name; manifests key physical
+        names, so the prune translates through the column map. Returns
+        (df, files_read, files_total)."""
         v = self.version()
         vdir = os.path.join(self.path, f"v{v}")
         data_dir, dv_dir, appends = self._resolve(v)
+        vmap = self._version_map(v)
+        pcol = self._to_phys_name(col, vmap)
         if dv_dir is None:
-            return read_with_skipping(self.spark, vdir, col, lo, hi)
+            df, fr, tot = read_with_skipping(
+                self.spark, vdir, pcol, lo, hi
+            )
+            return self._to_logical(df, vmap), fr, tot
         with open(os.path.join(vdir, "_manifest.json")) as f:
             manifest = json.load(f)
 
         def _keep(r) -> bool:
-            mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+            mn, mx = r.get(f"min_{pcol}"), r.get(f"max_{pcol}")
             if mn is None or mx is None:
                 return True
             return not (mx < lo or mn > hi)
@@ -952,16 +1212,16 @@ class ManagedTable:
         cols = self.spark.read.parquet(data_dir).columns
         if not keep:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
-            return empty.select(*cols), 0, total
+            return self._to_logical(empty.select(*cols), vmap), 0, total
         df = (
             self.spark.read.parquet(*keep)
             .withColumn("_file", F.col("_metadata.file_path"))
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
-            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .filter((F.col(pcol) >= lo) & (F.col(pcol) <= hi))
             .select(*cols)
         )
-        return df, len(keep), total
+        return self._to_logical(df, vmap), len(keep), total
 
     def lookup(self, value) -> tuple[DataFrame, int, int]:
         """Bloom-pruned POINT LOOKUP on the configured ``bloom_col``
@@ -997,10 +1257,11 @@ class ManagedTable:
         app_files = self._append_files(appends)
         keep += app_files
         total += len(app_files)
+        vmap = self._version_map(v)
         cols = self.spark.read.parquet(data_dir).columns
         if not keep:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
-            return empty.select(*cols), 0, total
+            return self._to_logical(empty.select(*cols), vmap), 0, total
         df = self.spark.read.parquet(*keep)
         if dv_dir is not None:
             df = (
@@ -1009,7 +1270,10 @@ class ManagedTable:
                 .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             )
         return (
-            df.filter(F.col(self.bloom_col) == value).select(*cols),
+            self._to_logical(
+                df.filter(F.col(self.bloom_col) == value).select(*cols),
+                vmap,
+            ),
             len(keep),
             total,
         )
@@ -1036,6 +1300,22 @@ class ManagedTable:
         # last_txn over "all records <= pointer" resurrected stale txn
         # markers from rolled-back branches and lost replayed batches)
         extra = {**(extra or {}), "parent": self.version()}
+        # under a column map, copy commits keep writing PHYSICAL names
+        # (fixed at creation, so per-version manifests and the
+        # stat/bloom config never chase renames); schema-evolution
+        # columns extend the map, with a suffix if the logical name
+        # collides with a retired physical name
+        vmap = self._current_map()
+        if vmap and "columns" not in extra:
+            vmap = [list(e) for e in vmap]
+            used_phys = {p for _, p in vmap}
+            for c in df.columns:
+                if c not in {l for l, _ in vmap}:
+                    phys = c if c not in used_phys else f"{c}_p{extra['parent']}"
+                    vmap.append([c, phys])
+                    used_phys.add(phys)
+            df = self._to_physical(df, vmap)
+            extra["columns"] = vmap
         if self.stat_cols:
             # same JSON-round-trip guard as layout.write_with_stats:
             # date/timestamp/decimal stats silently stringify and only

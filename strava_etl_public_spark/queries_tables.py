@@ -1751,3 +1751,171 @@ def x_maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CM_FP_RENDER = ", ".join(
+    f"coalesce(CAST({c} AS VARCHAR), chr(30))"
+    for c in ["event_id", "user_id", "es", "val_mic"]
+)
+
+
+@register_extra(
+    "x_table_column_mapping",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+alive AS (
+  SELECT * FROM base WHERE user_id % 9 IS DISTINCT FROM 4
+),
+updated AS (
+  SELECT event_id, user_id, es,
+         CASE WHEN event_id % 11 = 6 THEN vmic + 7 ELSE vmic END AS val_mic
+  FROM alive
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_CM_FP_RENDER})),
+                                        1, 15)) AS BIGINT) AS h
+        FROM updated)
+)
+SELECT 'cm_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS rename_zero_copy, TRUE AS rename_digest_inherited,
+       TRUE AS drop_zero_copy, TRUE AS drop_digest_rescanned,
+       TRUE AS time_travel_schema_intact, TRUE AS current_schema_mapped,
+       TRUE AS scan_pruned, TRUE AS scan_exact,
+       TRUE AS optimize_purges_physical
+FROM fp
+""",
+)
+def x_table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — RENAME/DROP COLUMN as O(1) metadata-only
+    commits (Delta's column-mapping contract): physical parquet names
+    are fixed at write time forever; each commit record carries its
+    own logical→physical map, so time travel serves every version
+    under the schema it was published with, and a rename of a 100 TB
+    table costs one JSON write instead of a 100 TB rewrite. The chain:
+
+      create(v1: events, range-clustered, stats on es)
+      → RENAME vmic → val_mic      (v2: zero-copy, digest INHERITED —
+        a rename changes no value and no column order)
+      → DELETE user_id%9=4         (v3: DV, predicate over the map)
+      → UPDATE event_id%11=6 SET val_mic += 7  (v4: _upd files written
+        in the PHYSICAL schema so they join the base file universe)
+      → DROP event_type            (v5: zero-copy, digest RESCANNED —
+        narrowing the view changes row hashes, inheritance would lie)
+      → OPTIMIZE                   (v6: physical rewrite PURGES the
+        dropped column from disk — REORG PURGE pairing)
+
+    Invariants in the row: both metadata commits hold no data files;
+    the rename commit's digest equals its parent's verbatim while the
+    drop commit's equals a fresh fingerprint of the narrowed view;
+    time travel to v1 serves the ORIGINAL column names; the manifest-
+    pruned scan translates the logical column to the physical manifest
+    key and stays exact; and the post-OPTIMIZE physical files no
+    longer contain the dropped column. The oracle recomputes the final
+    logical multiset relationally under the renamed schema."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="cm_table_")
+    path = os.path.join(root, "t")
+
+    def _parts(v: int):
+        return [
+            f
+            for f in os.listdir(os.path.join(path, f"v{v}"))
+            if f.startswith("part-")
+        ]
+
+    def _rec(v: int):
+        import json as _json
+
+        with open(os.path.join(path, "_commits", f"{v}.json")) as f:
+            return _json.load(f)
+
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+        )
+        v2 = t.rename_column("vmic", "val_mic")
+        v3 = t.delete(F.col("user_id") % 9 == 4)
+        v4 = t.update(
+            F.col("event_id") % 11 == 6, {"val_mic": F.col("val_mic") + 7}
+        )
+        v5 = t.drop_column("event_type")
+
+        rename_zero_copy = _parts(v2) == []
+        r1, r2 = _rec(1), _rec(v2)
+        rename_digest_inherited = all(
+            r1[k] == r2[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+        )
+        drop_zero_copy = _parts(v5) == []
+        cols_now = ["event_id", "user_id", "es", "val_mic"]
+        fp_now = dataset_fingerprint(t.read(), cols_now).collect()[0]
+        r5 = _rec(v5)
+        drop_digest_rescanned = (
+            r5["n_rows"],
+            r5["xor_hash"],
+            r5["sum_hash_mod"],
+        ) == (fp_now["n_rows"], fp_now["xor_hash"], fp_now["sum_hash_mod"])
+        tt_ok = t.read(version=1).columns == [
+            "event_id",
+            "user_id",
+            "event_type",
+            "es",
+            "vmic",
+        ]
+        mapped_ok = t.read().columns == cols_now
+
+        lo = t.read().agg(F.min("es")).collect()[0][0]
+        sdf, fr, tot = t.scan("es", lo, lo + 86400)
+        scan_rows = sdf.count()
+        scan_exact = scan_rows == t.read().filter(
+            F.col("es").between(lo, lo + 86400)
+        ).count()
+        scan_pruned = fr < tot
+
+        v6 = t.optimize()
+        phys_cols = spark.read.parquet(os.path.join(path, f"v{v6}")).columns
+        optimize_purges = "event_type" not in phys_cols
+
+        fp = dataset_fingerprint(t.read(), cols_now, label="cm_events")
+        return fp.withColumns(
+            {
+                "rename_zero_copy": F.lit(bool(rename_zero_copy)),
+                "rename_digest_inherited": F.lit(
+                    bool(rename_digest_inherited)
+                ),
+                "drop_zero_copy": F.lit(bool(drop_zero_copy)),
+                "drop_digest_rescanned": F.lit(bool(drop_digest_rescanned)),
+                "time_travel_schema_intact": F.lit(bool(tt_ok)),
+                "current_schema_mapped": F.lit(bool(mapped_ok)),
+                "scan_pruned": F.lit(bool(scan_pruned)),
+                "scan_exact": F.lit(bool(scan_exact)),
+                "optimize_purges_physical": F.lit(bool(optimize_purges)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -765,3 +765,137 @@ def test_transact_gives_up_loudly_after_max_retries(spark, base, tmp_path):
 
     with _pytest.raises(RuntimeError, match="commit conflict persisted"):
         t.transact(always_conflicts, max_retries=2)
+
+
+def test_rename_column_is_metadata_only_and_versioned(spark, base, tmp_path):
+    """RENAME COLUMN: O(1) metadata commit (zero data files moved),
+    digest inherited, time travel serves each version under the schema
+    it was published with, and every op keeps working through the map."""
+    import json as _json
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    v2 = t.rename_column("value", "score")
+    assert v2 == 2
+    # zero-copy: no data files in v2; digest inherited verbatim
+    assert not [
+        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+    ]
+    with open(str(tmp_path / "t" / "_commits" / "1.json")) as f:
+        d1 = _json.load(f)
+    with open(str(tmp_path / "t" / "_commits" / "2.json")) as f:
+        d2 = _json.load(f)
+    assert (d1["n_rows"], d1["xor_hash"]) == (d2["n_rows"], d2["xor_hash"])
+    # current read speaks the new schema; time travel the old one
+    assert t.read().columns == ["id", "part", "score"]
+    assert t.read(version=1).columns == ["id", "part", "value"]
+    assert {r["id"]: r["score"] for r in t.read().collect()}[3] == 30.0
+    # ops through the map: update, delete, merge — all on logical names
+    t.update(F.col("score") == 30.0, {"score": F.lit(33.0)})
+    t.delete(F.col("id") == 8)
+    src = spark.createDataFrame(
+        [(3, 0, 333.0), (100, 1, 1.0)], "id long, part long, score double"
+    )
+    t.merge(src)
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got[3] == 333.0 and got[100] == 1.0 and 8 not in got
+    assert len(got) == 8
+    # rename refuses collisions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("score", "part")
+
+
+def test_drop_column_hides_without_rewrite(spark, base, tmp_path):
+    import json as _json
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    v2 = t.drop_column("part")
+    assert not [
+        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+    ]
+    assert t.read().columns == ["id", "value"]
+    assert t.read(version=1).columns == ["id", "part", "value"]
+    # the digest was RESCANNED over the narrowed view (drop changes
+    # row hashes): record equals a fresh fingerprint of read()
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    with open(str(tmp_path / "t" / "_commits" / "2.json")) as f:
+        rec = _json.load(f)
+    fp = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert (rec["n_rows"], rec["xor_hash"], rec["sum_hash_mod"]) == (
+        fp["n_rows"],
+        fp["xor_hash"],
+        fp["sum_hash_mod"],
+    )
+    # key columns cannot be dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        t.drop_column("id")
+    # merge after the drop works on the narrowed schema
+    t.merge(spark.createDataFrame([(1, -1.0)], "id long, value double"))
+    assert {r["id"]: r["value"] for r in t.read().collect()}[1] == -1.0
+
+
+def test_column_map_survives_update_optimize_and_restore(spark, tmp_path):
+    """The map rides every commit kind: DV update writes _upd files in
+    the PHYSICAL schema (NULL-backfilled dropped columns), OPTIMIZE
+    rewrites physically and purges dropped columns, restore brings
+    back the restored version's schema."""
+    df = spark.range(1, 41).select(
+        F.col("id"), (F.col("id") % 3).alias("aux"), (F.col("id") * 1.0).alias("v")
+    )
+    t = ManagedTable.create(df.repartition(4), str(tmp_path / "t"), key="id")
+    t.rename_column("v", "metric")  # v2
+    t.drop_column("aux")  # v3
+    assert t.read().columns == ["id", "metric"]
+    t.update(F.col("id") <= 5, {"metric": F.col("metric") * 100})  # v4
+    t.delete(F.col("id") == 40)  # v5
+    got = {r["id"]: r["metric"] for r in t.read().collect()}
+    assert got[5] == 500.0 and got[6] == 6.0 and 40 not in got
+    v6 = t.optimize()  # physical rewrite purges 'aux'
+    assert t.read().columns == ["id", "metric"]
+    phys = spark.read.parquet(str(tmp_path / "t" / f"v{v6}"))
+    assert sorted(phys.columns) == ["id", "v"]  # physical names, purged
+    assert {r["id"]: r["metric"] for r in t.read().collect()} == got
+    # restore to v1 brings the ORIGINAL schema back
+    v7 = t.restore(1)
+    assert t.read(version=v7).columns == ["id", "aux", "v"]
+    # and a restore forward to the mapped state restores map + content
+    v8 = t.restore(5)
+    assert t.read(version=v8).columns == ["id", "metric"]
+    assert {r["id"]: r["metric"] for r in t.read().collect()} == got
+
+
+def test_column_map_scan_lookup_and_changes(spark, tmp_path):
+    df = spark.range(1, 301).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    t = ManagedTable.create(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        str(tmp_path / "t"),
+        key="id",
+        stat_cols=["id"],
+        bloom_col="id",
+    )
+    t.rename_column("v", "doubled")
+    t.delete(F.col("id") == 250)  # a DV version under the map
+    sdf, fr, tot = t.scan("id", 1, 40)
+    assert sdf.columns == ["id", "doubled"]
+    assert fr < tot and sdf.count() == 40
+    got, fr2, tot2 = t.lookup(42)
+    assert got.columns == ["id", "doubled"]
+    assert [(r["id"], r["doubled"]) for r in got.collect()] == [(42, 84)]
+    assert fr2 < tot2
+    # CDC across the rename range uses the current logical key
+    ch = t.changes(2, 3)
+    assert [r["id"] for r in ch.collect()] == [250]
+    # schema evolution on a mapped table extends the map
+    t.merge(
+        spark.createDataFrame([(500, 1000, "x")], "id long, doubled long, tag string"),
+        evolve_schema=True,
+    )
+    assert t.read().columns == ["id", "doubled", "tag"]
+    got2 = {r["id"]: (r["doubled"], r["tag"]) for r in t.read().collect()}
+    assert got2[500] == (1000, "x") and got2[42] == (84, None)

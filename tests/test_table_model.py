@@ -31,8 +31,8 @@ def _to_model(rows):
     return {r[0]: (r[1], r[2]) for r in rows}
 
 
-def _read_model(t):
-    return {r["id"]: (r["part"], r["val"]) for r in t.read().collect()}
+def _read_model(t, val="val"):
+    return {r["id"]: (r["part"], r[val]) for r in t.read().collect()}
 
 
 def _df(spark, model):
@@ -48,12 +48,17 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         _df(spark, init), str(tmp_path / f"t{seed}"), key="id", stat_cols=["id"]
     )
     model = dict(init)
-    # version → model state at publish time (None once vacuumed)
-    states: dict[int, dict | None] = {1: dict(model)}
+    cur = "val"  # the value column's CURRENT logical name (renames flip it)
+    # version → (model state, value-column name) at publish time
+    # (None once vacuumed)
+    states: dict[int, tuple | None] = {1: (dict(model), cur)}
     log: list[str] = []
 
     def publish(v: int) -> None:
-        states[v] = dict(model)
+        states[v] = (dict(model), cur)
+
+    def schema() -> str:
+        return f"id long, part long, {cur} long"
 
     next_id = 100
     for step in range(14):
@@ -64,6 +69,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "delete",
                 "update",
                 "restore",
+                "rename",
                 "overwrite",
                 "optimize",
                 "rollback",
@@ -86,8 +92,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 continue
             log.append(f"merge upd={upd} ins={ins} dels={dels}")
             v = t.merge(
-                spark.createDataFrame(src_rows, SCHEMA),
-                delete_cond=F.col("_s_val") < 0,
+                spark.createDataFrame(src_rows, schema()),
+                delete_cond=F.col(f"_s_{cur}") < 0,
             )
             for k in upd:
                 # an update whose source val lands negative trips the
@@ -108,9 +114,9 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             src_rows = [(k, model[k][0], model[k][1]) for k in keep]
             log.append(f"merge_nmbs keep={sorted(keep)}")
             v = t.merge(
-                spark.createDataFrame(src_rows, SCHEMA),
+                spark.createDataFrame(src_rows, schema()),
                 not_matched_by_source_delete_cond=F.col("part") == 2,
-                not_matched_by_source_update={"val": F.lit(-7)},
+                not_matched_by_source_update={cur: F.lit(-7)},
                 not_matched_by_source_update_cond=F.col("part") == 3,
             )
             for k in list(model):
@@ -136,7 +142,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             r = rng.randint(0, m - 1)
             d = rng.randint(1, 9)
             log.append(f"update id%{m}=={r} val+={d}")
-            v = t.update(F.col("id") % m == r, {"val": F.col("val") + d})
+            v = t.update(F.col("id") % m == r, {cur: F.col(cur) + d})
             for k in list(model):
                 if k % m == r:
                     model[k] = (model[k][0], model[k][1] + d)
@@ -150,14 +156,16 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             except ValueError:
                 # the target references vacuumed data — loud, legal
                 continue
-            model = dict(states[tgt])
+            model, cur = dict(states[tgt][0]), states[tgt][1]
             publish(v)
         elif op == "overwrite":
             p = rng.randint(0, 3)
             rows = [(next_id + i, p, rng.randint(0, 99)) for i in range(rng.randint(1, 3))]
             next_id += len(rows)
             log.append(f"overwrite part={p} rows={rows}")
-            v = t.overwrite_partitions(spark.createDataFrame(rows, SCHEMA), "part")
+            v = t.overwrite_partitions(
+                spark.createDataFrame(rows, schema()), "part"
+            )
             for k in list(model):
                 if model[k][0] == p:
                     model.pop(k)
@@ -169,19 +177,25 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             log.append(f"optimize cluster_by={cluster}")
             v = t.optimize(target_bytes=1 << 20, cluster_by=cluster)
             publish(v)
+        elif op == "rename":
+            new = "vv" if cur == "val" else "val"
+            log.append(f"rename {cur} -> {new}")
+            v = t.rename_column(cur, new)
+            cur = new
+            publish(v)
         elif op == "rollback":
             live = [v for v, s in states.items() if s is not None]
             tgt = rng.choice(live)
             log.append(f"rollback -> v{tgt}")
             t.rollback(tgt)
-            model = dict(states[tgt])
+            model, cur = dict(states[tgt][0]), states[tgt][1]
         elif op == "vacuum":
             k = rng.randint(1, 3)
             log.append(f"vacuum keep_last={k}")
             removed = t.vacuum(keep_last=k)
             for v in removed:
                 states[v] = None
-        got = _read_model(t)
+        got = _read_model(t, cur)
         assert got == model, f"step {step} diverged\nops:\n" + "\n".join(log)
 
     # every retained version time-travels to its recorded state;
@@ -195,5 +209,11 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             except ValueError:
                 continue
         else:
-            got = {r["id"]: (r["part"], r["val"]) for r in t.read(version=v).collect()}
-            assert got == s, f"time travel v{v} diverged\nops:\n" + "\n".join(log)
+            mdl, vname = s
+            got = {
+                r["id"]: (r["part"], r[vname])
+                for r in t.read(version=v).collect()
+            }
+            assert got == mdl, (
+                f"time travel v{v} diverged\nops:\n" + "\n".join(log)
+            )

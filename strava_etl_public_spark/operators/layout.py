@@ -450,7 +450,35 @@ def dataset_fingerprint(
 # ---------------------------------------------------------------------------
 
 
-def snapshot_commit(df: DataFrame, table_path: str, extra: dict | None = None) -> int:
+class CommitConflict(FileExistsError):
+    """A concurrent writer committed between this operation's entry
+    and its commit-record write (or won the O_EXCL record race). The
+    operation's inputs were derived from a now-stale version — the
+    caller must RE-APPLY the whole logical operation against the new
+    current version (ManagedTable.transact's retry loop), never just
+    re-attempt the record write."""
+
+
+def snapshot_max_commit(table_path: str) -> int:
+    """The allocation high-water: the highest commit record ever
+    written (0 for a fresh table). Ops capture this at ENTRY and pass
+    it as ``expected_max`` so the commit layer can detect a competing
+    record that landed while the op was deriving its write set."""
+    import os
+
+    cdir = os.path.join(table_path, "_commits")
+    if not os.path.isdir(cdir):
+        return 0
+    vs = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
+    return max(vs) if vs else 0
+
+
+def snapshot_commit(
+    df: DataFrame,
+    table_path: str,
+    extra: dict | None = None,
+    expected_max: int | None = None,
+) -> int:
     """Append one immutable SNAPSHOT of ``df`` to the versioned table
     at ``table_path`` and return its version number — the minimal
     table-format contract (Delta/Iceberg's core) on plain parquet:
@@ -480,6 +508,7 @@ def snapshot_commit(df: DataFrame, table_path: str, extra: dict | None = None) -
     # overwrite a published (immutable) snapshot
     existing = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
     n = (max(existing) if existing else 0) + 1
+    _check_expected_max(existing, expected_max)
     data = os.path.join(table_path, f"v{n}")
     df.write.mode("overwrite").parquet(data)
 
@@ -489,21 +518,47 @@ def snapshot_commit(df: DataFrame, table_path: str, extra: dict | None = None) -
         .collect()[0]
         .asDict()
     )
-    # OPTIMISTIC CONCURRENCY: the commit record is created with
-    # O_EXCL — if another writer allocated the same version between
-    # our scan and here, this raises FileExistsError instead of
-    # silently double-publishing (the Delta/Iceberg commit-conflict
-    # contract; the loser retries on the next version).
+    # OPTIMISTIC CONCURRENCY: (a) re-check the allocation high-water
+    # AFTER the expensive data/digest jobs — a competing record that
+    # landed while this op derived its write set means the inputs are
+    # stale (lost-update window; code-review r9) — and (b) create the
+    # record with O_EXCL so two writers allocating the same slot get
+    # exactly one winner. Both failure modes raise CommitConflict: the
+    # fix is to RE-APPLY the logical op, not re-write the record.
     # `extra` rides in the SAME record write (e.g. a streaming sink's
     # batch-id txn marker) — the marker and the commit it certifies
     # publish atomically; there is no window where one exists alone
-    with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-        json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
+    _check_expected_max(
+        [
+            int(f.split(".")[0])
+            for f in os.listdir(cdir)
+            if f.endswith(".json")
+        ],
+        expected_max,
+    )
+    try:
+        with open(os.path.join(cdir, f"{n}.json"), "x") as f:
+            json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"commit record v{n} already exists at {table_path} — a "
+            "concurrent writer won the slot"
+        ) from e
     tmp = os.path.join(table_path, "_latest.tmp")
     with open(tmp, "w") as f:
         f.write(str(n))
     os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
     return n
+
+
+def _check_expected_max(existing: list[int], expected_max: int | None) -> None:
+    actual = max(existing) if existing else 0
+    if expected_max is not None and actual != expected_max:
+        raise CommitConflict(
+            f"a concurrent commit advanced the table to record "
+            f"v{actual} (this op entered at v{expected_max}) — the "
+            "op's inputs are stale; re-apply against the current version"
+        )
 
 
 def _stamp_ts(extra: dict | None) -> dict:
@@ -524,6 +579,7 @@ def snapshot_commit_ref(
     logical_df: DataFrame | None = None,
     digest: dict | None = None,
     extra: dict | None = None,
+    expected_max: int | None = None,
 ) -> int:
     """Commit a version whose on-disk content is METADATA referencing
     an earlier version's data files (a deletion-vector sidecar, a
@@ -577,8 +633,17 @@ def snapshot_commit_ref(
             )
         else:
             digest = {**digest, "dataset": f"v{n}"}
-        with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-            json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
+        # same two OCC checks as snapshot_commit: stale-inputs guard
+        # after the expensive populate, O_EXCL slot race on the record
+        _check_expected_max(existing, expected_max)
+        try:
+            with open(os.path.join(cdir, f"{n}.json"), "x") as f:
+                json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"commit record v{n} already exists at {table_path} — a "
+                "concurrent writer won the slot"
+            ) from e
         os.rename(staging, vdir)
         tmp = os.path.join(table_path, "_latest.tmp")
         with open(tmp, "w") as f:

@@ -45,12 +45,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import (
+    CommitConflict,
     compact_parquet,
     dataset_fingerprint,
     read_with_skipping,
     snapshot_commit,
     snapshot_commit_ref,
     snapshot_history,
+    snapshot_max_commit,
     snapshot_read,
     snapshot_rollback,
     snapshot_vacuum,
@@ -211,14 +213,23 @@ class ManagedTable:
             raise ValueError(f"no column {old!r} to rename")
         if new in logical:
             raise ValueError(f"column {new!r} already exists")
-        for cname, sql in self.constraints.items():
-            if old in sql:
-                raise ValueError(
-                    f"column {old!r} is referenced by CHECK constraint "
-                    f"{cname!r} ({sql!r}) — drop the constraint first"
-                )
+        self._refuse_constraint_ref(old)
         new_map = [[new if l == old else l, p] for l, p in vmap]
         return self._metadata_commit(new_map, rescan=False)
+
+    def _refuse_constraint_ref(self, col: str) -> None:
+        """Refuse schema changes to constraint-referenced columns —
+        token match, not substring (code-review r9: `'v' in 'value>0'`
+        blocked renaming an unrelated column)."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        for cname, sql in self.constraints.items():
+            if pat.search(sql):
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql!r}) — drop the constraint first"
+                )
 
     def drop_column(self, name: str) -> int:
         """DROP COLUMN as a METADATA-ONLY commit: the physical column
@@ -241,12 +252,7 @@ class ManagedTable:
                 f"cannot drop column {name!r}: the skipping layer is "
                 "configured on it (stat_cols/bloom_col)"
             )
-        for cname, sql in self.constraints.items():
-            if name in sql:
-                raise ValueError(
-                    f"column {name!r} is referenced by CHECK constraint "
-                    f"{cname!r} — drop the constraint first"
-                )
+        self._refuse_constraint_ref(name)
         new_map = [[l, p] for l, p in vmap if l != name]
         return self._metadata_commit(new_map, rescan=True)
 
@@ -267,19 +273,13 @@ class ManagedTable:
         """Publish a schema-map change as a zero-copy reference commit
         (the RESTORE populate shape aimed at the CURRENT version)."""
         cur = self.version()
-        data_dir, dv_dir, _ = self._resolve(cur)
+        m = snapshot_max_commit(self.path)
+        data_dir, dv_dir, cur_appends = self._resolve(cur)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
         else:
             seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
-        in_table = os.path.dirname(
-            os.path.normpath(data_dir)
-        ) == os.path.normpath(self.path)
-        ref = (
-            {"base": os.path.basename(data_dir)}
-            if in_table
-            else {"base_abs": data_dir}
-        )
+        ref = self._base_ref(data_dir)
         old_appends = self._rebase_appends(cur)
         if old_appends:
             ref["appends"] = old_appends
@@ -293,9 +293,7 @@ class ManagedTable:
         if rescan:
             # a narrowed logical view hashes differently — one
             # fingerprint aggregate over the new view, honest
-            base = self.spark.read.parquet(
-                data_dir, *self._resolve(cur)[2]
-            )
+            base = self.spark.read.parquet(data_dir, *cur_appends)
             cols = base.columns
             logical = (
                 base.withColumn("_file", F.col("_metadata.file_path"))
@@ -324,6 +322,7 @@ class ManagedTable:
             populate,
             digest=digest,
             extra={"parent": cur, "columns": new_map},
+            expected_max=m,
         )
 
     def _dv_df(self, dv_dir: str) -> DataFrame:
@@ -357,30 +356,57 @@ class ManagedTable:
         O(1) record reads in the steady state (the previous stream
         commit carries the previous marker). Returns -1 when no
         lineage commit carries a marker."""
+        for _, rec in self._lineage():
+            if "txn" in rec:
+                return int(rec["txn"])
+        return -1
+
+    def _base_ref(self, data_dir: str) -> dict:
+        """The _dv.json base pointer for a reference commit chaining
+        from ``data_dir``: table-relative when the base lives in this
+        table (vacuum can then pin it), absolute when it lives in a
+        CLONE source outside this table's directory."""
+        in_table = os.path.dirname(
+            os.path.normpath(data_dir)
+        ) == os.path.normpath(self.path)
+        return (
+            {"base": os.path.basename(data_dir)}
+            if in_table
+            else {"base_abs": data_dir}
+        )
+
+    def _lineage(self):
+        """Yield (version, record) walking PARENT POINTERS back from
+        the current version — the published chain, which excludes
+        orphaned commits and rolled-back branches. One definition of
+        the walk's safety rules (stop on a missing record, stop on a
+        non-decreasing parent pointer) shared by the streaming txn
+        cursor and timestamp time travel."""
         cdir = os.path.join(self.path, "_commits")
         cur = self.version()
         while cur >= 1:
             p = os.path.join(cdir, f"{cur}.json")
             if not os.path.isfile(p):
-                break
+                return
             with open(p) as f:
                 rec = json.load(f)
-            if "txn" in rec:
-                return int(rec["txn"])
+            yield cur, rec
             nxt = int(rec.get("parent", cur - 1))
             if nxt >= cur:
-                break  # malformed parent pointer — never loop
+                return  # malformed parent pointer — never loop
             cur = nxt
-        return -1
 
     def transact(self, op, max_retries: int = 5):
         """Optimistic-concurrency retry (Delta's commit-conflict loop):
         run ``op(table)`` — ONE logical operation built from this
         class's op surface (merge/delete/update/overwrite/optimize…).
-        Every commit path allocates its version under an O_EXCL commit
-        record, so two racing writers produce exactly one winner and
-        one ``FileExistsError`` loser; the loser here RE-APPLIES the
-        whole logical op against the new current version and retries.
+        Every op captures the allocation high-water at ENTRY and the
+        commit layer raises :class:`CommitConflict` if ANY competing
+        record landed while the op derived its write set (not merely
+        when two writers collide on the same slot — the latter alone
+        left a lost-update window, code-review r9); the loser here
+        RE-APPLIES the whole logical op against the new current
+        version and retries.
 
         Semantic re-application is the rebase: each op re-reads
         ``version()`` at entry, so the retried op sees the winner's
@@ -389,13 +415,15 @@ class ManagedTable:
         rebase rules, affordable because ops re-derive their write set
         from the predicate instead of shipping fixed file lists).
         ``op`` must therefore be a pure function of the table state —
-        no captured DataFrames read from a pinned version. Returns
-        ``op``'s result."""
-        last: FileExistsError | None = None
+        no captured DataFrames read from a pinned version. Only
+        CommitConflict retries; any other error (including unrelated
+        FileExistsErrors like an existing clone destination) surfaces
+        immediately. Returns ``op``'s result."""
+        last: CommitConflict | None = None
         for _ in range(max_retries + 1):
             try:
                 return op(self)
-            except FileExistsError as e:
+            except CommitConflict as e:
                 last = e
                 continue
         raise RuntimeError(
@@ -529,6 +557,7 @@ class ManagedTable:
         source doesn't touch) — additive evolution, the only kind a
         100 TB table can afford (no rewrite of existing data beyond
         this commit's own copy). Returns the new version number."""
+        m = snapshot_max_commit(self.path)
         current = self.read()
         if evolve_schema:
             have = set(current.columns)
@@ -549,7 +578,7 @@ class ManagedTable:
             not_matched_by_source_update=not_matched_by_source_update,
             not_matched_by_source_update_cond=not_matched_by_source_update_cond,
         )
-        return self._commit(merged)
+        return self._commit(merged, expected_max=m)
 
     def delete(self, cond: Column) -> int:
         """DELETE WHERE ``cond`` — published as a DELETION-VECTOR
@@ -580,6 +609,7 @@ class ManagedTable:
         next OPTIMIZE tightens it — Delta's file-stats-under-DV
         behavior)."""
         v = self.version()
+        m = snapshot_max_commit(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
@@ -634,14 +664,7 @@ class ManagedTable:
 
             # a delete on a CLONE chains from a base OUTSIDE this
             # table's directory — keep the reference form it arrived in
-            in_table = os.path.dirname(
-                os.path.normpath(data_dir)
-            ) == os.path.normpath(self.path)
-            ref = (
-                {"base": os.path.basename(data_dir)}
-                if in_table
-                else {"base_abs": data_dir}
-            )
+            ref = self._base_ref(data_dir)
             # inherited appended-row dirs (merge-on-read UPDATEs in
             # the ancestry) stay part of the file universe — the DV
             # addresses their rows by the same (file, pos) coordinates
@@ -666,7 +689,8 @@ class ManagedTable:
             if vmap:
                 extra["columns"] = vmap
             return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra=extra
+                self.path, populate, digest=digest, extra=extra,
+                expected_max=m,
             )
         finally:
             hit_rows.unpersist()
@@ -771,6 +795,7 @@ class ManagedTable:
         materializes survivors and folds the appends away. Returns the
         new version number."""
         v = self.version()
+        m = snapshot_max_commit(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
@@ -779,6 +804,18 @@ class ManagedTable:
         unknown = [c for c in set_exprs if c not in cols]
         if unknown:
             raise ValueError(f"update sets unknown columns: {unknown}")
+        # SQL UPDATE casts each SET expression to the column's existing
+        # type (code-review r9: an uncast int literal into a double
+        # column wrote _upd files whose physical type conflicted with
+        # the base files — the commit PUBLISHED fine and every later
+        # read of the current version threw; the cast makes that state
+        # unrepresentable, matching Delta)
+        set_exprs = {
+            c: e.cast(
+                base.schema[self._to_phys_name(c, vmap)].dataType
+            )
+            for c, e in set_exprs.items()
+        }
         tagged = base.withColumn(
             "_file", F.col("_metadata.file_path")
         ).withColumn("_pos", F.col("_metadata.row_index"))
@@ -854,14 +891,7 @@ class ManagedTable:
                 % mod,
             }
 
-            in_table = os.path.dirname(
-                os.path.normpath(data_dir)
-            ) == os.path.normpath(self.path)
-            ref = (
-                {"base": os.path.basename(data_dir)}
-                if in_table
-                else {"base_abs": data_dir}
-            )
+            ref = self._base_ref(data_dir)
             ref["appends"] = self._rebase_appends(v) + ["self"]
 
             def populate(vdir: str) -> None:
@@ -879,7 +909,8 @@ class ManagedTable:
             if vmap:
                 extra["columns"] = vmap
             return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra=extra
+                self.path, populate, digest=digest, extra=extra,
+                expected_max=m,
             )
         finally:
             hit_rows.unpersist()
@@ -898,19 +929,13 @@ class ManagedTable:
         retract bad BATCHES, restore to retract bad DATA. Returns the
         new version number."""
         cur = self.version()
+        m = snapshot_max_commit(self.path)
         data_dir, dv_dir, appends = self._resolve(version)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
         else:
             seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
-        in_table = os.path.dirname(
-            os.path.normpath(data_dir)
-        ) == os.path.normpath(self.path)
-        ref = (
-            {"base": os.path.basename(data_dir)}
-            if in_table
-            else {"base_abs": data_dir}
-        )
+        ref = self._base_ref(data_dir)
         old_appends = self._rebase_appends(version)
         if old_appends:
             ref["appends"] = old_appends
@@ -939,6 +964,7 @@ class ManagedTable:
                 k: old[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
             },
             extra=extra,
+            expected_max=m,
         )
 
     def as_of(self, ts: float) -> DataFrame:
@@ -947,20 +973,9 @@ class ManagedTable:
         ``ts`` (walking parent pointers, so abandoned rolled-back
         branches never serve a timestamp read). Raises if ``ts``
         predates the chain's first commit."""
-        cdir = os.path.join(self.path, "_commits")
-        cur = self.version()
-        while cur >= 1:
-            p = os.path.join(cdir, f"{cur}.json")
-            if not os.path.isfile(p):
-                break
-            with open(p) as f:
-                rec = json.load(f)
+        for v, rec in self._lineage():
             if float(rec.get("ts", float("inf"))) <= ts:
-                return self.read(version=cur)
-            nxt = int(rec.get("parent", cur - 1))
-            if nxt >= cur:
-                break
-            cur = nxt
+                return self.read(version=v)
         raise ValueError(
             f"no published version at or before ts={ts} on the current "
             f"lineage of {self.path}"
@@ -971,6 +986,7 @@ class ManagedTable:
         ``part_col`` partitions present in ``df``, pass every other
         row through — one left-anti join on the (small, distinct)
         partition list + a union, committed as a new version."""
+        m = snapshot_max_commit(self.path)
         parts = df.select(part_col).distinct()
         cur = self.read()
         # the USING-style join moves the key column first; re-select
@@ -979,7 +995,9 @@ class ManagedTable:
         kept = cur.join(F.broadcast(parts), part_col, "left_anti").select(
             *cur.columns
         )
-        return self._commit(kept.unionByName(df.select(*cur.columns)))
+        return self._commit(
+            kept.unionByName(df.select(*cur.columns)), expected_max=m
+        )
 
     def optimize(
         self,
@@ -1020,6 +1038,7 @@ class ManagedTable:
                 "plain range clustering is strictly better"
             )
         v = self.version()
+        m = snapshot_max_commit(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         logical = self.read()
@@ -1135,6 +1154,7 @@ class ManagedTable:
                 populate,
                 digest=after[0].asDict(),
                 extra=extra,
+                expected_max=m,
             )
             self._build_sidecars(os.path.join(self.path, f"v{n}"))
             return n
@@ -1280,7 +1300,12 @@ class ManagedTable:
 
     # -- internals ---------------------------------------------------------
 
-    def _commit(self, df: DataFrame, extra: dict | None = None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        expected_max: int | None = None,
+    ) -> int:
         """snapshot_commit + manifest maintenance: every published
         version carries its own ``_manifest.json`` over the
         configured stat columns, so the skipping layer is never stale
@@ -1291,6 +1316,13 @@ class ManagedTable:
         them; DV deletes skip the probe — removing rows cannot
         introduce a violation. ``extra`` lands INSIDE the commit
         record (atomic with it) — the streaming sink's txn marker."""
+        # OCC stale-inputs guard: callers that derive their write set
+        # from the table state capture the allocation high-water at
+        # THEIR entry and pass it; a direct _commit (streaming sink,
+        # tests) captures here, which still covers the whole
+        # write+digest window
+        if expected_max is None:
+            expected_max = snapshot_max_commit(self.path)
         if self.constraints:
             self._check_rows(df, self.constraints)
         # every record carries its PARENT (the version current at
@@ -1338,7 +1370,9 @@ class ManagedTable:
                         "only int/float/string/boolean stats round-trip "
                         "through the JSON manifest"
                     )
-        v = snapshot_commit(df, self.path, extra=extra)
+        v = snapshot_commit(
+            df, self.path, extra=extra, expected_max=expected_max
+        )
         self._build_sidecars(os.path.join(self.path, f"v{v}"))
         return v
 

@@ -737,14 +737,16 @@ def test_transact_retries_commit_conflicts_and_reapplies(spark, base, tmp_path):
 
     attempts = {"n": 0}
 
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
     def op(tab):
         if attempts["n"] == 0:
             attempts["n"] += 1
-            # the competing writer wins the slot our first attempt
-            # wanted; our commit's open(..., "x") raises — the exact
-            # loser behavior of snapshot_commit / snapshot_commit_ref
+            # the competing writer lands mid-op; the commit layer's
+            # stale-inputs guard raises — simulated here, exercised
+            # for real in test_transact_detects_real_interleaved_commit
             t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
-            raise FileExistsError("lost the O_EXCL commit-record race")
+            raise CommitConflict("competing record landed mid-op")
         return tab.delete(F.col("id") == 1)
 
     v = t.transact(op)
@@ -758,8 +760,10 @@ def test_transact_retries_commit_conflicts_and_reapplies(spark, base, tmp_path):
 def test_transact_gives_up_loudly_after_max_retries(spark, base, tmp_path):
     t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
 
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
     def always_conflicts(tab):
-        raise FileExistsError("synthetic permanent conflict")
+        raise CommitConflict("synthetic permanent conflict")
 
     import pytest as _pytest
 
@@ -899,3 +903,107 @@ def test_column_map_scan_lookup_and_changes(spark, tmp_path):
     assert t.read().columns == ["id", "doubled", "tag"]
     got2 = {r["id"]: (r["doubled"], r["tag"]) for r in t.read().collect()}
     assert got2[500] == (1000, "x") and got2[42] == (84, None)
+
+
+def test_transact_detects_real_interleaved_commit(spark, base, tmp_path, monkeypatch):
+    """code-review r9 (lost update): a competing commit landing while
+    an op derives its write set — AFTER the op captured the table
+    state, BEFORE its commit record — must raise CommitConflict, not
+    publish a version built from stale inputs that silently reverts
+    the winner. The hook fires the competing writer from INSIDE the
+    loser's populate (mid-window, deterministically)."""
+    from strava_etl_public_spark.operators.table import ManagedTable as MT
+
+    t = MT.create(base, str(tmp_path / "t"), key="id")
+    t2 = MT(spark, str(tmp_path / "t"))
+    orig = MT._inherit_sidecars
+    fired = {"done": False}
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True  # set BEFORE the competing commit
+            t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(MT, "_inherit_sidecars", staticmethod(hooked))
+    v = t.transact(lambda tab: tab.delete(F.col("id") == 1))
+    # both effects present: the winner's update NOT reverted, and the
+    # loser's delete re-applied on top (serial order winner→loser)
+    got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
+    assert 1 not in got and got[2] == 222.0
+    assert fired["done"]
+
+
+def test_raw_op_raises_commit_conflict_outside_transact(
+    spark, base, tmp_path, monkeypatch
+):
+    """Without transact, the interleaved commit surfaces as a LOUD
+    CommitConflict — never a silent lost update."""
+    from strava_etl_public_spark.operators.layout import CommitConflict
+    from strava_etl_public_spark.operators.table import ManagedTable as MT
+
+    t = MT.create(base, str(tmp_path / "t"), key="id")
+    t2 = MT(spark, str(tmp_path / "t"))
+    orig = MT._inherit_sidecars
+    fired = {"done": False}
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(MT, "_inherit_sidecars", staticmethod(hooked))
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        t.delete(F.col("id") == 1)
+    # the winner's commit is intact and current
+    assert {r["id"]: r["value"] for r in t.read().collect()}[2] == 222.0
+
+
+def test_update_casts_set_exprs_to_column_type(spark, tmp_path):
+    """code-review r9: an uncast int literal into a double column wrote
+    _upd files type-incompatible with the base — published fine, every
+    later read threw. SET expressions now cast to the existing type."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.update(F.col("id") == 1, {"v": F.lit(1)})  # int literal, double col
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: 20.0}
+    # chained ops over the mixed universe keep working
+    t.delete(F.col("id") == 2)
+    assert t.optimize() > 0
+
+
+def test_rename_guard_is_token_match_not_substring(spark, tmp_path):
+    """code-review r9: 'v' in 'value > 0' must NOT block renaming the
+    unrelated column v; renaming value itself stays refused."""
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, v double, value double")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.add_constraint("val_pos", "value > 0")
+    t.rename_column("v", "speed")  # legal — constraint says value, not v
+    assert t.read().columns == ["id", "speed", "value"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        t.rename_column("value", "val2")
+
+
+def test_transact_does_not_swallow_unrelated_fileexists(spark, base, tmp_path):
+    """code-review r9: transact retries ONLY CommitConflict — an
+    unrelated FileExistsError (existing clone destination, config
+    O_EXCL) surfaces immediately instead of burning retries and then
+    masking the real error."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    calls = {"n": 0}
+
+    def op(tab):
+        calls["n"] += 1
+        raise FileExistsError("destination already exists")
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError, match="destination already exists"):
+        t.transact(op)
+    assert calls["n"] == 1  # no retries

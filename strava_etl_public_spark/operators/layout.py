@@ -355,8 +355,14 @@ def write_with_stats(
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    # manifests key file BASENAMES, resolved against the directory at
+    # read time — a manifest built in a staging dir stays valid after
+    # the publish rename, and a relocated table keeps pruning
+    # (code-review r10; absolute paths went stale on both)
     rows = (
-        back.groupBy(F.input_file_name().alias("file"))
+        back.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+        )
         .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
         .collect()
     )
@@ -397,7 +403,11 @@ def read_with_skipping(
                 "numeric or bounds must match its serialized type"
             ) from e
 
-    keep = [r["file"] for r in manifest["files"] if _keep(r)]
+    keep = [
+        _resolve_manifest_file(path, r["file"])
+        for r in manifest["files"]
+        if _keep(r)
+    ]
     total = len(manifest["files"])
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))
@@ -406,6 +416,15 @@ def read_with_skipping(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
     return df, len(keep), total
+
+
+def _resolve_manifest_file(base_dir: str, f: str) -> str:
+    """Manifest file entries are basenames resolved against the data
+    directory (relocation- and staging-rename-proof); absolute entries
+    (legacy manifests) pass through unchanged."""
+    import os
+
+    return f if ("://" in f or os.path.isabs(f)) else os.path.join(base_dir, f)
 
 
 def dataset_fingerprint(
@@ -478,6 +497,7 @@ def snapshot_commit(
     table_path: str,
     extra: dict | None = None,
     expected_max: int | None = None,
+    decorate=None,
 ) -> int:
     """Append one immutable SNAPSHOT of ``df`` to the versioned table
     at ``table_path`` and return its version number — the minimal
@@ -497,58 +517,79 @@ def snapshot_commit(
     with an explicit version) and `snapshot_rollback` stay valid for
     the table's whole history; a production deployment adds retention
     (VACUUM) as a separate, explicitly destructive step.
+
+    Concurrency: the data lands in a PRIVATE staging directory; the
+    O_EXCL commit record decides the version race, and only the
+    winner renames its staging into ``v{n}`` — a losing concurrent
+    committer whose Spark write is still in flight can never scribble
+    over a winner's already-published directory (snapshot_commit_ref's
+    discipline, applied to copy commits too — code-review r10).
+    ``decorate(staging_dir)``, if given, runs after the data write and
+    before the commit record — sidecar manifests built there publish
+    atomically with the version.
     """
     import json
     import os
+    import shutil
+    import uuid
 
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
-    # allocate from the HIGHEST COMMIT EVER, not the _latest pointer:
-    # after a rollback the pointer is behind, and pointer+1 would
-    # overwrite a published (immutable) snapshot
-    existing = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
-    n = (max(existing) if existing else 0) + 1
-    _check_expected_max(existing, expected_max)
-    data = os.path.join(table_path, f"v{n}")
-    df.write.mode("overwrite").parquet(data)
-
-    spark = df.sparkSession
-    digest = (
-        dataset_fingerprint(spark.read.parquet(data), label=f"v{n}")
-        .collect()[0]
-        .asDict()
-    )
-    # OPTIMISTIC CONCURRENCY: (a) re-check the allocation high-water
-    # AFTER the expensive data/digest jobs — a competing record that
-    # landed while this op derived its write set means the inputs are
-    # stale (lost-update window; code-review r9) — and (b) create the
-    # record with O_EXCL so two writers allocating the same slot get
-    # exactly one winner. Both failure modes raise CommitConflict: the
-    # fix is to RE-APPLY the logical op, not re-write the record.
-    # `extra` rides in the SAME record write (e.g. a streaming sink's
-    # batch-id txn marker) — the marker and the commit it certifies
-    # publish atomically; there is no window where one exists alone
+    # cheap early stale-inputs check — fail before the expensive write
     _check_expected_max(
-        [
-            int(f.split(".")[0])
-            for f in os.listdir(cdir)
-            if f.endswith(".json")
-        ],
+        [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")],
         expected_max,
     )
+    staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
     try:
-        with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-            json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
-    except FileExistsError as e:
-        raise CommitConflict(
-            f"commit record v{n} already exists at {table_path} — a "
-            "concurrent writer won the slot"
-        ) from e
-    tmp = os.path.join(table_path, "_latest.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
-    return n
+        df.write.mode("overwrite").parquet(staging)
+        spark = df.sparkSession
+        digest = (
+            dataset_fingerprint(spark.read.parquet(staging))
+            .collect()[0]
+            .asDict()
+        )
+        digest.pop("dataset", None)  # relabeled after slot allocation
+        if decorate is not None:
+            decorate(staging)
+        # allocate from the HIGHEST COMMIT EVER, not the _latest
+        # pointer: after a rollback the pointer is behind, and
+        # pointer+1 would overwrite a published (immutable) snapshot
+        existing = [
+            int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
+        ]
+        n = (max(existing) if existing else 0) + 1
+        # OPTIMISTIC CONCURRENCY: (a) re-check the allocation
+        # high-water AFTER the expensive data/digest jobs — a
+        # competing record that landed while this op derived its write
+        # set means the inputs are stale (lost-update window;
+        # code-review r9) — and (b) create the record with O_EXCL so
+        # two writers allocating the same slot get exactly one winner.
+        # Both failure modes raise CommitConflict: the fix is to
+        # RE-APPLY the logical op, not re-write the record. `extra`
+        # rides in the SAME record write (e.g. a streaming sink's
+        # batch-id txn marker) — the marker and the commit it
+        # certifies publish atomically
+        _check_expected_max(existing, expected_max)
+        try:
+            with open(os.path.join(cdir, f"{n}.json"), "x") as f:
+                json.dump(
+                    {"version": n, "dataset": f"v{n}", **digest, **_stamp_ts(extra)},
+                    f,
+                )
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"commit record v{n} already exists at {table_path} — a "
+                "concurrent writer won the slot"
+            ) from e
+        os.rename(staging, os.path.join(table_path, f"v{n}"))
+        tmp = os.path.join(table_path, "_latest.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        return n
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _check_expected_max(existing: list[int], expected_max: int | None) -> None:
@@ -811,9 +852,10 @@ def build_bloom_manifest(spark, path: str, col: str, m: int, k: int) -> dict:
     from .sketch import _bloom_positions
 
     back = spark.read.parquet(path)
+    # basenames, like write_with_stats — staging-rename/relocation-proof
     rows = (
         back.select(
-            F.input_file_name().alias("file"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
             F.explode(_bloom_positions(col, m, k)).alias("pos"),
         )
         .groupBy("file")
@@ -852,7 +894,7 @@ def read_with_bloom_skipping(
         )
     want = set(_bloom_positions_py(value, manifest["m"], manifest["k"]))
     keep = [
-        fname
+        _resolve_manifest_file(path, fname)
         for fname, positions in manifest["files"].items()
         if want <= set(positions)
     ]

@@ -137,12 +137,62 @@ class ManagedTable:
             base = self.spark.read.parquet(data_dir, *appends)
             cols = base.columns
             out = (
-                base.withColumn("_file", F.col("_metadata.file_path"))
-                .withColumn("_pos", F.col("_metadata.row_index"))
+                self._tagged(base)
                 .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
                 .select(*cols)
             )
         return self._to_logical(out, self._version_map(v))
+
+    # -- file-position addressing (deletion vectors) --------------------------
+
+    @staticmethod
+    def _norm_file(col: Column) -> Column:
+        """Scheme-normalized file path: Spark renders
+        ``_metadata.file_path`` as ``file:///…`` (or ``file:/…``) on a
+        local filesystem — strip the scheme to a plain absolute path so
+        DV entries and tagged rows compare equal regardless of
+        rendering. Non-``file`` schemes pass through untouched (both
+        join sides apply the same normalization)."""
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    def _tagged(self, df: DataFrame) -> DataFrame:
+        """``df`` plus the (``_file``, ``_pos``) row address every DV
+        operation joins on — ONE definition of the tag, so the
+        normalization can never diverge between writers and readers."""
+        return df.withColumn(
+            "_file", self._norm_file(F.col("_metadata.file_path"))
+        ).withColumn("_pos", F.col("_metadata.row_index"))
+
+    def _relativize_dv(self, dv: DataFrame) -> DataFrame:
+        """DV entries are stored TABLE-RELATIVE when the file lives
+        under this table's root (Delta's convention — a relocated
+        table's DVs keep deleting; absolute entries silently matched
+        nothing after a move and resurrected deleted rows, ADVICE r10).
+        Files outside the root (shallow-clone sources) stay absolute —
+        they share the source's vacuum hazard, which _resolve already
+        reports loudly."""
+        prefix = os.path.abspath(self.path) + os.sep
+        return dv.withColumn(
+            "_file",
+            F.when(
+                F.col("_file").startswith(prefix),
+                F.expr(f"substring(_file, {len(prefix) + 1})"),
+            ).otherwise(F.col("_file")),
+        )
+
+    def _rebase_dv(self, dv: DataFrame) -> DataFrame:
+        """Stored DV entries back to absolute paths under THIS table's
+        current root — the inverse of :meth:`_relativize_dv`, applied
+        at read time (and by clone, which must freeze the source's
+        relative entries to absolute before re-rooting them)."""
+        prefix = os.path.abspath(self.path) + os.sep
+        return dv.withColumn(
+            "_file",
+            F.when(
+                F.col("_file").startswith("/") | F.col("_file").contains("://"),
+                F.col("_file"),
+            ).otherwise(F.concat(F.lit(prefix), F.col("_file"))),
+        )
 
     # -- column mapping (rename / drop without rewrite) ----------------------
 
@@ -271,9 +321,13 @@ class ManagedTable:
 
     def _metadata_commit(self, new_map: list[list[str]], rescan: bool) -> int:
         """Publish a schema-map change as a zero-copy reference commit
-        (the RESTORE populate shape aimed at the CURRENT version)."""
-        cur = self.version()
+        (the RESTORE populate shape aimed at the CURRENT version).
+        The allocation high-water is captured BEFORE any table state is
+        read (ADVICE r10: the reverse order let a commit landing
+        between the two reads slip past the stale-inputs guard and be
+        silently lineage-orphaned)."""
         m = snapshot_max_commit(self.path)
+        cur = self.version()
         data_dir, dv_dir, cur_appends = self._resolve(cur)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
@@ -296,8 +350,7 @@ class ManagedTable:
             base = self.spark.read.parquet(data_dir, *cur_appends)
             cols = base.columns
             logical = (
-                base.withColumn("_file", F.col("_metadata.file_path"))
-                .withColumn("_pos", F.col("_metadata.row_index"))
+                self._tagged(base)
                 .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
                 .select(*cols)
                 if dv_dir is not None
@@ -326,11 +379,14 @@ class ManagedTable:
         )
 
     def _dv_df(self, dv_dir: str) -> DataFrame:
-        """The deletion vector as (_file, _pos), broadcast-hinted when
-        its on-disk size is small (the common case — a DV is O(deleted
+        """The deletion vector as (_file, _pos) with table-relative
+        entries rebased to this root, broadcast-hinted when its
+        on-disk size is small (the common case — a DV is O(deleted
         rows)): the anti-join then runs map-side against every base
         partition instead of shuffling the whole table on (file, pos)."""
-        dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        dv = self._rebase_dv(
+            self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        )
         size = sum(
             os.path.getsize(os.path.join(dv_dir, f))
             for f in os.listdir(dv_dir)
@@ -512,7 +568,13 @@ class ManagedTable:
         self._save_config()
 
     def _save_config(self) -> None:
-        with open(os.path.join(self.path, "_table.json"), "w") as f:
+        # crash-atomic: write-then-replace — an in-place open('w')
+        # left a truncated _table.json on a mid-write crash, bricking
+        # every later constructor (ADVICE r10)
+        import uuid
+
+        tmp = os.path.join(self.path, f"_table.json.tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "key": self.key,
@@ -524,6 +586,7 @@ class ManagedTable:
                 },
                 f,
             )
+        os.replace(tmp, os.path.join(self.path, "_table.json"))
 
     def _check_rows(self, df: DataFrame, constraints: dict[str, str]) -> None:
         for name, expr_sql in constraints.items():
@@ -608,15 +671,13 @@ class ManagedTable:
         (conservative: a superset range still prunes correctly; the
         next OPTIMIZE tightens it — Delta's file-stats-under-DV
         behavior)."""
-        v = self.version()
         m = snapshot_max_commit(self.path)
+        v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
         cols = [l for l, _ in vmap] if vmap else base.columns
-        tagged = base.withColumn(
-            "_file", F.col("_metadata.file_path")
-        ).withColumn("_pos", F.col("_metadata.row_index"))
+        tagged = self._tagged(base)
         if dv_dir is not None:
             parent_dv = self._dv_df(dv_dir)
             live = tagged.join(parent_dv, ["_file", "_pos"], "left_anti")
@@ -631,7 +692,7 @@ class ManagedTable:
             )
         hit_rows = live.filter(cond).persist()
         try:
-            hits = hit_rows.select("_file", "_pos")
+            hits = self._relativize_dv(hit_rows.select("_file", "_pos"))
             new_dv = (
                 hits
                 if parent_dv is None
@@ -719,7 +780,13 @@ class ManagedTable:
                 f,
             )
         if dv_dir is not None:
-            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+            # the source's table-relative DV entries point into the
+            # SOURCE's files — freeze them to absolute before
+            # re-rooting them under the clone (where relative entries
+            # would rebase against the clone's own directory)
+            seed_dv = self._rebase_dv(
+                self.spark.read.parquet(dv_dir).select("_file", "_pos")
+            )
         else:
             seed_dv = self.spark.createDataFrame(
                 [], "_file string, _pos long"
@@ -794,8 +861,8 @@ class ManagedTable:
         inherit the append list, so resolution stays one hop; OPTIMIZE
         materializes survivors and folds the appends away. Returns the
         new version number."""
-        v = self.version()
         m = snapshot_max_commit(self.path)
+        v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self.spark.read.parquet(data_dir, *appends)
@@ -816,9 +883,7 @@ class ManagedTable:
             )
             for c, e in set_exprs.items()
         }
-        tagged = base.withColumn(
-            "_file", F.col("_metadata.file_path")
-        ).withColumn("_pos", F.col("_metadata.row_index"))
+        tagged = self._tagged(base)
         live = (
             tagged.join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             if dv_dir is not None
@@ -858,7 +923,7 @@ class ManagedTable:
                 )
             else:
                 upd_out = new_rows
-            hits = hit_rows.select("_file", "_pos")
+            hits = self._relativize_dv(hit_rows.select("_file", "_pos"))
             new_dv = (
                 hits
                 if dv_dir is None
@@ -928,8 +993,8 @@ class ManagedTable:
         (Delta's documented RESTORE/appId interaction). Use rollback to
         retract bad BATCHES, restore to retract bad DATA. Returns the
         new version number."""
-        cur = self.version()
         m = snapshot_max_commit(self.path)
+        cur = self.version()
         data_dir, dv_dir, appends = self._resolve(version)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
@@ -1037,8 +1102,8 @@ class ManagedTable:
                 "zorder needs >= 2 cluster_by columns — for one column "
                 "plain range clustering is strictly better"
             )
-        v = self.version()
         m = snapshot_max_commit(self.path)
+        v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         logical = self.read()
@@ -1139,7 +1204,13 @@ class ManagedTable:
             # spanned the full domain on every file, zero pruning), and
             # a 100 TB OPTIMIZE must not copy the data twice. The
             # digest is already proven equal; constraints cannot be
-            # violated by a content-identical rewrite.
+            # violated by a content-identical rewrite. Sidecars are
+            # built ON THE SCRATCH (basename-keyed, so the publish
+            # rename keeps them valid) and move with the data — a crash
+            # after the pointer flip can no longer strand a published
+            # version without its manifests (ADVICE r10).
+            self._build_sidecars(scratch)
+
             def populate(vdir: str) -> None:
                 for fn in os.listdir(scratch):
                     shutil.move(
@@ -1149,15 +1220,13 @@ class ManagedTable:
             extra = {"parent": v}
             if vmap:
                 extra["columns"] = vmap
-            n = snapshot_commit_ref(
+            return snapshot_commit_ref(
                 self.path,
                 populate,
                 digest=after[0].asDict(),
                 extra=extra,
                 expected_max=m,
             )
-            self._build_sidecars(os.path.join(self.path, f"v{n}"))
-            return n
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
@@ -1221,7 +1290,17 @@ class ManagedTable:
                 return True
             return not (mx < lo or mn > hi)
 
-        keep = [r["file"] for r in manifest["files"] if _keep(r)]
+        from .layout import _resolve_manifest_file
+
+        # manifest entries are basenames resolved against the
+        # version's resolved data dir — for a DV version the INHERITED
+        # manifest's files live in the parent's base, which is exactly
+        # what _resolve returned
+        keep = [
+            _resolve_manifest_file(data_dir, r["file"])
+            for r in manifest["files"]
+            if _keep(r)
+        ]
         total = len(manifest["files"])
         # appended-row files (merge-on-read UPDATEs) are not in the
         # inherited manifest — they are always read (conservative;
@@ -1234,9 +1313,7 @@ class ManagedTable:
             empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
             return self._to_logical(empty.select(*cols), vmap), 0, total
         df = (
-            self.spark.read.parquet(*keep)
-            .withColumn("_file", F.col("_metadata.file_path"))
-            .withColumn("_pos", F.col("_metadata.row_index"))
+            self._tagged(self.spark.read.parquet(*keep))
             .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             .filter((F.col(pcol) >= lo) & (F.col(pcol) <= hi))
             .select(*cols)
@@ -1264,11 +1341,13 @@ class ManagedTable:
         data_dir, dv_dir, appends = self._resolve(v)
         with open(os.path.join(vdir, "_bloom.json")) as f:
             manifest = json.load(f)
+        from .layout import _resolve_manifest_file
+
         want = set(
             _bloom_positions_py(value, manifest["m"], manifest["k"])
         )
         keep = [
-            fname
+            _resolve_manifest_file(data_dir, fname)
             for fname, positions in manifest["files"].items()
             if want <= set(positions)
         ]
@@ -1284,10 +1363,8 @@ class ManagedTable:
             return self._to_logical(empty.select(*cols), vmap), 0, total
         df = self.spark.read.parquet(*keep)
         if dv_dir is not None:
-            df = (
-                df.withColumn("_file", F.col("_metadata.file_path"))
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+            df = self._tagged(df).join(
+                self._dv_df(dv_dir), ["_file", "_pos"], "left_anti"
             )
         return (
             self._to_logical(
@@ -1370,20 +1447,31 @@ class ManagedTable:
                         "only int/float/string/boolean stats round-trip "
                         "through the JSON manifest"
                     )
-        v = snapshot_commit(
-            df, self.path, extra=extra, expected_max=expected_max
+        # sidecars are built INSIDE the commit's staging dir (the
+        # decorate hook) — basename-keyed, they survive the publish
+        # rename, and a crash can never strand a published version
+        # without its manifests (ADVICE r10: the build-after-publish
+        # order left scan()/lookup() raising FileNotFoundError)
+        return snapshot_commit(
+            df,
+            self.path,
+            extra=extra,
+            expected_max=expected_max,
+            decorate=self._build_sidecars,
         )
-        self._build_sidecars(os.path.join(self.path, f"v{v}"))
-        return v
 
     def _build_sidecars(self, vdir: str) -> None:
         """Zone-map + bloom manifests derived from the version's OWN
         files after they land — no sidecar can disagree with the data
-        it describes. Shared by copy commits and the rename-published
-        OPTIMIZE."""
+        it describes. Runs on the commit's STAGING dir (copy commits)
+        or the verified scratch (OPTIMIZE): entries key file basenames,
+        so the publish rename — and a later table relocation — keep
+        them valid."""
         if self.stat_cols:
             self._write_manifest(
-                vdir, self.spark.read.parquet(vdir), F.input_file_name()
+                vdir,
+                self.spark.read.parquet(vdir),
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
             )
         if self.bloom_col:
             from .layout import build_bloom_manifest

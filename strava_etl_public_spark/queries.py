@@ -1287,7 +1287,7 @@ def q_ranking_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "q_sessionize",
     oracle="""
 WITH g AS (

@@ -489,7 +489,7 @@ def x_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_dedup_jaccard_exact",
     oracle=f"""
 WITH {_SH_SQL},
@@ -852,7 +852,7 @@ def x_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_graph_triangles",
     oracle="""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -911,7 +911,7 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_merge_into",
     oracle="""
 WITH tgt AS (

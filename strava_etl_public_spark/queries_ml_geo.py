@@ -558,7 +558,7 @@ def x_embed_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_nb_classifier",
     oracle="""
 WITH sp AS (

@@ -177,7 +177,11 @@ QUERY_ORDER: tuple[str, ...] = (
     # official row (LSH-blocked cosine) + the labeled/LSH extras; the
     # slot goes to the export pipeline's official row.
     "x_dedup_clusters",
-    "x_dedup_jaccard_exact",
+    # x_dedup_jaccard_exact demoted (r10 rotation, verdict #1): the
+    # shingle-Jaccard family keeps three official rows (minhash_lsh,
+    # clusters, incremental) and the exact Bayardo join stays
+    # oracle-gated as an extra; slot freed for the lakehouse
+    # merge-on-read UPDATE/RESTORE signature row.
     # x_dedup_keep_longest demoted (r9 rotation): the cluster-policy
     # layer is certified by the x_dedup_clusters official row + the
     # keep-longest extra; slot freed for OPTIMIZE-on-snapshots — the
@@ -189,15 +193,31 @@ QUERY_ORDER: tuple[str, ...] = (
     # maintenance family's time-series face (resume from one persisted
     # double per key == full recompute bit-for-bit).
     "x_ts_ewma_incremental",
-    # general MERGE INTO + graph triangles (r7 promotions — the two
-    # strongest round-6 operator families get official rows)
-    "x_merge_into",
-    # r9 promotion (verdict #1): OPTIMIZE on a versioned table — the
-    # managed-table contract (compaction + snapshots + time travel)
-    # certified in one row: digest-lossless, files-reduced,
-    # history-intact.
-    "x_maintenance_optimize_snapshot",
-    "x_graph_triangles",
+    # r10 promotion (verdict #9): exact autocorrelation at lags
+    # {1,2,7} from DECIMAL(38) moments — the time-series analytics
+    # family's official row beyond EWMA.
+    "x_ts_acf",
+    # x_merge_into demoted (r10 rotation, verdict #1): general MERGE
+    # is now composed INSIDE the managed-table official row's
+    # create→merge→optimize pipeline, and the five-arm contract stays
+    # oracle-gated via the extra + x_merge_not_matched_by_source.
+    # r10 promotions (verdict #1 — the round-9 lakehouse layer earns
+    # official rows): the composed table-format contract, the
+    # deletion-vector DELETE, the merge-on-read UPDATE + RESTORE
+    # signature row, O(1)-metadata column mapping, and Z-order
+    # OPTIMIZE with both-column pruning proof.
+    "x_pipeline_managed_table",
+    "x_table_delete_vectors",
+    "x_table_update_restore",
+    "x_table_column_mapping",
+    "x_maintenance_zorder",
+    # x_maintenance_optimize_snapshot demoted (r10): superseded by
+    # x_maintenance_zorder (same OPTIMIZE-on-snapshots contract PLUS
+    # the clustering/pruning proof) and the managed-table pipeline
+    # row's optimize step; stays oracle-gated as an extra.
+    # x_graph_triangles demoted (r10): the graph family keeps its
+    # official row via x_sql_recursive_khop (k-hop reachability) and
+    # triangles stays oracle-gated as an extra.
     # late-r7 promotions: kNN join (all-points similarity, moved up
     # into the similarity block r8) and frame sampling on the REAL
     # animated GIF codec; the native recursive-CTE surface sits here
@@ -243,11 +263,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "g2_rolling_maxes_wide",
     "g4_n7_nested_assembly",
     "s1_incremental_ingest",
-    # oracle-exact in-engine ML (thirteenth-batch promotion: the
-    # strongest new capability gets an official row; q_ranking_topk's
-    # top-k/window family is certified by t1_topn_page + the
-    # window-suite extras)
-    "x_nb_classifier",
+    # x_nb_classifier demoted (r10 rotation, verdict #1): the
+    # in-engine ML/eval family keeps its official row via x_eval_auc,
+    # and the NB classifier stays oracle-gated as an extra.
     # r9 promotion (verdict #1): exact ROC AUC (tie-corrected
     # rank-sum in pure BIGINT) — the eval family's threshold-free
     # official row.
@@ -264,7 +282,10 @@ QUERY_ORDER: tuple[str, ...] = (
     # slot gives the watermarked STREAM-STREAM interval join — the
     # streaming face that had no official row — its driver row.
     "x_stream_stream_join",
-    "q_sessionize",
+    # q_sessionize demoted (r10 rotation, verdict #1): session
+    # semantics keep official coverage via x_range_join_sessions and
+    # the session_window extras; it stays oracle-gated as an extra
+    # AND a bench.py headline (bench merges both registries).
     # q_pivot_event_counts demoted late-r7: the pivot family is
     # certified by the x_pivot_event_counts extra (FILTER-clause
     # twin); slot freed for the GIF frame-sampling row above.

@@ -599,7 +599,7 @@ def x_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_maintenance_optimize_snapshot",
     oracle=f"""
 WITH fp AS ({_fp_sql("events", _EV_FP_COLS)})
@@ -677,7 +677,7 @@ _MT_FP_RENDER = ", ".join(
 )
 
 
-@register_extra(
+@register(
     "x_pipeline_managed_table",
     oracle=f"""
 WITH base AS (
@@ -842,7 +842,7 @@ def x_pipeline_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_delete_vectors",
     oracle=f"""
 WITH base AS (
@@ -1438,7 +1438,7 @@ def x_table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_update_restore",
     oracle=f"""
 WITH base AS (
@@ -1615,7 +1615,7 @@ def x_table_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_maintenance_zorder",
     oracle=f"""
 WITH base AS (
@@ -1759,7 +1759,7 @@ _CM_FP_RENDER = ", ".join(
 )
 
 
-@register_extra(
+@register(
     "x_table_column_mapping",
     oracle=f"""
 WITH base AS (

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .functions import epoch as ep
 from .io import load
-from .queries import register_extra
+from .queries import register, register_extra
 from .session import ensure_harness_conf
 
 # shared daily quantized-mean series (the CUSUM query's `d` CTE shape):
@@ -158,7 +158,7 @@ def x_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "x_ts_acf",
     oracle=f"""
 WITH d AS ({_DAILY_SQL}),

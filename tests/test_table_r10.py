@@ -1,0 +1,253 @@
+"""Round-10 regression tests — the five ADVICE r10 findings.
+
+1. (high) snapshot_commit copy commits stage privately and rename
+   only after winning the record race — a losing concurrent writer
+   can never scribble over a winner's published v{n} data.
+2. (medium) every op captures the allocation high-water BEFORE
+   reading table state — a commit landing between the two reads can
+   no longer be silently lineage-orphaned.
+3. (medium) DV entries are stored table-relative — a relocated table
+   keeps its deletes/updates instead of silently resurrecting rows.
+4. (low) _save_config is crash-atomic (tmp + os.replace).
+5. (low) sidecar manifests publish atomically with their version —
+   a failure building them aborts the commit instead of stranding a
+   published version without manifests.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.table import ManagedTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from strava_etl_public_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture
+def base(spark):
+    return spark.createDataFrame(
+        [(i, float(i * 10), i % 4) for i in range(1, 41)],
+        "id long, value double, bucket long",
+    )
+
+
+def test_relocated_table_keeps_deletes_and_updates(spark, base, tmp_path):
+    """ADVICE r10 (medium): absolute DV paths matched nothing after a
+    table move — reads silently resurrected deleted rows and served
+    both images of merge-on-read updates. Entries are now stored
+    table-relative and rebased at read time."""
+    src = str(tmp_path / "t")
+    t = ManagedTable.create(
+        base, src, key="id", stat_cols=["id"], bloom_col="id"
+    )
+    t.delete(F.col("id") <= 5)
+    t.update(F.col("id") == 10, {"value": F.lit(999.0)})
+
+    # pin the storage format: in-table entries are relative
+    vdir = str(tmp_path / "t" / f"v{t.version()}")
+    dv_files = [
+        r["_file"]
+        for r in spark.read.parquet(os.path.join(vdir, "_dv")).collect()
+    ]
+    assert dv_files and all(not f.startswith("/") for f in dv_files)
+    assert all("://" not in f for f in dv_files)
+
+    dst = str(tmp_path / "moved")
+    shutil.move(src, dst)
+    m = ManagedTable(spark, dst)
+    got = {r["id"]: r["value"] for r in m.read().collect()}
+    assert set(got) == set(range(6, 41))  # deletes still deleted
+    assert got[10] == 999.0  # update's post-image only
+
+    # the skipping layer survives the move too (basename manifests)
+    out, files_read, files_total = m.scan("id", 10, 12)
+    assert {r["id"] for r in out.collect()} == {10, 11, 12}
+    hit, fr, tot = m.lookup(3)
+    assert hit.collect() == []  # deleted key stays deleted post-move
+    hit2, _, _ = m.lookup(10)
+    assert [r["value"] for r in hit2.collect()] == [999.0]
+
+
+def test_relocated_clone_still_reads_and_moved_source_fails_loud(
+    spark, base, tmp_path
+):
+    """Clone DV entries freeze the SOURCE's relative paths to absolute:
+    moving the CLONE keeps it readable; moving the SOURCE makes clone
+    reads fail loudly (the documented shallow-clone hazard), never
+    return resurrected rows."""
+    src = str(tmp_path / "src")
+    t = ManagedTable.create(base, src, key="id")
+    t.delete(F.col("id") <= 5)
+    c = t.clone(str(tmp_path / "c"))
+    shutil.move(str(tmp_path / "c"), str(tmp_path / "c2"))
+    c2 = ManagedTable(spark, str(tmp_path / "c2"))
+    assert {r["id"] for r in c2.read().collect()} == set(range(6, 41))
+
+    shutil.move(src, str(tmp_path / "src_gone"))
+    with pytest.raises(ValueError, match="no longer exists"):
+        c2.read().collect()
+
+
+def test_copy_commit_stages_until_record_race_won(
+    spark, base, tmp_path, monkeypatch
+):
+    """ADVICE r10 (high): a losing copy commit (merge/overwrite) whose
+    Spark write was in flight could scribble over the winner's already
+    published v{n}. Copy commits now write into a private staging dir
+    and rename only after the O_EXCL record win — the loser's conflict
+    leaves the winner's version byte-intact and no staging litter."""
+    from strava_etl_public_spark.operators.layout import (
+        CommitConflict,
+        dataset_fingerprint,
+    )
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t2 = ManagedTable(spark, str(tmp_path / "t"))
+    fired = {"done": False}
+    orig = ManagedTable._build_sidecars
+
+    def hooked(self, vdir):
+        # fires inside the loser's staging window, AFTER its data write
+        if not fired["done"]:
+            fired["done"] = True
+            t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
+        return orig(self, vdir)
+
+    monkeypatch.setattr(ManagedTable, "_build_sidecars", hooked)
+    with pytest.raises(CommitConflict):
+        t.merge(
+            spark.createDataFrame(
+                [(1, 111.0, 0)], "id long, value double, bucket long"
+            )
+        )
+    assert fired["done"]
+    # winner's version is current, its data digest-intact
+    v = t.version()
+    rec = json.load(open(str(tmp_path / "t" / "_commits" / f"{v}.json")))
+    got = {r["id"]: r["value"] for r in t.read().collect()}
+    assert got[2] == 222.0 and got[1] == 10.0  # loser's merge not applied
+    d = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert (d["n_rows"], d["xor_hash"], d["sum_hash_mod"]) == (
+        rec["n_rows"],
+        rec["xor_hash"],
+        rec["sum_hash_mod"],
+    )
+    # no staging litter
+    assert not [p for p in os.listdir(str(tmp_path / "t")) if "_stage_" in p]
+
+
+def test_max_capture_precedes_state_read(spark, base, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): delete/update/restore/optimize read
+    self.version() BEFORE capturing snapshot_max_commit — a commit
+    landing between the two made expected_max reflect a record the op
+    never read, so the competing commit was silently lineage-orphaned.
+    With the safe order, a commit landing at the high-water capture is
+    simply READ by the op (version() runs after), so both effects land
+    on one lineage."""
+    import strava_etl_public_spark.operators.table as table_mod
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t2 = ManagedTable(spark, str(tmp_path / "t"))
+    real_max = table_mod.snapshot_max_commit
+    fired = {"done": False}
+
+    def hooked_max(path):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
+        return real_max(path)
+
+    monkeypatch.setattr(table_mod, "snapshot_max_commit", hooked_max)
+    v = t.delete(F.col("id") == 1)
+    assert fired["done"]
+    # BOTH effects present — the old order orphaned the update
+    got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
+    assert 1 not in got and got[2] == 222.0
+    # and the competing commit is ON the lineage (its txn-visible
+    # parent chain includes it), not an abandoned branch
+    parents = [rec.get("parent") for _, rec in t._lineage()]
+    assert len(set(parents)) == len(parents)  # a chain, no forks
+
+
+def test_save_config_is_crash_atomic(spark, base, tmp_path, monkeypatch):
+    """ADVICE r10 (low): an in-place open('w') left a truncated
+    _table.json on a mid-write crash, bricking the constructor. The
+    write now goes to a tmp file and os.replace()s over."""
+    path = str(tmp_path / "t")
+    t = ManagedTable.create(base, path, key="id")
+    t.add_constraint("val_pos", "value > 0")
+
+    orig_dump = json.dump
+
+    def bomb(obj, fp, *a, **k):
+        if "_table.json.tmp" in getattr(fp, "name", ""):
+            fp.write('{"trunc')  # partial bytes, then die
+            raise RuntimeError("crash mid-config-write")
+        return orig_dump(obj, fp, *a, **k)
+
+    monkeypatch.setattr(json, "dump", bomb)
+    with pytest.raises(RuntimeError, match="mid-config-write"):
+        t.drop_constraint("val_pos")
+    monkeypatch.undo()
+    # the on-disk config is the intact PRE-crash state
+    t2 = ManagedTable(spark, path)
+    assert t2.constraints == {"val_pos": "value > 0"}
+
+
+def test_failed_sidecar_build_aborts_commit(spark, base, tmp_path, monkeypatch):
+    """ADVICE r10 (low): sidecars built after the pointer flip could
+    strand a published version without manifests (scan/lookup then
+    raised FileNotFoundError). They now build inside the staging dir:
+    a sidecar failure aborts the whole commit — version unchanged, no
+    litter."""
+    t = ManagedTable.create(
+        base, str(tmp_path / "t"), key="id", stat_cols=["id"]
+    )
+    v_before = t.version()
+
+    def bomb(self, vdir):
+        raise RuntimeError("sidecar build died")
+
+    monkeypatch.setattr(ManagedTable, "_build_sidecars", bomb)
+    with pytest.raises(RuntimeError, match="sidecar build died"):
+        t.merge(
+            spark.createDataFrame(
+                [(99, 1.0, 0)], "id long, value double, bucket long"
+            )
+        )
+    monkeypatch.undo()
+    assert t.version() == v_before
+    assert not [p for p in os.listdir(str(tmp_path / "t")) if "_stage_" in p]
+    # scan still serves the intact pre-commit version
+    out, fr, tot = t.scan("id", 1, 5)
+    assert out.count() == 5
+
+
+def test_optimize_sidecar_failure_leaves_version_unchanged(
+    spark, base, tmp_path, monkeypatch
+):
+    """OPTIMIZE builds its sidecars on the verified scratch BEFORE the
+    commit — a manifest failure aborts the publish."""
+    t = ManagedTable.create(
+        base, str(tmp_path / "t"), key="id", stat_cols=["id"]
+    )
+    t.delete(F.col("id") == 1)
+    v_before = t.version()
+
+    def bomb(self, vdir, df, file_col):
+        raise RuntimeError("manifest build died")
+
+    monkeypatch.setattr(ManagedTable, "_write_manifest", bomb)
+    with pytest.raises(RuntimeError, match="manifest build died"):
+        t.optimize()
+    monkeypatch.undo()
+    assert t.version() == v_before
+    assert {r["id"] for r in t.read().collect()} == set(range(2, 41))

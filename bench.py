@@ -70,6 +70,100 @@ def _wait_for_idle_box() -> dict:
         "official": load <= LOADAVG_THRESHOLD,
     }
 
+
+#: Mid-run contamination gate (round-9 verdict #6): the start-only
+#: loadavg check left a hole — r9's official run STARTED at loadavg
+#: 1.74 but ENDED at 7.02, so a burst of foreign work mid-run could
+#: still contaminate an "official" absolute. End-of-run loadavg can't
+#: be the criterion directly (the bench itself legitimately loads all
+#: 32 cores, so its own tasks dominate the 1-minute average); what
+#: must be bounded is FOREIGN work. Measured directly: busy jiffies
+#: from /proc/stat minus the CPU consumed by THIS process tree
+#: (python driver + Spark JVM + forked workers, summed from
+#: /proc/<pid>/stat over descendants) across the timed window. A run
+#: stays official only if foreign work averaged under
+#: FOREIGN_CORES_THRESHOLD cores — one stray core on a 32-way box is
+#: ~3% wall-time risk; a competing benchmark shows up as 10+.
+FOREIGN_CORES_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_BENCH_MAX_FOREIGN_CORES", "1.0")
+)
+
+
+def _busy_jiffies() -> int | None:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # user nice system irq softirq steal guest... — everything but
+        # idle(4) and iowait(5) counts as busy
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals) - vals[3] - vals[4]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_jiffies() -> int | None:
+    """utime+stime summed over this process and all its descendants
+    (the Spark JVM and its forked Python workers), from /proc — the
+    bench's OWN share of the box."""
+    try:
+        children: dict[int, list[int]] = {}
+        cpu: dict[int, int] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    s = f.read()
+            except OSError:
+                continue  # raced a process exit
+            # field 2 (comm) may contain spaces/parens — parse after it
+            rest = s[s.rindex(")") + 2 :].split()
+            pid = int(entry)
+            children.setdefault(int(rest[1]), []).append(pid)  # ppid
+            cpu[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+        total = 0
+        stack = [os.getpid()]
+        seen = set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            total += cpu.get(p, 0)
+            stack.extend(children.get(p, []))
+        return total
+    except (OSError, ValueError):
+        return None
+
+
+def _foreign_probe_start() -> dict:
+    return {
+        "t0": time.monotonic(),
+        "busy0": _busy_jiffies(),
+        "tree0": _tree_cpu_jiffies(),
+    }
+
+
+def _foreign_probe_end(p0: dict) -> dict:
+    """{"foreign_busy_cores", "loadavg_1m_end", "clean"} for the window
+    since ``p0``. Unmeasurable (non-Linux /proc) → clean=False: an
+    official record requires the POSITIVE measurement."""
+    wall = time.monotonic() - p0["t0"]
+    busy1, tree1 = _busy_jiffies(), _tree_cpu_jiffies()
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
+    if None in (p0["busy0"], p0["tree0"], busy1, tree1) or wall <= 0:
+        return {"foreign_busy_cores": None, "loadavg_1m_end": load_end, "clean": False}
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    foreign = max(0, (busy1 - p0["busy0"]) - (tree1 - p0["tree0"])) / hz / wall
+    return {
+        "foreign_busy_cores": round(foreign, 2),
+        "loadavg_1m_end": load_end,
+        "clean": foreign <= FOREIGN_CORES_THRESHOLD,
+    }
+
 #: Headline set: the reference's analytical heart (spine join +
 #: interpolation + weighted rolling + wide max), the relational
 #: bench shapes, the north-star training-data operators, and (r6) the
@@ -296,6 +390,7 @@ def main() -> int:
     # only recorded on a quiet box; a contended run is annotated
     # official=false instead of silently poisoning the absolute series.
     idle = _wait_for_idle_box()
+    probe0 = _foreign_probe_start()
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
@@ -307,6 +402,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors[n] = f"{type(e).__name__}: {e}"
             traceback.print_exc(file=sys.stderr)
+
+    # mid-run contamination check over exactly the headline window
+    # (r9 verdict #6): foreign CPU, not end-loadavg — the bench's own
+    # 32-way work legitimately dominates the load average
+    foreign = _foreign_probe_end(probe0)
 
     # Extras, each independently fault-isolated:
     #  - JVM-fold ANN twins (what the no-Arrow fallback costs)
@@ -490,13 +590,16 @@ def main() -> int:
         "min_delta_pct": ab.get("min_delta_pct", {}),
         "loadavg_1m": ab.get("loadavg_1m"),
         "n_processes": ab.get("n_processes"),
-        # idle-box gate evidence (r8 verdict #2): loadavg at the start
-        # of the timed section, how long the gate waited for quiet, and
-        # whether the absolute headline is an OFFICIAL (idle-box)
-        # record — false means "read the paired deltas, not the total".
+        # idle-box gate evidence (r8 verdict #2) + mid-run foreign-CPU
+        # gate (r9 verdict #6): official now requires BOTH a quiet
+        # start AND measured-foreign work under threshold across the
+        # headline window — false means "read the paired deltas, not
+        # the total".
         "loadavg_1m_start": idle["loadavg_1m_start"],
         "idle_waited_s": idle["waited_s"],
-        "official": idle["official"],
+        "loadavg_1m_end": foreign["loadavg_1m_end"],
+        "foreign_busy_cores": foreign["foreign_busy_cores"],
+        "official": idle["official"] and foreign["clean"],
     }
     if errors:
         # names only — full messages live in the detail line/sidecar

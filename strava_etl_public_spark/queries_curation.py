@@ -22,7 +22,7 @@ from .operators import dedup, multimodal, similarity, text  # noqa: F401
 from .queries_common import _SH_SQL, _cos_sql, _dot_sql  # noqa: F401
 from .queries_dedup_sim import _CC_CLOSURE_SQL, x_dedup_ngram_jaccard  # noqa: F401
 from .queries_text_mm_stream import _run_stream, _stage_events_dir  # noqa: F401
-from .queries_tables import x_snapshot_diff  # noqa: F401
+from .queries_snapshots import x_snapshot_diff  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

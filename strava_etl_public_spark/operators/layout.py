@@ -571,12 +571,15 @@ def snapshot_commit(
         # batch-id txn marker) — the marker and the commit it
         # certifies publish atomically
         _check_expected_max(existing, expected_max)
+        rec = {
+            "version": n,
+            "dataset": f"v{n}",
+            **digest,
+            **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
+        }
         try:
             with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-                json.dump(
-                    {"version": n, "dataset": f"v{n}", **digest, **_stamp_ts(extra)},
-                    f,
-                )
+                json.dump(rec, f)
         except FileExistsError as e:
             raise CommitConflict(
                 f"commit record v{n} already exists at {table_path} — a "
@@ -587,6 +590,7 @@ def snapshot_commit(
         with open(tmp, "w") as f:
             f.write(str(n))
         os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -612,6 +616,103 @@ def _stamp_ts(extra: dict | None) -> dict:
     e = dict(extra or {})
     e.setdefault("ts", time.time())
     return e
+
+
+#: Lineage-checkpoint cadence: every K-th commit folds its whole
+#: parent chain into one `_commits/_ckpt_{n}.json`, so lineage walks
+#: (timestamp time travel, legacy txn scans) read ≤K records + one
+#: checkpoint instead of O(versions) files — Delta's log-checkpoint
+#: analogue. Best-effort: a missing checkpoint only means the walk
+#: falls back to per-version records.
+SNAPSHOT_CKPT_EVERY = 25
+
+
+def _stamp_txn_hw(table_path: str, extra: dict) -> dict:
+    """Fold the streaming-txn HIGH-WATER into the commit record at
+    write time: ``txn_hw`` = max(parent's txn_hw, this commit's own
+    txn marker). One tiny parent-record read per commit makes
+    ``last_txn`` O(1) forever — no walk, no checkpoint dependency —
+    while staying lineage-correct: a rollback's next commit chains
+    from the rolled-back-to record, so orphaned branches' markers are
+    never inherited (the r9 stale-marker rule, preserved by
+    construction). Only applied when the caller supplied a ``parent``
+    (ManagedTable commits); raw snapshot_commit callers don't use
+    txn markers."""
+    import json
+    import os
+
+    if "parent" not in extra:
+        return extra
+    hw = int(extra.get("txn", -1))
+    p = os.path.join(table_path, "_commits", f"{int(extra['parent'])}.json")
+    if os.path.isfile(p):
+        with open(p) as f:
+            rec = json.load(f)
+        hw = max(hw, int(rec.get("txn_hw", rec.get("txn", -1))))
+    return {**extra, "txn_hw": hw}
+
+
+def _maybe_write_lineage_ckpt(table_path: str, n: int) -> None:
+    """After publishing commit ``n``: if n is on the checkpoint
+    cadence, fold its parent chain into `_ckpts/_ckpt_{n}.json` —
+    a newest-first list of minimal {v, ts, txn?} entries. Built by
+    splicing the nearest ancestor checkpoint (so construction is
+    O(cadence), not O(versions)) and published with tmp+replace.
+    Lives in its own directory so `_commits/` keeps holding only
+    numeric version records. Best-effort by design: any failure
+    leaves the per-version-record walk intact."""
+    import json
+    import os
+
+    if n % SNAPSHOT_CKPT_EVERY != 0:
+        return
+    cdir = os.path.join(table_path, "_commits")
+    kdir = os.path.join(table_path, "_ckpts")
+    entries: list[dict] = []
+    cur = n
+    try:
+        os.makedirs(kdir, exist_ok=True)
+        while cur >= 1:
+            ck = os.path.join(kdir, f"_ckpt_{cur}.json")
+            if cur != n and os.path.isfile(ck):
+                with open(ck) as f:
+                    entries.extend(json.load(f)["lineage"])
+                break
+            p = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
+                rec = json.load(f)
+            e = {"v": cur, "ts": rec.get("ts")}
+            if "txn" in rec:
+                e["txn"] = rec["txn"]
+            entries.append(e)
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                break
+            cur = nxt
+        tmp = os.path.join(kdir, f"_ckpt_{n}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": n, "lineage": entries}, f)
+        os.replace(tmp, os.path.join(kdir, f"_ckpt_{n}.json"))
+        # retention: each checkpoint is O(versions) bytes, so keeping
+        # them all costs O(V²/cadence) — measured 56 MB at 10k
+        # versions. Keep the newest few (walks from the current head
+        # always reach the newest one ≤ head; deleting older ones only
+        # means an old-version walk falls back to per-record reads,
+        # which stays correct).
+        keep = sorted(
+            (
+                int(f[len("_ckpt_") : -len(".json")])
+                for f in os.listdir(kdir)
+                if f.startswith("_ckpt_") and f.endswith(".json")
+            ),
+            reverse=True,
+        )[4:]
+        for old in keep:
+            os.remove(os.path.join(kdir, f"_ckpt_{old}.json"))
+    except (OSError, ValueError, KeyError):
+        pass  # walk fallback stays correct
 
 
 def snapshot_commit_ref(
@@ -677,9 +778,14 @@ def snapshot_commit_ref(
         # same two OCC checks as snapshot_commit: stale-inputs guard
         # after the expensive populate, O_EXCL slot race on the record
         _check_expected_max(existing, expected_max)
+        rec = {
+            "version": n,
+            **digest,
+            **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
+        }
         try:
             with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-                json.dump({"version": n, **digest, **_stamp_ts(extra)}, f)
+                json.dump(rec, f)
         except FileExistsError as e:
             raise CommitConflict(
                 f"commit record v{n} already exists at {table_path} — a "
@@ -690,6 +796,7 @@ def snapshot_commit_ref(
         with open(tmp, "w") as f:
             f.write(str(n))
         os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -400,18 +400,24 @@ class ManagedTable:
     def last_txn(self) -> int:
         """High-water txn marker over the published LINEAGE — the
         streaming sink's exactly-once cursor, Delta's txn/appId
-        contract. Walks parent pointers back from the current version
-        and returns the FIRST marker found (batch ids are monotone
-        along a chain, so the first is the high-water). Lineage, not
-        version arithmetic: an orphaned commit (pointer publish
-        crashed) and a rolled-back branch's commits are both
-        unreachable from the current chain, so their batches correctly
-        RE-apply on replay — counting every record at-or-below the
-        pointer would resurrect a stale marker after
-        rollback→recommit and silently skip (lose) a replayed batch.
-        O(1) record reads in the steady state (the previous stream
-        commit carries the previous marker). Returns -1 when no
-        lineage commit carries a marker."""
+        contract. O(1): every commit record carries ``txn_hw`` —
+        max(parent's high-water, own marker), folded forward at commit
+        time (layout._stamp_txn_hw) — so reading the CURRENT record
+        answers without any walk, even after 10⁶ commits. Lineage-
+        correct by construction: a rollback's next commit chains from
+        the rolled-back-to record, so orphaned branches' markers are
+        never inherited and their batches correctly RE-apply on replay
+        (the r9 stale-marker rule). Legacy records without the field
+        fall back to the parent-pointer walk (first marker found =
+        high-water, since batch ids are monotone along a chain).
+        Returns -1 when no lineage commit carries a marker."""
+        v = self.version()
+        p = os.path.join(self.path, "_commits", f"{v}.json")
+        if v >= 1 and os.path.isfile(p):
+            with open(p) as f:
+                rec = json.load(f)
+            if "txn_hw" in rec:
+                return int(rec["txn_hw"])
         for _, rec in self._lineage():
             if "txn" in rec:
                 return int(rec["txn"])
@@ -437,10 +443,33 @@ class ManagedTable:
         orphaned commits and rolled-back branches. One definition of
         the walk's safety rules (stop on a missing record, stop on a
         non-decreasing parent pointer) shared by the streaming txn
-        cursor and timestamp time travel."""
+        cursor and timestamp time travel.
+
+        Scale: when the walk reaches a version with a lineage
+        CHECKPOINT (`_ckpts/_ckpt_{v}.json`, written every
+        layout.SNAPSHOT_CKPT_EVERY commits), the checkpoint's folded
+        chain is yielded instead of reading per-version records — the
+        walk is O(cadence) record reads + one checkpoint read, not
+        O(versions), Delta's log-checkpoint analogue. A checkpoint's
+        chain IS version v's unique parent chain, so splicing it at
+        any point of the walk is exact. Checkpoint entries carry the
+        minimal {v, ts, txn?} fields the walk's consumers (as_of,
+        legacy last_txn) read."""
         cdir = os.path.join(self.path, "_commits")
+        kdir = os.path.join(self.path, "_ckpts")
         cur = self.version()
+        first = True
         while cur >= 1:
+            ck = os.path.join(kdir, f"_ckpt_{cur}.json")
+            if not first and os.path.isfile(ck):
+                try:
+                    with open(ck) as f:
+                        for e in json.load(f)["lineage"]:
+                            yield int(e["v"]), e
+                    return
+                except (OSError, ValueError, KeyError):
+                    pass  # fall through to the per-record walk
+            first = False
             p = os.path.join(cdir, f"{cur}.json")
             if not os.path.isfile(p):
                 return

@@ -251,3 +251,91 @@ def test_optimize_sidecar_failure_leaves_version_unchanged(
     monkeypatch.undo()
     assert t.version() == v_before
     assert {r["id"] for r in t.read().collect()} == set(range(2, 41))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 verdict #2: commit-metadata scale — O(1) last_txn via the
+# folded txn high-water, O(cadence) lineage walks via checkpoints.
+# ---------------------------------------------------------------------------
+
+
+def test_last_txn_is_o1_and_equals_the_walk(spark, base, tmp_path):
+    """Every commit record folds txn_hw forward, so last_txn answers
+    from ONE record read; it must equal the legacy lineage walk,
+    including after rollback (orphaned markers never inherited) and
+    restore (markers persist — Delta's RESTORE/appId interaction)."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    for b in (3, 7):
+        t._commit(t.read().withColumn("value", F.col("value") + 1),
+                  extra={"txn": b})
+    rec = json.load(
+        open(str(tmp_path / "t" / "_commits" / f"{t.version()}.json"))
+    )
+    assert rec["txn_hw"] == 7
+    assert t.last_txn() == 7
+
+    def walked(tab):
+        for _, r in tab._lineage():
+            if "txn" in r:
+                return int(r["txn"])
+        return -1
+
+    assert walked(t) == 7
+
+    # rollback past batch 7, recommit WITHOUT a marker: the high-water
+    # must drop back to 3 — the rolled-back branch's marker is dead
+    v_after_3 = t.version() - 1
+    t.rollback(v_after_3)
+    t._commit(t.read())
+    assert t.last_txn() == 3 == walked(t)
+
+    # restore retracts DATA, not markers: txn_hw persists through it
+    t._commit(t.read(), extra={"txn": 9})
+    t.restore(1)
+    assert t.last_txn() == 9 == walked(t)
+
+
+def test_lineage_checkpoint_equals_full_walk(spark, base, tmp_path, monkeypatch):
+    """A lineage walk that splices `_ckpts/_ckpt_{n}.json` must give
+    exactly the per-record walk's answer for timestamp time travel —
+    across rollbacks (abandoned branches excluded from the folded
+    chain) — while reading O(cadence) records."""
+    import strava_etl_public_spark.operators.layout as layout
+
+    monkeypatch.setattr(layout, "SNAPSHOT_CKPT_EVERY", 4)
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    ts = 1000.0
+    recs = []
+    for i in range(10):
+        ts += 10.0
+        v = t._commit(
+            t.read().withColumn("value", F.col("value") + 1),
+            extra={"ts": ts},
+        )
+        recs.append((v, ts))
+        if i == 5:
+            t.rollback(recs[2][0])  # abandon a branch mid-history
+    kdir = tmp_path / "t" / "_ckpts"
+    assert kdir.is_dir() and any(
+        f.startswith("_ckpt_") for f in os.listdir(str(kdir))
+    )
+
+    # every folded entry must be ON the current lineage (no abandoned
+    # branch leaks into a checkpoint written after the rollback)
+    import shutil as _sh
+
+    chain_ck = [(v, r.get("ts")) for v, r in t._lineage()]
+    _sh.rmtree(str(kdir))  # force the pure per-record walk
+    chain_walk = [(v, r.get("ts")) for v, r in t._lineage()]
+    assert chain_ck == chain_walk
+
+    # as_of answers identically through either path
+    t2 = ManagedTable(spark, str(tmp_path / "t"))
+    probe = chain_walk[len(chain_walk) // 2][1]
+    want = t2.as_of(probe).count()
+    # (checkpoints were removed above; recommit to regenerate one and
+    # compare the checkpointed answer)
+    for _ in range(4):
+        t2._commit(t2.read(), extra={"ts": ts + 100})
+    assert any(f.startswith("_ckpt_") for f in os.listdir(str(kdir)))
+    assert t2.as_of(probe).count() == want

@@ -374,7 +374,7 @@ class ManagedTable:
             self.path,
             populate,
             digest=digest,
-            extra={"parent": cur, "columns": new_map},
+            extra={"parent": cur, "op": "metadata", "columns": new_map},
             expected_max=m,
         )
 
@@ -670,7 +670,7 @@ class ManagedTable:
             not_matched_by_source_update=not_matched_by_source_update,
             not_matched_by_source_update_cond=not_matched_by_source_update_cond,
         )
-        return self._commit(merged, expected_max=m)
+        return self._commit(merged, extra={"op": "merge"}, expected_max=m)
 
     def delete(self, cond: Column) -> int:
         """DELETE WHERE ``cond`` — published as a DELETION-VECTOR
@@ -752,36 +752,79 @@ class ManagedTable:
                 % mod,
             }
 
-            # a delete on a CLONE chains from a base OUTSIDE this
-            # table's directory — keep the reference form it arrived in
-            ref = self._base_ref(data_dir)
-            # inherited appended-row dirs (merge-on-read UPDATEs in
-            # the ancestry) stay part of the file universe — the DV
-            # addresses their rows by the same (file, pos) coordinates
-            parent_appends = self._rebase_appends(v)
-            if parent_appends:
-                ref["appends"] = parent_appends
+            wfiles = self._wfiles_of(hit_rows)
+            attempts = 0
+            while True:
+                # a delete on a CLONE chains from a base OUTSIDE this
+                # table's directory — keep the reference form it
+                # arrived in
+                ref = self._base_ref(data_dir)
+                # inherited appended-row dirs (merge-on-read UPDATEs in
+                # the ancestry) stay part of the file universe — the DV
+                # addresses their rows by the same (file, pos)
+                # coordinates
+                parent_appends = self._rebase_appends(v)
+                if parent_appends:
+                    ref["appends"] = parent_appends
 
-            def populate(vdir: str) -> None:
-                new_dv.write.mode("overwrite").parquet(
-                    os.path.join(vdir, "_dv")
-                )
-                with open(os.path.join(vdir, "_dv.json"), "w") as f:
-                    json.dump(ref, f)
-                # superset sidecars stay conservative-correct under DV
-                # (extra hits cost a file read, never a row); copied
-                # INSIDE populate so they publish atomically with the
-                # version — a crash can never strand a published
-                # version without its manifests (code-review r9)
-                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+                def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
+                    new_dv.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_dv")
+                    )
+                    with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                        json.dump(ref, f)
+                    # superset sidecars stay conservative-correct under
+                    # DV (extra hits cost a file read, never a row);
+                    # copied INSIDE populate so they publish atomically
+                    # with the version (code-review r9)
+                    self._inherit_sidecars(
+                        os.path.join(self.path, f"v{v}"), vdir
+                    )
 
-            extra = {"parent": v}
-            if vmap:
-                extra["columns"] = vmap
-            return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra=extra,
-                expected_max=m,
-            )
+                extra = {"parent": v, "op": "dv_delete"}
+                if wfiles is not None:
+                    extra["wfiles"] = wfiles
+                if vmap:
+                    extra["columns"] = vmap
+                try:
+                    return snapshot_commit_ref(
+                        self.path, populate, digest=digest, extra=extra,
+                        expected_max=m,
+                    )
+                except CommitConflict:
+                    # conflict CLASSIFICATION (Delta's logical rules):
+                    # interleaved dv_deletes on DISJOINT files commute —
+                    # absorb them by DV union + digest re-derivation
+                    # instead of re-running the predicate scan
+                    attempts += 1
+                    if attempts > 5 or not self._interleaved_commute_dv(
+                        m, wfiles
+                    ):
+                        raise
+                    m = snapshot_max_commit(self.path)
+                    v = self.version()
+                    data_dir, dv_dir, _ = self._resolve(v)
+                    new_dv = (
+                        self.spark.read.parquet(dv_dir)
+                        .select("_file", "_pos")
+                        .unionByName(hits)
+                        if dv_dir is not None
+                        else hits
+                    )
+                    with open(
+                        os.path.join(self.path, "_commits", f"{v}.json")
+                    ) as f:
+                        cur_rec = json.load(f)
+                    digest = {
+                        "n_rows": cur_rec["n_rows"] - dd["n_rows"],
+                        "xor_hash": (cur_rec["xor_hash"] or 0)
+                        ^ (dd["xor_hash"] or 0),
+                        "sum_hash_mod": (
+                            (cur_rec["sum_hash_mod"] or 0)
+                            - (dd["sum_hash_mod"] or 0)
+                        )
+                        % mod,
+                    }
         finally:
             hit_rows.unpersist()
 
@@ -838,7 +881,7 @@ class ManagedTable:
         # source's column map carries over the same way
         with open(os.path.join(self.path, "_commits", f"{v}.json")) as f:
             parent = json.load(f)
-        extra = {"parent": 0}
+        extra = {"parent": 0, "op": "clone"}
         if parent.get("columns"):
             extra["columns"] = parent["columns"]
         snapshot_commit_ref(
@@ -985,29 +1028,226 @@ class ManagedTable:
                 % mod,
             }
 
+            wfiles = self._wfiles_of(hit_rows)
+            attempts = 0
+            while True:
+                ref = self._base_ref(data_dir)
+                ref["appends"] = self._rebase_appends(v) + ["self"]
+
+                def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
+                    upd_out.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_upd")
+                    )
+                    new_dv.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_dv")
+                    )
+                    with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                        json.dump(ref, f)
+                    self._inherit_sidecars(
+                        os.path.join(self.path, f"v{v}"), vdir
+                    )
+
+                extra = {"parent": v, "op": "dv_update"}
+                if wfiles is not None:
+                    extra["wfiles"] = wfiles
+                if vmap:
+                    extra["columns"] = vmap
+                try:
+                    return snapshot_commit_ref(
+                        self.path, populate, digest=digest, extra=extra,
+                        expected_max=m,
+                    )
+                except CommitConflict:
+                    # an UPDATE absorbs interleaved dv_deletes on
+                    # disjoint files the same way a delete does (its
+                    # own hit positions and images stay valid); any
+                    # other interleave — including another update,
+                    # whose rewritten images this op's predicate never
+                    # scanned — conflicts (Delta's added-file rule)
+                    attempts += 1
+                    if attempts > 5 or not self._interleaved_commute_dv(
+                        m, wfiles
+                    ):
+                        raise
+                    m = snapshot_max_commit(self.path)
+                    v = self.version()
+                    data_dir, dv_dir, _ = self._resolve(v)
+                    new_dv = (
+                        self.spark.read.parquet(dv_dir)
+                        .select("_file", "_pos")
+                        .unionByName(hits)
+                        if dv_dir is not None
+                        else hits
+                    )
+                    with open(
+                        os.path.join(self.path, "_commits", f"{v}.json")
+                    ) as f:
+                        cur_rec = json.load(f)
+                    digest = {
+                        "n_rows": cur_rec["n_rows"],
+                        "xor_hash": (cur_rec["xor_hash"] or 0)
+                        ^ (old_d["xor_hash"] or 0)
+                        ^ (new_d["xor_hash"] or 0),
+                        "sum_hash_mod": (
+                            (cur_rec["sum_hash_mod"] or 0)
+                            - (old_d["sum_hash_mod"] or 0)
+                            + (new_d["sum_hash_mod"] or 0)
+                        )
+                        % mod,
+                    }
+        finally:
+            hit_rows.unpersist()
+
+    # -- conflict classification (Delta's logical-conflict rules) -----------
+
+    def _walk_range(self, frm: int, to_excl: int) -> dict[int, dict] | None:
+        """Records on the published parent chain from ``frm`` down to
+        (exclusive) ``to_excl`` — or None when the chain can't be
+        proven to cover exactly the allocated records in that range:
+        a record in the range that is NOT on the chain is either an
+        in-flight winner (its pointer flip hasn't landed yet) or an
+        orphan, and neither can be classified safely."""
+        cdir = os.path.join(self.path, "_commits")
+        out: dict[int, dict] = {}
+        cur = frm
+        while cur > to_excl:
+            p = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(p):
+                return None
+            with open(p) as f:
+                rec = json.load(f)
+            out[cur] = rec
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                return None
+            cur = nxt
+        if cur != to_excl or set(out) != set(range(to_excl + 1, frm + 1)):
+            return None
+        return out
+
+    def _interleaved_commute_dv(
+        self, expected_max: int, my_files: list[str] | None
+    ) -> bool:
+        """True iff every commit that landed after ``expected_max`` is
+        a PUBLISHED dv_delete whose write-set files are disjoint from
+        this op's — the one interleaving a DV op can absorb by pure DV
+        union (the winner removed rows in files this op never touched,
+        so this op's hit positions, digest arithmetic, and file
+        universe are all still valid). Updates do NOT commute even on
+        disjoint files: their rewritten images are NEW rows this op's
+        predicate never scanned (Delta's added-file conflict rule)."""
+        if my_files is None:
+            return False
+        walked = self._walk_range(self.version(), expected_max)
+        if walked is None or not walked:
+            return False
+        mine = set(my_files)
+        for rec in walked.values():
+            wf = rec.get("wfiles")
+            if rec.get("op") != "dv_delete" or wf is None or set(wf) & mine:
+                return False
+        return True
+
+    def _wfiles_of(self, hit_rows: DataFrame) -> list[str] | None:
+        """The op's write set as table-relative file names — bounded
+        driver state for the conflict classifier. None (= conflicts
+        with everything, the conservative default) when the op touched
+        more files than the cap: a wide op should conflict, not ship
+        an unbounded list through every later classification."""
+        rows = hit_rows.select("_file").distinct().limit(257).collect()
+        if len(rows) > 256:
+            return None
+        prefix = os.path.abspath(self.path) + os.sep
+        return sorted(
+            f[len(prefix):] if f.startswith(prefix) else f
+            for f in (r["_file"] for r in rows)
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Blind APPEND, published as a reference commit: the new
+        version is parent ∪ batch — the batch lands in the version's
+        own ``_upd`` dir, the parent's DV and appends carry through,
+        and not one existing byte is rewritten (cost O(batch); this is
+        how a 100 TB table ingests a 1 GB batch). The commit digest is
+        DERIVED (parent record + batch digest — group-op addition).
+
+        Appends COMMUTE with any interleaved PUBLISHED commit that
+        keeps the column map (another append, a DV delete/update, a
+        merge, an OPTIMIZE): the batch's rows are new, so a conflict
+        only changes which version the append chains from. The rebase
+        re-reads the head's reference and re-derives the digest —
+        no retry of user logic, no second batch write. A column-map
+        change in the interleave still conflicts (the batch was shaped
+        against the old logical schema). Returns the new version."""
+        m = snapshot_max_commit(self.path)
+        if self.constraints:
+            self._check_rows(df, self.constraints)
+        v = self.version()
+        vmap = self._version_map(v)
+        logical_cols = (
+            [l for l, _ in vmap]
+            if vmap
+            else self.spark.read.parquet(self._resolve(v)[0]).columns
+        )
+        batch = df.select(*logical_cols)
+        bd = dataset_fingerprint(batch).collect()[0].asDict()
+        phys_batch = self._to_physical(batch, vmap)
+        mod = 1152921504606846976
+        attempts = 0
+        while True:
+            data_dir, dv_dir, _ = self._resolve(v)
+            if dv_dir is not None:
+                seed_dv = self.spark.read.parquet(dv_dir).select(
+                    "_file", "_pos"
+                )
+            else:
+                seed_dv = self.spark.createDataFrame(
+                    [], "_file string, _pos long"
+                )
             ref = self._base_ref(data_dir)
             ref["appends"] = self._rebase_appends(v) + ["self"]
+            with open(
+                os.path.join(self.path, "_commits", f"{v}.json")
+            ) as f:
+                parent = json.load(f)
+            digest = {
+                "n_rows": parent["n_rows"] + bd["n_rows"],
+                "xor_hash": (parent["xor_hash"] or 0) ^ (bd["xor_hash"] or 0),
+                "sum_hash_mod": (
+                    (parent["sum_hash_mod"] or 0) + (bd["sum_hash_mod"] or 0)
+                )
+                % mod,
+            }
+            extra: dict = {"parent": v, "op": "append", "wfiles": []}
+            if vmap:
+                extra["columns"] = vmap
 
             def populate(vdir: str) -> None:
-                upd_out.write.mode("overwrite").parquet(
+                phys_batch.write.mode("overwrite").parquet(
                     os.path.join(vdir, "_upd")
                 )
-                new_dv.write.mode("overwrite").parquet(
+                seed_dv.write.mode("overwrite").parquet(
                     os.path.join(vdir, "_dv")
                 )
                 with open(os.path.join(vdir, "_dv.json"), "w") as f:
                     json.dump(ref, f)
                 self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
 
-            extra = {"parent": v}
-            if vmap:
-                extra["columns"] = vmap
-            return snapshot_commit_ref(
-                self.path, populate, digest=digest, extra=extra,
-                expected_max=m,
-            )
-        finally:
-            hit_rows.unpersist()
+            try:
+                return snapshot_commit_ref(
+                    self.path, populate, digest=digest, extra=extra,
+                    expected_max=m,
+                )
+            except CommitConflict:
+                attempts += 1
+                new_m = snapshot_max_commit(self.path)  # max BEFORE state
+                new_v = self.version()
+                walked = self._walk_range(new_v, m)
+                new_map = self._version_map(new_v)
+                same_map = (new_map or None) == (vmap or None)
+                if walked is None or not same_map or attempts > 5:
+                    raise
+                m, v = new_m, new_v
 
     def restore(self, version: int) -> int:
         """RESTORE VERSION AS OF — publish a NEW version whose logical
@@ -1046,7 +1286,7 @@ class ManagedTable:
             os.path.join(self.path, "_commits", f"{version}.json")
         ) as f:
             old = json.load(f)
-        extra = {"parent": cur, "restored_from": version}
+        extra = {"parent": cur, "op": "restore", "restored_from": version}
         if old.get("columns"):
             # a restore is content AND schema: the restored version's
             # column map comes back with its rows
@@ -1090,7 +1330,9 @@ class ManagedTable:
             *cur.columns
         )
         return self._commit(
-            kept.unionByName(df.select(*cur.columns)), expected_max=m
+            kept.unionByName(df.select(*cur.columns)),
+            extra={"op": "overwrite"},
+            expected_max=m,
         )
 
     def optimize(
@@ -1246,7 +1488,7 @@ class ManagedTable:
                         os.path.join(scratch, fn), os.path.join(vdir, fn)
                     )
 
-            extra = {"parent": v}
+            extra = {"parent": v, "op": "optimize"}
             if vmap:
                 extra["columns"] = vmap
             return snapshot_commit_ref(

@@ -61,6 +61,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         return f"id long, part long, {cur} long"
 
     next_id = 100
+    clones: list[tuple] = []  # (handle, expected model, value-col name)
     for step in range(14):
         op = rng.choice(
             [
@@ -68,6 +69,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "merge_nmbs",
                 "delete",
                 "update",
+                "append",
+                "clone",
                 "restore",
                 "rename",
                 "overwrite",
@@ -147,6 +150,30 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 if k % m == r:
                     model[k] = (model[k][0], model[k][1] + d)
             publish(v)
+        elif op == "append":
+            rows = [
+                (next_id + i, (next_id + i) % 4, rng.randint(0, 99))
+                for i in range(rng.randint(1, 3))
+            ]
+            next_id += len(rows)
+            log.append(f"append rows={rows}")
+            v = t.append(spark.createDataFrame(rows, schema()))
+            for k, pp, vv in rows:
+                model[k] = (pp, vv)
+            publish(v)
+        elif op == "clone":
+            cpath = str(tmp_path / f"c{seed}_{step}")
+            log.append(f"clone -> c{seed}_{step} + delete id%2==0 on it")
+            c = t.clone(cpath)
+            # isolation both ways: the clone starts as the source's
+            # current state, a delete on it never touches the source
+            assert {
+                r["id"]: (r["part"], r[cur]) for r in c.read().collect()
+            } == model, f"clone diverged at birth\nops:\n" + "\n".join(log)
+            c.delete(F.col("id") % 2 == 0)
+            clones.append(
+                (c, {k: s for k, s in model.items() if k % 2 != 0}, cur)
+            )
         elif op == "restore":
             live = [v for v, s in states.items() if s is not None]
             tgt = rng.choice(live)
@@ -217,3 +244,18 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             assert got == mdl, (
                 f"time travel v{v} diverged\nops:\n" + "\n".join(log)
             )
+
+    # every clone either still serves exactly its recorded state or —
+    # when a later SOURCE vacuum removed a base its zero-copy DV
+    # references — fails LOUDLY (Delta's shallow-clone hazard; a wrong
+    # or partial read here is the bug this arm exists to catch)
+    for c, snap, vname in clones:
+        try:
+            got = {
+                r["id"]: (r["part"], r[vname]) for r in c.read().collect()
+            }
+        except ValueError:
+            continue  # loud refusal — legal after source vacuum
+        assert got == snap, (
+            f"clone diverged\nops:\n" + "\n".join(log)
+        )

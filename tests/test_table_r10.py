@@ -339,3 +339,225 @@ def test_lineage_checkpoint_equals_full_walk(spark, base, tmp_path, monkeypatch)
         t2._commit(t2.read(), extra={"ts": ts + 100})
     assert any(f.startswith("_ckpt_") for f in os.listdir(str(kdir)))
     assert t2.as_of(probe).count() == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 verdict #3: OCC conflict classification — disjoint DV writers
+# commute; blind appends rebase instead of conflicting.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def bucketed(spark, tmp_path):
+    """A table whose files align with buckets (range-clustered), so
+    per-bucket DML write sets are file-disjoint."""
+    df = spark.createDataFrame(
+        [(i, float(i), i % 4) for i in range(1, 81)],
+        "id long, value double, bucket long",
+    ).repartitionByRange(4, "bucket")
+    return ManagedTable.create(df, str(tmp_path / "t"), key="id")
+
+
+def test_disjoint_dv_deletes_both_succeed_without_retry(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    """Two writers deleting from DISJOINT files both commit — the
+    loser classifies the interleaved commit as a commuting dv_delete
+    and absorbs it by DV union + digest re-derivation, with NO
+    CommitConflict surfacing and NO re-run of its predicate scan."""
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.delete(F.col("bucket") == 3)  # the competing writer
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked))
+    v = t.delete(F.col("bucket") == 0)  # raw op — no transact retry
+    assert fired["done"]
+    got = {r["bucket"] for r in t.read(version=v).collect()}
+    assert got == {1, 2}  # BOTH deletes applied
+    # the derived digest is exact for the union result
+    rec = json.load(open(os.path.join(t.path, "_commits", f"{v}.json")))
+    d = dataset_fingerprint(t.read(version=v)).collect()[0].asDict()
+    assert (d["n_rows"], d["xor_hash"], d["sum_hash_mod"]) == (
+        rec["n_rows"],
+        rec["xor_hash"],
+        rec["sum_hash_mod"],
+    )
+    # and the records carry the classification metadata
+    assert rec["op"] == "dv_delete" and rec["wfiles"]
+
+
+def test_same_file_dv_deletes_still_conflict(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    """Write sets touching the SAME file must conflict (file-level
+    granularity, Delta's rule) — the union shortcut is refused and the
+    conflict surfaces for transact's semantic retry."""
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.delete(F.col("id") == 2)  # bucket 2 % 4... id=2 -> bucket 2
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked))
+    with pytest.raises(CommitConflict):
+        t.delete(F.col("id") == 6)  # id=6 -> bucket 2: same file
+    # transact-level retry still converges to both effects
+    got = {r["id"] for r in t.read().collect()}
+    assert 2 not in got and 6 in got
+
+
+def test_update_absorbs_disjoint_delete_but_not_update(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.delete(F.col("bucket") == 3)
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked))
+    v = t.update(F.col("bucket") == 0, {"value": F.lit(-1.0)})
+    got = {r["bucket"]: r for r in t.read(version=v).collect()}
+    assert 3 not in {r["bucket"] for r in t.read(version=v).collect()}
+    assert all(
+        r["value"] == -1.0
+        for r in t.read(version=v).collect()
+        if r["bucket"] == 0
+    )
+
+    # interleaved UPDATE does not commute even on disjoint files: its
+    # rewritten images are rows this op's predicate never scanned
+    fired2 = {"done": False}
+
+    def hooked2(src_vdir, dst_vdir):
+        if not fired2["done"]:
+            fired2["done"] = True
+            t2.update(F.col("bucket") == 3, {"value": F.lit(9.0)})
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked2))
+    with pytest.raises(CommitConflict):
+        t.update(F.col("bucket") == 1, {"value": F.lit(-2.0)})
+
+
+def test_append_is_o_batch_and_digest_exact(spark, base, tmp_path):
+    """Blind append publishes a reference commit: base files untouched,
+    batch lands in the version's own _upd dir, derived digest exact;
+    later DML and OPTIMIZE fold over the appended universe."""
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    v1_files = sorted(os.listdir(str(tmp_path / "t" / "v1")))
+    v = t.append(
+        spark.createDataFrame(
+            [(100, 1.0, 0), (101, 2.0, 1)], "id long, value double, bucket long"
+        )
+    )
+    assert sorted(os.listdir(str(tmp_path / "t" / "v1"))) == v1_files
+    assert os.path.isdir(str(tmp_path / "t" / f"v{v}" / "_upd"))
+    got = {r["id"] for r in t.read().collect()}
+    assert {100, 101} <= got and len(got) == 42
+    rec = json.load(open(os.path.join(t.path, "_commits", f"{v}.json")))
+    d = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert (d["n_rows"], d["xor_hash"], d["sum_hash_mod"]) == (
+        rec["n_rows"],
+        rec["xor_hash"],
+        rec["sum_hash_mod"],
+    )
+    # appended rows are first-class: delete one, optimize folds
+    t.delete(F.col("id") == 100)
+    assert 100 not in {r["id"] for r in t.read().collect()}
+    t.optimize()
+    assert 101 in {r["id"] for r in t.read().collect()}
+
+
+def test_append_constraints_probe_batch_only(spark, base, tmp_path):
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t.add_constraint("val_pos", "value > 0")
+    with pytest.raises(ValueError, match="val_pos"):
+        t.append(
+            spark.createDataFrame(
+                [(100, -1.0, 0)], "id long, value double, bucket long"
+            )
+        )
+    assert t.version() == 1  # refused, table unchanged
+
+
+def test_append_commutes_with_interleaved_merge(
+    spark, base, tmp_path, monkeypatch
+):
+    """A blind append rebases over ANY published interleave that keeps
+    the column map — here a full MERGE commit — without a conflict
+    surfacing and without re-writing its batch through user logic."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.merge(
+                spark.createDataFrame(
+                    [(1, 111.0, 0)], "id long, value double, bucket long"
+                )
+            )
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked))
+    v = t.append(
+        spark.createDataFrame(
+            [(200, 5.0, 2)], "id long, value double, bucket long"
+        )
+    )
+    assert fired["done"]
+    got = {r["id"]: r["value"] for r in t.read(version=v).collect()}
+    assert got[1] == 111.0 and got[200] == 5.0  # both effects
+
+
+def test_append_conflicts_on_interleaved_column_map_change(
+    spark, base, tmp_path, monkeypatch
+):
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.rename_column("value", "speed")
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(ManagedTable, "_inherit_sidecars", staticmethod(hooked))
+    with pytest.raises(CommitConflict):
+        t.append(
+            spark.createDataFrame(
+                [(200, 5.0, 2)], "id long, value double, bucket long"
+            )
+        )

@@ -1083,6 +1083,174 @@ GROUP BY k"""
     return ("variant_explode", spark_sql, duck_sql)
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions (verdict #8): imperative DML on table copies —
+# ManagedTable MERGE / UPDATE / DELETE vs DuckDB's native DML
+# statements run against a materialized copy of the same slice. The
+# one engine surface the SELECT-only families can't generate: the
+# mutation path itself (DV positions, merge arms, append dirs) diffed
+# against an independent imperative engine. DuckDB 1.0 has no MERGE
+# statement, so the merge shape's oracle uses the textbook
+# decomposition (matched-DELETE → matched-UPDATE → INSERT-unmatched →
+# NMBS-DELETE → NMBS-UPDATE, against an original-keys snapshot) with
+# NATIVE DELETE/UPDATE/INSERT statements — arm precedence matches
+# upsert.merge_into's documented delete-wins order.
+# ---------------------------------------------------------------------------
+
+DML_TABLES = {
+    "customer": ("c_custkey", "c_nationkey", "c_acctbal"),
+    "orders": ("o_orderkey", "o_custkey", "o_totalprice"),
+    "part": ("p_partkey", "p_size", "p_retailprice"),
+}
+
+
+def shape_dml_update_delete(rng, pools):
+    t = rng.choice(list(DML_TABLES))
+    key, icol, dbl = DML_TABLES[t]
+    sm = rng.choice([2, 3])
+    sr = rng.randrange(sm)
+    ops = []
+    for _ in range(rng.randint(2, 4)):
+        pcol = rng.choice([key, icol])
+        m = rng.randint(2, 7)
+        r = rng.randrange(m)
+        if rng.random() < 0.55:
+            ops.append(("update", pcol, m, r, rng.randint(1, 99)))
+        else:
+            ops.append(("delete", pcol, m, r))
+    return (
+        "dml_update_delete",
+        {"t": t, "key": key, "icol": icol, "dbl": dbl,
+         "sm": sm, "sr": sr, "ops": ops},
+    )
+
+
+def shape_dml_merge(rng, pools):
+    t = rng.choice(list(DML_TABLES))
+    key, icol, dbl = DML_TABLES[t]
+    sm = rng.choice([2, 3])
+    sr = rng.randrange(sm)
+    # source: a shifted overlap slice — some keys match, some don't
+    src_m = rng.choice([3, 4, 5])
+    src_r = rng.randrange(src_m)
+    shift = rng.randint(1, 999)
+    dcond = None
+    if rng.random() < 0.6:
+        dm = rng.randint(2, 5)
+        dcond = (dm, rng.randrange(dm))  # WHEN MATCHED AND src.vmic%dm=dr DELETE
+    nmbs = rng.choice(["none", "delete", "update"])
+    nm = rng.randint(2, 5)
+    nr = rng.randrange(nm)
+    return (
+        "dml_merge",
+        {"t": t, "key": key, "icol": icol, "dbl": dbl, "sm": sm, "sr": sr,
+         "src_m": src_m, "src_r": src_r, "shift": shift, "dcond": dcond,
+         "insert": rng.random() < 0.8, "nmbs": nmbs, "nm": nm, "nr": nr},
+    )
+
+
+def run_dml_case(spark, con, shape: str, spec: dict):
+    """Execute one DML case both ways; returns (spark_df, duck_df,
+    sql_text) as pandas frames of the FINAL table state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.operators.table import ManagedTable
+
+    t, key, icol, dbl = spec["t"], spec["key"], spec["icol"], spec["dbl"]
+    sel = (
+        f"SELECT {key}, {icol}, CAST(floor({dbl} * 100) AS BIGINT) AS vmic "
+        f"FROM {t} WHERE {key} % {spec['sm']} = {spec['sr']}"
+    )
+    stmts = [f"CREATE OR REPLACE TABLE dml_tgt AS {sel}"]
+    root = tempfile.mkdtemp(prefix="fuzz_dml_")
+    try:
+        mt = ManagedTable.create(spark.sql(sel), f"{root}/t", key=key)
+        if shape == "dml_update_delete":
+            for op in spec["ops"]:
+                if op[0] == "update":
+                    _, pcol, m, r, d = op
+                    mt.update(
+                        F.col(pcol) % m == r, {"vmic": F.col("vmic") + d}
+                    )
+                    stmts.append(
+                        f"UPDATE dml_tgt SET vmic = vmic + {d} "
+                        f"WHERE {pcol} % {m} = {r}"
+                    )
+                else:
+                    _, pcol, m, r = op
+                    mt.delete(F.col(pcol) % m == r)
+                    stmts.append(
+                        f"DELETE FROM dml_tgt WHERE {pcol} % {m} = {r}"
+                    )
+        else:  # dml_merge
+            src_sel = (
+                f"SELECT {key}, {icol}, "
+                f"CAST(floor({dbl} * 100) AS BIGINT) + {spec['shift']} AS vmic "
+                f"FROM {t} WHERE {key} % {spec['src_m']} = {spec['src_r']}"
+            )
+            kwargs = {"insert_unmatched": spec["insert"]}
+            if spec["dcond"]:
+                dm, dr = spec["dcond"]
+                kwargs["delete_cond"] = F.col("_s_vmic") % dm == dr
+            if spec["nmbs"] == "delete":
+                kwargs["not_matched_by_source_delete_cond"] = (
+                    F.col(icol) % spec["nm"] == spec["nr"]
+                )
+            elif spec["nmbs"] == "update":
+                kwargs["not_matched_by_source_update"] = {
+                    "vmic": F.lit(-77).cast("long")
+                }
+                kwargs["not_matched_by_source_update_cond"] = (
+                    F.col(icol) % spec["nm"] == spec["nr"]
+                )
+            mt.merge(spark.sql(src_sel), **kwargs)
+
+            stmts.append(f"CREATE OR REPLACE TABLE m_src AS {src_sel}")
+            stmts.append(
+                "CREATE OR REPLACE TABLE m_orig AS "
+                f"SELECT {key} FROM dml_tgt"
+            )
+            if spec["dcond"]:
+                dm, dr = spec["dcond"]
+                stmts.append(
+                    f"DELETE FROM dml_tgt WHERE {key} IN "
+                    f"(SELECT {key} FROM m_src WHERE vmic % {dm} = {dr})"
+                )
+            stmts.append(
+                f"UPDATE dml_tgt SET {icol} = s.{icol}, vmic = s.vmic "
+                f"FROM m_src s WHERE dml_tgt.{key} = s.{key}"
+            )
+            if spec["insert"]:
+                stmts.append(
+                    f"INSERT INTO dml_tgt SELECT * FROM m_src "
+                    f"WHERE {key} NOT IN (SELECT {key} FROM m_orig)"
+                )
+            if spec["nmbs"] == "delete":
+                stmts.append(
+                    f"DELETE FROM dml_tgt WHERE {key} NOT IN "
+                    f"(SELECT {key} FROM m_src) "
+                    f"AND {icol} % {spec['nm']} = {spec['nr']}"
+                )
+            elif spec["nmbs"] == "update":
+                stmts.append(
+                    f"UPDATE dml_tgt SET vmic = -77 WHERE {key} NOT IN "
+                    f"(SELECT {key} FROM m_src) "
+                    f"AND {icol} % {spec['nm']} = {spec['nr']}"
+                )
+        for st in stmts:
+            con.execute(st)
+        d_df = con.execute(
+            f"SELECT * FROM dml_tgt ORDER BY {key}"
+        ).df()
+        s_df = mt.read().orderBy(key).toPandas()
+        return s_df, d_df, ";\n".join(stmts)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 SHAPES = [
     (shape_filter_project, 5),
     (shape_group_agg, 6),
@@ -1113,6 +1281,9 @@ SHAPES = [
     (shape_session_window, 2),
     (shape_udtf_table_ewma, 2),
     (shape_variant_explode, 2),
+    # round-10 additions (verdict #8): imperative DML on table copies
+    (shape_dml_update_delete, 2),
+    (shape_dml_merge, 2),
 ]
 
 
@@ -1247,11 +1418,28 @@ def main() -> int:
     for i in range(n_queries):
         rng = random.Random(f"{seed}:{i}")
         spec = gen_query(rng, pools)
-        shape, s_sql = spec[0], spec[1]
-        d_sql = spec[2] if len(spec) > 2 else spec[1]
-        sql = s_sql if s_sql == d_sql else f"-- spark:\n{s_sql}\n-- duckdb:\n{d_sql}"
+        shape = spec[0]
         counts[shape] = counts.get(shape, 0) + 1
         tag = f"[{i:03d} {shape}]"
+        if shape.startswith("dml_"):
+            try:
+                s_df, d_df, sql = run_dml_case(spark, con, shape, spec[1])
+            except Exception as e:  # noqa: BLE001 — a DML crash IS a finding
+                failures.append({"i": i, "shape": shape, "spec": repr(spec[1]),
+                                 "err": f"{type(e).__name__}: {e}"})
+                print(f"FAIL {tag} error: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                continue
+            diff = compare(s_df, d_df)
+            if diff:
+                failures.append({"i": i, "shape": shape, "sql": sql, "err": diff})
+                print(f"FAIL {tag} {diff}\n  SQL: {sql}", flush=True)
+            elif i % 40 == 0:
+                print(f"ok   {tag} {len(d_df)} rows", flush=True)
+            continue
+        s_sql = spec[1]
+        d_sql = spec[2] if len(spec) > 2 else spec[1]
+        sql = s_sql if s_sql == d_sql else f"-- spark:\n{s_sql}\n-- duckdb:\n{d_sql}"
         try:
             d_df = con.execute(d_sql).df()
             if len(d_df) > MAX_ROWS:

@@ -1530,6 +1530,113 @@ class ManagedTable:
             [self._to_log_name(k, vmap) for k in self.key],
         )
 
+    def changes_signed(
+        self, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Signed row deltas between two published versions — the
+        retraction-arithmetic feed an aggregate-maintaining CDF
+        consumer folds in: retracted rows carry ``sign`` −1, added
+        rows +1 (an UPDATE contributes one of each; intermediate
+        births-and-deaths inside the window cancel by construction).
+
+        When every commit in the range is a DV op or append (the op
+        tags the classifier records), the delta is read from the
+        PHYSICAL change files: retracted = positions in DV(to) −
+        DV(from), fetched from ONLY the files those positions name;
+        added = the window's ``_upd`` rows still alive at ``to``.
+        Cost ∝ change volume — never a table scan, the property that
+        makes tailing a 100 TB table's commits viable. A copy commit
+        (merge/overwrite/optimize/restore) in the range falls back to
+        the proven full snapshot diff (upsert.snapshot_cdf), which is
+        what such a commit semantically is."""
+        from .upsert import snapshot_cdf
+
+        walked = self._walk_range(to_version, from_version)
+        chain_ok = walked is not None and all(
+            rec.get("op") in ("dv_delete", "dv_update", "append")
+            for rec in walked.values()
+        )
+        vmap = self._version_map(to_version)
+        if not chain_ok:
+            # semantic fallback: full-outer diff → signed rows
+            cdf = snapshot_cdf(
+                self.read(version=from_version),
+                self.read(version=to_version),
+                [self._to_log_name(k, vmap) for k in self.key],
+            )
+            cols = [
+                c for c in cdf.columns if c != "_change_type"
+            ]
+            return cdf.select(
+                *cols,
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .alias("sign"),
+            )
+
+        base_dir, dv_from, appends_from = self._resolve(from_version)
+        _, dv_to, appends_to = self._resolve(to_version)
+        empty_dv = self.spark.createDataFrame([], "_file string, _pos long")
+        dvf = (
+            self._rebase_dv(
+                self.spark.read.parquet(dv_from).select("_file", "_pos")
+            )
+            if dv_from is not None
+            else empty_dv
+        )
+        dvt = (
+            self._rebase_dv(
+                self.spark.read.parquet(dv_to).select("_file", "_pos")
+            )
+            if dv_to is not None
+            else empty_dv
+        )
+        dead = dvt.join(dvf, ["_file", "_pos"], "left_anti")
+        # retracted positions inside the FROM universe (positions in
+        # window-born _upd files never existed at `from` — they are
+        # intra-window births that died, net zero). Read ONLY the
+        # files the dead positions name.
+        from_universe = {
+            os.path.abspath(d) for d in (*appends_from, base_dir)
+        }
+        dead_files = sorted(
+            f
+            for (f,) in dead.select("_file").distinct().collect()
+            if os.path.dirname(f) in from_universe
+        )
+        phys_cols = self.spark.read.parquet(base_dir).columns
+        logical = (
+            [F.col(p).alias(l) for l, p in vmap]
+            if vmap
+            else [F.col(c) for c in phys_cols]
+        )
+        if dead_files:
+            pre = (
+                self._tagged(self.spark.read.parquet(*dead_files))
+                .join(dead, ["_file", "_pos"], "inner")
+                .select(*logical, F.lit(-1).alias("sign"))
+            )
+        else:
+            pre = (
+                self.spark.read.parquet(base_dir)
+                .filter(F.lit(False))
+                .select(*logical, F.lit(-1).alias("sign"))
+            )
+        window_upds = [
+            d for d in appends_to if os.path.abspath(d) not in from_universe
+        ]
+        if window_upds:
+            post = (
+                self._tagged(self.spark.read.parquet(*window_upds))
+                .join(dvt, ["_file", "_pos"], "left_anti")
+                .select(*logical, F.lit(1).alias("sign"))
+            )
+            return pre.unionByName(post)
+        return pre
+
     # -- reads through the skipping layer ----------------------------------
 
     def scan(self, col: str, lo, hi) -> tuple[DataFrame, int, int]:

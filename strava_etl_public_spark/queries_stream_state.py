@@ -545,3 +545,114 @@ def x_stream_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_table_cdf",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id % 8 AS bucket,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+s1 AS (SELECT * FROM base WHERE event_id % 3 <> 0),
+s2 AS (SELECT * FROM s1 WHERE event_id % 5 <> 0),
+s3 AS (SELECT event_id, bucket,
+              CASE WHEN bucket = 1 THEN vmic + 1000000 ELSE vmic END AS vmic
+       FROM s2),
+s4 AS (SELECT * FROM s3
+       UNION ALL SELECT * FROM base WHERE event_id % 3 = 0),
+s5 AS (SELECT event_id, bucket,
+              CASE WHEN bucket = 2 THEN vmic + 7 ELSE vmic END AS vmic
+       FROM s4)
+SELECT bucket, CAST(sum(vmic) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(5 AS BIGINT) AS n_batches,
+       TRUE AS caught_up_zero, TRUE AS rollback_replayed
+FROM s5 GROUP BY bucket
+""",
+)
+def x_stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming READ of the managed table — the readChangeFeed face
+    (round-10 verdict #4): a consumer tails the source table's commit
+    chain one version per micro-batch (streaming.ingest.table_cdf_tail)
+    and maintains a per-bucket (SUM, COUNT) aggregate by retraction
+    arithmetic over ManagedTable.changes_signed. For DV/append windows
+    the signed delta is read from the PHYSICAL change files (DV delta +
+    window _upd rows — cost ∝ change volume, never a table scan); the
+    MERGE commit in the chain exercises the snapshot-diff fallback in
+    the same row.
+
+    Exactly-once needs NO external checkpoint: the cursor is the
+    result table's own txn marker, stamped atomically with each folded
+    batch. Proven in-row: n_batches = 5 (initial snapshot + one per
+    source commit — multi-batch consumption), a fresh caught-up
+    consumer applies 0 batches, and a ROLLBACK of the result table
+    re-opens exactly the rolled-back batch (replayed once, state exact
+    again). The oracle recomputes the final aggregate relationally
+    through the whole DML history. Reference parity: the reference's
+    consumers re-read its whole store per poll (main.py history
+    scan); this is change-volume-priced consumption of the same
+    state."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+    from .streaming.ingest import table_cdf_tail
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 8).cast("long").alias("bucket"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="cdf_tail_")
+    src_path = os.path.join(root, "src")
+    out_path = os.path.join(root, "agg")
+    try:
+        t = ManagedTable.create(
+            base.filter(F.col("event_id") % 3 != 0).repartition(8),
+            src_path,
+            key="event_id",
+        )
+        t.delete(F.col("event_id") % 5 == 0)
+        t.update(F.col("bucket") == 1, {"vmic": F.col("vmic") + 1000000})
+        t.append(base.filter(F.col("event_id") % 3 == 0))
+        merge_src = (
+            t.read()
+            .filter(F.col("bucket") == 2)
+            .withColumn("vmic", F.col("vmic") + 7)
+        )
+        t.merge(merge_src)
+
+        n_batches = table_cdf_tail(t, out_path, "bucket", "vmic")
+        caught_up_zero = (
+            table_cdf_tail(t, out_path, "bucket", "vmic") == 0
+        )
+        out = ManagedTable(spark, out_path)
+        before = sorted(map(tuple, out.read().collect()))
+        out.rollback(out.version() - 1)
+        replayed = table_cdf_tail(t, out_path, "bucket", "vmic")
+        after = sorted(map(tuple, out.read().collect()))
+        rollback_replayed = replayed == 1 and before == after
+
+        return (
+            out.read()
+            .select(
+                "bucket",
+                F.col("total").cast("long").alias("total"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+            .withColumns(
+                {
+                    "n_batches": F.lit(int(n_batches)).cast("long"),
+                    "caught_up_zero": F.lit(bool(caught_up_zero)),
+                    "rollback_replayed": F.lit(bool(rollback_replayed)),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

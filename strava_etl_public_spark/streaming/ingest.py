@@ -968,3 +968,92 @@ def read_bm25_index(spark: SparkSession, state_path: str):
         f"{state_path}/doclen"
     )
     return tc, dl
+
+
+def table_cdf_tail(
+    src,
+    out_path: str,
+    group_col: str,
+    val_col: str,
+    max_versions_per_batch: int = 1,
+) -> int:
+    """Tail a ManagedTable's commit chain incrementally — the
+    readChangeFeed face of the table contract (round-10 verdict #4):
+    maintain a per-``group_col`` (SUM(val), COUNT) aggregate at
+    ``out_path`` from the SOURCE table's commits, consuming at most
+    ``max_versions_per_batch`` source versions per micro-batch and
+    returning how many batches this call processed (0 = caught up).
+
+    Exactly-once WITHOUT any external checkpoint: the consumer's
+    cursor IS the result table's txn marker (the consumed source
+    version, stamped atomically into each result commit — the
+    table_merge_sink pattern pointed the other way). Losing every
+    piece of consumer state except the result table itself loses
+    nothing: a fresh process reads ``last_txn`` and resumes; a
+    rollback of the result table re-opens exactly the rolled-back
+    batches for replay.
+
+    Each batch folds ManagedTable.changes_signed — retraction
+    arithmetic whose input is O(change volume) when the source window
+    is DV ops/appends (the physical change files), falling back to the
+    snapshot diff across copy commits. Groups whose row count reaches
+    zero are dropped (exact retraction, not tombstones)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.table import ManagedTable
+
+    spark = src.spark
+    cur = src.version()
+    n_batches = 0
+    if not os.path.isfile(os.path.join(out_path, "_table.json")):
+        # initial snapshot batch: the aggregate of the EARLIEST
+        # consumable version, marked as consumed-through that version
+        os.makedirs(out_path, exist_ok=True)
+        with open(os.path.join(out_path, "_table.json"), "x") as f:
+            _json.dump({"key": [group_col], "stat_cols": []}, f)
+        out = ManagedTable(spark, out_path)
+        init = (
+            src.read(version=1)
+            .groupBy(group_col)
+            .agg(
+                F.sum(F.col(val_col)).cast("long").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+        out._commit(init, extra={"txn": 1, "op": "cdf_consume"})
+        n_batches += 1
+    out = ManagedTable(spark, out_path)
+    last = out.last_txn()
+    while last < cur:
+        to = min(last + max_versions_per_batch, cur)
+        delta = (
+            src.changes_signed(last, to)
+            .groupBy(group_col)
+            .agg(
+                F.sum(F.col(val_col) * F.col("sign")).cast("long").alias("_dt"),
+                F.sum(F.col("sign")).cast("long").alias("_dn"),
+            )
+        )
+        state = out.read()
+        folded = (
+            state.join(delta, group_col, "full_outer")
+            .select(
+                F.col(group_col),
+                (
+                    F.coalesce(F.col("total"), F.lit(0))
+                    + F.coalesce(F.col("_dt"), F.lit(0))
+                ).alias("total"),
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("n_rows"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        out._commit(folded, extra={"txn": to, "op": "cdf_consume"})
+        last = to
+        n_batches += 1
+    return n_batches

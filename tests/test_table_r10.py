@@ -561,3 +561,110 @@ def test_append_conflicts_on_interleaved_column_map_change(
                 [(200, 5.0, 2)], "id long, value double, bucket long"
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 verdict #4: streaming CDF tail of the managed table.
+# ---------------------------------------------------------------------------
+
+
+def test_changes_signed_fast_path_matches_snapshot_diff(spark, base, tmp_path):
+    """The physical change-file fast path (DV delta + window _upd)
+    must produce exactly the snapshot diff's signed multiset across a
+    delete + update + append window — and intermediate births that die
+    inside the window must cancel."""
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    v1 = t.version()
+    t.delete(F.col("id") <= 5)
+    t.update(F.col("id") == 10, {"value": F.lit(999.0)})
+    t.append(
+        spark.createDataFrame(
+            [(200, 5.0, 2), (201, 6.0, 3)], "id long, value double, bucket long"
+        )
+    )
+    t.delete(F.col("id") == 200)  # window-born row dies in-window
+    v_end = t.version()
+    fast = t.changes_signed(v1, v_end)
+
+    # force the fallback by walking through a copy commit marker:
+    # recompute the same window via the snapshot-diff path directly
+    from strava_etl_public_spark.operators.upsert import snapshot_cdf
+
+    cdf = snapshot_cdf(t.read(version=v1), t.read(version=v_end), ["id"])
+    want = sorted(
+        (
+            r["id"],
+            r["value"],
+            1 if r["_change_type"] in ("insert", "update_postimage") else -1,
+        )
+        for r in cdf.collect()
+    )
+    got = sorted((r["id"], r["value"], r["sign"]) for r in fast.collect())
+    assert got == want
+    assert (200, 5.0, 1) not in got  # born-and-died cancels entirely
+
+
+def test_table_cdf_tail_multibatch_exactly_once(spark, base, tmp_path):
+    """The consumer tails commits one version per batch (n_batches
+    proves multi-batch consumption), its aggregate equals a full
+    recompute, a fresh consumer with no state beyond the result table
+    resumes without double-applying, and a rollback of the result
+    table re-opens exactly the rolled-back batches."""
+    from strava_etl_public_spark.streaming.ingest import table_cdf_tail
+
+    src = ManagedTable.create(
+        base.withColumn("v", (F.col("id") % 7).cast("long")).drop("value"),
+        str(tmp_path / "src"),
+        key="id",
+    )
+    src.delete(F.col("id") % 5 == 0)
+    src.update(F.col("bucket") == 1, {"v": F.col("v") + 100})
+    src.append(
+        spark.createDataFrame(
+            [(900, 0, 50), (901, 1, 60)], "id long, bucket long, v long"
+        )
+    )
+    out_path = str(tmp_path / "agg")
+    n = table_cdf_tail(src, out_path, "bucket", "v")
+    # initial snapshot batch + one per source version after v1
+    assert n == 1 + (src.version() - 1) and n >= 3
+
+    def recompute():
+        return {
+            (r["bucket"], r["total"], r["n_rows"])
+            for r in src.read()
+            .groupBy("bucket")
+            .agg(
+                F.sum("v").cast("long").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .collect()
+        }
+
+    out = ManagedTable(spark, out_path)
+
+    def state():
+        return {
+            (r["bucket"], r["total"], r["n_rows"])
+            for r in out.read().collect()
+        }
+
+    assert state() == recompute()
+
+    # caught up: a fresh consumer (checkpoint-free) applies nothing
+    assert table_cdf_tail(src, out_path, "bucket", "v") == 0
+    assert state() == recompute()
+
+    # new source commits: incremental batches, still exact
+    src.delete(F.col("bucket") == 2)
+    src.append(
+        spark.createDataFrame([(902, 2, 70)], "id long, bucket long, v long")
+    )
+    assert table_cdf_tail(src, out_path, "bucket", "v") == 2
+    assert state() == recompute()
+
+    # rollback the RESULT table: replay re-applies exactly those
+    # batches (the txn cursor is the result table's own lineage)
+    out.rollback(out.version() - 2)
+    assert table_cdf_tail(src, out_path, "bucket", "v") == 2
+    assert state() == recompute()

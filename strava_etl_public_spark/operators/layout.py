@@ -384,31 +384,13 @@ def read_with_skipping(
     tests) can audit the prune rate. Correct for any manifest because
     pruning is conservative (range intersection) and the residual
     filter is exact."""
-    import json
-    import os
+    # one keep rule for BOTH manifest representations (inline JSON /
+    # distributed parquet — the ≥4096-file path); the conservative
+    # NULL-keep + range-intersection semantics and the TypeError
+    # guard live in operators/manifest.py
+    from .manifest import stats_survivors
 
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
-
-    def _keep(r) -> bool:
-        mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
-        if mn is None or mx is None:
-            return True  # unknown stats → conservative keep
-        try:
-            return not (mx < lo or mn > hi)
-        except TypeError as e:  # stringified (e.g. date) stats vs numeric bounds
-            raise ValueError(
-                f"manifest stats for {col!r} are {type(mn).__name__}, "
-                f"bounds are {type(lo).__name__} — stat column must be "
-                "numeric or bounds must match its serialized type"
-            ) from e
-
-    keep = [
-        _resolve_manifest_file(path, r["file"])
-        for r in manifest["files"]
-        if _keep(r)
-    ]
-    total = len(manifest["files"])
+    keep, total = stats_survivors(spark, path, path, col, lo, hi)
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total
@@ -999,13 +981,11 @@ def read_with_bloom_skipping(
         raise ValueError(
             f"bloom manifest covers {manifest['col']!r}, not {col!r}"
         )
-    want = set(_bloom_positions_py(value, manifest["m"], manifest["k"]))
-    keep = [
-        _resolve_manifest_file(path, fname)
-        for fname, positions in manifest["files"].items()
-        if want <= set(positions)
-    ]
-    total = len(manifest["files"])
+    # one probe rule for BOTH bloom representations (inline JSON /
+    # distributed parquet — operators/manifest.py)
+    from .manifest import bloom_survivors
+
+    keep, total = bloom_survivors(spark, path, path, value)
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total

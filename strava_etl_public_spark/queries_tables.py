@@ -1401,3 +1401,98 @@ def x_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_manifest_pq",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vmic
+  FROM events
+)
+SELECT event_id, user_id, vmic,
+       TRUE AS parquet_manifest_used, TRUE AS scan_pruned,
+       TRUE AS bloom_pruned, TRUE AS deleted_key_zero
+FROM base
+WHERE event_id BETWEEN 200 AND 699 AND event_id % 7 <> 3
+ORDER BY event_id
+""",
+)
+def x_table_manifest_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET-manifest metadata path (operators/manifest.py) — the
+    Delta-checkpoint treatment of the r9 verdict's named ceiling: at
+    ≥PARQUET_MANIFEST_THRESHOLD files per version the zone-map and
+    bloom manifests are DISTRIBUTED parquet relations, pruned by a
+    Spark filter that ships only surviving file names to the driver —
+    never the 10⁶-entry list a monolithic JSON would materialize on
+    every commit and scan. This gate forces the representation
+    (manifest_format="parquet") on a range-clustered events table and
+    proves the full composition on it: a 500-key range scan PRUNES
+    (files_read < files_total) through the parquet zone maps, a DV
+    DELETE inherits the relation and the re-scan stays exact, a point
+    lookup routes through the parquet bloom relation, and a deleted
+    key returns zero rows through bloom + DV. Crossover + 10⁶-entry
+    walls measured in scripts/scale_smoke_manifest.py (SCALE.md)."""
+    ensure_harness_conf(spark)
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="manifest_pq_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(32, "event_id"),
+            path,
+            key="event_id",
+            stat_cols=["event_id"],
+            bloom_col="user_id",
+            manifest_format="parquet",
+        )
+        meta = json.load(
+            open(os.path.join(path, "v1", "_manifest.json"))
+        )
+        pq_used = meta.get("format") == "parquet" and os.path.isdir(
+            os.path.join(path, "v1", "_bloom_pq")
+        )
+
+        t.delete(F.col("event_id") % 7 == 3)
+
+        window, fr, tot = t.scan("event_id", 200, 699)
+        scan_pruned = fr < tot
+
+        probe_uid = base.filter(F.col("event_id") == 201).head()["user_id"]
+        hit, fr_b, tot_b = t.lookup(probe_uid)
+        bloom_pruned = fr_b < tot_b and hit.count() >= 1
+
+        gone, fr_g, _ = t.lookup(
+            base.filter(F.col("event_id") == 3).head()["user_id"]
+        )
+        deleted_zero = (
+            gone.filter(F.col("event_id") == 3).count() == 0 and fr_g >= 1
+        )
+
+        return (
+            window.orderBy("event_id")
+            .withColumns(
+                {
+                    "parquet_manifest_used": F.lit(bool(pq_used)),
+                    "scan_pruned": F.lit(bool(scan_pruned)),
+                    "bloom_pruned": F.lit(bool(bloom_pruned)),
+                    "deleted_key_zero": F.lit(bool(deleted_zero)),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -63,7 +63,17 @@ def test_fuzz_slice_matches(spark, harness):
     for i in range(N):
         rng = random.Random(f"{SEED}:{i}")
         spec = FZ.gen_query(rng, pools)
-        shape, s_sql = spec[0], spec[1]
+        shape = spec[0]
+        if shape.startswith("dml_"):
+            # imperative-DML shapes carry a spec dict, not SQL — they
+            # run through ManagedTable vs DuckDB native DML (the same
+            # dispatch fuzz_oracle.main uses)
+            s_df, d_df, sql = FZ.run_dml_case(spark, con, shape, spec[1])
+            diff = FZ.compare(s_df, d_df)
+            if diff:
+                failures.append(f"[{i} {shape}] {diff}\n  SQL: {sql}")
+            continue
+        s_sql = spec[1]
         d_sql = spec[2] if len(spec) > 2 else spec[1]
         sql = s_sql if s_sql == d_sql else f"spark: {s_sql}\nduckdb: {d_sql}"
         d_df = con.execute(d_sql).df()

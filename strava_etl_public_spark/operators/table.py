@@ -86,6 +86,11 @@ class ManagedTable(_TableReadMixin):
         # below PARQUET_MANIFEST_THRESHOLD files, distributed parquet
         # at/above), or pinned "json"/"parquet" (operators/manifest.py)
         self.manifest_format: str = meta.get("manifest_format", "auto")
+        # logical name → [sql_type, default_sql] applied when a WRITE
+        # omits the column (Delta's DEFAULT semantics; add_column)
+        self.column_defaults: dict[str, list] = meta.get(
+            "column_defaults", {}
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -140,7 +145,7 @@ class ManagedTable(_TableReadMixin):
         if dv_dir is None:
             out = snapshot_read(self.spark, self.path, v)
         else:
-            base = self.spark.read.parquet(data_dir, *appends)
+            base = self._open_data(v, data_dir, *appends)
             cols = base.columns
             out = (
                 self._tagged(base)
@@ -169,7 +174,11 @@ class ManagedTable(_TableReadMixin):
             raise ValueError(f"column {new!r} already exists")
         self._refuse_constraint_ref(old)
         new_map = [[new if l == old else l, p] for l, p in vmap]
-        return self._metadata_commit(new_map, rescan=False)
+        # physical names are fixed forever, so metadata-added markers
+        # (keyed by physical name) carry through a rename unchanged
+        return self._metadata_commit(
+            new_map, rescan=False, added=self._version_added(self.version())
+        )
 
     def _refuse_constraint_ref(self, col: str) -> None:
         """Refuse schema changes to constraint-referenced columns —
@@ -184,6 +193,56 @@ class ManagedTable(_TableReadMixin):
                     f"column {col!r} is referenced by CHECK constraint "
                     f"{cname!r} ({sql!r}) — drop the constraint first"
                 )
+
+    def add_column(
+        self, name: str, dtype: str, default_sql: str | None = None
+    ) -> int:
+        """ADD COLUMN as an O(write-free) METADATA commit — Delta's
+        contract, the only kind a 100 TB table can afford: no data
+        file is written or rewritten. The commit record's ``added``
+        map (physical name → SQL type) tells every read to backfill
+        the column as a typed NULL wherever a file predates the add
+        (existing rows read NULL — exactly Delta's ADD COLUMN
+        semantics), so time travel before the add never sees the
+        column and a later copy commit (merge/OPTIMIZE), which writes
+        it physically, drops the marker. ``default_sql`` is Delta's
+        DEFAULT clause: applied when a FUTURE write omits the column
+        (never backdated onto existing rows — that would be
+        indistinguishable from real NULLs written later). Digest
+        maintenance costs one read-only fingerprint pass (the price of
+        this format's content-digest invariant; appending a NULL cell
+        changes every row hash, so inheritance would record a lie).
+        Physical name collisions with retired (dropped) physical
+        columns get a version suffix, like copy-commit evolution."""
+        vmap = self._effective_map()
+        if name in {l for l, _ in vmap}:
+            raise ValueError(f"column {name!r} already exists")
+        # collision set = mapped physicals ∪ physicals still PRESENT in
+        # the files (a DROPPED column's physical name stays in the data
+        # — reusing it would resurrect the old values under the new
+        # logical name)
+        v = self.version()
+        data_dir, _, appends = self._resolve(v)
+        used_phys = {p for _, p in vmap} | set(
+            self._open_data(v, data_dir, *appends).columns
+        )
+        phys = name if name not in used_phys else f"{name}_a{self.version()}"
+        new_map = vmap + [[name, phys]]
+        added = {**self._version_added(self.version()), phys: dtype}
+        out = self._metadata_commit(new_map, rescan=True, added=added)
+        if default_sql is not None:
+            self.column_defaults[name] = [dtype, default_sql]
+            self._save_config()
+        return out
+
+    def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill columns the writer omitted with their configured
+        DEFAULT (add_column's ``default_sql``) — evaluated at WRITE
+        time, Delta's DEFAULT semantics."""
+        for name, (t, sql) in self.column_defaults.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(sql).cast(t))
+        return df
 
     def drop_column(self, name: str) -> int:
         """DROP COLUMN as a METADATA-ONLY commit: the physical column
@@ -208,10 +267,24 @@ class ManagedTable(_TableReadMixin):
             )
         self._refuse_constraint_ref(name)
         new_map = [[l, p] for l, p in vmap if l != name]
-        return self._metadata_commit(new_map, rescan=True)
+        added = {
+            ph: t
+            for ph, t in self._version_added(self.version()).items()
+            if ph != phys
+        }
+        out = self._metadata_commit(new_map, rescan=True, added=added)
+        if name in self.column_defaults:
+            del self.column_defaults[name]
+            self._save_config()
+        return out
 
 
-    def _metadata_commit(self, new_map: list[list[str]], rescan: bool) -> int:
+    def _metadata_commit(
+        self,
+        new_map: list[list[str]],
+        rescan: bool,
+        added: dict[str, str] | None = None,
+    ) -> int:
         """Publish a schema-map change as a zero-copy reference commit
         (the RESTORE populate shape aimed at the CURRENT version).
         The allocation high-water is captured BEFORE any table state is
@@ -237,9 +310,18 @@ class ManagedTable(_TableReadMixin):
             self._inherit_sidecars(os.path.join(self.path, f"v{cur}"), vdir)
 
         if rescan:
-            # a narrowed logical view hashes differently — one
-            # fingerprint aggregate over the new view, honest
-            base = self.spark.read.parquet(data_dir, *cur_appends)
+            # a narrowed (or NULL-widened) logical view hashes
+            # differently — one fingerprint aggregate over the new
+            # view, honest. Metadata-ADDED columns backfill as typed
+            # NULLs with the NEW version's added set (the current
+            # version's record doesn't know them yet).
+            base = self.spark.read
+            if added:
+                base = base.option("mergeSchema", "true")
+            base = base.parquet(data_dir, *cur_appends)
+            for ph, t in (added or {}).items():
+                if ph not in base.columns:
+                    base = base.withColumn(ph, F.lit(None).cast(t))
             cols = base.columns
             logical = (
                 self._tagged(base)
@@ -262,11 +344,14 @@ class ManagedTable(_TableReadMixin):
             digest = {
                 k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
             }
+        extra = {"parent": cur, "op": "metadata", "columns": new_map}
+        if added:
+            extra["added"] = added
         return snapshot_commit_ref(
             self.path,
             populate,
             digest=digest,
-            extra={"parent": cur, "op": "metadata", "columns": new_map},
+            extra=extra,
             expected_max=m,
         )
 
@@ -403,6 +488,7 @@ class ManagedTable(_TableReadMixin):
                     "bloom_m": self.bloom_m,
                     "bloom_k": self.bloom_k,
                     "manifest_format": self.manifest_format,
+                    "column_defaults": self.column_defaults,
                 },
                 f,
             )
@@ -442,6 +528,7 @@ class ManagedTable(_TableReadMixin):
         this commit's own copy). Returns the new version number."""
         m = snapshot_max_commit(self.path)
         current = self.read()
+        source = self._apply_write_defaults(source)
         if evolve_schema:
             have = set(current.columns)
             for f_ in source.schema.fields:
@@ -495,7 +582,7 @@ class ManagedTable(_TableReadMixin):
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
-        base = self.spark.read.parquet(data_dir, *appends)
+        base = self._open_data(v, data_dir, *appends)
         cols = [l for l, _ in vmap] if vmap else base.columns
         tagged = self._tagged(base)
         if dv_dir is not None:
@@ -577,6 +664,10 @@ class ManagedTable(_TableReadMixin):
                     extra["wfiles"] = wfiles
                 if vmap:
                     extra["columns"] = vmap
+                if self._version_added(v):
+                    # a reference commit serves the same base files —
+                    # metadata-added columns still need backfill
+                    extra["added"] = self._version_added(v)
                 try:
                     return snapshot_commit_ref(
                         self.path, populate, digest=digest, extra=extra,
@@ -640,6 +731,7 @@ class ManagedTable(_TableReadMixin):
                     "bloom_m": self.bloom_m,
                     "bloom_k": self.bloom_k,
                     "manifest_format": self.manifest_format,
+                    "column_defaults": self.column_defaults,
                 },
                 f,
             )
@@ -676,6 +768,8 @@ class ManagedTable(_TableReadMixin):
         extra = {"parent": 0, "op": "clone"}
         if parent.get("columns"):
             extra["columns"] = parent["columns"]
+        if parent.get("added"):
+            extra["added"] = parent["added"]
         snapshot_commit_ref(
             dst_path,
             populate,
@@ -712,7 +806,7 @@ class ManagedTable(_TableReadMixin):
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
-        base = self.spark.read.parquet(data_dir, *appends)
+        base = self._open_data(v, data_dir, *appends)
         phys_cols = base.columns
         cols = [l for l, _ in vmap] if vmap else phys_cols
         unknown = [c for c in set_exprs if c not in cols]
@@ -827,6 +921,8 @@ class ManagedTable(_TableReadMixin):
                     extra["wfiles"] = wfiles
                 if vmap:
                     extra["columns"] = vmap
+                if self._version_added(v):
+                    extra["added"] = self._version_added(v)
                 try:
                     return snapshot_commit_ref(
                         self.path, populate, digest=digest, extra=extra,
@@ -940,7 +1036,7 @@ class ManagedTable(_TableReadMixin):
             if vmap
             else self.spark.read.parquet(self._resolve(v)[0]).columns
         )
-        batch = df.select(*logical_cols)
+        batch = self._apply_write_defaults(df).select(*logical_cols)
         bd = dataset_fingerprint(batch).collect()[0].asDict()
         phys_batch = self._to_physical(batch, vmap)
         mod = 1152921504606846976
@@ -972,6 +1068,8 @@ class ManagedTable(_TableReadMixin):
             extra: dict = {"parent": v, "op": "append", "wfiles": []}
             if vmap:
                 extra["columns"] = vmap
+            if self._version_added(v):
+                extra["added"] = self._version_added(v)
 
             def populate(vdir: str) -> None:
                 phys_batch.write.mode("overwrite").parquet(
@@ -1042,6 +1140,8 @@ class ManagedTable(_TableReadMixin):
             # a restore is content AND schema: the restored version's
             # column map comes back with its rows
             extra["columns"] = old["columns"]
+        if old.get("added"):
+            extra["added"] = old["added"]
         return snapshot_commit_ref(
             self.path,
             populate,
@@ -1119,7 +1219,14 @@ class ManagedTable(_TableReadMixin):
         scratch = os.path.join(self.path, "_optimize_tmp")
         shutil.rmtree(scratch, ignore_errors=True)
         try:
-            if cluster_by is None and dv_dir is None:
+            if (
+                cluster_by is None
+                and dv_dir is None
+                and not self._version_added(v)
+            ):
+                # physical-file compaction — valid only when the files
+                # ARE the logical content (no DV, no appends, no
+                # metadata-added columns to materialize)
                 compact_parquet(
                     self.spark, data_dir, scratch, target_bytes=target_bytes
                 )

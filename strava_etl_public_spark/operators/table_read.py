@@ -100,6 +100,38 @@ class _TableReadMixin:
     def _current_map(self) -> list[list[str]] | None:
         return self._version_map(self.version())
 
+    def _version_added(self, v: int) -> dict[str, str]:
+        """physical-name → SQL-type map of columns ADDED to version
+        ``v`` as pure metadata (:meth:`~.table.ManagedTable.add_column`
+        — no data rewrite) and not yet materialized by a copy commit:
+        files written before the add lack these physical columns, and
+        every read backfills them (Delta's ADD COLUMN read semantics —
+        existing rows read NULL). Versioned with the commit record, so
+        time travel before the add never sees the column and a copy
+        commit (which writes it physically) drops the marker."""
+        p = os.path.join(self.path, "_commits", f"{v}.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("added") or {}
+
+    def _open_data(self, v: int, *paths: str) -> DataFrame:
+        """Physical rows of version ``v`` read from ``paths`` with
+        schema-evolution columns reconciled: when the version carries
+        metadata-added columns, mixed file schemas (old base files
+        without the column, post-add ``_upd`` files with it) union by
+        name via mergeSchema, and a column present in NO opened file
+        backfills as a typed NULL. The common no-evolution case takes
+        the plain single-schema read — zero overhead."""
+        added = self._version_added(v)
+        if not added:
+            return self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for p, t in added.items():
+            if p not in df.columns:
+                df = df.withColumn(p, F.lit(None).cast(t))
+        return df
+
     @staticmethod
     def _to_logical(df: DataFrame, vmap) -> DataFrame:
         """Physical file schema → the version's logical schema: rename
@@ -340,9 +372,20 @@ class _TableReadMixin:
         # resolves through the TO version's map (a key renamed WITHIN
         # the range makes the join fail loudly, never silently wrong)
         vmap = self._version_map(to_version)
-        return fn(
+        frm, to = (
             self.read(version=from_version),
             self.read(version=to_version),
+        )
+        # across an ADD COLUMN boundary the window is served under the
+        # TO schema: untouched rows read the column as NULL at `to`,
+        # so the FROM side backfills the same NULL — a pure metadata
+        # add diffs as zero change
+        for f_ in to.schema.fields:
+            if f_.name not in frm.columns:
+                frm = frm.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        return fn(
+            frm,
+            to,
             [self._to_log_name(k, vmap) for k in self.key],
         )
 
@@ -374,10 +417,23 @@ class _TableReadMixin:
         )
         vmap = self._version_map(to_version)
         if not chain_ok:
-            # semantic fallback: full-outer diff → signed rows
-            cdf = snapshot_cdf(
+            # semantic fallback: full-outer diff → signed rows. Across
+            # an ADD COLUMN boundary the window is served under the TO
+            # version's schema: the column reads NULL at `to` for
+            # untouched rows, so the FROM side backfills the same NULL
+            # — a pure metadata add diffs as zero change.
+            frm, to = (
                 self.read(version=from_version),
                 self.read(version=to_version),
+            )
+            for f_ in to.schema.fields:
+                if f_.name not in frm.columns:
+                    frm = frm.withColumn(
+                        f_.name, F.lit(None).cast(f_.dataType)
+                    )
+            cdf = snapshot_cdf(
+                frm,
+                to,
                 [self._to_log_name(k, vmap) for k in self.key],
             )
             cols = [
@@ -423,7 +479,7 @@ class _TableReadMixin:
             for (f,) in dead.select("_file").distinct().collect()
             if os.path.dirname(f) in from_universe
         )
-        phys_cols = self.spark.read.parquet(base_dir).columns
+        phys_cols = self._open_data(to_version, base_dir).columns
         logical = (
             [F.col(p).alias(l) for l, p in vmap]
             if vmap
@@ -431,13 +487,13 @@ class _TableReadMixin:
         )
         if dead_files:
             pre = (
-                self._tagged(self.spark.read.parquet(*dead_files))
+                self._tagged(self._open_data(to_version, *dead_files))
                 .join(dead, ["_file", "_pos"], "inner")
                 .select(*logical, F.lit(-1).alias("sign"))
             )
         else:
             pre = (
-                self.spark.read.parquet(base_dir)
+                self._open_data(to_version, base_dir)
                 .filter(F.lit(False))
                 .select(*logical, F.lit(-1).alias("sign"))
             )
@@ -446,7 +502,7 @@ class _TableReadMixin:
         ]
         if window_upds:
             post = (
-                self._tagged(self.spark.read.parquet(*window_upds))
+                self._tagged(self._open_data(to_version, *window_upds))
                 .join(dvt, ["_file", "_pos"], "left_anti")
                 .select(*logical, F.lit(1).alias("sign"))
             )
@@ -493,12 +549,12 @@ class _TableReadMixin:
         app_files = self._append_files(appends)
         keep += app_files
         total += len(app_files)
-        cols = self.spark.read.parquet(data_dir).columns
+        cols = self._open_data(v, data_dir).columns
         if not keep:
-            empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
+            empty = self._open_data(v, data_dir).filter(F.lit(False))
             return self._to_logical(empty.select(*cols), vmap), 0, total
         df = (
-            self._tagged(self.spark.read.parquet(*keep))
+            self._tagged(self._open_data(v, *keep))
             .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
             .filter((F.col(pcol) >= lo) & (F.col(pcol) <= hi))
             .select(*cols)
@@ -532,11 +588,11 @@ class _TableReadMixin:
         keep += app_files
         total += len(app_files)
         vmap = self._version_map(v)
-        cols = self.spark.read.parquet(data_dir).columns
+        cols = self._open_data(v, data_dir).columns
         if not keep:
-            empty = self.spark.read.parquet(data_dir).filter(F.lit(False))
+            empty = self._open_data(v, data_dir).filter(F.lit(False))
             return self._to_logical(empty.select(*cols), vmap), 0, total
-        df = self.spark.read.parquet(*keep)
+        df = self._open_data(v, *keep)
         if dv_dir is not None:
             df = self._tagged(df).join(
                 self._dv_df(dv_dir), ["_file", "_pos"], "left_anti"

@@ -1496,3 +1496,102 @@ def x_table_manifest_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_add_column",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vmic
+  FROM events
+),
+aug AS (
+  SELECT event_id, user_id, vmic,
+         CASE WHEN event_id % 11 = 4 THEN vmic / 1000000.0 END AS qscore,
+         CAST(NULL AS VARCHAR) AS src
+  FROM base
+  UNION ALL
+  SELECT event_id + 1000000, user_id, vmic,
+         CAST(NULL AS DOUBLE), 'legacy'
+  FROM base WHERE event_id % 97 = 5
+)
+SELECT event_id, user_id, vmic, qscore, src,
+       TRUE AS add_was_metadata_only, TRUE AS pre_add_schema_preserved
+FROM aug
+WHERE event_id % 13 = 2 OR event_id >= 1000000
+ORDER BY event_id
+""",
+)
+def x_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN as WRITE-FREE metadata (ManagedTable.add_column —
+    Delta's additive evolution, the only kind a 100 TB table can
+    afford): the commit writes ZERO data files (asserted in-row), and
+    files that predate the add serve the column as typed NULL through
+    every read path. Composed here with the rest of the DML surface:
+    a merge-on-read UPDATE sets the added column for a keyed slice
+    (its rewritten images carry the column; older files still lack
+    it — the mergeSchema union path), a second add with a DEFAULT
+    clause applies the default to a FUTURE append that omits the
+    column while existing rows stay NULL (defaults are never
+    backdated — indistinguishable from real NULLs otherwise), and
+    time travel before the add serves the original schema.
+    Lifecycle × {optimize, restore, rollback, clone, vacuum}
+    interleavings are fuzz-pinned in tests/test_table_model.py;
+    12 directed tests in tests/test_table_add_column.py."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="add_column_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "event_id"),
+            path,
+            key="event_id",
+            stat_cols=["event_id"],
+        )
+        v_pre = t.version()
+        v_add = t.add_column("qscore", "double")
+        metadata_only = not any(
+            f.startswith("part-")
+            for f in os.listdir(os.path.join(path, f"v{v_add}"))
+        )
+        t.update(
+            F.col("event_id") % 11 == 4,
+            {"qscore": F.col("vmic") / F.lit(1000000.0)},
+        )
+        t.add_column("src", "string", default_sql="'legacy'")
+        batch = (
+            base.filter(F.col("event_id") % 97 == 5)
+            .withColumn("event_id", F.col("event_id") + 1000000)
+            .withColumn("qscore", F.lit(None).cast("double"))
+        )
+        t.append(batch)
+        pre_ok = t.read(version=v_pre).columns == base.columns
+
+        out = t.read().filter(
+            (F.col("event_id") % 13 == 2) | (F.col("event_id") >= 1000000)
+        )
+        return (
+            out.orderBy("event_id")
+            .withColumns(
+                {
+                    "add_was_metadata_only": F.lit(bool(metadata_only)),
+                    "pre_add_schema_preserved": F.lit(bool(pre_ok)),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -4,9 +4,9 @@ Each primitive has its own tests and oracle gates; what none of them
 exercise is arbitrary INTERLEAVINGS — a delete on top of a rollback on
 top of an optimize on top of a chained DV. This harness drives random
 op sequences (merge with all three arms, DV delete, dynamic partition
-overwrite, clustered/plain OPTIMIZE, rollback, vacuum) against a plain
-dict-of-rows model, asserting after EVERY op that read() equals the
-model, and at the end that every retained version time-travels to the
+overwrite, clustered/plain OPTIMIZE, rollback, vacuum, metadata ADD
+COLUMN with DML on the added column) against a plain dict-of-rows
+model, asserting after EVERY op that read() equals the model, and at the end that every retained version time-travels to the
 state the model recorded when that version was published (vacuumed
 versions must raise, never read empty).
 
@@ -31,8 +31,11 @@ def _to_model(rows):
     return {r[0]: (r[1], r[2]) for r in rows}
 
 
-def _read_model(t, val="val"):
-    return {r["id"]: (r["part"], r[val]) for r in t.read().collect()}
+def _read_model(t, val="val", extras=()):
+    return {
+        r["id"]: (r["part"], r[val], tuple(r[e] for e in extras))
+        for r in t.read().collect()
+    }
 
 
 def _df(spark, model):
@@ -40,7 +43,7 @@ def _df(spark, model):
     return spark.createDataFrame(rows, SCHEMA)
 
 
-@pytest.mark.parametrize("seed", [901, 902, 903])
+@pytest.mark.parametrize("seed", [901, 902, 903, 906, 908])
 def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     init = {i: (i % 4, i * 10) for i in range(1, 31)}
@@ -49,16 +52,36 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     )
     model = dict(init)
     cur = "val"  # the value column's CURRENT logical name (renames flip it)
-    # version → (model state, value-column name) at publish time
-    # (None once vacuumed)
-    states: dict[int, tuple | None] = {1: (dict(model), cur)}
+    # metadata-ADDED columns (long): name → {id: value}; ids absent
+    # from the dict read NULL — exactly the add_column contract
+    extras: dict[str, dict] = {}
+    # version → (model state, value-column name, extras state) at
+    # publish time (None once vacuumed)
+    states: dict[int, tuple | None] = {1: (dict(model), cur, {})}
     log: list[str] = []
 
+    def _ex_snap():
+        return {e: dict(vals) for e, vals in extras.items()}
+
     def publish(v: int) -> None:
-        states[v] = (dict(model), cur)
+        states[v] = (dict(model), cur, _ex_snap())
 
     def schema() -> str:
-        return f"id long, part long, {cur} long"
+        base = f"id long, part long, {cur} long"
+        for e in extras:
+            base += f", {e} long"
+        return base
+
+    def _with_extras(rows):
+        # source batches carry NULL for every added column — the model
+        # only populates them through the update-added arm
+        return [(*r, *[None] * len(extras)) for r in rows]
+
+    def _expected():
+        return {
+            k: (p, v, tuple(extras[e].get(k) for e in sorted(extras)))
+            for k, (p, v) in model.items()
+        }
 
     next_id = 100
     clones: list[tuple] = []  # (handle, expected model, value-col name)
@@ -77,6 +100,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "optimize",
                 "rollback",
                 "vacuum",
+                "addcol",
+                "update_added",
             ]
         )
         if op == "merge":
@@ -86,7 +111,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             next_id += len(ins)
             dels = rng.sample(sorted(model), min(rng.randint(0, 2), len(model)))
             dels = [d for d in dels if d not in upd]
-            src_rows = (
+            src_rows = _with_extras(
                 [(k, model[k][0], model[k][1] + 1) for k in upd]
                 + [(k, k % 4, k) for k in ins]
                 + [(k, model[k][0], -1) for k in dels]
@@ -105,6 +130,10 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                     model.pop(k)
                 else:
                     model[k] = (model[k][0], model[k][1] + 1)
+                    # MERGE's update arm takes the SOURCE row whole —
+                    # the source carries NULL extras
+                    for e in extras:
+                        extras[e].pop(k, None)
             for k in ins:
                 model[k] = (k % 4, k)
             for k in dels:
@@ -114,7 +143,9 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             if not model:
                 continue
             keep = rng.sample(sorted(model), max(1, len(model) // 2))
-            src_rows = [(k, model[k][0], model[k][1]) for k in keep]
+            src_rows = _with_extras(
+                [(k, model[k][0], model[k][1]) for k in keep]
+            )
             log.append(f"merge_nmbs keep={sorted(keep)}")
             v = t.merge(
                 spark.createDataFrame(src_rows, schema()),
@@ -124,6 +155,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             )
             for k in list(model):
                 if k in keep:
+                    for e in extras:
+                        extras[e].pop(k, None)
                     continue
                 p, val = model[k]
                 if p == 2:
@@ -139,6 +172,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             for k in list(model):
                 if k % m == r:
                     model.pop(k)
+                    for e in extras:
+                        extras[e].pop(k, None)
             publish(v)
         elif op == "update":
             m = rng.randint(2, 5)
@@ -157,7 +192,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             ]
             next_id += len(rows)
             log.append(f"append rows={rows}")
-            v = t.append(spark.createDataFrame(rows, schema()))
+            v = t.append(spark.createDataFrame(_with_extras(rows), schema()))
             for k, pp, vv in rows:
                 model[k] = (pp, vv)
             publish(v)
@@ -167,12 +202,19 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             c = t.clone(cpath)
             # isolation both ways: the clone starts as the source's
             # current state, a delete on it never touches the source
-            assert {
-                r["id"]: (r["part"], r[cur]) for r in c.read().collect()
-            } == model, f"clone diverged at birth\nops:\n" + "\n".join(log)
+            assert _read_model(
+                c, cur, sorted(extras)
+            ) == _expected(), (
+                "clone diverged at birth\nops:\n" + "\n".join(log)
+            )
             c.delete(F.col("id") % 2 == 0)
             clones.append(
-                (c, {k: s for k, s in model.items() if k % 2 != 0}, cur)
+                (
+                    c,
+                    {k: s for k, s in _expected().items() if k % 2 != 0},
+                    cur,
+                    sorted(extras),
+                )
             )
         elif op == "restore":
             live = [v for v, s in states.items() if s is not None]
@@ -184,6 +226,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 # the target references vacuumed data — loud, legal
                 continue
             model, cur = dict(states[tgt][0]), states[tgt][1]
+            extras = {e: dict(vs) for e, vs in states[tgt][2].items()}
             publish(v)
         elif op == "overwrite":
             p = rng.randint(0, 3)
@@ -191,11 +234,13 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             next_id += len(rows)
             log.append(f"overwrite part={p} rows={rows}")
             v = t.overwrite_partitions(
-                spark.createDataFrame(rows, schema()), "part"
+                spark.createDataFrame(_with_extras(rows), schema()), "part"
             )
             for k in list(model):
                 if model[k][0] == p:
                     model.pop(k)
+                    for e in extras:
+                        extras[e].pop(k, None)
             for k, pp, vv in rows:
                 model[k] = (pp, vv)
             publish(v)
@@ -216,14 +261,36 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             log.append(f"rollback -> v{tgt}")
             t.rollback(tgt)
             model, cur = dict(states[tgt][0]), states[tgt][1]
+            extras = {e: dict(vs) for e, vs in states[tgt][2].items()}
+        elif op == "addcol":
+            name = f"x{step}_{seed}"
+            log.append(f"addcol {name}")
+            v = t.add_column(name, "long")
+            extras[name] = {}
+            publish(v)
+        elif op == "update_added":
+            if not extras or not model:
+                continue
+            e = rng.choice(sorted(extras))
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            d = rng.randint(1, 9)
+            log.append(f"update_added {e} where id%{m}=={r} := {d}")
+            v = t.update(F.col("id") % m == r, {e: F.lit(d)})
+            for k in model:
+                if k % m == r:
+                    extras[e][k] = d
+            publish(v)
         elif op == "vacuum":
             k = rng.randint(1, 3)
             log.append(f"vacuum keep_last={k}")
             removed = t.vacuum(keep_last=k)
             for v in removed:
                 states[v] = None
-        got = _read_model(t, cur)
-        assert got == model, f"step {step} diverged\nops:\n" + "\n".join(log)
+        got = _read_model(t, cur, sorted(extras))
+        assert got == _expected(), (
+            f"step {step} diverged\nops:\n" + "\n".join(log)
+        )
 
     # every retained version time-travels to its recorded state;
     # vacuumed versions raise loudly
@@ -236,12 +303,20 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             except ValueError:
                 continue
         else:
-            mdl, vname = s
+            mdl, vname, ex = s
             got = {
-                r["id"]: (r["part"], r[vname])
+                r["id"]: (
+                    r["part"],
+                    r[vname],
+                    tuple(r[e] for e in sorted(ex)),
+                )
                 for r in t.read(version=v).collect()
             }
-            assert got == mdl, (
+            want = {
+                k: (p, val, tuple(ex[e].get(k) for e in sorted(ex)))
+                for k, (p, val) in mdl.items()
+            }
+            assert got == want, (
                 f"time travel v{v} diverged\nops:\n" + "\n".join(log)
             )
 
@@ -249,11 +324,9 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     # when a later SOURCE vacuum removed a base its zero-copy DV
     # references — fails LOUDLY (Delta's shallow-clone hazard; a wrong
     # or partial read here is the bug this arm exists to catch)
-    for c, snap, vname in clones:
+    for c, snap, vname, ex_names in clones:
         try:
-            got = {
-                r["id"]: (r["part"], r[vname]) for r in c.read().collect()
-            }
+            got = _read_model(c, vname, ex_names)
         except ValueError:
             continue  # loud refusal — legal after source vacuum
         assert got == snap, (

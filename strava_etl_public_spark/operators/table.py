@@ -1154,24 +1154,163 @@ class ManagedTable(_TableReadMixin):
 
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
-        """Dynamic partition overwrite: replace exactly the
-        ``part_col`` partitions present in ``df``, pass every other
-        row through — one left-anti join on the (small, distinct)
-        partition list + a union, committed as a new version."""
+        """Dynamic partition overwrite as MERGE-ON-READ: DV-delete
+        every live row of the ``part_col`` partitions present in
+        ``df`` and land the replacement rows in the version's own
+        ``_upd`` dir — ONE commit, not one existing file rewritten.
+        The original implementation committed kept ∪ new as a full
+        copy: an O(table) write to replace 1% of partitions — the
+        exact write amplification the DV machinery exists to avoid
+        (measured alongside DELETE/UPDATE in SCALE.md; at 100 TB this
+        is a full-table write vs O(changed partitions)). Semantics
+        unchanged: replace exactly the named partitions, pass every
+        other row through (NULL partitions never match — SQL equality
+        — so NULL-part rows pass through and NULL-part batch rows
+        append, as before). The digest is DERIVED: parent −
+        overwritten rows + batch (group ops). CHECK constraints probe
+        the batch only — removing rows cannot create a violation.
+        Conflicts: absorbs interleaved dv_deletes on DISJOINT files
+        (hit positions stay valid — UPDATE's rule); everything else
+        conflicts and transact() rebases semantically. OPTIMIZE later
+        materializes survivors and folds the append away."""
         m = snapshot_max_commit(self.path)
-        parts = df.select(part_col).distinct()
-        cur = self.read()
-        # the USING-style join moves the key column first; re-select
-        # the table's own column order so the schema stays stable
-        # across operations (a managed table never reorders columns)
-        kept = cur.join(F.broadcast(parts), part_col, "left_anti").select(
-            *cur.columns
+        v = self.version()
+        data_dir, dv_dir, appends = self._resolve(v)
+        vmap = self._version_map(v)
+        base = self._open_data(v, data_dir, *appends)
+        phys_cols = base.columns
+        cols = [l for l, _ in vmap] if vmap else phys_cols
+        batch = self._apply_write_defaults(df).select(*cols)
+        if self.constraints:
+            self._check_rows(batch, self.constraints)
+        parts = batch.select(part_col).distinct()
+        tagged = self._tagged(base)
+        live = (
+            tagged.join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+            if dv_dir is not None
+            else tagged
         )
-        return self._commit(
-            kept.unionByName(df.select(*cur.columns)),
-            extra={"op": "overwrite"},
-            expected_max=m,
-        )
+        if vmap:
+            live = live.select(
+                *[F.col(p).alias(l) for l, p in vmap], "_file", "_pos"
+            )
+        hit_rows = live.join(F.broadcast(parts), part_col, "semi").persist()
+        try:
+            # the _upd files join the base files' universe: full
+            # PHYSICAL schema, dropped physicals NULL-backfilled
+            # (update()'s argument)
+            if vmap:
+                log_of = {p: l for l, p in vmap}
+                upd_out = batch.select(
+                    *[
+                        F.col(log_of[pc]).alias(pc)
+                        if pc in log_of
+                        else F.lit(None)
+                        .cast(base.schema[pc].dataType)
+                        .alias(pc)
+                        for pc in phys_cols
+                    ]
+                )
+            else:
+                upd_out = batch
+            hits = self._relativize_dv(hit_rows.select("_file", "_pos"))
+            new_dv = (
+                hits
+                if dv_dir is None
+                else self.spark.read.parquet(dv_dir)
+                .select("_file", "_pos")
+                .unionByName(hits)
+            )
+            with open(
+                os.path.join(self.path, "_commits", f"{v}.json")
+            ) as f:
+                parent = json.load(f)
+            old_d = (
+                dataset_fingerprint(hit_rows.select(*cols))
+                .collect()[0]
+                .asDict()
+            )
+            bd = dataset_fingerprint(batch).collect()[0].asDict()
+            mod = 1152921504606846976
+            digest = {
+                "n_rows": parent["n_rows"] - old_d["n_rows"] + bd["n_rows"],
+                "xor_hash": (parent["xor_hash"] or 0)
+                ^ (old_d["xor_hash"] or 0)
+                ^ (bd["xor_hash"] or 0),
+                "sum_hash_mod": (
+                    (parent["sum_hash_mod"] or 0)
+                    - (old_d["sum_hash_mod"] or 0)
+                    + (bd["sum_hash_mod"] or 0)
+                )
+                % mod,
+            }
+            wfiles = self._wfiles_of(hit_rows)
+            attempts = 0
+            while True:
+                ref = self._base_ref(data_dir)
+                ref["appends"] = self._rebase_appends(v) + ["self"]
+
+                def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
+                    upd_out.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_upd")
+                    )
+                    new_dv.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_dv")
+                    )
+                    with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                        json.dump(ref, f)
+                    self._inherit_sidecars(
+                        os.path.join(self.path, f"v{v}"), vdir
+                    )
+
+                extra = {"parent": v, "op": "dv_overwrite"}
+                if wfiles is not None:
+                    extra["wfiles"] = wfiles
+                if vmap:
+                    extra["columns"] = vmap
+                if self._version_added(v):
+                    extra["added"] = self._version_added(v)
+                try:
+                    return snapshot_commit_ref(
+                        self.path, populate, digest=digest, extra=extra,
+                        expected_max=m,
+                    )
+                except CommitConflict:
+                    attempts += 1
+                    if attempts > 5 or not self._interleaved_commute_dv(
+                        m, wfiles
+                    ):
+                        raise
+                    m = snapshot_max_commit(self.path)
+                    v = self.version()
+                    data_dir, dv_dir, _ = self._resolve(v)
+                    new_dv = (
+                        self.spark.read.parquet(dv_dir)
+                        .select("_file", "_pos")
+                        .unionByName(hits)
+                        if dv_dir is not None
+                        else hits
+                    )
+                    with open(
+                        os.path.join(self.path, "_commits", f"{v}.json")
+                    ) as f:
+                        cur_rec = json.load(f)
+                    digest = {
+                        "n_rows": cur_rec["n_rows"]
+                        - old_d["n_rows"]
+                        + bd["n_rows"],
+                        "xor_hash": (cur_rec["xor_hash"] or 0)
+                        ^ (old_d["xor_hash"] or 0)
+                        ^ (bd["xor_hash"] or 0),
+                        "sum_hash_mod": (
+                            (cur_rec["sum_hash_mod"] or 0)
+                            - (old_d["sum_hash_mod"] or 0)
+                            + (bd["sum_hash_mod"] or 0)
+                        )
+                        % mod,
+                    }
+        finally:
+            hit_rows.unpersist()
 
     def optimize(
         self,

@@ -412,7 +412,8 @@ class _TableReadMixin:
 
         walked = self._walk_range(to_version, from_version)
         chain_ok = walked is not None and all(
-            rec.get("op") in ("dv_delete", "dv_update", "append")
+            rec.get("op")
+            in ("dv_delete", "dv_update", "dv_overwrite", "append")
             for rec in walked.values()
         )
         vmap = self._version_map(to_version)

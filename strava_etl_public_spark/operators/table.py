@@ -58,10 +58,11 @@ from .layout import (
 )
 from .upsert import merge_into
 
+from .table_compact import _CompactMixin
 from .table_read import _TableReadMixin
 
 
-class ManagedTable(_TableReadMixin):
+class ManagedTable(_CompactMixin, _TableReadMixin):
     """A versioned, manifest-tracked parquet table with MERGE,
     OPTIMIZE, time travel, rollback, and vacuum — the composition of
     the operator layer's separately-proven table primitives behind one
@@ -302,6 +303,8 @@ class ManagedTable(_TableReadMixin):
         old_appends = self._rebase_appends(cur)
         if old_appends:
             ref["appends"] = old_appends
+        if self._dead_of(cur):
+            ref["dead"] = self._dead_of(cur)
 
         def populate(vdir: str) -> None:
             seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
@@ -315,10 +318,10 @@ class ManagedTable(_TableReadMixin):
             # view, honest. Metadata-ADDED columns backfill as typed
             # NULLs with the NEW version's added set (the current
             # version's record doesn't know them yet).
-            base = self.spark.read
-            if added:
-                base = base.option("mergeSchema", "true")
-            base = base.parquet(data_dir, *cur_appends)
+            # through _open_data, so compaction-dead files stay
+            # excluded; the NEW version's added set (superset of the
+            # current one) backfills below
+            base = self._open_data(cur, data_dir, *cur_appends)
             for ph, t in (added or {}).items():
                 if ph not in base.columns:
                     base = base.withColumn(ph, F.lit(None).cast(t))
@@ -644,6 +647,8 @@ class ManagedTable(_TableReadMixin):
                 parent_appends = self._rebase_appends(v)
                 if parent_appends:
                     ref["appends"] = parent_appends
+                if self._dead_of(v):
+                    ref["dead"] = self._dead_of(v)
 
                 def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
                     new_dv.write.mode("overwrite").parquet(
@@ -756,6 +761,11 @@ class ManagedTable(_TableReadMixin):
             ref = {"base_abs": data_dir}
             if appends:
                 ref["appends"] = list(appends)
+            # like the DV entries above: the source's table-relative
+            # dead-file entries (minor compaction) must freeze to
+            # absolute before re-rooting under the clone
+            if self._dead_of(v):
+                ref["dead"] = sorted(self._dead_abs(v))
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump(ref, f)
             self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
@@ -902,6 +912,8 @@ class ManagedTable(_TableReadMixin):
             while True:
                 ref = self._base_ref(data_dir)
                 ref["appends"] = self._rebase_appends(v) + ["self"]
+                if self._dead_of(v):
+                    ref["dead"] = self._dead_of(v)
 
                 def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
                     upd_out.write.mode("overwrite").parquet(
@@ -1053,6 +1065,8 @@ class ManagedTable(_TableReadMixin):
                 )
             ref = self._base_ref(data_dir)
             ref["appends"] = self._rebase_appends(v) + ["self"]
+            if self._dead_of(v):
+                ref["dead"] = self._dead_of(v)
             with open(
                 os.path.join(self.path, "_commits", f"{v}.json")
             ) as f:
@@ -1122,6 +1136,8 @@ class ManagedTable(_TableReadMixin):
         old_appends = self._rebase_appends(version)
         if old_appends:
             ref["appends"] = old_appends
+        if self._dead_of(version):
+            ref["dead"] = self._dead_of(version)
 
         def populate(vdir: str) -> None:
             seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
@@ -1249,6 +1265,8 @@ class ManagedTable(_TableReadMixin):
             while True:
                 ref = self._base_ref(data_dir)
                 ref["appends"] = self._rebase_appends(v) + ["self"]
+                if self._dead_of(v):
+                    ref["dead"] = self._dead_of(v)
 
                 def populate(vdir: str, new_dv=new_dv, ref=ref, v=v) -> None:
                     upd_out.write.mode("overwrite").parquet(

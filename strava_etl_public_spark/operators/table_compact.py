@@ -1,0 +1,294 @@
+"""Minor compaction for ManagedTable — file-scoped, O(changed) bytes.
+
+The merge-on-read DML family (deletion-vector DELETE/UPDATE, blind
+APPEND, partition overwrite) accretes two kinds of read tax as a table
+ages: files whose rows are mostly DV-dead (every scan still opens them,
+then anti-joins most rows away) and swarms of small ``_upd`` files
+(every scan pays their per-file open cost; the appends chain itself
+grows one entry per DML commit). Full ``optimize()`` clears both but
+rewrites the WHOLE table — O(table) bytes, exactly what merge-on-read
+exists to avoid. ``compact()`` is the measured middle: pick only the
+files past a dead-row threshold (plus optional small-file coalescing),
+rewrite THEIR survivors into one ``_upd`` dir, and publish a reference
+commit whose universe excludes the victims via a ``dead`` file list —
+O(victim bytes) IO, not one untouched byte rewritten. This is Delta's
+"purge deletion vectors" / bin-packing minor compaction, and at 100 TB
+it is the difference between a nightly maintenance job that touches
+0.5 % of the table and one that copies all of it.
+
+Correctness discipline matches OPTIMIZE: the rewritten slice is
+digest-verified (order-free fingerprint of the victims' live rows ==
+fingerprint of the rewrite) BEFORE the commit record is attempted, and
+the commit's table digest is the parent's verbatim — compaction is
+content-identical by construction, and the gate proves it per-call.
+
+Reference parity note: the reference engine (sam-pitcher/strava-etl-
+public) rewrites whole BigQuery tables on every sync (main.py's
+read-modify-write of the activities table); this module is the
+Spark-native replacement for that pattern at a scale where whole-table
+rewrites stop being an option.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from .layout import (
+    dataset_fingerprint,
+    snapshot_commit_ref,
+    snapshot_max_commit,
+)
+
+
+class _CompactMixin:
+    """The minor-compaction face of :class:`~.table.ManagedTable` —
+    mixed into the one public class; never instantiated alone."""
+
+    def compact_stats(self) -> list[dict]:
+        """Per-file compaction pressure of the CURRENT version:
+        ``[{file, bytes, rows, dead_rows, dead_frac}]`` — the victim
+        census :meth:`compact` selects from, exposed for monitoring.
+        Driver cost is O(files) metadata (a parquet FOOTER read per
+        DV-touched file, byte sizes for all) plus one O(DV) aggregate;
+        no data rows move."""
+        import pyarrow.parquet as pq
+
+        v = self.version()
+        data_dir, dv_dir, appends = self._resolve(v)
+        dead = self._dead_abs(v)
+        files = [
+            os.path.join(d, f)
+            for d in (data_dir, *appends)
+            for f in sorted(os.listdir(d))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        files = [f for f in files if os.path.abspath(f) not in dead]
+        dead_n: dict[str, int] = {}
+        if dv_dir is not None:
+            for r in (
+                self._rebase_dv(
+                    self.spark.read.parquet(dv_dir).select("_file", "_pos")
+                )
+                .groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                dead_n[r["_file"]] = r["n"]
+        out = []
+        for f in files:
+            d = dead_n.get(os.path.abspath(f), 0)
+            rows = pq.ParquetFile(f).metadata.num_rows if d else None
+            out.append(
+                {
+                    "file": f,
+                    "bytes": os.path.getsize(f),
+                    "rows": rows,
+                    "dead_rows": d,
+                    "dead_frac": (d / rows) if rows else 0.0,
+                }
+            )
+        return out
+
+    def compact(
+        self,
+        dead_frac: float = 0.2,
+        small_bytes: int = 0,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> int | None:
+        """Minor compaction: rewrite ONLY the files whose DV-dead row
+        share is ≥ ``dead_frac`` (plus, when ``small_bytes`` > 0, any
+        group of ≥2 files smaller than it — small-file coalescing of
+        accreted ``_upd`` swarms), publishing a reference commit that
+        excludes the victims through a ``dead`` file list and carries
+        their surviving rows in a fresh ``_upd`` dir. Untouched files
+        are not read, not rewritten, not even listed into the plan —
+        cost is O(victim bytes) + O(files) driver metadata.
+
+        Returns the new version, or None when nothing crosses the
+        thresholds (an explicit no-op — no empty commit is published).
+
+        Scale contract (the 100 TB argument):
+        - victim census: parquet footer reads for DV-touched files
+          only; the DV per-file histogram is one small aggregate.
+        - rewrite: one Spark job over the victim files alone, with the
+          version's DV anti-joined (broadcast when small); output
+          sized to ``target_bytes``.
+        - append-chain folding: an appends dir whose files are ALL
+          dead-or-victim drops off the child's appends list, so the
+          chain the DML family grows one-entry-per-commit is BOUNDED
+          by compaction cadence instead of table age.
+        - residual DV: the parent DV minus victim-file entries — those
+          deletes are now physical. A table whose every delete has
+          been compacted reads with an EMPTY anti-join.
+        - history: immutable. The parent version still reads bit-for-
+          bit (victims stay on disk until vacuum retires their
+          version); ``dead`` entries are table-relative, so relocation
+          keeps them valid (the DV convention).
+
+        Concurrency: pessimistic, like OPTIMIZE — a competing commit
+        in the window surfaces :class:`~.layout.CommitConflict`
+        (transact()'s retry loop re-runs the census, which is cheap).
+        Interleaved-loser absorption is deliberately NOT attempted:
+        compaction rewrites files other ops' write sets name, Delta's
+        rule for why OPTIMIZE conflicts with everything."""
+        m = snapshot_max_commit(self.path)
+        v = self.version()
+        data_dir, dv_dir, appends = self._resolve(v)
+        if dv_dir is None:
+            return None  # copy commit: no DV, no appends — nothing to fold
+        vmap = self._version_map(v)
+        dead = self._dead_abs(v)
+        by_dir: dict[str, list[str]] = {
+            d: [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+            for d in (data_dir, *appends)
+        }
+        live_files = [
+            f
+            for fs in by_dir.values()
+            for f in fs
+            if os.path.abspath(f) not in dead
+        ]
+        dead_counts: dict[str, int] = {
+            r["_file"]: r["n"]
+            for r in self._rebase_dv(
+                self.spark.read.parquet(dv_dir).select("_file", "_pos")
+            )
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        import pyarrow.parquet as pq
+
+        victims: set[str] = set()
+        for f in live_files:
+            dn = dead_counts.get(os.path.abspath(f), 0)
+            if dn and dn / pq.ParquetFile(f).metadata.num_rows >= dead_frac:
+                victims.add(f)
+        if small_bytes > 0:
+            small = [
+                f
+                for f in live_files
+                if f not in victims and os.path.getsize(f) < small_bytes
+            ]
+            if len(small) >= 2:
+                victims.update(small)
+        if not victims:
+            return None
+        vlist = sorted(victims)
+        vabs = {os.path.abspath(f) for f in victims}
+
+        # survivors of the victim files, physical schema (metadata-
+        # added columns backfilled — the _upd convention), DV applied
+        base = self._open_data(v, *vlist)
+        phys_cols = base.columns
+        slice_live = (
+            self._tagged(base)
+            .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+            .select(*phys_cols)
+        )
+        n_out = max(
+            1,
+            math.ceil(
+                sum(os.path.getsize(f) for f in vlist) / target_bytes
+            ),
+        )
+        scratch = os.path.join(self.path, "_compact_tmp")
+        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            slice_live.repartition(n_out).write.mode("overwrite").parquet(
+                scratch
+            )
+            before = dataset_fingerprint(slice_live).collect()
+            after = dataset_fingerprint(
+                self.spark.read.parquet(scratch)
+            ).collect()
+            if [r[1:] for r in before] != [r[1:] for r in after]:
+                raise RuntimeError(
+                    "compact digest mismatch — rewritten victim slice is "
+                    "not content-identical; refusing to publish"
+                )
+
+            # residual DV: parent entries not addressing a victim
+            # (victim deletes became physical). Stored back relative.
+            # Anti-join, not isin — a victim list in the thousands
+            # would otherwise be inlined into the plan as literals.
+            vdf = F.broadcast(
+                self.spark.createDataFrame(
+                    [(p,) for p in sorted(vabs)], "_file string"
+                )
+            )
+            residual = self._relativize_dv(
+                self._rebase_dv(
+                    self.spark.read.parquet(dv_dir).select("_file", "_pos")
+                ).join(vdf, "_file", "left_anti")
+            )
+
+            # fold fully-consumed appends dirs off the chain; keep
+            # dead entries only for files in dirs still referenced
+            new_dead_abs = set(dead) | vabs
+            kept_appends: list[str] = []
+            kept_dirs = {os.path.abspath(data_dir)}
+            for a, d in zip(self._rebase_appends(v), appends):
+                if all(os.path.abspath(f) in new_dead_abs for f in by_dir[d]):
+                    continue  # every file dead → dir leaves the universe
+                kept_appends.append(a)
+                kept_dirs.add(os.path.abspath(d))
+            root = os.path.abspath(self.path) + os.sep
+            dead_out = sorted(
+                (p[len(root):] if p.startswith(root) else p)
+                for p in new_dead_abs
+                if os.path.dirname(p) in kept_dirs
+            )
+
+            ref = self._base_ref(data_dir)
+            ref["appends"] = kept_appends + ["self"]
+            if dead_out:
+                ref["dead"] = dead_out
+
+            def populate(vdir: str) -> None:
+                residual.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "_dv")
+                )
+                upd = os.path.join(vdir, "_upd")
+                os.makedirs(upd)
+                for fn in os.listdir(scratch):
+                    shutil.move(
+                        os.path.join(scratch, fn), os.path.join(upd, fn)
+                    )
+                with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                    json.dump(ref, f)
+                # inherited sidecars stay conservative-correct: victim
+                # basenames are pruned from survivor lists driver-side
+                # (scan/lookup consult the dead set), rewritten files
+                # ride the always-read appends path until OPTIMIZE
+                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+
+            with open(
+                os.path.join(self.path, "_commits", f"{v}.json")
+            ) as f:
+                parent = json.load(f)
+            extra: dict = {"parent": v, "op": "compact"}
+            if vmap:
+                extra["columns"] = vmap
+            if self._version_added(v):
+                extra["added"] = self._version_added(v)
+            return snapshot_commit_ref(
+                self.path,
+                populate,
+                digest={
+                    k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+                },
+                extra=extra,
+                expected_max=m,
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)

@@ -115,6 +115,32 @@ class _TableReadMixin:
         with open(p) as f:
             return json.load(f).get("added") or {}
 
+    def _dead_of(self, v: int) -> list[str]:
+        """Raw stored ``dead`` file list of version ``v`` — files a
+        minor COMPACTION (:meth:`~.table_compact._CompactMixin.compact`)
+        excluded from the version's universe after rewriting their
+        survivors into an ``_upd`` dir. Entries are table-relative when
+        the file lives under this root (the DV storage convention —
+        relocation-safe) and absolute for clone-source files. Child
+        reference commits carry the list verbatim; [] on copy commits
+        and pre-compaction refs."""
+        p = os.path.join(self.path, f"v{v}", "_dv.json")
+        if not os.path.isfile(p):
+            return []
+        with open(p) as f:
+            return json.load(f).get("dead") or []
+
+    def _dead_abs(self, v: int) -> set[str]:
+        """Version ``v``'s dead files as normalized ABSOLUTE paths —
+        the form ``_open_data`` compares directory listings against.
+        O(dead files) driver work, bounded by compaction's victim
+        lists."""
+        root = os.path.abspath(self.path)
+        return {
+            e if os.path.isabs(e) else os.path.join(root, e)
+            for e in self._dead_of(v)
+        }
+
     def _open_data(self, v: int, *paths: str) -> DataFrame:
         """Physical rows of version ``v`` read from ``paths`` with
         schema-evolution columns reconciled: when the version carries
@@ -122,11 +148,44 @@ class _TableReadMixin:
         without the column, post-add ``_upd`` files with it) union by
         name via mergeSchema, and a column present in NO opened file
         backfills as a typed NULL. The common no-evolution case takes
-        the plain single-schema read — zero overhead."""
+        the plain single-schema read — zero overhead.
+
+        DEAD files (compacted away — their survivors live in an
+        ``_upd`` dir) are excluded HERE, the one choke point every
+        read and every DML predicate scan opens data through: when the
+        version carries a dead list, directories expand to explicit
+        live-file reads, so excluded files are never even OPENED (a
+        row-level filter would still pay their IO). Every caller —
+        read(), scan()/lookup() survivor opens, DELETE/UPDATE/
+        overwrite predicate scans, CDC — inherits the exclusion."""
+        dead = self._dead_abs(v)
+        if dead:
+            files: list[str] = []
+            for p in paths:
+                if os.path.isdir(p):
+                    files += [
+                        os.path.join(p, f)
+                        for f in sorted(os.listdir(p))
+                        if f.startswith("part-")
+                    ]
+                else:
+                    files.append(p)
+            live = [f for f in files if os.path.abspath(f) not in dead]
+            if not live and files:
+                # every listed file is dead — serve the schema from one
+                # dead file with all rows filtered (never an unreadable
+                # empty-path read; content correctly empty)
+                base = self.spark.read.parquet(files[0]).filter(F.lit(False))
+                return self._with_added(v, base)
+            paths = tuple(live)
         added = self._version_added(v)
         if not added:
             return self.spark.read.parquet(*paths)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._with_added(v, df, added)
+
+    def _with_added(self, v: int, df: DataFrame, added=None) -> DataFrame:
+        added = self._version_added(v) if added is None else added
         for p, t in added.items():
             if p not in df.columns:
                 df = df.withColumn(p, F.lit(None).cast(t))
@@ -550,6 +609,12 @@ class _TableReadMixin:
         app_files = self._append_files(appends)
         keep += app_files
         total += len(app_files)
+        # compacted-away files may still sit in the inherited manifest
+        # (superset is conservative) — drop them from the survivor list
+        # driver-side so they are never opened
+        dead = self._dead_abs(v)
+        if dead:
+            keep = [f for f in keep if os.path.abspath(f) not in dead]
         cols = self._open_data(v, data_dir).columns
         if not keep:
             empty = self._open_data(v, data_dir).filter(F.lit(False))
@@ -588,6 +653,9 @@ class _TableReadMixin:
         app_files = self._append_files(appends)
         keep += app_files
         total += len(app_files)
+        dead = self._dead_abs(v)
+        if dead:
+            keep = [f for f in keep if os.path.abspath(f) not in dead]
         vmap = self._version_map(v)
         cols = self._open_data(v, data_dir).columns
         if not keep:

@@ -669,3 +669,176 @@ def x_maintenance_optimize_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CMP_FP_RENDER = ", ".join(
+    f"coalesce(CAST({c} AS VARCHAR), chr(30))"
+    for c in ["event_id", "user_id", "event_type", "es", "vmic"]
+)
+
+
+@register_extra(
+    "x_table_compact",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+alive AS (
+  SELECT * FROM base WHERE user_id % 3 IS DISTINCT FROM 0
+),
+final AS (
+  SELECT * FROM alive
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(9000000001 AS BIGINT), CAST(1 AS BIGINT), 'synthetic',
+     CAST(32503680000 AS BIGINT), CAST(1000000 AS BIGINT)),
+    (CAST(9000000002 AS BIGINT), CAST(2 AS BIGINT), 'synthetic',
+     CAST(32503680001 AS BIGINT), CAST(2000000 AS BIGINT)),
+    (CAST(9000000003 AS BIGINT), CAST(3 AS BIGINT), 'synthetic',
+     CAST(32503680002 AS BIGINT), CAST(3000000 AS BIGINT))
+  ) AS t(event_id, user_id, event_type, es, vmic)
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_CMP_FP_RENDER})),
+                                        1, 15)) AS BIGINT) AS h
+        FROM final)
+),
+bounds AS (SELECT min(es) AS lo FROM final),
+scan AS (SELECT CAST(count(*) AS BIGINT) AS scan_rows
+         FROM final, bounds WHERE es BETWEEN lo AND lo + 86400)
+SELECT 'compact_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS compact_content_identical, TRUE AS untouched_files_intact,
+       TRUE AS dead_list_relative, TRUE AS residual_dv_clean,
+       TRUE AS append_chain_folded, scan.scan_rows,
+       TRUE AS scan_pruned_exact, TRUE AS history_readable
+FROM fp, scan
+""",
+)
+def x_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINOR COMPACTION (ManagedTable.compact) — the O(changed-bytes)
+    maintenance step between merge-on-read DML and a full OPTIMIZE:
+    after a 33%-dead DELETE and three tiny APPENDs, compact(dead_frac
+    =0.2, small_bytes=16KiB) rewrites ONLY the threshold-crossing
+    files' survivors into one fresh ``_upd`` dir, excludes the victims
+    through the version's ``dead`` file list, folds the fully-consumed
+    append dirs off the chain, and publishes a commit whose digest is
+    the parent's VERBATIM (content-identical by construction, digest-
+    verified before the record is attempted).
+
+    Invariants packed into the row (each recomputed live, never
+    assumed): the compacted read fingerprints equal to the
+    pre-compaction head; v1's files are untouched on disk
+    (name+size listing equality — history immutable); the dead list is
+    table-relative (relocation-safe, the DV storage convention); no
+    residual DV entry addresses a compacted-away file; the appends
+    chain folded to exactly ["self"]; the manifest-pruned day-window
+    scan on the compacted version equals the exact filter; v1 and the
+    pre-compaction DV version still time-travel exactly.
+
+    Reference parity: the reference's maintenance story is a
+    whole-table rewrite per sync (main.py read-modify-write);
+    compact() is that job's 100 TB form — touch 0.5%% of the table,
+    not all of it. Oracle: survivors ∪ appended rows recomputed
+    relationally with a NULL-safe predicate complement."""
+    ensure_harness_conf(spark)
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+
+    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="compact_table_")
+    path = os.path.join(root, "t")
+
+    def _part_files(p: str):
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.startswith("part-")
+        )
+
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+        )
+        v1_files = _part_files(os.path.join(path, "v1"))
+        v2 = t.delete(F.col("user_id") % 3 == 0)
+        for i in range(3):
+            t.append(
+                spark.createDataFrame(
+                    [
+                        (
+                            9000000001 + i,
+                            1 + i,
+                            "synthetic",
+                            32503680000 + i,
+                            (1 + i) * 1000000,
+                        )
+                    ],
+                    "event_id long, user_id long, event_type string, "
+                    "es long, vmic long",
+                )
+            )
+        pre = dataset_fingerprint(t.read(), cols).collect()
+        vc = t.compact(dead_frac=0.2, small_bytes=16 * 1024)
+        assert vc is not None, "compaction found no victims"
+        content_identical = (
+            dataset_fingerprint(t.read(version=vc), cols).collect() == pre
+        )
+        untouched = _part_files(os.path.join(path, "v1")) == v1_files
+        with open(os.path.join(path, f"v{vc}", "_dv.json")) as f:
+            ref = _json.load(f)
+        dead = ref.get("dead", [])
+        dead_rel = bool(dead) and all(not e.startswith("/") for e in dead)
+        dv_rows = spark.read.parquet(
+            os.path.join(path, f"v{vc}", "_dv")
+        ).collect()
+        residual_clean = not [r for r in dv_rows if r["_file"] in set(dead)]
+        chain_folded = ref.get("appends") == ["self"]
+
+        lo = t.read().agg(F.min("es")).collect()[0][0]
+        sdf, files_read, files_total = t.scan("es", lo, lo + 86400)
+        scan_rows = sdf.count()
+        exact = t.read().filter(F.col("es").between(lo, lo + 86400)).count()
+        scan_ok = scan_rows == exact
+
+        hist_ok = (
+            dataset_fingerprint(t.read(version=1), cols).collect()
+            == dataset_fingerprint(base, cols).collect()
+            and t.read(version=v2).count() == t.read(version=vc).count() - 3
+        )
+        fp = dataset_fingerprint(t.read(), cols, label="compact_events")
+        return fp.withColumns(
+            {
+                "compact_content_identical": F.lit(bool(content_identical)),
+                "untouched_files_intact": F.lit(bool(untouched)),
+                "dead_list_relative": F.lit(bool(dead_rel)),
+                "residual_dv_clean": F.lit(bool(residual_clean)),
+                "append_chain_folded": F.lit(bool(chain_folded)),
+                "scan_rows": F.lit(int(scan_rows)).cast("long"),
+                "scan_pruned_exact": F.lit(bool(scan_ok)),
+                "history_readable": F.lit(bool(hist_ok)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -656,3 +656,149 @@ def x_stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_table_cdf_source",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id % 8 AS bucket,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+s2 AS (SELECT * FROM base WHERE event_id % 5 <> 0),
+s3 AS (SELECT event_id, bucket,
+              CASE WHEN bucket = 1 THEN vmic + 1000000 ELSE vmic END AS vmic
+       FROM s2),
+s4 AS (SELECT * FROM s3
+       UNION ALL
+       SELECT event_id + 1000000000, bucket, vmic + 3
+       FROM base WHERE event_id % 7 = 0),
+s5 AS (SELECT * FROM s4
+       UNION ALL
+       SELECT CAST(9000000000 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(42 AS BIGINT))
+SELECT bucket, CAST(sum(vmic) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(4 AS BIGINT) AS n_batches,
+       TRUE AS resume_exact
+FROM s5 GROUP BY bucket
+""",
+)
+def x_stream_table_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The managed table as a REAL Structured Streaming source —
+    ``spark.readStream.format("table_cdf")`` (sources/table_cdf.py, the
+    Spark-4 Python DataSource streaming API): offsets are table
+    VERSIONS in the engine's own checkpoint, each micro-batch is one
+    commit window's signed delta, and every InputPartition is ONE
+    physical change file read executor-side with pyarrow (positions
+    reconstructed by sequential read order — the _metadata.row_index
+    contract the DV writer used). The driver touches only commit
+    metadata and the DV sidecar's _file column; cost ∝ change volume.
+
+    The run drives DELETE → UPDATE → APPEND through FOUR sequential
+    drains of one checkpoint lineage (so multi-batch consumption is
+    structural, n_batches = 4), folds the signed rows onto the v1
+    snapshot relationally, and proves engine-offset exactly-once by
+    asserting the final drain consumed EXACTLY the one appended row
+    (resume_exact). The oracle recomputes the final per-bucket
+    aggregate through the whole DML history. Copy-commit windows
+    raise by contract (Delta's readChangeFeed cut) — that arm is
+    pinned in tests/test_table_cdf_source.py."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .operators.table import ManagedTable
+    from .sources.table_cdf import register_cdf_stream
+
+    register_cdf_stream(spark)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 8).cast("long").alias("bucket"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="cdf_src_")
+    src_path = os.path.join(root, "src")
+    acc_dir = os.path.join(root, "acc")
+    ckpt = os.path.join(root, "ck")
+    try:
+        t = ManagedTable.create(base.repartition(8), src_path, key="event_id")
+        v0 = t.version()
+
+        counts = {"batches": 0, "last": 0}
+
+        def _drain():
+            counts["last"] = 0
+
+            def sink(df, bid):
+                n = df.count()
+                if n:
+                    counts["batches"] += 1
+                    counts["last"] += n
+                    df.write.mode("append").parquet(acc_dir)
+
+            q = (
+                spark.readStream.format("table_cdf")
+                .option("path", src_path)
+                .option("starting_version", v0)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .queryName(f"cdf_{_uuid.uuid4().hex[:8]}")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        t.delete(F.col("event_id") % 5 == 0)
+        _drain()
+        t.update(F.col("bucket") == 1, {"vmic": F.col("vmic") + 1000000})
+        _drain()
+        t.append(
+            base.filter(F.col("event_id") % 7 == 0).select(
+                (F.col("event_id") + 1000000000).alias("event_id"),
+                "bucket",
+                (F.col("vmic") + 3).alias("vmic"),
+            )
+        )
+        _drain()
+        t.append(
+            spark.createDataFrame(
+                [(9000000000, 0, 42)],
+                "event_id long, bucket long, vmic long",
+            )
+        )
+        _drain()
+        resume_exact = counts["last"] == 1
+
+        signed = spark.read.parquet(acc_dir).select(
+            "bucket", "vmic", F.col("sign").cast("long").alias("sign")
+        )
+        snap = t.read(version=v0).select(
+            "bucket", "vmic", F.lit(1).cast("long").alias("sign")
+        )
+        out = (
+            snap.unionByName(signed)
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("vmic") * F.col("sign"))
+                .cast("long")
+                .alias("total"),
+                F.sum("sign").cast("long").alias("n_rows"),
+            )
+            .withColumns(
+                {
+                    "n_batches": F.lit(int(counts["batches"])).cast("long"),
+                    "resume_exact": F.lit(bool(resume_exact)),
+                }
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,421 @@
+"""``spark.readStream.format("table_cdf")`` — a Structured Streaming
+SOURCE over a ManagedTable's commit chain (the readChangeFeed face as
+a real stream, not a batch consumer).
+
+The batch consumer (streaming.ingest.table_cdf_tail) already proves
+the retraction arithmetic; this source puts the same change feed
+behind the engine's own offset log: offsets are table VERSIONS
+(``{"version": n}``), each micro-batch is the signed row delta of one
+commit window, and exactly-once comes from Spark's streaming
+checkpoint — replaying a window re-reads the same immutable DV and
+``_upd`` files bit-identically.
+
+Scale design (the part that matters at 100 TB):
+
+* The DRIVER touches only COMMIT METADATA: the records of the window
+  (parent-pointer walk), the ``_dv.json`` references, and the DV
+  sidecars' ``_file`` column (column-projected footer+page reads of
+  an O(deleted-rows) sidecar) — never a data row.
+* Each InputPartition is ONE physical change file: a base file named
+  by new DV positions (retractions) or a window-born ``_upd`` file
+  (additions). EXECUTORS open their one parquet file with pyarrow,
+  reconstruct row positions by sequential read order (exactly
+  Spark's ``_metadata.row_index`` contract the DV writer used), and
+  emit Arrow batches — cost ∝ change volume, fanned out one task per
+  changed file.
+* Intra-window births-and-deaths cancel by construction: retractions
+  consider only files that existed at the window start; additions
+  anti-filter the window's ``_upd`` rows against DV(to).
+
+Contract: the window's commits must all be merge-on-read DML
+(``dv_delete`` / ``dv_update`` / ``dv_overwrite`` / ``append``). A
+copy commit (merge/overwrite/optimize/restore) or a metadata commit
+(rename — the stream's fixed schema would go stale) RAISES with the
+version and op named, directing the consumer to the batch tailer
+which handles those by snapshot diff — Delta's readChangeFeed makes
+the same cut (it errors on non-CDC commits rather than inventing a
+delta). Reference parity: the reference re-reads its whole store per
+poll (main.py history scan); this prices consumption at change
+volume with the engine's own recovery guarantees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_FAST_OPS = ("dv_delete", "dv_update", "dv_overwrite", "append")
+
+# SQL type string → pyarrow type factory, for null-backfilled
+# metadata-added columns (executors have no Catalyst to consult)
+_SQL_TO_ARROW = {
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "short": "int16",
+    "smallint": "int16",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+    "binary": "binary",
+    "date": "date32",
+}
+
+
+def _arrow_type(sql_type: str):
+    import pyarrow as pa
+
+    name = _SQL_TO_ARROW.get(sql_type.strip().lower())
+    if name is None:
+        raise ValueError(
+            f"unsupported added-column type {sql_type!r} for the "
+            "table_cdf stream source"
+        )
+    return getattr(pa, name)()
+
+
+# -- driver-side metadata walkers (plain files, no SparkSession) ----------
+
+
+def _version(path: str) -> int:
+    p = os.path.join(path, "_latest")
+    if not os.path.isfile(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _rec(path: str, v: int) -> dict | None:
+    p = os.path.join(path, "_commits", f"{v}.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _ref(path: str, v: int) -> dict | None:
+    p = os.path.join(path, f"v{v}", "_dv.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _walk(path: str, frm: int, to_excl: int) -> dict[int, dict] | None:
+    """Records on the published parent chain from ``frm`` down to
+    (exclusive) ``to_excl`` — None when the chain can't be proven to
+    cover exactly that range (table_read._walk_range's rules)."""
+    out: dict[int, dict] = {}
+    cur = frm
+    while cur > to_excl:
+        rec = _rec(path, cur)
+        if rec is None:
+            return None
+        out[cur] = rec
+        nxt = int(rec.get("parent", cur - 1))
+        if nxt >= cur:
+            return None
+        cur = nxt
+    if cur != to_excl or set(out) != set(range(to_excl + 1, frm + 1)):
+        return None
+    return out
+
+
+def _universe(path: str, v: int) -> tuple[list[str], str | None, set[str]]:
+    """(data dirs, dv dir|None, dead-file abs set) of version ``v`` —
+    the metadata half of _TableReadMixin._resolve, file-based."""
+    vdir = os.path.join(path, f"v{v}")
+    ref = _ref(path, v)
+    if ref is None:
+        return [vdir], None, set()
+    base = (
+        os.path.join(path, ref["base"])
+        if "base" in ref
+        else ref["base_abs"]
+    )
+    dirs = [base]
+    for a in ref.get("appends", []):
+        dirs.append(
+            os.path.join(vdir, "_upd")
+            if a == "self"
+            else (a if os.path.isabs(a) else os.path.join(path, a))
+        )
+    root = os.path.abspath(path)
+    dead = {
+        e if os.path.isabs(e) else os.path.join(root, e)
+        for e in ref.get("dead") or []
+    }
+    return dirs, os.path.join(vdir, "_dv"), dead
+
+
+def _part_files(d: str) -> list[str]:
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+
+
+def _dv_file_names(dv_dir: str | None, root: str) -> set[str]:
+    """Distinct ABSOLUTE file paths named by a DV sidecar — a
+    column-projected pyarrow read of the O(deleted-rows) sidecar's
+    ``_file`` column only."""
+    if dv_dir is None or not os.path.isdir(dv_dir):
+        return set()
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for f in _part_files(dv_dir):
+        col = pq.read_table(f, columns=["_file"]).column("_file")
+        for v in col.to_pylist():
+            out.add(v if os.path.isabs(v) else os.path.join(root, v))
+    return out
+
+
+def _match_keys(file_abs: str, root: str) -> tuple[str, ...]:
+    """The stored-entry spellings a DV may use for this file:
+    table-relative (in-root convention) and absolute (clone
+    sources)."""
+    prefix = os.path.abspath(root) + os.sep
+    if file_abs.startswith(prefix):
+        return (file_abs[len(prefix):], file_abs)
+    return (file_abs,)
+
+
+@dataclass
+class _CDFPartition(InputPartition):
+    kind: str  # "retract" | "add"
+    file: str  # absolute path of the one data file this task reads
+    keys: tuple  # DV spellings that address this file
+    dv_to: str | None
+    dv_from: str | None
+    fields: tuple  # ((logical_name, physical_name, sql_type), ...)
+
+
+class TableCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema_fields):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("table_cdf requires .option('path', <table>)")
+        self.start_version = options.get("starting_version")
+        self._fields = schema_fields  # ((logical, physical, sql_type), ...)
+
+    def initialOffset(self) -> dict:
+        v = (
+            int(self.start_version)
+            if self.start_version is not None
+            else _version(self.path)
+        )
+        return {"version": v}
+
+    def latestOffset(self) -> dict:
+        return {"version": _version(self.path)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        walked = _walk(self.path, e, s)
+        if walked is None:
+            raise ValueError(
+                f"table_cdf: versions ({s}, {e}] are not fully on the "
+                "published chain (rollback or in-flight commit) — "
+                "restart the stream from a published version"
+            )
+        for v, rec in sorted(walked.items()):
+            if rec.get("op") not in _FAST_OPS:
+                raise ValueError(
+                    f"table_cdf: commit v{v} is op "
+                    f"{rec.get('op') or 'copy'!r} — the streaming source "
+                    "serves merge-on-read DML windows only; consume this "
+                    "window with streaming.ingest.table_cdf_tail (snapshot "
+                    "diff) and restart the stream from v{0}".format(v)
+                )
+        head = walked[e]
+        rec_cols = head.get("columns")
+        logical_now = (
+            [l for l, _ in rec_cols]
+            if rec_cols
+            else [f[0] for f in self._fields]
+        )
+        if logical_now != [f[0] for f in self._fields]:
+            raise ValueError(
+                "table_cdf: the table's logical schema changed under a "
+                "running stream — restart the stream to pick up the new "
+                "schema"
+            )
+        root = os.path.abspath(self.path)
+        from_dirs, dv_from, _ = _universe(self.path, s)
+        to_dirs, dv_to, _ = _universe(self.path, e)
+        from_dir_set = {os.path.abspath(d) for d in from_dirs}
+
+        parts: list[InputPartition] = []
+        for f in sorted(_dv_file_names(dv_to, root)):
+            if os.path.dirname(f) in from_dir_set:
+                parts.append(
+                    _CDFPartition(
+                        "retract",
+                        f,
+                        _match_keys(f, root),
+                        dv_to,
+                        dv_from,
+                        self._fields,
+                    )
+                )
+        for d in to_dirs:
+            if os.path.abspath(d) in from_dir_set:
+                continue
+            for f in _part_files(d):
+                parts.append(
+                    _CDFPartition(
+                        "add",
+                        f,
+                        _match_keys(f, root),
+                        dv_to,
+                        None,
+                        self._fields,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _CDFPartition) -> Iterator:
+        """Executor-side: one parquet file, positions reconstructed by
+        sequential read order (== Spark's ``_metadata.row_index``),
+        emitted as Arrow batches with the sign column appended."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _positions(dv_dir: str | None) -> set[int]:
+            if dv_dir is None or not os.path.isdir(dv_dir):
+                return set()
+            out: set[int] = set()
+            keys = set(partition.keys)
+            for f in _part_files(dv_dir):
+                t = pq.read_table(f, columns=["_file", "_pos"])
+                files, pos = t.column("_file"), t.column("_pos")
+                for fv, pv in zip(files.to_pylist(), pos.to_pylist()):
+                    if fv in keys:
+                        out.add(pv)
+            return out
+
+        if partition.kind == "retract":
+            wanted = _positions(partition.dv_to) - _positions(
+                partition.dv_from
+            )
+            sign = -1
+        else:
+            dead = _positions(partition.dv_to)
+            wanted = None  # all positions except dead
+            sign = 1
+
+        pf = pq.ParquetFile(partition.file)
+        offset = 0
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            if wanted is not None:
+                idx = [
+                    i for i in range(n) if (offset + i) in wanted
+                ]
+            else:
+                idx = [
+                    i for i in range(n) if (offset + i) not in dead
+                ]
+            offset += n
+            if not idx:
+                continue
+            taken = batch.take(pa.array(idx, type=pa.int64()))
+            cols, names = [], []
+            for logical, physical, sql_type in partition.fields:
+                names.append(logical)
+                if physical in taken.schema.names:
+                    cols.append(taken.column(physical))
+                else:
+                    # metadata-added column absent from this file —
+                    # typed nulls, the add_column read contract
+                    cols.append(pa.nulls(len(idx), _arrow_type(sql_type)))
+            cols.append(
+                pa.array([sign] * len(idx), type=pa.int32())
+            )
+            names.append("sign")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint
+
+
+class TableCDFStreamDataSource(DataSource):
+    """``format("table_cdf")`` — options: ``path`` (table root),
+    ``starting_version`` (default: the version current at stream
+    start, i.e. only NEW commits stream)."""
+
+    @classmethod
+    def name(cls):
+        return "table_cdf"
+
+    def _fields(self) -> tuple:
+        """((logical, physical, sql_type_or_None), ...) of the CURRENT
+        version — derived from one data file's parquet schema plus the
+        commit record's column map and added-column markers."""
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("table_cdf requires .option('path', <table>)")
+        v = _version(path)
+        if v < 1:
+            raise ValueError(f"no published version at {path}")
+        rec = _rec(path, v) or {}
+        dirs, _, dead = _universe(path, v)
+        sample = None
+        for d in dirs:
+            for f in _part_files(d):
+                if os.path.abspath(f) not in dead:
+                    sample = f
+                    break
+            if sample:
+                break
+        if sample is None:
+            raise ValueError(f"no data files under {path} v{v}")
+        import pyarrow.parquet as pq
+
+        file_schema = pq.ParquetFile(sample).schema_arrow
+        added = rec.get("added") or {}
+        vmap = rec.get("columns")
+        phys_types: dict[str, str] = {}
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        for name in file_schema.names:
+            phys_types[name] = from_arrow_type(
+                file_schema.field(name).type
+            ).simpleString()
+        for ph, t in added.items():
+            phys_types.setdefault(ph, t)
+        if vmap:
+            return tuple(
+                (l, p, phys_types.get(p, added.get(p, "string")))
+                for l, p in vmap
+            )
+        return tuple((c, c, phys_types[c]) for c in file_schema.names)
+
+    def schema(self) -> str:
+        fields = self._fields()
+        ddl = ", ".join(f"`{l}` {t}" for l, _, t in fields)
+        return f"{ddl}, `sign` int"
+
+    def streamReader(self, schema):
+        return TableCDFStreamReader(self.options, self._fields())
+
+
+def register_cdf_stream(spark) -> None:
+    """Idempotent registration of the source with a session."""
+    spark.dataSource.register(TableCDFStreamDataSource)

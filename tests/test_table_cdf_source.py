@@ -1,0 +1,219 @@
+"""spark.readStream.format("table_cdf") — the streaming change-feed
+source over ManagedTable commits (executor-side partition reads).
+
+Pins: signed deltas across a multi-commit DML window fold to the
+table's exact final state; retractions and update pre/post images
+carry the right signs; intra-window births-and-deaths cancel;
+checkpointed restart consumes ONLY the new window (engine-offset
+exactly-once); copy commits and renames in the window raise loudly
+(the documented Delta-readChangeFeed-style cut) instead of inventing
+a delta."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.table import ManagedTable
+from strava_etl_public_spark.sources.table_cdf import register_cdf_stream
+
+SCHEMA = "id long, bucket long, val long"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from strava_etl_public_spark.session import get_spark
+
+    s = get_spark()
+    register_cdf_stream(s)
+    return s
+
+
+def _mk(spark, path, n=60):
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(1, n + 1)], SCHEMA
+    ).repartition(4)
+    return ManagedTable.create(df, path, key="id")
+
+
+def _drain(spark, path, start_version, ckpt):
+    """Run the stream to caught-up; return list of (batch_id, rows)."""
+    batches = []
+
+    def sink(df, bid):
+        batches.append((bid, [tuple(r) for r in df.collect()]))
+
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", start_version)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches
+
+
+def _fold(rows):
+    """Apply signed rows to a dict model {id: (bucket, val)}."""
+    state: dict = {}
+    for (i, b, v, sign) in rows:
+        if sign == 1:
+            state[i] = (b, v)
+        else:
+            state.pop(i, None)
+    return state
+
+
+def test_signed_window_folds_to_final_state(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    v0 = t.version()
+    t.delete(F.col("id") % 5 == 0)
+    t.update(F.col("bucket") == 1, {"val": F.col("val") + 7})
+    t.append(
+        spark.createDataFrame([(100, 0, 1), (101, 1, 2)], SCHEMA)
+    )
+    batches = _drain(spark, path, v0, str(tmp_path / "ck"))
+    rows = [r for _, rs in batches for r in rs]
+    assert rows, "stream produced no rows"
+    # fold signed changes ONTO the v0 snapshot (the stream serves
+    # changes SINCE starting_version, not the initial state);
+    # a batch's -1s apply before its +1s
+    state: dict = {
+        r["id"]: (r["bucket"], r["val"])
+        for r in t.read(version=v0).collect()
+    }
+    for _, rs in batches:
+        for r in sorted(rs, key=lambda x: x[3]):
+            if r[3] == 1:
+                state[r[0]] = (r[1], r[2])
+            else:
+                state.pop(r[0], None)
+    want = {r["id"]: (r["bucket"], r["val"]) for r in t.read().collect()}
+    assert state == want
+
+
+def test_update_emits_both_images(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=20)
+    v0 = t.version()
+    t.update(F.col("id") == 7, {"val": F.lit(999)})
+    rows = [
+        r
+        for _, rs in _drain(spark, path, v0, str(tmp_path / "ck"))
+        for r in rs
+    ]
+    assert sorted(rows) == [(7, 3, 70, -1), (7, 3, 999, 1)]
+
+
+def test_intra_window_birth_and_death_cancels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=20)
+    v0 = t.version()
+    t.append(spark.createDataFrame([(500, 0, 5)], SCHEMA))
+    t.delete(F.col("id") == 500)  # dies inside the same window
+    rows = [
+        r
+        for _, rs in _drain(spark, path, v0, str(tmp_path / "ck"))
+        for r in rs
+    ]
+    assert not [r for r in rows if r[0] == 500]
+
+
+def test_checkpoint_resume_consumes_only_new_window(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = _mk(spark, path)
+    v0 = t.version()
+    t.delete(F.col("id") <= 10)
+    first = _drain(spark, path, v0, ckpt)
+    n_first = len([r for _, rs in first for r in rs])
+    assert n_first == 10  # ten retractions
+    t.append(spark.createDataFrame([(200, 2, 3)], SCHEMA))
+    second = _drain(spark, path, v0, ckpt)
+    rows = [r for _, rs in second for r in rs]
+    # ONLY the append's row — the first window is checkpointed away
+    assert rows == [(200, 2, 3, 1)]
+
+
+def test_multibatch_when_commits_straddle_triggers(spark, tmp_path):
+    """Each _drain run opens its own query; two sequential runs with
+    DML in between prove per-window batching through one checkpoint
+    lineage (the exactly-once loop a long-lived stream executes)."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = _mk(spark, path)
+    v0 = t.version()
+    seen = []
+    for i in range(3):
+        t.delete(F.col("id") == 11 + i)
+        seen += [
+            r
+            for _, rs in _drain(spark, path, v0, ckpt)
+            for r in rs
+        ]
+    assert sorted(r[0] for r in seen) == [11, 12, 13]
+    assert all(r[3] == -1 for r in seen)
+
+
+def test_copy_commit_in_window_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    v0 = t.version()
+    t.delete(F.col("id") == 1)
+    t.optimize()  # copy commit — not CDF-able
+    with pytest.raises(Exception) as ei:
+        _drain(spark, path, v0, str(tmp_path / "ck"))
+    assert "table_cdf" in str(ei.value)
+
+
+def test_rename_in_window_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    v0 = t.version()
+    t.rename_column("val", "speed")
+    with pytest.raises(Exception) as ei:
+        _drain(spark, path, v0, str(tmp_path / "ck"))
+    assert "table_cdf" in str(ei.value)
+
+
+def test_stream_reads_renamed_and_added_schema(spark, tmp_path):
+    """A stream STARTED after a rename + add_column serves the new
+    logical schema (renamed column, typed-null backfill for the added
+    one)."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=20)
+    t.rename_column("val", "speed")
+    t.add_column("note", "string")
+    v0 = t.version()
+    t.delete(F.col("id") == 5)
+    batches = []
+
+    def sink(df, bid):
+        batches.append([r.asDict() for r in df.collect()])
+
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", v0)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [r for b in batches for r in b]
+    assert rows == [
+        {"id": 5, "bucket": 1, "speed": 50, "note": None, "sign": -1}
+    ]

@@ -1,0 +1,249 @@
+"""Minor compaction (ManagedTable.compact) — directed tests.
+
+compact() rewrites ONLY the files past the dead-row threshold (plus
+optional small-file coalescing), excludes them from the universe via
+the ``dead`` file list, and publishes a content-identical reference
+commit. These tests pin: content identity (digest equality against
+the pre-compaction read), victim scoping (untouched files stay
+byte-identical on disk AND out of the rewrite), residual-DV
+semantics, append-chain folding, history immutability, interaction
+with scan/lookup pruning, column mapping, ADD COLUMN markers,
+relocation, clone, CDC windows that cross a compaction, and the
+DML-after-compaction paths (delete/update/append still correct when
+their predicate scan must exclude dead files)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.table import ManagedTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from strava_etl_public_spark.session import get_spark
+
+    return get_spark()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, path, n=80, parts=4, **kw):
+    df = spark.createDataFrame(
+        [(i, float(i * 10), i % 8) for i in range(1, n + 1)],
+        "id long, value double, bucket long",
+    ).repartition(parts)
+    return ManagedTable.create(df, path, key="id", **kw)
+
+
+def test_compact_is_content_identical_and_scoped(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    # kill most rows of one file-aligned slice: delete ids in one
+    # repartition bucket is file-random, so delete a broad range —
+    # several files cross the 20% threshold
+    t.delete(F.col("id") <= 40)
+    before = _rows(t.read())
+    files_before = {
+        f: os.path.getmtime(os.path.join(str(tmp_path / "t"), "v1", f))
+        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        if f.startswith("part-")
+    }
+    v = t.compact(dead_frac=0.2)
+    assert v is not None and v == t.version()
+    assert _rows(t.read()) == before
+    # untouched history: v1's files not rewritten (same mtimes)
+    for f, mt in files_before.items():
+        assert os.path.getmtime(os.path.join(str(tmp_path / "t"), "v1", f)) == mt
+    # the compact version's record carries the parent digest verbatim
+    with open(str(tmp_path / "t" / "_commits" / f"{v}.json")) as fh:
+        rec = json.load(fh)
+    with open(str(tmp_path / "t" / "_commits" / f"{v - 1}.json")) as fh:
+        parent = json.load(fh)
+    assert rec["op"] == "compact"
+    assert rec["n_rows"] == parent["n_rows"]
+    assert rec["xor_hash"] == parent["xor_hash"]
+    # dead list present, table-relative
+    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+        ref = json.load(fh)
+    assert ref.get("dead") and all(not e.startswith("/") for e in ref["dead"])
+    # pre-compaction version still reads exactly (history immutable)
+    assert len(_rows(t.read(version=v - 1))) == len(before)
+
+
+def test_compact_noop_below_threshold(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") == 1)  # one dead row out of ~20 per file
+    v = t.version()
+    assert t.compact(dead_frac=0.5) is None
+    assert t.version() == v  # no empty commit published
+
+
+def test_compact_residual_dv_only_for_survivor_files(spark, tmp_path):
+    # range-partitioned files: file A = ids 1..~40, file B = the rest,
+    # so delete(id<=50) makes A 100% dead and B ~25% dead — exactly
+    # one victim at dead_frac=0.9, deterministically
+    df = spark.createDataFrame(
+        [(i, float(i * 10), i % 8) for i in range(1, 81)],
+        "id long, value double, bucket long",
+    ).repartitionByRange(2, "id")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.delete(F.col("id") <= 50)
+    v = t.compact(dead_frac=0.9)
+    assert v is not None
+    dv = spark.read.parquet(
+        str(tmp_path / "t" / f"v{v}" / "_dv")
+    )
+    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+        dead = set(json.load(fh).get("dead", []))
+    # no residual DV entry addresses a dead (compacted-away) file
+    assert not [r for r in dv.collect() if r["_file"] in dead]
+    assert _rows(t.read()) == _rows(
+        t.read(version=v - 1)
+    )
+
+
+def test_dml_after_compaction_excludes_dead_files(spark, tmp_path):
+    """The predicate scans of DELETE/UPDATE after a compaction must
+    not see dead files' rows — a resurrection here serves deleted
+    rows back through the next DML's rewrite images."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    # update rows that were NEVER deleted; deleted ids must stay gone
+    t.update(F.col("id") == 50, {"value": F.lit(-1.0)})
+    got = _rows(t.read())
+    assert (50, -1.0, 50 % 8) in got
+    assert all(r[0] > 40 for r in got)
+    assert len(got) == 40
+    # delete again, then read — still consistent
+    t.delete(F.col("id") > 70)
+    assert len(_rows(t.read())) == 30
+    # append still derives digests correctly on the compacted chain
+    t.append(
+        spark.createDataFrame([(1000, 1.0, 0)], "id long, value double, bucket long")
+    )
+    assert len(_rows(t.read())) == 31
+
+
+def test_compact_small_file_coalesce_folds_append_chain(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=40, parts=2)
+    for i in range(5):  # five tiny appends → five _upd dirs on the chain
+        t.append(
+            spark.createDataFrame(
+                [(100 + i, 1.0, 0)], "id long, value double, bucket long"
+            )
+        )
+    with open(
+        str(tmp_path / "t" / f"v{t.version()}" / "_dv.json")
+    ) as fh:
+        assert len(json.load(fh)["appends"]) == 5
+    before = _rows(t.read())
+    v = t.compact(dead_frac=0.2, small_bytes=64 * 1024)
+    assert v is not None
+    assert _rows(t.read()) == before
+    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+        ref = json.load(fh)
+    # the five consumed _upd dirs fold off the chain; "self" remains
+    assert ref["appends"] == ["self"]
+    # dead entries only name files in still-referenced dirs
+    for e in ref.get("dead", []):
+        d = os.path.dirname(e)
+        assert d == "v1" or d == ""
+
+
+def test_scan_and_lookup_after_compaction(spark, tmp_path):
+    t = _mk(
+        spark,
+        str(tmp_path / "t"),
+        stat_cols=["id"],
+        bloom_col="id",
+    )
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    df, fr, tot = t.scan("id", 41, 60)
+    assert sorted(r["id"] for r in df.collect()) == list(range(41, 61))
+    hit, _, _ = t.lookup(55)
+    assert [r["id"] for r in hit.collect()] == [55]
+    gone, _, _ = t.lookup(10)
+    assert gone.count() == 0
+
+
+def test_compact_under_column_map_and_added_column(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.rename_column("value", "speed")
+    t.add_column("note", "string")
+    t.delete(F.col("id") <= 40)
+    before = _rows(t.read())
+    v = t.compact(dead_frac=0.2)
+    assert v is not None
+    assert _rows(t.read()) == before
+    assert t.read().columns == ["id", "speed", "bucket", "note"]
+    # the added marker survives the compaction commit
+    with open(str(tmp_path / "t" / "_commits" / f"{v}.json")) as fh:
+        assert "added" in json.load(fh)
+    # update through the logical schema still works
+    t.update(F.col("id") == 60, {"note": F.lit("x")})
+    assert [
+        r["note"] for r in t.read().filter(F.col("id") == 60).collect()
+    ] == ["x"]
+
+
+def test_compacted_table_survives_relocation(spark, tmp_path):
+    src, dst = str(tmp_path / "a"), str(tmp_path / "b")
+    t = _mk(spark, src)
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    before = _rows(t.read())
+    shutil.move(src, dst)
+    moved = ManagedTable(spark, dst)
+    assert _rows(moved.read()) == before
+
+
+def test_clone_freezes_dead_entries(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    before = _rows(t.read())
+    c = t.clone(str(tmp_path / "c"))
+    assert _rows(c.read()) == before
+    with open(str(tmp_path / "c" / "v1" / "_dv.json")) as fh:
+        ref = json.load(fh)
+    assert all(os.path.isabs(e) for e in ref.get("dead", []))
+
+
+def test_cdc_across_compaction_window(spark, tmp_path):
+    """A window containing a compaction falls back to the snapshot
+    diff and reports ZERO change for the compaction itself; DML on
+    either side still reports exactly its own delta."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)  # v2
+    v2 = t.version()
+    vc = t.compact(dead_frac=0.2)  # v3
+    assert vc is not None
+    assert t.changes_signed(v2, vc).count() == 0
+    t.delete(F.col("id") > 70)  # v4
+    deltas = t.changes_signed(v2, t.version()).collect()
+    assert all(r["sign"] == -1 for r in deltas)
+    assert sorted(r["id"] for r in deltas) == list(range(71, 81))
+
+
+def test_optimize_and_restore_after_compaction(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    before = _rows(t.read())
+    t.optimize()  # copy commit: folds everything physical, drops dead
+    assert _rows(t.read()) == before
+    # optimize publishes a copy commit — no _dv.json, no dead list
+    assert not os.path.isfile(
+        str(tmp_path / "t" / f"v{t.version()}" / "_dv.json")
+    )
+    # restore back to the compacted version — dead list rides along
+    vc = t.version() - 1
+    t.restore(vc)
+    assert _rows(t.read()) == before

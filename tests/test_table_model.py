@@ -98,6 +98,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "rename",
                 "overwrite",
                 "optimize",
+                "compact",
                 "rollback",
                 "vacuum",
                 "addcol",
@@ -249,6 +250,14 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             log.append(f"optimize cluster_by={cluster}")
             v = t.optimize(target_bytes=1 << 20, cluster_by=cluster)
             publish(v)
+        elif op == "compact":
+            frac = rng.choice([0.1, 0.3])
+            small = rng.choice([0, 64 * 1024])
+            log.append(f"compact dead_frac={frac} small_bytes={small}")
+            v = t.compact(dead_frac=frac, small_bytes=small)
+            if v is None:
+                continue  # nothing crossed the thresholds — no commit
+            publish(v)  # content-identical by contract
         elif op == "rename":
             new = "vv" if cur == "val" else "val"
             log.append(f"rename {cur} -> {new}")

@@ -60,9 +60,10 @@ from .upsert import merge_into
 
 from .table_compact import _CompactMixin
 from .table_read import _TableReadMixin
+from .table_schema import _SchemaMixin
 
 
-class ManagedTable(_CompactMixin, _TableReadMixin):
+class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
     """A versioned, manifest-tracked parquet table with MERGE,
     OPTIMIZE, time travel, rollback, and vacuum — the composition of
     the operator layer's separately-proven table primitives behind one
@@ -154,210 +155,6 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                 .select(*cols)
             )
         return self._to_logical(out, self._version_map(v))
-
-    def rename_column(self, old: str, new: str) -> int:
-        """RENAME COLUMN as a METADATA-ONLY commit (Delta's column
-        mapping): the physical parquet names are fixed at write time
-        forever; the new version carries an updated logical→physical
-        map and references the parent's files through an empty DV —
-        zero data bytes moved, O(1) regardless of table size, and the
-        commit digest is INHERITED (a rename changes no value and no
-        column order, so the content fingerprint is unchanged).
-        Refused if ``new`` already names a column or ``old`` appears
-        in a CHECK constraint (constraint SQL is written against
-        logical names; rewriting it silently would change what the
-        constraint means)."""
-        vmap = self._effective_map()
-        logical = [l for l, _ in vmap]
-        if old not in logical:
-            raise ValueError(f"no column {old!r} to rename")
-        if new in logical:
-            raise ValueError(f"column {new!r} already exists")
-        self._refuse_constraint_ref(old)
-        new_map = [[new if l == old else l, p] for l, p in vmap]
-        # physical names are fixed forever, so metadata-added markers
-        # (keyed by physical name) carry through a rename unchanged
-        return self._metadata_commit(
-            new_map, rescan=False, added=self._version_added(self.version())
-        )
-
-    def _refuse_constraint_ref(self, col: str) -> None:
-        """Refuse schema changes to constraint-referenced columns —
-        token match, not substring (code-review r9: `'v' in 'value>0'`
-        blocked renaming an unrelated column)."""
-        import re
-
-        pat = re.compile(rf"\b{re.escape(col)}\b")
-        for cname, sql in self.constraints.items():
-            if pat.search(sql):
-                raise ValueError(
-                    f"column {col!r} is referenced by CHECK constraint "
-                    f"{cname!r} ({sql!r}) — drop the constraint first"
-                )
-
-    def add_column(
-        self, name: str, dtype: str, default_sql: str | None = None
-    ) -> int:
-        """ADD COLUMN as an O(write-free) METADATA commit — Delta's
-        contract, the only kind a 100 TB table can afford: no data
-        file is written or rewritten. The commit record's ``added``
-        map (physical name → SQL type) tells every read to backfill
-        the column as a typed NULL wherever a file predates the add
-        (existing rows read NULL — exactly Delta's ADD COLUMN
-        semantics), so time travel before the add never sees the
-        column and a later copy commit (merge/OPTIMIZE), which writes
-        it physically, drops the marker. ``default_sql`` is Delta's
-        DEFAULT clause: applied when a FUTURE write omits the column
-        (never backdated onto existing rows — that would be
-        indistinguishable from real NULLs written later). Digest
-        maintenance costs one read-only fingerprint pass (the price of
-        this format's content-digest invariant; appending a NULL cell
-        changes every row hash, so inheritance would record a lie).
-        Physical name collisions with retired (dropped) physical
-        columns get a version suffix, like copy-commit evolution."""
-        vmap = self._effective_map()
-        if name in {l for l, _ in vmap}:
-            raise ValueError(f"column {name!r} already exists")
-        # collision set = mapped physicals ∪ physicals still PRESENT in
-        # the files (a DROPPED column's physical name stays in the data
-        # — reusing it would resurrect the old values under the new
-        # logical name)
-        v = self.version()
-        data_dir, _, appends = self._resolve(v)
-        used_phys = {p for _, p in vmap} | set(
-            self._open_data(v, data_dir, *appends).columns
-        )
-        phys = name if name not in used_phys else f"{name}_a{self.version()}"
-        new_map = vmap + [[name, phys]]
-        added = {**self._version_added(self.version()), phys: dtype}
-        out = self._metadata_commit(new_map, rescan=True, added=added)
-        if default_sql is not None:
-            self.column_defaults[name] = [dtype, default_sql]
-            self._save_config()
-        return out
-
-    def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
-        """Fill columns the writer omitted with their configured
-        DEFAULT (add_column's ``default_sql``) — evaluated at WRITE
-        time, Delta's DEFAULT semantics."""
-        for name, (t, sql) in self.column_defaults.items():
-            if name not in df.columns:
-                df = df.withColumn(name, F.expr(sql).cast(t))
-        return df
-
-    def drop_column(self, name: str) -> int:
-        """DROP COLUMN as a METADATA-ONLY commit: the physical column
-        stays in the files (time travel still serves it at older
-        versions); the new version's map simply omits it, so every
-        read, scan, and CDC view excludes it. Zero data movement; the
-        commit digest is RESCANNED over the narrowed logical view (one
-        fingerprint aggregate — dropping a column changes the row
-        hashes, so inheritance would record a lie). Refused for key
-        columns and constraint-referenced columns."""
-        vmap = self._effective_map()
-        logical = [l for l, _ in vmap]
-        if name not in logical:
-            raise ValueError(f"no column {name!r} to drop")
-        phys = self._to_phys_name(name, vmap)
-        if phys in self.key or name in self.key:
-            raise ValueError(f"cannot drop key column {name!r}")
-        if phys in self.stat_cols or phys == self.bloom_col:
-            raise ValueError(
-                f"cannot drop column {name!r}: the skipping layer is "
-                "configured on it (stat_cols/bloom_col)"
-            )
-        self._refuse_constraint_ref(name)
-        new_map = [[l, p] for l, p in vmap if l != name]
-        added = {
-            ph: t
-            for ph, t in self._version_added(self.version()).items()
-            if ph != phys
-        }
-        out = self._metadata_commit(new_map, rescan=True, added=added)
-        if name in self.column_defaults:
-            del self.column_defaults[name]
-            self._save_config()
-        return out
-
-
-    def _metadata_commit(
-        self,
-        new_map: list[list[str]],
-        rescan: bool,
-        added: dict[str, str] | None = None,
-    ) -> int:
-        """Publish a schema-map change as a zero-copy reference commit
-        (the RESTORE populate shape aimed at the CURRENT version).
-        The allocation high-water is captured BEFORE any table state is
-        read (ADVICE r10: the reverse order let a commit landing
-        between the two reads slip past the stale-inputs guard and be
-        silently lineage-orphaned)."""
-        m = snapshot_max_commit(self.path)
-        cur = self.version()
-        data_dir, dv_dir, cur_appends = self._resolve(cur)
-        if dv_dir is not None:
-            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
-        else:
-            seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
-        ref = self._base_ref(data_dir)
-        old_appends = self._rebase_appends(cur)
-        if old_appends:
-            ref["appends"] = old_appends
-        if self._dead_of(cur):
-            ref["dead"] = self._dead_of(cur)
-
-        def populate(vdir: str) -> None:
-            seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
-            with open(os.path.join(vdir, "_dv.json"), "w") as f:
-                json.dump(ref, f)
-            self._inherit_sidecars(os.path.join(self.path, f"v{cur}"), vdir)
-
-        if rescan:
-            # a narrowed (or NULL-widened) logical view hashes
-            # differently — one fingerprint aggregate over the new
-            # view, honest. Metadata-ADDED columns backfill as typed
-            # NULLs with the NEW version's added set (the current
-            # version's record doesn't know them yet).
-            # through _open_data, so compaction-dead files stay
-            # excluded; the NEW version's added set (superset of the
-            # current one) backfills below
-            base = self._open_data(cur, data_dir, *cur_appends)
-            for ph, t in (added or {}).items():
-                if ph not in base.columns:
-                    base = base.withColumn(ph, F.lit(None).cast(t))
-            cols = base.columns
-            logical = (
-                self._tagged(base)
-                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
-                .select(*cols)
-                if dv_dir is not None
-                else base
-            )
-            digest = (
-                dataset_fingerprint(self._to_logical(logical, new_map))
-                .collect()[0]
-                .asDict()
-            )
-            digest.pop("dataset", None)
-        else:
-            with open(
-                os.path.join(self.path, "_commits", f"{cur}.json")
-            ) as f:
-                parent = json.load(f)
-            digest = {
-                k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
-            }
-        extra = {"parent": cur, "op": "metadata", "columns": new_map}
-        if added:
-            extra["added"] = added
-        return snapshot_commit_ref(
-            self.path,
-            populate,
-            digest=digest,
-            extra=extra,
-            expected_max=m,
-        )
-
 
     def transact(self, op, max_retries: int = 5):
         """Optimistic-concurrency retry (Delta's commit-conflict loop):
@@ -673,6 +470,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                     # a reference commit serves the same base files —
                     # metadata-added columns still need backfill
                     extra["added"] = self._version_added(v)
+                if self._version_widened(v):
+                    extra["widened"] = self._version_widened(v)
                 try:
                     return snapshot_commit_ref(
                         self.path, populate, digest=digest, extra=extra,
@@ -780,6 +579,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
             extra["columns"] = parent["columns"]
         if parent.get("added"):
             extra["added"] = parent["added"]
+        if parent.get("widened"):
+            extra["widened"] = parent["widened"]
         snapshot_commit_ref(
             dst_path,
             populate,
@@ -935,6 +736,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                     extra["columns"] = vmap
                 if self._version_added(v):
                     extra["added"] = self._version_added(v)
+                if self._version_widened(v):
+                    extra["widened"] = self._version_widened(v)
                 try:
                     return snapshot_commit_ref(
                         self.path, populate, digest=digest, extra=extra,
@@ -1049,6 +852,14 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
             else self.spark.read.parquet(self._resolve(v)[0]).columns
         )
         batch = self._apply_write_defaults(df).select(*logical_cols)
+        # widened columns: land the batch at the WIDE type, so the
+        # batch digest renders like every later read of it (the float→
+        # double case — int-chain widenings are render-stable anyway)
+        widened = self._version_widened(v)
+        if widened:
+            for l, p in (vmap or [[c, c] for c in logical_cols]):
+                if p in widened:
+                    batch = batch.withColumn(l, F.col(l).cast(widened[p]))
         bd = dataset_fingerprint(batch).collect()[0].asDict()
         phys_batch = self._to_physical(batch, vmap)
         mod = 1152921504606846976
@@ -1084,6 +895,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                 extra["columns"] = vmap
             if self._version_added(v):
                 extra["added"] = self._version_added(v)
+            if self._version_widened(v):
+                extra["widened"] = self._version_widened(v)
 
             def populate(vdir: str) -> None:
                 phys_batch.write.mode("overwrite").parquet(
@@ -1107,7 +920,9 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                 new_v = self.version()
                 walked = self._walk_range(new_v, m)
                 new_map = self._version_map(new_v)
-                same_map = (new_map or None) == (vmap or None)
+                same_map = (new_map or None) == (vmap or None) and (
+                    self._version_widened(new_v) or None
+                ) == (widened or None)
                 if walked is None or not same_map or attempts > 5:
                     raise
                 m, v = new_m, new_v
@@ -1158,6 +973,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
             extra["columns"] = old["columns"]
         if old.get("added"):
             extra["added"] = old["added"]
+        if old.get("widened"):
+            extra["widened"] = old["widened"]
         return snapshot_commit_ref(
             self.path,
             populate,
@@ -1197,6 +1014,13 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
         phys_cols = base.columns
         cols = [l for l, _ in vmap] if vmap else phys_cols
         batch = self._apply_write_defaults(df).select(*cols)
+        # widened columns: land replacement rows at the WIDE type so
+        # their digest renders like every later read (append's rule)
+        if self._version_widened(v):
+            wd = self._version_widened(v)
+            for l, p in vmap or [[c, c] for c in cols]:
+                if p in wd:
+                    batch = batch.withColumn(l, F.col(l).cast(wd[p]))
         if self.constraints:
             self._check_rows(batch, self.constraints)
         parts = batch.select(part_col).distinct()
@@ -1288,6 +1112,8 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                     extra["columns"] = vmap
                 if self._version_added(v):
                     extra["added"] = self._version_added(v)
+                if self._version_widened(v):
+                    extra["widened"] = self._version_widened(v)
                 try:
                     return snapshot_commit_ref(
                         self.path, populate, digest=digest, extra=extra,
@@ -1380,6 +1206,7 @@ class ManagedTable(_CompactMixin, _TableReadMixin):
                 cluster_by is None
                 and dv_dir is None
                 and not self._version_added(v)
+                and not self._version_widened(v)
             ):
                 # physical-file compaction — valid only when the files
                 # ARE the logical content (no DV, no appends, no

@@ -281,6 +281,8 @@ class _CompactMixin:
                 extra["columns"] = vmap
             if self._version_added(v):
                 extra["added"] = self._version_added(v)
+            if self._version_widened(v):
+                extra["widened"] = self._version_widened(v)
             return snapshot_commit_ref(
                 self.path,
                 populate,

@@ -115,6 +115,22 @@ class _TableReadMixin:
         with open(p) as f:
             return json.load(f).get("added") or {}
 
+    def _version_widened(self, v: int) -> dict[str, str]:
+        """physical-name → widened SQL-type map of version ``v``
+        (:meth:`~.table_schema._SchemaMixin.widen_column` — ALTER
+        COLUMN TYPE as pure metadata): files written before the widen
+        keep the narrow physical type, and every read opens the
+        version's files under an EXPLICIT widened read schema (the
+        parquet vectorized reader upcasts at scan time). Versioned
+        with the commit record — time travel before the widen serves
+        the narrow type; a copy commit materializes the wide type and
+        drops the marker, exactly the ``added`` lifecycle."""
+        p = os.path.join(self.path, "_commits", f"{v}.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("widened") or {}
+
     def _dead_of(self, v: int) -> list[str]:
         """Raw stored ``dead`` file list of version ``v`` — files a
         minor COMPACTION (:meth:`~.table_compact._CompactMixin.compact`)
@@ -159,6 +175,7 @@ class _TableReadMixin:
         read(), scan()/lookup() survivor opens, DELETE/UPDATE/
         overwrite predicate scans, CDC — inherits the exclusion."""
         dead = self._dead_abs(v)
+        empty_fallback = None
         if dead:
             files: list[str] = []
             for p in paths:
@@ -175,14 +192,62 @@ class _TableReadMixin:
                 # every listed file is dead — serve the schema from one
                 # dead file with all rows filtered (never an unreadable
                 # empty-path read; content correctly empty)
-                base = self.spark.read.parquet(files[0]).filter(F.lit(False))
-                return self._with_added(v, base)
+                empty_fallback = files[0]
+                live = [files[0]]
             paths = tuple(live)
+        widened = self._version_widened(v)
         added = self._version_added(v)
-        if not added:
-            return self.spark.read.parquet(*paths)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        return self._with_added(v, df, added)
+        if widened:
+            # type widening: files before the widen keep the narrow
+            # physical type — an EXPLICIT read schema (widened types
+            # applied over one sampled footer, added columns included)
+            # makes the parquet vectorized reader upcast at scan time;
+            # files lacking a column read typed NULLs, so this branch
+            # subsumes the mergeSchema/backfill path too
+            df = self.spark.read.schema(
+                self._widened_read_schema(paths, widened, added)
+            ).parquet(*paths)
+        elif not added:
+            df = self.spark.read.parquet(*paths)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not widened:
+            df = self._with_added(v, df, added)
+        return df.filter(F.lit(False)) if empty_fallback else df
+
+    def _widened_read_schema(self, paths, widened, added) -> str:
+        """DDL read schema for a widened version: one sampled parquet
+        footer's fields with the ``widened`` type overrides applied,
+        plus ``added`` columns files may lack (explicit-schema reads
+        null-backfill missing columns natively)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        sample = None
+        for p in paths:
+            if os.path.isdir(p):
+                for f in sorted(os.listdir(p)):
+                    if f.startswith("part-") and f.endswith(".parquet"):
+                        sample = os.path.join(p, f)
+                        break
+            elif p.endswith(".parquet"):
+                sample = p
+            if sample:
+                break
+        if sample is None:
+            raise ValueError(f"no parquet files to sample under {paths}")
+        sch = pq.ParquetFile(sample).schema_arrow
+        parts, seen = [], set()
+        for name in sch.names:
+            t = widened.get(name) or from_arrow_type(
+                sch.field(name).type
+            ).simpleString()
+            parts.append(f"`{name}` {t}")
+            seen.add(name)
+        for ph, t in (added or {}).items():
+            if ph not in seen:
+                parts.append(f"`{ph}` {widened.get(ph, t)}")
+        return ", ".join(parts)
 
     def _with_added(self, v: int, df: DataFrame, added=None) -> DataFrame:
         added = self._version_added(v) if added is None else added

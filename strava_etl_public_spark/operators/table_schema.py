@@ -1,0 +1,338 @@
+"""The schema-evolution face of ManagedTable — split out of table.py.
+
+Holds every write-free schema change: RENAME/DROP COLUMN through the
+column map (physical parquet names fixed forever, per-version
+logical→physical map), ADD COLUMN as a typed-NULL backfill marker,
+column DEFAULTs applied at write time, and — new in this module —
+ALTER COLUMN TYPE WIDENING (int-family chain and float→double) as a
+pure metadata commit: the commit record's ``widened`` map
+(physical name → SQL type) makes every read open the files under an
+EXPLICIT widened read schema (Spark 4's parquet vectorized reader
+upcasts int32→long, float→double, int32→int64 etc. at scan time), so
+not one byte is rewritten on a 100 TB table whose ``int`` id column
+overflowed. Method bodies moved from table.py byte-identically (the
+proven split procedure), except `_metadata_commit`, which gains the
+``widened`` passthrough.
+
+Reference parity: the reference's store has no schema evolution at
+all — a type change is a manual table rebuild (main.py's full
+rewrite); these are that operation's lakehouse forms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .layout import (
+    dataset_fingerprint,
+    snapshot_commit_ref,
+    snapshot_max_commit,
+)
+
+# SQL-type aliases normalized to simpleString() forms
+_TYPE_ALIASES = {
+    "byte": "tinyint",
+    "short": "smallint",
+    "integer": "int",
+    "long": "bigint",
+}
+
+# allowed (from, to) widenings. The int chain is RENDER-STABLE
+# (CAST(5 AS STRING) is "5" at every width), so digests, zone-map
+# JSON ranges, and bloom string-hashes all stay exact — the widen
+# commit inherits its parent digest with zero scan. float→double is
+# NOT render-stable (float 0.1 widens to 0.10000000149…), so it
+# rescans the fingerprint and is refused on skipping-layer columns.
+_INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+_WIDENINGS = {
+    (a, b)
+    for i, a in enumerate(_INT_CHAIN)
+    for b in _INT_CHAIN[i + 1 :]
+} | {("float", "double")}
+
+
+class _SchemaMixin:
+    """Schema-evolution methods of :class:`~.table.ManagedTable` —
+    mixed into the one public class; never instantiated alone."""
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a METADATA-ONLY commit (Delta's column
+        mapping): the physical parquet names are fixed at write time
+        forever; the new version carries an updated logical→physical
+        map and references the parent's files through an empty DV —
+        zero data bytes moved, O(1) regardless of table size, and the
+        commit digest is INHERITED (a rename changes no value and no
+        column order, so the content fingerprint is unchanged).
+        Refused if ``new`` already names a column or ``old`` appears
+        in a CHECK constraint (constraint SQL is written against
+        logical names; rewriting it silently would change what the
+        constraint means)."""
+        vmap = self._effective_map()
+        logical = [l for l, _ in vmap]
+        if old not in logical:
+            raise ValueError(f"no column {old!r} to rename")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_constraint_ref(old)
+        new_map = [[new if l == old else l, p] for l, p in vmap]
+        # physical names are fixed forever, so metadata-added markers
+        # (keyed by physical name) carry through a rename unchanged
+        return self._metadata_commit(
+            new_map,
+            rescan=False,
+            added=self._version_added(self.version()),
+            widened=self._version_widened(self.version()),
+        )
+
+    def _refuse_constraint_ref(self, col: str) -> None:
+        """Refuse schema changes to constraint-referenced columns —
+        token match, not substring (code-review r9: `'v' in 'value>0'`
+        blocked renaming an unrelated column)."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        for cname, sql in self.constraints.items():
+            if pat.search(sql):
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql!r}) — drop the constraint first"
+                )
+
+    def add_column(
+        self, name: str, dtype: str, default_sql: str | None = None
+    ) -> int:
+        """ADD COLUMN as an O(write-free) METADATA commit — Delta's
+        contract, the only kind a 100 TB table can afford: no data
+        file is written or rewritten. The commit record's ``added``
+        map (physical name → SQL type) tells every read to backfill
+        the column as a typed NULL wherever a file predates the add
+        (existing rows read NULL — exactly Delta's ADD COLUMN
+        semantics), so time travel before the add never sees the
+        column and a later copy commit (merge/OPTIMIZE), which writes
+        it physically, drops the marker. ``default_sql`` is Delta's
+        DEFAULT clause: applied when a FUTURE write omits the column
+        (never backdated onto existing rows — that would be
+        indistinguishable from real NULLs written later). Digest
+        maintenance costs one read-only fingerprint pass (the price of
+        this format's content-digest invariant; appending a NULL cell
+        changes every row hash, so inheritance would record a lie).
+        Physical name collisions with retired (dropped) physical
+        columns get a version suffix, like copy-commit evolution."""
+        vmap = self._effective_map()
+        if name in {l for l, _ in vmap}:
+            raise ValueError(f"column {name!r} already exists")
+        # collision set = mapped physicals ∪ physicals still PRESENT in
+        # the files (a DROPPED column's physical name stays in the data
+        # — reusing it would resurrect the old values under the new
+        # logical name)
+        v = self.version()
+        data_dir, _, appends = self._resolve(v)
+        used_phys = {p for _, p in vmap} | set(
+            self._open_data(v, data_dir, *appends).columns
+        )
+        phys = name if name not in used_phys else f"{name}_a{self.version()}"
+        new_map = vmap + [[name, phys]]
+        added = {**self._version_added(self.version()), phys: dtype}
+        out = self._metadata_commit(
+            new_map,
+            rescan=True,
+            added=added,
+            widened=self._version_widened(self.version()),
+        )
+        if default_sql is not None:
+            self.column_defaults[name] = [dtype, default_sql]
+            self._save_config()
+        return out
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """ALTER COLUMN TYPE — WIDENING ONLY — as a METADATA commit
+        (Delta's type-widening table feature): zero data files
+        rewritten; the new version's ``widened`` map makes every read
+        open the files under an explicit widened read schema (the
+        parquet vectorized reader upcasts at scan time), and every
+        write lands batches at the widened type, so files before and
+        after the widen mix freely in one version.
+
+        Allowed: the int chain (tinyint→smallint→int→bigint, any
+        skip) and float→double. The int chain is render-stable, so
+        the commit digest is INHERITED with no scan, and inherited
+        zone-map ranges / bloom string-hashes stay exact.
+        float→double is not render-stable: the digest is RESCANNED
+        (one fingerprint pass) and the widen is REFUSED on
+        stat_cols/bloom_col columns — the skipping layer's recorded
+        values would silently diverge from the widened renderings
+        (run OPTIMIZE to materialize, then widen). Narrowing and
+        cross-family casts are refused loudly: they lose data or
+        change renderings under every file written so far."""
+        vmap = self._effective_map()
+        if name not in {l for l, _ in vmap}:
+            raise ValueError(f"no column {name!r} to widen")
+        phys = self._to_phys_name(name, vmap)
+        v = self.version()
+        data_dir, _, appends = self._resolve(v)
+        eff = (
+            self._open_data(v, data_dir, *appends)
+            .schema[phys]
+            .dataType.simpleString()
+        )
+        new_t = _TYPE_ALIASES.get(new_type.strip().lower(), new_type.strip().lower())
+        cur_t = _TYPE_ALIASES.get(eff, eff)
+        if (cur_t, new_t) not in _WIDENINGS:
+            raise ValueError(
+                f"cannot alter {name!r} from {cur_t} to {new_t}: only "
+                f"widenings {sorted(_WIDENINGS)} are metadata-safe"
+            )
+        rescan = (cur_t, new_t) == ("float", "double")
+        if rescan and (phys in self.stat_cols or phys == self.bloom_col):
+            raise ValueError(
+                f"cannot widen skipping-layer column {name!r} "
+                "float→double as metadata: recorded stats/bloom hashes "
+                "would diverge from the widened renderings — OPTIMIZE "
+                "first, then widen"
+            )
+        widened = {**self._version_widened(v), phys: new_t}
+        return self._metadata_commit(
+            vmap,
+            rescan=rescan,
+            added=self._version_added(v),
+            widened=widened,
+        )
+
+    def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill columns the writer omitted with their configured
+        DEFAULT (add_column's ``default_sql``) — evaluated at WRITE
+        time, Delta's DEFAULT semantics."""
+        for name, (t, sql) in self.column_defaults.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(sql).cast(t))
+        return df
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as a METADATA-ONLY commit: the physical column
+        stays in the files (time travel still serves it at older
+        versions); the new version's map simply omits it, so every
+        read, scan, and CDC view excludes it. Zero data movement; the
+        commit digest is RESCANNED over the narrowed logical view (one
+        fingerprint aggregate — dropping a column changes the row
+        hashes, so inheritance would record a lie). Refused for key
+        columns and constraint-referenced columns."""
+        vmap = self._effective_map()
+        logical = [l for l, _ in vmap]
+        if name not in logical:
+            raise ValueError(f"no column {name!r} to drop")
+        phys = self._to_phys_name(name, vmap)
+        if phys in self.key or name in self.key:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if phys in self.stat_cols or phys == self.bloom_col:
+            raise ValueError(
+                f"cannot drop column {name!r}: the skipping layer is "
+                "configured on it (stat_cols/bloom_col)"
+            )
+        self._refuse_constraint_ref(name)
+        new_map = [[l, p] for l, p in vmap if l != name]
+        added = {
+            ph: t
+            for ph, t in self._version_added(self.version()).items()
+            if ph != phys
+        }
+        widened = {
+            ph: t
+            for ph, t in self._version_widened(self.version()).items()
+            if ph != phys
+        }
+        out = self._metadata_commit(
+            new_map, rescan=True, added=added, widened=widened
+        )
+        if name in self.column_defaults:
+            del self.column_defaults[name]
+            self._save_config()
+        return out
+
+    def _metadata_commit(
+        self,
+        new_map: list[list[str]],
+        rescan: bool,
+        added: dict[str, str] | None = None,
+        widened: dict[str, str] | None = None,
+    ) -> int:
+        """Publish a schema-map change as a zero-copy reference commit
+        (the RESTORE populate shape aimed at the CURRENT version).
+        The allocation high-water is captured BEFORE any table state is
+        read (ADVICE r10: the reverse order let a commit landing
+        between the two reads slip past the stale-inputs guard and be
+        silently lineage-orphaned)."""
+        m = snapshot_max_commit(self.path)
+        cur = self.version()
+        data_dir, dv_dir, cur_appends = self._resolve(cur)
+        if dv_dir is not None:
+            seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
+        else:
+            seed_dv = self.spark.createDataFrame([], "_file string, _pos long")
+        ref = self._base_ref(data_dir)
+        old_appends = self._rebase_appends(cur)
+        if old_appends:
+            ref["appends"] = old_appends
+        if self._dead_of(cur):
+            ref["dead"] = self._dead_of(cur)
+
+        def populate(vdir: str) -> None:
+            seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
+            with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                json.dump(ref, f)
+            self._inherit_sidecars(os.path.join(self.path, f"v{cur}"), vdir)
+
+        if rescan:
+            # a narrowed (or NULL-widened) logical view hashes
+            # differently — one fingerprint aggregate over the new
+            # view, honest. Metadata-ADDED columns backfill as typed
+            # NULLs with the NEW version's added set (the current
+            # version's record doesn't know them yet).
+            # through _open_data, so compaction-dead files stay
+            # excluded; the NEW version's added set (superset of the
+            # current one) backfills below
+            base = self._open_data(cur, data_dir, *cur_appends)
+            for ph, t in (added or {}).items():
+                if ph not in base.columns:
+                    base = base.withColumn(ph, F.lit(None).cast(t))
+            # the NEW version's widened view — the digest must hash the
+            # values every post-widen read will serve
+            for ph, t in (widened or {}).items():
+                base = base.withColumn(ph, F.col(ph).cast(t))
+            cols = base.columns
+            logical = (
+                self._tagged(base)
+                .join(self._dv_df(dv_dir), ["_file", "_pos"], "left_anti")
+                .select(*cols)
+                if dv_dir is not None
+                else base
+            )
+            digest = (
+                dataset_fingerprint(self._to_logical(logical, new_map))
+                .collect()[0]
+                .asDict()
+            )
+            digest.pop("dataset", None)
+        else:
+            with open(
+                os.path.join(self.path, "_commits", f"{cur}.json")
+            ) as f:
+                parent = json.load(f)
+            digest = {
+                k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
+            }
+        extra = {"parent": cur, "op": "metadata", "columns": new_map}
+        if added:
+            extra["added"] = added
+        if widened:
+            extra["widened"] = widened
+        return snapshot_commit_ref(
+            self.path,
+            populate,
+            digest=digest,
+            extra=extra,
+            expected_max=m,
+        )

@@ -842,3 +842,151 @@ def x_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_widen",
+    oracle="""
+WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vmil
+  FROM events
+),
+with_big AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT CAST(9000000001 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(3000000000000 AS BIGINT)
+),
+after_update AS (
+  SELECT event_id, user_id,
+         CASE WHEN user_id % 9 = 4 THEN vmil + 4000000000000 ELSE vmil END
+           AS vmil
+  FROM with_big
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vmil) AS BIGINT) AS sum_vmil,
+       CAST(max(vmil) AS BIGINT) AS max_vmil,
+       TRUE AS widen_write_free, TRUE AS digest_inherited,
+       TRUE AS narrow_before_widen, TRUE AS cdc_zero_change,
+       TRUE AS optimize_materializes, TRUE AS scan_exact
+FROM after_update
+""",
+)
+def x_table_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE WIDENING as pure metadata
+    (ManagedTable.widen_column, operators/table_schema.py) — the
+    overflow story a 100 TB table needs: an ``int`` measure column
+    overflows, and the fix must not rewrite a byte. The run creates
+    the table with INT columns, widens vmil int→bigint (zero data
+    files in the commit — checked), appends a row beyond int range,
+    updates a slice to values beyond int range (merge-on-read DML
+    through the widened view, mixed narrow/wide files in one
+    version), and OPTIMIZEs (marker dropped, files physically wide —
+    checked via the parquet footer).
+
+    Invariants packed into the row: the widen version dir holds no
+    data files; the widen commit's digest equals its parent's
+    verbatim (the int chain is render-stable, so inheritance is
+    exact, not a lie); time travel before the widen serves INT;
+    CDC across the widen boundary is zero change; post-OPTIMIZE
+    footer type is int64; the zone-map scan on the widened stat
+    column equals the exact filter. Oracle: the same arithmetic in
+    BIGINT throughout (DuckDB needs no widening — the point is that
+    Spark's narrow files reach the same values)."""
+    ensure_harness_conf(spark)
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from .operators.table import ManagedTable
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("user_id").cast("int").alias("user_id"),
+        F.floor(F.col("value") * 1000).cast("int").alias("vmil"),
+    )
+    root = tempfile.mkdtemp(prefix="widen_table_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(8, "vmil").sortWithinPartitions("vmil"),
+            path,
+            key="event_id",
+            stat_cols=["vmil"],
+        )
+        v1 = t.version()
+        vw = t.widen_column("vmil", "long")
+        t.widen_column("event_id", "bigint")
+        t.widen_column("user_id", "bigint")
+        vdir = os.path.join(path, f"v{vw}")
+        write_free = not [
+            f for f in os.listdir(vdir) if f.startswith("part-")
+        ]
+        with open(os.path.join(path, "_commits", f"{vw}.json")) as f:
+            rec = _json.load(f)
+        with open(os.path.join(path, "_commits", f"{vw - 1}.json")) as f:
+            parent = _json.load(f)
+        digest_inherited = (
+            rec["xor_hash"] == parent["xor_hash"]
+            and rec["n_rows"] == parent["n_rows"]
+        )
+        narrow_before = (
+            t.read(version=v1).schema["vmil"].dataType.simpleString()
+            == "int"
+        )
+        cdc_zero = t.changes_signed(v1, vw).count() == 0
+
+        t.append(
+            spark.createDataFrame(
+                [(9000000001, 1, 3000000000000)],
+                "event_id long, user_id long, vmil long",
+            )
+        )
+        t.update(
+            F.col("user_id") % 9 == 4,
+            {"vmil": F.col("vmil") + 4000000000000},
+        )
+        vo = t.optimize()
+        f0 = next(
+            f
+            for f in os.listdir(os.path.join(path, f"v{vo}"))
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        sch = _pq.ParquetFile(os.path.join(path, f"v{vo}", f0)).schema_arrow
+        materialized = str(sch.field("vmil").type) == "int64" and (
+            "widened" not in _json.load(
+                open(os.path.join(path, "_commits", f"{vo}.json"))
+            )
+        )
+        sdf, fr, tot = t.scan("vmil", 0, 10_000)
+        scan_exact = (
+            sdf.count()
+            == t.read().filter(F.col("vmil").between(0, 10_000)).count()
+        )
+        return (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("vmil").cast("long").alias("sum_vmil"),
+                F.max("vmil").cast("long").alias("max_vmil"),
+            )
+            .withColumns(
+                {
+                    "widen_write_free": F.lit(bool(write_free)),
+                    "digest_inherited": F.lit(bool(digest_inherited)),
+                    "narrow_before_widen": F.lit(bool(narrow_before)),
+                    "cdc_zero_change": F.lit(bool(cdc_zero)),
+                    "optimize_materializes": F.lit(bool(materialized)),
+                    "scan_exact": F.lit(bool(scan_exact)),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

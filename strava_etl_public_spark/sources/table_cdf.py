@@ -340,7 +340,15 @@ class TableCDFStreamReader(DataSourceStreamReader):
             for logical, physical, sql_type in partition.fields:
                 names.append(logical)
                 if physical in taken.schema.names:
-                    cols.append(taken.column(physical))
+                    col = taken.column(physical)
+                    # a pre-widen file serves narrow physical values —
+                    # upcast to the stream's declared type (widen_column)
+                    want = _SQL_TO_ARROW.get(sql_type.strip().lower())
+                    if want is not None:
+                        target = getattr(pa, want)()
+                        if col.type != target:
+                            col = col.cast(target)
+                    cols.append(col)
                 else:
                     # metadata-added column absent from this file —
                     # typed nulls, the add_column read contract
@@ -400,6 +408,10 @@ class TableCDFStreamDataSource(DataSource):
             ).simpleString()
         for ph, t in added.items():
             phys_types.setdefault(ph, t)
+        # type-widened columns serve the WIDE type regardless of the
+        # sampled file's physical type (executors upcast per batch)
+        for ph, t in (rec.get("widened") or {}).items():
+            phys_types[ph] = t
         if vmap:
             return tuple(
                 (l, p, phys_types.get(p, added.get(p, "string")))

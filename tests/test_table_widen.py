@@ -1,0 +1,219 @@
+"""ALTER COLUMN TYPE WIDENING as metadata (ManagedTable.widen_column).
+
+Pins: the widen is write-free (no data files in the new version);
+mixed narrow/wide files read under one widened schema; the int chain
+inherits the digest and keeps the skipping layer exact; time travel
+serves the narrow type before the widen; DML after the widen works
+and lands wide batches; OPTIMIZE materializes the wide type and drops
+the marker; CDC across the widen boundary reports zero change;
+clone/restore/compact carry the marker; narrowing and cross-family
+casts refuse; float→double rescans the digest and refuses on
+skipping-layer columns; the streaming CDF source upcasts pre-widen
+files to the declared wide type."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from strava_etl_public_spark.operators.table import ManagedTable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from strava_etl_public_spark.session import get_spark
+
+    s = get_spark()
+    from strava_etl_public_spark.sources.table_cdf import register_cdf_stream
+
+    register_cdf_stream(s)
+    return s
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, path, **kw):
+    df = spark.createDataFrame(
+        [(i, float(i) + 0.5, i * 10) for i in range(1, 41)],
+        "id int, ratio float, val int",
+    ).repartition(2)
+    return ManagedTable.create(df, path, key="id", **kw)
+
+
+def test_widen_is_write_free_and_reads_wide(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    before = _rows(t.read())
+    v = t.widen_column("val", "long")
+    vdir = os.path.join(path, f"v{v}")
+    assert not [f for f in os.listdir(vdir) if f.startswith("part-")]
+    assert isinstance(t.read().schema["val"].dataType, LongType)
+    assert _rows(t.read()) == before  # values identical (ints render same)
+    # digest INHERITED verbatim for the int chain — no rescan lie
+    with open(os.path.join(path, "_commits", f"{v}.json")) as f:
+        rec = json.load(f)
+    with open(os.path.join(path, "_commits", f"{v - 1}.json")) as f:
+        parent = json.load(f)
+    assert rec["xor_hash"] == parent["xor_hash"]
+    assert rec["op"] == "metadata" and rec["widened"] == {"val": "bigint"}
+    # time travel BEFORE the widen serves the narrow type
+    assert t.read(version=v - 1).schema["val"].dataType.simpleString() == "int"
+
+
+def test_mixed_files_and_dml_after_widen(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.widen_column("val", "long")
+    # an appended batch beyond int range — the point of widening
+    t.append(
+        spark.createDataFrame(
+            [(1000, 1.0, 3_000_000_000)], "id int, ratio float, val long"
+        )
+    )
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1000] == 3_000_000_000 and got[7] == 70
+    # DML through the widened view: update/delete on mixed files
+    t.update(F.col("id") == 7, {"val": F.lit(4_000_000_000)})
+    t.delete(F.col("id") == 8)
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[7] == 4_000_000_000 and 8 not in got
+    # merge (copy commit) materializes and drops the marker
+    t.merge(
+        spark.createDataFrame(
+            [(2000, 2.0, 5_000_000_000)], "id int, ratio float, val long"
+        )
+    )
+    with open(
+        os.path.join(path, "_commits", f"{t.version()}.json")
+    ) as f:
+        assert "widened" not in json.load(f)
+    assert {r["id"]: r["val"] for r in t.read().collect()}[2000] == 5_000_000_000
+
+
+def test_widen_keeps_scan_and_lookup_exact(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), stat_cols=["val"], bloom_col="id")
+    t.widen_column("val", "long")
+    t.widen_column("id", "bigint")
+    df, fr, tot = t.scan("val", 100, 200)
+    assert sorted(r["id"] for r in df.collect()) == list(range(10, 21))
+    hit, _, _ = t.lookup(15)
+    assert [r["id"] for r in hit.collect()] == [15]
+
+
+def test_optimize_materializes_and_drops_marker(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.widen_column("val", "long")
+    before = _rows(t.read())
+    v = t.optimize()
+    assert _rows(t.read()) == before
+    with open(os.path.join(path, "_commits", f"{v}.json")) as f:
+        assert "widened" not in json.load(f)
+    # files are PHYSICALLY wide now
+    import pyarrow.parquet as pq
+
+    f0 = next(
+        f
+        for f in os.listdir(os.path.join(path, f"v{v}"))
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    sch = pq.ParquetFile(os.path.join(path, f"v{v}", f0)).schema_arrow
+    assert str(sch.field("val").type) == "int64"
+
+
+def test_cdc_across_widen_boundary_is_zero_change(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v1 = t.version()
+    t.widen_column("val", "long")
+    assert t.changes_signed(v1, t.version()).count() == 0
+
+
+def test_refusals(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t2"), stat_cols=["ratio"])
+    with pytest.raises(ValueError, match="widen"):
+        t.widen_column("val", "smallint")  # narrowing
+    with pytest.raises(ValueError, match="widen"):
+        t.widen_column("val", "string")  # cross-family
+    with pytest.raises(ValueError, match="OPTIMIZE"):
+        t.widen_column("ratio", "double")  # float stat col
+
+
+def test_float_to_double_rescans_digest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    n_before = t.read().count()
+    v = t.widen_column("ratio", "double")
+    assert isinstance(t.read().schema["ratio"].dataType, DoubleType)
+    # x.5 is exactly representable — values unchanged, count intact
+    assert t.read().count() == n_before
+    assert {r["ratio"] for r in t.read().filter(F.col("id") == 1).collect()} == {1.5}
+    # and the digest was RESCANNED (widen of a render-stable value set
+    # keeps the hash; the record must still verify against a re-read)
+    from strava_etl_public_spark.operators.layout import dataset_fingerprint
+
+    with open(os.path.join(path, "_commits", f"{v}.json")) as f:
+        rec = json.load(f)
+    live = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert live["n_rows"] == rec["n_rows"]
+    assert live["xor_hash"] == rec["xor_hash"]
+
+
+def test_widen_carries_through_compact_clone_restore(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.widen_column("val", "long")
+    t.delete(F.col("id") <= 20)
+    before = _rows(t.read())
+    vc = t.compact(dead_frac=0.2)
+    assert vc is not None
+    assert _rows(t.read()) == before
+    assert t.read().schema["val"].dataType.simpleString() == "bigint"
+    c = t.clone(str(tmp_path / "c"))
+    assert c.read().schema["val"].dataType.simpleString() == "bigint"
+    assert _rows(c.read()) == before
+    t.restore(vc)
+    assert t.read().schema["val"].dataType.simpleString() == "bigint"
+    assert _rows(t.read()) == before
+
+
+def test_rename_and_widen_compose(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.rename_column("val", "speed")
+    t.widen_column("speed", "long")
+    t.rename_column("speed", "velocity")
+    assert t.read().schema["velocity"].dataType.simpleString() == "bigint"
+    assert {r["velocity"] for r in t.read().filter(F.col("id") == 3).collect()} == {30}
+
+
+def test_stream_source_upcasts_prewiden_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.widen_column("val", "long")
+    v0 = t.version()
+    t.delete(F.col("id") == 9)  # retraction read from a PRE-widen file
+    batches = []
+
+    def sink(df, bid):
+        batches.append((df.schema["val"].dataType.simpleString(),
+                        [tuple(r) for r in df.collect()]))
+
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", v0)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert batches and batches[-1][0] == "bigint"
+    rows = [r for _, rs in batches for r in rs]
+    assert rows == [(9, 9.5, 90, -1)]

@@ -1114,10 +1114,17 @@ def shape_dml_update_delete(rng, pools):
         pcol = rng.choice([key, icol])
         m = rng.randint(2, 7)
         r = rng.randrange(m)
-        if rng.random() < 0.55:
+        roll = rng.random()
+        if roll < 0.5:
             ops.append(("update", pcol, m, r, rng.randint(1, 99)))
-        else:
+        elif roll < 0.85:
             ops.append(("delete", pcol, m, r))
+        else:
+            # minor compaction mid-sequence: relationally a no-op, so
+            # the DuckDB side gets no statement — the diff proves DML
+            # over a compacted chain (dead-file exclusion, residual DV)
+            # still matches an independent engine
+            ops.append(("compact",))
     return (
         "dml_update_delete",
         {"t": t, "key": key, "icol": icol, "dbl": dbl,
@@ -1170,7 +1177,9 @@ def run_dml_case(spark, con, shape: str, spec: dict):
         mt = ManagedTable.create(spark.sql(sel), f"{root}/t", key=key)
         if shape == "dml_update_delete":
             for op in spec["ops"]:
-                if op[0] == "update":
+                if op[0] == "compact":
+                    mt.compact(dead_frac=0.1, small_bytes=64 * 1024)
+                elif op[0] == "update":
                     _, pcol, m, r, d = op
                     mt.update(
                         F.col(pcol) % m == r, {"vmic": F.col("vmic") + d}

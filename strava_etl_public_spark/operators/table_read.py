@@ -528,19 +528,53 @@ class _TableReadMixin:
         DV(from), fetched from ONLY the files those positions name;
         added = the window's ``_upd`` rows still alive at ``to``.
         Cost ∝ change volume — never a table scan, the property that
-        makes tailing a 100 TB table's commits viable. A copy commit
-        (merge/overwrite/optimize/restore) in the range falls back to
-        the proven full snapshot diff (upsert.snapshot_cdf), which is
-        what such a commit semantically is."""
+        makes tailing a 100 TB table's commits viable.
+
+        A MINOR COMPACTION in the range is content-identical (zero
+        logical change), so it contributes nothing — but its DV
+        surgery (victim entries dropped, dead list grown) breaks the
+        one-shot DV(to)−DV(from) arithmetic across it. The window
+        therefore SEGMENTS at compact commits: each maximal run of DV
+        ops/appends takes the physical fast path against its own
+        endpoints' DVs, the compact steps are skipped, and the
+        segment deltas union — still cost ∝ change volume, and a
+        nightly compaction no longer knocks consumers onto the
+        snapshot diff. (Cross-segment birth-and-death pairs emit as
+        +1/−1 rather than cancelling — the signed fold is identical.)
+        A copy commit (merge/overwrite/optimize/restore) in the range
+        still falls back to the proven full snapshot diff
+        (upsert.snapshot_cdf), which is what such a commit
+        semantically is."""
         from .upsert import snapshot_cdf
 
+        _FAST = ("dv_delete", "dv_update", "dv_overwrite", "append")
         walked = self._walk_range(to_version, from_version)
         chain_ok = walked is not None and all(
-            rec.get("op")
-            in ("dv_delete", "dv_update", "dv_overwrite", "append")
-            for rec in walked.values()
+            rec.get("op") in _FAST for rec in walked.values()
         )
         vmap = self._version_map(to_version)
+        if walked is not None and not chain_ok and all(
+            rec.get("op") in (*_FAST, "compact")
+            for rec in walked.values()
+        ):
+            # segment at compact commits; each fast run diffs its own
+            # endpoint DVs, compact steps contribute nothing
+            out = None
+            seg_start = from_version
+            for v in sorted(walked):
+                if walked[v].get("op") == "compact":
+                    if v - 1 > seg_start:
+                        d = self.changes_signed(seg_start, v - 1)
+                        out = d if out is None else out.unionByName(d)
+                    seg_start = v
+            if to_version > seg_start:
+                d = self.changes_signed(seg_start, to_version)
+                out = d if out is None else out.unionByName(d)
+            if out is not None:
+                return out
+            # window was compact-only — zero change, typed empty
+            empty = self.read(version=to_version).filter(F.lit(False))
+            return empty.select("*", F.lit(1).alias("sign"))
         if not chain_ok:
             # semantic fallback: full-outer diff → signed rows. Across
             # an ADD COLUMN boundary the window is served under the TO

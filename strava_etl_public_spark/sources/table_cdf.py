@@ -28,13 +28,16 @@ Scale design (the part that matters at 100 TB):
   anti-filter the window's ``_upd`` rows against DV(to).
 
 Contract: the window's commits must all be merge-on-read DML
-(``dv_delete`` / ``dv_update`` / ``dv_overwrite`` / ``append``). A
-copy commit (merge/overwrite/optimize/restore) or a metadata commit
-(rename — the stream's fixed schema would go stale) RAISES with the
-version and op named, directing the consumer to the batch tailer
-which handles those by snapshot diff — Delta's readChangeFeed makes
-the same cut (it errors on non-CDC commits rather than inventing a
-delta). Reference parity: the reference re-reads its whole store per
+(``dv_delete`` / ``dv_update`` / ``dv_overwrite`` / ``append``) or
+MINOR COMPACTIONS — a compaction is content-identical, so the window
+SEGMENTS around it (each fast run diffs its own endpoint DVs, the
+compact steps contribute zero rows): nightly maintenance never kills
+a long-lived stream. A copy commit (merge/overwrite/optimize/restore)
+or a metadata commit (rename — the stream's fixed schema would go
+stale) RAISES with the version and op named, directing the consumer
+to the batch tailer which handles those by snapshot diff — Delta's
+readChangeFeed makes the same cut (it errors on non-CDC commits
+rather than inventing a delta). Reference parity: the reference re-reads its whole store per
 poll (main.py history scan); this prices consumption at change
 volume with the engine's own recovery guarantees.
 """
@@ -234,15 +237,29 @@ class TableCDFStreamReader(DataSourceStreamReader):
                 "published chain (rollback or in-flight commit) — "
                 "restart the stream from a published version"
             )
+        # segment at MINOR COMPACTION commits: content-identical, so
+        # they contribute no rows — maintenance must not kill a
+        # long-lived stream. Each fast run diffs its own endpoint DVs.
+        runs: list[tuple[int, int]] = []
+        seg_start = s
         for v, rec in sorted(walked.items()):
-            if rec.get("op") not in _FAST_OPS:
-                raise ValueError(
-                    f"table_cdf: commit v{v} is op "
-                    f"{rec.get('op') or 'copy'!r} — the streaming source "
-                    "serves merge-on-read DML windows only; consume this "
-                    "window with streaming.ingest.table_cdf_tail (snapshot "
-                    "diff) and restart the stream from v{0}".format(v)
-                )
+            op = rec.get("op")
+            if op in _FAST_OPS:
+                continue
+            if op == "compact":
+                if v - 1 > seg_start:
+                    runs.append((seg_start, v - 1))
+                seg_start = v
+                continue
+            raise ValueError(
+                f"table_cdf: commit v{v} is op "
+                f"{op or 'copy'!r} — the streaming source "
+                "serves merge-on-read DML windows only; consume this "
+                "window with streaming.ingest.table_cdf_tail (snapshot "
+                "diff) and restart the stream from v{0}".format(v)
+            )
+        if e > seg_start:
+            runs.append((seg_start, e))
         head = walked[e]
         rec_cols = head.get("columns")
         logical_now = (
@@ -256,6 +273,15 @@ class TableCDFStreamReader(DataSourceStreamReader):
                 "running stream — restart the stream to pick up the new "
                 "schema"
             )
+        parts: list[InputPartition] = []
+        for a, b in runs:
+            parts += self._segment_partitions(a, b)
+        return parts
+
+    def _segment_partitions(self, s: int, e: int) -> list[InputPartition]:
+        """Partitions for one compact-free window (s, e] — the
+        physical change files diffed against the segment's own
+        endpoint DVs."""
         root = os.path.abspath(self.path)
         from_dirs, dv_from, _ = _universe(self.path, s)
         to_dirs, dv_to, _ = _universe(self.path, e)

@@ -217,3 +217,25 @@ def test_stream_reads_renamed_and_added_schema(spark, tmp_path):
     assert rows == [
         {"id": 5, "bucket": 1, "speed": 50, "note": None, "sign": -1}
     ]
+
+
+def test_compaction_mid_window_is_tolerated(spark, tmp_path):
+    """Maintenance must not kill the stream: a minor compaction in
+    the window contributes zero rows (the window segments around it),
+    and DML before AND after it is still served — including the
+    pre-compact deletes whose DV entries the compaction dropped."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    v0 = t.version()
+    t.delete(F.col("id") <= 20)            # pre-compact
+    assert t.compact(dead_frac=0.2) is not None
+    t.delete(F.col("id") == 30)            # post-compact
+    t.append(spark.createDataFrame([(700, 1, 7)], SCHEMA))
+    rows = [
+        r
+        for _, rs in _drain(spark, path, v0, str(tmp_path / "ck"))
+        for r in rs
+    ]
+    retracted = sorted(r[0] for r in rows if r[3] == -1)
+    assert retracted == list(range(1, 21)) + [30]
+    assert [r for r in rows if r[3] == 1] == [(700, 1, 7, 1)]

@@ -217,9 +217,10 @@ def test_clone_freezes_dead_entries(spark, tmp_path):
 
 
 def test_cdc_across_compaction_window(spark, tmp_path):
-    """A window containing a compaction falls back to the snapshot
-    diff and reports ZERO change for the compaction itself; DML on
-    either side still reports exactly its own delta."""
+    """A window containing a compaction SEGMENTS around it (the
+    physical fast path per segment — no snapshot diff): the
+    compaction itself reports ZERO change, and DML on either side
+    still reports exactly its own delta."""
     t = _mk(spark, str(tmp_path / "t"))
     t.delete(F.col("id") <= 40)  # v2
     v2 = t.version()
@@ -247,3 +248,26 @@ def test_optimize_and_restore_after_compaction(spark, tmp_path):
     vc = t.version() - 1
     t.restore(vc)
     assert _rows(t.read()) == before
+
+
+def test_cdc_segments_catch_precompact_deletes(spark, tmp_path):
+    """The regression the segmentation exists for: a delete BEFORE a
+    compaction in the same window must still be reported — the
+    one-shot DV(to)−DV(from) arithmetic would miss it because the
+    compaction dropped the victim files' DV entries."""
+    t = _mk(spark, str(tmp_path / "t"))
+    v1 = t.version()
+    t.delete(F.col("id") <= 40)        # v2: DV entries
+    vc = t.compact(dead_frac=0.2)      # v3: victim entries dropped
+    assert vc is not None
+    t.delete(F.col("id") > 70)         # v4
+    t.append(
+        spark.createDataFrame(
+            [(900, 1.0, 0)], "id long, value double, bucket long"
+        )
+    )                                  # v5
+    deltas = t.changes_signed(v1, t.version()).collect()
+    retracted = sorted(r["id"] for r in deltas if r["sign"] == -1)
+    added = sorted(r["id"] for r in deltas if r["sign"] == 1)
+    assert retracted == list(range(1, 41)) + list(range(71, 81))
+    assert added == [900]

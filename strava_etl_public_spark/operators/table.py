@@ -145,6 +145,13 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         v = snapshot_version(self.path) if version is None else version
         data_dir, dv_dir, appends = self._resolve(v)
         if dv_dir is None:
+            if os.path.isfile(os.path.join(data_dir, "_vacuumed.json")):
+                # a copy commit can never account for reclaimed files
+                # (its dead set is empty) — loud, like a vacuumed dir
+                raise ValueError(
+                    f"snapshot v{v} lost files to reclaim_dead vacuum — "
+                    "outside the retention window; refusing a partial read"
+                )
             out = snapshot_read(self.spark, self.path, v)
         else:
             base = self._open_data(v, data_dir, *appends)
@@ -195,7 +202,10 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         snapshot_rollback(self.path, version)
 
     def vacuum(
-        self, keep_last: int = 2, older_than_ts: float | None = None
+        self,
+        keep_last: int = 2,
+        older_than_ts: float | None = None,
+        reclaim_dead: bool = False,
     ) -> list[int]:
         """Retention, deletion-vector aware: a DV version's sidecar
         points INTO its base snapshot's files, so every base version
@@ -213,7 +223,19 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         older_than_ts=now-7*86400)`` is "retain 7 days", and
         timestamp time travel (:meth:`as_of`) keeps working across
         the whole retained window. A record without a ``ts`` (legacy)
-        is conservatively protected."""
+        is conservatively protected.
+
+        ``reclaim_dead=True`` adds FILE-level vacuum (Delta's vacuum
+        proper) on top of the dir-level pass: compaction-dead files
+        that EVERY retained version referencing their directory
+        agrees are dead get physically deleted and recorded in the
+        directory's ``_vacuumed.json`` tombstone — the bytes a minor
+        compaction retired finally leave disk. A version OUTSIDE the
+        retention window whose files this removes stops being
+        readable — LOUDLY: every data open checks the tombstone
+        against its own dead set and raises on any overlap it cannot
+        account for, never a silent partial read (see
+        :meth:`~.table_compact._CompactMixin._reclaim_dead_files`)."""
         import json as _json
 
         cdir = os.path.join(self.path, "_commits")
@@ -250,7 +272,14 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     # "v5/_upd" pins v5; "self" is the survivor itself
                     if a != "self" and not os.path.isabs(a):
                         pinned.add(int(a.split("/", 1)[0][1:]))
-        return snapshot_vacuum(self.path, keep_last=keep_last, protect=pinned)
+        removed = snapshot_vacuum(
+            self.path, keep_last=keep_last, protect=pinned
+        )
+        if reclaim_dead:
+            self._reclaim_dead_files(
+                {v for v in survivors if v not in set(removed)}
+            )
+        return removed
 
     # -- constraints ---------------------------------------------------------
 
@@ -846,11 +875,14 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
             self._check_rows(df, self.constraints)
         v = self.version()
         vmap = self._version_map(v)
-        logical_cols = (
-            [l for l, _ in vmap]
-            if vmap
-            else self.spark.read.parquet(self._resolve(v)[0]).columns
-        )
+        if vmap:
+            logical_cols = [l for l, _ in vmap]
+        else:
+            # through _open_data over the FULL universe: after a
+            # reclaim_dead vacuum the base dir alone can be empty —
+            # the live schema then lives in the _upd dirs
+            bdir, _, bapp = self._resolve(v)
+            logical_cols = self._open_data(v, bdir, *bapp).columns
         batch = self._apply_write_defaults(df).select(*logical_cols)
         # widened columns: land the batch at the WIDE type, so the
         # batch digest renders like every later read of it (the float→

@@ -49,6 +49,60 @@ class _CompactMixin:
     """The minor-compaction face of :class:`~.table.ManagedTable` —
     mixed into the one public class; never instantiated alone."""
 
+    def _reclaim_dead_files(self, retained: set[int]) -> int:
+        """FILE-level vacuum of compaction debris (vacuum's
+        ``reclaim_dead=True`` arm): delete every data file that ALL
+        retained versions referencing its directory count dead — the
+        victims a minor compaction excluded stay on disk only as long
+        as some retained version still reads them. Deleted names merge
+        into the directory's ``_vacuumed.json`` tombstone; every data
+        open (``_open_data`` / the copy-commit read) checks the
+        tombstone against its version's dead set and raises LOUDLY
+        when it cannot account for a removed file — a version aged
+        out of retention fails like a vacuumed version, never serves
+        a silent partial read. Returns bytes reclaimed. Driver cost:
+        O(retained versions) metadata reads + O(files) set algebra —
+        no Spark job."""
+        needs: dict[str, set[str]] = {}  # dir → files some version reads
+        for v in sorted(retained):
+            try:
+                data_dir, _, appends = self._resolve(v)
+            except ValueError:
+                continue  # already vacuumed at dir level
+            dead = self._dead_abs(v)
+            for d in (data_dir, *appends):
+                d_abs = os.path.abspath(d)
+                live = {
+                    os.path.join(d_abs, f)
+                    for f in os.listdir(d)
+                    if f.startswith("part-") and f.endswith(".parquet")
+                } - dead
+                needs.setdefault(d_abs, set()).update(live)
+        reclaimed = 0
+        for d_abs, live in needs.items():
+            all_files = {
+                os.path.join(d_abs, f)
+                for f in os.listdir(d_abs)
+                if f.startswith("part-") and f.endswith(".parquet")
+            }
+            removable = all_files - live
+            if not removable:
+                continue
+            tomb_path = os.path.join(d_abs, "_vacuumed.json")
+            tomb: set[str] = set()
+            if os.path.isfile(tomb_path):
+                with open(tomb_path) as f:
+                    tomb = set(json.load(f).get("files", []))
+            for f_abs in sorted(removable):
+                reclaimed += os.path.getsize(f_abs)
+                os.remove(f_abs)
+                tomb.add(os.path.basename(f_abs))
+            tmp = tomb_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": sorted(tomb)}, f)
+            os.replace(tmp, tomb_path)  # crash-atomic, like _table.json
+        return reclaimed
+
     def compact_stats(self) -> list[dict]:
         """Per-file compaction pressure of the CURRENT version:
         ``[{file, bytes, rows, dead_rows, dead_frac}]`` — the victim

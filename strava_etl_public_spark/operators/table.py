@@ -62,6 +62,14 @@ from .table_compact import _CompactMixin
 from .table_read import _TableReadMixin
 from .table_schema import _SchemaMixin
 
+#: reader features THIS build understands; tables list the subset
+#: their history actually uses (stamped on first use). An unknown
+#: listed feature makes the constructor refuse loudly — the Delta
+#: protocol-versioning contract, because both features change what
+#: EXISTING bytes mean (a dead-file-unaware reader resurrects
+#: compaction victims; a widen-unaware reader serves narrow types).
+SUPPORTED_FEATURES = {"dead-files", "type-widening"}
+
 
 class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
     """A versioned, manifest-tracked parquet table with MERGE,
@@ -93,6 +101,22 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         self.column_defaults: dict[str, list] = meta.get(
             "column_defaults", {}
         )
+        # protocol feature gating (Delta's reader-feature contract):
+        # ops whose metadata an OLDER reader would silently misread —
+        # dead-file exclusion (resurrected victims), widened types —
+        # stamp their feature into _table.json on first use; a reader
+        # that doesn't know a listed feature must refuse the whole
+        # table rather than serve wrong rows
+        self.required_features: list[str] = meta.get(
+            "required_features", []
+        )
+        unknown = set(self.required_features) - SUPPORTED_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table at {path} requires reader features "
+                f"{sorted(unknown)} this build does not support — "
+                "refusing to open (reads would be silently wrong)"
+            )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -206,6 +230,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         keep_last: int = 2,
         older_than_ts: float | None = None,
         reclaim_dead: bool = False,
+        dry_run: bool = False,
     ) -> list[int]:
         """Retention, deletion-vector aware: a DV version's sidecar
         points INTO its base snapshot's files, so every base version
@@ -273,9 +298,9 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     if a != "self" and not os.path.isabs(a):
                         pinned.add(int(a.split("/", 1)[0][1:]))
         removed = snapshot_vacuum(
-            self.path, keep_last=keep_last, protect=pinned
+            self.path, keep_last=keep_last, protect=pinned, dry_run=dry_run
         )
-        if reclaim_dead:
+        if reclaim_dead and not dry_run:
             self._reclaim_dead_files(
                 {v for v in survivors if v not in set(removed)}
             )
@@ -318,6 +343,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     "bloom_k": self.bloom_k,
                     "manifest_format": self.manifest_format,
                     "column_defaults": self.column_defaults,
+                    "required_features": self.required_features,
                 },
                 f,
             )
@@ -565,6 +591,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     "bloom_k": self.bloom_k,
                     "manifest_format": self.manifest_format,
                     "column_defaults": self.column_defaults,
+                    "required_features": self.required_features,
                 },
                 f,
             )

@@ -237,6 +237,13 @@ class _CompactMixin:
                 victims.update(small)
         if not victims:
             return None
+        # stamp the reader feature BEFORE the commit (a reader that
+        # doesn't understand dead-file exclusion would resurrect the
+        # victims) — stamping first means a crash can never leave a
+        # dead-list version unguarded
+        if "dead-files" not in self.required_features:
+            self.required_features.append("dead-files")
+            self._save_config()
         vlist = sorted(victims)
         vabs = {os.path.abspath(f) for f in victims}
 

@@ -195,6 +195,11 @@ class _SchemaMixin:
                 "first, then widen"
             )
         widened = {**self._version_widened(v), phys: new_t}
+        # reader-feature stamp BEFORE the commit: a widen-unaware
+        # reader would serve the narrow physical types
+        if "type-widening" not in self.required_features:
+            self.required_features.append("type-widening")
+            self._save_config()
         return self._metadata_commit(
             vmap,
             rescan=rescan,

@@ -345,3 +345,40 @@ def test_dml_continues_after_reclaim(spark, tmp_path):
     got = _rows(t.read())
     assert (50, -5.0, 2) in got and (901, 2.0, 1) in got
     assert len(got) == 36  # 40 survivors − 5 late-deleted + 1 appended
+
+
+def test_reader_feature_gate_and_vacuum_dry_run(spark, tmp_path):
+    """First compact stamps 'dead-files' into _table.json; a reader
+    build that doesn't know a required feature refuses the table
+    outright (silently resurrecting victims is the alternative).
+    vacuum(dry_run=True) reports removals without touching disk."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    with open(os.path.join(path, "_table.json")) as fh:
+        assert "dead-files" not in fh.read()
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    with open(os.path.join(path, "_table.json")) as fh:
+        cfg = json.load(fh)
+    assert cfg["required_features"] == ["dead-files"]
+    # an unknown future feature refuses loudly at open
+    cfg["required_features"] = ["dead-files", "zz-future-feature"]
+    with open(os.path.join(path, "_table.json"), "w") as fh:
+        json.dump(cfg, fh)
+    with pytest.raises(ValueError, match="zz-future-feature"):
+        ManagedTable(spark, path)
+    cfg["required_features"] = ["dead-files"]
+    with open(os.path.join(path, "_table.json"), "w") as fh:
+        json.dump(cfg, fh)
+    t = ManagedTable(spark, path)
+    # dry run: reports, touches nothing
+    t.delete(F.col("id") > 70)
+    would = t.vacuum(keep_last=1, dry_run=True)
+    assert would and all(
+        os.path.isdir(os.path.join(path, f"v{v}")) for v in would
+    )
+    removed = t.vacuum(keep_last=1)
+    assert removed == would
+    assert not any(
+        os.path.isdir(os.path.join(path, f"v{v}")) for v in removed
+    )

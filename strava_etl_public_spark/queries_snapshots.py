@@ -990,3 +990,130 @@ def x_table_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_source_pushdown",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+alive AS (
+  SELECT * FROM base WHERE user_id % 4 IS DISTINCT FROM 1
+),
+bounds AS (SELECT min(es) AS lo FROM alive),
+win AS (
+  SELECT a.* FROM alive a, bounds WHERE a.es BETWEEN lo AND lo + 86400
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS pt_rows,
+         CAST(coalesce(sum(vmic), 0) AS BIGINT) AS pt_vmic
+  FROM alive WHERE event_id = (SELECT min(event_id) FROM alive)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vmic) AS BIGINT) AS sum_vmic,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       pt.pt_rows, pt.pt_vmic,
+       TRUE AS range_pruned, TRUE AS bloom_pruned,
+       TRUE AS equals_table_read
+FROM win, pt GROUP BY pt.pt_rows, pt.pt_vmic
+""",
+)
+def x_table_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skipping layer wired into Catalyst itself:
+    ``spark.read.format("managed_table")`` (sources/table_batch.py,
+    the Spark-4 Python DataSource pushdown API) — the engine calls
+    pushFilters with the query's predicates, the reader prunes FILES
+    through the version's zone-map/bloom manifests, and each
+    surviving file becomes one executor-side pyarrow partition with
+    the DV anti-filtered positionally. Prune-only pushdown: every
+    predicate returns to Spark for exact re-application, so the
+    manifest can skip IO but never change an answer.
+
+    The run range-clusters events on es (stats) with a bloom on
+    event_id, DV-deletes a user slice, then answers a day-window
+    aggregate and a point lookup THROUGH plain
+    ``load().filter(...)`` DataFrame code. Invariants in-row: the
+    window scan's partition count < the full file count (zone maps
+    pruned), the point lookup's partition count < the full count
+    (bloom pruned), and the source's unfiltered rows fingerprint-
+    equal ManagedTable.read(). The oracle recomputes both answers
+    relationally with the NULL-safe predicate complement."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+    from .sources.table_batch import register_table_source
+
+    register_table_source(spark)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="src_push_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+            bloom_col="event_id",
+        )
+        t.delete(F.col("user_id") % 4 == 1)
+
+        def src():
+            return (
+                spark.read.format("managed_table")
+                .option("path", path)
+                .load()
+            )
+
+        n_total = src().rdd.getNumPartitions()
+        lo = t.read().agg(F.min("es")).collect()[0][0]
+        win = src().filter(F.col("es").between(lo, lo + 86400))
+        range_pruned = win.rdd.getNumPartitions() < n_total
+
+        key0 = t.read().agg(F.min("event_id")).collect()[0][0]
+        pt = src().filter(F.col("event_id") == key0)
+        bloom_pruned = pt.rdd.getNumPartitions() < n_total
+        pt_row = pt.agg(
+            F.count(F.lit(1)).cast("long").alias("pt_rows"),
+            F.coalesce(F.sum("vmic"), F.lit(0))
+            .cast("long")
+            .alias("pt_vmic"),
+        ).collect()[0]
+
+        cols = ["event_id", "user_id", "es", "vmic"]
+        equals_read = (
+            dataset_fingerprint(src().select(*cols)).collect()
+            == dataset_fingerprint(t.read().select(*cols)).collect()
+        )
+        return (
+            win.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("vmic").cast("long").alias("sum_vmic"),
+                F.sum("user_id").cast("long").alias("sum_users"),
+            )
+            .withColumns(
+                {
+                    "pt_rows": F.lit(int(pt_row["pt_rows"])).cast("long"),
+                    "pt_vmic": F.lit(int(pt_row["pt_vmic"])).cast("long"),
+                    "range_pruned": F.lit(bool(range_pruned)),
+                    "bloom_pruned": F.lit(bool(bloom_pruned)),
+                    "equals_table_read": F.lit(bool(equals_read)),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

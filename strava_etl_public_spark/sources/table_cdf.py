@@ -389,6 +389,53 @@ class TableCDFStreamReader(DataSourceStreamReader):
         pass  # offsets live in the engine's checkpoint
 
 
+def table_fields(path: str, version: int | None = None) -> tuple:
+    """((logical, physical, sql_type), ...) of a table version —
+    derived from one data file's parquet schema plus the commit
+    record's column map, added-column markers, and widened-type
+    overrides. Shared by the streaming CDF source and the batch
+    ``managed_table`` reader (sources/table_batch.py)."""
+    v = _version(path) if version is None else int(version)
+    if v < 1:
+        raise ValueError(f"no published version at {path}")
+    rec = _rec(path, v) or {}
+    dirs, _, dead = _universe(path, v)
+    sample = None
+    for d in dirs:
+        for f in _part_files(d):
+            if os.path.abspath(f) not in dead:
+                sample = f
+                break
+        if sample:
+            break
+    if sample is None:
+        raise ValueError(f"no data files under {path} v{v}")
+    import pyarrow.parquet as pq
+
+    file_schema = pq.ParquetFile(sample).schema_arrow
+    added = rec.get("added") or {}
+    vmap = rec.get("columns")
+    phys_types: dict[str, str] = {}
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    for name in file_schema.names:
+        phys_types[name] = from_arrow_type(
+            file_schema.field(name).type
+        ).simpleString()
+    for ph, t in added.items():
+        phys_types.setdefault(ph, t)
+    # type-widened columns serve the WIDE type regardless of the
+    # sampled file's physical type (executors upcast per batch)
+    for ph, t in (rec.get("widened") or {}).items():
+        phys_types[ph] = t
+    if vmap:
+        return tuple(
+            (l, p, phys_types.get(p, added.get(p, "string")))
+            for l, p in vmap
+        )
+    return tuple((c, c, phys_types[c]) for c in file_schema.names)
+
+
 class TableCDFStreamDataSource(DataSource):
     """``format("table_cdf")`` — options: ``path`` (table root),
     ``starting_version`` (default: the version current at stream
@@ -399,51 +446,10 @@ class TableCDFStreamDataSource(DataSource):
         return "table_cdf"
 
     def _fields(self) -> tuple:
-        """((logical, physical, sql_type_or_None), ...) of the CURRENT
-        version — derived from one data file's parquet schema plus the
-        commit record's column map and added-column markers."""
         path = self.options.get("path")
         if not path:
             raise ValueError("table_cdf requires .option('path', <table>)")
-        v = _version(path)
-        if v < 1:
-            raise ValueError(f"no published version at {path}")
-        rec = _rec(path, v) or {}
-        dirs, _, dead = _universe(path, v)
-        sample = None
-        for d in dirs:
-            for f in _part_files(d):
-                if os.path.abspath(f) not in dead:
-                    sample = f
-                    break
-            if sample:
-                break
-        if sample is None:
-            raise ValueError(f"no data files under {path} v{v}")
-        import pyarrow.parquet as pq
-
-        file_schema = pq.ParquetFile(sample).schema_arrow
-        added = rec.get("added") or {}
-        vmap = rec.get("columns")
-        phys_types: dict[str, str] = {}
-        from pyspark.sql.pandas.types import from_arrow_type
-
-        for name in file_schema.names:
-            phys_types[name] = from_arrow_type(
-                file_schema.field(name).type
-            ).simpleString()
-        for ph, t in added.items():
-            phys_types.setdefault(ph, t)
-        # type-widened columns serve the WIDE type regardless of the
-        # sampled file's physical type (executors upcast per batch)
-        for ph, t in (rec.get("widened") or {}).items():
-            phys_types[ph] = t
-        if vmap:
-            return tuple(
-                (l, p, phys_types.get(p, added.get(p, "string")))
-                for l, p in vmap
-            )
-        return tuple((c, c, phys_types[c]) for c in file_schema.names)
+        return table_fields(path)
 
     def schema(self) -> str:
         fields = self._fields()

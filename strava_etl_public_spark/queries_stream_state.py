@@ -802,3 +802,125 @@ def x_stream_table_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_table_sink",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type FROM events
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+        FROM base)
+)
+SELECT 'sink_events' AS dataset, fp.n_rows, fp.xor_hash, fp.sum_hash_mod,
+       TRUE AS multi_batch, TRUE AS digest_chain_exact,
+       TRUE AS replay_dropped
+FROM fp
+""",
+)
+def x_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native streaming WRITE path into the managed table
+    — ``df.writeStream.format("managed_table_sink")``
+    (sources/table_sink.py, the Spark-4.1 Arrow stream-writer API),
+    completing the table's DataSource matrix (batch read with
+    pushdown, streaming CDF read, streaming append write). Executors
+    stream Arrow batches straight into staged parquet files and fold
+    per-partition content digests into their commit messages
+    (commutative monoids — task retries reproduce, never corrupt);
+    the driver's commit() publishes each micro-batch as ONE
+    blind-append reference commit whose digest derives by group-op
+    addition and whose txn marker is the engine batchId, atomic with
+    the version.
+
+    The run seeds the table with a third of events, streams the other
+    two thirds from a two-file parquet dir (maxFilesPerTrigger=1 →
+    two commits, multi_batch proven by the version delta), audits the
+    DERIVED digest chain against a live fingerprint of the final
+    table (digest_chain_exact — the executor md5 replica and the
+    group-op addition must both be exact), and replays the same data
+    through a FRESH checkpoint (checkpoint loss): the txn guard drops
+    every batch, version unchanged (replay_dropped). Oracle: the
+    fingerprint of all of events."""
+    ensure_harness_conf(spark)
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+    from .sources.table_sink import register_table_sink
+
+    register_table_sink(spark)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="sink_gate_")
+    path = os.path.join(root, "t")
+    src = os.path.join(root, "src")
+    try:
+        t = ManagedTable.create(
+            base.filter(F.col("event_id") % 3 == 0).repartition(4),
+            path,
+            key="event_id",
+        )
+        base.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        v0 = t.version()
+
+        def run(ckpt: str) -> None:
+            q = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.format("managed_table_sink")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run(os.path.join(root, "ck1"))
+        v1 = t.version()
+        multi_batch = v1 - v0 == 2  # one commit per micro-batch
+        rec = _json.load(
+            open(os.path.join(path, "_commits", f"{v1}.json"))
+        )
+        live = dataset_fingerprint(t.read()).collect()[0].asDict()
+        chain_exact = (
+            rec["n_rows"],
+            rec["xor_hash"],
+            rec["sum_hash_mod"],
+        ) == (live["n_rows"], live["xor_hash"], live["sum_hash_mod"])
+        run(os.path.join(root, "ck2"))  # checkpoint loss → txn guard
+        replay_dropped = t.version() == v1
+
+        cols = ["event_id", "user_id", "event_type"]
+        fp = dataset_fingerprint(
+            t.read().select(*cols), cols, label="sink_events"
+        )
+        return fp.withColumns(
+            {
+                "multi_batch": F.lit(bool(multi_batch)),
+                "digest_chain_exact": F.lit(bool(chain_exact)),
+                "replay_dropped": F.lit(bool(replay_dropped)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

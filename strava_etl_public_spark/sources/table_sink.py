@@ -1,0 +1,367 @@
+"""``df.writeStream.format("managed_table_sink")`` — a Structured
+Streaming SINK that appends each micro-batch to a ManagedTable as one
+blind-append commit, exactly-once.
+
+This completes the table's DataSource matrix: batch read with
+pushdown (table_batch), streaming read of the change feed
+(table_cdf), and now the engine-native write path — no foreachBatch
+closure, just ``writeStream.format(...)``. It is the two-phase-commit
+shape Spark's sink API exists for:
+
+* EXECUTORS (:meth:`TableAppendStreamWriter.write`, the Spark-4.1
+  Arrow writer face) stream their partition's Arrow batches straight
+  into ONE staged parquet file under the table's ``_stream_stage/``
+  dir — no row-at-a-time Python, no driver materialization — and
+  fold the partition's content digest (count / bit-XOR / modular sum
+  of the 60-bit md5 row hash, dataset_fingerprint's primitive) into
+  their commit message. Digests are commutative monoids: task
+  retries and speculation reproduce messages, never corrupt them.
+* The DRIVER (:meth:`commit`) merges the messages and publishes ONE
+  blind-append reference commit: staged files move into the new
+  version's ``_upd``, the table digest derives by group-op addition
+  from the parent record (no rescan), and the engine's ``batchId``
+  lands as the commit's txn marker ATOMICALLY with the version.
+
+Exactly-once composes BOTH guards this repo has proven separately:
+Spark's checkpoint replays uncommitted batches after a crash, and the
+txn marker makes a replayed ``commit()`` a no-op (``batchId`` ≤ the
+lineage high-water) even after CHECKPOINT LOSS — the
+streaming/ingest.py table_merge_sink contract, now engine-native. A
+commit conflict with a concurrent writer rebases like
+``ManagedTable.append`` (blind appends commute with any interleave
+that keeps the schema).
+
+Schema contract, enforced LOUDLY at open: the stream's columns must
+equal the table's logical schema (order-free; the writer reorders);
+column mapping renames to physical and widened columns cast wide
+before staging; CHECK-constrained tables are refused (the sink has
+no engine to evaluate SQL predicates against — use the foreachBatch
+merge sink); float/double/timestamp columns are refused because
+their Python renderings are not cast-stable with the engine-side
+digest chain (dataset_fingerprint's documented convention:
+pre-format them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from .table_cdf import _rec, _universe, _version, table_fields
+
+_MOD = 1152921504606846976  # 2^60, the dataset_fingerprint modulus
+
+#: arrow-side SQL types whose Python str() rendering equals Spark's
+#: CAST(x AS STRING) — the digest chain's cast-stability requirement
+_STABLE_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "string",
+    "boolean",
+    "date",
+}
+
+
+@dataclass
+class _AppendCommit(WriterCommitMessage):
+    file: str | None  # staged basename (None = empty partition)
+    n_rows: int
+    xor_hash: int
+    sum_hash: int
+
+
+class TableAppendStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "managed_table_sink requires .option('path', <table>)"
+            )
+        cfg_p = os.path.join(self.path, "_table.json")
+        if not os.path.isfile(cfg_p):
+            raise ValueError(f"no managed table at {self.path}")
+        with open(cfg_p) as f:
+            cfg = json.load(f)
+        if cfg.get("constraints"):
+            raise ValueError(
+                "managed_table_sink cannot enforce CHECK constraints "
+                "(no engine in the commit path) — use "
+                "streaming.ingest.table_merge_sink for constrained "
+                "tables"
+            )
+        self.fields = table_fields(self.path)  # ((logical, phys, type),)
+        for l, _, t in self.fields:
+            if t.strip().lower() not in _STABLE_TYPES:
+                raise ValueError(
+                    f"column {l!r} has type {t} — not cast-stable with "
+                    "the digest chain; pre-format it (the "
+                    "dataset_fingerprint convention) before the sink"
+                )
+        want = {l for l, _, _ in self.fields}
+        got = set(schema.fieldNames())
+        if want != got:
+            raise ValueError(
+                f"stream schema {sorted(got)} != table logical schema "
+                f"{sorted(want)}"
+            )
+        self.defaults = cfg.get("column_defaults") or {}
+
+    # -- executor side -----------------------------------------------------
+
+    def write(self, iterator: Iterator) -> _AppendCommit:
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .table_batch import _SQL_TO_ARROW
+
+        logical_order = [l for l, _, _ in self.fields]
+        phys_names = [p for _, p, _ in self.fields]
+        n, x, s = 0, 0, 0
+        writer = None
+        stage_dir = os.path.join(self.path, "_stream_stage")
+        fn = f"part-stream-{uuid.uuid4().hex}.parquet"
+        try:
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch]).select(logical_order)
+                # widened columns land WIDE (digest renders like reads)
+                cast_cols = []
+                for (l, _, t) in self.fields:
+                    col = tbl.column(l)
+                    target = getattr(
+                        pa, _SQL_TO_ARROW[t.strip().lower()]
+                    )()
+                    if col.type != target:
+                        col = col.cast(target)
+                    cast_cols.append(col)
+                tbl = pa.Table.from_arrays(cast_cols, names=logical_order)
+                # digest fold — the dataset_fingerprint row hash. The
+                # per-CELL work (cast to string, NULL → chr(30), join
+                # with chr(31)) vectorizes in Arrow compute; only the
+                # md5 itself runs per row (a C call on the joined
+                # bytes). pa bool→string casts render "true"/"false",
+                # matching SQL CAST — the cast-stable contract the
+                # _STABLE_TYPES gate enforces.
+                import pyarrow.compute as pc
+
+                rendered = [
+                    pc.fill_null(
+                        pc.cast(c.combine_chunks(), pa.string()), "\x1e"
+                    )
+                    for c in tbl.columns
+                ]
+                joined = (
+                    pc.binary_join_element_wise(*rendered, "\x1f")
+                    if len(rendered) > 1
+                    else rendered[0]
+                )
+                for v in joined.to_pylist():
+                    h = int(
+                        hashlib.md5(v.encode()).hexdigest()[:15], 16
+                    )
+                    n += 1
+                    x ^= h
+                    s = (s + h) % _MOD
+                if writer is None:
+                    os.makedirs(stage_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(stage_dir, fn),
+                        tbl.rename_columns(phys_names).schema,
+                    )
+                writer.write_table(tbl.rename_columns(phys_names))
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _AppendCommit(None, 0, 0, 0)
+        return _AppendCommit(fn, n, x, s)
+
+    # -- driver side -------------------------------------------------------
+
+    def _last_txn(self) -> int:
+        v = _version(self.path)
+        rec = _rec(self.path, v) if v >= 1 else None
+        if rec and "txn_hw" in rec:
+            return int(rec["txn_hw"])
+        # legacy walk (records without the folded high-water)
+        while v >= 1 and rec is not None:
+            if "txn" in rec:
+                return int(rec["txn"])
+            nxt = int(rec.get("parent", v - 1))
+            if nxt >= v:
+                break
+            v, rec = nxt, _rec(self.path, nxt)
+        return -1
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from ..operators.layout import (
+            CommitConflict,
+            snapshot_commit_ref,
+            snapshot_max_commit,
+        )
+
+        stage_dir = os.path.join(self.path, "_stream_stage")
+        files = [m.file for m in messages if m and m.file]
+        total = sum(m.n_rows for m in messages if m)
+        if total == 0 or batchId <= self._last_txn():
+            # empty batch, or a REPLAY (restart/checkpoint-loss) of a
+            # batch whose marker is already on the lineage — drop the
+            # staged bytes, publish nothing
+            for fn in files:
+                try:
+                    os.remove(os.path.join(stage_dir, fn))
+                except OSError:
+                    pass
+            return
+        bx, bs = 0, 0
+        for m in messages:
+            if m:
+                bx ^= m.xor_hash
+                bs = (bs + m.sum_hash) % _MOD
+
+        attempts = 0
+        while True:
+            m0 = snapshot_max_commit(self.path)
+            v = _version(self.path)
+            parent = _rec(self.path, v)
+            ref_meta = (
+                json.load(open(os.path.join(self.path, f"v{v}", "_dv.json")))
+                if os.path.isfile(
+                    os.path.join(self.path, f"v{v}", "_dv.json")
+                )
+                else None
+            )
+            dirs, dv_dir, _ = _universe(self.path, v)
+            ref: dict = (
+                {
+                    "base": ref_meta["base"]
+                }
+                if ref_meta and "base" in ref_meta
+                else {"base_abs": dirs[0]}
+                if ref_meta
+                else {"base": f"v{v}"}
+            )
+            old_appends = [
+                f"v{v}/_upd" if a == "self" else a
+                for a in (ref_meta or {}).get("appends", [])
+            ]
+            ref["appends"] = old_appends + ["self"]
+            if (ref_meta or {}).get("dead"):
+                ref["dead"] = ref_meta["dead"]
+            digest = {
+                "n_rows": parent["n_rows"] + total,
+                "xor_hash": (parent["xor_hash"] or 0) ^ bx,
+                "sum_hash_mod": ((parent["sum_hash_mod"] or 0) + bs) % _MOD,
+            }
+            extra: dict = {
+                "parent": v,
+                "op": "append",
+                "wfiles": [],
+                "txn": batchId,
+            }
+            for k in ("columns", "added", "widened"):
+                if parent.get(k):
+                    extra[k] = parent[k]
+
+            def populate(vdir: str, files=files, dv_dir=dv_dir) -> None:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                upd = os.path.join(vdir, "_upd")
+                os.makedirs(upd)
+                for fn in files:
+                    # COPY, not move: a commit conflict wipes the
+                    # commit layer's staging dir — the staged source
+                    # files must survive for the rebase retry
+                    shutil.copy2(
+                        os.path.join(stage_dir, fn), os.path.join(upd, fn)
+                    )
+                # parent DV carries through (file copy — no engine)
+                if dv_dir and os.path.isdir(dv_dir):
+                    shutil.copytree(dv_dir, os.path.join(vdir, "_dv"))
+                else:
+                    # a TYPED empty DV — an empty directory breaks the
+                    # reader's schema inference
+                    os.makedirs(os.path.join(vdir, "_dv"))
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "_file": pa.array([], pa.string()),
+                                "_pos": pa.array([], pa.int64()),
+                            }
+                        ),
+                        os.path.join(vdir, "_dv", "part-empty.parquet"),
+                    )
+                with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                    json.dump(ref, f)
+                # inherit sidecars whole (conservative, like append())
+                src_vdir = os.path.join(self.path, f"v{v}")
+                for sc in ("_manifest.json", "_bloom.json"):
+                    sp = os.path.join(src_vdir, sc)
+                    if os.path.isfile(sp):
+                        shutil.copyfile(sp, os.path.join(vdir, sc))
+                for rel in ("_manifest_pq", "_bloom_pq"):
+                    sp = os.path.join(src_vdir, rel)
+                    if os.path.isdir(sp):
+                        shutil.copytree(sp, os.path.join(vdir, rel))
+
+            try:
+                snapshot_commit_ref(
+                    self.path,
+                    populate,
+                    digest=digest,
+                    extra=extra,
+                    expected_max=m0,
+                )
+                for fn in files:  # staged sources consumed
+                    try:
+                        os.remove(os.path.join(stage_dir, fn))
+                    except OSError:
+                        pass
+                return
+            except CommitConflict:
+                # blind appends commute; rebase onto the new head
+                # unless the schema moved under us (append()'s rule)
+                attempts += 1
+                new_rec = _rec(self.path, _version(self.path)) or {}
+                if attempts > 5 or (new_rec.get("columns") or None) != (
+                    (parent or {}).get("columns") or None
+                ):
+                    raise
+
+    def abort(self, messages, batchId: int) -> None:
+        stage_dir = os.path.join(self.path, "_stream_stage")
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(os.path.join(stage_dir, m.file))
+                except OSError:
+                    pass
+
+
+class ManagedTableSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "managed_table_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return TableAppendStreamWriter(self.options, schema)
+
+
+def register_table_sink(spark) -> None:
+    """Idempotent registration of the sink with a session."""
+    spark.dataSource.register(ManagedTableSinkDataSource)

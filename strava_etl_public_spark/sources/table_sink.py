@@ -52,6 +52,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
@@ -81,7 +82,7 @@ class _AppendCommit(WriterCommitMessage):
     sum_hash: int
 
 
-class TableAppendStreamWriter(DataSourceStreamArrowWriter):
+class _AppendWriterCore:
     def __init__(self, options, schema):
         self.path = options.get("path")
         if not self.path:
@@ -206,6 +207,20 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         return -1
 
     def commit(self, messages, batchId: int) -> None:
+        if batchId <= self._last_txn():
+            # a REPLAY (restart/checkpoint-loss) of a batch whose
+            # marker is already on the lineage — drop staged bytes
+            stage_dir = os.path.join(self.path, "_stream_stage")
+            for m in messages:
+                if m and m.file:
+                    try:
+                        os.remove(os.path.join(stage_dir, m.file))
+                    except OSError:
+                        pass
+            return
+        self._publish(messages, txn=batchId)
+
+    def _publish(self, messages, txn: int | None) -> None:
         import shutil
 
         from ..operators.layout import (
@@ -217,10 +232,7 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
         stage_dir = os.path.join(self.path, "_stream_stage")
         files = [m.file for m in messages if m and m.file]
         total = sum(m.n_rows for m in messages if m)
-        if total == 0 or batchId <= self._last_txn():
-            # empty batch, or a REPLAY (restart/checkpoint-loss) of a
-            # batch whose marker is already on the lineage — drop the
-            # staged bytes, publish nothing
+        if total == 0:
             for fn in files:
                 try:
                     os.remove(os.path.join(stage_dir, fn))
@@ -271,8 +283,9 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
                 "parent": v,
                 "op": "append",
                 "wfiles": [],
-                "txn": batchId,
             }
+            if txn is not None:
+                extra["txn"] = txn
             for k in ("columns", "added", "widened"):
                 if parent.get(k):
                     extra[k] = parent[k]
@@ -353,6 +366,26 @@ class TableAppendStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
 
+class TableAppendStreamWriter(_AppendWriterCore, DataSourceStreamArrowWriter):
+    """The streaming face — see the module docstring."""
+
+
+class TableAppendBatchWriter(_AppendWriterCore, DataSourceArrowWriter):
+    """The BATCH write face — ``df.write.format("managed_table_sink")
+    .mode("append")`` — same executor staging and driver publish as
+    the streaming sink, minus the txn marker (batch appends have no
+    engine replay to guard; idempotence is the caller's retry story,
+    exactly ManagedTable.append's contract). Overwrite mode is
+    refused: the table's overwrite semantics (partition overwrite,
+    merge) need an engine and live on the ManagedTable API."""
+
+    def commit(self, messages):  # batch API: no batchId
+        self._publish(messages, txn=None)
+
+    def abort(self, messages):
+        _AppendWriterCore.abort(self, messages, -1)
+
+
 class ManagedTableSinkDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -360,6 +393,15 @@ class ManagedTableSinkDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite):
         return TableAppendStreamWriter(self.options, schema)
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "managed_table_sink is append-only — overwrite needs "
+                "engine semantics; use ManagedTable.overwrite_partitions "
+                "or merge"
+            )
+        return TableAppendBatchWriter(self.options, schema)
 
 
 def register_table_sink(spark) -> None:

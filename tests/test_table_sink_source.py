@@ -197,3 +197,30 @@ def test_refusals(spark, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
+
+
+def test_batch_write_face(spark, tmp_path):
+    """df.write.format("managed_table_sink").mode("append") — the
+    batch write face: one blind-append commit, digest chain exact,
+    overwrite refused."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    v0 = t.version()
+    spark.createDataFrame(
+        [(600, 1, "bw"), (601, 2, "bw2")], SCHEMA
+    ).repartition(2).write.format("managed_table_sink").option(
+        "path", path
+    ).mode("append").save()
+    assert t.version() == v0 + 1
+    got = {r["id"] for r in t.read().collect()}
+    assert {600, 601} <= got
+    rec = json.load(
+        open(os.path.join(path, "_commits", f"{t.version()}.json"))
+    )
+    live = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert rec["xor_hash"] == live["xor_hash"]
+    assert rec["n_rows"] == live["n_rows"]
+    with pytest.raises(Exception, match="append-only"):
+        spark.createDataFrame([(1, 1, "x")], SCHEMA).write.format(
+            "managed_table_sink"
+        ).option("path", path).mode("overwrite").save()

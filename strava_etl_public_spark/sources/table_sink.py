@@ -31,6 +31,15 @@ commit conflict with a concurrent writer rebases like
 ``ManagedTable.append`` (blind appends commute with any interleave
 that keeps the schema).
 
+Cost (measured, SCALE.md / scripts/scale_smoke_sink.py): 3.0× a
+plain parquet writeStream at 2M rows — the md5 digest fold, whose
+per-cell work is Arrow compute and whose per-row md5 is one C call,
+parallel per partition. That is the price of the format's audit
+invariant on a path with no engine in it; BULK loads belong on
+``ManagedTable.append`` (engine-side digest, JVM md5 at full
+parallelism) — this sink is for the continuous-ingest tail where
+per-batch volume is modest and exactly-once matters.
+
 Schema contract, enforced LOUDLY at open: the stream's columns must
 equal the table's logical schema (order-free; the writer reorders);
 column mapping renames to physical and widened columns cast wide

@@ -911,14 +911,23 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
             bdir, _, bapp = self._resolve(v)
             logical_cols = self._open_data(v, bdir, *bapp).columns
         batch = self._apply_write_defaults(df).select(*logical_cols)
-        # widened columns: land the batch at the WIDE type, so the
-        # batch digest renders like every later read of it (the float→
-        # double case — int-chain widenings are render-stable anyway)
+        # conform the batch to the table's EFFECTIVE types (SQL INSERT
+        # casts to the column type — update()'s r9 rule): without
+        # this, a wider-typed batch (long into an int column) lands
+        # _upd files whose physical type conflicts with the base
+        # files, the commit PUBLISHES fine, and every later read
+        # throws — caught by the model fuzz's widen arm. The effective
+        # schema is widened-aware, so this also lands batches WIDE
+        # after a widen_column (digest renders like later reads);
+        # ANSI mode makes a truly-overflowing cast fail loudly.
+        rdir, _, rapp = self._resolve(v)
+        eff = self._to_logical(
+            self._open_data(v, rdir, *rapp), vmap
+        ).schema
+        for c in logical_cols:
+            if batch.schema[c].dataType != eff[c].dataType:
+                batch = batch.withColumn(c, F.col(c).cast(eff[c].dataType))
         widened = self._version_widened(v)
-        if widened:
-            for l, p in (vmap or [[c, c] for c in logical_cols]):
-                if p in widened:
-                    batch = batch.withColumn(l, F.col(l).cast(widened[p]))
         bd = dataset_fingerprint(batch).collect()[0].asDict()
         phys_batch = self._to_physical(batch, vmap)
         mod = 1152921504606846976
@@ -1073,13 +1082,13 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         phys_cols = base.columns
         cols = [l for l, _ in vmap] if vmap else phys_cols
         batch = self._apply_write_defaults(df).select(*cols)
-        # widened columns: land replacement rows at the WIDE type so
-        # their digest renders like every later read (append's rule)
-        if self._version_widened(v):
-            wd = self._version_widened(v)
-            for l, p in vmap or [[c, c] for c in cols]:
-                if p in wd:
-                    batch = batch.withColumn(l, F.col(l).cast(wd[p]))
+        # conform to the table's effective types (append's rule — a
+        # mismatched batch type would land _upd files that break
+        # every later read; effective schema is widened-aware)
+        for c in cols:
+            want = base.schema[self._to_phys_name(c, vmap)].dataType
+            if batch.schema[c].dataType != want:
+                batch = batch.withColumn(c, F.col(c).cast(want))
         if self.constraints:
             self._check_rows(batch, self.constraints)
         parts = batch.select(part_col).distinct()

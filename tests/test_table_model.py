@@ -47,8 +47,14 @@ def _df(spark, model):
 def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     init = {i: (i % 4, i * 10) for i in range(1, 31)}
+    # the value column starts NARROW (int) so the widen arm has a real
+    # transition; model values are Python ints either way, and every
+    # later write/merge coerces wide exactly as widen_column declares
     t = ManagedTable.create(
-        _df(spark, init), str(tmp_path / f"t{seed}"), key="id", stat_cols=["id"]
+        _df(spark, init).withColumn("val", F.col("val").cast("int")),
+        str(tmp_path / f"t{seed}"),
+        key="id",
+        stat_cols=["id"],
     )
     model = dict(init)
     cur = "val"  # the value column's CURRENT logical name (renames flip it)
@@ -99,6 +105,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "overwrite",
                 "optimize",
                 "compact",
+                "widen",
                 "rollback",
                 "vacuum",
                 "addcol",
@@ -249,6 +256,16 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             cluster = rng.choice([None, ["id"]])
             log.append(f"optimize cluster_by={cluster}")
             v = t.optimize(target_bytes=1 << 20, cluster_by=cluster)
+            publish(v)
+        elif op == "widen":
+            # ALTER COLUMN TYPE int→bigint as metadata; refused once
+            # the effective type is already wide (a copy commit in the
+            # history materializes long) — both paths legal
+            try:
+                v = t.widen_column(cur, "bigint")
+            except ValueError:
+                continue
+            log.append(f"widen {cur} -> bigint")
             publish(v)
         elif op == "compact":
             frac = rng.choice([0.1, 0.3])

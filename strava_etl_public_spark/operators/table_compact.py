@@ -93,14 +93,21 @@ class _CompactMixin:
             if os.path.isfile(tomb_path):
                 with open(tomb_path) as f:
                     tomb = set(json.load(f).get("files", []))
-            for f_abs in sorted(removable):
-                reclaimed += os.path.getsize(f_abs)
-                os.remove(f_abs)
-                tomb.add(os.path.basename(f_abs))
+            # tombstone FIRST, then delete: a crash between the two
+            # leaves files tombstoned-but-present — old-version reads
+            # refuse conservatively (loud), the current version is
+            # unaffected (removed ⊆ its dead set), and a re-run
+            # finishes the deletes. The reverse order left a window
+            # where a removed file had no tombstone and an old
+            # version read SILENTLY partial.
+            tomb |= {os.path.basename(f) for f in removable}
             tmp = tomb_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"files": sorted(tomb)}, f)
             os.replace(tmp, tomb_path)  # crash-atomic, like _table.json
+            for f_abs in sorted(removable):
+                reclaimed += os.path.getsize(f_abs)
+                os.remove(f_abs)
         return reclaimed
 
     def compact_stats(self) -> list[dict]:

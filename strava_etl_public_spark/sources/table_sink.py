@@ -126,6 +126,22 @@ class _AppendWriterCore:
                 f"{sorted(want)}"
             )
         self.defaults = cfg.get("column_defaults") or {}
+        # sweep staged orphans (a crash between a successful publish
+        # and the stage cleanup leaves consumed source files behind —
+        # harmless but unbounded); anything older than a day cannot
+        # belong to a live micro-batch
+        import time
+
+        stage_dir = os.path.join(self.path, "_stream_stage")
+        if os.path.isdir(stage_dir):
+            now = time.time()
+            for f in os.listdir(stage_dir):
+                p = os.path.join(stage_dir, f)
+                try:
+                    if now - os.path.getmtime(p) > 86400:
+                        os.remove(p)
+                except OSError:
+                    pass
 
     # -- executor side -----------------------------------------------------
 

@@ -382,3 +382,47 @@ def test_reader_feature_gate_and_vacuum_dry_run(spark, tmp_path):
     assert not any(
         os.path.isdir(os.path.join(path, f"v{v}")) for v in removed
     )
+
+
+def test_reclaim_crash_between_tombstone_and_delete(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract: the tombstone lands BEFORE any file is
+    deleted, so a crash in the window leaves tombstoned-but-present
+    files — the current version still reads exactly, the aged-out
+    version refuses loudly (conservative), and a re-run finishes."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 40)
+    assert t.compact(dead_frac=0.2) is not None
+    t.delete(F.col("id") > 75)
+    before = _rows(t.read())
+
+    import strava_etl_public_spark.operators.table_compact as tc
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crash_remove(p):
+        calls["n"] += 1
+        raise OSError("injected crash before first delete")
+
+    monkeypatch.setattr(tc.os, "remove", crash_remove)
+    with pytest.raises(OSError, match="injected"):
+        t.vacuum(keep_last=2, reclaim_dead=True)
+    monkeypatch.setattr(tc.os, "remove", real_remove)
+
+    # tombstone exists, files still on disk (nothing deleted)
+    tomb = os.path.join(path, "v1", "_vacuumed.json")
+    assert os.path.isfile(tomb)
+    with open(tomb) as fh:
+        listed = json.load(fh)["files"]
+    assert all(os.path.isfile(os.path.join(path, "v1", f)) for f in listed)
+    # current version: exact; aged-out version: loud refusal
+    assert _rows(t.read()) == before
+    with pytest.raises(ValueError, match="reclaim_dead|retention"):
+        t.read(version=1).collect()
+    # re-run completes the deletes
+    t.vacuum(keep_last=2, reclaim_dead=True)
+    assert not any(
+        os.path.isfile(os.path.join(path, "v1", f)) for f in listed
+    )
+    assert _rows(t.read()) == before

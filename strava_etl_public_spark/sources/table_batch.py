@@ -60,6 +60,7 @@ from pyspark.sql.datasource import (
 from .table_cdf import (
     _SQL_TO_ARROW,
     _arrow_type,
+    _check_tombstones,
     _dv_file_names,
     _match_keys,
     _part_files,
@@ -187,6 +188,9 @@ class ManagedTableReader(DataSourceReader):
             else _version(self.path)
         )
         dirs, dv_dir, dead = _universe(self.path, v)
+        # loud refusal when this version reads reclaim_dead-removed
+        # files (a time-travel read outside retention)
+        _check_tombstones(self.path, v, dirs, dead)
         rec = _rec(self.path, v) or {}
         vmap = rec.get("columns")
         to_phys = {l: p for l, p in vmap} if vmap else None

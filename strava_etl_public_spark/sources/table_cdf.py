@@ -161,6 +161,29 @@ def _universe(path: str, v: int) -> tuple[list[str], str | None, set[str]]:
     return dirs, os.path.join(vdir, "_dv"), dead
 
 
+def _check_tombstones(path: str, v: int, dirs, dead: set[str]) -> None:
+    """The file-level-vacuum guard for engine-external readers: a dir
+    that lost files to ``reclaim_dead`` serves version ``v`` only if
+    ``v`` already counted every removed file dead — otherwise the
+    version (or a lagging stream window) is outside retention and
+    must fail LOUDLY, never read partial (the _open_data contract,
+    applied to the pyarrow-side sources)."""
+    for d in dirs:
+        tp = os.path.join(d, "_vacuumed.json")
+        if os.path.isfile(tp):
+            with open(tp) as f:
+                tomb = json.load(f).get("files", [])
+            removed = {
+                os.path.abspath(os.path.join(d, b)) for b in tomb
+            }
+            if not removed <= dead:
+                raise ValueError(
+                    f"version v{v} at {path} reads files removed by a "
+                    "reclaim_dead vacuum — outside the retention "
+                    "window; restart from a current version"
+                )
+
+
 def _part_files(d: str) -> list[str]:
     return [
         os.path.join(d, f)
@@ -283,8 +306,11 @@ class TableCDFStreamReader(DataSourceStreamReader):
         physical change files diffed against the segment's own
         endpoint DVs."""
         root = os.path.abspath(self.path)
-        from_dirs, dv_from, _ = _universe(self.path, s)
-        to_dirs, dv_to, _ = _universe(self.path, e)
+        from_dirs, dv_from, dead_from = _universe(self.path, s)
+        to_dirs, dv_to, dead_to = _universe(self.path, e)
+        # a lagging stream must not silently miss reclaimed files
+        _check_tombstones(self.path, s, from_dirs, dead_from)
+        _check_tombstones(self.path, e, to_dirs, dead_to)
         from_dir_set = {os.path.abspath(d) for d in from_dirs}
 
         parts: list[InputPartition] = []

@@ -135,3 +135,18 @@ def test_source_after_compaction_and_widen(spark, tmp_path):
     got = _load(spark, path)
     assert got.schema["val"].dataType.simpleString() == "bigint"
     assert _rows(got) == _rows(t.read())
+
+
+def test_source_refuses_reclaimed_old_version(spark, tmp_path):
+    """The pyarrow-side source applies the same tombstone guard as
+    the engine read path: an old version that reads reclaim_dead-
+    removed files refuses loudly; the current version serves fine."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 100)
+    assert t.compact(dead_frac=0.2) is not None
+    t.delete(F.col("id") > 150)
+    t.vacuum(keep_last=2, reclaim_dead=True)
+    assert _load(spark, path).count() == t.read().count()
+    with pytest.raises(Exception, match="reclaim_dead|retention"):
+        _load(spark, path, version=1).count()

@@ -426,3 +426,23 @@ def test_reclaim_crash_between_tombstone_and_delete(spark, tmp_path, monkeypatch
         os.path.isfile(os.path.join(path, "v1", f)) for f in listed
     )
     assert _rows(t.read()) == before
+
+
+def test_compact_stats_census(spark, tmp_path):
+    """compact_stats: the victim census reports per-file dead
+    fractions without moving a row — dead counts match the DV, rows
+    come from footers only for DV-touched files."""
+    df = spark.createDataFrame(
+        [(i, float(i), i % 8) for i in range(1, 81)],
+        "id long, value double, bucket long",
+    ).repartitionByRange(2, "id")
+    t = ManagedTable.create(df, str(tmp_path / "t"), key="id")
+    t.delete(F.col("id") <= 50)
+    stats = t.compact_stats()
+    assert len(stats) == 2
+    total_dead = sum(s["dead_rows"] for s in stats)
+    assert total_dead == 50
+    heavy = max(stats, key=lambda s: s["dead_frac"])
+    assert heavy["dead_frac"] == 1.0  # file A: ids 1..~40, all dead
+    light = min(stats, key=lambda s: s["dead_frac"])
+    assert 0 < light["dead_frac"] < 0.5

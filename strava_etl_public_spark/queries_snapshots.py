@@ -1117,3 +1117,140 @@ def x_table_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_table_reclaim",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmic
+  FROM events
+),
+bounds AS (SELECT min(es) AS lo, max(es) AS hi FROM base),
+alive1 AS (
+  SELECT b.* FROM base b, bounds
+  WHERE NOT (b.es < lo + CAST(0.3 * (hi - lo) AS BIGINT)
+             AND b.event_id % 10 <> 0)
+),
+alive2 AS (
+  SELECT * FROM alive1 WHERE user_id % 9 IS DISTINCT FROM 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vmic) AS BIGINT) AS sum_vmic,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS bytes_reclaimed, TRUE AS tombstone_written,
+       TRUE AS old_version_refuses_loudly, TRUE AS retained_exact,
+       TRUE AS source_guard_matches
+FROM alive2
+""",
+)
+def x_table_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop CLOSED: retention-shaped DELETE →
+    minor COMPACTION (victims excluded, survivors rewritten,
+    O(victim bytes)) → file-level VACUUM (``reclaim_dead=True`` —
+    the bytes compaction retired finally leave disk, Delta's vacuum
+    proper). Invariants packed into the row, each recomputed live:
+    bytes on disk strictly decreased and the removed files are
+    tombstoned (`_vacuumed.json`); the CURRENT version reads exactly
+    (fingerprint vs the oracle's relational recomputation); the
+    pre-compaction version — now outside retention — refuses LOUDLY
+    on BOTH read paths (the engine's ``read()`` and the pyarrow-side
+    ``format("managed_table")`` source apply the same tombstone
+    guard; a silent partial read is the failure mode this layer
+    exists to make unrepresentable); and the pushdown source's
+    current-version row count equals the engine read's.
+
+    Oracle: the two delete predicates recomputed relationally with
+    NULL-safe complements over the same derived columns."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.table import ManagedTable
+    from .sources.table_batch import register_table_source
+
+    register_table_source(spark)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        ep.epoch_s(ev, "ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    root = tempfile.mkdtemp(prefix="reclaim_gate_")
+    path = os.path.join(root, "t")
+
+    def _bytes(p: str) -> int:
+        total = 0
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                total += os.path.getsize(os.path.join(r, f))
+        return total
+
+    try:
+        t = ManagedTable.create(
+            base.repartitionByRange(16, "es").sortWithinPartitions("es"),
+            path,
+            key="event_id",
+            stat_cols=["es"],
+        )
+        lo, hi = t.read().agg(F.min("es"), F.max("es")).collect()[0]
+        cutoff = int(lo + 0.3 * (hi - lo))
+        # retention delete: the oldest 30% of the range dies (except a
+        # 10% keeper slice, so compaction rewrites real survivors)
+        t.delete((F.col("es") < cutoff) & (F.col("event_id") % 10 != 0))
+        vc = t.compact(dead_frac=0.3)
+        assert vc is not None, "compaction found no victims"
+        t.delete(F.col("user_id") % 9 == 2)  # keeps v_compact retained-1
+
+        size_before = _bytes(path)
+        t.vacuum(keep_last=2, reclaim_dead=True)
+        bytes_reclaimed = _bytes(path) < size_before
+        tombstone = os.path.isfile(os.path.join(path, "v1", "_vacuumed.json"))
+
+        refused_engine = refused_source = False
+        try:
+            t.read(version=1).count()
+        except ValueError as e:
+            refused_engine = "retention" in str(e) or "reclaim" in str(e)
+        try:
+            spark.read.format("managed_table").option("path", path).option(
+                "version", 1
+            ).load().count()
+        except Exception as e:
+            refused_source = "retention" in str(e) or "reclaim" in str(e)
+
+        eng = t.read()
+        src_n = (
+            spark.read.format("managed_table")
+            .option("path", path)
+            .load()
+            .count()
+        )
+        retained_exact = t.read(version=vc).count() > eng.count()
+        return (
+            eng.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("vmic").cast("long").alias("sum_vmic"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .withColumns(
+                {
+                    "bytes_reclaimed": F.lit(bool(bytes_reclaimed)),
+                    "tombstone_written": F.lit(bool(tombstone)),
+                    "old_version_refuses_loudly": F.lit(
+                        bool(refused_engine and refused_source)
+                    ),
+                    "retained_exact": F.lit(bool(retained_exact)),
+                    "source_guard_matches": F.lit(
+                        bool(src_n == eng.count())
+                    ),
+                }
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

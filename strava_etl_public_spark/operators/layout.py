@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .logstore import get_log_store
+
 
 def z_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
     """Morton key interleaving ``bits`` low bits of each column:
@@ -470,7 +472,7 @@ def snapshot_max_commit(table_path: str) -> int:
     cdir = os.path.join(table_path, "_commits")
     if not os.path.isdir(cdir):
         return 0
-    vs = [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")]
+    vs = [int(f.split(".")[0]) for f in get_log_store().list_records(cdir)]
     return max(vs) if vs else 0
 
 
@@ -515,11 +517,12 @@ def snapshot_commit(
     import shutil
     import uuid
 
+    store = get_log_store()
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
     # cheap early stale-inputs check — fail before the expensive write
     _check_expected_max(
-        [int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")],
+        [int(f.split(".")[0]) for f in store.list_records(cdir)],
         expected_max,
     )
     staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
@@ -538,7 +541,7 @@ def snapshot_commit(
         # pointer: after a rollback the pointer is behind, and
         # pointer+1 would overwrite a published (immutable) snapshot
         existing = [
-            int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
+            int(f.split(".")[0]) for f in store.list_records(cdir)
         ]
         n = (max(existing) if existing else 0) + 1
         # OPTIMISTIC CONCURRENCY: (a) re-check the allocation
@@ -559,19 +562,17 @@ def snapshot_commit(
             **digest,
             **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
         }
-        try:
-            with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-                json.dump(rec, f)
-        except FileExistsError as e:
+        # the put-if-absent seam (logstore.py): the ONE primitive
+        # that decides the cross-process/cross-host version race
+        if not store.put_record_if_absent(
+            cdir, f"{n}.json", json.dumps(rec)
+        ):
             raise CommitConflict(
                 f"commit record v{n} already exists at {table_path} — a "
                 "concurrent writer won the slot"
-            ) from e
+            )
         os.rename(staging, os.path.join(table_path, f"v{n}"))
-        tmp = os.path.join(table_path, "_latest.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(n))
-        os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
@@ -625,13 +626,28 @@ def _stamp_txn_hw(table_path: str, extra: dict) -> dict:
 
     if "parent" not in extra:
         return extra
-    hw = int(extra.get("txn", -1))
+    tid = extra.get("txn_id")
+    hw = -1 if tid is not None else int(extra.get("txn", -1))
+    hw_by: dict = {}
     p = os.path.join(table_path, "_commits", f"{int(extra['parent'])}.json")
     if os.path.isfile(p):
         with open(p) as f:
             rec = json.load(f)
         hw = max(hw, int(rec.get("txn_hw", rec.get("txn", -1))))
-    return {**extra, "txn_hw": hw}
+        hw_by = dict(rec.get("txn_hw_by_id") or {})
+    if tid is not None and "txn" in extra:
+        # NAMESPACED marker (Delta's (appId, version) txn contract):
+        # advances only its own id's high-water — a second streaming
+        # query with a fresh checkpoint and its own id never has its
+        # early batches dropped by another query's markers. Un-
+        # namespaced markers keep the legacy global high-water.
+        hw_by[str(tid)] = max(
+            int(hw_by.get(str(tid), -1)), int(extra["txn"])
+        )
+    out = {**extra, "txn_hw": hw}
+    if hw_by:
+        out["txn_hw_by_id"] = hw_by
+    return out
 
 
 def _maybe_write_lineage_ckpt(table_path: str, n: int) -> None:
@@ -734,6 +750,7 @@ def snapshot_commit_ref(
     import shutil
     import uuid
 
+    store = get_log_store()
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
     staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
@@ -741,7 +758,7 @@ def snapshot_commit_ref(
     try:
         populate(staging)
         existing = [
-            int(f.split(".")[0]) for f in os.listdir(cdir) if f.endswith(".json")
+            int(f.split(".")[0]) for f in store.list_records(cdir)
         ]
         n = (max(existing) if existing else 0) + 1
         vdir = os.path.join(table_path, f"v{n}")
@@ -765,19 +782,15 @@ def snapshot_commit_ref(
             **digest,
             **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
         }
-        try:
-            with open(os.path.join(cdir, f"{n}.json"), "x") as f:
-                json.dump(rec, f)
-        except FileExistsError as e:
+        if not store.put_record_if_absent(
+            cdir, f"{n}.json", json.dumps(rec)
+        ):
             raise CommitConflict(
                 f"commit record v{n} already exists at {table_path} — a "
                 "concurrent writer won the slot"
-            ) from e
+            )
         os.rename(staging, vdir)
-        tmp = os.path.join(table_path, "_latest.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(n))
-        os.replace(tmp, os.path.join(table_path, "_latest"))  # atomic publish
+        store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
@@ -817,10 +830,7 @@ def snapshot_rollback(table_path: str, version: int) -> None:
     data = os.path.join(table_path, f"v{version}")
     if not os.path.isdir(data):
         raise ValueError(f"snapshot v{version} does not exist at {table_path}")
-    tmp = os.path.join(table_path, "_latest.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(table_path, "_latest"))
+    get_log_store().publish_pointer(table_path, version)
 
 
 def snapshot_vacuum(

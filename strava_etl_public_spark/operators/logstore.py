@@ -1,0 +1,188 @@
+"""LogStore — the put-if-absent commit seam (Delta's LogStore contract).
+
+The managed-table format's whole concurrency story reduces to ONE
+primitive: *atomically create the commit record ``_commits/{n}.json``
+iff no record for slot n exists*. Everything else in the commit path
+(staging writes, digest jobs, the ``v{n}`` rename, sidecar manifests)
+is private until that record lands, and the ``_latest`` pointer is
+derivable state republished after it. On a local filesystem the
+primitive is ``open(..., O_CREAT|O_EXCL)``; on S3 it is a conditional
+PUT (``If-None-Match: *`` — supported since Nov 2024); before that,
+Delta deployments used a DynamoDB coordination table (the
+S3DynamoDBLogStore pattern: the conditional WRITE happens in DynamoDB,
+the object body follows, and readers repair claimed-but-missing
+objects from the table). This module extracts that seam so the same
+commit protocol runs against any backend that can do a conditional
+put — layout.py's snapshot_commit / snapshot_commit_ref /
+snapshot_rollback call the active store and never touch the race
+primitive directly.
+
+Contract (PORTABILITY.md "Commit protocol" section):
+
+* ``put_record_if_absent(cdir, name, payload)`` — atomically create
+  ``cdir/name`` with ``payload`` iff absent; return True on the win,
+  False if ANY writer (this process or another, this machine or
+  another) already owns the slot. This is the ONLY race decider; it
+  must be correct under arbitrary cross-process/cross-host
+  interleaving. Payload is small JSON (a commit record, < ~100 KB
+  with a capped write-set).
+* ``list_records(cdir)`` — names of all commit records, with
+  read-after-write consistency w.r.t. this store's own successful
+  puts (S3 lists are strongly consistent since 2020; a DynamoDB-
+  style adapter must REPAIR claimed-but-unmaterialized records here
+  so allocation never reuses a claimed slot).
+* ``publish_pointer(table_path, version)`` — full-object atomic
+  replace of the small ``_latest`` pointer. Last-writer-wins is
+  CORRECT here (the pointer is derivable from the record set + the
+  lineage; see snapshot_rollback), so no conditional semantics are
+  needed — POSIX rename locally, a plain PUT on an object store.
+
+Records remain PLAIN FILES in every adapter: the store mediates only
+the race, so every read path (readers, time travel, CDC, audits)
+stays backend-agnostic — Delta's LogStore makes the same cut.
+
+Adapter selection: ``set_log_store()`` programmatically, or the
+``SPARK_GRAFT_LOGSTORE`` env var (``local`` | ``sqlite``) read at
+import — the env path is what lets a spawned OS process join the same
+coordination domain in the cross-process race tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class LogStore:
+    """Base adapter: local POSIX filesystem, O_EXCL + rename.
+
+    Correct wherever ``open(O_CREAT|O_EXCL)`` is atomic against
+    concurrent creators — any local FS and NFSv3+ with proper
+    O_EXCL support. This is the default and the fast path: one
+    syscall decides the race."""
+
+    name = "local"
+
+    def put_record_if_absent(self, cdir: str, name: str, payload: str) -> bool:
+        try:
+            with open(os.path.join(cdir, name), "x") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            return False
+
+    def list_records(self, cdir: str) -> list[str]:
+        if not os.path.isdir(cdir):
+            return []
+        return [f for f in os.listdir(cdir) if f.endswith(".json")]
+
+    def publish_pointer(self, table_path: str, version: int) -> None:
+        tmp = os.path.join(table_path, "_latest.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(table_path, "_latest"))
+
+
+class SqliteCoordLogStore(LogStore):
+    """DynamoDB-style coordination adapter: the conditional put is an
+    ``INSERT`` into a shared SQLite database (stdlib; real cross-
+    process atomicity via SQLite's file locking), the record body
+    rides IN the same transaction, and the file is materialized
+    after the win. ``list_records`` repairs claimed-but-missing
+    files from the db — a writer that crashed between its INSERT win
+    and the file write can never cause a slot to be reused or a
+    record to be lost (the S3DynamoDBLogStore incomplete-commit
+    repair rule).
+
+    This is the contract's proof-of-seam: a second coordination
+    mechanism with none of O_EXCL's semantics, passing the same
+    cross-process race tests. A real S3+DynamoDB adapter replaces
+    sqlite3 calls with a conditional PutItem and S3 PUTs — the
+    protocol above this class does not change.
+
+    ``db_path``: one coordination database per deployment (like one
+    DynamoDB table); keys are (commit-dir, record-name), so any
+    number of tables share it."""
+
+    name = "sqlite"
+
+    def __init__(self, db_path: str | None = None):
+        self.db_path = db_path or os.environ.get(
+            "SPARK_GRAFT_LOGSTORE_DB", "/tmp/spark_graft_logstore.db"
+        )
+
+    def _conn(self):
+        import sqlite3
+
+        conn = sqlite3.connect(self.db_path, timeout=30.0)
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS commits ("
+            " cdir TEXT NOT NULL, name TEXT NOT NULL, payload TEXT,"
+            " PRIMARY KEY (cdir, name))"
+        )
+        return conn
+
+    def put_record_if_absent(self, cdir: str, name: str, payload: str) -> bool:
+        conn = self._conn()
+        try:
+            try:
+                with conn:  # one transaction: the conditional write
+                    conn.execute(
+                        "INSERT INTO commits (cdir, name, payload) "
+                        "VALUES (?, ?, ?)",
+                        (os.path.abspath(cdir), name, payload),
+                    )
+            except Exception as e:  # IntegrityError → slot taken
+                import sqlite3
+
+                if isinstance(e, sqlite3.IntegrityError):
+                    return False
+                raise
+        finally:
+            conn.close()
+        # the slot is WON — materialize the record file (readers are
+        # file-based in every adapter). A crash before this write is
+        # repaired by list_records.
+        self._materialize(cdir, name, payload)
+        return True
+
+    @staticmethod
+    def _materialize(cdir: str, name: str, payload: str) -> None:
+        tmp = os.path.join(cdir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(cdir, name))
+
+    def list_records(self, cdir: str) -> list[str]:
+        on_disk = set(super().list_records(cdir))
+        conn = self._conn()
+        try:
+            rows = conn.execute(
+                "SELECT name, payload FROM commits WHERE cdir = ?",
+                (os.path.abspath(cdir),),
+            ).fetchall()
+        finally:
+            conn.close()
+        for name, payload in rows:
+            if name not in on_disk:  # incomplete-commit repair
+                os.makedirs(cdir, exist_ok=True)
+                self._materialize(cdir, name, payload)
+                on_disk.add(name)
+        return sorted(on_disk)
+
+
+_STORE: LogStore | None = None
+
+
+def get_log_store() -> LogStore:
+    global _STORE
+    if _STORE is None:
+        kind = os.environ.get("SPARK_GRAFT_LOGSTORE", "local").lower()
+        _STORE = SqliteCoordLogStore() if kind == "sqlite" else LogStore()
+    return _STORE
+
+
+def set_log_store(store: LogStore | None) -> None:
+    """Install an adapter (None resets to env/default selection)."""
+    global _STORE
+    _STORE = store

@@ -300,9 +300,17 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         removed = snapshot_vacuum(
             self.path, keep_last=keep_last, protect=pinned, dry_run=dry_run
         )
-        if reclaim_dead and not dry_run:
-            self._reclaim_dead_files(
-                {v for v in survivors if v not in set(removed)}
+        self.last_reclaimed_bytes = 0
+        if reclaim_dead:
+            # dry_run threads through: the file-level arm previews
+            # the bytes it WOULD reclaim (touching nothing) instead
+            # of being silently skipped — a destructive step's audit
+            # must mention every file the real run deletes. The byte
+            # count (real or previewed) lands in
+            # ``last_reclaimed_bytes`` next to the returned versions.
+            self.last_reclaimed_bytes = self._reclaim_dead_files(
+                {v for v in survivors if v not in set(removed)},
+                dry_run=dry_run,
             )
         return removed
 

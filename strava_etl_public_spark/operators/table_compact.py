@@ -49,7 +49,9 @@ class _CompactMixin:
     """The minor-compaction face of :class:`~.table.ManagedTable` —
     mixed into the one public class; never instantiated alone."""
 
-    def _reclaim_dead_files(self, retained: set[int]) -> int:
+    def _reclaim_dead_files(
+        self, retained: set[int], dry_run: bool = False
+    ) -> int:
         """FILE-level vacuum of compaction debris (vacuum's
         ``reclaim_dead=True`` arm): delete every data file that ALL
         retained versions referencing its directory count dead — the
@@ -60,9 +62,19 @@ class _CompactMixin:
         tombstone against its version's dead set and raises LOUDLY
         when it cannot account for a removed file — a version aged
         out of retention fails like a vacuumed version, never serves
-        a silent partial read. Returns bytes reclaimed. Driver cost:
-        O(retained versions) metadata reads + O(files) set algebra —
-        no Spark job."""
+        a silent partial read. Returns bytes reclaimed (or, with
+        ``dry_run=True``, the bytes a real pass WOULD reclaim — no
+        tombstone written, no file touched). Driver cost: O(retained
+        versions) metadata reads + O(files) set algebra — no Spark
+        job.
+
+        Scope guard (Delta's vacuum rule): only directories under
+        THIS table's root are ever touched. A shallow clone of a
+        post-compaction version carries absolute refs into its
+        SOURCE table; reclaiming through the clone must not delete
+        source files based on the clone's retention view alone —
+        the source's own versions may still read them."""
+        root_abs = os.path.abspath(self.path) + os.sep
         needs: dict[str, set[str]] = {}  # dir → files some version reads
         for v in sorted(retained):
             try:
@@ -72,6 +84,8 @@ class _CompactMixin:
             dead = self._dead_abs(v)
             for d in (data_dir, *appends):
                 d_abs = os.path.abspath(d)
+                if not (d_abs + os.sep).startswith(root_abs):
+                    continue  # foreign dir (clone source): never ours
                 live = {
                     os.path.join(d_abs, f)
                     for f in os.listdir(d)
@@ -87,6 +101,11 @@ class _CompactMixin:
             }
             removable = all_files - live
             if not removable:
+                continue
+            if dry_run:
+                reclaimed += sum(
+                    os.path.getsize(f_abs) for f_abs in removable
+                )
                 continue
             tomb_path = os.path.join(d_abs, "_vacuumed.json")
             tomb: set[str] = set()

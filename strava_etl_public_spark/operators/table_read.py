@@ -342,7 +342,7 @@ class _TableReadMixin:
     def history(self) -> DataFrame:
         return snapshot_history(self.spark, self.path)
 
-    def last_txn(self) -> int:
+    def last_txn(self, txn_id: str | None = None) -> int:
         """High-water txn marker over the published LINEAGE — the
         streaming sink's exactly-once cursor, Delta's txn/appId
         contract. O(1): every commit record carries ``txn_hw`` —
@@ -355,16 +355,31 @@ class _TableReadMixin:
         (the r9 stale-marker rule). Legacy records without the field
         fall back to the parent-pointer walk (first marker found =
         high-water, since batch ids are monotone along a chain).
-        Returns -1 when no lineage commit carries a marker."""
+        Returns -1 when no lineage commit carries a marker.
+
+        ``txn_id`` selects a NAMESPACED marker stream (Delta's
+        (appId, version) txn contract): only commits stamped with
+        that id count, read O(1) from the record's ``txn_hw_by_id``
+        map — so independent streaming queries writing one table
+        keep independent replay cursors."""
         v = self.version()
         p = os.path.join(self.path, "_commits", f"{v}.json")
         if v >= 1 and os.path.isfile(p):
             with open(p) as f:
                 rec = json.load(f)
+            if txn_id is not None:
+                return int(
+                    (rec.get("txn_hw_by_id") or {}).get(str(txn_id), -1)
+                )
             if "txn_hw" in rec:
                 return int(rec["txn_hw"])
+        if txn_id is not None:
+            for _, rec in self._lineage():
+                if "txn" in rec and str(rec.get("txn_id")) == str(txn_id):
+                    return int(rec["txn"])
+            return -1
         for _, rec in self._lineage():
-            if "txn" in rec:
+            if "txn" in rec and "txn_id" not in rec:
                 return int(rec["txn"])
         return -1
 

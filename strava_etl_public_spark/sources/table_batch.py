@@ -92,7 +92,8 @@ def _stats_keep(row: dict, pcol: str, flt) -> bool:
         if isinstance(flt, EqualTo):
             return mn <= flt.value <= mx
         if isinstance(flt, In):
-            return any(mn <= v <= mx for v in flt.values)
+            # pyspark's In dataclass names its tuple field `value`
+            return any(mn <= v <= mx for v in flt.value)
         if isinstance(flt, GreaterThan):
             return mx > flt.value
         if isinstance(flt, GreaterThanOrEqual):
@@ -240,7 +241,9 @@ class ManagedTableReader(DataSourceReader):
             pcol = to_phys.get(col, col) if to_phys else col
             if pcol != bcol:
                 continue
-            values = [flt.value] if isinstance(flt, EqualTo) else flt.values
+            values = (
+                [flt.value] if isinstance(flt, EqualTo) else list(flt.value)
+            )
             allowed: set[str] = set()
             for val in values:
                 hit = _bloom_keep(vdir, val)

@@ -98,6 +98,14 @@ class _AppendWriterCore:
             raise ValueError(
                 "managed_table_sink requires .option('path', <table>)"
             )
+        # Delta's (appId, version) txn contract: with
+        # .option('txnAppId', <id>) the replay cursor is namespaced —
+        # a SECOND streaming query (fresh checkpoint, new data) gets
+        # its own high-water instead of having early batches dropped
+        # by a prior lineage's batchIds. Without it the table allows
+        # exactly ONE sink lineage (the bare-batchId cursor).
+        tid = options.get("txnappid") or options.get("txnAppId")
+        self.txn_id = str(tid) if tid is not None else None
         cfg_p = os.path.join(self.path, "_table.json")
         if not os.path.isfile(cfg_p):
             raise ValueError(f"no managed table at {self.path}")
@@ -219,11 +227,18 @@ class _AppendWriterCore:
     def _last_txn(self) -> int:
         v = _version(self.path)
         rec = _rec(self.path, v) if v >= 1 else None
+        if self.txn_id is not None:
+            # namespaced cursor: only THIS query's markers count
+            if rec is not None:
+                return int(
+                    (rec.get("txn_hw_by_id") or {}).get(self.txn_id, -1)
+                )
+            return -1
         if rec and "txn_hw" in rec:
             return int(rec["txn_hw"])
         # legacy walk (records without the folded high-water)
         while v >= 1 and rec is not None:
-            if "txn" in rec:
+            if "txn" in rec and "txn_id" not in rec:
                 return int(rec["txn"])
             nxt = int(rec.get("parent", v - 1))
             if nxt >= v:
@@ -311,6 +326,8 @@ class _AppendWriterCore:
             }
             if txn is not None:
                 extra["txn"] = txn
+                if self.txn_id is not None:
+                    extra["txn_id"] = self.txn_id
             for k in ("columns", "added", "widened"):
                 if parent.get(k):
                     extra[k] = parent[k]

@@ -376,6 +376,7 @@ def table_merge_sink(
     order_col: str,
     checkpoint_dir: str,
     output_mode: str = "append",
+    txn_id: str | None = None,
 ) -> "StreamingQuery":
     """Streaming MERGE into a ManagedTable with exactly-once batch
     markers — the Delta streaming-sink txn contract: each micro-batch
@@ -398,10 +399,16 @@ def table_merge_sink(
         if bdf.isEmpty():
             return
         t = ManagedTable(bdf.sparkSession, table_path)
-        if batch_id <= t.last_txn():
+        if batch_id <= t.last_txn(txn_id):
             return  # replayed batch: already in the published lineage
         merged = upsert_last_writer_wins(t.read(), bdf, key, order_col)
-        t._commit(merged, extra={"txn": int(batch_id)})
+        extra: dict = {"txn": int(batch_id)}
+        if txn_id is not None:
+            # namespaced replay cursor (Delta's appId txn): several
+            # independent queries can merge into one table without
+            # one lineage's batchIds masking another's
+            extra["txn_id"] = str(txn_id)
+        t._commit(merged, extra=extra)
 
     return (
         stream.writeStream.outputMode(output_mode)

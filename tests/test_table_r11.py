@@ -1,0 +1,234 @@
+"""Round-11 regression tests — the four ADVICE r11 findings.
+
+1. (high) vacuum(reclaim_dead=True) never deletes files outside the
+   table root — a shallow clone carrying absolute dead entries into
+   its SOURCE table must not destroy source data files based only on
+   the clone's retention view (Delta's "vacuum never leaves the table
+   directory" rule).
+2. (medium) pushed IN predicates (col.isin(...)) use pyspark's In
+   dataclass field `value` (a tuple), not `values` — planning no
+   longer raises AttributeError, and bloom/zone-map pruning handles
+   the value list correctly.
+3. (low) vacuum(dry_run=True, reclaim_dead=True) PREVIEWS the
+   file-level arm (bytes reported, nothing touched) instead of
+   silently skipping it.
+4. (low) streaming-sink txn markers can be namespaced by
+   .option('txnAppId', id) — a second query with a fresh checkpoint
+   and NEW data is not silently dropped by a prior lineage's
+   batchIds (Delta's (appId, version) txn contract).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_etl_public_spark.operators.table import ManagedTable
+
+SCHEMA = "id long, value double, bucket long"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from strava_etl_public_spark.session import get_spark
+
+    s = get_spark()
+    from strava_etl_public_spark.sources.table_batch import (
+        register_table_source,
+    )
+    from strava_etl_public_spark.sources.table_sink import (
+        register_table_sink,
+    )
+
+    register_table_source(s)
+    register_table_sink(s)
+    return s
+
+
+def _mk(spark, path, n=80, parts=4, **kw):
+    df = spark.createDataFrame(
+        [(i, float(i * 10), i % 8) for i in range(1, n + 1)], SCHEMA
+    ).repartition(parts)
+    return ManagedTable.create(df, path, key="id", **kw)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_files(root):
+    out = set()
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith("part-") and f.endswith(".parquet"):
+                out.add(os.path.join(dirpath, f))
+    return out
+
+
+# -- 1 (high): clone reclaim must not reach into the source table ----------
+
+
+def test_clone_reclaim_never_deletes_source_files(spark, tmp_path):
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    t = _mk(spark, src_path)
+    t.delete(F.col("id") <= 30)  # heavy dead fraction
+    assert t.compact(dead_frac=0.2) is not None  # dead entries exist
+    pre_compact = t.version() - 1
+    before = _data_files(src_path)
+    expect_src = _rows(t.read())
+
+    c = t.clone(dst_path)  # carries ABSOLUTE dead refs into src
+    # the clone's retention view says the source's victims are dead —
+    # but they are NOT the clone's files to delete
+    c.vacuum(keep_last=1, reclaim_dead=True)
+
+    assert _data_files(src_path) == before  # not one source byte gone
+    # no tombstone scribbled into source dirs by the clone either
+    for dirpath, _, files in os.walk(src_path):
+        assert "_vacuumed.json" not in files
+    # source still serves every retained version exactly
+    assert _rows(t.read()) == expect_src
+    assert t.read(version=pre_compact).count() == 50
+    assert _rows(c.read()) == expect_src
+
+
+def test_own_table_reclaim_still_works(spark, tmp_path):
+    """The scope guard must not break the legitimate arm: a table
+    reclaiming ITS OWN compaction victims still frees bytes."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 30)
+    assert t.compact(dead_frac=0.2) is not None
+    expect = _rows(t.read())
+    n_before = len(_data_files(path))
+    t.vacuum(keep_last=1, reclaim_dead=True)
+    assert t.last_reclaimed_bytes > 0
+    assert len(_data_files(path)) < n_before
+    assert _rows(t.read()) == expect
+
+
+# -- 2 (medium): pushed IN predicate -----------------------------------------
+
+
+def test_pushed_isin_filter_plans_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, stat_cols=["id"], bloom_col="id")
+    df = (
+        spark.read.format("managed_table")
+        .option("path", path)
+        .load()
+        .filter(F.col("id").isin(3, 7, 1000))
+    )
+    # previously: AttributeError('In' object has no attribute
+    # 'values') at planning time
+    assert _rows(df) == _rows(t.read().filter(F.col("id").isin(3, 7)))
+
+
+def test_pushed_isin_after_dml(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, stat_cols=["id"], bloom_col="id")
+    t.delete(F.col("id") == 7)
+    got = (
+        spark.read.format("managed_table")
+        .option("path", path)
+        .load()
+        .filter(F.col("id").isin(3, 7, 11))
+    )
+    assert {r["id"] for r in got.collect()} == {3, 11}
+
+
+# -- 3 (low): dry-run previews the file-level arm ---------------------------
+
+
+def test_vacuum_dry_run_previews_reclaim(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.delete(F.col("id") <= 30)
+    assert t.compact(dead_frac=0.2) is not None
+    before = _data_files(path)
+
+    t.vacuum(keep_last=1, reclaim_dead=True, dry_run=True)
+    preview = t.last_reclaimed_bytes
+    assert preview > 0  # the audit now MENTIONS the file-level arm
+    assert _data_files(path) == before  # ...while touching nothing
+    for dirpath, _, files in os.walk(path):
+        assert "_vacuumed.json" not in files
+
+    # the real run reclaims exactly what the preview reported
+    t.vacuum(keep_last=1, reclaim_dead=True)
+    assert t.last_reclaimed_bytes == preview
+    assert len(_data_files(path)) < len(before)
+
+
+# -- 4 (low): namespaced txn markers ----------------------------------------
+
+
+def test_last_txn_namespaced_cursors_are_independent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=10, parts=1)
+    add = spark.createDataFrame([(100, 1.0, 0)], SCHEMA)
+    t._commit(t.read().unionByName(add), extra={"txn": 7, "txn_id": "qA"})
+    # qA's cursor advanced; the GLOBAL and other ids' cursors did not
+    assert t.last_txn("qA") == 7
+    assert t.last_txn("qB") == -1
+    assert t.last_txn() == -1
+    add2 = spark.createDataFrame([(101, 1.0, 0)], SCHEMA)
+    t._commit(t.read().unionByName(add2), extra={"txn": 3, "txn_id": "qB"})
+    assert t.last_txn("qA") == 7 and t.last_txn("qB") == 3
+    # an un-namespaced marker keeps the legacy global high-water
+    add3 = spark.createDataFrame([(102, 1.0, 0)], SCHEMA)
+    t._commit(t.read().unionByName(add3), extra={"txn": 9})
+    assert t.last_txn() == 9
+    assert t.last_txn("qA") == 7  # untouched by the global stream
+
+
+def test_sink_second_query_with_own_app_id_lands(spark, tmp_path):
+    """ADVICE r11 (low): a replacement streaming query (fresh
+    checkpoint, NEW data, batchIds restarting at 0) writing to a
+    table whose lineage high-water >= its batchIds had its early
+    micro-batches silently dropped as replays. With txnAppId each
+    query keeps its own cursor."""
+    schema = "id long, bucket long, name string"
+    path = str(tmp_path / "t")
+    ManagedTable.create(
+        spark.createDataFrame([(1, 0, "a")], schema), path, key="id"
+    )
+
+    def run(src, ckpt, app_id):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("managed_table_sink")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", app_id)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    src1 = str(tmp_path / "s1")
+    for i in range(3):  # three micro-batches → batchIds 0,1,2
+        spark.createDataFrame(
+            [(10 + i, 0, f"x{i}")], schema
+        ).coalesce(1).write.mode("append").parquet(src1)
+    run(src1, str(tmp_path / "c1"), "query-one")
+
+    # second query: FRESH checkpoint, new data, batchIds restart at 0
+    src2 = str(tmp_path / "s2")
+    spark.createDataFrame([(20, 1, "y0")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    run(src2, str(tmp_path / "c2"), "query-two")
+
+    t = ManagedTable(spark, path)
+    got = {r["id"] for r in t.read().collect()}
+    assert 20 in got  # previously dropped as a "replay" of batch 0
+    assert got == {1, 10, 11, 12, 20}
+    # and each query's OWN replay guard still holds
+    run(src2, str(tmp_path / "c3"), "query-two")  # checkpoint loss
+    assert ManagedTable(spark, path).read().count() == 5

@@ -156,7 +156,11 @@ QUERY_ORDER: tuple[str, ...] = (
     # oracle-gated as an extra; the slot goes to VIDEO on real bytes —
     # the MJPEG-AVI container walk whose frames are real JPEGs, the
     # definitive close of the oldest multimodal gap.
-    "x_mm_video_frames",
+    # x_mm_video_frames demoted (r11 rotation, verdict #3): the
+    # multimodal family keeps its strongest row (x_mm_jpeg_stats —
+    # real Huffman+dequant+IDCT), the MJPEG-AVI container walk stays
+    # oracle-gated as an extra, and the freed slot goes to the
+    # round-10 lakehouse faces below.
     # deduplication (+ r5 flagship promoted r6: cluster
     # canonicalization; r7: the exact Jaccard similarity join —
     # Bayardo prefix filtering, the completeness-guaranteed exact
@@ -201,16 +205,35 @@ QUERY_ORDER: tuple[str, ...] = (
     # is now composed INSIDE the managed-table official row's
     # create→merge→optimize pipeline, and the five-arm contract stays
     # oracle-gated via the extra + x_merge_not_matched_by_source.
-    # r10 promotions (verdict #1 — the round-9 lakehouse layer earns
-    # official rows): the composed table-format contract, the
-    # deletion-vector DELETE, the merge-on-read UPDATE + RESTORE
-    # signature row, O(1)-metadata column mapping, and Z-order
-    # OPTIMIZE with both-column pruning proof.
+    # r10 promotions (verdict #1 — the round-9 lakehouse layer earned
+    # official rows); r11 rotation (verdict #3) swaps the completed
+    # round-10 faces in and retires rows with sibling coverage:
+    #  - x_table_delete_vectors demoted: DV mechanics are exercised
+    #    by x_table_compact (victim census over DVs), x_table_reclaim
+    #    (compact→vacuum loop) and the managed-table pipeline row;
+    #    the extra stays oracle-gated.
+    #  - x_table_update_restore demoted: merge-on-read UPDATE and
+    #    RESTORE ride inside the compact/reclaim/CDF-source rows
+    #    (rollback replay is proven in the CDF gate); extra stays
+    #    oracle-gated.
+    #  - x_table_column_mapping demoted: the widen row rides the
+    #    column map and compaction-under-column-map is directed-
+    #    tested; extra stays oracle-gated.
+    #  - x_maintenance_zorder demoted: OPTIMIZE is exercised by the
+    #    pipeline row; the Z-order pruning proof stays oracle-gated
+    #    as an extra.
     "x_pipeline_managed_table",
-    "x_table_delete_vectors",
-    "x_table_update_restore",
-    "x_table_column_mapping",
-    "x_maintenance_zorder",
+    # r11 promotions (verdict #3): the round-10 lakehouse faces —
+    # minor compaction (O(victim-bytes) maintenance), type widening
+    # (pure-metadata schema evolution), the compact→reclaim vacuum
+    # loop, Catalyst-pushdown batch DataSource, the Arrow streaming
+    # sink, and the streaming readChangeFeed DataSource.
+    "x_table_compact",
+    "x_table_widen",
+    "x_table_reclaim",
+    "x_table_source_pushdown",
+    "x_stream_table_sink",
+    "x_stream_table_cdf_source",
     # x_maintenance_optimize_snapshot demoted (r10): superseded by
     # x_maintenance_zorder (same OPTIMIZE-on-snapshots contract PLUS
     # the clustering/pruning proof) and the managed-table pipeline
@@ -225,11 +248,13 @@ QUERY_ORDER: tuple[str, ...] = (
     # fused end-to-end pipeline (r5 flagship promoted r6)
     "x_pipeline_activity_e2e",
     "x_pipeline_curation",
-    # r8 promotions (verdict #1): the last-mile export pipeline
-    # (chunk → global prefix sum → token-range shards → per-shard
-    # manifests) and the feature-store pair — leakage-free PIT join
-    # on SCD2 state + event-time trailing-window RANGE features.
-    "x_pipeline_export",
+    # r8 promotions (verdict #1): the feature-store pair — leakage-
+    # free PIT join on SCD2 state + event-time trailing-window RANGE
+    # features. x_pipeline_export demoted (r11 rotation): the fused-
+    # pipeline family keeps three official rows (activity e2e,
+    # curation, managed-table) and the export pipeline's chunk/
+    # prefix-sum/shard machinery is certified by the global-row-ids
+    # official row + the oracle-gated extra.
     "x_pit_join_state",
     "x_feature_trailing_window",
     # binned range join (new r6 operator family)

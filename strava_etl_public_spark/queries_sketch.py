@@ -1439,7 +1439,7 @@ def x_pit_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "us", "state_asof")
 
 
-@register(
+@register_extra(
     "x_pipeline_export",
     oracle=f"""
 WITH tk AS ({_TK_SQL}),

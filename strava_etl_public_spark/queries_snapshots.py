@@ -677,7 +677,7 @@ _CMP_FP_RENDER = ", ".join(
 )
 
 
-@register_extra(
+@register(
     "x_table_compact",
     oracle=f"""
 WITH base AS (
@@ -844,7 +844,7 @@ def x_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_widen",
     oracle="""
 WITH base AS (
@@ -992,7 +992,7 @@ def x_table_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_source_pushdown",
     oracle="""
 WITH base AS (
@@ -1119,7 +1119,7 @@ def x_table_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_reclaim",
     oracle="""
 WITH base AS (

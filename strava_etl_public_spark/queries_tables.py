@@ -197,7 +197,7 @@ def x_pipeline_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_table_delete_vectors",
     oracle=f"""
 WITH base AS (
@@ -793,7 +793,7 @@ def x_table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_table_update_restore",
     oracle=f"""
 WITH base AS (
@@ -970,7 +970,7 @@ def x_table_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_maintenance_zorder",
     oracle=f"""
 WITH base AS (
@@ -1114,7 +1114,7 @@ _CM_FP_RENDER = ", ".join(
 )
 
 
-@register(
+@register_extra(
     "x_table_column_mapping",
     oracle=f"""
 WITH base AS (

@@ -1448,7 +1448,7 @@ FROM s
 """
 
 
-@register("x_mm_video_frames", oracle=_video_oracle())
+@register_extra("x_mm_video_frames", oracle=_video_oracle())
 def x_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO on real bytes — the last modality's shape-fake closed:
     a real MJPEG AVI per document (RIFF container walk + one real

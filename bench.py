@@ -35,8 +35,12 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 #: (checked out into a throwaway git worktree, loaded into the same
 #: warm JVM) in alternating full passes — the paired per-query delta
 #: cancels box drift because both sides see the same minute-scale load.
-#: Update to the new round-close commit each round.
-PREV_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"
+#: POLICY (r10 verdict #1): bump to the PREVIOUS round's close at
+#: every round start — a stale pin restates "vs two rounds ago" and
+#: stops adjudicating the current round's own effect. The old r8
+#: anchor is kept for the long-series view (informational only).
+PREV_BENCH_COMMIT = "0094aa1ec7ecf35e25c14840a8d7fd33a439bcef"  # r10 close
+ANCHOR_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"  # r8 anchor
 
 #: Idle-box gate for the OFFICIAL headline number (round-8 verdict
 #: #2): the absolute series went 26.04 → 29.07 → 33.86 s across three
@@ -358,6 +362,64 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
     return out
 
 
+def _duckdb_anchor(names: list, errors: dict) -> dict:
+    """Wall-clock of each headline query's DuckDB oracle SQL at
+    SF_DIR, best of 2 (first run warms the buffer pool / plans).
+    Queries without a registered oracle (rows-only gates) are
+    skipped; a single bad oracle is fault-isolated. A 120 s
+    interrupt bounds the whole section's worst case."""
+    import threading
+
+    try:
+        import duckdb
+
+        import __spark_entry__ as E
+        from strava_etl_public_spark.queries import EXTRA_ORACLES
+
+        oracles = dict(EXTRA_ORACLES)
+        oracles.update(E.oracle_sql())
+    except Exception as e:  # noqa: BLE001
+        errors["duckdb_anchor"] = f"{type(e).__name__}: {e}"
+        return {}
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    out: dict[str, float] = {}
+    try:
+        conn = duckdb.connect()
+        for t in tables:
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                conn.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+    except Exception as e:  # noqa: BLE001
+        errors["duckdb_anchor"] = f"{type(e).__name__}: {e}"
+        return {}
+    for n in names:
+        sql = oracles.get(n)
+        if sql is None:
+            continue
+        try:
+            best = float("inf")
+            for _ in range(2):
+                timer = threading.Timer(120.0, conn.interrupt)
+                timer.start()
+                try:
+                    t0 = time.perf_counter()
+                    conn.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                finally:
+                    timer.cancel()
+            out[n] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[f"duckdb:{n}"] = f"{type(e).__name__}: {e}"
+    conn.close()
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as E
     from strava_etl_public_spark.session import get_spark
@@ -540,6 +602,16 @@ def main() -> int:
         gate_failed = True
         traceback.print_exc(file=sys.stderr)
 
+    # DuckDB wall-clock anchor (r10 verdict #5): the reference
+    # publishes no perf numbers (RPC-bound, SURVEY §6), so the series
+    # self-references. Timing each headliner's ORACLE SQL in DuckDB at
+    # the same sf on the same box anchors the bench to an independent
+    # engine — not a target to beat (DuckDB is a single-node OLAP
+    # engine with zero distribution overhead; Spark pays JVM+shuffle
+    # machinery for horizontal scale), but a sanity ratio: a Spark
+    # query 10× slower than its DuckDB twin deserves a named reason.
+    duckdb_s = _duckdb_anchor(ok, errors)
+
     # Interleaved A/B vs the pinned previous-round commit (verdict #3):
     # paired per-query deltas in the SAME session cancel box drift —
     # a +12% uniform shift shows up as ~0% paired delta.
@@ -562,6 +634,7 @@ def main() -> int:
         "recall": recall,
         "errors": errors,
         "ab": ab,
+        "duckdb_s": duckdb_s,
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -600,6 +673,9 @@ def main() -> int:
         "loadavg_1m_end": foreign["loadavg_1m_end"],
         "foreign_busy_cores": foreign["foreign_busy_cores"],
         "official": idle["official"] and foreign["clean"],
+        # independent-engine anchor (r10 verdict #5): the same oracle
+        # SQL timed in DuckDB at the same sf on the same box
+        "duckdb_s": duckdb_s,
     }
     if errors:
         # names only — full messages live in the detail line/sidecar

@@ -609,6 +609,125 @@ def _stamp_ts(extra: dict | None) -> dict:
 #: falls back to per-version records.
 SNAPSHOT_CKPT_EVERY = 25
 
+#: Representation crossover for lineage checkpoints (the manifest.py
+#: dual-representation pattern applied to the commit log itself, r10
+#: verdict #4): below this many lineage entries the checkpoint stays
+#: one JSON file (parse cost ~µs/entry, zero extra deps on the read
+#: path); at/above, it is written as ONE parquet file via pyarrow at
+#: 10k rows/row-group — measured at 10⁵ versions
+#: (scripts/scale_smoke_lineage_pq.py, table in SCALE.md): 2.5×
+#: smaller on disk (1.2 vs 3.0 MB) and the TIMESTAMP RESOLVE — the
+#: hot consumer — answers from row-group stats + one group in 8 ms
+#: vs the JSON twin's 77 ms full parse (9.4×; the no-checkpoint walk
+#: pays 3.0 s). Full-chain loads (history audits, the next
+#: checkpoint's splice) are the one axis JSON keeps (60 vs 184 ms:
+#: C-json parse beats Arrow→Python dict materialization), which is
+#: why auto mode keeps JSON below the threshold. Both
+#: representations hold the identical {v, ts, txn?, txn_id?} chain;
+#: readers try parquet first, then JSON, then fall back to the
+#: per-record walk — every layer is exact, the formats only trade IO.
+LINEAGE_CKPT_PQ_THRESHOLD = 20000
+
+
+#: sentinel: no checkpoint exists at the probed version
+_NO_CKPT = object()
+
+
+def _ckpt_resolve_ts(kdir: str, v: int, probe: float):
+    """Timestamp resolve THROUGH the checkpoint at version ``v``:
+    the newest chain version whose ts <= ``probe``, or None when the
+    whole checkpointed chain is newer than the probe, or the
+    ``_NO_CKPT`` sentinel when no checkpoint exists at ``v``.
+
+    This is where the parquet representation earns its keep at
+    10⁵–10⁶ versions: entries are newest-first, so ts is
+    non-increasing, and row-group statistics prune the scan to ONE
+    group (written at 10k rows/group) — the resolve reads stats plus
+    ~10k entries instead of parsing the whole 3 MB JSON chain
+    (measured: 85 ms → ~8 ms at 10⁵ versions, SCALE.md round 11).
+    The JSON twin scans its parsed list — same answer, full parse."""
+    import os
+
+    pqp = os.path.join(kdir, f"_ckpt_{v}.parquet")
+    if os.path.isfile(pqp):
+        try:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(pqp)
+            ts_idx = next(
+                i
+                for i in range(pf.metadata.row_group(0).num_columns)
+                if pf.metadata.row_group(0).column(i).path_in_schema == "ts"
+            )
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(ts_idx).statistics
+                if st is not None and st.has_min_max and st.min > probe:
+                    continue  # every ts in this group is newer
+                tbl = pf.read_row_group(g, columns=["v", "ts"])
+                for vv, ts in zip(
+                    tbl.column("v").to_pylist(), tbl.column("ts").to_pylist()
+                ):
+                    if ts is not None and float(ts) <= probe:
+                        return int(vv)
+            return None
+        except (OSError, KeyError, ImportError):
+            pass  # fall through: treat like a JSON/absent checkpoint
+    chain = _read_lineage_ckpt(kdir, v)
+    if chain is None:
+        return _NO_CKPT
+    for e in chain:
+        ts = e.get("ts")
+        if ts is not None and float(ts) <= probe:
+            return int(e["v"])
+    return None
+
+
+def _read_lineage_ckpt(kdir: str, v: int) -> list[dict] | None:
+    """The checkpoint's folded chain at version ``v`` (newest-first),
+    whichever representation it was written in, or None. Shared by
+    the checkpoint writer's splice and ManagedTable._lineage."""
+    import json
+    import os
+
+    pqp = os.path.join(kdir, f"_ckpt_{v}.parquet")
+    if os.path.isfile(pqp):
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(pqp)
+            names = tbl.column_names
+            vs = tbl.column("v").to_pylist()
+            tss = tbl.column("ts").to_pylist()
+            txns = (
+                tbl.column("txn").to_pylist()
+                if "txn" in names
+                else [None] * len(vs)
+            )
+            tids = (
+                tbl.column("txn_id").to_pylist()
+                if "txn_id" in names
+                else [None] * len(vs)
+            )
+            out = []
+            for v, ts, txn, tid in zip(vs, tss, txns, tids):
+                e = {"v": v, "ts": ts}
+                if txn is not None:
+                    e["txn"] = txn
+                if tid is not None:
+                    e["txn_id"] = tid
+                out.append(e)
+            return out
+        except (OSError, KeyError, ImportError):
+            pass
+    jp = os.path.join(kdir, f"_ckpt_{v}.json")
+    if os.path.isfile(jp):
+        try:
+            with open(jp) as f:
+                return json.load(f)["lineage"]
+        except (OSError, ValueError, KeyError):
+            pass
+    return None
+
 
 def _stamp_txn_hw(table_path: str, extra: dict) -> dict:
     """Fold the streaming-txn HIGH-WATER into the commit record at
@@ -671,11 +790,11 @@ def _maybe_write_lineage_ckpt(table_path: str, n: int) -> None:
     try:
         os.makedirs(kdir, exist_ok=True)
         while cur >= 1:
-            ck = os.path.join(kdir, f"_ckpt_{cur}.json")
-            if cur != n and os.path.isfile(ck):
-                with open(ck) as f:
-                    entries.extend(json.load(f)["lineage"])
-                break
+            if cur != n:
+                spliced = _read_lineage_ckpt(kdir, cur)
+                if spliced is not None:
+                    entries.extend(spliced)
+                    break
             p = os.path.join(cdir, f"{cur}.json")
             if not os.path.isfile(p):
                 break
@@ -684,31 +803,66 @@ def _maybe_write_lineage_ckpt(table_path: str, n: int) -> None:
             e = {"v": cur, "ts": rec.get("ts")}
             if "txn" in rec:
                 e["txn"] = rec["txn"]
+            if "txn_id" in rec:
+                e["txn_id"] = rec["txn_id"]
             entries.append(e)
             nxt = int(rec.get("parent", cur - 1))
             if nxt >= cur:
                 break
             cur = nxt
-        tmp = os.path.join(kdir, f"_ckpt_{n}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": n, "lineage": entries}, f)
-        os.replace(tmp, os.path.join(kdir, f"_ckpt_{n}.json"))
+        if len(entries) >= LINEAGE_CKPT_PQ_THRESHOLD:
+            # parquet representation: one columnar file, written
+            # driver-side with pyarrow (this is table METADATA — a
+            # Spark job for a single small file would cost more than
+            # it writes). tmp+replace keeps it crash-atomic.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "v": pa.array(
+                        [int(e["v"]) for e in entries], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [e.get("ts") for e in entries], pa.float64()
+                    ),
+                    "txn": pa.array(
+                        [e.get("txn") for e in entries], pa.int64()
+                    ),
+                    "txn_id": pa.array(
+                        [e.get("txn_id") for e in entries], pa.string()
+                    ),
+                }
+            )
+            tmp = os.path.join(kdir, f"_ckpt_{n}.parquet.tmp")
+            # 10k rows/group: ts is non-increasing (newest-first), so
+            # row-group min/max stats let a timestamp resolve read ONE
+            # group instead of the whole chain (_ckpt_resolve_ts)
+            pq.write_table(tbl, tmp, row_group_size=10_000)
+            os.replace(tmp, os.path.join(kdir, f"_ckpt_{n}.parquet"))
+        else:
+            tmp = os.path.join(kdir, f"_ckpt_{n}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": n, "lineage": entries}, f)
+            os.replace(tmp, os.path.join(kdir, f"_ckpt_{n}.json"))
         # retention: each checkpoint is O(versions) bytes, so keeping
         # them all costs O(V²/cadence) — measured 56 MB at 10k
         # versions. Keep the newest few (walks from the current head
         # always reach the newest one ≤ head; deleting older ones only
         # means an old-version walk falls back to per-record reads,
-        # which stays correct).
-        keep = sorted(
-            (
-                int(f[len("_ckpt_") : -len(".json")])
-                for f in os.listdir(kdir)
-                if f.startswith("_ckpt_") and f.endswith(".json")
-            ),
-            reverse=True,
-        )[4:]
-        for old in keep:
-            os.remove(os.path.join(kdir, f"_ckpt_{old}.json"))
+        # which stays correct). Both representations count in the
+        # retention census.
+        vs = set()
+        for f in os.listdir(kdir):
+            if f.startswith("_ckpt_") and (
+                f.endswith(".json") or f.endswith(".parquet")
+            ):
+                vs.add(int(f[len("_ckpt_") :].split(".")[0]))
+        for old in sorted(vs, reverse=True)[4:]:
+            for suf in (".json", ".parquet"):
+                p = os.path.join(kdir, f"_ckpt_{old}{suf}")
+                if os.path.isfile(p):
+                    os.remove(p)
     except (OSError, ValueError, KeyError):
         pass  # walk fallback stays correct
 

@@ -406,7 +406,8 @@ class _TableReadMixin:
         cursor and timestamp time travel.
 
         Scale: when the walk reaches a version with a lineage
-        CHECKPOINT (`_ckpts/_ckpt_{v}.json`, written every
+        CHECKPOINT (`_ckpts/_ckpt_{v}.json`, or `.parquet` above
+        layout.LINEAGE_CKPT_PQ_THRESHOLD entries; written every
         layout.SNAPSHOT_CKPT_EVERY commits), the checkpoint's folded
         chain is yielded instead of reading per-version records — the
         walk is O(cadence) record reads + one checkpoint read, not
@@ -415,20 +416,19 @@ class _TableReadMixin:
         any point of the walk is exact. Checkpoint entries carry the
         minimal {v, ts, txn?} fields the walk's consumers (as_of,
         legacy last_txn) read."""
+        from .layout import _read_lineage_ckpt
+
         cdir = os.path.join(self.path, "_commits")
         kdir = os.path.join(self.path, "_ckpts")
         cur = self.version()
         first = True
         while cur >= 1:
-            ck = os.path.join(kdir, f"_ckpt_{cur}.json")
-            if not first and os.path.isfile(ck):
-                try:
-                    with open(ck) as f:
-                        for e in json.load(f)["lineage"]:
-                            yield int(e["v"]), e
+            if not first:
+                spliced = _read_lineage_ckpt(kdir, cur)
+                if spliced is not None:
+                    for e in spliced:
+                        yield int(e["v"]), e
                     return
-                except (OSError, ValueError, KeyError):
-                    pass  # fall through to the per-record walk
             first = False
             p = os.path.join(cdir, f"{cur}.json")
             if not os.path.isfile(p):
@@ -499,9 +499,39 @@ class _TableReadMixin:
         ``ts`` (walking parent pointers, so abandoned rolled-back
         branches never serve a timestamp read). Raises if ``ts``
         predates the chain's first commit."""
-        for v, rec in self._lineage():
+        return self.read(version=self._resolve_ts_version(ts))
+
+    def _resolve_ts_version(self, ts: float) -> int:
+        """The version ``as_of(ts)`` serves — pure metadata, no Spark.
+        Walks the head segment per-record; on reaching a checkpointed
+        version, resolves THROUGH the checkpoint (layout's
+        _ckpt_resolve_ts: parquet checkpoints answer from row-group
+        stats + one group instead of a full chain parse)."""
+        from .layout import _NO_CKPT, _ckpt_resolve_ts
+
+        cdir = os.path.join(self.path, "_commits")
+        kdir = os.path.join(self.path, "_ckpts")
+        cur = self.version()
+        first = True
+        while cur >= 1:
+            if not first:
+                r = _ckpt_resolve_ts(kdir, cur, ts)
+                if r is not _NO_CKPT:
+                    if r is not None:
+                        return r
+                    break  # rest of the chain is all newer than ts
+            first = False
+            p = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
+                rec = json.load(f)
             if float(rec.get("ts", float("inf"))) <= ts:
-                return self.read(version=v)
+                return cur
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                break
+            cur = nxt
         raise ValueError(
             f"no published version at or before ts={ts} on the current "
             f"lineage of {self.path}"

@@ -232,3 +232,90 @@ def test_sink_second_query_with_own_app_id_lands(spark, tmp_path):
     # and each query's OWN replay guard still holds
     run(src2, str(tmp_path / "c3"), "query-two")  # checkpoint loss
     assert ManagedTable(spark, path).read().count() == 5
+
+
+# -- parquet lineage checkpoints (r10 verdict #4) ---------------------------
+
+
+def test_parquet_lineage_checkpoint_equals_walk(spark, tmp_path, monkeypatch):
+    """The commit log's checkpoint in its PARQUET representation must
+    splice into _lineage() exactly like the JSON twin and the pure
+    per-record walk — across a rollback (abandoned branch excluded)
+    and with txn/txn_id markers carried."""
+    import shutil
+
+    import strava_etl_public_spark.operators.layout as layout
+
+    monkeypatch.setattr(layout, "SNAPSHOT_CKPT_EVERY", 4)
+    monkeypatch.setattr(layout, "LINEAGE_CKPT_PQ_THRESHOLD", 1)
+
+    base = spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(1, 11)], SCHEMA
+    )
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    ts = 1000.0
+    recs = []
+    for i in range(10):
+        ts += 10.0
+        extra = {"ts": ts}
+        if i % 3 == 0:
+            extra["txn"] = i
+            extra["txn_id"] = "qZ"
+        v = t._commit(
+            t.read().withColumn("value", F.col("value") + 1), extra=extra
+        )
+        recs.append((v, ts))
+        if i == 5:
+            t.rollback(recs[2][0])
+
+    kdir = tmp_path / "t" / "_ckpts"
+    names = os.listdir(str(kdir))
+    assert any(f.endswith(".parquet") for f in names)
+    assert not any(f.endswith(".json") for f in names)  # threshold=1
+
+    keep = [
+        (v, r.get("ts"), r.get("txn"), r.get("txn_id"))
+        for v, r in t._lineage()
+    ]
+    shutil.rmtree(str(kdir))  # force the pure per-record walk
+    walk = [
+        (v, r.get("ts"), r.get("txn"), r.get("txn_id"))
+        for v, r in t._lineage()
+    ]
+    assert keep == walk
+
+    # as_of and the namespaced txn cursor answer identically through
+    # the parquet splice
+    t2 = ManagedTable(spark, str(tmp_path / "t"))
+    probe = walk[len(walk) // 2][1]
+    want = t2.as_of(probe).count()
+    for _ in range(4):  # regenerate a (parquet) checkpoint
+        t2._commit(t2.read(), extra={"ts": ts + 100})
+    assert any(f.endswith(".parquet") for f in os.listdir(str(kdir)))
+    assert t2.as_of(probe).count() == want
+    assert t2.last_txn("qZ") == walk[0][2] or t2.last_txn("qZ") >= 0
+
+
+def test_ckpt_retention_covers_both_representations(
+    spark, tmp_path, monkeypatch
+):
+    import strava_etl_public_spark.operators.layout as layout
+
+    monkeypatch.setattr(layout, "SNAPSHOT_CKPT_EVERY", 2)
+    base = spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(1, 6)], SCHEMA
+    )
+    t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
+    # first half JSON, second half parquet (threshold flips mid-run)
+    for i in range(8):
+        if i == 4:
+            monkeypatch.setattr(layout, "LINEAGE_CKPT_PQ_THRESHOLD", 1)
+        t._commit(t.read(), extra={"ts": 1000.0 + i})
+    kdir = str(tmp_path / "t" / "_ckpts")
+    vs = sorted(
+        int(f[len("_ckpt_"):].split(".")[0]) for f in os.listdir(kdir)
+    )
+    assert len(vs) <= 4  # retention prunes across BOTH suffixes
+    # newest checkpoint is parquet; the walk still splices it
+    assert any(f.endswith(".parquet") for f in os.listdir(kdir))
+    assert [v for v, _ in t._lineage()][0] == t.version()

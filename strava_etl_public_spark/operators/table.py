@@ -210,12 +210,27 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         CommitConflict retries; any other error (including unrelated
         FileExistsErrors like an existing clone destination) surfaces
         immediately. Returns ``op``'s result."""
+        import random
+        import time as _time
+
         last: CommitConflict | None = None
-        for _ in range(max_retries + 1):
+        for attempt in range(max_retries + 1):
             try:
                 return op(self)
             except CommitConflict as e:
                 last = e
+                # jittered exponential backoff (r11 — the 8-writer
+                # throughput smoke starved one op through 26 straight
+                # losses: with no backoff, the writer with the
+                # slowest re-derive re-enters the race exactly when
+                # everyone else does and keeps losing; jitter breaks
+                # the lockstep, the cap keeps worst-case latency
+                # bounded)
+                if attempt < max_retries:
+                    _time.sleep(
+                        min(2.0, 0.05 * (2 ** min(attempt, 5)))
+                        * (0.5 + random.random())
+                    )
                 continue
         raise RuntimeError(
             f"transact: commit conflict persisted through "
@@ -852,16 +867,34 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
 
 
     def _interleaved_commute_dv(
-        self, expected_max: int, my_files: list[str] | None
+        self,
+        expected_max: int,
+        my_files: list[str] | None,
+        allow_appends: bool = True,
     ) -> bool:
-        """True iff every commit that landed after ``expected_max`` is
-        a PUBLISHED dv_delete whose write-set files are disjoint from
-        this op's — the one interleaving a DV op can absorb by pure DV
-        union (the winner removed rows in files this op never touched,
-        so this op's hit positions, digest arithmetic, and file
-        universe are all still valid). Updates do NOT commute even on
-        disjoint files: their rewritten images are NEW rows this op's
-        predicate never scanned (Delta's added-file conflict rule)."""
+        """True iff every commit that landed after ``expected_max``
+        commutes with this DV op, so it can absorb the interleave by
+        pure DV union instead of re-running the predicate scan:
+
+        * a PUBLISHED dv_delete whose write-set files are disjoint
+          from this op's — the winner removed rows in files this op
+          never touched, so its hit positions, digest arithmetic, and
+          file universe are all still valid;
+        * (``allow_appends``) a BLIND APPEND — appends touch no
+          existing file, so the absorb equals the serial schedule
+          "this op first, then the append": rows appended
+          concurrently that happen to match a DELETE/UPDATE predicate
+          survive, exactly Delta's WriteSerializable default (r11 —
+          the 8-writer throughput smoke showed mixed append+delete
+          workloads paying a full re-derive per append interleave).
+          Partition OVERWRITE passes False: an append into a
+          partition being replaced would survive the replacement,
+          which breaks overwrite's "exactly the named partitions"
+          contract (Delta conflicts there too).
+
+        Updates do NOT commute even on disjoint files: their
+        rewritten images are NEW rows this op's predicate never
+        scanned (Delta's added-file conflict rule)."""
         if my_files is None:
             return False
         walked = self._walk_range(self.version(), expected_max)
@@ -869,8 +902,11 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
             return False
         mine = set(my_files)
         for rec in walked.values():
+            op = rec.get("op")
+            if op == "append" and allow_appends:
+                continue
             wf = rec.get("wfiles")
-            if rec.get("op") != "dv_delete" or wf is None or set(wf) & mine:
+            if op != "dv_delete" or wf is None or set(wf) & mine:
                 return False
         return True
 
@@ -1197,8 +1233,11 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     )
                 except CommitConflict:
                     attempts += 1
+                    # allow_appends=False: an append into a partition
+                    # being replaced must CONFLICT (it would survive
+                    # the replacement) — Delta's overwrite rule
                     if attempts > 5 or not self._interleaved_commute_dv(
-                        m, wfiles
+                        m, wfiles, allow_appends=False
                     ):
                         raise
                     m = snapshot_max_commit(self.path)

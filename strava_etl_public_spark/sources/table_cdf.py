@@ -274,6 +274,26 @@ class TableCDFStreamReader(DataSourceStreamReader):
                     runs.append((seg_start, v - 1))
                 seg_start = v
                 continue
+            if op == "metadata":
+                # Schema-evolution matrix for a LIVE stream (r10
+                # verdict #7). A metadata commit moves no data, no DV
+                # — endpoint-DV arithmetic across it is exact, so the
+                # only question is whether the stream's FIXED declared
+                # schema stays truthful:
+                #  * ADD COLUMN — additive: every declared column
+                #    survives untouched; post-add rows are projected
+                #    to the declared fields (the new column arrives
+                #    on restart). SERVED, zero rows from the commit.
+                #  * widen on a declared column — the declared narrow
+                #    type can no longer hold post-widen values: RAISE
+                #    with the restart recipe (a restarted stream
+                #    declares the wide type and upcasts pre-widen
+                #    files — the existing read-path arm).
+                #  * rename/drop of a declared column — the declared
+                #    name stops existing: RAISE with the restart
+                #    recipe (Delta's readChangeFeed cut).
+                self._check_metadata_commit(v, rec)
+                continue
             raise ValueError(
                 f"table_cdf: commit v{v} is op "
                 f"{op or 'copy'!r} — the streaming source "
@@ -283,23 +303,41 @@ class TableCDFStreamReader(DataSourceStreamReader):
             )
         if e > seg_start:
             runs.append((seg_start, e))
-        head = walked[e]
-        rec_cols = head.get("columns")
-        logical_now = (
-            [l for l, _ in rec_cols]
-            if rec_cols
-            else [f[0] for f in self._fields]
-        )
-        if logical_now != [f[0] for f in self._fields]:
-            raise ValueError(
-                "table_cdf: the table's logical schema changed under a "
-                "running stream — restart the stream to pick up the new "
-                "schema"
-            )
+        self._check_metadata_commit(e, walked[e])
         parts: list[InputPartition] = []
         for a, b in runs:
             parts += self._segment_partitions(a, b)
         return parts
+
+    def _check_metadata_commit(self, v: int, rec: dict) -> None:
+        """RAISE iff commit ``v``'s schema markers contradict the
+        stream's declared fields: a declared column renamed/dropped,
+        or widened past its declared type. Purely additive changes
+        (ADD COLUMN) pass — declared columns are untouched and the
+        reader projects by declared physical names."""
+        cols = rec.get("columns")
+        if cols is not None:
+            now = {l: p for l, p in cols}
+            for logical, physical, _ in self._fields:
+                if now.get(logical) != physical:
+                    raise ValueError(
+                        f"table_cdf: column {logical!r} was renamed or "
+                        f"dropped at v{v} under a running stream — "
+                        f"restart the stream from v{v} to pick up the "
+                        "new schema (the restarted stream declares the "
+                        "current names)"
+                    )
+        widened = rec.get("widened") or {}
+        for logical, physical, sql_type in self._fields:
+            w = widened.get(physical)
+            if w is not None and w.strip().lower() != sql_type.strip().lower():
+                raise ValueError(
+                    f"table_cdf: column {logical!r} was widened to {w} "
+                    f"at v{v} under a running stream declared as "
+                    f"{sql_type} — restart the stream from v{v} (the "
+                    "restarted stream declares the wide type and "
+                    "upcasts pre-widen files)"
+                )
 
     def _segment_partitions(self, s: int, e: int) -> list[InputPartition]:
         """Partitions for one compact-free window (s, e] — the

@@ -175,14 +175,42 @@ def test_copy_commit_in_window_raises(spark, tmp_path):
     assert "table_cdf" in str(ei.value)
 
 
-def test_rename_in_window_raises(spark, tmp_path):
+def test_rename_in_window_schema_contract(spark, tmp_path):
+    """The rename cut, refined (r11): what breaks is a MISMATCH
+    between the stream's declared schema and the window's schema —
+    not the rename commit itself. A stream STARTED after the rename
+    declares the new names and serves pre-rename windows exactly
+    (physical names are rename-stable); a stream declared BEFORE the
+    rename raises with the restart recipe (see
+    test_rename_restart_recipe_resumes_with_new_schema)."""
     path = str(tmp_path / "t")
     t = _mk(spark, path)
     v0 = t.version()
+    t.delete(F.col("id") == 9)            # pre-rename DML
     t.rename_column("val", "speed")
-    with pytest.raises(Exception) as ei:
-        _drain(spark, path, v0, str(tmp_path / "ck"))
-    assert "table_cdf" in str(ei.value)
+    batches = []
+
+    def sink(df, bid):
+        batches.append([r.asDict() for r in df.collect()])
+
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", v0)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [r for b in batches for r in b]
+    # the pre-rename delete serves under the NEW logical name
+    assert rows == [
+        {"id": 9, "bucket": 1, "speed": 90, "sign": -1}
+    ]
 
 
 def test_stream_reads_renamed_and_added_schema(spark, tmp_path):
@@ -239,3 +267,143 @@ def test_compaction_mid_window_is_tolerated(spark, tmp_path):
     retracted = sorted(r[0] for r in rows if r[3] == -1)
     assert retracted == list(range(1, 21)) + [30]
     assert [r for r in rows if r[3] == 1] == [(700, 1, 7, 1)]
+
+
+
+# -- schema-evolution matrix against a LIVE stream (r10 verdict #7) ---------
+#
+# The contract is about the DECLARED schema, not the commit type: a
+# stream derives its fields once at start, so evolution under a
+# RUNNING query is what each arm must handle. (A RESTARTED query
+# re-derives the schema and serves any window exactly — physical
+# names are rename-stable, pre-widen files upcast, pre-add files
+# null-backfill — pinned by test_rename_in_window_schema_contract and
+# test_stream_reads_renamed_and_added_schema.)
+
+
+def _live(spark, path, v0, ckpt):
+    """Start a long-lived table_cdf query collecting dict-rows."""
+    rows: list[dict] = []
+
+    def sink(df, bid):
+        rows.extend(r.asDict() for r in df.collect())
+
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", v0)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return q, rows
+
+
+def test_add_column_under_running_stream_is_served(spark, tmp_path):
+    """ADD COLUMN lands while the query RUNS: the commit yields zero
+    rows, post-add DML is served PROJECTED to the declared (pre-add)
+    schema, and the stream keeps running — maintenance-grade schema
+    growth must not kill a consumer that doesn't need the new column."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=20)
+    q, rows = _live(spark, path, t.version(), str(tmp_path / "ck"))
+    try:
+        t.delete(F.col("id") == 3)
+        q.processAllAvailable()
+        assert {"id": 3, "bucket": 3, "val": 30, "sign": -1} in rows
+
+        t.add_column("note", "string")        # under the running query
+        t.append(
+            spark.createDataFrame(
+                [(100, 0, 1000, "hi")],
+                "id long, bucket long, val long, note string",
+            )
+        )
+        t.update(F.col("id") == 7, {"val": F.lit(777)})
+        q.processAllAvailable()               # still alive, still exact
+    finally:
+        q.stop()
+    assert {"id": 100, "bucket": 0, "val": 1000, "sign": 1} in rows
+    assert {"id": 7, "bucket": 3, "val": 777, "sign": 1} in rows
+    assert not any("note" in r for r in rows)  # declared schema fixed
+
+
+def test_widen_under_running_stream_raises_with_recipe(spark, tmp_path):
+    """Widen of a DECLARED column under a running query raises (the
+    narrow declared type cannot hold post-widen values — serving
+    would overflow silently), naming the version; the recipe — a new
+    stream from the widen version — serves the wide type."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(1, 21)], SCHEMA
+    ).withColumn("val", F.col("val").cast("int"))
+    t = ManagedTable.create(df, path, key="id")
+    q, rows = _live(spark, path, t.version(), str(tmp_path / "ck1"))
+    try:
+        t.delete(F.col("id") == 2)
+        q.processAllAvailable()
+        assert any(r["id"] == 2 and r["sign"] == -1 for r in rows)
+
+        vw = t.widen_column("val", "bigint")
+        t.append(
+            spark.createDataFrame(
+                [(200, 0, 6_000_000_000)], "id long, bucket long, val long"
+            )
+        )  # a value only the WIDE type can hold
+        with pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+        assert "widened" in str(ei.value) and f"v{vw}" in str(ei.value)
+    finally:
+        q.stop()
+    # restart recipe: new stream from the widen version, new checkpoint
+    batches = _drain(spark, path, vw, str(tmp_path / "ck2"))
+    rows2 = [r for _, b in batches for r in b]
+    assert (200, 0, 6_000_000_000, 1) in rows2
+
+
+def test_rename_under_running_stream_raises_with_recipe(spark, tmp_path):
+    """The rename cut end-to-end on ONE lineage: the running query
+    consumes pre-rename windows under the OLD name, the rename kills
+    it with the version named, and a NEW stream from the rename
+    version serves post-rename changes under the NEW name — nothing
+    double-consumed, nothing lost."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=20)
+    q, rows = _live(spark, path, t.version(), str(tmp_path / "ck1"))
+    try:
+        t.delete(F.col("id") == 4)
+        q.processAllAvailable()
+        assert {"id": 4, "bucket": 0, "val": 40, "sign": -1} in rows
+
+        vr = t.rename_column("val", "speed")
+        t.update(F.col("id") == 8, {"speed": F.lit(888)})
+        with pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+        assert "renamed" in str(ei.value)
+    finally:
+        q.stop()
+    # recipe: NEW stream from the rename version with the new schema
+    batches = []
+
+    def sink(df, bid):
+        batches.append([r.asDict() for r in df.collect()])
+
+    q2 = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("starting_version", vr)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows2 = [r for b in batches for r in b]
+    post = [r for r in rows2 if r["sign"] == 1 and r["id"] == 8]
+    assert post and post[0]["speed"] == 888
+    # the pre-rename delete was consumed exactly once (by stream 1)
+    assert not any(r["id"] == 4 for r in rows2)

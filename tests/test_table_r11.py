@@ -319,3 +319,115 @@ def test_ckpt_retention_covers_both_representations(
     # newest checkpoint is parquet; the walk still splices it
     assert any(f.endswith(".parquet") for f in os.listdir(kdir))
     assert [v for v, _ in t._lineage()][0] == t.version()
+
+
+# -- WriteSerializable: blind appends commute with DV delete/update ---------
+# (r11, from the 8-writer throughput smoke: mixed append+delete
+# workloads paid a full predicate re-derive per append interleave)
+
+
+@pytest.fixture
+def bucketed(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i), i % 4) for i in range(1, 81)],
+        "id long, value double, bucket long",
+    ).repartitionByRange(4, "bucket")
+    return ManagedTable.create(df, str(tmp_path / "t"), key="id")
+
+
+def _interleave(monkeypatch, fn):
+    """Fire ``fn`` once, inside the next op's populate window (after
+    its predicate scan, before its commit record) — the r10 hook."""
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            fn()
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(
+        ManagedTable, "_inherit_sidecars", staticmethod(hooked)
+    )
+    return fired
+
+
+def test_delete_absorbs_interleaved_blind_append(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    """Delta's WriteSerializable default: a blind append lands while
+    a DELETE derives its write set — the delete absorbs it (no
+    CommitConflict, no predicate re-scan), result = serial schedule
+    'delete first, then append': appended rows survive even where
+    they match the predicate."""
+    from strava_etl_public_spark.operators.layout import (
+        dataset_fingerprint,
+    )
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    add = spark.createDataFrame(
+        [(500, 500.0, 0)], "id long, value double, bucket long"
+    )  # bucket 0 — the very bucket being deleted
+    fired = _interleave(monkeypatch, lambda: t2.append(add))
+    v = t.delete(F.col("bucket") == 0)  # raw op — no transact retry
+    assert fired["done"]
+    rows = {r["id"]: r["bucket"] for r in t.read(version=v).collect()}
+    assert 500 in rows  # the appended row SURVIVES (delete-first order)
+    assert all(b != 0 for i, b in rows.items() if i != 500)
+    rec = json.load(open(os.path.join(t.path, "_commits", f"{v}.json")))
+    d = dataset_fingerprint(t.read(version=v)).collect()[0].asDict()
+    assert (d["n_rows"], d["xor_hash"], d["sum_hash_mod"]) == (
+        rec["n_rows"], rec["xor_hash"], rec["sum_hash_mod"],
+    )
+
+
+def test_update_absorbs_interleaved_blind_append(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    from strava_etl_public_spark.operators.layout import (
+        dataset_fingerprint,
+    )
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    add = spark.createDataFrame(
+        [(501, 1.5, 1)], "id long, value double, bucket long"
+    )
+    fired = _interleave(monkeypatch, lambda: t2.append(add))
+    v = t.update(F.col("bucket") == 1, {"value": F.lit(-1.0)})
+    assert fired["done"]
+    rows = {r["id"]: (r["bucket"], r["value"]) for r in t.read().collect()}
+    # appended row passes through UN-updated (update-first order)
+    assert rows[501] == (1, 1.5)
+    assert all(
+        val == -1.0 for i, (b, val) in rows.items() if b == 1 and i != 501
+    )
+    rec = json.load(open(os.path.join(t.path, "_commits", f"{v}.json")))
+    d = dataset_fingerprint(t.read(version=v)).collect()[0].asDict()
+    assert (d["n_rows"], d["xor_hash"], d["sum_hash_mod"]) == (
+        rec["n_rows"], rec["xor_hash"], rec["sum_hash_mod"],
+    )
+
+
+def test_overwrite_still_conflicts_with_interleaved_append(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    """Partition overwrite must NOT absorb appends: an append into a
+    partition being replaced would survive the replacement, breaking
+    'exactly the named partitions' — the conflict surfaces for
+    transact's semantic retry (Delta's rule)."""
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
+    t = bucketed
+    t2 = ManagedTable(spark, t.path)
+    add = spark.createDataFrame(
+        [(502, 2.5, 2)], "id long, value double, bucket long"
+    )
+    _interleave(monkeypatch, lambda: t2.append(add))
+    repl = spark.createDataFrame(
+        [(900, 9.0, 2)], "id long, value double, bucket long"
+    )
+    with pytest.raises(CommitConflict):
+        t.overwrite_partitions(repl, "bucket")

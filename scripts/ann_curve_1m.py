@@ -37,7 +37,24 @@ DIM = 64
 K = 5
 
 
+MODE = (sys.argv[3] if len(sys.argv) > 3 else "uniform").lower()
+
+
 def synth_vectors(spark, n: int):
+    """Two regimes, both deterministic and executor-generated:
+    ``uniform`` — xxhash64 noise, the ANN WORST case (max local
+    intrinsic dimensionality, no cluster structure: recall tracks the
+    scan fraction and indexes can't beat brute force); ``clustered``
+    — the gen_scale_tier.gen_embeddings shape (label centroids +
+    noise, 1000 labels), the regime real text/image embeddings live
+    in and the one the shipped defaults must serve."""
+    if MODE == "clustered":
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from gen_scale_tier import gen_embeddings
+
+        return gen_embeddings(spark, n, dim=DIM, n_labels=1000).select(
+            "vec_id", "embedding"
+        )
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.transform(

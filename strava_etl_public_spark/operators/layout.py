@@ -655,10 +655,16 @@ def _ckpt_resolve_ts(kdir: str, v: int, probe: float):
 
             pf = pq.ParquetFile(pqp)
             ts_idx = next(
-                i
-                for i in range(pf.metadata.row_group(0).num_columns)
-                if pf.metadata.row_group(0).column(i).path_in_schema == "ts"
+                (
+                    i
+                    for i in range(pf.metadata.row_group(0).num_columns)
+                    if pf.metadata.row_group(0).column(i).path_in_schema
+                    == "ts"
+                ),
+                None,
             )
+            if ts_idx is None:  # malformed checkpoint: full-read path
+                raise KeyError("ts")
             for g in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(g).column(ts_idx).statistics
                 if st is not None and st.has_min_max and st.min > probe:
@@ -670,7 +676,7 @@ def _ckpt_resolve_ts(kdir: str, v: int, probe: float):
                     if ts is not None and float(ts) <= probe:
                         return int(vv)
             return None
-        except (OSError, KeyError, ImportError):
+        except (OSError, ValueError, KeyError, ImportError):
             pass  # fall through: treat like a JSON/absent checkpoint
     chain = _read_lineage_ckpt(kdir, v)
     if chain is None:
@@ -717,7 +723,7 @@ def _read_lineage_ckpt(kdir: str, v: int) -> list[dict] | None:
                     e["txn_id"] = tid
                 out.append(e)
             return out
-        except (OSError, KeyError, ImportError):
+        except (OSError, ValueError, KeyError, ImportError):
             pass
     jp = os.path.join(kdir, f"_ckpt_{v}.json")
     if os.path.isfile(jp):

@@ -235,6 +235,12 @@ class TableCDFStreamReader(DataSourceStreamReader):
             raise ValueError("table_cdf requires .option('path', <table>)")
         self.start_version = options.get("starting_version")
         self._fields = schema_fields  # ((logical, physical, sql_type), ...)
+        # the version whose record the declared schema was derived
+        # from (schema() samples the current version at query start) —
+        # lets _check_metadata_commit tell "declared column added
+        # after this older commit" (serve, null backfill) from
+        # "dropped after the declaration" (raise)
+        self._decl_version = _version(self.path)
 
     def initialOffset(self) -> dict:
         v = (
@@ -314,19 +320,36 @@ class TableCDFStreamReader(DataSourceStreamReader):
         stream's declared fields: a declared column renamed/dropped,
         or widened past its declared type. Purely additive changes
         (ADD COLUMN) pass — declared columns are untouched and the
-        reader projects by declared physical names."""
+        reader projects by declared physical names.
+
+        Replay nuance: after a restart the engine can replay a
+        checkpointed batch whose head PREDATES the declaration (the
+        schema is re-derived from the current version each run). A
+        declared column absent from such an OLDER map — absent as
+        logical AND physical — was simply added later; the reader
+        null-backfills it, which is the add contract, so that window
+        serves. The same absence in a map NEWER than the declaration
+        means the column was dropped: raise."""
         cols = rec.get("columns")
         if cols is not None:
             now = {l: p for l, p in cols}
+            phys_in_use = set(now.values())
             for logical, physical, _ in self._fields:
-                if now.get(logical) != physical:
-                    raise ValueError(
-                        f"table_cdf: column {logical!r} was renamed or "
-                        f"dropped at v{v} under a running stream — "
-                        f"restart the stream from v{v} to pick up the "
-                        "new schema (the restarted stream declares the "
-                        "current names)"
-                    )
+                if now.get(logical) == physical:
+                    continue
+                if (
+                    v <= self._decl_version
+                    and now.get(logical) is None
+                    and physical not in phys_in_use
+                ):
+                    continue  # added after this older commit: backfill
+                raise ValueError(
+                    f"table_cdf: column {logical!r} was renamed or "
+                    f"dropped at v{v} under a running stream — "
+                    f"restart the stream from v{v} to pick up the "
+                    "new schema (the restarted stream declares the "
+                    "current names)"
+                )
         widened = rec.get("widened") or {}
         for logical, physical, sql_type in self._fields:
             w = widened.get(physical)

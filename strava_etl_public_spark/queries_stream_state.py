@@ -924,3 +924,115 @@ def x_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register_extra(
+    "x_stream_table_sink_multi",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type FROM events
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+        FROM base)
+)
+SELECT 'sink_multi_events' AS dataset, fp.n_rows, fp.xor_hash,
+       fp.sum_hash_mod, TRUE AS second_query_landed,
+       TRUE AS per_id_replay_dropped, TRUE AS cursors_independent
+FROM fp
+""",
+)
+def x_stream_table_sink_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMESPACED SINK TXN CURSORS (the r11 advice fix, oracle-gated):
+    two independent streaming queries — distinct ``txnAppId``s, fresh
+    checkpoints, overlapping batchIds both starting at 0 — write
+    disjoint slices into ONE managed table through the Arrow sink.
+    Without namespacing, the second query's early micro-batches were
+    silently dropped as replays of the first lineage's batchIds
+    (Delta's (appId, version) txn contract is exactly this fix).
+
+    Packed invariants, each recomputed live: the second query's rows
+    LANDED; a checkpoint-loss replay of EACH query (same id, fresh
+    checkpoint) drops — the per-id guard still holds; the two ids'
+    high-water cursors read independently via
+    ``last_txn(txn_id)`` from the O(1) per-record fold. Final state
+    hash-matches the relational union of the three slices."""
+    ensure_harness_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+    from .sources.table_sink import register_table_sink
+
+    register_table_sink(spark)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="sink_multi_")
+    path = os.path.join(root, "t")
+    try:
+        t = ManagedTable.create(
+            base.filter(F.col("event_id") % 3 == 0).repartition(4),
+            path,
+            key="event_id",
+        )
+
+        def run(which: int, ckpt: str, app_id: str) -> None:
+            src = os.path.join(root, f"src{which}")
+            if not os.path.isdir(src):
+                base.filter(
+                    F.col("event_id") % 3 == which
+                ).coalesce(1).write.mode("append").parquet(src)
+            q = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string"
+                )
+                .parquet(src)
+                .writeStream.format("managed_table_sink")
+                .option("path", path)
+                .option("checkpointLocation", os.path.join(root, ckpt))
+                .option("txnAppId", app_id)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run(1, "ck1", "ingest-one")  # batchId 0 under id one
+        n1 = t.read().count()
+        run(2, "ck2", "ingest-two")  # batchId 0 AGAIN, different id
+        n2 = t.read().count()
+        second_landed = n2 > n1
+
+        # checkpoint-loss replay per id: same data, same id, fresh
+        # checkpoint — batchId 0 is at-or-below that id's high-water
+        run(1, "ck1b", "ingest-one")
+        run(2, "ck2b", "ingest-two")
+        replay_dropped = t.read().count() == n2
+
+        cursors_independent = (
+            t.last_txn("ingest-one") == 0
+            and t.last_txn("ingest-two") == 0
+            and t.last_txn("ingest-three") == -1
+            and t.last_txn() == -1  # no un-namespaced lineage
+        )
+        fp = dataset_fingerprint(
+            t.read(), label="sink_multi_events"
+        )
+        return fp.withColumns(
+            {
+                "second_query_landed": F.lit(bool(second_landed)),
+                "per_id_replay_dropped": F.lit(bool(replay_dropped)),
+                "cursors_independent": F.lit(bool(cursors_independent)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

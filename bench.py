@@ -39,7 +39,7 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 #: every round start — a stale pin restates "vs two rounds ago" and
 #: stops adjudicating the current round's own effect. The old r8
 #: anchor is kept for the long-series view (informational only).
-PREV_BENCH_COMMIT = "0094aa1ec7ecf35e25c14840a8d7fd33a439bcef"  # r10 close
+PREV_BENCH_COMMIT = "9a76d32da42e365660eeae73706f32682e1509df"  # r11 close
 ANCHOR_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"  # r8 anchor
 
 #: Idle-box gate for the OFFICIAL headline number (round-8 verdict
@@ -91,6 +91,53 @@ def _wait_for_idle_box() -> dict:
 FOREIGN_CORES_THRESHOLD = float(
     os.environ.get("SPARK_GRAFT_BENCH_MAX_FOREIGN_CORES", "1.0")
 )
+
+
+def _cpu_freq_thermal() -> dict:
+    """One sample of CPU frequency + thermal state (r11 verdict #1b):
+    three rounds of absolute-headline drift were invisible to BOTH
+    loadavg gates because frequency scaling / thermal throttling /
+    page-cache state don't show up as load. This doesn't gate
+    ``official`` (a slow-but-quiet box still produces valid PAIRED
+    deltas); it RECORDS the state so a drifted absolute is explicable
+    from the artifact alone. Best-effort: containers often hide
+    cpufreq — every field may be None."""
+    import glob
+
+    out: dict = {"mhz_mean": None, "mhz_min": None, "mhz_max": None,
+                 "temp_c_max": None}
+    freqs: list[float] = []
+    for p in glob.glob(
+        "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+    ):
+        try:
+            with open(p) as f:
+                freqs.append(int(f.read().strip()) / 1000.0)
+        except (OSError, ValueError):
+            continue
+    if not freqs:
+        # fall back to /proc/cpuinfo "cpu MHz" lines
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.lower().startswith("cpu mhz"):
+                        freqs.append(float(line.split(":")[1]))
+        except (OSError, ValueError, IndexError):
+            pass
+    if freqs:
+        out["mhz_mean"] = round(sum(freqs) / len(freqs), 1)
+        out["mhz_min"] = round(min(freqs), 1)
+        out["mhz_max"] = round(max(freqs), 1)
+    temps: list[float] = []
+    for p in glob.glob("/sys/class/thermal/thermal_zone*/temp"):
+        try:
+            with open(p) as f:
+                temps.append(int(f.read().strip()) / 1000.0)
+        except (OSError, ValueError):
+            continue
+    if temps:
+        out["temp_c_max"] = round(max(temps), 1)
+    return out
 
 
 def _busy_jiffies() -> int | None:
@@ -453,6 +500,7 @@ def main() -> int:
     # official=false instead of silently poisoning the absolute series.
     idle = _wait_for_idle_box()
     probe0 = _foreign_probe_start()
+    freq_start = _cpu_freq_thermal()
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
@@ -469,6 +517,7 @@ def main() -> int:
     # (r9 verdict #6): foreign CPU, not end-loadavg — the bench's own
     # 32-way work legitimately dominates the load average
     foreign = _foreign_probe_end(probe0)
+    freq_end = _cpu_freq_thermal()
 
     # Extras, each independently fault-isolated:
     #  - JVM-fold ANN twins (what the no-Arrow fallback costs)
@@ -635,6 +684,8 @@ def main() -> int:
         "errors": errors,
         "ab": ab,
         "duckdb_s": duckdb_s,
+        "cpu_freq_start": freq_start,
+        "cpu_freq_end": freq_end,
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -647,8 +698,29 @@ def main() -> int:
     except OSError:
         pass  # sidecar is best-effort; stdout detail line already out
 
+    # THE headline (r11 verdict #1a): the paired-vs-prev-close median
+    # delta — the only number in this artifact that is comparable
+    # across rounds. Three consecutive rounds of absolute-total
+    # "regressions" (23.96 → 26.57 → 31.86 s) were each later proven
+    # environmental (frequency/thermal/page-cache drift the loadavg
+    # gates cannot see) while the paired delta adjudicated correctly
+    # every time. The absolute total stays below as CONTEXT
+    # ("value", kept for the driver contract), not as the series.
+    _pd = [v for v in ab.get("paired_delta_pct", {}).values()
+           if isinstance(v, (int, float))]
+    _pd.sort()
+    paired_median = (
+        round(_pd[len(_pd) // 2], 2) if _pd else None
+    )
     out = {
         "metric": "headline_queries_total",
+        "headline_metric": "paired_median_delta_pct_vs_prev_close",
+        "headline_value": paired_median,
+        "headline_note": (
+            "negative = this tree is faster than the pinned previous "
+            "round close under identical load; the absolute 'value' "
+            "below is box-state context, not a comparable series"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -672,6 +744,11 @@ def main() -> int:
         "idle_waited_s": idle["waited_s"],
         "loadavg_1m_end": foreign["loadavg_1m_end"],
         "foreign_busy_cores": foreign["foreign_busy_cores"],
+        # CPU frequency/thermal samples around the headline window
+        # (r11 verdict #1b): RECORDED, not gating — a down-clocked or
+        # hot box explains an absolute drift the load gates can't see
+        "cpu_freq_start": freq_start,
+        "cpu_freq_end": freq_end,
         "official": idle["official"] and foreign["clean"],
         # independent-engine anchor (r10 verdict #5): the same oracle
         # SQL timed in DuckDB at the same sf on the same box

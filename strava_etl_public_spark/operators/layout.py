@@ -526,6 +526,7 @@ def snapshot_commit(
         expected_max,
     )
     staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
+    committed = False
     try:
         df.write.mode("overwrite").parquet(staging)
         spark = df.sparkSession
@@ -559,6 +560,14 @@ def snapshot_commit(
         rec = {
             "version": n,
             "dataset": f"v{n}",
+            # the record names its fully-materialized staging dir
+            # (r12, verdict #2): the record put is the COMMIT POINT —
+            # a crash before the v{n} rename no longer burns the slot,
+            # because any reader/allocator resolves the dataset
+            # through ``dataset_dir`` (staged fallback + repair
+            # rename). This is Delta's data-files-first order: data
+            # is durable BEFORE the record that names it.
+            "staged": os.path.basename(staging),
             **digest,
             **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
         }
@@ -571,12 +580,18 @@ def snapshot_commit(
                 f"commit record v{n} already exists at {table_path} — a "
                 "concurrent writer won the slot"
             )
+        committed = True
         os.rename(staging, os.path.join(table_path, f"v{n}"))
         store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        # once the record is put the staged data IS the committed
+        # version — a failure between record and rename must leave it
+        # for dataset_dir's repair, never delete it (pre-r12 this
+        # rmtree turned any post-record failure into a burned slot)
+        if not committed:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def _check_expected_max(existing: list[int], expected_max: int | None) -> None:
@@ -715,8 +730,11 @@ def _read_lineage_ckpt(kdir: str, v: int) -> list[dict] | None:
                 else [None] * len(vs)
             )
             out = []
-            for v, ts, txn, tid in zip(vs, tss, txns, tids):
-                e = {"v": v, "ts": ts}
+            # `vv`, not `v`: shadowing the version parameter would
+            # make the JSON fallback below probe _ckpt_{last-entry}
+            # instead of the requested checkpoint (advice r11)
+            for vv, ts, txn, tid in zip(vs, tss, txns, tids):
+                e = {"v": vv, "ts": ts}
                 if txn is not None:
                     e["txn"] = txn
                 if tid is not None:
@@ -902,9 +920,10 @@ def snapshot_commit_ref(
     version race, and only the winner renames its staging into
     ``v{n}`` — a losing concurrent committer can never scribble over
     the winner's already-populated directory (the window the
-    populate-into-vdir-first order left open). A crash between record
-    and rename leaves an unpublished, unreadable version — loud, and
-    version allocation steps past it."""
+    populate-into-vdir-first order left open). The record names its
+    staging dir (r12): a crash between record and rename leaves a
+    COMPLETE commit served through ``dataset_dir``'s staged fallback
+    — no burned slot, no unreadable version."""
     import json
     import os
     import shutil
@@ -915,6 +934,7 @@ def snapshot_commit_ref(
     os.makedirs(cdir, exist_ok=True)
     staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
     os.makedirs(staging)
+    committed = False
     try:
         populate(staging)
         existing = [
@@ -939,6 +959,7 @@ def snapshot_commit_ref(
         _check_expected_max(existing, expected_max)
         rec = {
             "version": n,
+            "staged": os.path.basename(staging),  # see snapshot_commit
             **digest,
             **_stamp_ts(_stamp_txn_hw(table_path, dict(extra or {}))),
         }
@@ -949,12 +970,14 @@ def snapshot_commit_ref(
                 f"commit record v{n} already exists at {table_path} — a "
                 "concurrent writer won the slot"
             )
+        committed = True
         os.rename(staging, vdir)
         store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        if not committed:  # post-record staging IS the version (r12)
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def snapshot_version(table_path: str) -> int:
@@ -968,15 +991,179 @@ def snapshot_version(table_path: str) -> int:
         return int(f.read().strip())
 
 
+def dataset_dir(table_path: str, v: int) -> str | None:
+    """Resolve version ``v``'s data directory, repairing an
+    interrupted publish (r12, verdict #2): prefer ``v{n}``; when it
+    is missing, fall back to the staging dir the commit record names
+    (``staged``) — the record put is the commit point and the staged
+    data is durable before it, so a crash between record and rename
+    leaves a COMPLETE, servable commit. The fallback attempts the
+    rename itself (idempotent under races: exactly one renamer wins,
+    losers re-probe ``v{n}``), so one repaired resolve heals the
+    table for every later reader. Returns None only when the record
+    is absent or names data that genuinely does not exist (a
+    pre-inversion burned slot — ``resolve_entry`` marks those
+    aborted)."""
+    import json
+    import os
+
+    vdir = os.path.join(table_path, f"v{v}")
+    if os.path.isdir(vdir):
+        return vdir
+    rp = os.path.join(table_path, "_commits", f"{v}.json")
+    if not os.path.isfile(rp):
+        return None
+    try:
+        with open(rp) as f:
+            staged = json.load(f).get("staged")
+    except (OSError, ValueError):
+        return None
+    if not staged:
+        return None
+    sp = os.path.join(table_path, staged)
+    if os.path.isdir(sp):
+        try:
+            os.rename(sp, vdir)  # complete the interrupted publish
+        except OSError:
+            pass  # a racing repairer won — re-probe below
+    if os.path.isdir(vdir):
+        return vdir
+    return sp if os.path.isdir(sp) else None
+
+
+def _abandoned_dir(table_path: str) -> str:
+    import os
+
+    return os.path.join(table_path, "_abandoned")
+
+
+def abandoned_records(table_path: str) -> set[int]:
+    """Record numbers rolled off the chain by ``snapshot_rollback``
+    (the ledger that makes abandoned-vs-in-flight decidable at op
+    entry — see ``resolve_entry``). Union of all ledger files:
+    append-only, uniquely named, so concurrent rollbacks never race
+    on a shared file."""
+    import json
+    import os
+
+    adir = _abandoned_dir(table_path)
+    out: set[int] = set()
+    if not os.path.isdir(adir):
+        return out
+    for f in os.listdir(adir):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(adir, f)) as fh:
+                out.update(int(x) for x in json.load(fh))
+        except (OSError, ValueError):
+            continue  # a torn ledger file only weakens the hint
+    return out
+
+
+def mark_abandoned(table_path: str, versions: list[int]) -> None:
+    """Append ``versions`` to the abandoned ledger (one new uniquely
+    named file — crash-safe, no read-modify-write)."""
+    import json
+    import os
+    import uuid
+
+    if not versions:
+        return
+    adir = _abandoned_dir(table_path)
+    os.makedirs(adir, exist_ok=True)
+    tmp = os.path.join(adir, f".{uuid.uuid4().hex[:12]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sorted(int(v) for v in versions), f)
+    os.replace(tmp, os.path.join(adir, f"{uuid.uuid4().hex[:12]}.json"))
+
+
+def resolve_entry(table_path: str) -> tuple[int, int]:
+    """(parent_version, expected_max) for an optimistic op's entry —
+    the gap between the ``_latest`` pointer and the record high-water
+    RESOLVED instead of assumed (r12; closes the entry twin of the
+    absorb-retry lost-update race from advice r11):
+
+    * gap records in the abandoned ledger are rollback leftovers —
+      the op may chain past them (parent = pointer, expected_max =
+      high-water), exactly the pre-r12 behavior;
+    * gap records NOT in the ledger are completed commits whose
+      pointer flip never landed (crash, or a flip in flight right
+      now) — their data is durable before the record put (the
+      inverted publish order), so the entry ROLLS THEM FORWARD:
+      repair-resolve their datasets, publish the pointer at the gap
+      chain's head, and re-read. An op entering a crashed-mid-publish
+      table silently completes the crashed commit instead of
+      chaining past it and dropping its rows;
+    * a gap record with no data at all (pre-inversion burned slot) is
+      marked aborted in the ledger so allocation steps past it and
+      time travel names the abort instead of hanging on it forever.
+
+    Falls back to CommitConflict only when the gap cannot be proven
+    either way after bounded retries (e.g. a rollback racing a
+    writer) — loud and safe, never a silent lost update."""
+    import json
+    import os
+    import time
+
+    store = get_log_store()
+    cdir = os.path.join(table_path, "_commits")
+    for _ in range(8):
+        if os.path.isdir(cdir):
+            recs = sorted(
+                int(f.split(".")[0]) for f in store.list_records(cdir)
+            )
+        else:
+            recs = []
+        m = recs[-1] if recs else 0
+        v = snapshot_version(table_path)
+        if m <= v:
+            return v, max(v, m)
+        gap = [r for r in recs if v < r <= m]
+        pending = [r for r in gap if r not in abandoned_records(table_path)]
+        if not pending:
+            return v, m
+        # aborted slots: record without data (pre-inversion crash
+        # window) — mark and re-evaluate
+        dead = [r for r in pending if dataset_dir(table_path, r) is None]
+        if dead:
+            mark_abandoned(table_path, dead)
+            continue
+        # prove the pending set is one chain rooted at the pointer
+        chain: list[int] = []
+        cur = max(pending)
+        ok = True
+        while cur > v:
+            rp = os.path.join(cdir, f"{cur}.json")
+            if not os.path.isfile(rp):
+                ok = False
+                break
+            with open(rp) as f:
+                rec = json.load(f)
+            chain.append(cur)
+            nxt = int(rec.get("parent", cur - 1))
+            if nxt >= cur:
+                ok = False
+                break
+            cur = nxt
+        if ok and cur == v and set(pending).issubset(chain):
+            store.publish_pointer(table_path, max(pending))
+            continue  # re-read: pointer now covers the gap
+        time.sleep(0.05)  # an in-flight writer/rollback — let it land
+    raise CommitConflict(
+        f"cannot classify commit records above the published pointer at "
+        f"{table_path} (pointer v{snapshot_version(table_path)}, records "
+        f"to v{m}) — a rollback may be racing a writer; retry the op"
+    )
+
+
 def snapshot_read(spark, table_path: str, version: int | None = None) -> DataFrame:
     """Read the table AS OF ``version`` (time travel) or the latest
     published snapshot. Raises on a version that was never published —
     a silent empty read would poison downstream joins."""
-    import os
-
     v = snapshot_version(table_path) if version is None else version
-    data = os.path.join(table_path, f"v{v}")
-    if v < 1 or not os.path.isdir(data):
+    data = dataset_dir(table_path, v) if v >= 1 else None
+    if data is None:
         raise ValueError(f"snapshot v{v} does not exist at {table_path}")
     return spark.read.parquet(data)
 
@@ -984,12 +1171,34 @@ def snapshot_read(spark, table_path: str, version: int | None = None) -> DataFra
 def snapshot_rollback(table_path: str, version: int) -> None:
     """Point ``_latest`` back at an earlier version — O(1), no data
     movement, and the rolled-past versions stay readable (an audit can
-    still time-travel into the bad commit)."""
+    still time-travel into the bad commit). The rolled-off chain
+    records are appended to the abandoned LEDGER *before* the pointer
+    moves (r12): without it, a later op's entry cannot distinguish
+    "record above the pointer because it was rolled off" from "record
+    above the pointer because its writer's flip is still in flight" —
+    and the in-flight case must roll FORWARD, not be chained past. A
+    crash between ledger and flip is harmless: the records are still
+    on the published chain, and ledger entries only classify records
+    ABOVE the pointer."""
+    import json
     import os
 
-    data = os.path.join(table_path, f"v{version}")
-    if not os.path.isdir(data):
+    if dataset_dir(table_path, version) is None:
         raise ValueError(f"snapshot v{version} does not exist at {table_path}")
+    cdir = os.path.join(table_path, "_commits")
+    cur = snapshot_version(table_path)
+    off_chain: list[int] = []
+    while cur > version:
+        off_chain.append(cur)
+        rp = os.path.join(cdir, f"{cur}.json")
+        if not os.path.isfile(rp):
+            break
+        with open(rp) as f:
+            nxt = int(json.load(f).get("parent", cur - 1))
+        if nxt >= cur:
+            break
+        cur = nxt
+    mark_abandoned(table_path, off_chain)
     get_log_store().publish_pointer(table_path, version)
 
 
@@ -1039,6 +1248,62 @@ def snapshot_vacuum(
             if not dry_run:
                 shutil.rmtree(data)
             removed.append(v)
+    if not dry_run:
+        clean_staging(table_path)
+    return removed
+
+
+def clean_staging(
+    table_path: str, older_than_s: float = 3600.0
+) -> list[str]:
+    """Reclaim ORPHAN staging dirs — debris of writers that crashed
+    BEFORE their record put (r12: nothing durable, the commit never
+    existed). Two guards keep this safe to run any time:
+
+    * a staging dir referenced as ``staged`` by a commit record whose
+      ``v{n}`` rename hasn't happened yet IS the committed version's
+      data — never touched (dataset_dir's repair will rename it);
+    * an UNREFERENCED dir younger than ``older_than_s`` may belong to
+      a writer that simply hasn't reached its record put — left
+      alone (the in-flight window is seconds; the default grace is
+      an hour).
+
+    Returns the paths removed. Called from snapshot_vacuum (real
+    runs), also callable directly for maintenance."""
+    import json
+    import os
+    import shutil
+    import time
+
+    cdir = os.path.join(table_path, "_commits")
+    referenced: set[str] = set()
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if not f.endswith(".json") or not f[0].isdigit():
+                continue
+            v = int(f.split(".")[0])
+            if os.path.isdir(os.path.join(table_path, f"v{v}")):
+                continue  # renamed: its staged name is historical
+            try:
+                with open(os.path.join(cdir, f)) as fh:
+                    staged = json.load(fh).get("staged")
+            except (OSError, ValueError):
+                continue
+            if staged:
+                referenced.add(staged)
+    now = time.time()
+    removed: list[str] = []
+    for name in os.listdir(table_path):
+        if not name.startswith("_stage_") or name in referenced:
+            continue
+        p = os.path.join(table_path, name)
+        try:
+            if now - os.path.getmtime(p) < older_than_s:
+                continue
+            shutil.rmtree(p)
+            removed.append(p)
+        except OSError:
+            continue  # racing writer finished/renamed it: fine
     return removed
 
 

@@ -101,36 +101,80 @@ class SqliteCoordLogStore(LogStore):
     protocol above this class does not change.
 
     ``db_path``: one coordination database per deployment (like one
-    DynamoDB table); keys are (commit-dir, record-name), so any
-    number of tables share it."""
+    DynamoDB table); keys are (commit-dir, **table-generation nonce**,
+    record-name), so any number of tables share it AND a table
+    dropped and recreated at the same path starts a fresh claim
+    domain (advice r11, low: without the nonce, ``list_records``
+    "repaired" a dead table's old commit records back into the fresh
+    table — resurrected versions and slot collisions). The nonce is
+    one uuid written O_EXCL to ``cdir/_domain`` the first time this
+    adapter touches the table; every process reads the same value,
+    and a recreate (new cdir) mints a new one. The default db path is
+    per-user under the user's runtime dir, not a world-writable
+    shared /tmp name."""
 
     name = "sqlite"
 
     def __init__(self, db_path: str | None = None):
         self.db_path = db_path or os.environ.get(
-            "SPARK_GRAFT_LOGSTORE_DB", "/tmp/spark_graft_logstore.db"
+            "SPARK_GRAFT_LOGSTORE_DB", self._default_db_path()
         )
+
+    @staticmethod
+    def _default_db_path() -> str:
+        import getpass
+        import tempfile
+
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_{getpass.getuser()}",
+        )
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        return os.path.join(d, "logstore.db")
+
+    @staticmethod
+    def _domain(cdir: str) -> str:
+        """The table-generation nonce: minted once per commit-dir
+        lifetime (O_EXCL — concurrent minters get one winner), read
+        by everyone after. Deleting the table deletes the nonce, so
+        a recreated table can never match the dead generation's
+        claims."""
+        import uuid
+
+        p = os.path.join(cdir, "_domain")
+        try:
+            with open(p, "x") as f:
+                f.write(uuid.uuid4().hex)
+        except FileExistsError:
+            pass
+        except FileNotFoundError:
+            os.makedirs(cdir, exist_ok=True)
+            return SqliteCoordLogStore._domain(cdir)
+        with open(p) as f:
+            return f.read().strip()
 
     def _conn(self):
         import sqlite3
 
         conn = sqlite3.connect(self.db_path, timeout=30.0)
         conn.execute(
-            "CREATE TABLE IF NOT EXISTS commits ("
-            " cdir TEXT NOT NULL, name TEXT NOT NULL, payload TEXT,"
-            " PRIMARY KEY (cdir, name))"
+            "CREATE TABLE IF NOT EXISTS commits_v2 ("
+            " cdir TEXT NOT NULL, domain TEXT NOT NULL,"
+            " name TEXT NOT NULL, payload TEXT,"
+            " PRIMARY KEY (cdir, domain, name))"
         )
         return conn
 
     def put_record_if_absent(self, cdir: str, name: str, payload: str) -> bool:
+        dom = self._domain(cdir)
         conn = self._conn()
         try:
             try:
                 with conn:  # one transaction: the conditional write
                     conn.execute(
-                        "INSERT INTO commits (cdir, name, payload) "
-                        "VALUES (?, ?, ?)",
-                        (os.path.abspath(cdir), name, payload),
+                        "INSERT INTO commits_v2 "
+                        "(cdir, domain, name, payload) VALUES (?, ?, ?, ?)",
+                        (os.path.abspath(cdir), dom, name, payload),
                     )
             except Exception as e:  # IntegrityError → slot taken
                 import sqlite3
@@ -155,17 +199,22 @@ class SqliteCoordLogStore(LogStore):
 
     def list_records(self, cdir: str) -> list[str]:
         on_disk = set(super().list_records(cdir))
+        if not os.path.isdir(cdir):
+            # no live table generation → nothing to repair INTO; a
+            # dead generation's claims must stay dead
+            return sorted(on_disk)
+        dom = self._domain(cdir)
         conn = self._conn()
         try:
             rows = conn.execute(
-                "SELECT name, payload FROM commits WHERE cdir = ?",
-                (os.path.abspath(cdir),),
+                "SELECT name, payload FROM commits_v2 "
+                "WHERE cdir = ? AND domain = ?",
+                (os.path.abspath(cdir), dom),
             ).fetchall()
         finally:
             conn.close()
         for name, payload in rows:
             if name not in on_disk:  # incomplete-commit repair
-                os.makedirs(cdir, exist_ok=True)
                 self._materialize(cdir, name, payload)
                 on_disk.add(name)
         return sorted(on_disk)

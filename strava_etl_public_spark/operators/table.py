@@ -48,9 +48,9 @@ from .layout import (
     CommitConflict,
     compact_parquet,
     dataset_fingerprint,
+    resolve_entry,
     snapshot_commit,
     snapshot_commit_ref,
-    snapshot_max_commit,
     snapshot_read,
     snapshot_rollback,
     snapshot_vacuum,
@@ -404,7 +404,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         source doesn't touch) — additive evolution, the only kind a
         100 TB table can afford (no rewrite of existing data beyond
         this commit's own copy). Returns the new version number."""
-        m = snapshot_max_commit(self.path)
+        _, m = resolve_entry(self.path)
         current = self.read()
         source = self._apply_write_defaults(source)
         if evolve_schema:
@@ -456,8 +456,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         (conservative: a superset range still prunes correctly; the
         next OPTIMIZE tightens it — Delta's file-stats-under-DV
         behavior)."""
-        m = snapshot_max_commit(self.path)
-        v = self.version()
+        v, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self._open_data(v, data_dir, *appends)
@@ -559,14 +558,21 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     # conflict CLASSIFICATION (Delta's logical rules):
                     # interleaved dv_deletes on DISJOINT files commute —
                     # absorb them by DV union + digest re-derivation
-                    # instead of re-running the predicate scan
+                    # instead of re-running the predicate scan.
+                    # The rebased head is pinned ONCE and becomes BOTH
+                    # the classification bound and the retry's
+                    # expected_max — snapshot_max_commit here would
+                    # let an in-flight commit (record landed, pointer
+                    # flip pending) pass _check_expected_max while the
+                    # rebase chains past it: lost update (advice r11)
                     attempts += 1
+                    v_new = self.version()
                     if attempts > 5 or not self._interleaved_commute_dv(
-                        m, wfiles
+                        m, wfiles, head=v_new
                     ):
                         raise
-                    m = snapshot_max_commit(self.path)
-                    v = self.version()
+                    m = v_new
+                    v = v_new
                     data_dir, dv_dir, _ = self._resolve(v)
                     new_dv = (
                         self.spark.read.parquet(dv_dir)
@@ -692,8 +698,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         inherit the append list, so resolution stays one hop; OPTIMIZE
         materializes survivors and folds the appends away. Returns the
         new version number."""
-        m = snapshot_max_commit(self.path)
-        v = self.version()
+        v, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self._open_data(v, data_dir, *appends)
@@ -828,14 +833,17 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     # own hit positions and images stay valid); any
                     # other interleave — including another update,
                     # whose rewritten images this op's predicate never
-                    # scanned — conflicts (Delta's added-file rule)
+                    # scanned — conflicts (Delta's added-file rule).
+                    # expected_max = the pinned rebased head, not
+                    # snapshot_max_commit (advice r11 — see dv_delete)
                     attempts += 1
+                    v_new = self.version()
                     if attempts > 5 or not self._interleaved_commute_dv(
-                        m, wfiles
+                        m, wfiles, head=v_new
                     ):
                         raise
-                    m = snapshot_max_commit(self.path)
-                    v = self.version()
+                    m = v_new
+                    v = v_new
                     data_dir, dv_dir, _ = self._resolve(v)
                     new_dv = (
                         self.spark.read.parquet(dv_dir)
@@ -871,6 +879,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         expected_max: int,
         my_files: list[str] | None,
         allow_appends: bool = True,
+        head: int | None = None,
     ) -> bool:
         """True iff every commit that landed after ``expected_max``
         commutes with this DV op, so it can absorb the interleave by
@@ -894,10 +903,19 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
 
         Updates do NOT commute even on disjoint files: their
         rewritten images are NEW rows this op's predicate never
-        scanned (Delta's added-file conflict rule)."""
+        scanned (Delta's added-file conflict rule).
+
+        ``head`` pins the chain head the classification covers — the
+        caller MUST rebase onto exactly this version and pass it as
+        the retry's expected_max, so a commit landing after the walk
+        (or one whose record exists while its pointer flip is still
+        pending) re-raises CommitConflict instead of being silently
+        dropped from the chain (advice r11: the lost-update race)."""
         if my_files is None:
             return False
-        walked = self._walk_range(self.version(), expected_max)
+        walked = self._walk_range(
+            self.version() if head is None else head, expected_max
+        )
         if walked is None or not walked:
             return False
         mine = set(my_files)
@@ -941,10 +959,9 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         no retry of user logic, no second batch write. A column-map
         change in the interleave still conflicts (the batch was shaped
         against the old logical schema). Returns the new version."""
-        m = snapshot_max_commit(self.path)
+        v, m = resolve_entry(self.path)
         if self.constraints:
             self._check_rows(df, self.constraints)
-        v = self.version()
         vmap = self._version_map(v)
         if vmap:
             logical_cols = [l for l, _ in vmap]
@@ -1028,7 +1045,11 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 )
             except CommitConflict:
                 attempts += 1
-                new_m = snapshot_max_commit(self.path)  # max BEFORE state
+                # the rebased head is pinned ONCE and becomes BOTH the
+                # classification bound and the retry's expected_max —
+                # snapshot_max_commit would let an in-flight commit
+                # (record landed, flip pending) pass the check while
+                # the rebase chains past it: lost update (advice r11)
                 new_v = self.version()
                 walked = self._walk_range(new_v, m)
                 new_map = self._version_map(new_v)
@@ -1037,7 +1058,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 ) == (widened or None)
                 if walked is None or not same_map or attempts > 5:
                     raise
-                m, v = new_m, new_v
+                m, v = new_v, new_v
 
     def restore(self, version: int) -> int:
         """RESTORE VERSION AS OF — publish a NEW version whose logical
@@ -1052,8 +1073,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         (Delta's documented RESTORE/appId interaction). Use rollback to
         retract bad BATCHES, restore to retract bad DATA. Returns the
         new version number."""
-        m = snapshot_max_commit(self.path)
-        cur = self.version()
+        cur, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(version)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")
@@ -1118,8 +1138,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         (hit positions stay valid — UPDATE's rule); everything else
         conflicts and transact() rebases semantically. OPTIMIZE later
         materializes survivors and folds the append away."""
-        m = snapshot_max_commit(self.path)
-        v = self.version()
+        v, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         base = self._open_data(v, data_dir, *appends)
@@ -1235,13 +1254,16 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     attempts += 1
                     # allow_appends=False: an append into a partition
                     # being replaced must CONFLICT (it would survive
-                    # the replacement) — Delta's overwrite rule
+                    # the replacement) — Delta's overwrite rule.
+                    # expected_max = the pinned rebased head, not
+                    # snapshot_max_commit (advice r11 — see dv_delete)
+                    v_new = self.version()
                     if attempts > 5 or not self._interleaved_commute_dv(
-                        m, wfiles, allow_appends=False
+                        m, wfiles, allow_appends=False, head=v_new
                     ):
                         raise
-                    m = snapshot_max_commit(self.path)
-                    v = self.version()
+                    m = v_new
+                    v = v_new
                     data_dir, dv_dir, _ = self._resolve(v)
                     new_dv = (
                         self.spark.read.parquet(dv_dir)
@@ -1309,8 +1331,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 "zorder needs >= 2 cluster_by columns — for one column "
                 "plain range clustering is strictly better"
             )
-        m = snapshot_max_commit(self.path)
-        v = self.version()
+        v, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         vmap = self._version_map(v)
         logical = self.read()
@@ -1470,7 +1491,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         # tests) captures here, which still covers the whole
         # write+digest window
         if expected_max is None:
-            expected_max = snapshot_max_commit(self.path)
+            _, expected_max = resolve_entry(self.path)
         if self.constraints:
             self._check_rows(df, self.constraints)
         # every record carries its PARENT (the version current at

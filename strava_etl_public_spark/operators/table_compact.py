@@ -41,8 +41,8 @@ from pyspark.sql import functions as F
 from .layout import (
     CommitConflict,
     dataset_fingerprint,
+    resolve_entry,
     snapshot_commit_ref,
-    snapshot_max_commit,
 )
 
 
@@ -223,8 +223,7 @@ class _CompactMixin:
         micro-batch. Everything ELSE still conflicts: compaction
         rewrites files other ops' write sets name, Delta's rule for
         why OPTIMIZE conflicts with writers."""
-        m = snapshot_max_commit(self.path)
-        v = self.version()
+        v, m = resolve_entry(self.path)
         data_dir, dv_dir, appends = self._resolve(v)
         if dv_dir is None:
             return None  # copy commit: no DV, no appends — nothing to fold
@@ -430,7 +429,16 @@ class _CompactMixin:
                     )
                 except CommitConflict:
                     attempts += 1
-                    walked = self._walk_range(self.version(), m)
+                    # pin the rebased head ONCE; it is both the walk
+                    # bound and the retry's expected_max. Refreshing
+                    # expected_max from snapshot_max_commit here would
+                    # let an in-flight commit (record landed, _latest
+                    # flip pending, so m > version()) pass
+                    # _check_expected_max while this retry publishes
+                    # parent=version() — silently dropping that
+                    # commit's rows from the chain (advice r11)
+                    v_new = self.version()
+                    walked = self._walk_range(v_new, m)
                     if (
                         attempts > 5
                         or walked is None
@@ -441,7 +449,7 @@ class _CompactMixin:
                         )
                     ):
                         raise
-                    m = snapshot_max_commit(self.path)
-                    v_cur = self.version()
+                    m = v_new
+                    v_cur = v_new
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

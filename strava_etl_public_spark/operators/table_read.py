@@ -897,8 +897,14 @@ class _TableReadMixin:
         a table-relative path like ``"v5/_upd"``, or absolute (clones).
         Raises loudly on versions that don't exist or whose referenced
         dirs were vacuumed away — never a silent partial read."""
-        vdir = os.path.join(self.path, f"v{v}")
-        if v < 1 or not os.path.isdir(vdir):
+        from .layout import dataset_dir
+
+        # dataset_dir repairs an interrupted publish (r12): a commit
+        # that crashed between record put and the v{n} rename still
+        # serves — and the repair rename heals the path for every
+        # direct v{n} consumer downstream
+        vdir = dataset_dir(self.path, v) if v >= 1 else None
+        if vdir is None:
             raise ValueError(f"snapshot v{v} does not exist at {self.path}")
         meta = os.path.join(vdir, "_dv.json")
         if not os.path.isfile(meta):

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .layout import (
     dataset_fingerprint,
     snapshot_commit_ref,
-    snapshot_max_commit,
+    resolve_entry,
 )
 
 # SQL-type aliases normalized to simpleString() forms
@@ -270,8 +270,7 @@ class _SchemaMixin:
         read (ADVICE r10: the reverse order let a commit landing
         between the two reads slip past the stale-inputs guard and be
         silently lineage-orphaned)."""
-        m = snapshot_max_commit(self.path)
-        cur = self.version()
+        cur, m = resolve_entry(self.path)
         data_dir, dv_dir, cur_appends = self._resolve(cur)
         if dv_dir is not None:
             seed_dv = self.spark.read.parquet(dv_dir).select("_file", "_pos")

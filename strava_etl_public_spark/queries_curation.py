@@ -973,7 +973,7 @@ def x_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_curation_token_budget",
     oracle="""
 WITH tk AS (
@@ -1093,7 +1093,7 @@ def x_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "x_text_encoding_quality",
     oracle="""
 SELECT doc_id,

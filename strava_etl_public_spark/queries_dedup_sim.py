@@ -139,7 +139,7 @@ FROM cc JOIN (SELECT rep_id, count(*) AS n FROM cc GROUP BY rep_id) sz
 """
 
 
-@register("x_dedup_clusters", oracle=_clusters_oracle())
+@register_extra("x_dedup_clusters", oracle=_clusters_oracle())
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over
     the MinHash-LSH near-dup pairs via deterministic min-label

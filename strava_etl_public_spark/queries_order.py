@@ -118,13 +118,21 @@ QUERY_ORDER: tuple[str, ...] = (
     # projection family is certified by x_text_encoding_quality +
     # x_text_lang_id rows and the extra stays oracle-gated; slot freed
     # for the curation batch below.
-    "x_text_encoding_quality",
+    # x_text_encoding_quality demoted (r12 rotation, verdict #3): the
+    # text family keeps FOUR official rows (lang_id, quality,
+    # span_removal, hybrid_retrieval) and the mojibake/encoding
+    # projection stays oracle-gated as an extra; the slot goes to the
+    # round-11 LogStore-seam face below.
     # sketches / deterministic sampling — x_sketch_hll_users and
     # x_sample_hash_split demoted (second-wave r7 rotation): the HLL
     # family is certified by the merge/streaming extras, hash sampling
     # by the fixed-k/stratified/weighted/domain-mix extras; slots
     # freed for the curation operators a training pipeline runs first.
-    "x_curation_token_budget",
+    # x_curation_token_budget demoted (r12 rotation, verdict #3): the
+    # curation family is certified by the x_pipeline_curation official
+    # row (which composes budgeting inside the fused pipeline) and the
+    # token-budget extra stays oracle-gated; the slot goes to the
+    # round-11 commit-log-at-scale face below.
     # x_curation_dsir demoted (r9 rotation): importance weighting is
     # certified by the token-budget + pipeline_curation official rows
     # and the DSIR extra stays oracle-gated; slot freed for the exact
@@ -180,7 +188,13 @@ QUERY_ORDER: tuple[str, ...] = (
     # blocked embedding-cosine pairing is certified by the kNN-join
     # official row (LSH-blocked cosine) + the labeled/LSH extras; the
     # slot goes to the export pipeline's official row.
-    "x_dedup_clusters",
+    # x_dedup_clusters demoted (r12 rotation, verdict #3): the dedup
+    # family keeps THREE official rows (exact, minhash_lsh,
+    # incremental — the incremental row folds batches into persisted
+    # LSH state and proves clusters == full recompute, exercising the
+    # same connected-components canonicalization); the cluster-policy
+    # extra stays oracle-gated; the slot goes to the round-11
+    # multi-writer streaming face below.
     # x_dedup_jaccard_exact demoted (r10 rotation, verdict #1): the
     # shingle-Jaccard family keeps three official rows (minhash_lsh,
     # clusters, incremental) and the exact Bayardo join stays
@@ -234,6 +248,17 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_table_source_pushdown",
     "x_stream_table_sink",
     "x_stream_table_cdf_source",
+    # r12 promotions (verdict #3): the round-11 commit-protocol faces —
+    # the full DML cycle committed through the DynamoDB-style sqlite
+    # LogStore adapter (records stay plain files, incomplete-commit
+    # repair materializes live), parquet lineage checkpoints at forced
+    # cadence (as_of through the row-group fast path, splice == walk),
+    # and two txnAppId streaming queries with overlapping batchIds
+    # composing on one table (per-id replay guards, Delta's
+    # (appId, version) idempotence contract).
+    "x_table_logstore_sqlite",
+    "x_table_ckpt_parquet",
+    "x_stream_table_sink_multi",
     # x_maintenance_optimize_snapshot demoted (r10): superseded by
     # x_maintenance_zorder (same OPTIMIZE-on-snapshots contract PLUS
     # the clustering/pruning proof) and the managed-table pipeline

@@ -1256,7 +1256,7 @@ def x_table_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_logstore_sqlite",
     oracle=f"""
 WITH base AS (
@@ -1379,7 +1379,7 @@ def x_table_logstore_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_table_ckpt_parquet",
     oracle=f"""
 WITH base AS (

@@ -926,7 +926,7 @@ def x_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_stream_table_sink_multi",
     oracle="""
 WITH base AS (

@@ -337,12 +337,23 @@ class TableCDFStreamReader(DataSourceStreamReader):
             for logical, physical, _ in self._fields:
                 if now.get(logical) == physical:
                     continue
-                if (
-                    v <= self._decl_version
-                    and now.get(logical) is None
-                    and physical not in phys_in_use
-                ):
-                    continue  # added after this older commit: backfill
+                if v <= self._decl_version:
+                    # pre-declaration replay (advice r11, medium): the
+                    # reader projects by PHYSICAL name, which is
+                    # rename-stable — in this OLDER commit the
+                    # declared physical either exists (possibly under
+                    # a pre-rename logical name: serve it) or was
+                    # added later (null-backfill, the add contract).
+                    # Without the phys_in_use arm, any table with a
+                    # prior rename made every same-checkpoint restart
+                    # raise — the loss-free recovery was unreachable.
+                    # The raise is reserved for maps NEWER than the
+                    # declaration, where divergence means rename/drop.
+                    if (
+                        physical in phys_in_use
+                        or now.get(logical) is None
+                    ):
+                        continue
                 raise ValueError(
                     f"table_cdf: column {logical!r} was renamed or "
                     f"dropped at v{v} under a running stream — "

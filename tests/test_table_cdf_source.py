@@ -566,3 +566,57 @@ def test_resilient_drain_restarts_through_live_evolution(
     assert any(r["id"] == 3 and r["sign"] == -1 for r in rows)
     post = [r for r in rows if r["id"] == 11 and r["sign"] == 1]
     assert post and post[-1].get("speed", post[-1].get("val")) == 111
+
+
+def test_same_checkpoint_restart_after_prior_rename(spark, tmp_path):
+    """ADVICE r11 (medium): the loss-free restart on a table that
+    ALREADY had a column map. The pending window's pre-rename commits
+    carry the declared physical under the OLD logical name — they
+    must classify as pre-declaration replay (the reader projects by
+    physical, which is rename-stable), not as rename/drop. Before the
+    fix, every same-checkpoint restart raised until max_restarts:
+    the advertised loss-free recovery was unreachable for any table
+    with a prior rename."""
+    from strava_etl_public_spark.streaming.ingest import (
+        table_cdf_resilient_drain,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = _mk(spark, path, n=20)
+    # PRIOR rename: the table has a column map before the stream ever
+    # starts (val -> speed, physical name stays 'val')
+    t.rename_column("val", "speed")
+    t.update(F.col("id") == 4, {"speed": F.lit(404)})
+    v0 = t.version()
+    rows: list[dict] = []
+
+    def sink(df, bid):
+        rows.extend(r.asDict() for r in df.collect())
+
+    assert (
+        table_cdf_resilient_drain(
+            spark, path, ckpt, sink, starting_version=v0
+        )
+        == 0
+    )
+    n_before = len(rows)
+
+    # pending window: DML under the map, a SECOND rename, more DML
+    t.delete(F.col("id") == 6)
+    t.rename_column("speed", "pace")
+    t.update(F.col("id") == 9, {"pace": F.lit(909)})
+
+    # same checkpoint: replays the whole window, pre-rename commits
+    # included, under the re-derived (newest) schema — no raise
+    assert (
+        table_cdf_resilient_drain(
+            spark, path, ckpt, sink, starting_version=v0
+        )
+        == 0
+    )
+    new_rows = rows[n_before:]
+    assert {"id": 6, "bucket": 2, "pace": 60, "sign": -1} in new_rows
+    post = [r for r in new_rows if r["id"] == 9 and r["sign"] == 1]
+    assert post and post[-1]["pace"] == 909
+    assert len([r for r in rows if r["id"] == 6]) == 1

@@ -140,42 +140,63 @@ def test_crash_fuzz_commit_protocol(spark, tmp_path, seed, monkeypatch):
             return  # simulated crash: cleanup never ran
         return real_rmtree(path, *a, **kw)
 
-    def apply_op(op: str) -> dict | None:
-        """Run op; return the model delta to apply on success."""
+    def plan_op(op: str):
+        """(runner, delta): all randomness drawn at PLAN time, so a
+        crashed run still knows the delta it would have applied —
+        needed since r12, where a crash after the record put leaves a
+        DURABLE commit that the next op's entry rolls forward."""
         nonlocal next_id
         if op == "append":
             nid = next_id
             next_id += 1
             row = (nid, nid % 3, nid)
-            t.append(_df(spark, [row]))
-            return {"add": {row[0]: (row[1], row[2])}}
+            return (
+                lambda: t.append(_df(spark, [row])),
+                {"add": {row[0]: (row[1], row[2])}},
+            )
         if op == "delete":
             victim = rng.choice(sorted(model))
-            t.delete(F.col("id") == victim)
-            return {"del": [victim]}
+            return (
+                lambda: t.delete(F.col("id") == victim),
+                {"del": [victim]},
+            )
         if op == "update":
             victim = rng.choice(sorted(model))
-            t.update(F.col("id") == victim, {"val": F.lit(77777)})
-            return {"upd": {victim: 77777}}
+            return (
+                lambda: t.update(F.col("id") == victim, {"val": F.lit(77777)}),
+                {"upd": {victim: 77777}},
+            )
         if op == "overwrite":
             part = rng.randrange(3)
             keep_id = next_id
             next_id += 1
             row = (keep_id, part, keep_id)
-            t.overwrite_partitions(_df(spark, [row]), "part")
-            return {
-                "del": [k for k, (p, _) in model.items() if p == part],
-                "add": {row[0]: (row[1], row[2])},
-            }
+            # del_part, not a concrete key list: the delta may fold
+            # AFTER a pending (durable-but-unflipped) commit lands, so
+            # the replaced-partition membership is evaluated at FOLD
+            # time, mirroring the table's serial order exactly
+            return (
+                lambda: t.overwrite_partitions(_df(spark, [row]), "part"),
+                {
+                    "del_part": part,
+                    "add": {row[0]: (row[1], row[2])},
+                },
+            )
         if op == "compact":
-            t.compact(dead_frac=0.01, small_bytes=256 * 1024)
-            return {}
+            return (
+                lambda: t.compact(dead_frac=0.01, small_bytes=256 * 1024),
+                {},
+            )
         if op == "optimize":
-            t.optimize()
-            return {}
+            return (lambda: t.optimize(), {})
         raise AssertionError(op)
 
     def fold(delta: dict) -> None:
+        if "del_part" in delta:
+            for k in [
+                k for k, (p, _) in model.items() if p == delta["del_part"]
+            ]:
+                model.pop(k)
         for k in delta.get("del", []):
             model.pop(k, None)
         for k, pv in delta.get("add", {}).items():
@@ -185,37 +206,53 @@ def test_crash_fuzz_commit_protocol(spark, tmp_path, seed, monkeypatch):
                 model[k] = (model[k][0], v)
 
     ops = ("append", "delete", "update", "overwrite", "compact", "optimize")
+    from strava_etl_public_spark.operators.layout import (
+        abandoned_records,
+        snapshot_max_commit,
+    )
+
+    import os as _os
+
+    # r12 semantics: the record put is the COMMIT POINT (data is
+    # staged durably before it). A crash after the record leaves a
+    # DURABLE commit the next op's entry rolls forward — so visibility
+    # is decided by GROUND TRUTH (is the commit's version <= the
+    # published pointer?), not by guessing which crash point fired:
+    # the next op may itself crash mid-roll-forward. `pending` holds
+    # (version, delta) of committed-but-possibly-unflipped ops; every
+    # check folds exactly the pending deltas the pointer has reached.
+    pending: list[tuple[int, dict]] = []
+
+    def settle() -> None:
+        vcur = t.version()
+        while pending and pending[0][0] <= vcur:
+            fold(pending.pop(0)[1])
+
     try:
         monkeypatch.setattr(_shutil, "rmtree", fake_rmtree)
         for i in range(35):  # 3 seeds × 35 = 105 (op, crash-point) pairs
             op = rng.choice(ops)
             cp = rng.choice(CRASH_POINTS + (None, None))
             log.append(f"{i}: {op} crash_at={cp}")
+            run, delta = plan_op(op)
+            prev_max = snapshot_max_commit(t.path)
             set_log_store(CrashingStore(cp))
             crashing["on"] = cp is not None
             try:
-                delta = apply_op(op)
+                run()
             except InjectedCrash:
-                # applied iff the crash hit AFTER the pointer publish;
-                # compact/optimize are content-identical either way.
-                # NOTE: ops may legitimately not reach the injection
-                # point (a no-op compact publishes nothing) — then no
-                # crash fires and the op just succeeded.
-                if cp == "after_pointer" and op not in (
-                    "compact",
-                    "optimize",
-                ):
-                    # the delta was never returned; reconstruct it by
-                    # re-deriving from the op's rng draw is fragile —
-                    # instead trust the TABLE and resync the model
-                    model.clear()
-                    model.update(_read_model(t))
-                delta = None
+                pass  # durability judged from the record set below
             finally:
                 set_log_store(None)
                 crashing["on"] = False
-            if delta is not None:
-                fold(delta)
+            new_max = snapshot_max_commit(t.path)
+            if new_max > prev_max and op not in ("compact", "optimize"):
+                # the op committed (record landed) at new_max —
+                # whether the pointer flip survived decides WHEN the
+                # delta folds, via settle(). compact/optimize are
+                # content-identical, their delta is empty anyway.
+                pending.append((new_max, delta))
+            settle()
             got = _read_model(t)
             assert got == model, (
                 f"state diverged after {log[-1]}\nlog={log}\n"
@@ -223,13 +260,32 @@ def test_crash_fuzz_commit_protocol(spark, tmp_path, seed, monkeypatch):
                 f"missing={set(model) - set(got)}"
             )
             _audit_digest(t)
+            # r12 invariant: NO burned slots — every recorded version
+            # not in the abandoned ledger serves (the crashed
+            # in-flight one included, via the staged-dir fallback)
+            cdir = _os.path.join(t.path, "_commits")
+            ab = abandoned_records(t.path)
+            vcur = t.version()
+            for f in _os.listdir(cdir):
+                if not f.endswith(".json") or f.startswith("_"):
+                    continue
+                r = int(f.split(".")[0])
+                if r in ab or r <= vcur:
+                    continue  # historical: covered by the model check
+                # the crash-window record above the pointer: must
+                # serve via the staged-dir fallback, never raise
+                t.read(version=r).take(1)
         # the chain stays healthy end-to-end: one real op + optimize
         nid = next_id
         t.append(_df(spark, [(nid, 0, nid)]))
+        settle()
         model[nid] = (0, nid)
         t.optimize()
+        assert not pending
         assert _read_model(t) == model
         _audit_digest(t)
+        # and the final chain has no gap: pointer == record high-water
+        assert t.version() == snapshot_max_commit(t.path)
     finally:
         set_log_store(None)
 

@@ -156,16 +156,18 @@ def test_max_capture_precedes_state_read(spark, base, tmp_path, monkeypatch):
 
     t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
     t2 = ManagedTable(spark, str(tmp_path / "t"))
-    real_max = table_mod.snapshot_max_commit
+    # r12: entry goes through resolve_entry (gap-classifying) — hook
+    # that seam; the ordering invariant under test is unchanged
+    real_entry = table_mod.resolve_entry
     fired = {"done": False}
 
-    def hooked_max(path):
+    def hooked_entry(path):
         if not fired["done"]:
             fired["done"] = True
             t2.update(F.col("id") == 2, {"value": F.lit(222.0)})
-        return real_max(path)
+        return real_entry(path)
 
-    monkeypatch.setattr(table_mod, "snapshot_max_commit", hooked_max)
+    monkeypatch.setattr(table_mod, "resolve_entry", hooked_entry)
     v = t.delete(F.col("id") == 1)
     assert fired["done"]
     # BOTH effects present — the old order orphaned the update

@@ -466,14 +466,61 @@ def snapshot_max_commit(table_path: str) -> int:
     """The allocation high-water: the highest commit record ever
     written (0 for a fresh table). Ops capture this at ENTRY and pass
     it as ``expected_max`` so the commit layer can detect a competing
-    record that landed while the op was deriving its write set."""
+    record that landed while the op was deriving its write set.
+
+    O(1), not O(records) (r12, verdict #4): record slots are
+    allocated ``max+1`` and the commit log is never deleted, so the
+    record set is CONTIGUOUS ``1..m`` — the high-water is found by
+    probing upward from the ``_commits/_hw`` hint (bumped best-effort
+    after every successful record put; a lagging hint only means a
+    few extra probes, a missing one degrades to a full probe-walk
+    from the pointer). At 10^6 versions this replaces a million-entry
+    directory LIST per commit/resolve with ~2 stat calls — Delta's
+    `_last_checkpoint` version-hint, applied to allocation."""
     import os
 
     cdir = os.path.join(table_path, "_commits")
     if not os.path.isdir(cdir):
         return 0
-    vs = [int(f.split(".")[0]) for f in get_log_store().list_records(cdir)]
-    return max(vs) if vs else 0
+    store = get_log_store()
+    m = max(_read_hw(cdir), snapshot_version(table_path), 0)
+    # the hint may itself name a record that was never written (it is
+    # only bumped AFTER a put, so normally not) — validate downward
+    # once, then probe upward to the true high-water
+    if m > 0 and not store.has_record(cdir, f"{m}.json"):
+        vs = [int(f.split(".")[0]) for f in store.list_records(cdir)]
+        return max(vs) if vs else 0
+    while store.has_record(cdir, f"{m + 1}.json"):
+        m += 1
+    return m
+
+
+def _read_hw(cdir: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(cdir, "_hw")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _bump_hw(cdir: str, n: int) -> None:
+    """Best-effort monotone bump of the allocation hint — written
+    AFTER the record put, atomic replace, losers of a concurrent
+    bump race can only leave the hint LOW (a lagging hint costs
+    probes, never correctness)."""
+    import os
+
+    if n <= _read_hw(cdir):
+        return
+    tmp = os.path.join(cdir, f"._hw_{os.getpid()}.tmp")
+    try:
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, os.path.join(cdir, "_hw"))
+    except OSError:
+        pass
 
 
 def snapshot_commit(
@@ -521,10 +568,7 @@ def snapshot_commit(
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
     # cheap early stale-inputs check — fail before the expensive write
-    _check_expected_max(
-        [int(f.split(".")[0]) for f in store.list_records(cdir)],
-        expected_max,
-    )
+    _check_expected_max([snapshot_max_commit(table_path)], expected_max)
     staging = os.path.join(table_path, f"_stage_{uuid.uuid4().hex[:12]}")
     committed = False
     try:
@@ -540,11 +584,10 @@ def snapshot_commit(
             decorate(staging)
         # allocate from the HIGHEST COMMIT EVER, not the _latest
         # pointer: after a rollback the pointer is behind, and
-        # pointer+1 would overwrite a published (immutable) snapshot
-        existing = [
-            int(f.split(".")[0]) for f in store.list_records(cdir)
-        ]
-        n = (max(existing) if existing else 0) + 1
+        # pointer+1 would overwrite a published (immutable) snapshot.
+        # O(1) via the _hw hint + contiguity probe (r12, verdict #4)
+        existing = [snapshot_max_commit(table_path)]
+        n = existing[0] + 1
         # OPTIMISTIC CONCURRENCY: (a) re-check the allocation
         # high-water AFTER the expensive data/digest jobs — a
         # competing record that landed while this op derived its write
@@ -581,6 +624,7 @@ def snapshot_commit(
                 "concurrent writer won the slot"
             )
         committed = True
+        _bump_hw(cdir, n)  # keep the O(1) allocation hint fresh
         os.rename(staging, os.path.join(table_path, f"v{n}"))
         store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
@@ -937,10 +981,9 @@ def snapshot_commit_ref(
     committed = False
     try:
         populate(staging)
-        existing = [
-            int(f.split(".")[0]) for f in store.list_records(cdir)
-        ]
-        n = (max(existing) if existing else 0) + 1
+        # O(1) allocation via the _hw hint + contiguity probe (r12)
+        existing = [snapshot_max_commit(table_path)]
+        n = existing[0] + 1
         vdir = os.path.join(table_path, f"v{n}")
         if digest is None:
             if logical_df is None:
@@ -971,6 +1014,7 @@ def snapshot_commit_ref(
                 "concurrent writer won the slot"
             )
         committed = True
+        _bump_hw(cdir, n)  # keep the O(1) allocation hint fresh
         os.rename(staging, vdir)
         store.publish_pointer(table_path, n)  # atomic publish
         _maybe_write_lineage_ckpt(table_path, n)
@@ -1109,17 +1153,13 @@ def resolve_entry(table_path: str) -> tuple[int, int]:
     store = get_log_store()
     cdir = os.path.join(table_path, "_commits")
     for _ in range(8):
-        if os.path.isdir(cdir):
-            recs = sorted(
-                int(f.split(".")[0]) for f in store.list_records(cdir)
-            )
-        else:
-            recs = []
-        m = recs[-1] if recs else 0
+        m = snapshot_max_commit(table_path)  # O(1): hint + probe
         v = snapshot_version(table_path)
         if m <= v:
             return v, max(v, m)
-        gap = [r for r in recs if v < r <= m]
+        # slots are contiguous (allocation is max+1, log never
+        # deleted) — the gap is exactly the integer range
+        gap = list(range(v + 1, m + 1))
         pending = [r for r in gap if r not in abandoned_records(table_path)]
         if not pending:
             return v, m
@@ -1316,7 +1356,11 @@ def snapshot_history(spark, table_path: str) -> DataFrame:
     rows = []
     cdir = os.path.join(table_path, "_commits")
     if os.path.isdir(cdir):
-        for fn in sorted(os.listdir(cdir), key=lambda s: int(s.split(".")[0])):
+        names = [
+            f for f in os.listdir(cdir)
+            if f.endswith(".json") and f[0].isdigit()  # skip _hw etc.
+        ]
+        for fn in sorted(names, key=lambda s: int(s.split(".")[0])):
             with open(os.path.join(cdir, fn)) as f:
                 rows.append(json.load(f))
     return spark.createDataFrame(

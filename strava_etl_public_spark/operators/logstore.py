@@ -76,6 +76,17 @@ class LogStore:
             return []
         return [f for f in os.listdir(cdir) if f.endswith(".json")]
 
+    def has_record(self, cdir: str, name: str) -> bool:
+        """Existence probe for ONE record — the O(1) primitive behind
+        the allocation high-water hint (r12, verdict #4: a directory
+        LIST per commit/resolve is O(records) and becomes the ceiling
+        at 10^6 versions; probing ``hint+1, hint+2, …`` is O(1)
+        amortized because slots are allocated contiguously and never
+        deleted). Adapters with claim repair must treat a
+        claimed-but-unmaterialized record as EXISTING (and may repair
+        it here), exactly like list_records."""
+        return os.path.isfile(os.path.join(cdir, name))
+
     def publish_pointer(self, table_path: str, version: int) -> None:
         tmp = os.path.join(table_path, "_latest.tmp")
         with open(tmp, "w") as f:
@@ -218,6 +229,25 @@ class SqliteCoordLogStore(LogStore):
                 self._materialize(cdir, name, payload)
                 on_disk.add(name)
         return sorted(on_disk)
+
+    def has_record(self, cdir: str, name: str) -> bool:
+        if os.path.isfile(os.path.join(cdir, name)):
+            return True
+        if not os.path.isdir(cdir):
+            return False
+        conn = self._conn()
+        try:
+            row = conn.execute(
+                "SELECT payload FROM commits_v2 "
+                "WHERE cdir = ? AND domain = ? AND name = ?",
+                (os.path.abspath(cdir), self._domain(cdir), name),
+            ).fetchone()
+        finally:
+            conn.close()
+        if row is None:
+            return False
+        self._materialize(cdir, name, row[0])  # incomplete-commit repair
+        return True
 
 
 _STORE: LogStore | None = None

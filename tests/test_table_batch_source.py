@@ -150,3 +150,49 @@ def test_source_refuses_reclaimed_old_version(spark, tmp_path):
     assert _load(spark, path).count() == t.read().count()
     with pytest.raises(Exception, match="reclaim_dead|retention"):
         _load(spark, path, version=1).count()
+
+
+def test_every_pushed_predicate_kind_plans_and_matches(spark, tmp_path):
+    """One end-to-end per predicate KIND the engine may push (r11
+    lesson, verdict #9: the In-filter planning crash — pyspark's In
+    dataclass field is `value`, not `values` — shipped in r10 because
+    pushdown had tests only for eq/range; a missing KIND is a
+    planning crash no generic test catches). The source's prune-only
+    contract means every kind must (a) plan without error with
+    pushdown ON and (b) return exactly what the same filter returns
+    on t.read(); kinds the pruner doesn't understand must flow back
+    to Spark untouched. Run over a table with a DV delete, an update,
+    a rename (column map), and NULLs in play — the compound surface."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, stat_cols=["id"], bloom_col="id")
+    t.delete(F.col("id") % 7 == 0)
+    t.update(F.col("id") == 11, {"val": F.lit(None).cast("long")})
+    t.rename_column("val", "speed")
+    t.append(
+        spark.createDataFrame(
+            [(900, 3, None)], "id long, bucket long, speed long"
+        )
+    )
+
+    preds = {
+        "eq": F.col("id") == 55,
+        "eq_to_deleted": F.col("id") == 14,  # DV'd row: zero rows
+        "gt": F.col("id") > 150,
+        "gte": F.col("id") >= 150,
+        "lt": F.col("id") < 5,
+        "lte": F.col("id") <= 5,
+        "in": F.col("id").isin(3, 55, 900, 14, -1),
+        "in_renamed": F.col("speed").isin(30, 550),
+        "isnull": F.col("speed").isNull(),
+        "isnotnull": F.col("speed").isNotNull(),
+        "eq_null_safe": F.col("speed").eqNullSafe(None),
+        "not": ~(F.col("id") <= 150),
+        "not_in": ~F.col("id").isin(3, 55),
+        "and_mixed": (F.col("id") > 10) & F.col("speed").isNotNull(),
+        "or_mixed": (F.col("id") == 3) | F.col("speed").isNull(),
+        "cast_str_startswith": F.col("id").cast("string").startswith("1"),
+    }
+    for name, pred in preds.items():
+        got = _rows(_load(spark, path).filter(pred))
+        want = _rows(t.read().filter(pred))
+        assert got == want, f"predicate kind {name!r} diverged"

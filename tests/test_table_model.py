@@ -43,8 +43,28 @@ def _df(spark, model):
     return spark.createDataFrame(rows, SCHEMA)
 
 
-@pytest.mark.parametrize("seed", [901, 902, 903, 906, 908])
-def test_random_op_sequences_match_model(spark, tmp_path, seed):
+#: seeds 903/908 dispatch EVERY op through the DynamoDB-style sqlite
+#: LogStore adapter (r12, verdict #8: the adapter was covered only by
+#: directed tests — the fuzz now exercises arbitrary interleavings of
+#: the whole op surface through the second coordination mechanism)
+@pytest.mark.parametrize(
+    "seed,store_kind",
+    [(901, "local"), (902, "local"), (903, "sqlite"),
+     (906, "local"), (908, "sqlite")],
+)
+def test_random_op_sequences_match_model(
+    spark, tmp_path, seed, store_kind, request
+):
+    from strava_etl_public_spark.operators.logstore import (
+        SqliteCoordLogStore,
+        set_log_store,
+    )
+
+    request.addfinalizer(lambda: set_log_store(None))
+    if store_kind == "sqlite":
+        set_log_store(
+            SqliteCoordLogStore(db_path=str(tmp_path / f"coord{seed}.db"))
+        )
     rng = random.Random(seed)
     init = {i: (i % 4, i * 10) for i in range(1, 31)}
     # the value column starts NARROW (int) so the widen arm has a real
@@ -91,6 +111,32 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
 
     next_id = 100
     clones: list[tuple] = []  # (handle, expected model, value-col name)
+
+    # CDF resilient-drain arm (r12, verdict #8): a change-feed
+    # consumer rides along the walk — `consumer` folds the drained
+    # signed deltas and must equal the table's (id → (part, val))
+    # state after every clean drain. Copy commits (merge/optimize/
+    # restore) and rollback/vacuum mark the window dirty: the source
+    # raises on those by contract, and the consumer follows the
+    # documented recipe (resync from a snapshot, fresh cursor).
+    # Evolution commits (rename/widen/add) stay CLEAN — the resilient
+    # drain's restart loop must serve them, replay-exact.
+    from strava_etl_public_spark.streaming.ingest import (
+        table_cdf_resilient_drain,
+    )
+
+    drain = {
+        "n": 0,
+        "ckpt": str(tmp_path / f"ck{seed}_0"),
+        "start_v": t.version(),
+        "dirty": False,
+        "consumer": {k: (p, v) for k, (p, v) in model.items()},
+    }
+    _DIRTY_OPS = {
+        "merge", "merge_nmbs", "restore", "rollback", "vacuum",
+        "optimize",
+    }
+
     for step in range(14):
         op = rng.choice(
             [
@@ -110,6 +156,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 "vacuum",
                 "addcol",
                 "update_added",
+                "drain",
             ]
         )
         if op == "merge":
@@ -313,6 +360,49 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             removed = t.vacuum(keep_last=k)
             for v in removed:
                 states[v] = None
+        elif op == "drain":
+            if drain["dirty"]:
+                drain["n"] += 1
+                drain["ckpt"] = str(tmp_path / f"ck{seed}_{drain['n']}")
+                drain["start_v"] = t.version()
+                drain["consumer"] = {
+                    k: (p, v) for k, (p, v) in model.items()
+                }
+                drain["dirty"] = False
+                log.append("drain: resync (copy commit in window)")
+            else:
+                batches: list[list[dict]] = []
+
+                def _sink(df, bid, batches=batches):
+                    batches.append([r.asDict() for r in df.collect()])
+
+                table_cdf_resilient_drain(
+                    spark,
+                    t.path,
+                    drain["ckpt"],
+                    _sink,
+                    starting_version=drain["start_v"],
+                )
+                for batch in batches:
+                    # per window-segment-diff: per id at most one -1
+                    # and one +1; fold retractions first
+                    for r in sorted(batch, key=lambda r: r["sign"]):
+                        if r["sign"] == 1:
+                            drain["consumer"][r["id"]] = (
+                                r["part"],
+                                r[cur],
+                            )
+                        else:
+                            drain["consumer"].pop(r["id"], None)
+                log.append(f"drain: {sum(len(b) for b in batches)} rows")
+                assert drain["consumer"] == {
+                    k: (p, v) for k, (p, v) in model.items()
+                }, (
+                    "CDF consumer diverged from table state\nops:\n"
+                    + "\n".join(log)
+                )
+        if op in _DIRTY_OPS:
+            drain["dirty"] = True
         got = _read_model(t, cur, sorted(extras))
         assert got == _expected(), (
             f"step {step} diverged\nops:\n" + "\n".join(log)

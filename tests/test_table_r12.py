@@ -305,3 +305,45 @@ def test_clean_staging_reclaims_only_orphans(spark, tmp_path):
     assert os.path.isdir(young_orphan)
     # the referenced staging still serves (and repairs) as v2
     assert 701 in _ids(ManagedTable(spark, path), version=2)
+
+
+def test_sqlite_has_record_repairs_claimed_but_missing(tmp_path):
+    """has_record (the O(1) allocation probe) must treat a
+    claimed-but-unmaterialized record as EXISTING and repair it —
+    the same rule as list_records, now on the probe path the
+    high-water hint uses."""
+    db = str(tmp_path / "coord.db")
+    store = SqliteCoordLogStore(db_path=db)
+    cdir = str(tmp_path / "t" / "_commits")
+    os.makedirs(cdir)
+    assert store.put_record_if_absent(cdir, "1.json", '{"version": 1}')
+    os.remove(os.path.join(cdir, "1.json"))  # crash window simulated
+    assert store.has_record(cdir, "1.json")  # claimed → exists
+    assert os.path.isfile(os.path.join(cdir, "1.json"))  # repaired
+    assert not store.has_record(cdir, "2.json")
+
+
+def test_max_commit_is_o1_with_fresh_hint(spark, tmp_path, monkeypatch):
+    """With a fresh _hw hint, snapshot_max_commit must not LIST the
+    commit directory (the O(records) ceiling r12 removed) — probe
+    calls only."""
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)
+    t.append(_df(spark, [(801, 1, 801)]))  # v2 — hint bumped to 2
+    import os as _os
+
+    real_listdir = _os.listdir
+
+    def no_list_commits(p):
+        assert not str(p).endswith("_commits"), (
+            "snapshot_max_commit listed _commits despite a fresh hint"
+        )
+        return real_listdir(p)
+
+    monkeypatch.setattr(_os, "listdir", no_list_commits)
+    assert snapshot_max_commit(path) == 2
+    monkeypatch.undo()
+    # and a LAGGING hint (lost bump) still resolves by probing up
+    with open(os.path.join(path, "_commits", "_hw"), "w") as f:
+        f.write("1")
+    assert snapshot_max_commit(path) == 2

@@ -39,7 +39,7 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 #: every round start — a stale pin restates "vs two rounds ago" and
 #: stops adjudicating the current round's own effect. The old r8
 #: anchor is kept for the long-series view (informational only).
-PREV_BENCH_COMMIT = "9a76d32da42e365660eeae73706f32682e1509df"  # r11 close
+PREV_BENCH_COMMIT = "9f0f0a66f7e32ab4100f7867d4a3a7bdd5f6ca6f"  # r12 close
 ANCHOR_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"  # r8 anchor
 
 #: Idle-box gate for the OFFICIAL headline number (round-8 verdict
@@ -677,6 +677,11 @@ def main() -> int:
     # number survived only by reconstruction from fragments).
     detail = {
         "metric": "bench_detail",
+        # the official single-shot timings dict VERBATIM (r13, verdict
+        # #4): the final stdout headline can be lost to a tail-capture
+        # truncation, so the checked-in sidecar must carry everything
+        # a SURVEY claim needs on its own
+        "timings": timings,
         "spread": spread,
         "extras": extras,
         "extras_spread": extras_spread,
@@ -689,14 +694,6 @@ def main() -> int:
         "sf": sf_val,
     }
     print(json.dumps(detail))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
-        ) as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass  # sidecar is best-effort; stdout detail line already out
 
     # THE headline (r11 verdict #1a): the paired-vs-prev-close median
     # delta — the only number in this artifact that is comparable
@@ -757,6 +754,20 @@ def main() -> int:
     if errors:
         # names only — full messages live in the detail line/sidecar
         out["errors"] = sorted(errors)
+    # sidecar carries detail + the FULL headline (r13, verdict #4):
+    # BENCH_r{N} artifacts are reconstructed from a bounded stdout
+    # tail, so the self-contained record lives in the repo file
+    detail["headline"] = out
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; stdout lines already out
+    # the compact headline is the LAST stdout line — paired median,
+    # official flag, freq fields all present even under tail capture
     print(json.dumps(out))
     spark.stop()
     # Distinct exit codes, always AFTER the JSON line: 2 = recall gate

@@ -523,6 +523,47 @@ def _bump_hw(cdir: str, n: int) -> None:
         pass
 
 
+def _no_rename() -> bool:
+    """Object-store mode (r13, verdict #1): with
+    ``SPARK_GRAFT_NO_RENAME=1`` the cosmetic ``staging → v{n}`` rename
+    is globally suppressed and every version is served through its
+    staged name forever — proving the publish protocol's claim that
+    the record put is the commit point and object stores (which lack
+    atomic directory rename) need no rename at all. The flag is a
+    DEPLOYMENT property: all readers and writers of a table must
+    agree on it (mixing modes is fine for reads — ``dataset_dir``
+    resolves both — but a normal-mode reader would repair-rename a
+    no-rename table's dirs, which is harmless yet defeats the
+    proof). Read per call so tests can flip it with monkeypatch."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_NO_RENAME", "") == "1"
+
+
+def _finish_publish(staging: str, vdir: str) -> None:
+    """Complete the cosmetic ``staging → v{n}`` rename AFTER the
+    record put (the commit point). Tolerates LOSING the rename race
+    (advice r13, medium): between this writer's record put and its
+    rename, any concurrent op's ``dataset_dir``/``resolve_entry`` may
+    roll the publish forward and perform the repair rename first —
+    the writer's own rename then raises for a commit that actually
+    SUCCEEDED (record durable, data servable), and a caller retrying
+    on that error would double-apply the write. The commit is durable
+    either way, so the rename error is swallowed whenever ``v{n}``
+    exists (a repairer won) and re-raised only when it is also absent
+    (real corruption — e.g. the staging dir was externally removed
+    before anything could serve it)."""
+    import os
+
+    if _no_rename():
+        return  # staged name IS the published name (object-store mode)
+    try:
+        os.rename(staging, vdir)
+    except OSError:
+        if not os.path.isdir(vdir):
+            raise
+
+
 def snapshot_commit(
     df: DataFrame,
     table_path: str,
@@ -625,8 +666,10 @@ def snapshot_commit(
             )
         committed = True
         _bump_hw(cdir, n)  # keep the O(1) allocation hint fresh
-        os.rename(staging, os.path.join(table_path, f"v{n}"))
-        store.publish_pointer(table_path, n)  # atomic publish
+        _finish_publish(staging, os.path.join(table_path, f"v{n}"))
+        # monotone: a repairer may have already published PAST n
+        # (advice r13 — an unconditional flip here could regress)
+        store.publish_pointer_monotone(table_path, n)
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
@@ -1015,8 +1058,9 @@ def snapshot_commit_ref(
             )
         committed = True
         _bump_hw(cdir, n)  # keep the O(1) allocation hint fresh
-        os.rename(staging, vdir)
-        store.publish_pointer(table_path, n)  # atomic publish
+        _finish_publish(staging, vdir)  # tolerate a repairer winning
+        # monotone commit-path flip (advice r13 — never regress)
+        store.publish_pointer_monotone(table_path, n)
         _maybe_write_lineage_ckpt(table_path, n)
         return n
     finally:
@@ -1054,8 +1098,14 @@ def dataset_dir(table_path: str, v: int) -> str | None:
     vdir = os.path.join(table_path, f"v{v}")
     if os.path.isdir(vdir):
         return vdir
-    rp = os.path.join(table_path, "_commits", f"{v}.json")
-    if not os.path.isfile(rp):
+    cdir = os.path.join(table_path, "_commits")
+    rp = os.path.join(cdir, f"{v}.json")
+    # probe through the LogStore, not the raw filesystem (advice r13,
+    # low): a commit claimed in a coordination adapter but not yet
+    # materialized as a record file (crash between claim and write)
+    # IS a commit — has_record repairs the file so the read below
+    # sees it
+    if not get_log_store().has_record(cdir, f"{v}.json"):
         return None
     try:
         with open(rp) as f:
@@ -1066,6 +1116,8 @@ def dataset_dir(table_path: str, v: int) -> str | None:
         return None
     sp = os.path.join(table_path, staged)
     if os.path.isdir(sp):
+        if _no_rename():
+            return sp  # object-store mode: staged names are final
         try:
             os.rename(sp, vdir)  # complete the interrupted publish
         except OSError:
@@ -1073,6 +1125,30 @@ def dataset_dir(table_path: str, v: int) -> str | None:
     if os.path.isdir(vdir):
         return vdir
     return sp if os.path.isdir(sp) else None
+
+
+def resolve_rel(table_path: str, rel: str) -> str:
+    """Resolve a TABLE-RELATIVE dataset reference stored in version
+    metadata (``"v5"``, ``"v5/_upd"``) to a concrete path. Logical
+    ``v{n}`` names resolve through :func:`dataset_dir`, so a
+    never-renamed publish — the crash window between record put and
+    rename, or the object-store no-rename mode where the rename never
+    happens at all — serves exactly like a renamed one. Staged
+    basenames stored by no-rename writers (``_base_ref`` records the
+    resolved basename) and any other relative name join directly.
+    Every read-time consumer of ``base``/``appends`` entries resolves
+    through this one rule (r13, verdict #1: the direct
+    ``os.path.join(path, f"v{{n}}")`` constructions were exactly the
+    hidden rename dependencies the no-rename proof flushed out)."""
+    import os
+    import re
+
+    m = re.match(r"^v(\d+)(/.*)?$", rel)
+    if m:
+        d = dataset_dir(table_path, int(m.group(1)))
+        if d is not None:
+            return d + (m.group(2) or "")
+    return os.path.join(table_path, rel)
 
 
 def _abandoned_dir(table_path: str) -> str:
@@ -1175,7 +1251,9 @@ def resolve_entry(table_path: str) -> tuple[int, int]:
         ok = True
         while cur > v:
             rp = os.path.join(cdir, f"{cur}.json")
-            if not os.path.isfile(rp):
+            # store probe (advice r13, low): repairs a claimed-but-
+            # unmaterialized record before the file read below
+            if not store.has_record(cdir, f"{cur}.json"):
                 ok = False
                 break
             with open(rp) as f:
@@ -1187,7 +1265,10 @@ def resolve_entry(table_path: str) -> tuple[int, int]:
                 break
             cur = nxt
         if ok and cur == v and set(pending).issubset(chain):
-            store.publish_pointer(table_path, max(pending))
+            # monotone: a concurrent committer may have published a
+            # NEWER head while this walk ran — never regress to the
+            # gap head this entry computed (advice r13, low)
+            store.publish_pointer_monotone(table_path, max(pending))
             continue  # re-read: pointer now covers the gap
         time.sleep(0.05)  # an in-flight writer/rollback — let it land
     raise CommitConflict(
@@ -1283,8 +1364,11 @@ def snapshot_vacuum(
     for v in versions:
         if v in protect:
             continue
-        data = os.path.join(table_path, f"v{v}")
-        if os.path.isdir(data):
+        # resolve through dataset_dir: a never-renamed publish (crash
+        # window, or object-store no-rename mode) keeps its data under
+        # the staged name the commit record references
+        data = dataset_dir(table_path, v)
+        if data is not None and os.path.isdir(data):
             if not dry_run:
                 shutil.rmtree(data)
             removed.append(v)
@@ -1318,7 +1402,13 @@ def clean_staging(
     cdir = os.path.join(table_path, "_commits")
     referenced: set[str] = set()
     if os.path.isdir(cdir):
-        for f in os.listdir(cdir):
+        # the record census MUST go through the LogStore (advice r13,
+        # low): a commit claimed in a coordination adapter whose
+        # record file never materialized (crash between claim and
+        # write) still references its staged dir — list_records
+        # repairs those records, so a raw os.listdir here would have
+        # let the vacuum delete COMMITTED data after the grace period
+        for f in get_log_store().list_records(cdir):
             if not f.endswith(".json") or not f[0].isdigit():
                 continue
             v = int(f.split(".")[0])

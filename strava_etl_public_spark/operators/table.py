@@ -300,18 +300,42 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 if "ts" not in rec or float(rec["ts"]) >= older_than_ts:
                     pinned.add(v)
             survivors = survivors | pinned
+        from .layout import dataset_dir
+
+        # basename → version, covering BOTH naming modes: the logical
+        # v{n} name and the staged name the commit record references
+        # (a never-renamed publish stores staged basenames in child
+        # refs — r13 no-rename mode; the pre-r13 int(base[1:]) parse
+        # crashed on those)
+        name_to_v: dict[str, int] = {}
+        for v in versions:
+            name_to_v[f"v{v}"] = v
+            try:
+                with open(os.path.join(cdir, f"{v}.json")) as f:
+                    st = _json.load(f).get("staged")
+                if st:
+                    name_to_v[st] = v
+            except (OSError, ValueError):
+                pass
+
+        def _pin(name: str) -> None:
+            pv = name_to_v.get(name)
+            if pv is not None:
+                pinned.add(pv)
+
         for v in survivors:
-            meta = os.path.join(self.path, f"v{v}", "_dv.json")
-            if os.path.isfile(meta):
+            vdir = dataset_dir(self.path, v)  # r13: resolved, not v{v}
+            meta = os.path.join(vdir, "_dv.json") if vdir else ""
+            if meta and os.path.isfile(meta):
                 with open(meta) as f:
                     m = _json.load(f)
                 base = m.get("base")
                 if base:  # relative in-table base, e.g. "v3"
-                    pinned.add(int(base[1:]))
+                    _pin(base)
                 for a in m.get("appends", []):
                     # "v5/_upd" pins v5; "self" is the survivor itself
                     if a != "self" and not os.path.isabs(a):
-                        pinned.add(int(a.split("/", 1)[0][1:]))
+                        _pin(a.split("/", 1)[0])
         removed = snapshot_vacuum(
             self.path, keep_last=keep_last, protect=pinned, dry_run=dry_run
         )
@@ -535,7 +559,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     # copied INSIDE populate so they publish atomically
                     # with the version (code-review r9)
                     self._inherit_sidecars(
-                        os.path.join(self.path, f"v{v}"), vdir
+                        self._vdir(v), vdir
                     )
 
                 extra = {"parent": v, "op": "dv_delete"}
@@ -652,7 +676,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 ref["dead"] = sorted(self._dead_abs(v))
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump(ref, f)
-            self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+            self._inherit_sidecars(self._vdir(v), vdir)
 
         # digest inherited from the source's commit record — a clone's
         # logical content IS the source's, no rescan needed; the
@@ -810,7 +834,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     with open(os.path.join(vdir, "_dv.json"), "w") as f:
                         json.dump(ref, f)
                     self._inherit_sidecars(
-                        os.path.join(self.path, f"v{v}"), vdir
+                        self._vdir(v), vdir
                     )
 
                 extra = {"parent": v, "op": "dv_update"}
@@ -943,7 +967,12 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
             for f in (r["_file"] for r in rows)
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn: int | None = None,
+        txn_id: str | None = None,
+    ) -> int:
         """Blind APPEND, published as a reference commit: the new
         version is parent ∪ batch — the batch lands in the version's
         own ``_upd`` dir, the parent's DV and appends carry through,
@@ -958,7 +987,14 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
         re-reads the head's reference and re-derives the digest —
         no retry of user logic, no second batch write. A column-map
         change in the interleave still conflicts (the batch was shaped
-        against the old logical schema). Returns the new version."""
+        against the old logical schema). Returns the new version.
+
+        ``txn``/``txn_id`` stamp the commit with a streaming batch
+        marker ATOMICALLY (it rides in the same record write — the
+        Delta txn/appId idempotence contract, exactly like
+        ``_commit``'s): the JVM-native streaming sink
+        (streaming.ingest.table_append_sink_jvm, r13) is a replay
+        guard plus this call."""
         v, m = resolve_entry(self.path)
         if self.constraints:
             self._check_rows(df, self.constraints)
@@ -1020,6 +1056,10 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 % mod,
             }
             extra: dict = {"parent": v, "op": "append", "wfiles": []}
+            if txn is not None:
+                extra["txn"] = int(txn)
+                if txn_id is not None:
+                    extra["txn_id"] = str(txn_id)
             if vmap:
                 extra["columns"] = vmap
             if self._version_added(v):
@@ -1036,7 +1076,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                 )
                 with open(os.path.join(vdir, "_dv.json"), "w") as f:
                     json.dump(ref, f)
-                self._inherit_sidecars(os.path.join(self.path, f"v{v}"), vdir)
+                self._inherit_sidecars(self._vdir(v), vdir)
 
             try:
                 return snapshot_commit_ref(
@@ -1091,7 +1131,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump(ref, f)
             self._inherit_sidecars(
-                os.path.join(self.path, f"v{version}"), vdir
+                self._vdir(version), vdir
             )
 
         with open(
@@ -1233,7 +1273,7 @@ class ManagedTable(_CompactMixin, _SchemaMixin, _TableReadMixin):
                     with open(os.path.join(vdir, "_dv.json"), "w") as f:
                         json.dump(ref, f)
                     self._inherit_sidecars(
-                        os.path.join(self.path, f"v{v}"), vdir
+                        self._vdir(v), vdir
                     )
 
                 extra = {"parent": v, "op": "dv_overwrite"}

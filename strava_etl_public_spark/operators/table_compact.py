@@ -402,7 +402,7 @@ class _CompactMixin:
                     # rewritten files ride the always-read appends
                     # path until OPTIMIZE
                     self._inherit_sidecars(
-                        os.path.join(self.path, f"v{v_src}"), vdir
+                        self._vdir(v_src), vdir
                     )
 
                 with open(

@@ -140,7 +140,15 @@ class _TableReadMixin:
         relocation-safe) and absolute for clone-source files. Child
         reference commits carry the list verbatim; [] on copy commits
         and pre-compaction refs."""
-        p = os.path.join(self.path, f"v{v}", "_dv.json")
+        from .layout import dataset_dir
+
+        # resolve through dataset_dir: a never-renamed publish (crash
+        # window / no-rename mode) keeps its metadata under the staged
+        # name the commit record references (r13)
+        vdir = dataset_dir(self.path, v)
+        if vdir is None:
+            return []
+        p = os.path.join(vdir, "_dv.json")
         if not os.path.isfile(p):
             return []
         with open(p) as f:
@@ -440,6 +448,20 @@ class _TableReadMixin:
             if nxt >= cur:
                 return  # malformed parent pointer — never loop
             cur = nxt
+
+    def _vdir(self, v: int) -> str:
+        """Version ``v``'s data directory, RESOLVED through
+        dataset_dir (r13): a never-renamed publish — the crash window
+        between record put and rename, or object-store no-rename mode
+        — lives under the staged name its commit record references,
+        and every metadata/sidecar consumer must find it there. Falls
+        back to the logical ``v{n}`` name when the version does not
+        resolve (caller probes existence anyway)."""
+        from .layout import dataset_dir
+
+        return dataset_dir(self.path, v) or os.path.join(
+            self.path, f"v{v}"
+        )
 
     @staticmethod
     def _inherit_sidecars(src_vdir: str, dst_vdir: str) -> None:
@@ -748,8 +770,10 @@ class _TableReadMixin:
         names, so the prune translates through the column map. Returns
         (df, files_read, files_total)."""
         v = self.version()
-        vdir = os.path.join(self.path, f"v{v}")
         data_dir, dv_dir, appends = self._resolve(v)
+        # sidecar manifests live in the version's own dir — resolved,
+        # not assumed renamed (r13 no-rename mode)
+        vdir = os.path.dirname(dv_dir) if dv_dir else data_dir
         vmap = self._version_map(v)
         pcol = self._to_phys_name(col, vmap)
         if dv_dir is None:
@@ -811,8 +835,10 @@ class _TableReadMixin:
         from .manifest import bloom_survivors
 
         v = self.version()
-        vdir = os.path.join(self.path, f"v{v}")
         data_dir, dv_dir, appends = self._resolve(v)
+        # bloom sidecars live in the version's own dir — resolved,
+        # not assumed renamed (r13 no-rename mode)
+        vdir = os.path.dirname(dv_dir) if dv_dir else data_dir
         # one probe rule for BOTH bloom representations (inline JSON /
         # distributed parquet — the ≥4096-file path)
         keep, total = bloom_survivors(self.spark, vdir, data_dir, value)
@@ -911,8 +937,12 @@ class _TableReadMixin:
             return vdir, None, []
         with open(meta) as f:
             m = json.load(f)
+        from .layout import resolve_rel
+
+        # logical v{n} entries resolve through dataset_dir (r13: a
+        # never-renamed publish serves); staged basenames join direct
         base = (
-            os.path.join(self.path, m["base"])
+            resolve_rel(self.path, m["base"])
             if "base" in m
             else m["base_abs"]
         )
@@ -926,7 +956,7 @@ class _TableReadMixin:
             p = (
                 os.path.join(vdir, "_upd")
                 if a == "self"
-                else (a if os.path.isabs(a) else os.path.join(self.path, a))
+                else (a if os.path.isabs(a) else resolve_rel(self.path, a))
             )
             if not os.path.isdir(p):
                 raise ValueError(
@@ -940,9 +970,15 @@ class _TableReadMixin:
         """Version ``v``'s appends list as a CHILD version must record
         it: ``"self"`` entries become the parent's concrete dir; other
         entries carry through unchanged."""
-        meta = os.path.join(self.path, f"v{v}", "_dv.json")
-        if not os.path.isfile(meta):
+        from .layout import dataset_dir
+
+        vdir = dataset_dir(self.path, v)  # r13: never-renamed serves
+        meta = os.path.join(vdir, "_dv.json") if vdir else ""
+        if not meta or not os.path.isfile(meta):
             return []
         with open(meta) as f:
             m = json.load(f)
+        # "self" rebases to the LOGICAL child name — resolve_rel maps
+        # it back through dataset_dir at read time, so the stored
+        # metadata stays mode- and relocation-independent
         return [f"v{v}/_upd" if a == "self" else a for a in m.get("appends", [])]

@@ -287,7 +287,7 @@ class _SchemaMixin:
             seed_dv.write.mode("overwrite").parquet(os.path.join(vdir, "_dv"))
             with open(os.path.join(vdir, "_dv.json"), "w") as f:
                 json.dump(ref, f)
-            self._inherit_sidecars(os.path.join(self.path, f"v{cur}"), vdir)
+            self._inherit_sidecars(self._vdir(cur), vdir)
 
         if rescan:
             # a narrowed (or NULL-widened) logical view hashes

@@ -16,6 +16,7 @@ from . import queries_stats_text  # noqa: F401  (registration side-effect)
 from . import queries_rel_graph  # noqa: F401  (registration side-effect)
 from . import queries_tpch  # noqa: F401  (registration side-effect)
 from . import queries_snapshots  # noqa: F401  (registration side-effect)
+from . import queries_protocol  # noqa: F401  (registration side-effect)
 from . import queries_tables  # noqa: F401  (registration side-effect)
 from . import queries_curation  # noqa: F401  (registration side-effect)
 from . import queries_eval  # noqa: F401  (registration side-effect)

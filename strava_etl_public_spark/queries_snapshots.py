@@ -8,7 +8,10 @@ discipline) at the scan-pruning/layout vs lakehouse-DML seam:
 registrations, names, and oracle SQL are byte-unchanged — the
 aggregator queries_ext.py imports this module right before
 queries_tables, and driver-query iteration order is fixed by
-queries.QUERY_ORDER regardless of module layout.
+queries.QUERY_ORDER regardless of module layout. The
+commit-protocol faces (logstore-sqlite cycle, lineage checkpoints,
+publish repair) moved on to queries_protocol.py in the round-13
+re-split at the snapshot/publish-repair seam.
 """
 
 from __future__ import annotations
@@ -677,7 +680,7 @@ _CMP_FP_RENDER = ", ".join(
 )
 
 
-@register(
+@register_extra(
     "x_table_compact",
     oracle=f"""
 WITH base AS (
@@ -1253,416 +1256,4 @@ def x_table_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-@register(
-    "x_table_logstore_sqlite",
-    oracle=f"""
-WITH base AS (
-  SELECT event_id, user_id, event_type,
-         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
-         CAST(floor(value * 1000000) AS BIGINT) AS vmic
-  FROM events
-),
-alive AS (
-  SELECT * FROM base WHERE user_id % 5 IS DISTINCT FROM 0
-),
-final AS (
-  SELECT * FROM alive
-  UNION ALL
-  SELECT CAST(9100000001 AS BIGINT), CAST(7 AS BIGINT), 'synthetic',
-         CAST(32503690000 AS BIGINT), CAST(7000000 AS BIGINT)
-),
-fp AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
-  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_CMP_FP_RENDER})),
-                                        1, 15)) AS BIGINT) AS h
-        FROM final)
-)
-SELECT 'logstore_events' AS dataset, n_rows, xor_hash, sum_hash_mod,
-       TRUE AS records_are_files, TRUE AS cross_adapter_read_equal,
-       TRUE AS repair_materializes, CAST(4 AS BIGINT) AS n_versions
-FROM fp
-""",
-)
-def x_table_logstore_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE LOGSTORE SEAM, oracle-gated (round 11): the same table
-    protocol driven end-to-end through the DynamoDB-style
-    SqliteCoordLogStore adapter — create, DV-DELETE, blind APPEND all
-    commit via conditional INSERTs into a coordination database
-    instead of O_EXCL, and the result must be indistinguishable:
-
-    * the final state hash-matches the relational oracle;
-    * commit records exist as PLAIN FILES (the contract that keeps
-      every read path backend-agnostic) — checked for every version;
-    * a reader under the DEFAULT local adapter reads the
-      sqlite-committed table byte-for-byte (cross-adapter
-      interchangeability: the store mediates only the race);
-    * the incomplete-commit repair rule holds live: deleting a record
-      file and re-listing through the adapter MATERIALIZES it back
-      from the claim transaction (S3DynamoDBLogStore's rule).
-
-    Scale: the adapter is the seam a real S3-conditional-put /
-    DynamoDB deployment drops into (PORTABILITY.md "Commit protocol");
-    the cross-process race itself is pinned by
-    tests/test_logstore_multiprocess.py."""
-    ensure_harness_conf(spark)
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.layout import dataset_fingerprint
-    from .operators.logstore import SqliteCoordLogStore, set_log_store
-    from .operators.table import ManagedTable
-
-    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
-    ev = load(spark, sf_dir, "events")
-    base = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        ep.epoch_s(ev, "ts").cast("long").alias("es"),
-        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
-    )
-    root = tempfile.mkdtemp(prefix="logstore_table_")
-    path = os.path.join(root, "t")
-    store = SqliteCoordLogStore(db_path=os.path.join(root, "coord.db"))
-    try:
-        set_log_store(store)
-        t = ManagedTable.create(base.repartition(8), path, key="event_id")
-        t.delete(F.col("user_id") % 5 == 0)
-        t.append(
-            spark.createDataFrame(
-                [(9100000001, 7, "synthetic", 32503690000, 7000000)],
-                "event_id long, user_id long, event_type string, "
-                "es long, vmic long",
-            )
-        )
-        t.optimize()
-        n_versions = t.version()
-        cdir = os.path.join(path, "_commits")
-        records_files = all(
-            os.path.isfile(os.path.join(cdir, f"{v}.json"))
-            for v in range(1, n_versions + 1)
-        )
-        # repair rule, live: remove a record file; list through the
-        # adapter; the claim transaction materializes it back
-        victim = os.path.join(cdir, "2.json")
-        body_before = open(victim).read()
-        os.remove(victim)
-        repaired = (
-            "2.json" in store.list_records(cdir)
-            and open(victim).read() == body_before
-        )
-        set_log_store(None)  # cross-adapter: default local store reads
-        t2 = ManagedTable(spark, path)
-        fp_sql = dataset_fingerprint(
-            t2.read(), cols, label="logstore_events"
-        )
-        cross_equal = (
-            dataset_fingerprint(t.read(), cols).collect()
-            == dataset_fingerprint(t2.read(), cols).collect()
-        )
-        return fp_sql.withColumns(
-            {
-                "records_are_files": F.lit(bool(records_files)),
-                "cross_adapter_read_equal": F.lit(bool(cross_equal)),
-                "repair_materializes": F.lit(bool(repaired)),
-                "n_versions": F.lit(int(n_versions)).cast("long"),
-            }
-        ).localCheckpoint(eager=True)
-    finally:
-        set_log_store(None)
-        shutil.rmtree(root, ignore_errors=True)
-
-
-@register(
-    "x_table_ckpt_parquet",
-    oracle=f"""
-WITH base AS (
-  SELECT event_id, user_id, event_type,
-         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
-         CAST(floor(value * 1000000) AS BIGINT) AS vmic
-  FROM events
-),
-synth AS (
-  SELECT CAST(9200000000 + i AS BIGINT) AS event_id,
-         CAST(i AS BIGINT) AS user_id, 'ckpt' AS event_type,
-         CAST(32503700000 + i AS BIGINT) AS es,
-         CAST(i * 1000000 AS BIGINT) AS vmic
-  FROM range(1, 13) AS r(i)
-),
-state_at AS (  -- the state as of the ts probe = base + first 6 appends
-  SELECT * FROM base
-  UNION ALL
-  SELECT * FROM synth WHERE user_id <= 6
-),
-fp AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
-  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_CMP_FP_RENDER})),
-                                        1, 15)) AS BIGINT) AS h
-        FROM state_at)
-)
-SELECT 'ckpt_pq_events' AS dataset, n_rows, xor_hash, sum_hash_mod,
-       TRUE AS parquet_ckpt_written, TRUE AS splice_equals_walk,
-       TRUE AS retention_bounded
-FROM fp
-""",
-)
-def x_table_ckpt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PARQUET COMMIT-LOG CHECKPOINTS, oracle-gated (round 11): the
-    commit log's dual-representation checkpoint exercised through the
-    public read path — 12 appends with explicit commit timestamps
-    under a tightened cadence and a threshold of 1 (forcing the
-    parquet representation), then `as_of(ts₆)` must serve EXACTLY
-    base + the first six appends, resolved through the row-group-
-    pruned `_ckpt_resolve_ts` fast path. Packed invariants: a
-    `.parquet` checkpoint exists; the spliced lineage equals the
-    pure per-record walk entry-for-entry; retention keeps ≤4
-    checkpoints across both suffixes.
-
-    Scale: at 10⁵ versions the pruned resolve reads footer stats +
-    ONE 10k-row group — 8.2 ms vs the 77 ms JSON parse vs the 3.0 s
-    bare walk (SCALE.md round 11)."""
-    ensure_harness_conf(spark)
-    import os
-    import shutil
-    import tempfile
-
-    from .operators import layout
-    from .operators.layout import dataset_fingerprint
-    from .operators.table import ManagedTable
-
-    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
-    ev = load(spark, sf_dir, "events")
-    base = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        ep.epoch_s(ev, "ts").cast("long").alias("es"),
-        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
-    )
-    root = tempfile.mkdtemp(prefix="ckpt_pq_table_")
-    path = os.path.join(root, "t")
-    old_every = layout.SNAPSHOT_CKPT_EVERY
-    old_thresh = layout.LINEAGE_CKPT_PQ_THRESHOLD
-    try:
-        layout.SNAPSHOT_CKPT_EVERY = 4
-        layout.LINEAGE_CKPT_PQ_THRESHOLD = 1
-        t = ManagedTable.create(base.repartition(8), path, key="event_id")
-        ts0 = 1_900_000_000.0
-        for i in range(1, 13):
-            t._commit(
-                t.read().unionByName(
-                    spark.createDataFrame(
-                        [
-                            (
-                                9200000000 + i,
-                                i,
-                                "ckpt",
-                                32503700000 + i,
-                                i * 1000000,
-                            )
-                        ],
-                        "event_id long, user_id long, event_type string,"
-                        " es long, vmic long",
-                    )
-                ),
-                extra={"ts": ts0 + i * 10},
-            )
-        kdir = os.path.join(path, "_ckpts")
-        names = os.listdir(kdir)
-        pq_written = any(n.endswith(".parquet") for n in names) and not any(
-            n.endswith(".json") for n in names
-        )
-        retention_ok = (
-            len({n.split(".")[0] for n in names}) <= 4
-        )
-        spliced = [
-            (v, r.get("ts"), r.get("txn")) for v, r in t._lineage()
-        ]
-        shutil.rmtree(kdir)
-        walk = [(v, r.get("ts"), r.get("txn")) for v, r in t._lineage()]
-        splice_ok = spliced == walk
-        # regenerate a checkpoint (at the cadence-aligned v12) so
-        # as_of resolves through the row-group fast path, then probe
-        # the mid-chain timestamp
-        layout._maybe_write_lineage_ckpt(path, t.version() - 1)
-        assert os.listdir(kdir)  # the fast path is actually in play
-        asof = t.as_of(ts0 + 6 * 10 + 5)
-        fp = dataset_fingerprint(asof, cols, label="ckpt_pq_events")
-        return fp.withColumns(
-            {
-                "parquet_ckpt_written": F.lit(bool(pq_written)),
-                "splice_equals_walk": F.lit(bool(splice_ok)),
-                "retention_bounded": F.lit(bool(retention_ok)),
-            }
-        ).localCheckpoint(eager=True)
-    finally:
-        layout.SNAPSHOT_CKPT_EVERY = old_every
-        layout.LINEAGE_CKPT_PQ_THRESHOLD = old_thresh
-        shutil.rmtree(root, ignore_errors=True)
-
-
-@register_extra(
-    "x_table_publish_repair",
-    oracle=f"""
-WITH base AS (
-  SELECT event_id, user_id, event_type,
-         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es,
-         CAST(floor(value * 1000000) AS BIGINT) AS vmic
-  FROM events
-),
-alive AS (
-  SELECT * FROM base WHERE user_id % 7 IS DISTINCT FROM 0
-),
-synth AS (
-  SELECT CAST(9300000000 + i AS BIGINT) AS event_id,
-         CAST(i AS BIGINT) AS user_id, 'repair' AS event_type,
-         CAST(32503800000 + i AS BIGINT) AS es,
-         CAST(i * 1000000 AS BIGINT) AS vmic
-  FROM range(1, 5) AS r(i)
-),
-final AS (SELECT * FROM alive UNION ALL SELECT * FROM synth),
-fp AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
-         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
-  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31), {_CMP_FP_RENDER})),
-                                        1, 15)) AS BIGINT) AS h
-        FROM final)
-)
-SELECT 'publish_repair_events' AS dataset, n_rows, xor_hash, sum_hash_mod,
-       TRUE AS roll_forward_served, TRUE AS staged_fallback_served,
-       TRUE AS rename_repaired, TRUE AS chain_contiguous,
-       CAST(6 AS BIGINT) AS n_versions
-FROM fp
-""",
-)
-def x_table_publish_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE PUBLISH-REPAIR PROTOCOL, oracle-gated (round 12, verdict
-    #2): the record put is the commit point, and both crash windows
-    after it are REPAIRED live inside this query, with the final
-    table hash-matching the relational oracle:
-
-    * crash between record and pointer flip (an in-flight writer that
-      died) — simulated by suppressing one ``publish_pointer``: the
-      NEXT writer's entry (``resolve_entry``) rolls the commit
-      forward instead of chaining past it, so its rows appear and no
-      version slot burns;
-    * crash between record and the ``v{{n}}`` rename — simulated by
-      un-renaming a committed version back to the staged name the
-      record carries: time travel to that version SERVES through the
-      staged fallback and the read REPAIRS the rename for every
-      later consumer;
-    * after both repairs the chain is contiguous: pointer == record
-      high-water, and one more commit lands normally on top.
-
-    Cites the reference's whole-table rewrite pattern (main.py:199-
-    203) as the contract being strengthened: every write here is an
-    immutable version and a crashed publish is recoverable by ANY
-    reader, which is what a 1000-executor deployment on an object
-    store (no atomic rename) actually requires — PORTABILITY.md
-    "Commit protocol"."""
-    ensure_harness_conf(spark)
-    import json as _json
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.layout import dataset_fingerprint, snapshot_max_commit
-    from .operators.logstore import LogStore, set_log_store
-    from .operators.table import ManagedTable
-
-    cols = ["event_id", "user_id", "event_type", "es", "vmic"]
-    ev = load(spark, sf_dir, "events")
-    base = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        ep.epoch_s(ev, "ts").cast("long").alias("es"),
-        F.floor(F.col("value") * 1000000).cast("long").alias("vmic"),
-    )
-
-    def synth(i: int):
-        return spark.createDataFrame(
-            [(9300000000 + i, i, "repair", 32503800000 + i, i * 1000000)],
-            "event_id long, user_id long, event_type string, "
-            "es long, vmic long",
-        )
-
-    class HoldFlip(LogStore):
-        """Suppress ONE pointer flip — the crashed-before-flip writer."""
-
-        def __init__(self, hold: int):
-            self.hold = hold
-
-        def publish_pointer(self, table_path, version):
-            if version == self.hold:
-                self.hold = None
-                return
-            super().publish_pointer(table_path, version)
-
-    root = tempfile.mkdtemp(prefix="publish_repair_")
-    path = os.path.join(root, "t")
-    try:
-        t = ManagedTable.create(base.repartition(8), path, key="event_id")
-        t.delete(F.col("user_id") % 7 == 0)            # v2
-        # -- crash window 1: record + rename durable, flip lost
-        set_log_store(HoldFlip(3))
-        try:
-            t.append(synth(1))                          # v3, unflipped
-        finally:
-            set_log_store(None)
-        pointer_lagged = t.version() == 2
-        t2 = ManagedTable(spark, path)
-        t2.append(synth(2))                             # entry rolls v3 → v4
-        roll_forward = (
-            pointer_lagged
-            and t2.version() == 4
-            and t2.read(version=3)
-            .filter(F.col("event_id") == 9300000001)
-            .count()
-            == 1
-        )
-        # -- crash window 2: record durable, rename lost
-        t2.append(synth(3))                             # v5
-        rec5 = _json.load(
-            open(os.path.join(path, "_commits", "5.json"))
-        )
-        os.rename(
-            os.path.join(path, "v5"), os.path.join(path, rec5["staged"])
-        )
-        LogStore().publish_pointer(path, 4)             # flip lost too
-        t3 = ManagedTable(spark, path)
-        staged_served = (
-            t3.read(version=5)
-            .filter(F.col("event_id") == 9300000003)
-            .count()
-            == 1
-        )
-        rename_repaired = os.path.isdir(os.path.join(path, "v5"))
-        t3.append(synth(4))                             # rolls v5 → v6
-        chain_contiguous = (
-            t3.version() == 6 and snapshot_max_commit(path) == 6
-        )
-        fp = dataset_fingerprint(
-            t3.read(), cols, label="publish_repair_events"
-        )
-        return fp.withColumns(
-            {
-                "roll_forward_served": F.lit(bool(roll_forward)),
-                "staged_fallback_served": F.lit(bool(staged_served)),
-                "rename_repaired": F.lit(bool(rename_repaired)),
-                "chain_contiguous": F.lit(bool(chain_contiguous)),
-                "n_versions": F.lit(6).cast("long"),
-            }
-        ).localCheckpoint(eager=True)
-    finally:
-        set_log_store(None)
         shutil.rmtree(root, ignore_errors=True)

@@ -804,7 +804,7 @@ def x_stream_table_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_stream_table_sink",
     oracle="""
 WITH base AS (
@@ -914,6 +914,126 @@ def x_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = ["event_id", "user_id", "event_type"]
         fp = dataset_fingerprint(
             t.read().select(*cols), cols, label="sink_events"
+        )
+        return fp.withColumns(
+            {
+                "multi_batch": F.lit(bool(multi_batch)),
+                "digest_chain_exact": F.lit(bool(chain_exact)),
+                "replay_dropped": F.lit(bool(replay_dropped)),
+            }
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "x_stream_table_sink_jvm",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type FROM events
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+         CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_hash_mod
+  FROM (SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(30)),
+           coalesce(CAST(user_id AS VARCHAR), chr(30)),
+           coalesce(event_type, chr(30)))), 1, 15)) AS BIGINT) AS h
+        FROM base)
+)
+SELECT 'sink_events_jvm' AS dataset, fp.n_rows, fp.xor_hash,
+       fp.sum_hash_mod, TRUE AS multi_batch,
+       TRUE AS digest_chain_exact, TRUE AS replay_dropped
+FROM fp
+""",
+)
+def x_stream_table_sink_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-NATIVE streaming append path (r13, verdict #2):
+    checkpointed ``foreachBatch`` → ``ManagedTable.append`` with the
+    engine batchId as an atomic txn marker
+    (streaming.ingest.table_append_sink_jvm). The micro-batch's
+    parquet lands via Spark's JVM writer at full parallelism and the
+    content digest is the engine-side conv/substring/md5 aggregate —
+    no Arrow transport, which SCALE.md's r12 decomposition proved is
+    the Python-DataSource sink's whole 3.3× floor (a do-nothing
+    Arrow sink costs the same). Measured in
+    scripts/scale_smoke_sink.py; the Arrow sink
+    (``x_stream_table_sink_multi``'s path) stays as the no-closure
+    fallback.
+
+    Because this path runs THROUGH the engine it has none of the
+    Arrow sink's restrictions — the run streams the ``value`` DOUBLE
+    column (which the Arrow sink's cast-stability gate refuses) and
+    the commit-chain audit still proves digest_chain_exact, since
+    both the commit digest and the live fingerprint render
+    engine-side. Same three-way gate as the Arrow sink face:
+    multi-batch versioning, derived-digest exactness, checkpoint-loss
+    replay dropped by the lineage txn guard. Oracle: fingerprint of
+    all of events on the cast-stable columns."""
+    ensure_harness_conf(spark)
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.layout import dataset_fingerprint
+    from .operators.table import ManagedTable
+    from .streaming.ingest import table_append_sink_jvm
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="sink_jvm_gate_")
+    path = os.path.join(root, "t")
+    src = os.path.join(root, "src")
+    try:
+        t = ManagedTable.create(
+            base.filter(F.col("event_id") % 3 == 0).repartition(4),
+            path,
+            key="event_id",
+        )
+        base.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        v0 = t.version()
+
+        def run(ckpt: str) -> None:
+            q = table_append_sink_jvm(
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                path,
+                ckpt,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run(os.path.join(root, "ck1"))
+        v1 = t.version()
+        multi_batch = v1 - v0 == 2  # one commit per micro-batch
+        rec = _json.load(
+            open(os.path.join(path, "_commits", f"{v1}.json"))
+        )
+        live = dataset_fingerprint(t.read()).collect()[0].asDict()
+        chain_exact = (
+            rec["n_rows"],
+            rec["xor_hash"],
+            rec["sum_hash_mod"],
+        ) == (live["n_rows"], live["xor_hash"], live["sum_hash_mod"])
+        run(os.path.join(root, "ck2"))  # checkpoint loss → txn guard
+        replay_dropped = t.version() == v1
+
+        cols = ["event_id", "user_id", "event_type"]
+        fp = dataset_fingerprint(
+            t.read().select(*cols), cols, label="sink_events_jvm"
         )
         return fp.withColumns(
             {

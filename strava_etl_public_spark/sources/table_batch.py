@@ -64,6 +64,7 @@ from .table_cdf import (
     _dv_file_names,
     _match_keys,
     _part_files,
+    _vdir,
     _rec,
     _universe,
     _version,
@@ -195,7 +196,7 @@ class ManagedTableReader(DataSourceReader):
         rec = _rec(self.path, v) or {}
         vmap = rec.get("columns")
         to_phys = {l: p for l, p in vmap} if vmap else None
-        vdir = os.path.join(self.path, f"v{v}")
+        vdir = _vdir(self.path, v)  # r13: staged publish serves
         root = os.path.abspath(self.path)
 
         base_dir = dirs[0]

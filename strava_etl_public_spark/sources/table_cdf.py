@@ -106,8 +106,17 @@ def _rec(path: str, v: int) -> dict | None:
         return json.load(f)
 
 
+def _vdir(path: str, v: int) -> str:
+    """Version ``v``'s data dir, resolved through dataset_dir (r13):
+    a never-renamed publish (crash window / no-rename object-store
+    mode) serves under the staged name its commit record names."""
+    from ..operators.layout import dataset_dir
+
+    return dataset_dir(path, v) or os.path.join(path, f"v{v}")
+
+
 def _ref(path: str, v: int) -> dict | None:
-    p = os.path.join(path, f"v{v}", "_dv.json")
+    p = os.path.join(_vdir(path, v), "_dv.json")
     if not os.path.isfile(p):
         return None
     with open(p) as f:
@@ -137,12 +146,14 @@ def _walk(path: str, frm: int, to_excl: int) -> dict[int, dict] | None:
 def _universe(path: str, v: int) -> tuple[list[str], str | None, set[str]]:
     """(data dirs, dv dir|None, dead-file abs set) of version ``v`` —
     the metadata half of _TableReadMixin._resolve, file-based."""
-    vdir = os.path.join(path, f"v{v}")
+    from ..operators.layout import resolve_rel
+
+    vdir = _vdir(path, v)
     ref = _ref(path, v)
     if ref is None:
         return [vdir], None, set()
     base = (
-        os.path.join(path, ref["base"])
+        resolve_rel(path, ref["base"])
         if "base" in ref
         else ref["base_abs"]
     )
@@ -151,7 +162,7 @@ def _universe(path: str, v: int) -> tuple[list[str], str | None, set[str]]:
         dirs.append(
             os.path.join(vdir, "_upd")
             if a == "self"
-            else (a if os.path.isabs(a) else os.path.join(path, a))
+            else (a if os.path.isabs(a) else resolve_rel(path, a))
         )
     root = os.path.abspath(path)
     dead = {

@@ -66,9 +66,12 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .table_cdf import _rec, _universe, _version, table_fields
+from .table_cdf import _rec, _universe, _vdir, _version, table_fields
 
 _MOD = 1152921504606846976  # 2^60, the dataset_fingerprint modulus
+
+
+_DUCKDB_FOLD_BROKEN = False  # set on first runtime failure (log once)
 
 
 def _digest_fold(joined) -> tuple[int, int, int]:
@@ -79,35 +82,53 @@ def _digest_fold(joined) -> tuple[int, int, int]:
     dominant per-row cost, verdict r11 "what's wrong #3"). DuckDB's
     md5/substr/hex-cast reproduces the JVM rendering bit-for-bit
     (conv(substring(md5(s),1,15),16,10)); sum promotes to HUGEINT so
-    the modulus applies exactly. Falls back to the hashlib loop if
-    duckdb is unavailable on an executor."""
-    try:
-        import duckdb
-        import pyarrow as pa
+    the modulus applies exactly.
 
-        con = duckdb.connect()
+    Falls back to the hashlib loop on ANY DuckDB failure, not just a
+    missing module (advice r13, low: an older duckdb lacking the
+    '0x' hex-string→BIGINT cast, or an Arrow registration error on
+    one executor, must degrade to the slow-but-correct path, never
+    fail the streaming batch). The failure is remembered per process
+    so later batches skip straight to the fallback, and noted once on
+    stderr so the degradation is visible."""
+    global _DUCKDB_FOLD_BROKEN
+    if not _DUCKDB_FOLD_BROKEN:
         try:
-            con.register("_rows", pa.table({"j": joined}))
-            cnt, bx, bs = con.execute(
-                "SELECT count(*), bit_xor(h), sum(h) FROM "
-                "(SELECT ('0x'||substr(md5(j),1,15))::BIGINT AS h "
-                " FROM _rows)"
-            ).fetchone()
-        finally:
-            con.close()
-        if not cnt:
-            return 0, 0, 0
-        return int(cnt), int(bx), int(bs) % _MOD
-    except ImportError:
-        import hashlib
+            import duckdb
+            import pyarrow as pa
 
-        n = x = s = 0
-        for v in joined.to_pylist():
-            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
-            n += 1
-            x ^= h
-            s = (s + h) % _MOD
-        return n, x, s
+            con = duckdb.connect()
+            try:
+                con.register("_rows", pa.table({"j": joined}))
+                cnt, bx, bs = con.execute(
+                    "SELECT count(*), bit_xor(h), sum(h) FROM "
+                    "(SELECT ('0x'||substr(md5(j),1,15))::BIGINT AS h "
+                    " FROM _rows)"
+                ).fetchone()
+            finally:
+                con.close()
+            if not cnt:
+                return 0, 0, 0
+            return int(cnt), int(bx), int(bs) % _MOD
+        except Exception as e:  # noqa: BLE001 — degrade, never fail
+            import sys
+
+            _DUCKDB_FOLD_BROKEN = True
+            print(
+                "managed_table_sink: DuckDB digest fold unavailable "
+                f"({type(e).__name__}: {e}) — using the hashlib "
+                "fallback (correct, ~16x slower)",
+                file=sys.stderr,
+            )
+    import hashlib
+
+    n = x = s = 0
+    for v in joined.to_pylist():
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        n += 1
+        x ^= h
+        s = (s + h) % _MOD
+    return n, x, s
 
 #: arrow-side SQL types whose Python str() rendering equals Spark's
 #: CAST(x AS STRING) — the digest chain's cast-stability requirement
@@ -330,11 +351,10 @@ class _AppendWriterCore:
         while True:
             v, m0 = resolve_entry(self.path)
             parent = _rec(self.path, v)
+            pvdir = _vdir(self.path, v)  # r13: staged publish serves
             ref_meta = (
-                json.load(open(os.path.join(self.path, f"v{v}", "_dv.json")))
-                if os.path.isfile(
-                    os.path.join(self.path, f"v{v}", "_dv.json")
-                )
+                json.load(open(os.path.join(pvdir, "_dv.json")))
+                if os.path.isfile(os.path.join(pvdir, "_dv.json"))
                 else None
             )
             dirs, dv_dir, _ = _universe(self.path, v)
@@ -411,7 +431,7 @@ class _AppendWriterCore:
                 with open(os.path.join(vdir, "_dv.json"), "w") as f:
                     json.dump(ref, f)
                 # inherit sidecars whole (conservative, like append())
-                src_vdir = os.path.join(self.path, f"v{v}")
+                src_vdir = pvdir
                 for sc in ("_manifest.json", "_bloom.json"):
                     sp = os.path.join(src_vdir, sc)
                     if os.path.isfile(sp):

@@ -418,6 +418,73 @@ def table_merge_sink(
     )
 
 
+def table_append_batch_jvm(
+    table_path: str, txn_id: str | None = None
+):
+    """The per-micro-batch function behind
+    :func:`table_append_sink_jvm`, exposed so tests can drive replay
+    semantics directly (call it twice with one batch id — the second
+    is a no-op)."""
+    from ..operators.table import ManagedTable
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        t = ManagedTable(bdf.sparkSession, table_path)
+        if batch_id <= t.last_txn(txn_id):
+            return  # replayed batch: already in the published lineage
+        # one materialization serves BOTH of append's jobs (the JVM
+        # digest aggregate and the JVM parquet write) — without it the
+        # micro-batch's source scan runs twice
+        bdf.persist()
+        try:
+            t.append(bdf, txn=int(batch_id), txn_id=txn_id)
+        finally:
+            bdf.unpersist()
+
+    return _sink
+
+
+def table_append_sink_jvm(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    txn_id: str | None = None,
+) -> "StreamingQuery":
+    """JVM-native streaming APPEND into a ManagedTable (r13, verdict
+    #2): checkpointed ``foreachBatch`` → ``ManagedTable.append`` —
+    the batch's parquet files are written by Spark's JVM writer at
+    full parallelism and the content digest is the engine-side
+    aggregate (conv/substring/md5 inside whole-stage codegen), so the
+    per-row cost is exactly the bulk-load path's. This closes the
+    measured 3.3× Python-DataSource transport floor of the Arrow sink
+    (``writeStream.format("managed_table_sink")``, which stays as the
+    no-closure fallback): SCALE.md's r12 decomposition proved that
+    floor is the Arrow transport itself, so the only faster path is
+    to keep the rows in the JVM — this one (measured in
+    scripts/scale_smoke_sink.py).
+
+    Exactly-once composes the same two guards as the Arrow sink and
+    ``table_merge_sink``: Spark's checkpoint replays uncommitted
+    batches, and the ``batchId`` txn marker — riding IN the commit
+    record, atomic with the version — makes a replayed batch a no-op
+    even after checkpoint loss. ``txn_id`` namespaces the replay
+    cursor (Delta's appId contract) so several queries can append to
+    one table. A commit conflict rebases inside ``append`` (blind
+    appends commute).
+
+    Unlike the Arrow sink this path runs through the engine, so it
+    has none of its restrictions: CHECK constraints are enforced,
+    and float/double/timestamp columns digest engine-side (no
+    cast-stability gate needed). Returns the started query."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(table_append_batch_jvm(table_path, txn_id))
+        .start()
+    )
+
+
 def run_to_completion(agg: DataFrame, query_name: str, output_mode: str = "append") -> None:
     """Drive a streaming aggregation over the (finite) file source to
     completion into a memory sink named `query_name`."""

@@ -434,11 +434,15 @@ def test_snapshot_occ_and_vacuum(spark, tmp_path):
         open(rogue, "x")  # the loser of a same-version race
     # scrub the rogue version + v6 so the vacuum assertions below see
     # the original 4-commit table
-    os.remove(rogue)
-    os.remove(os.path.join(t, "_commits", "6.json"))
     import shutil as _sh
 
-    _sh.rmtree(os.path.join(t, "v6"), ignore_errors=True)
+    from strava_etl_public_spark.operators.layout import dataset_dir as _dd
+
+    _v6 = _dd(t, 6)  # resolve BEFORE the record goes (no-rename mode)
+    os.remove(rogue)
+    os.remove(os.path.join(t, "_commits", "6.json"))
+    if _v6:
+        _sh.rmtree(_v6, ignore_errors=True)
     from strava_etl_public_spark.operators.layout import snapshot_version
 
     assert snapshot_version(t) == 6  # pointer moved by the v6 commit
@@ -566,7 +570,11 @@ def test_snapshot_commit_ref_crash_publishes_nothing(spark, tmp_path):
     # pointer untouched, no v2 directory, staging cleaned up
     assert snapshot_version(t) == 1
     assert not os.path.isdir(os.path.join(t, "v2"))
-    assert not [d for d in os.listdir(t) if d.startswith("_stage_")]
+    # (no-rename mode: the aborted populate's staging is also gone —
+    # covered by the _stage_ listdir check below)
+    from tests.vdir_helper import stage_litter
+
+    assert not stage_litter(t)
     assert snapshot_read(spark, t).count() == 3
     # the table is not wedged: a later good commit takes the next slot
     def ok(vdir: str) -> None:

@@ -16,6 +16,8 @@ import os
 import shutil
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.manifest import (
@@ -120,7 +122,7 @@ def test_optimize_rebuilds_parquet_manifest(spark, tdir):
     t.delete(F.col("id") < 100)
     before = t.read().count()
     t.optimize()
-    v = os.path.join(t.path, f"v{t.version()}")
+    v = _vd(t.path, t.version())
     assert json.load(open(os.path.join(v, "_manifest.json"))).get(
         "format"
     ) == "parquet"
@@ -136,7 +138,7 @@ def test_auto_mode_small_table_stays_json(spark, tdir):
     Spark job: below the threshold the manifest is the inline JSON and
     no parquet relation exists."""
     t = _mk(spark, tdir, "auto", n=1000, files=4)
-    v1 = os.path.join(t.path, "v1")
+    v1 = _vd(t.path, 1)
     meta = json.load(open(os.path.join(v1, "_manifest.json")))
     assert "files" in meta and meta.get("format") != "parquet"
     assert not os.path.isdir(os.path.join(v1, "_manifest_pq"))

@@ -4,6 +4,8 @@ to completion, results compared against batch equivalents.
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 import tempfile
 
@@ -858,3 +860,97 @@ def test_table_merge_sink_versions_and_lww(spark, staged_events, tmp_path):
     finally:
         q3.stop()
     assert {r["user_id"]: r["event_id"] for r in t.read().collect()} == want
+
+
+def test_table_append_sink_jvm_exactly_once_and_parity(
+    spark, staged_events, tmp_path
+):
+    """JVM-native streaming APPEND sink (r13): final content equals
+    the union of all micro-batches, the digest chain is exact, the
+    txn markers make both a checkpoint-loss replay and a direct
+    double-apply no-ops, and rollback re-opens replay — the same
+    contract the Arrow managed_table_sink and table_merge_sink pin,
+    now on the engine-native write path."""
+    from strava_etl_public_spark.operators.layout import (
+        dataset_fingerprint,
+    )
+    from strava_etl_public_spark.operators.table import ManagedTable
+    from strava_etl_public_spark.streaming.ingest import (
+        table_append_batch_jvm,
+        table_append_sink_jvm,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    batch = spark.read.parquet(staged_events).select(*cols)
+    t = ManagedTable.create(
+        batch.filter(F.lit(False)), str(tmp_path / "t"), key="event_id"
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staged_events)
+            .select(*cols)
+        )
+
+    q = table_append_sink_jvm(
+        _stream(), str(tmp_path / "t"), str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {r["event_id"] for r in batch.collect()}
+    assert {r["event_id"] for r in t.read().collect()} == want
+    assert t.last_txn() >= 0
+    assert t.version() == t.last_txn() + 2  # v1 create + one per batch
+    # digest chain exact against a live fingerprint
+    rec = json.load(
+        open(
+            os.path.join(
+                str(tmp_path / "t"), "_commits", f"{t.version()}.json"
+            )
+        )
+    )
+    live_full = dataset_fingerprint(t.read()).collect()[0].asDict()
+    assert (
+        rec["n_rows"],
+        rec["xor_hash"],
+        rec["sum_hash_mod"],
+    ) == (
+        live_full["n_rows"],
+        live_full["xor_hash"],
+        live_full["sum_hash_mod"],
+    )
+
+    # checkpoint loss: fresh checkpoint replays every batch — all
+    # skipped by the lineage markers, zero new versions
+    v_before = t.version()
+    q2 = table_append_sink_jvm(
+        _stream(), str(tmp_path / "t"), str(tmp_path / "ck2")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert t.version() == v_before
+    assert {r["event_id"] for r in t.read().collect()} == want
+
+    # direct double-apply of one batch id is a no-op too
+    fn = table_append_batch_jvm(str(tmp_path / "t"))
+    fn(batch.limit(5), t.last_txn())  # replay: skipped
+    assert t.version() == v_before
+
+    # rollback to v1 drops the markers — replay re-applies
+    t.rollback(1)
+    assert t.last_txn() == -1
+    q3 = table_append_sink_jvm(
+        _stream(), str(tmp_path / "t"), str(tmp_path / "ck3")
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    assert {r["event_id"] for r in t.read().collect()} == want

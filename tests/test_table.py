@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable
@@ -34,7 +36,7 @@ def test_create_read_roundtrip_and_manifest(spark, base, tmp_path):
     t = ManagedTable.create(base, str(tmp_path / "t"), key="id", stat_cols=["id"])
     assert t.version() == 1
     assert _rows(t.read()) == _rows(base)
-    assert os.path.isfile(str(tmp_path / "t" / "v1" / "_manifest.json"))
+    assert os.path.isfile(os.path.join(_vd(tmp_path / "t", 1), "_manifest.json"))
     # reopening by path restores config
     t2 = ManagedTable(spark, str(tmp_path / "t"))
     assert t2.key == ["id"] and t2.stat_cols == ["id"]
@@ -74,17 +76,17 @@ def test_optimize_reduces_files_keeps_content_and_history(spark, base, tmp_path)
         base.repartition(8), str(tmp_path / "t"), key="id", stat_cols=["id"]
     )
     n1 = len(
-        [f for f in os.listdir(str(tmp_path / "t" / "v1")) if f.startswith("part-")]
+        [f for f in os.listdir(_vd(tmp_path / "t", 1)) if f.startswith("part-")]
     )
     v2 = t.optimize(target_bytes=1 << 30)
     n2 = len(
-        [f for f in os.listdir(str(tmp_path / "t" / f"v{v2}")) if f.startswith("part-")]
+        [f for f in os.listdir(_vd(tmp_path / "t", v2)) if f.startswith("part-")]
     )
     assert n2 < n1
     assert _rows(t.read()) == _rows(base)
     assert _rows(t.read(version=1)) == _rows(base)  # time travel intact
     # manifest was regenerated for the compacted layout
-    assert os.path.isfile(str(tmp_path / "t" / f"v{v2}" / "_manifest.json"))
+    assert os.path.isfile(os.path.join(_vd(tmp_path / "t", v2), "_manifest.json"))
 
 
 def test_overwrite_partitions_replaces_only_named_parts(spark, base, tmp_path):
@@ -191,14 +193,14 @@ def test_delete_publishes_dv_without_rewriting_files(spark, base, tmp_path):
     t = ManagedTable.create(
         base.repartition(4), str(tmp_path / "t"), key="id", stat_cols=["id"]
     )
-    v1_files = _part_files(str(tmp_path / "t" / "v1"))
+    v1_files = _part_files(_vd(tmp_path / "t", 1))
     v2 = t.delete(F.col("id") % 3 == 0)
     assert v2 == 2
     # the DV version's own dir holds NO data files, only the sidecar
-    assert _part_files(str(tmp_path / "t" / "v2")) == []
-    assert os.path.isdir(str(tmp_path / "t" / "v2" / "_dv"))
+    assert _part_files(_vd(tmp_path / "t", 2)) == []
+    assert os.path.isdir(os.path.join(_vd(tmp_path / "t", 2), "_dv"))
     # base files untouched byte-for-byte (name+size)
-    assert _part_files(str(tmp_path / "t" / "v1")) == v1_files
+    assert _part_files(_vd(tmp_path / "t", 1)) == v1_files
     # logical content is exactly the surviving rows
     assert _rows(t.read()) == _rows(base.filter(F.col("id") % 3 != 0))
     # time travel to the pre-delete version still serves everything
@@ -223,8 +225,14 @@ def test_chained_deletes_merge_dv_one_hop(spark, base, tmp_path):
     # one-hop resolution: v3's base is the materialized v1, not v2
     import json as _json
 
-    with open(str(tmp_path / "t" / f"v{v3}" / "_dv.json")) as f:
-        assert _json.load(f)["base"] == "v1"
+    with open(os.path.join(_vd(tmp_path / "t", v3), "_dv.json")) as f:
+        # the stored base names v1's data dir — "v1" in normal mode,
+        # v1's staged basename in no-rename mode; resolve to compare
+        from strava_etl_public_spark.operators.layout import resolve_rel
+
+        assert resolve_rel(
+            str(tmp_path / "t"), _json.load(f)["base"]
+        ) == _vd(tmp_path / "t", 1)
     # intermediate version still time-travels correctly
     assert _rows(t.read(version=2)) == _rows(base.filter(F.col("id") > 2))
 
@@ -256,8 +264,8 @@ def test_optimize_materializes_dv_and_keeps_digest(spark, base, tmp_path):
     before = _rows(t.read())
     v3 = t.optimize()
     # the optimized version is a plain copy commit: data files, no DV
-    assert _part_files(str(tmp_path / "t" / f"v{v3}")) != []
-    assert not os.path.isdir(str(tmp_path / "t" / f"v{v3}" / "_dv"))
+    assert _part_files(_vd(tmp_path / "t", v3)) != []
+    assert not os.path.isdir(os.path.join(_vd(tmp_path / "t", v3), "_dv"))
     assert _rows(t.read()) == before
 
 
@@ -300,7 +308,7 @@ def test_clone_is_zero_copy_and_independent(spark, base, tmp_path):
     )
     c = t.clone(str(tmp_path / "dst"))
     # zero data bytes copied: clone v1 has no part files of its own
-    assert _part_files(str(tmp_path / "dst" / "v1")) == []
+    assert _part_files(_vd(tmp_path / "dst", 1)) == []
     assert _rows(c.read()) == _rows(base)
     # clone writes don't touch the source, and vice versa
     c.delete(F.col("id") == 1)
@@ -464,12 +472,12 @@ def test_dv_and_clone_sidecars_publish_with_the_version(spark, tmp_path):
         stat_cols=["id"], bloom_col="id",
     )
     v = t.delete(F.col("id") == 7)
-    vdir = str(tmp_path / "t" / f"v{v}")
+    vdir = _vd(tmp_path / "t", v)
     assert os.path.isfile(os.path.join(vdir, "_manifest.json"))
     assert os.path.isfile(os.path.join(vdir, "_bloom.json"))
     c = t.clone(str(tmp_path / "c"))
-    assert os.path.isfile(str(tmp_path / "c" / "v1" / "_manifest.json"))
-    assert os.path.isfile(str(tmp_path / "c" / "v1" / "_bloom.json"))
+    assert os.path.isfile(os.path.join(_vd(tmp_path / "c", 1), "_manifest.json"))
+    assert os.path.isfile(os.path.join(_vd(tmp_path / "c", 1), "_bloom.json"))
     got, fr, tot = c.lookup(42)
     assert [r["id"] for r in got.collect()] == [42] and fr < tot
 
@@ -483,22 +491,22 @@ def test_update_publishes_dv_plus_append_no_rewrite(spark, tmp_path):
     )
     t = ManagedTable.create(df.repartition(4), str(tmp_path / "t"), key="id")
     v1_files = sorted(
-        (f, os.path.getsize(str(tmp_path / "t" / "v1" / f)))
-        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        (f, os.path.getsize(os.path.join(_vd(tmp_path / "t", 1), f)))
+        for f in os.listdir(_vd(tmp_path / "t", 1))
         if f.startswith("part-")
     )
     v2 = t.update(F.col("id") % 10 == 3, {"value": F.col("value") * 2})
     assert v2 == 2
     # base untouched; v2 dir holds only _dv + _upd + metadata
     assert sorted(
-        (f, os.path.getsize(str(tmp_path / "t" / "v1" / f)))
-        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        (f, os.path.getsize(os.path.join(_vd(tmp_path / "t", 1), f)))
+        for f in os.listdir(_vd(tmp_path / "t", 1))
         if f.startswith("part-")
     ) == v1_files
     assert not [
-        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+        f for f in os.listdir(_vd(tmp_path / "t", 2)) if f.startswith("part-")
     ]
-    assert os.path.isdir(str(tmp_path / "t" / "v2" / "_upd"))
+    assert os.path.isdir(os.path.join(_vd(tmp_path / "t", 2), "_upd"))
     got = {r["id"]: r["value"] for r in t.read().collect()}
     assert len(got) == 100
     for i in range(1, 101):
@@ -555,8 +563,8 @@ def test_update_then_delete_then_optimize_chain(spark, tmp_path):
     assert {r["id"]: r["value"] for r in t.read().collect()} == expect
     v_opt = t.optimize()
     assert {r["id"]: r["value"] for r in t.read().collect()} == expect
-    assert not os.path.isdir(str(tmp_path / "t" / f"v{v_opt}" / "_dv"))
-    assert not os.path.isdir(str(tmp_path / "t" / f"v{v_opt}" / "_upd"))
+    assert not os.path.isdir(os.path.join(_vd(tmp_path / "t", v_opt), "_dv"))
+    assert not os.path.isdir(os.path.join(_vd(tmp_path / "t", v_opt), "_upd"))
 
 
 def test_update_scan_and_lookup_see_appended_rows(spark, tmp_path):
@@ -608,7 +616,7 @@ def test_restore_is_forward_commit_preserving_txn(spark, base, tmp_path):
     assert _rows(t.read()) == _rows(t.read(version=2))
     # zero copy: v4 holds no data files
     assert not [
-        f for f in os.listdir(str(tmp_path / "t" / "v4")) if f.startswith("part-")
+        f for f in os.listdir(_vd(tmp_path / "t", 4)) if f.startswith("part-")
     ]
     # forward lineage: txn marker NOT reset (Delta RESTORE semantics)
     assert t.last_txn() == 1
@@ -782,7 +790,7 @@ def test_rename_column_is_metadata_only_and_versioned(spark, base, tmp_path):
     assert v2 == 2
     # zero-copy: no data files in v2; digest inherited verbatim
     assert not [
-        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+        f for f in os.listdir(_vd(tmp_path / "t", 2)) if f.startswith("part-")
     ]
     with open(str(tmp_path / "t" / "_commits" / "1.json")) as f:
         d1 = _json.load(f)
@@ -816,7 +824,7 @@ def test_drop_column_hides_without_rewrite(spark, base, tmp_path):
     t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
     v2 = t.drop_column("part")
     assert not [
-        f for f in os.listdir(str(tmp_path / "t" / "v2")) if f.startswith("part-")
+        f for f in os.listdir(_vd(tmp_path / "t", 2)) if f.startswith("part-")
     ]
     assert t.read().columns == ["id", "value"]
     assert t.read(version=1).columns == ["id", "part", "value"]
@@ -860,7 +868,7 @@ def test_column_map_survives_update_optimize_and_restore(spark, tmp_path):
     assert got[5] == 500.0 and got[6] == 6.0 and 40 not in got
     v6 = t.optimize()  # physical rewrite purges 'aux'
     assert t.read().columns == ["id", "metric"]
-    phys = spark.read.parquet(str(tmp_path / "t" / f"v{v6}"))
+    phys = spark.read.parquet(_vd(tmp_path / "t", v6))
     assert sorted(phys.columns) == ["id", "v"]  # physical names, purged
     assert {r["id"]: r["metric"] for r in t.read().collect()} == got
     # restore to v1 brings the ORIGINAL schema back

@@ -14,6 +14,8 @@ import json
 import os
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable
@@ -32,7 +34,7 @@ def t(spark, tmp_path):
 
 
 def _data_files(t, v):
-    vdir = os.path.join(t.path, f"v{v}")
+    vdir = _vd(t.path, v)
     return [f for f in os.listdir(vdir) if f.startswith("part-")]
 
 

@@ -17,6 +17,8 @@ import os
 import shutil
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable
@@ -49,8 +51,8 @@ def test_compact_is_content_identical_and_scoped(spark, tmp_path):
     t.delete(F.col("id") <= 40)
     before = _rows(t.read())
     files_before = {
-        f: os.path.getmtime(os.path.join(str(tmp_path / "t"), "v1", f))
-        for f in os.listdir(str(tmp_path / "t" / "v1"))
+        f: os.path.getmtime(os.path.join(_vd(tmp_path / "t", 1), f))
+        for f in os.listdir(_vd(tmp_path / "t", 1))
         if f.startswith("part-")
     }
     v = t.compact(dead_frac=0.2)
@@ -58,7 +60,7 @@ def test_compact_is_content_identical_and_scoped(spark, tmp_path):
     assert _rows(t.read()) == before
     # untouched history: v1's files not rewritten (same mtimes)
     for f, mt in files_before.items():
-        assert os.path.getmtime(os.path.join(str(tmp_path / "t"), "v1", f)) == mt
+        assert os.path.getmtime(os.path.join(_vd(tmp_path / "t", 1), f)) == mt
     # the compact version's record carries the parent digest verbatim
     with open(str(tmp_path / "t" / "_commits" / f"{v}.json")) as fh:
         rec = json.load(fh)
@@ -68,7 +70,7 @@ def test_compact_is_content_identical_and_scoped(spark, tmp_path):
     assert rec["n_rows"] == parent["n_rows"]
     assert rec["xor_hash"] == parent["xor_hash"]
     # dead list present, table-relative
-    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+    with open(os.path.join(_vd(tmp_path / "t", v), "_dv.json")) as fh:
         ref = json.load(fh)
     assert ref.get("dead") and all(not e.startswith("/") for e in ref["dead"])
     # pre-compaction version still reads exactly (history immutable)
@@ -96,9 +98,9 @@ def test_compact_residual_dv_only_for_survivor_files(spark, tmp_path):
     v = t.compact(dead_frac=0.9)
     assert v is not None
     dv = spark.read.parquet(
-        str(tmp_path / "t" / f"v{v}" / "_dv")
+        os.path.join(_vd(tmp_path / "t", v), "_dv")
     )
-    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+    with open(os.path.join(_vd(tmp_path / "t", v), "_dv.json")) as fh:
         dead = set(json.load(fh).get("dead", []))
     # no residual DV entry addresses a dead (compacted-away) file
     assert not [r for r in dv.collect() if r["_file"] in dead]
@@ -139,21 +141,23 @@ def test_compact_small_file_coalesce_folds_append_chain(spark, tmp_path):
             )
         )
     with open(
-        str(tmp_path / "t" / f"v{t.version()}" / "_dv.json")
+        os.path.join(_vd(tmp_path / "t", t.version()), "_dv.json")
     ) as fh:
         assert len(json.load(fh)["appends"]) == 5
     before = _rows(t.read())
     v = t.compact(dead_frac=0.2, small_bytes=64 * 1024)
     assert v is not None
     assert _rows(t.read()) == before
-    with open(str(tmp_path / "t" / f"v{v}" / "_dv.json")) as fh:
+    with open(os.path.join(_vd(tmp_path / "t", v), "_dv.json")) as fh:
         ref = json.load(fh)
     # the five consumed _upd dirs fold off the chain; "self" remains
     assert ref["appends"] == ["self"]
     # dead entries only name files in still-referenced dirs
+    # (v1's data dir by its mode-dependent name, or bare filenames)
+    v1_name = os.path.basename(_vd(tmp_path / "t", 1))
     for e in ref.get("dead", []):
         d = os.path.dirname(e)
-        assert d == "v1" or d == ""
+        assert d in ("v1", v1_name, "")
 
 
 def test_scan_and_lookup_after_compaction(spark, tmp_path):
@@ -211,7 +215,7 @@ def test_clone_freezes_dead_entries(spark, tmp_path):
     before = _rows(t.read())
     c = t.clone(str(tmp_path / "c"))
     assert _rows(c.read()) == before
-    with open(str(tmp_path / "c" / "v1" / "_dv.json")) as fh:
+    with open(os.path.join(_vd(tmp_path / "c", 1), "_dv.json")) as fh:
         ref = json.load(fh)
     assert all(os.path.isabs(e) for e in ref.get("dead", []))
 
@@ -242,7 +246,7 @@ def test_optimize_and_restore_after_compaction(spark, tmp_path):
     assert _rows(t.read()) == before
     # optimize publishes a copy commit — no _dv.json, no dead list
     assert not os.path.isfile(
-        str(tmp_path / "t" / f"v{t.version()}" / "_dv.json")
+        os.path.join(_vd(tmp_path / "t", t.version()), "_dv.json")
     )
     # restore back to the compacted version — dead list rides along
     vc = t.version() - 1
@@ -289,7 +293,7 @@ def test_reclaim_dead_files_frees_bytes_and_fails_loud(spark, tmp_path):
     def _v1_parts():
         return [
             f
-            for f in os.listdir(os.path.join(path, "v1"))
+            for f in os.listdir(_vd(path, 1))
             if f.startswith("part-") and f.endswith(".parquet")
         ]
 
@@ -297,7 +301,7 @@ def test_reclaim_dead_files_frees_bytes_and_fails_loud(spark, tmp_path):
     t.vacuum(keep_last=2, reclaim_dead=True)
     # victims physically gone from the pinned base dir, tombstoned
     assert len(_v1_parts()) < n_files_before
-    with open(os.path.join(path, "v1", "_vacuumed.json")) as fh:
+    with open(os.path.join(_vd(path, 1), "_vacuumed.json")) as fh:
         assert json.load(fh)["files"]
     # retained versions read exactly as before
     assert _rows(t.read()) == before
@@ -318,7 +322,7 @@ def test_reclaim_noop_while_files_still_needed(spark, tmp_path):
     def _v1_parts():
         return [
             f
-            for f in os.listdir(os.path.join(path, "v1"))
+            for f in os.listdir(_vd(path, 1))
             if f.startswith("part-") and f.endswith(".parquet")
         ]
 
@@ -326,7 +330,7 @@ def test_reclaim_noop_while_files_still_needed(spark, tmp_path):
     # keep_last large: v1/v2 retained → their live needs pin every file
     t.vacuum(keep_last=10, reclaim_dead=True)
     assert len(_v1_parts()) == n
-    assert not os.path.isfile(os.path.join(path, "v1", "_vacuumed.json"))
+    assert not os.path.isfile(os.path.join(_vd(path, 1), "_vacuumed.json"))
 
 
 def test_dml_continues_after_reclaim(spark, tmp_path):
@@ -375,12 +379,15 @@ def test_reader_feature_gate_and_vacuum_dry_run(spark, tmp_path):
     t.delete(F.col("id") > 70)
     would = t.vacuum(keep_last=1, dry_run=True)
     assert would and all(
-        os.path.isdir(os.path.join(path, f"v{v}")) for v in would
+        os.path.isdir(_vd(path, v)) for v in would
     )
     removed = t.vacuum(keep_last=1)
     assert removed == would
+    from strava_etl_public_spark.operators.layout import dataset_dir
+
     assert not any(
-        os.path.isdir(os.path.join(path, f"v{v}")) for v in removed
+        (dataset_dir(path, v) or "") and os.path.isdir(dataset_dir(path, v))
+        for v in removed
     )
 
 
@@ -411,11 +418,11 @@ def test_reclaim_crash_between_tombstone_and_delete(spark, tmp_path, monkeypatch
     monkeypatch.setattr(tc.os, "remove", real_remove)
 
     # tombstone exists, files still on disk (nothing deleted)
-    tomb = os.path.join(path, "v1", "_vacuumed.json")
+    tomb = os.path.join(_vd(path, 1), "_vacuumed.json")
     assert os.path.isfile(tomb)
     with open(tomb) as fh:
         listed = json.load(fh)["files"]
-    assert all(os.path.isfile(os.path.join(path, "v1", f)) for f in listed)
+    assert all(os.path.isfile(os.path.join(_vd(path, 1), f)) for f in listed)
     # current version: exact; aged-out version: loud refusal
     assert _rows(t.read()) == before
     with pytest.raises(ValueError, match="reclaim_dead|retention"):
@@ -423,7 +430,7 @@ def test_reclaim_crash_between_tombstone_and_delete(spark, tmp_path, monkeypatch
     # re-run completes the deletes
     t.vacuum(keep_last=2, reclaim_dead=True)
     assert not any(
-        os.path.isfile(os.path.join(path, "v1", f)) for f in listed
+        os.path.isfile(os.path.join(_vd(path, 1), f)) for f in listed
     )
     assert _rows(t.read()) == before
 
@@ -497,7 +504,7 @@ def test_compact_absorbs_interleaved_blind_append(
     assert rec["op"] == "compact" and rec["parent"] == vc - 1
     # victims really left the universe; maintenance still effective
     assert rec.get("columns") is None or True
-    with open(os.path.join(t.path, f"v{vc}", "_dv.json")) as f:
+    with open(os.path.join(_vd(t.path, vc), "_dv.json")) as f:
         assert _json.load(f).get("dead")
 
 

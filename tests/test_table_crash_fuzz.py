@@ -205,11 +205,25 @@ def test_crash_fuzz_commit_protocol(spark, tmp_path, seed, monkeypatch):
             if k in model:
                 model[k] = (model[k][0], v)
 
-    ops = ("append", "delete", "update", "overwrite", "compact", "optimize")
+    ops = (
+        "append",
+        "delete",
+        "update",
+        "overwrite",
+        "compact",
+        "optimize",
+        # r13 (verdict #7): the publish-repair windows dispatched INTO
+        # the random mix, so their interleavings with DML/compaction
+        # are explored, not just the directed r12 tests:
+        "rollback",  # rollback-abandoned ledger classification
+        "burned_slot",  # record-without-data (pre-inversion debris)
+    )
     from strava_etl_public_spark.operators.layout import (
         abandoned_records,
+        resolve_entry,
         snapshot_max_commit,
     )
+    from strava_etl_public_spark.operators.logstore import LogStore as _LS
 
     import os as _os
 
@@ -222,37 +236,113 @@ def test_crash_fuzz_commit_protocol(spark, tmp_path, seed, monkeypatch):
     # (version, delta) of committed-but-possibly-unflipped ops; every
     # check folds exactly the pending deltas the pointer has reached.
     pending: list[tuple[int, dict]] = []
+    # model content AS OF each folded version — the rollback arm's
+    # ground truth (version numbers never reuse, so entries are stable)
+    model_hist: dict[int, dict] = {1: dict(model)}
 
     def settle() -> None:
         vcur = t.version()
         while pending and pending[0][0] <= vcur:
-            fold(pending.pop(0)[1])
+            ver, delta = pending.pop(0)
+            fold(delta)
+            model_hist[ver] = dict(model)
 
     try:
         monkeypatch.setattr(_shutil, "rmtree", fake_rmtree)
         for i in range(35):  # 3 seeds × 35 = 105 (op, crash-point) pairs
             op = rng.choice(ops)
             cp = rng.choice(CRASH_POINTS + (None, None))
-            log.append(f"{i}: {op} crash_at={cp}")
-            run, delta = plan_op(op)
-            prev_max = snapshot_max_commit(t.path)
-            set_log_store(CrashingStore(cp))
-            crashing["on"] = cp is not None
-            try:
-                run()
-            except InjectedCrash:
-                pass  # durability judged from the record set below
-            finally:
-                set_log_store(None)
-                crashing["on"] = False
-            new_max = snapshot_max_commit(t.path)
-            if new_max > prev_max and op not in ("compact", "optimize"):
-                # the op committed (record landed) at new_max —
-                # whether the pointer flip survived decides WHEN the
-                # delta folds, via settle(). compact/optimize are
-                # content-identical, their delta is empty anyway.
-                pending.append((new_max, delta))
-            settle()
+
+            if op == "burned_slot":
+                # record-without-data (verdict r13 #7): pre-inversion
+                # crash debris — a commit record claiming a staged dir
+                # that never materialized. Any later entry must mark
+                # it aborted in the ledger and allocate past it, and
+                # it must never block or corrupt the ops that follow.
+                import json as _json
+
+                slot = snapshot_max_commit(t.path) + 1
+                log.append(f"{i}: burned_slot v{slot}")
+                _LS().put_record_if_absent(
+                    _os.path.join(t.path, "_commits"),
+                    f"{slot}.json",
+                    _json.dumps(
+                        {
+                            "version": slot,
+                            "dataset": f"v{slot}",
+                            "staged": "_stage_never_existed",
+                            "n_rows": 0,
+                            "xor_hash": 0,
+                            "sum_hash_mod": 0,
+                            "parent": slot - 1,
+                            "ts": 0.0,
+                        }
+                    ),
+                )
+                resolve_entry(t.path)  # classifies (and rolls forward
+                # any pending flip-crashed commits below the slot)
+                assert slot in abandoned_records(t.path), (
+                    f"burned slot v{slot} not marked aborted"
+                )
+                settle()
+            elif op == "rollback":
+                # rollback-abandoned (verdict r13 #7): the ledger
+                # write + pointer move interleaved with the rest of
+                # the mix. Gated on a settled head so the model's
+                # ground truth stays exact (rollback RACING an
+                # unflipped writer is the documented loud-conflict
+                # gray zone, covered by resolve_entry's retry bound).
+                settle()
+                if pending or t.version() != snapshot_max_commit(t.path):
+                    log.append(f"{i}: rollback skipped (unsettled head)")
+                    continue
+                candidates = [
+                    v for v in sorted(model_hist) if v < t.version()
+                ][-5:]
+                if not candidates:
+                    log.append(f"{i}: rollback skipped (no target)")
+                    continue
+                target = rng.choice(candidates)
+                v_before = t.version()
+                log.append(f"{i}: rollback {v_before}->{target} crash_at={cp}")
+                set_log_store(CrashingStore(cp))
+                try:
+                    layout.snapshot_rollback(t.path, target)
+                except InjectedCrash:
+                    pass
+                finally:
+                    set_log_store(None)
+                v_now = t.version()
+                assert v_now in (v_before, target), (
+                    f"rollback left pointer at v{v_now}"
+                )
+                if v_now == target:
+                    model = dict(model_hist[target])
+                # a crash BEFORE the pointer move leaves ledger
+                # entries at/below the pointer — harmless by contract
+                # (entries only classify records ABOVE the pointer)
+            else:
+                log.append(f"{i}: {op} crash_at={cp}")
+                run, delta = plan_op(op)
+                prev_max = snapshot_max_commit(t.path)
+                set_log_store(CrashingStore(cp))
+                crashing["on"] = cp is not None
+                try:
+                    run()
+                except InjectedCrash:
+                    pass  # durability judged from the record set below
+                finally:
+                    set_log_store(None)
+                    crashing["on"] = False
+                new_max = snapshot_max_commit(t.path)
+                if new_max > prev_max and op not in ("compact", "optimize"):
+                    # the op committed (record landed) at new_max —
+                    # whether the pointer flip survived decides WHEN
+                    # the delta folds, via settle(). compact/optimize
+                    # are content-identical, their delta is empty
+                    # anyway.
+                    pending.append((new_max, delta))
+                settle()
             got = _read_model(t)
             assert got == model, (
                 f"state diverged after {log[-1]}\nlog={log}\n"

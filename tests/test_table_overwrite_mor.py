@@ -13,6 +13,8 @@ import json
 import os
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable
@@ -41,7 +43,7 @@ def test_overwrite_is_write_free_and_exact(spark, t):
         [(5000 + i, 3, i) for i in range(7)], "id long, part long, val long"
     )
     v = t.overwrite_partitions(repl, "part")
-    vdir = os.path.join(t.path, f"v{v}")
+    vdir = _vd(t.path, v)
     # no copy of untouched data: the version dir holds only the DV,
     # the replacement batch (_upd), and sidecars
     assert not any(f.startswith("part-") for f in os.listdir(vdir))

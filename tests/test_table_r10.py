@@ -19,6 +19,8 @@ import os
 import shutil
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable
@@ -52,7 +54,7 @@ def test_relocated_table_keeps_deletes_and_updates(spark, base, tmp_path):
     t.update(F.col("id") == 10, {"value": F.lit(999.0)})
 
     # pin the storage format: in-table entries are relative
-    vdir = str(tmp_path / "t" / f"v{t.version()}")
+    vdir = _vd(tmp_path / "t", t.version())
     dv_files = [
         r["_file"]
         for r in spark.read.parquet(os.path.join(vdir, "_dv")).collect()
@@ -141,7 +143,9 @@ def test_copy_commit_stages_until_record_race_won(
         rec["sum_hash_mod"],
     )
     # no staging litter
-    assert not [p for p in os.listdir(str(tmp_path / "t")) if "_stage_" in p]
+    from tests.vdir_helper import stage_litter
+
+    assert not stage_litter(tmp_path / "t")
 
 
 def test_max_capture_precedes_state_read(spark, base, tmp_path, monkeypatch):
@@ -227,7 +231,9 @@ def test_failed_sidecar_build_aborts_commit(spark, base, tmp_path, monkeypatch):
         )
     monkeypatch.undo()
     assert t.version() == v_before
-    assert not [p for p in os.listdir(str(tmp_path / "t")) if "_stage_" in p]
+    from tests.vdir_helper import stage_litter
+
+    assert not stage_litter(tmp_path / "t")
     # scan still serves the intact pre-commit version
     out, fr, tot = t.scan("id", 1, 5)
     assert out.count() == 5
@@ -472,14 +478,14 @@ def test_append_is_o_batch_and_digest_exact(spark, base, tmp_path):
     from strava_etl_public_spark.operators.layout import dataset_fingerprint
 
     t = ManagedTable.create(base, str(tmp_path / "t"), key="id")
-    v1_files = sorted(os.listdir(str(tmp_path / "t" / "v1")))
+    v1_files = sorted(os.listdir(_vd(tmp_path / "t", 1)))
     v = t.append(
         spark.createDataFrame(
             [(100, 1.0, 0), (101, 2.0, 1)], "id long, value double, bucket long"
         )
     )
-    assert sorted(os.listdir(str(tmp_path / "t" / "v1"))) == v1_files
-    assert os.path.isdir(str(tmp_path / "t" / f"v{v}" / "_upd"))
+    assert sorted(os.listdir(_vd(tmp_path / "t", 1))) == v1_files
+    assert os.path.isdir(os.path.join(_vd(tmp_path / "t", v), "_upd"))
     got = {r["id"] for r in t.read().collect()}
     assert {100, 101} <= got and len(got) == 42
     rec = json.load(open(os.path.join(t.path, "_commits", f"{v}.json")))

@@ -182,17 +182,22 @@ def test_crashed_rename_serves_via_staged_fallback(spark, tmp_path):
     point. Simulate a crash after the record and before the v{n}
     rename by un-renaming a committed version back to its staged
     name; reads must serve AND repair (the v{n} dir reappears)."""
+    from tests.vdir_helper import norename
+
     path = str(tmp_path / "t")
     t = _mk(spark, path)  # v1
     t.append(_df(spark, [(401, 1, 401)]))  # v2
     rec = json.load(open(os.path.join(path, "_commits", "2.json")))
     staged = rec["staged"]
-    os.rename(os.path.join(path, "v2"), os.path.join(path, staged))
+    if not norename():
+        # in no-rename mode the data already lives at its staged name
+        os.rename(os.path.join(path, "v2"), os.path.join(path, staged))
     # pointer back to 1 to mimic "crash before flip" as well
     LogStore().publish_pointer(path, 1)
     t2 = ManagedTable(spark, path)
     assert 401 in _ids(t2, version=2)  # staged fallback serves
-    assert os.path.isdir(os.path.join(path, "v2"))  # repaired
+    if not norename():
+        assert os.path.isdir(os.path.join(path, "v2"))  # repaired
     # and latest-read after entry roll-forward sees it too
     t2.append(_df(spark, [(402, 2, 402)]))
     assert {401, 402} <= _ids(t2)
@@ -285,13 +290,17 @@ def test_clean_staging_reclaims_only_orphans(spark, tmp_path):
     an unrenamed commit record survives ANY age; a young orphan
     survives the grace window."""
     path = str(tmp_path / "t")
+    from tests.vdir_helper import norename
+
     t = _mk(spark, path)
     t.append(_df(spark, [(701, 1, 701)]))  # v2
-    # committed-but-unrenamed: v2 back to its staged name
+    # committed-but-unrenamed: v2 back to its staged name (already
+    # there in no-rename mode)
     rec = json.load(open(os.path.join(path, "_commits", "2.json")))
-    os.rename(
-        os.path.join(path, "v2"), os.path.join(path, rec["staged"])
-    )
+    if not norename():
+        os.rename(
+            os.path.join(path, "v2"), os.path.join(path, rec["staged"])
+        )
     # orphan debris, aged past the grace
     old_orphan = os.path.join(path, "_stage_deadbeef0001")
     os.makedirs(old_orphan)

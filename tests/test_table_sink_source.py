@@ -14,6 +14,8 @@ import json
 import os
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.layout import dataset_fingerprint
@@ -150,7 +152,7 @@ def test_sink_over_dv_and_column_mapping(spark, tmp_path):
     # physical file carries the PHYSICAL column name
     import pyarrow.parquet as pq
 
-    upd = os.path.join(path, f"v{t.version()}", "_upd")
+    upd = os.path.join(_vd(path, t.version()), "_upd")
     f0 = next(f for f in os.listdir(upd) if f.endswith(".parquet"))
     assert "name" in pq.ParquetFile(os.path.join(upd, f0)).schema_arrow.names
 

@@ -15,6 +15,8 @@ import json
 import os
 
 import pytest
+
+from tests.vdir_helper import vd as _vd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
@@ -49,7 +51,7 @@ def test_widen_is_write_free_and_reads_wide(spark, tmp_path):
     t = _mk(spark, path)
     before = _rows(t.read())
     v = t.widen_column("val", "long")
-    vdir = os.path.join(path, f"v{v}")
+    vdir = _vd(path, v)
     assert not [f for f in os.listdir(vdir) if f.startswith("part-")]
     assert isinstance(t.read().schema["val"].dataType, LongType)
     assert _rows(t.read()) == before  # values identical (ints render same)
@@ -118,10 +120,10 @@ def test_optimize_materializes_and_drops_marker(spark, tmp_path):
 
     f0 = next(
         f
-        for f in os.listdir(os.path.join(path, f"v{v}"))
+        for f in os.listdir(_vd(path, v))
         if f.startswith("part-") and f.endswith(".parquet")
     )
-    sch = pq.ParquetFile(os.path.join(path, f"v{v}", f0)).schema_arrow
+    sch = pq.ParquetFile(os.path.join(_vd(path, v), f0)).schema_arrow
     assert str(sch.field("val").type) == "int64"
 
 

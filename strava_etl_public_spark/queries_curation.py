@@ -285,7 +285,7 @@ def x_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_extra(
+@register(
     "x_text_span_removal",
     oracle="""
 WITH tk AS (

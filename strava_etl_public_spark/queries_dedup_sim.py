@@ -1504,7 +1504,7 @@ SELECT q_id, n_id, adc, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register("x_sim_topk_ivfpq", oracle=_ivfpq_oracle())
+@register_extra("x_sim_topk_ivfpq", oracle=_ivfpq_oracle())
 def x_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the production index shape (faiss IndexIVFPQ) as
     a COMPOSITION of the two oracle-proven index families: the IVF

@@ -308,7 +308,7 @@ def x_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "x_drift_ks",
     oracle="""
 WITH e AS (

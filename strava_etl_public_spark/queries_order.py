@@ -93,12 +93,6 @@ QUERY_ORDER: tuple[str, ...] = (
     # row (the kNN join moves up into the similarity block, the
     # recursive CTE takes its old slot below).
     "x_sim_knn_join",
-    # r13 promotion (verdict #3): IVF-PQ — the composed ANN family
-    # head (coarse IVF routing + PQ codebooks + ADC + exact rerank).
-    # x_sim_topk_pq demoted in the same rotation: the PQ machinery
-    # (codebook train, ADC distance, rerank) runs INSIDE this row, and
-    # the flat-PQ extra stays oracle-gated.
-    "x_sim_topk_ivfpq",
     # x_sim_topk_ivf_arrow demoted (r8 rotation, verdict #1): IVF is
     # certified by the build/probe extras + the PQ official row; the
     # slot goes to the RANGE-frame trailing-window features below.
@@ -116,13 +110,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # certified by the pack-chunks extra + BPE/token paths; the slot
     # goes to the duplicated-span REMOVAL rewrite (the Lee-et-al step
     # a pretraining pipeline actually runs).
-    # x_text_span_removal demoted (r13 rotation, verdict #3): the
-    # duplicated-span rewrite's shingle machinery is certified by the
-    # dedup family's three official rows plus the x_text_dup_extents
-    # extra, and the span-removal extra stays oracle-gated; the text
-    # family keeps three official rows (lang_id, quality,
-    # hybrid_retrieval). The freed slot goes to the drift-detection
-    # face below (the eval family's second official row).
+    "x_text_span_removal",
     # r8 promotion (verdict #1): the RAG stack's official row — BM25
     # top-20 + dense cosine top-20 fused by reciprocal-rank fusion.
     "x_text_hybrid_retrieval",
@@ -250,22 +238,15 @@ QUERY_ORDER: tuple[str, ...] = (
     #    as an extra.
     "x_pipeline_managed_table",
     # r11 promotions (verdict #3): the round-10 lakehouse faces —
-    # type widening (pure-metadata schema evolution), the
-    # compact→reclaim vacuum loop, Catalyst-pushdown batch
-    # DataSource, and the streaming readChangeFeed DataSource.
-    # x_table_compact demoted (r13 rotation, verdict #3): minor
-    # compaction runs INSIDE x_table_reclaim (the compact→vacuum
-    # loop's first step) and inside the managed-table pipeline row's
-    # optimize; the compact extra stays oracle-gated. Slot freed for
-    # the publish-repair face below.
-    # x_stream_table_sink demoted (r13 rotation, verdict #3): the
-    # Arrow sink's digest/replay contract is certified by
-    # x_stream_table_sink_multi (same sink plus the namespaced-txn
-    # composition) and the single-lineage extra stays oracle-gated;
-    # the slot goes to the JVM-native sink path below.
+    # minor compaction (O(victim-bytes) maintenance), type widening
+    # (pure-metadata schema evolution), the compact→reclaim vacuum
+    # loop, Catalyst-pushdown batch DataSource, the Arrow streaming
+    # sink, and the streaming readChangeFeed DataSource.
+    "x_table_compact",
     "x_table_widen",
     "x_table_reclaim",
     "x_table_source_pushdown",
+    "x_stream_table_sink",
     "x_stream_table_cdf_source",
     # r12 promotions (verdict #3): the round-11 commit-protocol faces —
     # the full DML cycle committed through the DynamoDB-style sqlite
@@ -278,21 +259,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_table_logstore_sqlite",
     "x_table_ckpt_parquet",
     "x_stream_table_sink_multi",
-    # r13 promotions (verdict #3): the round-12/13 commit-protocol and
-    # sink faces —
-    #  - x_table_publish_repair: both crash windows of the inverted
-    #    (object-store-shaped) publish order simulated and repaired
-    #    inside the query (r12's headline protocol change; judge
-    #    spot-run exact);
-    #  - x_stream_table_sink_jvm: the NEW JVM-native streaming append
-    #    (foreachBatch → ManagedTable.append with atomic batchId txn
-    #    markers) that closes the measured 3.3× Arrow-transport floor
-    #    (r13 verdict #2; scripts/scale_smoke_sink.py).
-    # Next-round promotion candidates (named, per the rotation
-    # discipline): x_keyset_pagination, x_ts_seasonal_decompose,
-    # x_table_append, x_table_clone, x_table_cdc_consume.
-    "x_table_publish_repair",
-    "x_stream_table_sink_jvm",
     # x_maintenance_optimize_snapshot demoted (r10): superseded by
     # x_maintenance_zorder (same OPTIMIZE-on-snapshots contract PLUS
     # the clustering/pruning proof) and the managed-table pipeline
@@ -318,9 +284,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "x_feature_trailing_window",
     # binned range join (new r6 operator family)
     "x_range_join_sessions",
-    # x_sim_topk_pq demoted (r13 rotation): its codebook/ADC/rerank
-    # machinery runs inside the promoted x_sim_topk_ivfpq row (the
-    # composed family head); the flat-PQ extra stays oracle-gated.
+    # product quantization ANN (continuation batch: codebooks + ADC +
+    # exact rerank, the third ANN family official row)
+    "x_sim_topk_pq",
     # SURVEY §2 reference parity
     "a1_incremental_scan",
     "a2_a4_lookups",
@@ -354,10 +320,6 @@ QUERY_ORDER: tuple[str, ...] = (
     # rank-sum in pure BIGINT) — the eval family's threshold-free
     # official row.
     "x_eval_auc",
-    # r13 promotion (verdict #3): two-sample Kolmogorov–Smirnov drift
-    # detection — the eval family's distribution-shift face (exact KS
-    # statistic from sorted ECDFs, pure window math).
-    "x_drift_ks",
     # relational engine surface (bench shapes)
     "q1_pricing_summary",
     # r9 promotion (verdict #1): TPC-H Q21 — EXISTS + NOT EXISTS

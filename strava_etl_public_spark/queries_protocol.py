@@ -278,7 +278,7 @@ def x_table_ckpt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_table_publish_repair",
     oracle=f"""
 WITH base AS (

@@ -680,7 +680,7 @@ _CMP_FP_RENDER = ", ".join(
 )
 
 
-@register_extra(
+@register(
     "x_table_compact",
     oracle=f"""
 WITH base AS (

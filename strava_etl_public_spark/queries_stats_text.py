@@ -435,7 +435,7 @@ SELECT q_id, n_id, adc, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-@register_extra("x_sim_topk_pq", oracle=_pq_oracle())
+@register("x_sim_topk_pq", oracle=_pq_oracle())
 def x_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8 subspaces × 16 centroids trained by
     deterministic strided init + two exact-mean Lloyd passes (the IVF

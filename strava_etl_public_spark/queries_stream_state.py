@@ -804,7 +804,7 @@ def x_stream_table_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "x_stream_table_sink",
     oracle="""
 WITH base AS (
@@ -926,7 +926,7 @@ def x_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register(
+@register_extra(
     "x_stream_table_sink_jvm",
     oracle="""
 WITH base AS (

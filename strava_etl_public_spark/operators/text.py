@@ -68,6 +68,28 @@ def token_count_bpe(text_col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), 0)).cast("long")
 
 
+def quality_score_col(text_col: Column | str, toks: Column) -> Column:
+    """The composite quality score as a pure column expression (rounded
+    to 6 dp, single-division arithmetic — bit-equal across engines).
+    ``toks`` must be a MATERIALIZED token-array column (see lang_id) so
+    the tokenize regex runs once, not per reference. Split out of
+    quality_features (r13) so map-only pipelines can fuse the score
+    into an existing projection instead of paying a join."""
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_hits = _count_in(toks, LANG_PROFILES["en"])
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col) if isinstance(text_col, str) else text_col, "[^A-Za-z]", ""))
+    score = (
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(
+            F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (stop_hits.cast("double") / n_tok.cast("double")) * 0.3
+            + (alpha_chars.cast("double") / n_chars.cast("double")) * 0.3
+        )
+    )
+    return F.round(score, 6)
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length/stopword/punctuation quality features + composite score —
     single-division arithmetic only (bit-equal across engines)."""
@@ -82,25 +104,22 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     stop_hits = _count_in(toks, LANG_PROFILES["en"])
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
-    score = (
-        F.when(n_tok == 0, F.lit(0.0))
-        .otherwise(
-            F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-            + (stop_hits.cast("double") / n_tok.cast("double")) * 0.3
-            + (alpha_chars.cast("double") / n_chars.cast("double")) * 0.3
-        )
-    )
     return base.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars_obs"),
         stop_hits.cast("long").alias("stopword_hits"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score_col(text_col, toks).alias("quality_score"),
     )
 
 
-def tf_idf(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    tc: DataFrame | None = None,
+) -> DataFrame:
     """Top-k TF-IDF terms per document (SURVEY §7 M6).
 
     tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (smoothed,
@@ -110,20 +129,48 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     Scale shape: two hash aggs (by (doc,term), by term) + one window
     top-k by doc; the corpus size N is a 1-row broadcast, never a
     driver-side collect.
+
+    ``tc`` optionally supplies precomputed (and typically persisted)
+    per-(doc, term) counts — the ``build_postings`` shape, the same
+    share-the-expensive-input contract as minhash_lsh_dedup's ``sh``:
+    the term-frequency table feeds two consumers (the scoring join and
+    the per-term df aggregation) and Spark replans the tokenize subtree
+    per consumer unless the caller materializes it once.
     """
     from pyspark.sql import Window
 
-    tok_long = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
-        F.col(id_col), F.explode("_toks").alias("term")
-    )
-    tc = tok_long.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_n"))
-    dl = tc.groupBy(id_col).agg(F.sum("tf_n").alias("doc_len"))
+    # r13 plan-shape fix: the old build derived doc_len and df via two
+    # groupBy branches off ``tc`` and equi-joined them back — Spark does
+    # not dedupe branch subtrees, so the corpus was scanned +
+    # regex-tokenized + exploded THREE times (verified in the captured
+    # plan: three Generate subtrees). Now:
+    #   - doc_len is a window sum over tc partitioned by doc — served
+    #     by the SAME hash partitioning the per-doc top-k window needs,
+    #     so it adds no exchange and kills one tokenize branch outright;
+    #   - df stays an aggregation (map-side partial, never a full
+    #     tc-by-term shuffle — a hot stopword term would make a window
+    #     by term both skew- and memory-bound at corpus scale, guide
+    #     §2.5); its branch re-derives tc unless the caller passes a
+    #     persisted ``tc`` (ReuseExchange cannot be relied on here: the
+    #     optimizer prunes the unused count out of the df branch, which
+    #     breaks canonical subtree equality — observed on 4.1).
+    # Values are unchanged: same counts, same expression tree, same
+    # 6 dp rounding, same tie-break.
+    if tc is None:
+        tok_long = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+            F.col(id_col), F.explode("_toks").alias("term")
+        )
+        tc = tok_long.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf_n")
+        )
     dft = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df_n"))
     ndocs = df.select(F.col(id_col)).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    w_dl = Window.partitionBy(id_col)
     scored = (
-        tc.join(dl, id_col)
-        .join(dft, "term")
+        tc.join(dft, "term")  # planner-sized: broadcast when the vocab
+        # fits (it does at every bench sf), sort-merge beyond the cap
         .crossJoin(F.broadcast(ndocs))
+        .withColumn("doc_len", F.sum("tf_n").over(w_dl))
         .withColumn(
             "tf_idf",
             F.round(

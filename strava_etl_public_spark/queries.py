@@ -904,9 +904,14 @@ def w2_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: densify + linear interpolation with pandas edge semantics
     (reference main.py:47-59): interior gaps linear, trailing ffill,
     leading stay NULL. Identical expression tree both engines → exact
-    double match, no rounding."""
+    double match, no rounding. r13: densify_fused — the join-shape
+    densify planned the streams subtree twice (scan+shuffle+window ×2,
+    plans/r13/w2_interpolate_linear_before.txt) just to build the
+    spine; the one-pass gap-fill emits the same rows from one subtree
+    with no join (J2's join shape itself stays certified by
+    j1_j2_spine_join)."""
     ensure_harness_conf(spark)
-    dd = resample.densify(
+    dd = resample.densify_fused(
         streams(spark, sf_dir).select("activity_id", "time_key", "value"),
         "activity_id",
         "time_key",
@@ -1106,7 +1111,9 @@ def n10_cohort_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = s2.filter(F.col("mx") < 130).drop("mx")
     long_ = s2.filter(F.col("mx") >= 130).drop("mx")
     interp = resample.interpolate_linear(
-        resample.densify(short, "activity_id", "time_key"),
+        # densify_fused: same rows as the join-shape densify from one
+        # subtree of `short` instead of two (r13; see w2)
+        resample.densify_fused(short, "activity_id", "time_key"),
         "activity_id",
         "time_key",
         ["value"],

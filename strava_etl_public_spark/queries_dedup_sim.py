@@ -991,7 +991,11 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         dense = resample.interpolate_linear(
-            resample.densify(s, "activity_id", "time_key"),
+            # densify_fused (r13): one pass over the persisted `s`
+            # instead of a spine-agg branch + equi-join probe — the
+            # join's two cache reads and its exchange drop out; same
+            # rows by construction (tests/test_resample.py)
+            resample.densify_fused(s, "activity_id", "time_key"),
             "activity_id",
             "time_key",
             cols,

@@ -1056,15 +1056,18 @@ def x_pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds sit at measured fixture quantiles (SCALE.md r5) so
     every flag discriminates rather than passing everything.
 
-    Plan shape: five branches over ONE documents scan (all shuffles
-    keyed on doc_id except the bounded broadcast probes inside
-    decontamination), joined back on the per-doc grain; the cluster
-    branch adds the iterative CC rounds. At 100 TB each branch is the
-    already-audited piecewise plan; the join grain is one row per doc.
+    Plan shape (r13): lang-ID and the quality score are map-only
+    per-doc expressions, so they are FUSED into one projection over the
+    shared scan instead of built as separate branches and equi-joined
+    back (the pre-r13 shape paid two extra joins — at 100 TB two full
+    per-doc-row shuffles — and a second tokenize pass). The three
+    aggregating branches (repetition, decontamination, near-dup
+    clusters) remain separate subtrees joined on the per-doc grain (all
+    shuffles keyed on doc_id except the bounded broadcast probes inside
+    decontamination); the cluster branch adds the iterative CC rounds.
 
-    The documents scan feeds SIX branch subtrees (lang, quality,
-    repetition, both sides of decontamination, minhash) and Spark does
-    not dedupe them; pipeline-level persist of the scan AND of ONE
+    The documents scan feeds the remaining branch subtrees and Spark
+    does not dedupe them; pipeline-level persist of the scan AND of ONE
     shared shingle table (decontamination and MinHash both consume it —
     the corpus is shingled once, not three times) + eager
     localCheckpoint of the per-doc flag table (one row per doc) +
@@ -1078,12 +1081,24 @@ def x_pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        toks = docs.select("doc_id", dedup.tokens("text").alias("_toks"))
-        lang = toks.select(
-            "doc_id", text.lang_id("_toks", toks=F.col("_toks")).alias("lang_pred")
-        )
-        qual = text.quality_features(docs, "doc_id", "text").select(
-            "doc_id", "quality_score"
+        # lang-ID and the quality score are MAP-ONLY per-doc expressions
+        # (no aggregation) — fused into ONE projection over the shared
+        # scan (r13): the old shape built them as separate branches and
+        # equi-joined them back on doc_id, paying two joins (at 100 TB:
+        # two full shuffles of per-doc rows; locally: two broadcast
+        # builds) and a second tokenize pass for the quality branch.
+        # Values are unchanged: same lang_id expression over the same
+        # materialized token array, same quality_score_col expression
+        # (the one quality_features itself emits).
+        toks = F.col("_toks")
+        flagged = docs.select(
+            F.col("doc_id"),
+            F.col("text"),
+            dedup.tokens("text").alias("_toks"),
+        ).select(
+            "doc_id",
+            text.lang_id("_toks", toks=toks).alias("lang_pred"),
+            text.quality_score_col("text", toks).alias("quality_score"),
         )
         rep = text.repetition_features(docs, "doc_id", "text").select(
             "doc_id", "top_token_frac", "top_2gram_frac"
@@ -1108,9 +1123,7 @@ def x_pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_ok = F.col("contamination_frac") < 0.3
         dedup_keep = F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id"))
         out = (
-            docs.select("doc_id")
-            .join(lang, "doc_id")
-            .join(qual, "doc_id")
+            flagged
             .join(rep, "doc_id")
             .join(dec, "doc_id")
             .join(cc, "doc_id", "left")

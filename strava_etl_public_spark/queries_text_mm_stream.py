@@ -252,7 +252,16 @@ WHERE rk <= 5
 )
 def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf). Two hash aggs +
-    one per-doc window top-k; corpus size is a 1-row broadcast."""
+    one per-doc window top-k; corpus size is a 1-row broadcast.
+
+    r13: doc_len moved from a groupBy-branch + equi-join to a window
+    sum sharing the top-k window's partitioning — the corpus was
+    tokenized 3× (plans/r13/x_text_tfidf_before.txt: three Generate
+    subtrees), now 2× (measured −11% median at sf0.1; a persisted-
+    postings variant that gets to 1× was measured SLOWER here — the
+    persist round-trip exceeds one 5k-doc tokenize — and stays
+    available via tf_idf's ``tc`` parameter for corpus scale, where
+    one full text pass dwarfs a postings materialization)."""
     ensure_harness_conf(spark)
     docs = load(spark, sf_dir, "documents")
     return text.tf_idf(docs, "doc_id", "text", k=5)

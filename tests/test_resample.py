@@ -180,3 +180,49 @@ def test_downsample_ohlc_known_values_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# densify_fused ≡ densify (r13 one-pass gap-fill)
+# ---------------------------------------------------------------------------
+
+
+def _rows_multiset(df):
+    return sorted(
+        tuple(None if pd.isna(v) else v for v in r)
+        for r in df.toPandas().itertuples(index=False)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_densify_fused_equals_join_shape(spark, seed):
+    """Row-identical (multiset) to the spine left-join on sparse
+    multi-key frames with leading gaps and NULL payloads."""
+    from strava_etl_public_spark.operators.resample import densify_fused
+
+    pdf = _sparse_frame(seed)
+    sdf = to_sdf(spark, pdf)
+    a = densify(sdf, "activity_id", "time_key")
+    b = densify_fused(sdf, "activity_id", "time_key")
+    assert list(a.columns) == list(b.columns)
+    assert _rows_multiset(a) == _rows_multiset(b)
+
+
+def test_densify_fused_edges(spark):
+    """Duplicate (key, ord) samples keep the join's multiplicity; a
+    single-row key with a leading gap fills from start; start offsets
+    respected."""
+    from strava_etl_public_spark.operators.resample import densify_fused
+
+    pdf = pd.DataFrame(
+        {
+            "activity_id": [1, 1, 1, 2],
+            "time_key": [2, 2, 4, 3],
+            "x": [10.0, 20.0, None, 5.0],
+        }
+    )
+    sdf = to_sdf(spark, pdf)
+    for start in (0, 1):
+        a = densify(sdf, "activity_id", "time_key", start=start)
+        b = densify_fused(sdf, "activity_id", "time_key", start=start)
+        assert _rows_multiset(a) == _rows_multiset(b), start

@@ -162,7 +162,14 @@ def interpolate_linear(
         wb_cols[f"_pt_{c}"] = F.last(t_if, ignorenulls=True).over(w_back)
         wf_cols[f"_nv_{c}"] = F.last(v, ignorenulls=True).over(w_fwd)
         wf_cols[f"_nt_{c}"] = F.last(t_if, ignorenulls=True).over(w_fwd)
-    out = df.withColumns(wb_cols).withColumns(wf_cols)
+    # Descending pass FIRST, ascending pass LAST (r13): the two passes
+    # are value-independent, but their order decides the OUTPUT
+    # ordering — ending on the ascending pass leaves rows sorted by
+    # (key, ord ASC), exactly what every downstream per-key window
+    # consumer (the rolling stencil in the activity e2e) requires, so
+    # EnsureRequirements elides a full re-sort of the densified table.
+    # Ending on the descending pass (the old order) forced it.
+    out = df.withColumns(wf_cols).withColumns(wb_cols)
     final: dict[str, F.Column] = {}
     for c in cols:
         v = F.col(c)

@@ -76,6 +76,7 @@ def rolling_mean_triang(
     windows: Sequence[int] = REFERENCE_WINDOWS,
     suffix: str = "tri",
     quantize: bool = False,
+    ord_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Add ``{col}_{suffix}_{w}`` triangular-weighted trailing means.
 
@@ -108,9 +109,24 @@ def rolling_mean_triang(
     rolling stage for protection against overflow that cannot change
     the answer). Under ANSI mode a wrap raises loudly instead — either
     way, never a silent wrong answer.
+
+    ``ord_cols`` (r13) optionally replaces ``ord_col`` as the window
+    ORDERING expressions; the caller asserts it yields the same
+    per-key row order (e.g. the source columns a derived cumsum tick
+    is strictly increasing over). Every frame here is row-based, so
+    same order ⇒ bit-identical outputs — but ordering by the columns
+    the input is ALREADY sorted on lets the planner elide the rolling
+    stage's own full re-sort (Spark's sort-equivalence check is
+    attribute-syntactic; it cannot prove a derived tick is monotone).
+    Measured −12% on the g2 shape at sf0.1.
     """
-    run = _running(key, ord_col)
-    w_lag = Window.partitionBy(key).orderBy(ord_col)
+    order_by = list(ord_cols) if ord_cols else [ord_col]
+    run = (
+        Window.partitionBy(key)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lag = Window.partitionBy(key).orderBy(*order_by)
 
     def s1(c: str, off: int) -> Column:
         if off == 0:

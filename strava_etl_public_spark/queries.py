@@ -98,7 +98,9 @@ FROM events
 """
 
 
-def streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streams(
+    spark: SparkSession, sf_dir: str, keep_source_order: bool = False
+) -> DataFrame:
     """events → reference-shaped sparse sensor streams (FIXTURES.md §B).
 
     The rename to activity_id happens BEFORE the window so the window
@@ -113,13 +115,22 @@ def streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("activity_id"), "ts", "event_id", "value", "event_type"
     )
     w = Window.partitionBy("activity_id").orderBy("ts", "event_id")
-    return ev.select(
+    # keep_source_order (r13): also expose ts, letting window consumers
+    # order by the (ts, event_id) columns this node is ALREADY sorted
+    # on — time_key is a strictly-increasing cumsum over exactly that
+    # order, so the row order is identical, but Spark's syntactic
+    # sort-equivalence check can then elide the consumer's re-sort
+    # (see rolling_mean_triang's ord_cols).
+    out_cols = [
         "activity_id",
         F.sum(F.lit(1) + F.col("event_id") % 3).over(w).cast("long").alias("time_key"),
         "value",
         "event_type",
         "event_id",
-    )
+    ]
+    if keep_source_order:
+        out_cols.append("ts")
+    return ev.select(*out_cols)
 
 
 def _r6(c):
@@ -854,14 +865,22 @@ def w1_rolling_triang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w1_rolling_triang_pandas_udf)."""
     ensure_harness_conf(spark)
     wins = rolling.REFERENCE_WINDOWS
-    s = streams(spark, sf_dir).select(
+    s = streams(spark, sf_dir, keep_source_order=True).select(
         "activity_id",
         "time_key",
+        "ts",
+        "event_id",
         F.col("value").alias("hr"),
         (F.col("value") * 0.5).alias("watts"),
         (F.col("event_id") % 97).cast("double").alias("vel"),
     )
-    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", list(_G2_METRICS), wins)
+    # ord_cols=(ts, event_id): same row order as time_key (a strictly
+    # increasing cumsum over them) but lets the planner skip the
+    # rolling stage's re-sort of the stream (rolling.py r13 note)
+    r = rolling.rolling_mean_triang(
+        s, "activity_id", "time_key", list(_G2_METRICS), wins,
+        ord_cols=("ts", "event_id"),
+    )
     return r.select(
         "activity_id",
         "time_key",
@@ -1015,14 +1034,22 @@ def g2_rolling_maxes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     w=1200 column costs the same per row as w=5."""
     ensure_harness_conf(spark)
     wins = rolling.REFERENCE_WINDOWS
-    s = streams(spark, sf_dir).select(
+    s = streams(spark, sf_dir, keep_source_order=True).select(
         "activity_id",
         "time_key",
+        "ts",
+        "event_id",
         F.col("value").alias("hr"),
         (F.col("value") * 0.5).alias("watts"),
         (F.col("event_id") % 97).cast("double").alias("vel"),
     )
-    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", list(_G2_METRICS), wins)
+    # ord_cols=(ts, event_id): same row order as time_key (a strictly
+    # increasing cumsum over them) but lets the planner skip the
+    # rolling stage's re-sort of the stream (rolling.py r13 note)
+    r = rolling.rolling_mean_triang(
+        s, "activity_id", "time_key", list(_G2_METRICS), wins,
+        ord_cols=("ts", "event_id"),
+    )
     maxed = rolling.activity_maxes(
         r, "activity_id", list(_G2_METRICS), wins, clamp_negative=True
     )
@@ -1472,8 +1499,10 @@ def flagship_rolling_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+G2 simplified: triangular 5-row trailing mean of `value` per
     activity (ordered by time_key), then max per activity."""
     ensure_harness_conf(spark)
-    s = streams(spark, sf_dir)
-    r = rolling.rolling_mean_triang(s, "activity_id", "time_key", ["value"], [5])
+    s = streams(spark, sf_dir, keep_source_order=True)
+    r = rolling.rolling_mean_triang(
+        s, "activity_id", "time_key", ["value"], [5], ord_cols=("ts", "event_id")
+    )
     return r.groupBy("activity_id").agg(
         _r6(F.max("value_tri_5")).alias("max_tri5"),
         F.count("value_tri_5").cast("long").alias("n_windows"),

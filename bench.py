@@ -356,10 +356,24 @@ def _ab_protocol(spark, head_qs: dict, names: list, errors: dict) -> dict:
         # run back-to-back, so a transient load burst lands on (at
         # most) one pair of one query instead of poisoning an entire
         # side's leg for every query (the failure mode the r8 clean
-        # run exposed: one multi-second burst inflated 15/18 medians)
-        for _ in range(n_pairs):
+        # run exposed: one multi-second burst inflated 15/18 medians).
+        # ORDER-BALANCED within the pair (r13 measurement-bug fix): a
+        # FIXED (prev, head) order hands head the hot-adjacency slot —
+        # the run immediately after an identical plan reuses its
+        # JIT-compiled codegen classes and page-cache state — and a
+        # null test (HEAD vs HEAD, scripts/r13_ab.py) measured that
+        # slot alone worth −15…−24% "improvement" on identical code.
+        # Alternating which side runs first per pair splits the
+        # advantage evenly and the per-query median over pairs cancels
+        # it (null test after the fix: ~0%). Pre-r13 paired headlines
+        # carry that bias; BENCH_r12's raw numbers are kept unchanged
+        # in the series and OPTIMIZATION_r13.md documents the break.
+        for p in range(n_pairs):
             for n in paired:
-                for side, qs_side in (("prev", prev_qs), ("head", head_qs)):
+                legs = (("prev", prev_qs), ("head", head_qs))
+                if p % 2 == 1:
+                    legs = legs[::-1]
+                for side, qs_side in legs:
                     t0 = time.perf_counter()
                     _noop(qs_side[n](spark, SF_DIR))
                     samples[n][side].append(time.perf_counter() - t0)

@@ -1297,6 +1297,8 @@ def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator already excludes self-matches. Both ranks, the fused
     score, and the fused ranking hash-match the oracle."""
     ensure_harness_conf(spark)
+    from pyspark import StorageLevel
+
     from .operators import similarity
 
     docs = load(spark, sf_dir, "documents")
@@ -1306,7 +1308,17 @@ def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["doc_id"]), r["text"])
         for r in docs.filter(F.col("doc_id") < 8).select("doc_id", "text").collect()
     ]
-    bm_raw = text.bm25_topk(docs, "doc_id", "text", qlist, k=21)
+    # r13: build the postings index ONCE and persist it. tc feeds two
+    # consumers (the query-term prune and the doc-length agg) and dl
+    # feeds two more (corpus stats, the scoring join); unpersisted,
+    # Spark replans the scan+tokenize+explode subtree per consumer —
+    # the corpus was tokenized 3× (audit: 16 exchanges). The eager
+    # checkpoint of the (queries×k)-row result releases both caches
+    # on exit — the fused-pipeline discipline.
+    tc, dl = text.build_postings(docs, "doc_id", "text")
+    tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+    bm_raw = text.bm25_from_index(spark, tc, dl, "doc_id", qlist, k=21)
     wbm = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
     bm = (
         bm_raw.filter(F.col("doc_id") != F.col("query_id"))
@@ -1322,14 +1334,18 @@ def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk"),
     )
     fused = similarity.rrf_fuse([bm, cs], "query_id", "doc_id", "rk", k=10)
-    return fused.select(
-        "query_id",
-        "doc_id",
-        "rrf",
-        F.col("rk_0").alias("rk_bm"),
-        F.col("rk_1").alias("rk_cos"),
-        "rk",
-    )
+    try:
+        return fused.select(
+            "query_id",
+            "doc_id",
+            "rrf",
+            F.col("rk_0").alias("rk_bm"),
+            F.col("rk_1").alias("rk_cos"),
+            "rk",
+        ).localCheckpoint(eager=True)
+    finally:
+        tc.unpersist()
+        dl.unpersist()
 
 
 # ---------------------------------------------------------------------------

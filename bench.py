@@ -39,7 +39,7 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 #: every round start — a stale pin restates "vs two rounds ago" and
 #: stops adjudicating the current round's own effect. The old r8
 #: anchor is kept for the long-series view (informational only).
-PREV_BENCH_COMMIT = "9f0f0a66f7e32ab4100f7867d4a3a7bdd5f6ca6f"  # r12 close
+PREV_BENCH_COMMIT = "0f2c0b21119eb6b46e0884d161ec74c4e5079639"  # r13 close
 ANCHOR_BENCH_COMMIT = "a245fbeac876d5de4203e1f13321b20846d84070"  # r8 anchor
 
 #: Idle-box gate for the OFFICIAL headline number (round-8 verdict
@@ -717,11 +717,26 @@ def main() -> int:
     # gates cannot see) while the paired delta adjudicated correctly
     # every time. The absolute total stays below as CONTEXT
     # ("value", kept for the driver contract), not as the series.
+    import statistics as _stats
+
     _pd = [v for v in ab.get("paired_delta_pct", {}).values()
            if isinstance(v, (int, float))]
-    _pd.sort()
-    paired_median = (
-        round(_pd[len(_pd) // 2], 2) if _pd else None
+    # a TRUE median (r13 verdict #4: the old upper-middle pick printed
+    # +1.4 while the median of the same published per-query deltas was
+    # −0.75 — the headline must equal the median of its own numbers)
+    paired_median = round(_stats.median(_pd), 2) if _pd else None
+
+    # DuckDB-anchor-normalized totals (r13 verdict #2): absolute
+    # seconds drift 2–12× across sessions at identical reported MHz,
+    # so the self-calibrating context number is the ratio of Spark's
+    # total to DuckDB's total for the SAME queries on the SAME box in
+    # the SAME session. Not a target to beat (DuckDB pays no JVM or
+    # distribution machinery) — a drift-corrected series anchor.
+    _common = [n for n in timings if n in duckdb_s and duckdb_s[n] > 0]
+    duckdb_total = round(sum(duckdb_s[n] for n in _common), 3)
+    anchor_ratio = (
+        round(sum(timings[n] for n in _common) / duckdb_total, 3)
+        if _common and duckdb_total > 0 else None
     )
     out = {
         "metric": "headline_queries_total",
@@ -738,12 +753,16 @@ def main() -> int:
         "sf": sf_val,
         # self-adjudicating round-over-round comparison (verdict #3):
         # median paired delta per query vs the pinned previous-round
-        # commit, measured interleaved in this same session
+        # commit, measured interleaved in this same session. These
+        # stay on the contract line so the headline is checkable
+        # against the numbers it is the median OF; the bulkier
+        # per-query blocks (min_delta_pct, duckdb_s, spread, freq)
+        # moved to the detail line + BENCH_DETAIL.json sidecar (r13
+        # verdict #2/#3: BENCH_r12's one-line JSON outgrew the
+        # driver's tail-capture window, parsed null, and orphaned the
+        # whole round's PERF alignment).
         "prev_commit": ab.get("prev_commit"),
         "paired_delta_pct": ab.get("paired_delta_pct", {}),
-        # min-vs-min: the noise-robust companion (contention only adds
-        # time, so per-side minima are the least-contaminated samples)
-        "min_delta_pct": ab.get("min_delta_pct", {}),
         "loadavg_1m": ab.get("loadavg_1m"),
         "n_processes": ab.get("n_processes"),
         # idle-box gate evidence (r8 verdict #2) + mid-run foreign-CPU
@@ -755,15 +774,12 @@ def main() -> int:
         "idle_waited_s": idle["waited_s"],
         "loadavg_1m_end": foreign["loadavg_1m_end"],
         "foreign_busy_cores": foreign["foreign_busy_cores"],
-        # CPU frequency/thermal samples around the headline window
-        # (r11 verdict #1b): RECORDED, not gating — a down-clocked or
-        # hot box explains an absolute drift the load gates can't see
-        "cpu_freq_start": freq_start,
-        "cpu_freq_end": freq_end,
         "official": idle["official"] and foreign["clean"],
-        # independent-engine anchor (r10 verdict #5): the same oracle
-        # SQL timed in DuckDB at the same sf on the same box
-        "duckdb_s": duckdb_s,
+        # DuckDB-anchor normalization (r13 verdict #2): scalar total +
+        # ratio make the artifact self-calibrating against box drift;
+        # the per-query duckdb_s block lives in the detail/sidecar
+        "duckdb_total_s": duckdb_total,
+        "anchor_ratio_spark_over_duckdb": anchor_ratio,
     }
     if errors:
         # names only — full messages live in the detail line/sidecar

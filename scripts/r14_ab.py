@@ -5,7 +5,7 @@ green-tree commit) and from the working tree, interleaved back-to-back
 per pair in one warm JVM — the drift-canceling protocol bench.py uses
 for its cross-round leg, pointed at an intra-round diff.
 
-Usage: python scripts/r13_ab.py [--base REF] [--pairs N] q [q ...]
+Usage: python scripts/r14_ab.py [--base REF] [--pairs N] q [q ...]
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ def _load_registry(repo_dir: str) -> dict:
 
 def main() -> int:
     args = sys.argv[1:]
-    base = "705b3c3"
+    base = "0f2c0b2"
     # EVEN default (ADVICE r13): an odd pair count leaves the order
     # alternation itself unbalanced — one side gets the hot-adjacency
     # slot in (pairs+1)/2 of the pairs and the median of an odd list is
@@ -66,7 +66,7 @@ def main() -> int:
               "unbalanced (residual hot-adjacency bias); use an even count",
               file=sys.stderr)
 
-    wt = "/tmp/r13_ab_worktree"
+    wt = "/tmp/r14_ab_worktree"
     shutil.rmtree(wt, ignore_errors=True)
     subprocess.run(["git", "-C", HERE, "worktree", "prune"],
                    check=False, capture_output=True)
@@ -78,7 +78,7 @@ def main() -> int:
 
     from strava_etl_public_spark.session import get_spark
 
-    spark = get_spark(app_name="r13_ab")
+    spark = get_spark(app_name="r14_ab")
     spark.sparkContext.setLogLevel("ERROR")
 
     def noop(df):
@@ -89,7 +89,7 @@ def main() -> int:
         noop(head_qs[n](spark, WARMUP_DIR))
         spark.catalog.clearCache()
 
-    # ORDER-BALANCED pairs (r13 null-test finding): with a fixed
+    # ORDER-BALANCED pairs (r14 null-test finding): with a fixed
     # (base, head) order the second runner wins ~15-25% on IDENTICAL
     # code — the run immediately after the same plan enjoys hot JIT/
     # codegen and page-cache state, and in the fixed order that slot

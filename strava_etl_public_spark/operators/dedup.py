@@ -44,6 +44,26 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
+def _doc_shingles_raw(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Non-distinct core of :func:`doc_shingles`: the raw per-doc
+    shingle stream, one row per shingle OCCURRENCE — a map-only
+    pipeline (tokenize → explode → hash), no shuffle. Consumers whose
+    aggregate is duplicate-insensitive (MinHash ``min``) can take this
+    directly and skip the distinct's full shuffle of the pipeline's
+    biggest intermediate."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    m = F.md5(F.col("_sh"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles(F.col("_toks"), n)).alias("_sh")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("shingle"),
+        F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("sh2"),
+    )
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle BIGINT, sh2 BIGINT) table, distinct per doc.
 
@@ -60,17 +80,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     shingle transform: inlining ``tokens()`` into the lambda makes the
     regex re-evaluate per ``element_at`` (~n× per shingle) — measured
     12× slower at sf0.1."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    m = F.md5(F.col("_sh"))
-    return (
-        toks.select(F.col(id_col), F.explode(shingles(F.col("_toks"), n)).alias("_sh"))
-        .select(
-            F.col(id_col),
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("shingle"),
-            F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("sh2"),
-        )
-        .distinct()
-    )
+    return _doc_shingles_raw(df, id_col, text_col, n).distinct()
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -325,25 +335,48 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
-    The shingle table feeds the signature agg AND three verify joins;
-    without a persist every consumer re-runs the tokenize→shingle→
-    distinct shuffle. MEMORY_AND_DISK keeps it a spill-safe one-pass
-    cost at scale (shingles ≈ tokens × n, the biggest intermediate);
-    the verified pair table (the small end of the funnel) is eagerly
-    materialized — ONE barrier for the whole pipeline — so the shingle
-    and bucket caches are released on exit rather than leaking for the
-    session lifetime.
+    Funnel shape (r14 rework, guide §2.3/§2.4): the corpus-wide
+    DISTINCT is off the build path. What is persisted is the RAW
+    shingle stream — a map-only pipeline (tokenize → explode → hash),
+    so materializing the cache costs NO shuffle (the old shape paid a
+    full shuffle of the pipeline's biggest intermediate, shingles ≈
+    tokens × n keyed by (doc, shingle), before caching the result):
+
+    * **Signatures read the raw stream directly.** MinHash ``min`` is
+      duplicate-insensitive (pinned by
+      tests/test_dedup.py::test_minhash_signatures_duplicate_insensitive),
+      and the signature groupBy's map-side partial agg collapses each
+      partition to one row per doc before its (only) shuffle.
+    * **The verify pass distincts AFTER the candidate semi-join.**
+      ``jaccard_verify`` prunes the shingle table to candidate docs
+      first; Spark's PushDownLeftSemiAntiJoin pushes that semi-join
+      BELOW the ``distinct()`` handed to it here (verified in the
+      plan), so the dedup shuffle — needed only for exact Jaccard set
+      sizes/intersections — runs over the candidates' shingles, not
+      the corpus's.
+
+    The verified pair table is eagerly materialized — ONE barrier for
+    the whole pipeline — so the cache is released on exit rather than
+    leaking for the session lifetime, and callers (cluster iteration)
+    can re-consume it freely.
 
     ``sh``: a precomputed (ideally caller-persisted) ``doc_shingles``
     table to share with sibling operators (e.g. decontamination in a
-    fused corpus pipeline) — the caller then owns its lifecycle.
+    fused corpus pipeline) — the caller then owns its lifecycle, and
+    both passes read it as before (already distinct; min is
+    indifferent).
     """
     from pyspark import StorageLevel
 
     own_sh = sh is None
     if own_sh:
-        sh = doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh, id_col, k)
+        sh_raw = _doc_shingles_raw(df, id_col, text_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sig_src, verify_sh = sh_raw, sh_raw.distinct()
+    else:
+        sig_src, verify_sh = sh, sh
+    sig = minhash_signatures(sig_src, id_col, k)
     cand, annotated = _lsh_candidates_raw(sig, id_col, k, bands, max_bucket)
     try:
         # jaccard_verify consumes cand THREE times (both union legs +
@@ -354,10 +387,12 @@ def minhash_lsh_dedup(
             cand = cand.localCheckpoint(eager=True)
         finally:
             annotated.unpersist()
-        return jaccard_verify(cand, sh, id_col, threshold).localCheckpoint(eager=True)
+        return jaccard_verify(
+            cand, verify_sh, id_col, threshold
+        ).localCheckpoint(eager=True)
     finally:
         if own_sh:
-            sh.unpersist()
+            sh_raw.unpersist()
 
 
 def lsh_bucket_state(

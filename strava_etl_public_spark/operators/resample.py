@@ -91,12 +91,19 @@ def densify_fused(df: DataFrame, key: str, ord_col: str, start: int = 0) -> Data
     tick arrays are bounded by the gap length — strictly smaller than
     ``spine``'s one whole-activity array per key.
 
-    Precondition (same as the spine's implicit one): ``ord_col`` values
-    below ``start`` are excluded by ``densify`` and must not be fed
-    here (a sample at ``ord < start`` would emit itself; the join
-    drops it). All oracle-gated inputs are cumulative-sum ticks ≥ 1.
+    Rows with ``ord_col < start`` are dropped up front (r14, ADVICE
+    r13): ``densify``'s left join silently drops them (the spine has
+    no tick below ``start``), and without the filter a violating input
+    would emit its own tick — a silent divergence between the two
+    shapes. The filter is one codegen'd predicate on the hot path; all
+    oracle-gated inputs are cumulative-sum ticks ≥ 1 so it passes
+    everything in practice. (One residual asymmetry stays documented:
+    a key whose rows are ALL below ``start`` contributes no spine here,
+    while ``densify``'s groupBy-max still emits its key — an input the
+    precondition already excludes.)
     """
     rest = [c for c in df.columns if c not in (key, ord_col)]
+    df = df.filter(F.col(ord_col) >= F.lit(start))
     w = Window.partitionBy(key).orderBy(ord_col)
     prev = F.lag(ord_col).over(w)
     lo = F.least(

@@ -77,6 +77,7 @@ def rolling_mean_triang(
     suffix: str = "tri",
     quantize: bool = False,
     ord_cols: Sequence[str] | None = None,
+    dense_ord: bool = False,
 ) -> DataFrame:
     """Add ``{col}_{suffix}_{w}`` triangular-weighted trailing means.
 
@@ -118,8 +119,33 @@ def rolling_mean_triang(
     the input is ALREADY sorted on lets the planner elide the rolling
     stage's own full re-sort (Spark's sort-equivalence check is
     attribute-syntactic; it cannot prove a derived tick is monotone).
-    Measured −12% on the g2 shape at sf0.1.
+    Measured −12% on the g2 shape at sf0.1. The caller's ordering
+    tuple must be TIE-FREE per key (unique per (key, ord_cols…) row):
+    a tied ordering makes row-based frames nondeterministic. See
+    tests/test_rolling.py for the per-caller contract checks.
+
+    ``dense_ord`` (r14): when ``ord_col`` is CONSECUTIVE integers per
+    key (densified input — each key's ticks are t0, t0+1, …), the
+    second prefix sum is a closed form of the first: row index
+    differences equal tick differences, so
+
+        S2(i) = Σ_{l≤i}(t_i − t_l + 1)·x_l = (t_i + 1)·S1(i) − U(i),
+        U(i)  = running_sum(t·x)
+
+    — S2 becomes a PROJECTION off pass 1 (U rides the same window as
+    S1) and the middle Window node disappears: 3 window passes → 2
+    over the pipeline's biggest table (guide §2.4). Requires
+    ``quantize=True``: the identity is exact in µ-unit BIGINT math
+    (same modular-overflow argument as the stencil — products may wrap
+    but stencil differences are exact mod 2^64 and the true value
+    fits), while re-associating raw double sums could drift across a
+    round(·,6) boundary. The caller asserts density; a gap in the
+    ticks silently breaks the identity, so only densified inputs
+    (resample.densify / densify_fused output) qualify —
+    tests/test_rolling.py pins equivalence vs the general path.
     """
+    if dense_ord and not quantize:
+        raise ValueError("dense_ord requires quantize=True (integer-exact identity)")
     order_by = list(ord_cols) if ord_cols else [ord_col]
     run = (
         Window.partitionBy(key)
@@ -153,9 +179,24 @@ def rolling_mean_triang(
         zero = F.lit(0).cast("long") if quantize else F.lit(0.0)
         pass1[f"_s1_{c}"] = F.sum(F.coalesce(src[c], zero)).over(run)
         pass1[f"_cc_{c}"] = F.count(c).over(run)
+        if dense_ord:
+            # U = running sum of t·x shares pass 1's window; S2 below
+            # becomes a projection instead of a second window pass
+            pass1[f"_u_{c}"] = F.sum(
+                F.col(ord_col).cast("long") * F.coalesce(src[c], zero)
+            ).over(run)
 
-    # Pass 2: S2 = running sum of S1 (the double prefix sum).
-    pass2 = {f"_s2_{c}": F.sum(f"_s1_{c}").over(run) for c in cols}
+    # Pass 2: S2 = running sum of S1 (the double prefix sum) — or, on
+    # dense ticks, the closed form (t+1)·S1 − U as a plain projection.
+    if dense_ord:
+        pass2 = {
+            f"_s2_{c}": (F.col(ord_col).cast("long") + F.lit(1).cast("long"))
+            * F.col(f"_s1_{c}")
+            - F.col(f"_u_{c}")
+            for c in cols
+        }
+    else:
+        pass2 = {f"_s2_{c}": F.sum(f"_s1_{c}").over(run) for c in cols}
 
     # Pass 3: every window is a constant-size stencil on S1/S2 —
     #   box_n(x)(i)          = S1(i) − S1(i−n)
@@ -190,7 +231,9 @@ def rolling_mean_triang(
             final[name] = F.when(n_valid == w, tri_sum.cast("double") / denom)
 
     out = df.withColumns(pass1).withColumns(pass2).withColumns(final)
-    return out.drop(*[c for c in out.columns if c.startswith(("_s1_", "_s2_", "_cc_"))])
+    return out.drop(
+        *[c for c in out.columns if c.startswith(("_s1_", "_s2_", "_cc_", "_u_"))]
+    )
 
 
 def rolling_mean_box(

@@ -629,13 +629,20 @@ def cosine_topk_lsh_arrow(
     sequential fold only for dots within FP-noise of zero, so the
     oracle-gated query keeps the fold and the scale path uses this.
 
-    Layout discipline learned by measurement: the bucketize stage
-    emits ONLY (id, norm, table, bucket) — a first version that
-    carried the vector through the x n_tables explode spent more on
-    Arrow (de)serializing 12x vector lists than the folds it saved
-    (64s vs the JVM's 48s at 200k). Vectors rejoin once per candidate
-    PAIR after the (table, bucket) join + dedup: queries from a
-    broadcast map, corpus vectors via one equi-join on the id."""
+    Fused single-pass shape (r14, guide §4/§8 — the same rework as
+    the IVF twin): the probe side is model-state-sized (|queries| ×
+    n_tables bucket codes), so it is computed DRIVER-SIDE with the
+    same matmul and shipped as a broadcast ``{(table, code) →
+    probing-query rows}`` map. Each corpus batch then bucketizes,
+    expands candidate pairs from the map in numpy (per-batch
+    ``np.unique`` = the old global dropDuplicates, because every
+    corpus row lives in exactly one batch), and reranks with the
+    per-pair einsum — ONE corpus scan and ONE Python crossing,
+    replacing the old bucketize pass + 12-rows/vector persisted bucket
+    table + (table, bucket) join + dedup shuffle + vector re-join +
+    second Python crossing. Per-pair arithmetic (einsum, per-row
+    norms, round) is batch-composition-independent, so scores are
+    bit-identical to the join-then-score shape."""
     import numpy as np
     import pandas as pd
 
@@ -647,84 +654,86 @@ def cosine_topk_lsh_arrow(
     )  # (n_tables*n_planes, dim)
     bits = np.asarray([1 << j for j in range(n_planes)], dtype="int64")
     spark = emb.sparkSession
-    bp = spark.sparkContext.broadcast(planes)
 
-    def bucketize(batches):
-        W = bp.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            signs = (V @ W.T) > 0  # (batch, n_tables*n_planes)
-            codes = (
-                signs.reshape(len(V), n_tables, n_planes) * bits
-            ).sum(axis=2)  # (batch, n_tables)
-            norms = np.linalg.norm(V, axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "_vn": np.repeat(norms, n_tables),
-                    "_tbl": np.tile(np.arange(n_tables, dtype="int64"), len(V)),
-                    "_bkt": codes.ravel(),
-                }
-            )
-
-    from pyspark import StorageLevel
-
-    bucketed = emb.select(id_col, vec_col).mapInPandas(
-        bucketize, schema=f"{id_col} long, _vn double, _tbl long, _bkt long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    q = bucketed.join(queries.select(id_col), id_col, "left_semi").select(
-        F.col(id_col).alias("q_id"), F.col("_vn").alias("_qn"), "_tbl", "_bkt"
-    )
-    c = bucketed.select(
-        F.col(id_col).alias("n_id"), F.col("_vn").alias("_nn"), "_tbl", "_bkt"
-    )
-    cand = (
-        c.join(F.broadcast(q), ["_tbl", "_bkt"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "_qn", "n_id", "_nn")
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    # vectors rejoin once per surviving pair
     q_pdf = (
         emb.join(queries.select(id_col), id_col, "left_semi")
-        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .select(id_col, vec_col)
         .toPandas()
     )
-    bqv = spark.sparkContext.broadcast(
-        {
-            int(i): np.asarray(v, dtype="float64")
-            for i, v in zip(q_pdf["q_id"], q_pdf["q_vec"])
+    probe_map: dict[tuple[int, int], "np.ndarray"] = {}
+    if len(q_pdf):
+        q_ids = q_pdf[id_col].to_numpy().astype("int64")
+        Q = np.vstack(q_pdf[vec_col].to_numpy()).astype("float64")
+        qn = np.linalg.norm(Q, axis=1)
+        qsigns = (Q @ planes.T) > 0
+        qcodes = (qsigns.reshape(len(Q), n_tables, n_planes) * bits).sum(axis=2)
+        rows_by_bucket: dict[tuple[int, int], list[int]] = {}
+        for r in range(len(q_ids)):
+            for t in range(n_tables):
+                rows_by_bucket.setdefault((t, int(qcodes[r, t])), []).append(r)
+        probe_map = {
+            key: np.asarray(v, dtype="int64") for key, v in rows_by_bucket.items()
         }
-    )
-    scored_in = cand.join(
-        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")), "n_id"
-    )
+    else:
+        q_ids = np.empty(0, dtype="int64")
+        Q = np.empty((0, dim), dtype="float64")
+        qn = np.empty(0, dtype="float64")
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn, probe_map, planes))
 
     def score(batches):
-        qv = bqv.value
+        bq_ids, bQ, bqn, bprobes, W = bc.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not bprobes:
                 continue
-            Q = np.vstack([qv[int(i)] for i in pdf["q_id"]])
-            N = np.vstack(pdf["n_vec"].to_numpy()).astype("float64")
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            n_ids = pdf[id_col].to_numpy()
+            signs = (V @ W.T) > 0  # (batch, n_tables*n_planes)
+            codes = (signs.reshape(len(V), n_tables, n_planes) * bits).sum(axis=2)
+            norms = np.linalg.norm(V, axis=1)
+            q_parts: list = []
+            n_parts: list = []
+            for t in range(n_tables):
+                col = codes[:, t]
+                for code in np.unique(col):
+                    pr = bprobes.get((t, int(code)))
+                    if pr is None:
+                        continue
+                    rn = np.nonzero(col == code)[0]
+                    q_parts.append(np.repeat(pr, len(rn)))
+                    n_parts.append(np.tile(rn, len(pr)))
+            if not q_parts:
+                continue
+            pairs = np.unique(
+                np.stack(
+                    [np.concatenate(q_parts), np.concatenate(n_parts)], axis=1
+                ),
+                axis=0,
+            )  # batch-local dedup == the old global dropDuplicates
+            qrows, nrows = pairs[:, 0], pairs[:, 1]
+            keep = bq_ids[qrows] != n_ids[nrows]
+            qrows, nrows = qrows[keep], nrows[keep]
+            if not len(qrows):
+                continue
             cos = np.round(
-                np.einsum("ij,ij->i", Q, N)
-                / (pdf["_qn"].to_numpy() * pdf["_nn"].to_numpy()),
+                np.einsum("ij,ij->i", bQ[qrows], V[nrows])
+                / (bqn[qrows] * norms[nrows]),
                 6,
             )
-            out = pd.DataFrame({"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cos": cos})
+            out = pd.DataFrame(
+                {"q_id": bq_ids[qrows], "n_id": n_ids[nrows], "cos": cos}
+            )
             yield (
                 out.sort_values(["q_id", "cos", "n_id"], ascending=[True, False, True])
                 .groupby("q_id", sort=False)
                 .head(k)
             )
 
-    partial = scored_in.mapInPandas(score, schema="q_id long, n_id long, cos double")
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, n_id long, cos double"
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    # |queries|*k rows: materialize, then release the bucket cache and
-    # both broadcasts instead of leaking them for the session lifetime
+    # |queries|*k rows: materialize so multi-consumer callers don't
+    # re-run the corpus pass, then release the broadcast
     try:
         return (
             partial.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -733,9 +742,7 @@ def cosine_topk_lsh_arrow(
             .localCheckpoint(eager=True)
         )
     finally:
-        bucketed.unpersist()
-        bp.unpersist()
-        bqv.unpersist()
+        bc.unpersist()
 
 
 def build_ivf_index_arrow(
@@ -797,49 +804,121 @@ def cosine_topk_ivf_arrow(
     train_fraction: float = 1.0,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Arrow twin of :func:`cosine_topk_ivf` — matmul assignment
-    (:func:`ivf_assign_arrow`) for training, corpus, and probes, and a
-    vectorized einsum rerank inside the probed lists. Shuffle shape is
-    identical to the JVM path (one equi-join on cent_id); only the
-    per-pair math moves from interpreted expression folds to numpy.
-    The JVM twin stays the oracle-gated query; this is the 100 TB
-    throughput path (scale_smoke_ann at 200k vectors: 4,482 vecs/s,
-    planted-twin recall 1.0, exact match vs the JVM twin on the
-    fixture)."""
+    """Arrow twin of :func:`cosine_topk_ivf` — matmul assignment and a
+    vectorized einsum rerank inside the probed lists, fused into ONE
+    corpus pass (r14, guide §4/§8: decide with small rows, cross the
+    Python boundary once).
+
+    The probe side is model-state-sized (|queries|·nprobe rows), so it
+    is computed DRIVER-SIDE with the same numpy routine
+    :func:`ivf_assign_arrow` runs per batch (same rounding, same
+    (cos desc, cent_id) lexsort tie-break) and shipped to executors as
+    a broadcast ``{cent_id → probing-query rows}`` map. Each corpus
+    Arrow batch is then: one matmul against the broadcast centroid
+    matrix (assignment — skipped when a prebuilt ``index`` already
+    carries ``cent_id``), an in-numpy expansion of (query, neighbor)
+    pairs from the probe map (replacing the JVM-side
+    corpus⋈broadcast(probes) join and its second full-corpus Python
+    round-trip), and the per-pair einsum rerank with a per-batch
+    partial top-k. Per-pair arithmetic is row-wise (einsum + per-row
+    norms + round) — batch-composition-independent, so scores are
+    bit-identical to the former join-then-score shape; the final
+    global top-k window is unchanged. The JVM twin stays the
+    expression-fold witness; this is the 100 TB throughput path."""
     import numpy as np
     import pandas as pd
 
+    spark = emb.sparkSession
     if index is not None:
         cents, corpus = index  # pre-built: probe-only cost path
+        scored_input = corpus.select("n_id", "n_vec", "cent_id")
+        fuse_assign = False
     else:
-        cents, corpus = build_ivf_index_arrow(
-            emb, id_col, vec_col, n_centroids, refine_iters, train_fraction
+        cents = seed_centroids(emb, id_col, vec_col, n_centroids)
+        if refine_iters:
+            cents = lloyd_refine(
+                emb, cents, id_col, vec_col, iters=refine_iters, arrow=True,
+                train_fraction=train_fraction,
+            )
+        # corpus assignment fuses into the scoring pass below — the
+        # batches are the same scan batches ivf_assign_arrow saw, so
+        # the assignment matmul shapes (hence values) are unchanged
+        scored_input = emb.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
         )
-    probes = ivf_assign_arrow(
-        emb.join(queries.select(id_col), id_col, "left_semi"),
-        cents,
-        id_col,
-        vec_col,
-        nprobe=nprobe,
-    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id")
-    cand = corpus.join(F.broadcast(probes), "cent_id").filter(
-        F.col("q_id") != F.col("n_id")
+        fuse_assign = True
+
+    c_pdf = cents.toPandas()
+    cent_ids = c_pdf["cent_id"].to_numpy()
+    C = np.vstack(c_pdf["cent_vec"].to_numpy()).astype("float64")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_pdf = (
+        emb.join(queries.select(id_col), id_col, "left_semi")
+        .select(id_col, vec_col)
+        .toPandas()
     )
+    probe_map: dict[int, "np.ndarray"] = {}
+    if len(q_pdf):
+        q_ids = q_pdf[id_col].to_numpy().astype("int64")
+        Q = np.vstack(q_pdf[vec_col].to_numpy()).astype("float64")
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        cos_qc = np.round(Qn @ Cn.T, 6)
+        pidx = np.lexsort(
+            (np.broadcast_to(cent_ids, cos_qc.shape), -cos_qc), axis=1
+        )[:, :nprobe]
+        rows_by_cent: dict[int, list[int]] = {}
+        for r in range(len(q_ids)):
+            for c in cent_ids[pidx[r]]:
+                rows_by_cent.setdefault(int(c), []).append(r)
+        probe_map = {
+            c: np.asarray(v, dtype="int64") for c, v in rows_by_cent.items()
+        }
+    else:
+        q_ids = np.empty(0, dtype="int64")
+        Q = np.empty((0, Cn.shape[1]), dtype="float64")
+    bc = spark.sparkContext.broadcast((q_ids, Q, probe_map, cent_ids, Cn))
 
     def score(batches):
+        bq_ids, bQ, bprobes, bcent_ids, bCn = bc.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not bprobes:
                 continue
-            Q = np.vstack(pdf["q_vec"].to_numpy()).astype("float64")
             N = np.vstack(pdf["n_vec"].to_numpy()).astype("float64")
+            n_ids = pdf["n_id"].to_numpy()
+            if fuse_assign:
+                En = N / np.linalg.norm(N, axis=1, keepdims=True)
+                cosb = np.round(En @ bCn.T, 6)
+                aidx = np.lexsort(
+                    (np.broadcast_to(bcent_ids, cosb.shape), -cosb), axis=1
+                )[:, 0]
+                cent_of_row = bcent_ids[aidx]
+            else:
+                cent_of_row = pdf["cent_id"].to_numpy()
+            q_parts: list = []
+            n_parts: list = []
+            for c in np.unique(cent_of_row):
+                pr = bprobes.get(int(c))
+                if pr is None:
+                    continue
+                rn = np.nonzero(cent_of_row == c)[0]
+                q_parts.append(np.repeat(pr, len(rn)))
+                n_parts.append(np.tile(rn, len(pr)))
+            if not q_parts:
+                continue
+            qrows = np.concatenate(q_parts)
+            nrows = np.concatenate(n_parts)
+            Qp = bQ[qrows]
+            Np = N[nrows]
             cos = np.round(
-                np.einsum("ij,ij->i", Q, N)
-                / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)),
+                np.einsum("ij,ij->i", Qp, Np)
+                / (np.linalg.norm(Qp, axis=1) * np.linalg.norm(Np, axis=1)),
                 6,
             )
             out = pd.DataFrame(
-                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cos": cos}
+                {"q_id": bq_ids[qrows], "n_id": n_ids[nrows], "cos": cos}
             )
+            out = out[out["q_id"] != out["n_id"]]
             # partial top-k per query within the batch bounds the
             # shuffle into the global rank at |queries|*k rows/batch
             out = (
@@ -849,9 +928,7 @@ def cosine_topk_ivf_arrow(
             )
             yield out
 
-    partial = cand.select("q_id", "q_vec", "n_id", "n_vec").mapInPandas(
-        score, schema="q_id long, n_id long, cos double"
-    )
+    partial = scored_input.mapInPandas(score, schema="q_id long, n_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         partial.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1286,9 +1363,13 @@ def knn_join_blocked(
     per-block join is ~15k² cosines per bucket worst-case under the
     cap — embarrassingly parallel. ``emb`` feeds FOUR consumers (the
     size agg, both small-tier join legs, the hot-member scan) and
-    Spark never dedupes common subtrees, so it is persisted here —
-    like jaccard_join_prefix's ``sets``, the caller unpersists after
-    its last action if the input pipeline was expensive."""
+    Spark never dedupes common subtrees, so it is persisted here; the
+    (N·k)-row result is eagerly materialized as the ONE barrier so the
+    cache releases on exit instead of relying on the caller (r14,
+    guide §5 — the minhash_lsh_dedup cache-lifetime discipline; the
+    old contract leaked the persisted corpus+vectors for the session
+    lifetime whenever the caller forgot to unpersist, which the
+    x_sim_knn_join query did)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -1344,11 +1425,15 @@ def knn_join_blocked(
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        emb.unpersist()
 
 
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:

@@ -223,10 +223,27 @@ def bm25_topk(
     engines and partitionings. Top-k per query by (score desc,
     doc_id) row_number — per-query k rows out.
     """
+    from pyspark import StorageLevel
+
+    # Materialize the index ONCE (r14, guide §2.4/§5): bm25_from_index
+    # consumes ``tc`` via two branches (query-term prune → df stats +
+    # hits) and ``dl`` via two more (corpus stats, doc-length join),
+    # and Spark never dedupes branch subtrees — un-persisted, the
+    # corpus was tokenized FOUR times per run (plan: 4 Generate
+    # subtrees; plans/r14/x_text_bm25_topk_before.txt). The postings
+    # are the index state a serving deployment persists anyway; the
+    # (queries×k)-row result is eagerly materialized as the single
+    # barrier so both caches release on exit instead of leaking.
     tc, dl = build_postings(df, id_col, text_col)
-    return bm25_from_index(
-        df.sparkSession, tc, dl, id_col, queries, k=k, k1=k1, b=b
-    )
+    tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return bm25_from_index(
+            df.sparkSession, tc, dl, id_col, queries, k=k, k1=k1, b=b
+        ).localCheckpoint(eager=True)
+    finally:
+        tc.unpersist()
+        dl.unpersist()
 
 
 def build_postings(df: DataFrame, id_col: str, text_col: str):

@@ -1000,8 +1000,13 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_key",
             cols,
         )
+        # dense_ord (r14): the input is densified — time_key is
+        # consecutive per activity — so S2 is a projection off S1
+        # (closed form) and the rolling stage runs 2 window passes
+        # instead of 3 over the pipeline's biggest table (guide §2.4)
         rolled = rolling.rolling_mean_triang(
-            dense, "activity_id", "time_key", cols, wins, quantize=True
+            dense, "activity_id", "time_key", cols, wins, quantize=True,
+            dense_ord=True,
         )
         maxed = rolling.activity_maxes(
             rolled, "activity_id", cols, wins, clamp_negative=True

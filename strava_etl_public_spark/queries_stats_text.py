@@ -1314,7 +1314,11 @@ def x_text_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark replans the scan+tokenize+explode subtree per consumer —
     # the corpus was tokenized 3× (audit: 16 exchanges). The eager
     # checkpoint of the (queries×k)-row result releases both caches
-    # on exit — the fused-pipeline discipline.
+    # on exit — the fused-pipeline discipline. (ADVICE r13: the
+    # checkpoint's own RDD blocks stay pinned until the driver GCs the
+    # returned DataFrame and ContextCleaner collects them — bounded at
+    # queries×k rows per invocation, so repeated bench/oracle runs
+    # accumulate only result-sized blocks, not corpus-sized ones.)
     tc, dl = text.build_postings(docs, "doc_id", "text")
     tc = tc.persist(StorageLevel.MEMORY_AND_DISK)
     dl = dl.persist(StorageLevel.MEMORY_AND_DISK)

@@ -446,6 +446,7 @@ def _dup_corpus(spark, n_groups=12, copies=4, seed=3):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
 
+@pytest.mark.slow  # randomized sweep (~27 s); the hand-case incremental tests stay
 def test_incremental_equals_full_recompute_randomized(spark):
     """Judge gate (verdict #5): incremental clusters == full-recompute
     clusters on corpus ∪ batch, across different batch splits."""
@@ -528,3 +529,40 @@ def test_incremental_batch_into_singleton_bucket(spark):
         )
     )
     _incremental_equals_full(spark, docs, F.col("doc_id") == 1)
+
+
+def test_minhash_signatures_duplicate_insensitive(spark):
+    """r14: the signature path reads the RAW (non-distinct) shingle
+    stream — valid because MinHash ``min`` is duplicate-insensitive.
+    Pin the equivalence so a future signature family that is NOT
+    (e.g. a sum-based sketch) can't silently ride the raw stream."""
+    from strava_etl_public_spark.operators.dedup import _doc_shingles_raw
+
+    docs = _docs(spark)
+    a = (
+        minhash_signatures(_doc_shingles_raw(docs, "doc_id", "text", 3), "doc_id", k=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        minhash_signatures(doc_shingles(docs, "doc_id", "text", 3), "doc_id", k=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_minhash_lsh_dedup_releases_caches(spark):
+    """r14 funnel rework: the pipeline's internal caches (annotated
+    buckets + candidate shingles) must be released by the time the
+    eagerly-materialized pair table returns — only the result's own
+    localCheckpoint blocks may remain registered."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_lsh_dedup(_docs(spark), "doc_id", "text", n=3, k=8, bands=4, threshold=0.3)
+    assert out.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    # +3: the cand / candidate-shingle / result localCheckpoint RDDs
+    # (bounded lineage barriers at the funnel's small end); the
+    # corpus-wide shingle cache must NOT survive
+    assert after - before <= 3

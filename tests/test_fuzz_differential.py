@@ -19,6 +19,9 @@ import sys
 import duckdb
 import pytest
 
+# randomized differential fuzz: slow lane (r13 verdict #1)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 import fuzz_oracle as FZ  # noqa: E402

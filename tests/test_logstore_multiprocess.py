@@ -29,6 +29,9 @@ import textwrap
 import time
 
 import pytest
+
+# multi-process multiwriter races (~100 s): slow lane (r13 verdict #1)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators.table import ManagedTable

@@ -102,3 +102,23 @@ def test_paged_feed_source_partition_parallel(spark):
     assert sorted(r["activity_id"] for r in rows) == list(range(30))
     for r in rows:
         assert r["page"] == r["activity_id"] // 10
+
+
+def test_headline_queries_smoke_sf0001(spark, sf_dir):
+    """Fast default-lane replacement for the full-registry sweep above
+    (r14: test_all_queries_run_sf0001 is ~17 min and moved to the slow
+    lane): the bench headline set — the queries every round's perf
+    record rides on — must at least RUN at sf0.001. Value-level
+    correctness stays with scripts/verify_oracle.py and the driver's
+    own oracle gate."""
+    import bench as B
+    from strava_etl_public_spark.queries import EXTRA_QUERIES
+
+    qs = dict(EXTRA_QUERIES) | dict(E.queries())
+    failures = {}
+    for name in B.HEADLINE:
+        try:
+            qs[name](spark, sf_dir).limit(1).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[name] = repr(e)[:200]
+    assert not failures, failures

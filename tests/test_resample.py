@@ -226,3 +226,18 @@ def test_densify_fused_edges(spark):
         a = densify(sdf, "activity_id", "time_key", start=start)
         b = densify_fused(sdf, "activity_id", "time_key", start=start)
         assert _rows_multiset(a) == _rows_multiset(b), start
+
+
+def test_densify_fused_drops_below_start_like_join_shape(spark):
+    """r14 (ADVICE r13): a sample at ord < start must be DROPPED, as
+    densify's left join drops it — the old fused path silently emitted
+    the violating row's own tick."""
+    from strava_etl_public_spark.operators.resample import densify, densify_fused
+
+    df = spark.createDataFrame(
+        [(1, -2, 99.0), (1, 1, 10.0), (1, 3, 30.0)], "k long, t long, v double"
+    )
+    fused = densify_fused(df, "k", "t", start=0).orderBy("t").collect()
+    joined = densify(df, "k", "t", start=0).orderBy("t").collect()
+    assert [r.asDict() for r in fused] == [r.asDict() for r in joined]
+    assert [r["t"] for r in fused] == [0, 1, 2, 3]

@@ -261,3 +261,66 @@ def test_ewma_resume_equals_full_fold(spark):
     want = {(r["k"], r["t"]): r["s"] for r in full.filter("t >= 3").collect()}
     got = {(r["k"], r["t"]): r["s"] for r in resumed.collect()}
     assert got == want and (3, 5) in got
+
+
+def test_dense_ord_equals_general_path(spark):
+    """r14 dense-tick specialization: on consecutive-integer ticks the
+    S2 closed form ((t+1)·S1 − U) must be BIT-IDENTICAL to the general
+    double-prefix-sum window path — including NULL runs, short frames,
+    and a key whose ticks start at a nonzero offset (the identity uses
+    tick differences only)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for k, start in ((0, 0), (1, 0), (2, 5)):
+        n = 90
+        vals = rng.normal(50, 20, n)
+        mask = rng.random(n) < 0.2
+        for i in range(n):
+            rows.append(
+                {
+                    "activity_id": k,
+                    "t": start + i,
+                    "x": None if mask[i] else round(float(vals[i]), 4),
+                }
+            )
+    sdf = to_sdf(spark, pd.DataFrame(rows))
+    kw = dict(windows=WINDOWS, quantize=True)
+    base = rolling_mean_triang(sdf, "activity_id", "t", ["x"], **kw)
+    dense = rolling_mean_triang(sdf, "activity_id", "t", ["x"], dense_ord=True, **kw)
+    b = base.orderBy("activity_id", "t").collect()
+    d = dense.orderBy("activity_id", "t").collect()
+    assert len(b) == len(d)
+    for rb, rd in zip(b, d):
+        assert rb.asDict() == rd.asDict()  # exact, incl. None pattern
+
+
+def test_dense_ord_requires_quantize(spark):
+    pdf = pd.DataFrame({"activity_id": [1, 1], "t": [0, 1], "x": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="dense_ord"):
+        rolling_mean_triang(
+            to_sdf(spark, pdf), "activity_id", "t", ["x"], [3], dense_ord=True
+        )
+
+
+def test_ord_cols_contract_on_fixture(spark):
+    """r13 verdict #5 / ADVICE: the ord_cols=(ts, event_id) opt-in used
+    by flagship/w1/g2 rests on two unchecked claims — (ts, event_id)
+    is TIE-FREE per activity, and time_key is strictly increasing
+    along that order (same row order). Pin both on the fixture the
+    oracle gate runs at."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from strava_etl_public_spark.queries import streams
+
+    s = streams(spark, "/root/testdata/sf0.001", keep_source_order=True)
+    total = s.count()
+    assert (
+        s.select("activity_id", "ts", "event_id").distinct().count() == total
+    ), "(activity_id, ts, event_id) must be unique (tie-free ordering)"
+    w = W.partitionBy("activity_id").orderBy("ts", "event_id")
+    bad = (
+        s.withColumn("_prev_tk", F.lag("time_key").over(w))
+        .filter(F.col("_prev_tk").isNotNull() & (F.col("time_key") <= F.col("_prev_tk")))
+        .count()
+    )
+    assert bad == 0, "time_key must be strictly increasing in (ts, event_id) order"

@@ -556,6 +556,7 @@ def test_stream_stream_join_matches_batch_across_batches(spark, staged_events, t
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow  # ~3 min state-bound sweep: slow lane (r13 verdict #1)
 def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
     """The scale contract of the watermarked interval join: buffered
     state is bounded by the watermark horizon, NOT by stream history.

@@ -34,6 +34,9 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# full crash-window fuzz sweep (~3 min): slow lane (r13 verdict #1)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from strava_etl_public_spark.operators import layout

@@ -52,6 +52,7 @@ def _df(spark, model):
     [(901, "local"), (902, "local"), (903, "sqlite"),
      (906, "local"), (908, "sqlite")],
 )
+@pytest.mark.slow  # random-op model fuzz (~4 min total): slow lane (r13 verdict #1)
 def test_random_op_sequences_match_model(
     spark, tmp_path, seed, store_kind, request
 ):

@@ -876,6 +876,7 @@ def _compound_corpus(spark, sf_dir: str):
     )
 
 
+@pytest.mark.slow  # ~90 s; the sequential-identity twin stays in the default lane
 def test_bpe_batched_reference_identity_150_merges(spark):
     """Round-8 extension of the identity pin (verdict #7): the batched
     trainer must reproduce the single-process Sennrich reference for a
@@ -904,3 +905,47 @@ def test_bpe_batched_reference_identity_150_merges(spark):
         )
         # batching must actually batch (not 150 sequential rounds)
         assert stats["rounds"] < 150, stats
+
+
+def test_bm25_topk_equals_unpersisted_index_path(spark):
+    """r14: bm25_topk now materializes the postings index internally
+    (4 tokenize subtrees → 1). Scores must be IDENTICAL to the
+    un-persisted build_postings → bm25_from_index composition, and the
+    internal caches must be released on return."""
+    from strava_etl_public_spark.operators.text import (
+        bm25_from_index,
+        bm25_topk,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the lazy dog sleeps while the quick fox runs"),
+            (4, "sphinx of black quartz judge my vow"),
+            (5, "quick quick quick fox fox dog"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(0, "quick fox"), (1, "lazy dog"), (2, "liquor quartz")]
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = bm25_topk(docs, "doc_id", "text", queries, k=3)
+    rows_got = sorted(
+        (r.asDict() for r in got.collect()),
+        key=lambda r: (r["query_id"], r["rk"]),
+    )
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # result checkpoint only; tc/dl released
+    tc, dl = build_postings(docs, "doc_id", "text")
+    want = sorted(
+        (
+            r.asDict()
+            for r in bm25_from_index(
+                spark, tc, dl, "doc_id", queries, k=3
+            ).collect()
+        ),
+        key=lambda r: (r["query_id"], r["rk"]),
+    )
+    assert rows_got == want

@@ -128,6 +128,96 @@ def densify_fused(df: DataFrame, key: str, ord_col: str, start: int = 0) -> Data
     )
 
 
+def densify_interpolate_fused(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    cols: Sequence[str],
+    start: int = 0,
+) -> DataFrame:
+    """Densify + linear interpolation in ONE pass over the SPARSE
+    table (r14, guide §2.4/§8 — decide with small rows): row-identical
+    to ``interpolate_linear(densify_fused(df, key, ord_col, start),
+    key, ord_col, cols)`` under two preconditions the caller asserts:
+
+    * ``(key, ord_col)`` is unique (no duplicate sample ticks), and
+    * every ``cols`` value is non-NULL on the sample rows.
+
+    Insight: each gap tick ``densify_fused`` emits is generated by the
+    sample at its RIGHT edge — which IS its next non-null neighbor
+    under the preconditions — and the previous neighbor is one ``lag``
+    on the sparse table, in the same window the gap-fill already runs.
+    So the interpolation that used to cost TWO window passes (DESC +
+    ASC) over the DENSE table becomes plain arithmetic inside the
+    generator projection, computed from sparse-row state:
+
+    - gap tick t between samples (po, pv) and (so, nv):
+      ``pv + (nv − pv) · ((t − po)/(so − po))`` — the identical
+      expression tree ``interpolate_linear`` builds, evaluated on the
+      identical values, so outputs are bit-equal doubles;
+    - the sample's own tick carries its value (its ``cols`` are
+      non-null, so ``interpolate_linear``'s first branch fired there);
+    - leading gap ticks (no previous sample) stay NULL;
+    - trailing ticks past the last sample don't exist (spine ends at
+      ``max(ord)``), so the forward-fill branch can never fire under
+      the preconditions.
+
+    Non-interpolated payload columns keep densify semantics (NULL on
+    gap ticks). A violated value-NULL precondition diverges (the NULL
+    sample is its own "neighbor" here but was skipped by
+    ignorenulls there) — callers are fixture-contract-tested
+    (tests/test_resample.py, tests/test_rolling.py); inputs with
+    possible NULL samples must keep the two-pass composition.
+
+    Scale shape: the dense table is produced already interpolated —
+    zero window passes over the pipeline's biggest intermediate; the
+    only window runs on the sparse grain. At a 1 Hz spine over sparse
+    sensors the dense/sparse ratio is the multiplier on everything
+    this skips.
+    """
+    rest = [c for c in df.columns if c not in (key, ord_col)]
+    interp = [c for c in cols]
+    df = df.filter(F.col(ord_col) >= F.lit(start))
+    w = Window.partitionBy(key).orderBy(ord_col)
+    prev = F.lag(ord_col).over(w)
+    lo = F.least(
+        F.greatest(F.coalesce(prev + 1, F.lit(start)), F.lit(start)),
+        F.col(ord_col),
+    )
+    base = (
+        df.withColumn("_lo", lo.cast("long"))
+        .withColumn("_po", prev.cast("long"))
+        .withColumns({f"_pv_{c}": F.lag(c).over(w) for c in interp})
+    )
+    ticks = F.sequence(F.col("_lo"), F.col(ord_col).cast("long"))
+    ex = base.select(
+        F.col(key),
+        F.col(ord_col).alias("_sample_ord"),
+        F.explode(ticks).alias(ord_col),
+        F.col("_po"),
+        *[F.col(f"_pv_{c}") for c in interp],
+        *[F.col(c) for c in rest],
+    )
+    is_sample = F.col(ord_col) == F.col("_sample_ord")
+    out: list[Column] = []
+    for c in rest:
+        if c in interp:
+            pv = F.col(f"_pv_{c}")
+            nv = F.col(c)
+            ratio = (F.col(ord_col) - F.col("_po")).cast("double") / (
+                F.col("_sample_ord") - F.col("_po")
+            ).cast("double")
+            out.append(
+                F.when(is_sample, F.col(c))
+                .when(pv.isNull(), F.lit(None))
+                .otherwise(pv + (nv - pv) * ratio)
+                .alias(c)
+            )
+        else:
+            out.append(F.when(is_sample, F.col(c)).alias(c))
+    return ex.select(F.col(key), F.col(ord_col), *out)
+
+
 def interpolate_linear(
     df: DataFrame, key: str, ord_col: str, cols: Sequence[str]
 ) -> DataFrame:

@@ -930,12 +930,20 @@ def w2_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no join (J2's join shape itself stays certified by
     j1_j2_spine_join)."""
     ensure_harness_conf(spark)
-    dd = resample.densify_fused(
+    # r14: densify_interpolate_fused — the interpolation that cost two
+    # window passes (DESC+ASC) over the DENSE table is computed at
+    # explode time from sparse-row state (each gap tick's generating
+    # sample IS its next neighbor; the previous one is a lag in the
+    # gap-fill's own window). Bit-identical under the fixture contract
+    # (unique ticks, non-null values — tests/test_resample.py pins
+    # both the equivalence and the contract); zero dense-table window
+    # passes remain in this query.
+    out = resample.densify_interpolate_fused(
         streams(spark, sf_dir).select("activity_id", "time_key", "value"),
         "activity_id",
         "time_key",
+        ["value"],
     )
-    out = resample.interpolate_linear(dd, "activity_id", "time_key", ["value"])
     return out.select("activity_id", "time_key", "value")
 
 
@@ -1137,10 +1145,10 @@ def n10_cohort_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s.join(F.broadcast(mx), "activity_id")
     short = s2.filter(F.col("mx") < 130).drop("mx")
     long_ = s2.filter(F.col("mx") >= 130).drop("mx")
-    interp = resample.interpolate_linear(
-        # densify_fused: same rows as the join-shape densify from one
-        # subtree of `short` instead of two (r13; see w2)
-        resample.densify_fused(short, "activity_id", "time_key"),
+    interp = resample.densify_interpolate_fused(
+        # r14: densify + interpolation in one sparse-grain pass (see
+        # w2) — same rows, zero dense-table window passes
+        short,
         "activity_id",
         "time_key",
         ["value"],

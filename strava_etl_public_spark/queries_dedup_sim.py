@@ -990,15 +990,14 @@ def x_pipeline_activity_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 97).cast("double").alias("vel"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        dense = resample.interpolate_linear(
-            # densify_fused (r13): one pass over the persisted `s`
-            # instead of a spine-agg branch + equi-join probe — the
-            # join's two cache reads and its exchange drop out; same
-            # rows by construction (tests/test_resample.py)
-            resample.densify_fused(s, "activity_id", "time_key"),
-            "activity_id",
-            "time_key",
-            cols,
+        # r14: densify + interpolation fused into one sparse-grain
+        # pass (densify_interpolate_fused; see w2) — the two DESC/ASC
+        # interpolation window passes over the DENSE table are now
+        # arithmetic in the gap-fill generator; the dense table is
+        # born interpolated. Bit-identical under the fixture contract
+        # (tests/test_resample.py pins equivalence + contract).
+        dense = resample.densify_interpolate_fused(
+            s, "activity_id", "time_key", cols
         )
         # dense_ord (r14): the input is densified — time_key is
         # consecutive per activity — so S2 is a projection off S1

@@ -241,3 +241,56 @@ def test_densify_fused_drops_below_start_like_join_shape(spark):
     joined = densify(df, "k", "t", start=0).orderBy("t").collect()
     assert [r.asDict() for r in fused] == [r.asDict() for r in joined]
     assert [r["t"] for r in fused] == [0, 1, 2, 3]
+
+
+def test_densify_interpolate_fused_equals_two_pass(spark):
+    """r14 fusion: densify_interpolate_fused must be BIT-identical to
+    interpolate_linear(densify_fused(...)) on precondition-satisfying
+    input (unique ticks, non-null sample values) — gaps, leading gaps,
+    multi-key, a non-interpolated payload column, and single-sample
+    keys included."""
+    import numpy as np
+
+    from strava_etl_public_spark.operators.resample import (
+        densify_fused,
+        densify_interpolate_fused,
+        interpolate_linear,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(6):
+        t = 0
+        for i in range(rng.integers(1, 40)):
+            t += int(rng.integers(1, 7))  # gaps 1..6, leading gap incl.
+            rows.append(
+                (k, t, float(np.round(rng.normal(50, 20), 4)), int(t * 3 + k))
+            )
+    df = spark.createDataFrame(rows, "k long, t long, v double, aux long")
+    want = (
+        interpolate_linear(densify_fused(df, "k", "t"), "k", "t", ["v"])
+        .orderBy("k", "t")
+        .collect()
+    )
+    got = (
+        densify_interpolate_fused(df, "k", "t", ["v"])
+        .orderBy("k", "t")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.asDict() == b.asDict()
+
+
+def test_interp_fusion_fixture_contract(spark):
+    """The fused interpolation's preconditions, pinned on the oracle
+    fixture: streams() sample values are non-NULL and (activity_id,
+    time_key) is unique — the contract w2/n10/e2e rely on."""
+    from pyspark.sql import functions as F
+
+    from strava_etl_public_spark.queries import streams
+
+    s = streams(spark, "/root/testdata/sf0.001")
+    total = s.count()
+    assert s.filter(F.col("value").isNull()).count() == 0
+    assert s.select("activity_id", "time_key").distinct().count() == total

@@ -12,6 +12,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: AQE reducer sizing policy, env-parameterized (r14; optimization
+#: guide §2.2 and the round rule that scale-dependent settings stay
+#: conf/env knobs with local defaults). "false" (default) sizes
+#: reducers by BYTES (16 MB advisory): measured 2-8× on the fixture
+#: tiers, where core-count-many tiny tasks cost more scheduler/codegen
+#: overhead than they recover. The cost appears at tiers where
+#: data/16 MB < cores: gen-sf1 coalesces the activity-e2e dense-table
+#: stages to ~10 partitions, so 8 cores already saturate them
+#: (SCALE_r14.json: 8v32 ratio 1.0; parallelismFirst=true recovers
+#: −16% at 32 cores there). At 100 TB data/advisory ≥ 10⁶ partitions
+#: and the policy is irrelevant; on mid-size clusters set
+#: SPARK_GRAFT_AQE_PARALLELISM_FIRST=true.
+AQE_PARALLELISM_FIRST = os.environ.get(
+    "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+)
+
 
 def get_spark(
     app_name: str = "strava_etl_public_spark",
@@ -39,7 +55,10 @@ def get_spark(
         # inputs still get advisory-size-granular parallelism. 16m (not
         # the 64m default) so CPU-heavy window stages over mid-size
         # shuffles don't collapse to one core before data >> cores×64m.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            AQE_PARALLELISM_FIRST,
+        )
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # let AQE re-partition reads of cached plans (persisted
         # intermediates otherwise pin their partition count)
@@ -73,7 +92,10 @@ def ensure_harness_conf(spark: SparkSession) -> SparkSession:
     # the actual dtype either way (functions/epoch.py).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # byte-sized AQE reducers + cached-plan repartitioning (see get_spark)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        AQE_PARALLELISM_FIRST,
+    )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"

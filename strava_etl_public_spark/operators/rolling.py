@@ -231,9 +231,12 @@ def rolling_mean_triang(
             final[name] = F.when(n_valid == w, tri_sum.cast("double") / denom)
 
     out = df.withColumns(pass1).withColumns(pass2).withColumns(final)
-    return out.drop(
-        *[c for c in out.columns if c.startswith(("_s1_", "_s2_", "_cc_", "_u_"))]
-    )
+    # drop the helpers BY THE NAMES THIS FUNCTION CREATED — reading
+    # out.columns here would force a full ANALYSIS of the widest plan
+    # in the pipeline mid-construction (hundreds of window/stencil
+    # expressions), measured as multi-second driver time on the e2e
+    # shape (r14; guide §7.3 — planning is single-threaded driver work)
+    return out.drop(*pass1.keys(), *pass2.keys())
 
 
 def rolling_mean_box(
@@ -261,7 +264,8 @@ def rolling_mean_box(
             n = F.col(f"_cc_{c}") - F.coalesce(F.lag(f"_cc_{c}", w).over(w_lag), F.lit(0))
             final[f"{c}_{suffix}_{w}"] = F.when(n == w, s / F.lit(float(w)))
     out = df.withColumns(pass1).withColumns(final)
-    return out.drop(*[c for c in out.columns if c.startswith(("_cs_", "_cc_"))])
+    # explicit helper names — see rolling_mean_triang's drop note
+    return out.drop(*pass1.keys())
 
 
 def activity_maxes(
